@@ -1,0 +1,179 @@
+"""Lightweight per-document text model (tokens, sentences, spans).
+
+Stands in for the spaCy ``Doc``/``Span`` objects the reference mutates in
+place (see /root/reference/legal_ner.py:23-39 and SURVEY.md §1.1).  The
+reference relies on four spaCy behaviors that downstream postprocessing
+depends on, all reimplemented here with exact-parity semantics:
+
+* token indices (``span.start``/``span.end``) alongside char offsets —
+  used by the supra join (postprocessing_utils.py:55), provision linking
+  (:379) and nesting checks (:690);
+* ``len(span)`` = token count — cluster-head selection (:165);
+* ``spacy.util.filter_spans`` longest-span-wins / earlier-start /
+  first-seen tie-breaking (:349, :747);
+* ``doc.char_span(..., alignment_mode='expand')`` snapping of char ranges
+  to covering tokens (:679, :810).
+
+Only instantiated inside Arrow batch UDFs and unit tests — never on the
+Spark driver hot path.
+"""
+
+from __future__ import annotations
+
+import re
+
+# One token per word-ish run or single punctuation char.  Deterministic and
+# whitespace-stable: retokenizing the concatenation of two texts joined on
+# whitespace yields the union of their token sequences (needed because the
+# reference concatenates preamble+judgment docs, legal_ner.py:39).
+# NB: apostrophes are separate tokens ("Limaye's" → Limaye / ' / s), like
+# spaCy's possessive suffix split — the supra join anchors on the person
+# span ending exactly at the apostrophe (postprocessing_utils.py:40-44).
+_TOKEN_RE = re.compile(r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]")
+
+# Sentence boundary: sentence-final punctuation followed by whitespace, or a
+# blank line.  The reference's ingest inserts "\n\n" after .\"? precisely so
+# spaCy breaks there (data_preparation.py:177-178); we make that rule the
+# definition.
+_SENT_BOUNDARY_RE = re.compile(r"(?<=[.?!])[\"']?\s+|\n{2,}")
+
+
+class Span:
+    """An entity/sentence span.
+
+    Equality follows spaCy ``Span.__eq__`` closely enough for the reference's
+    membership tests (value identity on char range + label); the hash ignores
+    the label because the reference relabels spans *after* inserting them into
+    dicts/sets (postprocessing_utils.py:192,241,324) and a label-dependent
+    hash would corrupt those containers.
+    """
+
+    __slots__ = ("start", "end", "start_char", "end_char", "text", "label")
+
+    def __init__(self, start: int, end: int, start_char: int, end_char: int,
+                 text: str, label: str):
+        self.start = start            # token index, inclusive
+        self.end = end                # token index, exclusive
+        self.start_char = start_char
+        self.end_char = end_char
+        self.text = text
+        self.label = label
+
+    def __len__(self) -> int:
+        return self.end - self.start
+
+    def __eq__(self, other) -> bool:
+        if not isinstance(other, Span):
+            return NotImplemented
+        return (self.start_char == other.start_char
+                and self.end_char == other.end_char
+                and self.label == other.label)
+
+    def __hash__(self) -> int:
+        return hash((self.start_char, self.end_char))
+
+    def __repr__(self) -> str:
+        return f"Span({self.label}:{self.text!r}@{self.start_char})"
+
+
+class Doc:
+    """Tokenized document with sentence boundaries and entity spans."""
+
+    __slots__ = ("text", "tokens", "sents", "ents")
+
+    def __init__(self, text: str, hard_breaks: tuple[int, ...] = ()):
+        """``hard_breaks`` are extra guaranteed sentence boundaries (char
+        offsets) — used at the preamble/judgment junction, which spaCy's
+        ``Doc.from_docs`` preserves implicitly (legal_ner.py:39)."""
+        self.text = text
+        # tokens: list of (start_char, end_char, text)
+        self.tokens = [(m.start(), m.end(), m.group())
+                       for m in _TOKEN_RE.finditer(text)]
+        self.sents = self._split_sentences(hard_breaks)
+        self.ents: list[Span] = []
+
+    # -- construction helpers -------------------------------------------------
+
+    def _split_sentences(self, hard_breaks: tuple[int, ...] = ()) -> list[Span]:
+        bounds = {0, len(self.text)}
+        for m in _SENT_BOUNDARY_RE.finditer(self.text):
+            if m.end() < len(self.text):
+                bounds.add(m.end())
+        bounds.update(b for b in hard_breaks if 0 < b < len(self.text))
+        bounds = sorted(bounds)
+        sents = []
+        for s, e in zip(bounds, bounds[1:]):
+            span = self.char_span(s, e, label="SENT", alignment_mode="expand")
+            if span is not None:
+                # sentence end_char must reflect the *trimmed* sentence text
+                # (reference uses sent.end_char for the preamble cut,
+                # data_preparation.py:97)
+                sents.append(span)
+        return sents
+
+    # -- spaCy-parity APIs ----------------------------------------------------
+
+    def char_span(self, start_char: int, end_char: int, label: str = "",
+                  alignment_mode: str = "expand") -> Span | None:
+        """Snap a char range to covering tokens (alignment_mode='expand'
+        semantics of spaCy ``Doc.char_span``, used at
+        postprocessing_utils.py:679 and :810)."""
+        toks = [i for i, (ts, te, _) in enumerate(self.tokens)
+                if te > start_char and ts < end_char]
+        if not toks:
+            return None
+        t0, t1 = toks[0], toks[-1] + 1
+        sc = self.tokens[t0][0]
+        ec = self.tokens[t1 - 1][1]
+        return Span(t0, t1, sc, ec, self.text[sc:ec], label)
+
+    def token_span(self, t0: int, t1: int, label: str) -> Span:
+        sc = self.tokens[t0][0]
+        ec = self.tokens[t1 - 1][1]
+        return Span(t0, t1, sc, ec, self.text[sc:ec], label)
+
+    def sents_with_ents(self):
+        """Yield (sentence, [ents fully inside it]) in document order —
+        the ``for doc in docs.sents: ... doc.ents`` loop of
+        postprocessing_utils.py:362-372 (spaCy yields ents whose token range
+        lies within the sentence)."""
+        for sent in self.sents:
+            yield sent, [e for e in self.ents
+                         if e.start >= sent.start and e.end <= sent.end]
+
+
+def filter_spans(spans: list[Span]) -> list[Span]:
+    """Overlap resolution with spaCy ``util.filter_spans`` parity
+    (longest span wins; equal length → earlier start wins; full tie →
+    first-seen wins; result sorted by start).  Cited by the reference at
+    postprocessing_utils.py:349 and :747."""
+    ordered = sorted(spans, key=lambda s: (s.end - s.start, -s.start),
+                     reverse=True)
+    taken: set[int] = set()
+    kept = []
+    for s in ordered:
+        if s.start not in taken and (s.end - 1) not in taken:
+            kept.append(s)
+            taken.update(range(s.start, s.end))
+    kept.sort(key=lambda s: s.start)
+    return kept
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Plain edit distance (the reference calls ``nltk.edit_distance``,
+    postprocessing_utils.py:100-101; nltk is not available in-sandbox).
+    Spark-side relational variants use ``F.levenshtein`` instead."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]

@@ -1,0 +1,170 @@
+"""The fused KG-extraction operator — one Arrow-vectorized ``mapInPandas``
+pass over the corpus.
+
+Scale rationale (SURVEY.md §2.3): every reference operator is strictly
+per-document, so the whole lifecycle (span assembly → preamble split → NER →
+postprocessing → triple emission) fuses into a single *narrow* stage: zero
+shuffles, no driver involvement, linear scan over the corpus.  On a
+1000-executor cluster this is a pure map over Iceberg file splits; the only
+exchanges in the end-to-end job are the final write and any downstream
+aggregations (which Spark does with map-side partial aggregation).
+
+Skew: mega-documents are handled by small Arrow batches (session.py caps
+maxRecordsPerBatch) and by the per-doc guards inside the core; a single doc
+never crosses batch boundaries, and AQE rebalances the downstream exchanges.
+Failure isolation: a pathological document degrades to raw-NER output with
+``postprocess_ok=false`` (legal_ner.py:42-47 semantics) instead of failing
+its partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schema import RECORDS_SCHEMA, RECORD_COLUMNS
+from ..core.extract import extract_document
+from ..synth import assemble_text
+
+
+def _records_for_doc(doc_id: str, spans) -> list[dict]:
+    spans_list = [dict(kind=s["kind"], text=s["text"],
+                       media_ref=s["media_ref"], offset=int(s["offset"]))
+                  for s in spans]
+    text = assemble_text(spans_list)
+    r = extract_document(doc_id, text)
+    base = dict.fromkeys(RECORD_COLUMNS)
+    rows: list[dict] = []
+
+    def row(**kw):
+        d = dict(base)
+        d.update(doc_id=doc_id, postprocess_ok=r.ok, **kw)
+        rows.append(d)
+
+    # span passthrough — the original spans array travels through the Arrow
+    # boundary untouched (span-sequence invariant: kind, text, media_ref,
+    # order)
+    row(rec_type="doc", n_sentences=r.n_sentences, spans=spans_list)
+    for m in r.mentions:
+        row(rec_type="mention", ent_id=m.ent_id, sent_id=m.sent_id,
+            start_char=m.start_char, end_char=m.end_char, text=m.text,
+            label=m.label, region=m.region)
+    for (s, p, o) in r.triples:
+        row(rec_type="triple", subj=s, pred=p, obj=o)
+    for (cid, head, member) in r.precedent_clusters:
+        row(rec_type="precedent_cluster", cluster_id=cid, cluster_key=head,
+            member=member)
+    for (canonical, member) in r.statute_clusters:
+        row(rec_type="statute_cluster", cluster_key=canonical, member=member)
+    for (pro, sta, npro, nsta) in r.provision_statute_pairs:
+        row(rec_type="pro_statute_pair", text=pro, member=sta,
+            norm_provision=npro, norm_statute=nsta)
+    return rows
+
+
+def extract_records(corpus: DataFrame) -> DataFrame:
+    """corpus(doc_id, spans) → long records table (RECORDS_SCHEMA).
+    Narrow: no shuffle is introduced by this operator."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                rows.extend(_records_for_doc(doc_id, spans))
+            yield pd.DataFrame(rows, columns=RECORD_COLUMNS)
+
+    return corpus.mapInPandas(fn, RECORDS_SCHEMA)
+
+
+# -- cheap projections over the (materialized) records table ----------------
+
+def triples(records: DataFrame) -> DataFrame:
+    return (records.filter(F.col("rec_type") == "triple")
+            .select("subj", "pred", "obj", "doc_id"))
+
+
+def mentions(records: DataFrame) -> DataFrame:
+    return (records.filter(F.col("rec_type") == "mention")
+            .select("doc_id", "ent_id", "sent_id", "start_char", "end_char",
+                    "text", "label", "region"))
+
+
+def precedent_clusters(records: DataFrame) -> DataFrame:
+    return (records.filter(F.col("rec_type") == "precedent_cluster")
+            .select("doc_id", "cluster_id", F.col("cluster_key").alias("head"),
+                    "member"))
+
+
+def statute_clusters(records: DataFrame) -> DataFrame:
+    return (records.filter(F.col("rec_type") == "statute_cluster")
+            .select("doc_id", F.col("cluster_key").alias("canonical"), "member"))
+
+
+def provision_statute_pairs(records: DataFrame) -> DataFrame:
+    return (records.filter(F.col("rec_type") == "pro_statute_pair")
+            .select("doc_id", F.col("text").alias("provision"),
+                    F.col("member").alias("statute"),
+                    "norm_provision", "norm_statute"))
+
+
+def doc_spans(records: DataFrame) -> DataFrame:
+    """Original span arrays after the round trip — for the invariant check."""
+    return (records.filter(F.col("rec_type") == "doc")
+            .select("doc_id", "spans", "postprocess_ok", "n_sentences"))
+
+
+# -- the reference's aggregations (postprocessing_utils.py:867-894) ---------
+
+def unique_precedent_counts(records: DataFrame) -> DataFrame:
+    return (precedent_clusters(records)
+            .groupBy("doc_id", "head").agg(F.count("*").alias("n_members")))
+
+
+def unique_provision_counts(records: DataFrame) -> DataFrame:
+    """Counter of '<norm_pro> of <norm_statute>' — postprocessing_utils.py:879."""
+    return (provision_statute_pairs(records)
+            .withColumn("provision_of_statute",
+                        F.concat_ws(" of ", "norm_provision", "norm_statute"))
+            .groupBy("doc_id", "provision_of_statute")
+            .agg(F.count("*").alias("freq")))
+
+
+def unique_statute_counts(records: DataFrame) -> DataFrame:
+    return (provision_statute_pairs(records)
+            .groupBy("doc_id", "norm_statute").agg(F.count("*").alias("freq")))
+
+
+def csv_export(records: DataFrame) -> DataFrame:
+    """The reference CSV flatten (postprocessing_utils.py:825-864):
+    file_name, entity, label, normalised_entities."""
+    pairs = (provision_statute_pairs(records)
+             .select(F.col("doc_id").alias("file_name"),
+                     F.col("provision").alias("entity"),
+                     F.lit("PROVISION").alias("label"),
+                     F.concat_ws(" of ", "norm_provision", "norm_statute")
+                     .alias("normalised_entities")))
+    precs = (precedent_clusters(records)
+             .select(F.col("doc_id").alias("file_name"),
+                     F.col("member").alias("entity"),
+                     F.lit("PRECEDENT").alias("label"),
+                     F.col("head").alias("normalised_entities")))
+    stats = (statute_clusters(records)
+             .select(F.col("doc_id").alias("file_name"),
+                     F.col("member").alias("entity"),
+                     F.lit("STATUTE").alias("label"),
+                     F.col("canonical").alias("normalised_entities")))
+    covered = (pairs.select("file_name", "entity")
+               .union(precs.select("file_name", "entity"))
+               .union(stats.select("file_name", "entity")).distinct())
+    residual = (mentions(records)
+                .join(covered,
+                      (F.col("doc_id") == F.col("file_name"))
+                      & (F.col("text") == F.col("entity")), "left_anti")
+                .select(F.col("doc_id").alias("file_name"),
+                        F.col("text").alias("entity"), "label",
+                        F.lit("").alias("normalised_entities")))
+    return pairs.unionByName(precs).unionByName(stats).unionByName(residual)

@@ -1,0 +1,11 @@
+import pytest
+
+from legal_ner_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="legal-ner-spark-tests", master="local[4]",
+                  shuffle_partitions=4)
+    yield s
+    s.stop()
