@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship KG query: build the deterministic judgment
+corpus (size tied to the sf0.001 documents table), run the fused zero-shuffle
+extraction pipeline, return the triples DataFrame.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator family
+from SURVEY.md §2 plus the training-data-pipeline operators; oracles are
+DuckDB-ANSI SQL over the same parquet tables (or shared VALUES fixtures).
+The order-sensitive full-pipeline queries (kg_*) intentionally have no SQL
+form (SURVEY.md §2.3) and get rows-only checks.
 """
 
 from __future__ import annotations
@@ -16,23 +20,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from legal_ner_spark import pipeline
+    from legal_ner_spark.operators import extract as ops
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = max(16, min(64, docs.count() // 10))
+    corpus = pipeline.synthetic_corpus(spark, n)
+    return ops.triples(pipeline.extract_records(corpus))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from legal_ner_spark.queries import QUERIES
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from legal_ner_spark.queries import ORACLES
+    return dict(ORACLES)

@@ -1,0 +1,74 @@
+"""Benchmark harness — one JSON line to stdout.
+
+Headline metric: end-to-end KG triple extraction (corpus → fused
+mapInPandas → triples count) in docs/sec, plus representative relational /
+training-data operators from the driver contract.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     BENCH_N_DOCS (override KG corpus size).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    from legal_ner_spark.session import get_spark
+    from legal_ner_spark import pipeline, queries
+    from legal_ner_spark.operators import extract as ops
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="legal-ner-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # warm the JVM/Arrow path so the first measured query isn't paying init
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    n_docs = int(os.environ.get("BENCH_N_DOCS", "0"))
+    if not n_docs:
+        n_rows = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        n_docs = max(64, min(1600, n_rows // 5))
+
+    t0 = time.time()
+    corpus = pipeline.synthetic_corpus(spark, n_docs, partitions=cpus * 2)
+    n_triples = ops.triples(pipeline.extract_records(corpus)).count()
+    kg_sec = time.time() - t0
+    timings["kg_extract_triples"] = round(kg_sec, 3)
+
+    bench_queries = ["tpch_q1", "tpch_q3", "tpch_q5", "nearest_prior_link",
+                     "dedup_exact", "dedup_minhash_lsh", "similarity_topk",
+                     "quality_score", "doc_fingerprint"]
+    for name in bench_queries:
+        t0 = time.time()
+        queries.QUERIES[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "kg_construct_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "kg_docs": n_docs,
+        "kg_triples": int(n_triples),
+        "kg_docs_per_sec": round(n_docs / kg_sec, 2),
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""Multimodal span handling: media spans are opaque binary references with
+typed metadata, processed by Arrow-batched decode/feature UDFs.
+
+The corpus interleaves ``kind∈{image,scan,audio}`` spans with text spans
+(BASELINE.json input_hint).  The engine never touches their bytes on the KG
+path (span-sequence invariant); this module is the training-data path that
+*does*: explode media spans, attach typed metadata, and run per-kind
+feature extraction over ``mapInPandas``.
+
+The actual codecs (image decode, audio resample, frame sampling) are not
+installable in this sandbox, so the decode step is a clearly-marked
+deterministic stub behind the same batch signature — the Spark-side
+plumbing (schema, partitioning, Arrow batch shape) is real and tested, and
+swapping the stub for PIL/librosa/ffmpeg changes one function.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F, types as T
+
+MEDIA_FEATURES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("media_ref", T.StringType(), False),
+    T.StructField("kind", T.StringType()),
+    T.StructField("position", T.IntegerType()),
+    T.StructField("feature_dim", T.IntegerType()),
+    T.StructField("features", T.ArrayType(T.FloatType())),
+    T.StructField("decode_ok", T.BooleanType()),
+])
+
+
+def media_spans(corpus: DataFrame) -> DataFrame:
+    """Explode the media spans of the corpus — narrow, column-pruned (the
+    scan reads only doc_id + spans; Catalyst prunes the rest)."""
+    return (corpus.select(
+        "doc_id",
+        F.posexplode(F.filter("spans", lambda s: s["kind"] != "text"))
+        .alias("position", "span"))
+        .select("doc_id", F.col("span.kind").alias("kind"),
+                F.col("span.media_ref").alias("media_ref"), "position"))
+
+
+def _decode_stub(kind: str, media_ref: str, dim: int = 8) -> list[float]:
+    """Deterministic fake decoder.
+
+    Production replaces this with the real codec (PIL image decode /
+    torchaudio load / ffmpeg frame sample) — not installable in this
+    sandbox, hence a content-addressed deterministic vector so tests can
+    assert exact values.
+    """
+    h = hashlib.sha256(f"{kind}|{media_ref}".encode()).digest()
+    return [round(b / 255.0, 6) for b in h[:dim]]
+
+
+def extract_media_features(corpus: DataFrame, dim: int = 8) -> DataFrame:
+    """Per-media feature extraction via Arrow batches (UDTF shape: one media
+    span in → one feature row out).  At scale this is the GPU/codec stage:
+    batch size bounded by arrow.maxRecordsPerBatch, no shuffle."""
+    spans = media_spans(corpus)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_decode_stub(k, r, dim)
+                     for k, r in zip(pdf["kind"], pdf["media_ref"])]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_ref": pdf["media_ref"],
+                "kind": pdf["kind"],
+                "position": pdf["position"].astype("int32"),
+                "feature_dim": dim,
+                "features": feats,
+                "decode_ok": True,
+            })
+
+    return spans.mapInPandas(fn, MEDIA_FEATURES_SCHEMA)
+
+
+def media_stats(corpus: DataFrame) -> DataFrame:
+    """Per-kind media inventory — monitoring aggregate."""
+    return (media_spans(corpus).groupBy("kind")
+            .agg(F.count("*").cast("bigint").alias("n_spans"),
+                 F.countDistinct("doc_id").cast("bigint").alias("n_docs")))

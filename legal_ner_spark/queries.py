@@ -1,0 +1,880 @@
+"""Driver-contract query suite: one entry per operator family, each with a
+DuckDB oracle (ANSI SQL) where SQL-expressible.
+
+Parity strategy: KG scalar operators (SURVEY.md §2.2) run over inline VALUES
+fixtures generated from the same Python constants on both sides, so the
+Spark query and its oracle cannot drift; join/window/agg operators run over
+the driver parquet tables; the order-sensitive full KG pipeline runs
+rows-only (no SQL form exists — SURVEY.md §2.3).
+
+Every computed column is aliased identically in the Spark plan and the SQL.
+Floating aggregates are rounded (4 dp; 2 dp for currency sums) so the two
+engines' summation orders cannot flip the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .core.postprocess import STATUTE_CANON
+from .functions.text import statute_canon, normalize_entity_text, VS_RE, CIT_RE
+from . import pipeline
+from .operators import extract as ops
+
+# --------------------------------------------------------------------------
+# fixtures — single source of truth for Spark AND oracle VALUES
+# --------------------------------------------------------------------------
+
+STATUTE_FIXTURES = [
+    "I.P.C", "IPC", "Indian Penal Code", "Penal code",
+    "Code of Criminal Procedure", "Crpc", "Cr.P.C.", "Criminal Procedure Code",
+    "Constitution of India", "Constitution", "constitution of india",
+    "Income Tax Act", "I.T. Act", "Motor Vehicles Act", "M.V. act",
+    "Industrial Disputes Act", "I.D. Act", "sarfaesi act", "SARFAESI Act",
+    "Evidence Act", "Arbitration and Conciliation Act", "",
+    # repeats for the frequency aggregation (README.md:265 example shape)
+    "IPC", "IPC", "Crpc", "Crpc", "Crpc", "Constitution",
+]
+
+PRECEDENT_FIXTURES = [
+    "Madhu Limaye vs State of Mahrashtra 2016 AIR 54",
+    "Madhu Limaye v. State of Maharashtra",
+    "Amit Kumar versus State of Kerala (2005) 4 SCC 120",
+    "Sunil Verma v/s Union of India AIR 1978 SC 597",
+    "State of Punjab v. Phil Rani and Anr",
+    "2001 SCC 5",
+    "Ramesh Patil",
+]
+
+NAME_FIXTURES = [
+    "amit kumar @ raju", "sunil verma alias bablu", "ravi shankar",
+    "meena kavita sharma", "rajesh", "prakash @ pk alias lambu",
+]
+
+TEXT_FIXTURES = [
+    "  Amit   KUMAR, s/o  Rajesh ", "State of  Maharashtra,,",
+    "plain text", "", "A,B ,  C",
+]
+
+PREAMBLE_FIXTURES = [
+    "IN THE COURT\nX .... Y\n\nJUDGMENT\nbody text here",
+    "PARTIES\nORDER\nmore",
+    "COMMON ORDER was passed",
+    "no keyword at all",
+    "header J U D G M E N T trailer",
+]
+
+COMPOUND_FIXTURES = [
+    "Sections 147, 148 and 149", "Section 302", "Articles 14 and 21",
+    "Sections 34/120B", "Section 5 read with rules",
+]
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on"]
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _values_sql(rows: list[str], col: str = "text") -> str:
+    vals = ", ".join(f"({_sql_quote(r)})" for r in rows)
+    return f"(VALUES {vals}) AS fx({col})"
+
+
+def _fixture_df(spark: SparkSession, rows: list[str], col: str = "text"):
+    return spark.createDataFrame([(r,) for r in rows], [col])
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+# --------------------------------------------------------------------------
+# §2.2 scalar operators over fixtures
+# --------------------------------------------------------------------------
+
+def q_statute_canon(spark, sf_dir):
+    """check_stat dictionary as a constant-folded CASE chain
+    (postprocessing_utils.py:591-622)."""
+    return (_fixture_df(spark, STATUTE_FIXTURES)
+            .select("text", statute_canon(F.col("text")).alias("canonical"))
+            .distinct())
+
+
+def o_statute_canon():
+    when = " ".join(
+        f"WHEN regexp_matches(text, {_sql_quote(pat)}) THEN {_sql_quote(canon)}"
+        for pat, canon in STATUTE_CANON)
+    return (f"SELECT DISTINCT text, CASE {when} ELSE '' END AS canonical "
+            f"FROM {_values_sql(STATUTE_FIXTURES)}")
+
+
+def q_statute_canon_freq(spark, sf_dir):
+    """Canonical-statute frequency (README.md:265 shape) with the empty
+    bucket dropped — unique_statute_count semantics."""
+    return (_fixture_df(spark, STATUTE_FIXTURES)
+            .select(statute_canon(F.col("text")).alias("canonical"))
+            .filter(F.col("canonical") != "")
+            .groupBy("canonical")
+            .agg(F.count("*").cast("bigint").alias("freq")))
+
+
+def o_statute_canon_freq():
+    when = " ".join(
+        f"WHEN regexp_matches(text, {_sql_quote(pat)}) THEN {_sql_quote(canon)}"
+        for pat, canon in STATUTE_CANON)
+    return (f"SELECT canonical, count(*)::BIGINT AS freq FROM ("
+            f"SELECT CASE {when} ELSE '' END AS canonical "
+            f"FROM {_values_sql(STATUTE_FIXTURES)}) "
+            f"WHERE canonical <> '' GROUP BY canonical")
+
+
+def q_precedent_split(spark, sf_dir):
+    """split_precedents (postprocessing_utils.py:121-143): citation prefix
+    cut, then vs-split into petitioner/respondent."""
+    df = _fixture_df(spark, PRECEDENT_FIXTURES)
+    df = df.withColumn("cit", F.regexp_extract("text", CIT_RE, 0))
+    df = df.withColumn(
+        "body", F.when(F.col("cit") == "", F.col("text"))
+        .otherwise(F.expr("substring(text, 1, instr(text, cit) - 1)")))
+    df = df.withColumn("vs", F.regexp_extract("body", VS_RE, 0))
+    return df.select(
+        "text",
+        F.when(F.col("vs") == "", F.lit(None)).otherwise(
+            F.trim(F.expr("substring(body, 1, instr(body, vs) - 1)"))).alias("pet"),
+        F.when(F.col("vs") == "", F.lit(None)).otherwise(
+            F.trim(F.expr("substring(body, instr(body, vs) + length(vs))"))).alias("res"),
+        "cit")
+
+
+def o_precedent_split():
+    return f"""
+WITH base AS (
+  SELECT text, regexp_extract(text, {_sql_quote(CIT_RE)}, 0) AS cit
+  FROM {_values_sql(PRECEDENT_FIXTURES)}
+), body AS (
+  SELECT text, cit,
+         CASE WHEN cit = '' THEN text
+              ELSE substring(text, 1, instr(text, cit) - 1) END AS body
+  FROM base
+), vs AS (
+  SELECT text, cit, body,
+         regexp_extract(body, {_sql_quote(VS_RE)}, 0) AS vs
+  FROM body
+)
+SELECT text,
+       CASE WHEN vs = '' THEN NULL
+            ELSE trim(substring(body, 1, instr(body, vs) - 1)) END AS pet,
+       CASE WHEN vs = '' THEN NULL
+            ELSE trim(substring(body, instr(body, vs) + length(vs))) END AS res,
+       cit
+FROM vs"""
+
+
+def q_alias_split(spark, sf_dir):
+    """check_alias (postprocessing_utils.py:250-262): explode on @|alias."""
+    return (_fixture_df(spark, NAME_FIXTURES, "name")
+            .select("name", F.explode(F.expr(
+                "transform(split(name, '@|alias'), x -> trim(x))")).alias("part")))
+
+
+def o_alias_split():
+    return (f"SELECT name, trim(unnest(str_split_regex(name, '@|alias'))) AS part "
+            f"FROM {_values_sql(NAME_FIXTURES, 'name')}")
+
+
+def q_name_separate(spark, sf_dir):
+    """separate_name (postprocessing_utils.py:265-278) columnar form:
+    last token + rest for multi-token names."""
+    df = _fixture_df(spark, NAME_FIXTURES, "name")
+    parts = F.split("name", " ")
+    multi = F.size(parts) > 1
+    return df.select(
+        "name",
+        F.when(multi, F.element_at(parts, -1)).otherwise(F.col("name"))
+        .alias("last_name"),
+        F.when(multi, F.array_join(F.slice(parts, 1, F.size(parts) - 1), " "))
+        .otherwise(F.lit(None)).alias("rest_name"))
+
+
+def o_name_separate():
+    return f"""
+SELECT name,
+       CASE WHEN len(string_split(name, ' ')) > 1
+            THEN string_split(name, ' ')[-1] ELSE name END AS last_name,
+       CASE WHEN len(string_split(name, ' ')) > 1
+            THEN array_to_string(string_split(name, ' ')[1:len(string_split(name,' '))-1], ' ')
+            ELSE NULL END AS rest_name
+FROM {_values_sql(NAME_FIXTURES, 'name')}"""
+
+
+def q_normalize_text(spark, sf_dir):
+    """Text normalization (postprocessing_utils.py:224-226)."""
+    return (_fixture_df(spark, TEXT_FIXTURES)
+            .select("text", normalize_entity_text(F.col("text")).alias("norm")))
+
+
+def o_normalize_text():
+    return (r"SELECT text, lower(replace(regexp_replace(trim(text), '\s+', ' ', 'g'), ',', '')) AS norm "
+            f"FROM {_values_sql(TEXT_FIXTURES)}")
+
+
+_KEYWORDS = ["JUDGMENT", "ORDER", "J U D G M E N T", "O R D E R",
+             "JUDGMENT & ORDER", "COMMON ORDER", "ORAL JUDGMENT"]
+
+
+def q_preamble_keyword(spark, sf_dir):
+    """Keyword-anywhere preamble offset (data_preparation.py:47-53):
+    ordered first match, offset = match end."""
+    expr = F.lit(0)
+    for kw in reversed(_KEYWORDS):
+        pos = F.instr(F.col("text"), kw)
+        expr = F.when(pos > 0, pos - 1 + len(kw)).otherwise(expr)
+    return (_fixture_df(spark, PREAMBLE_FIXTURES)
+            .select("text", expr.cast("int").alias("kw_end")))
+
+
+def o_preamble_keyword():
+    cases = " ".join(
+        f"WHEN instr(text, {_sql_quote(kw)}) > 0 "
+        f"THEN instr(text, {_sql_quote(kw)}) - 1 + {len(kw)}"
+        for kw in _KEYWORDS)
+    return (f"SELECT text, (CASE {cases} ELSE 0 END)::INT AS kw_end "
+            f"FROM {_values_sql(PREAMBLE_FIXTURES)}")
+
+
+def q_compound_split(spark, sf_dir):
+    """seperate_provision (postprocessing_utils.py:786-821) relational form:
+    split compound provisions, singularize the keyword, keep offsets out
+    (char bookkeeping lives in the pandas stage)."""
+    df = _fixture_df(spark, COMPOUND_FIXTURES)
+    df = df.withColumn("segs", F.split("text", ",|and|/|or|&"))
+    df = df.withColumn(
+        "kw", F.regexp_replace(
+            F.element_at(F.split(F.trim(F.element_at("segs", 1)), " "), 1),
+            "s$", ""))
+    df = df.withColumn("combined", F.expr(
+        "exists(segs, s -> length(trim(s)) > 0 AND "
+        "(trim(s) rlike '^[A-Za-z ]+$' AND NOT trim(s) rlike '[0-9]' "
+        " OR trim(s) rlike '^[^0-9A-Za-z]'))"))
+    single = df.filter((F.size("segs") == 1) | F.col("combined")).select(
+        "text", F.col("text").alias("norm_provision"))
+    split = (df.filter((F.size("segs") > 1) & ~F.col("combined"))
+             .select("text", "kw", F.explode(F.expr(
+                 "filter(transform(segs, s -> trim(s)), s -> length(s) > 0)"))
+                 .alias("seg"))
+             .select("text", F.when(
+                 F.col("seg").rlike("^[0-9]"),
+                 F.concat_ws(" ", "kw", "seg")).otherwise(
+                 F.concat_ws(" ", "kw",
+                             F.regexp_replace("seg", r"^\S+\s+", "")))
+                 .alias("norm_provision")))
+    return single.unionByName(split)
+
+
+def o_compound_split():
+    return f"""
+WITH base AS (
+  SELECT text, str_split_regex(text, ',|and|/|or|&') AS segs
+  FROM {_values_sql(COMPOUND_FIXTURES)}
+), kwd AS (
+  SELECT text, segs,
+         regexp_replace(string_split(trim(segs[1]), ' ')[1], 's$', '') AS kw,
+         len(list_filter(segs, s -> length(trim(s)) > 0 AND
+             ((regexp_matches(trim(s), '^[A-Za-z ]+$') AND NOT regexp_matches(trim(s), '[0-9]'))
+              OR regexp_matches(trim(s), '^[^0-9A-Za-z]')))) > 0 AS combined
+  FROM base
+)
+SELECT text, text AS norm_provision FROM kwd WHERE len(segs) = 1 OR combined
+UNION ALL
+SELECT text,
+       CASE WHEN regexp_matches(seg, '^[0-9]') THEN kw || ' ' || seg
+            ELSE kw || ' ' || regexp_replace(seg, '^\\S+\\s+', '') END AS norm_provision
+FROM (
+  SELECT text, kw, unnest(list_filter(list_transform(segs, s -> trim(s)),
+                                      s -> length(s) > 0)) AS seg
+  FROM kwd WHERE len(segs) > 1 AND NOT combined
+)"""
+
+
+# --------------------------------------------------------------------------
+# §2.3 join/window analogues over the events table
+# --------------------------------------------------------------------------
+
+def q_nearest_prior_link(spark, sf_dir):
+    """The statute↔provision sentence-window nearest-prior join
+    (postprocessing_utils.py:374-387) as its relational form: every
+    'purchase' pairs with the nearest preceding 'click' of the same user.
+    Scale: shuffle on user_id only; AQE splits skewed users."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"))
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cuser"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"))
+    j = p.join(c, (p.user_id == c.cuser) & (c.cts <= p.pts))
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.desc("cts"), F.desc("click_id"))
+    return (j.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+            .select("user_id", "purchase_id", "click_id"))
+
+
+def o_nearest_prior_link():
+    return """
+SELECT user_id, purchase_id, click_id FROM (
+  SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM events p JOIN events c
+    ON p.user_id = c.user_id AND c.ts <= p.ts
+   AND p.event_type = 'purchase' AND c.event_type = 'click'
+) WHERE rn = 1"""
+
+
+def q_asof_last_before(spark, sf_dir):
+    """Supra as-of join (postprocessing_utils.py:51-64): each 'error' event
+    resolves to the last prior non-error event of the same user."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    e = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), F.col("ts").alias("ets"))
+    o = ev.filter(F.col("event_type") != "error").select(
+        F.col("user_id").alias("ouser"), F.col("event_id").alias("prior_id"),
+        F.col("ts").alias("ots"))
+    j = e.join(o, (e.user_id == o.ouser) & (o.ots < e.ets))
+    w = Window.partitionBy("error_id").orderBy(F.desc("ots"), F.desc("prior_id"))
+    return (j.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+            .select("user_id", "error_id", "prior_id"))
+
+
+def o_asof_last_before():
+    return """
+SELECT user_id, error_id, prior_id FROM (
+  SELECT e.user_id, e.event_id AS error_id, o.event_id AS prior_id,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.ts DESC, o.event_id DESC) AS rn
+  FROM events e JOIN events o
+    ON e.user_id = o.user_id AND o.ts < e.ts
+   AND e.event_type = 'error' AND o.event_type <> 'error'
+) WHERE rn = 1"""
+
+
+def q_ambiguity_prune(spark, sf_dir):
+    """remove_ambiguous_names (postprocessing_utils.py:281-298) shape: keys
+    mapping to exactly one distinct label survive (customers whose orders
+    all share one status)."""
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    return (orders.groupBy("o_custkey")
+            .agg(F.countDistinct("o_orderstatus").alias("n_status"),
+                 F.min("o_orderstatus").alias("the_status"))
+            .filter("n_status = 1")
+            .select(F.col("o_custkey").alias("custkey"), "the_status"))
+
+
+def o_ambiguity_prune():
+    return ("SELECT o_custkey AS custkey, min(o_orderstatus) AS the_status "
+            "FROM orders GROUP BY o_custkey "
+            "HAVING count(DISTINCT o_orderstatus) = 1")
+
+
+def q_cluster_head(spark, sf_dir):
+    """set_main_cluster head selection (postprocessing_utils.py:162-167):
+    max-by with deterministic tie-break."""
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (orders.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+            .select(F.col("o_custkey").alias("custkey"),
+                    F.col("o_orderkey").alias("head_orderkey"),
+                    F.round("o_totalprice", 2).alias("head_totalprice")))
+
+
+def o_cluster_head():
+    return """
+SELECT custkey, head_orderkey, head_totalprice FROM (
+  SELECT o_custkey AS custkey, o_orderkey AS head_orderkey,
+         round(o_totalprice, 2) AS head_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn = 1"""
+
+
+def q_overlap_containment(spark, sf_dir):
+    """remove_overlapping_entities' containment core
+    (postprocessing_utils.py:338-353) relational form: drop intervals
+    strictly contained in another interval of the same group."""
+    li = (spark.read.parquet(_t(sf_dir, "lineitem")).select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_shipdate").cast("date").alias("s"),
+        F.date_add(F.col("l_shipdate").cast("date"),
+                   F.col("l_quantity").cast("int")).alias("e"))
+        .distinct())  # (orderkey, linenumber) is not unique in this corpus
+    other = li.select(F.col("l_orderkey").alias("ok2"),
+                      F.col("l_linenumber").alias("ln2"),
+                      F.col("s").alias("s2"), F.col("e").alias("e2"))
+    return (li.join(other, (F.col("l_orderkey") == F.col("ok2"))
+                    & (F.col("l_linenumber") != F.col("ln2"))
+                    & (F.col("s2") <= F.col("s")) & (F.col("e2") >= F.col("e"))
+                    & ((F.col("s2") < F.col("s")) | (F.col("e2") > F.col("e"))),
+                    "left_anti")
+            .select(F.col("l_orderkey").alias("orderkey"),
+                    F.col("l_linenumber").alias("linenumber"),
+                    F.col("s").cast("string").alias("start_date"),
+                    F.col("e").cast("string").alias("end_date")))
+
+
+def o_overlap_containment():
+    return """
+WITH iv AS (
+  SELECT DISTINCT l_orderkey, l_linenumber, l_shipdate::DATE AS s,
+         (l_shipdate::DATE + to_days(l_quantity::INT))::DATE AS e
+  FROM lineitem
+)
+SELECT a.l_orderkey AS orderkey, a.l_linenumber AS linenumber,
+       a.s::VARCHAR AS start_date, a.e::VARCHAR AS end_date
+FROM iv a
+WHERE NOT EXISTS (
+  SELECT 1 FROM iv b
+  WHERE b.l_orderkey = a.l_orderkey AND b.l_linenumber <> a.l_linenumber
+    AND b.s <= a.s AND b.e >= a.e AND (b.s < a.s OR b.e > a.e))"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H skeleton (joins/aggs the KG tables exercise at scale)
+# --------------------------------------------------------------------------
+
+def q_tpch_q1(spark, sf_dir):
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                 F.count("*").cast("bigint").alias("count_order")))
+
+
+def o_tpch_q1():
+    return """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+def q_tpch_q3(spark, sf_dir):
+    """Join + agg + deterministic top-10 (broadcast the small dimension —
+    customer fits in memory at any SF after the segment filter)."""
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    seg = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    j = (orders.join(F.broadcast(seg), orders.o_custkey == seg.c_custkey)
+         .join(li, li.l_orderkey == orders.o_orderkey))
+    agg = (j.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+           .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                .alias("revenue")))
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+    return (agg.withColumn("rn", F.row_number().over(w)).filter("rn <= 10")
+            .select(F.col("o_orderkey").alias("orderkey"), "revenue",
+                    F.col("o_orderdate").cast("date").alias("orderdate"),
+                    F.col("o_orderpriority").alias("orderpriority")))
+
+
+def o_tpch_q3():
+    return """
+SELECT orderkey, revenue, orderdate, orderpriority FROM (
+  SELECT o.o_orderkey AS orderkey,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+         o.o_orderdate::DATE AS orderdate, o.o_orderpriority AS orderpriority,
+         row_number() OVER (
+           ORDER BY round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) DESC,
+                    o.o_orderkey ASC) AS rn
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+  GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+) WHERE rn <= 10"""
+
+
+def q_tpch_q5(spark, sf_dir):
+    """Multi-way join with broadcast dimensions (region/nation/supplier are
+    tiny at every SF — never shuffled)."""
+    region = spark.read.parquet(_t(sf_dir, "region"))
+    nation = spark.read.parquet(_t(sf_dir, "nation"))
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    supp = spark.read.parquet(_t(sf_dir, "supplier"))
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey))
+    return (j.groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .select(F.col("n_name").alias("nation"), "revenue"))
+
+
+def o_tpch_q5():
+    return """
+SELECT n.n_name AS nation,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY n.n_name"""
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline operators (documents / embeddings)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash — groupBy shuffles only the 32-byte hash,
+    with map-side partial aggregation."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return (docs.groupBy(F.md5(F.col("text")).alias("content_hash"))
+            .agg(F.count("*").cast("bigint").alias("n_copies"),
+                 F.min("doc_id").cast("bigint").alias("keeper_doc_id")))
+
+
+def o_dedup_exact():
+    return ("SELECT md5(text) AS content_hash, count(*)::BIGINT AS n_copies, "
+            "min(doc_id)::BIGINT AS keeper_doc_id FROM documents "
+            "GROUP BY md5(text)")
+
+
+def _shingles_expr():
+    # word 3-gram shingles, 0-based token indexing (Spark SQL brackets)
+    return ("array_distinct(transform(sequence(0, greatest(size(toks) - 3, -1)), "
+            "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))")
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Near-dup by 3-gram Jaccard ≥ 0.12 over a bounded doc subset (the
+    all-pairs form; the LSH variant below is the scale path)."""
+    docs = (spark.read.parquet(_t(sf_dir, "documents"))
+            .filter(F.col("doc_id") < 200)
+            .withColumn("toks", F.split(F.lower("text"), " "))
+            .withColumn("sh", F.expr(_shingles_expr()))
+            .select("doc_id", F.explode("sh").alias("shingle")))
+    sizes = docs.groupBy("doc_id").agg(F.count("*").alias("n"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (docs.join(b, "shingle")
+             .filter(F.col("doc_id") < F.col("doc_b"))
+             .groupBy("doc_id", "doc_b").agg(F.count("*").alias("inter")))
+    out = (inter
+           .join(sizes.withColumnRenamed("doc_id", "da")
+                 .withColumnRenamed("n", "na"), F.col("doc_id") == F.col("da"))
+           .join(sizes.withColumnRenamed("doc_id", "db")
+                 .withColumnRenamed("n", "nb"), F.col("doc_b") == F.col("db"))
+           .withColumn("jaccard", F.round(
+               F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4))
+           .filter(F.col("jaccard") >= 0.12)
+           .select(F.col("doc_id").cast("bigint").alias("doc_a"),
+                   F.col("doc_b").cast("bigint").alias("doc_b"), "jaccard"))
+    return out
+
+
+def o_dedup_ngram_jaccard():
+    return """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct([
+           toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+           for i in generate_series(1, greatest(len(toks) - 2, 0))])) AS shingle
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        FROM documents WHERE doc_id < 200)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a::BIGINT AS doc_a, i.doc_b::BIGINT AS doc_b,
+       round(i.inter / (sa.n + sb.n - i.inter), 4) AS jaccard
+FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE round(i.inter / (sa.n + sb.n - i.inter), 4) >= 0.12"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash LSH candidates: 4 bands, signature per band =
+    min(md5(band||shingle)); docs sharing a band signature are candidate
+    near-dups.  Shuffle is on (band, signature) — constant-size keys, no
+    all-pairs blowup (the 100 TB path)."""
+    docs = (spark.read.parquet(_t(sf_dir, "documents"))
+            .withColumn("toks", F.split(F.lower("text"), " "))
+            .withColumn("sh", F.expr(_shingles_expr()))
+            .select("doc_id", F.explode("sh").alias("shingle")))
+    bands = spark.range(4).select(F.col("id").cast("int").alias("band"))
+    sigs = (docs.crossJoin(F.broadcast(bands))
+            .groupBy("doc_id", "band")
+            .agg(F.min(F.md5(F.concat_ws("|", F.col("band"), F.col("shingle"))))
+                 .alias("sig")))
+    other = sigs.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    return (sigs.join(other, ["band", "sig"])
+            .filter(F.col("doc_id") < F.col("doc_b"))
+            .select("band", F.col("doc_id").cast("bigint").alias("doc_a"),
+                    F.col("doc_b").cast("bigint").alias("doc_b"))
+            .distinct())
+
+
+def o_dedup_minhash_lsh():
+    return """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct([
+           toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+           for i in generate_series(1, greatest(len(toks) - 2, 0))])) AS shingle
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+), sigs AS (
+  SELECT doc_id, band, min(md5(band || '|' || shingle)) AS sig
+  FROM sh CROSS JOIN (SELECT unnest([0,1,2,3])::INT AS band)
+  GROUP BY doc_id, band
+)
+SELECT DISTINCT a.band, a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b
+FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+WHERE a.doc_id < b.doc_id"""
+
+
+def q_similarity_topk(spark, sf_dir):
+    """Brute-force cosine top-5 per query vector (queries = vec_id < 5).
+    Baseline ANN path; ranks on the rounded score for cross-engine
+    determinism.  Scale path: broadcast the query set, partial top-k per
+    partition via the window, no all-pairs shuffle."""
+    emb = (spark.read.parquet(_t(sf_dir, "embeddings"))
+           .withColumn("v", F.expr("transform(embedding, x -> cast(x AS double))")))
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")))
+    c = (emb.filter(F.col("vec_id") >= 5)
+         .select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")))
+    dot = "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+    nq = "sqrt(aggregate(transform(qv, x -> x * x), 0D, (a, x) -> a + x))"
+    nc = "sqrt(aggregate(transform(cv, x -> x * x), 0D, (a, x) -> a + x))"
+    j = (c.crossJoin(F.broadcast(q))
+         .withColumn("cos_sim", F.round(F.expr(f"({dot}) / (({nq}) * ({nc}))"), 4)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (j.withColumn("rnk", F.row_number().over(w)).filter("rnk <= 5")
+            .select("query_id", F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+                    "cos_sim", F.col("rnk").cast("int").alias("rnk")))
+
+
+def o_similarity_topk():
+    return """
+SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+  SELECT q.vec_id AS query_id, c.vec_id::BIGINT AS neighbor_id,
+         round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 4)
+           AS cos_sim,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 4) DESC,
+                    c.vec_id ASC)::INT AS rnk
+  FROM embeddings q CROSS JOIN embeddings c
+  WHERE q.vec_id < 5 AND c.vec_id >= 5
+) WHERE rnk <= 5"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Stopword-ratio language heuristic (training-data lang filter)."""
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    docs = (spark.read.parquet(_t(sf_dir, "documents"))
+            .withColumn("toks", F.split(F.lower("text"), " ")))
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.size("toks").cast("int").alias("n_tokens"),
+        F.round(F.expr(f"size(filter(toks, t -> t IN ({stop})))") / F.size("toks"), 4)
+        .alias("stop_ratio"),
+        F.when(F.expr(f"size(filter(toks, t -> t IN ({stop})))") / F.size("toks")
+               >= 0.1, "en").otherwise("unk").alias("lang_guess"))
+
+
+def o_lang_id():
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+SELECT doc_id::BIGINT AS doc_id, len(toks)::INT AS n_tokens,
+       round(len(list_filter(toks, t -> t IN ({stop}))) / len(toks), 4) AS stop_ratio,
+       CASE WHEN len(list_filter(toks, t -> t IN ({stop}))) / len(toks) >= 0.1
+            THEN 'en' ELSE 'unk' END AS lang_guess
+FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)"""
+
+
+def q_quality_score(spark, sf_dir):
+    """Document quality features: token count, mean word length, non-alnum
+    ratio, composite score."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    n_tok = F.size(F.split("text", " "))
+    alpha_chars = F.length(F.regexp_replace("text", "[^a-z0-9]", ""))
+    punct = F.length(F.regexp_replace("text", "[a-z0-9 ]", ""))
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        n_tok.cast("int").alias("n_tokens"),
+        F.round(alpha_chars / n_tok, 4).alias("avg_word_len"),
+        F.round(punct / F.length("text"), 4).alias("punct_ratio"),
+        F.round(F.least(n_tok / F.lit(100.0), F.lit(1.0))
+                * (1 - punct / F.length("text")), 4).alias("quality"))
+
+
+def o_quality_score():
+    return """
+SELECT doc_id::BIGINT AS doc_id,
+       len(string_split(text, ' '))::INT AS n_tokens,
+       round(length(regexp_replace(text, '[^a-z0-9]', '', 'g'))
+             / len(string_split(text, ' ')), 4) AS avg_word_len,
+       round(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+             / length(text), 4) AS punct_ratio,
+       round(least(len(string_split(text, ' ')) / 100.0, 1.0)
+             * (1 - length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+                    / length(text)), 4) AS quality
+FROM documents"""
+
+
+def q_token_count(spark, sf_dir):
+    """Whitespace + word-regex token counts (BPE-ish proxy)."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.size(F.split("text", r"\s+")).cast("int").alias("ws_tokens"),
+        F.expr("size(regexp_extract_all(text, '[a-z0-9]+', 0))").cast("int")
+        .alias("word_tokens"))
+
+
+def o_token_count():
+    return r"""
+SELECT doc_id::BIGINT AS doc_id,
+       len(str_split_regex(text, '\s+'))::INT AS ws_tokens,
+       len(regexp_extract_all(text, '[a-z0-9]+'))::INT AS word_tokens
+FROM documents"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Order-insensitive content fingerprint (md5 of the sorted distinct
+    token set) — dedup key robust to token shuffling."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(
+            F.split(F.lower("text"), " "))), " ")).alias("fingerprint"))
+
+
+def o_doc_fingerprint():
+    return ("SELECT doc_id::BIGINT AS doc_id, "
+            "md5(array_to_string(list_sort(list_distinct("
+            "string_split(lower(text), ' '))), ' ')) AS fingerprint "
+            "FROM documents")
+
+
+# --------------------------------------------------------------------------
+# full KG pipeline (order-sensitive — rows-only checks, SURVEY.md §5.4)
+# --------------------------------------------------------------------------
+
+def _kg_records(spark, sf_dir):
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    n = max(24, min(120, docs.count() // 8))
+    corpus = pipeline.synthetic_corpus(spark, n)
+    return pipeline.extract_records(corpus)
+
+
+def q_kg_triples(spark, sf_dir):
+    return ops.triples(_kg_records(spark, sf_dir))
+
+
+def q_kg_mentions(spark, sf_dir):
+    return ops.mentions(_kg_records(spark, sf_dir))
+
+
+def q_kg_provision_counts(spark, sf_dir):
+    return ops.unique_provision_counts(_kg_records(spark, sf_dir))
+
+
+def q_kg_statute_degree(spark, sf_dir):
+    """Graph analytics over the materialized triples: in-degree of statute
+    nodes under part_of."""
+    tri = ops.triples(_kg_records(spark, sf_dir))
+    return (tri.filter(F.col("pred") == "part_of")
+            .groupBy(F.col("obj").alias("statute"))
+            .agg(F.count("*").cast("bigint").alias("in_degree"),
+                 F.countDistinct("doc_id").cast("bigint").alias("n_docs")))
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "statute_canon": q_statute_canon,
+    "statute_canon_freq": q_statute_canon_freq,
+    "precedent_split": q_precedent_split,
+    "alias_split": q_alias_split,
+    "name_separate": q_name_separate,
+    "normalize_text": q_normalize_text,
+    "preamble_keyword": q_preamble_keyword,
+    "compound_split": q_compound_split,
+    "nearest_prior_link": q_nearest_prior_link,
+    "asof_last_before": q_asof_last_before,
+    "ambiguity_prune": q_ambiguity_prune,
+    "cluster_head": q_cluster_head,
+    "overlap_containment": q_overlap_containment,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "similarity_topk": q_similarity_topk,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+    "kg_triples": q_kg_triples,
+    "kg_mentions": q_kg_mentions,
+    "kg_provision_counts": q_kg_provision_counts,
+    "kg_statute_degree": q_kg_statute_degree,
+}
+
+ORACLES = {
+    "statute_canon": o_statute_canon(),
+    "statute_canon_freq": o_statute_canon_freq(),
+    "precedent_split": o_precedent_split(),
+    "alias_split": o_alias_split(),
+    "name_separate": o_name_separate(),
+    "normalize_text": o_normalize_text(),
+    "preamble_keyword": o_preamble_keyword(),
+    "compound_split": o_compound_split(),
+    "nearest_prior_link": o_nearest_prior_link(),
+    "asof_last_before": o_asof_last_before(),
+    "ambiguity_prune": o_ambiguity_prune(),
+    "cluster_head": o_cluster_head(),
+    "overlap_containment": o_overlap_containment(),
+    "tpch_q1": o_tpch_q1(),
+    "tpch_q3": o_tpch_q3(),
+    "tpch_q5": o_tpch_q5(),
+    "dedup_exact": o_dedup_exact(),
+    "dedup_ngram_jaccard": o_dedup_ngram_jaccard(),
+    "dedup_minhash_lsh": o_dedup_minhash_lsh(),
+    "similarity_topk": o_similarity_topk(),
+    "lang_id": o_lang_id(),
+    "quality_score": o_quality_score(),
+    "token_count": o_token_count(),
+    "doc_fingerprint": o_doc_fingerprint(),
+    # kg_* are order-sensitive pandas stages — rows-only checks by design
+}
