@@ -1,0 +1,71 @@
+"""Ingest-normalize stage — the reference's HTML-era cleanup regexes
+(data_preparation.py:175-181, 226-252) as a Catalyst `regexp_replace` chain,
+plus the span-export serializations (§2.1).
+
+At 10^12 scale ingestion happens upstream (the corpus is already in
+Iceberg); this stage is the optional text-hygiene pass applied to raw text
+spans before extraction, entirely JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# order matters — mirrors the reference's sequential re.sub chain
+_CLEANUP = [
+    # collapse runs of whitespace except trailing (data_preparation.py:175)
+    (r"\s+(?!\s*$)", " "),
+    # re-insert sentence-break blank lines after . " ? (:177)
+    (r"([.\"?])\n", "$1 \n\n"),
+    # collapse 3+ newlines (:181 / :232)
+    (r"\n{3,}", "\n\n"),
+]
+
+_FOOTERS = [
+    # known footer/header patterns (:240-247)
+    r"http://www\.judis\.nic\.in(\s*?\x0c\s*?)?",
+    r"(::: Uploaded on - \d\d/\d\d/\d\d\d\d\s+)?::: Downloaded on - .{5,50}:::",
+    r"https://www\.mhc\.tn\.gov\.in/judis/(\s*?\x0c\s*?)?",
+]
+
+
+def clean_judgment_text(col: Column) -> Column:
+    """Whitespace/sentence-break normalization + footer removal as one
+    codegen'd expression chain."""
+    out = col
+    for pat in _FOOTERS:
+        out = F.regexp_replace(out, pat, "")
+    for pat, rep in _CLEANUP:
+        out = F.regexp_replace(out, pat, rep)
+    return F.trim(out)
+
+
+def normalize_corpus(corpus: DataFrame) -> DataFrame:
+    """Apply text hygiene to the text spans of a corpus, preserving media
+    spans and span order untouched (the invariant applies to media spans;
+    text content is what this stage exists to fix)."""
+    return corpus.withColumn(
+        "spans",
+        F.expr(
+            "transform(spans, s -> named_struct("
+            "'kind', s.kind, "
+            "'text', CASE WHEN s.kind = 'text' THEN {c} ELSE s.text END, "
+            "'media_ref', s.media_ref, 'offset', s.offset))".format(
+                c="trim(regexp_replace(regexp_replace(s.text, "
+                  r"'\\s+(?!\\s*$)', ' '), '\\n{3,}', '\n\n'))")))
+
+
+def json_span_export(mentions: DataFrame) -> DataFrame:
+    """Per-entity JSON records `{start, end, text, labels[], id}`
+    (data_preparation.py:264-281) — uuid4 replaced by a deterministic
+    sha2(doc_id, ent_id) for reproducibility (SURVEY.md §2.1)."""
+    return mentions.select(
+        "doc_id",
+        F.to_json(F.struct(
+            F.col("start_char").alias("start"),
+            F.col("end_char").alias("end"),
+            F.col("text").alias("text"),
+            F.array(F.col("label")).alias("labels"),
+            F.sha2(F.concat_ws("|", "doc_id", "ent_id"), 256).alias("id"),
+        )).alias("annotation"))

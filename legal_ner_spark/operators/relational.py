@@ -1,0 +1,166 @@
+"""DataFrame-native (order-insensitive) forms of the reference's matching /
+clustering operators — the documented scale-out alternatives to the per-doc
+greedy pandas stage (SURVEY.md §2.3).
+
+The fused pandas stage is the parity path (bit-exact greedy semantics); the
+operators here are the forms you reach for when a future corpus breaks the
+"tens of entities per doc" assumption: pure joins + windows + iterative
+joins, no Python in the loop, every shuffle keyed by doc_id (or constant-size
+cluster labels), AQE-skew-splittable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import statute_canon, normalize_entity_text
+
+
+def nearest_prior_provision_link(mentions: DataFrame) -> DataFrame:
+    """Relational statute↔provision pairing: per (doc, sentence), each
+    STATUTE takes the nearest preceding PROVISION
+    (postprocessing_utils.py:374-387 without the greedy 'pop': when two
+    statutes compete for one provision the reference consumes it
+    first-come; this form lets both claim it — divergence documented, the
+    parity path is the pandas stage)."""
+    sta = (mentions.filter(F.col("label") == "STATUTE")
+           .select("doc_id", "sent_id",
+                   F.col("ent_id").alias("statute_ent_id"),
+                   F.col("text").alias("statute_text"),
+                   F.col("start_char").alias("sta_start")))
+    pro = (mentions.filter(F.col("label") == "PROVISION")
+           .select(F.col("doc_id").alias("pdoc"), F.col("sent_id").alias("psent"),
+                   F.col("ent_id").alias("provision_ent_id"),
+                   F.col("text").alias("provision_text"),
+                   F.col("end_char").alias("pro_end")))
+    j = sta.join(pro, (F.col("doc_id") == F.col("pdoc"))
+                 & (F.col("sent_id") == F.col("psent"))
+                 & (F.col("pro_end") <= F.col("sta_start")))
+    w = Window.partitionBy("doc_id", "statute_ent_id").orderBy(
+        F.desc("pro_end"), F.desc("provision_ent_id"))
+    return (j.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+            .select("doc_id", "statute_ent_id", "statute_text",
+                    "provision_ent_id", "provision_text",
+                    statute_canon(F.col("statute_text")).alias("canonical_statute")))
+
+
+def exact_name_role_join(mentions: DataFrame) -> DataFrame:
+    """map_exact_other_person (postprocessing_utils.py:221-247) as a
+    self-join: OTHER_PERSON relabels to the unique label of same-normalized-
+    text entities when that label is a person role."""
+    norm = mentions.withColumn("norm", normalize_entity_text(F.col("text")))
+    other = (norm.filter(F.col("label") == "OTHER_PERSON")
+             .select("doc_id", "ent_id", "text", "norm"))
+    rest = (norm.filter(F.col("label") != "OTHER_PERSON")
+            .select(F.col("doc_id").alias("rdoc"), F.col("norm").alias("rnorm"),
+                    F.col("label").alias("rlabel")))
+    agg = (rest.groupBy("rdoc", "rnorm")
+           .agg(F.countDistinct("rlabel").alias("n_labels"),
+                F.min("rlabel").alias("the_label")))
+    joined = other.join(
+        agg, (other.doc_id == agg.rdoc) & (other.norm == agg.rnorm), "left")
+    role = (F.col("n_labels") == 1) & F.col("the_label").isin(
+        "PETITIONER", "RESPONDENT", "JUDGE", "WITNESS", "LAWYER")
+    return joined.select(
+        "doc_id", "ent_id", "text",
+        F.when(role, F.col("the_label")).otherwise(F.lit("OTHER_PERSON"))
+        .alias("resolved_label"))
+
+
+def precedent_edges(mentions: DataFrame, threshold: int = 5) -> DataFrame:
+    """Similarity edges between PRECEDENT mentions of one document:
+    Levenshtein(petitioner)<t AND Levenshtein(respondent)<t, or citation
+    equality — the reference's greedy absorption criteria
+    (postprocessing_utils.py:100-116) as a symmetric relation.
+    ``F.levenshtein`` is JVM-native; the join is keyed by doc_id only."""
+    from ..functions.text import VS_RE, CIT_RE
+
+    pre = (mentions.filter(F.col("label") == "PRECEDENT")
+           .withColumn("cit", F.regexp_extract("text", CIT_RE, 0))
+           .withColumn("body", F.when(F.col("cit") == "", F.col("text"))
+                       .otherwise(F.expr("substring(text, 1, instr(text, cit) - 1)")))
+           .withColumn("vs", F.regexp_extract("body", VS_RE, 0))
+           .withColumn("pet", F.when(F.col("vs") == "", F.lit(None)).otherwise(
+               F.trim(F.expr("substring(body, 1, instr(body, vs) - 1)"))))
+           .withColumn("res", F.when(F.col("vs") == "", F.lit(None)).otherwise(
+               F.trim(F.expr("substring(body, instr(body, vs) + length(vs))"))))
+           .select("doc_id", "ent_id", "text", "pet", "res", "cit"))
+    b = pre.select(F.col("doc_id").alias("bdoc"), F.col("ent_id").alias("bent"),
+                   F.col("pet").alias("bpet"), F.col("res").alias("bres"),
+                   F.col("cit").alias("bcit"))
+    sim = ((F.levenshtein("pet", "bpet") < threshold)
+           & (F.levenshtein("res", "bres") < threshold))
+    cit_eq = (F.col("cit") != "") & (F.col("cit") == F.col("bcit"))
+    return (pre.join(b, (F.col("doc_id") == F.col("bdoc"))
+                     & (F.col("ent_id") < F.col("bent"))
+                     & (sim | cit_eq))
+            .select("doc_id", F.col("ent_id").alias("src"),
+                    F.col("bent").alias("dst")))
+
+
+def connected_components(edges: DataFrame, vertices: DataFrame,
+                         max_iter: int = 10) -> DataFrame:
+    """Label-propagation connected components over (doc_id, src, dst) edges:
+    each vertex converges to the minimum ent_id of its component.
+
+    Iterative join plan (GraphFrames-style): per iteration one shuffle on
+    (doc_id, vertex); labels are ints, AQE coalesces the tiny post-filter
+    exchanges.  ``localCheckpoint`` truncates the growing lineage so the
+    plan stays bounded at high iteration counts."""
+    sym = (edges.select("doc_id", "src", "dst")
+           .union(edges.select("doc_id", F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+           .select(F.col("doc_id").alias("e_doc"), "src", "dst")
+           .localCheckpoint(eager=True))  # break lineage to the source DF —
+    # avoids self-join ambiguity when edges and vertices derive from the
+    # same mentions frame, and keeps the per-iteration plan flat
+    labels = (vertices.select("doc_id", F.col("ent_id").alias("v"),
+                              F.col("ent_id").alias("comp"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        nbr_min = (sym.join(labels, (F.col("e_doc") == F.col("doc_id"))
+                            & (F.col("dst") == F.col("v")))
+                   .select(F.col("e_doc").alias("doc_id"),
+                           F.col("src").alias("v"),
+                           F.col("comp").alias("nbr_comp"))
+                   .groupBy("doc_id", "v")
+                   .agg(F.min("nbr_comp").alias("nbr_comp")))
+        updated = (labels.join(nbr_min, ["doc_id", "v"], "left")
+                   .select("doc_id", "v",
+                           F.least(F.col("comp"),
+                                   F.coalesce("nbr_comp", F.col("comp")))
+                           .alias("comp"))
+                   .localCheckpoint(eager=True))
+        changed = (labels.select("doc_id", "v", F.col("comp").alias("old_comp"))
+                   .join(updated, ["doc_id", "v"])
+                   .filter("old_comp <> comp").limit(1).count())
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("v").alias("ent_id"),
+                         F.col("comp").alias("cluster_id"))
+
+
+def precedent_clusters_cc(mentions: DataFrame, threshold: int = 5) -> DataFrame:
+    """Distributed precedent coreference: similarity edges → connected
+    components → head = longest member (token count, first-wins →
+    min ent_id among longest).  The order-free counterpart of the greedy
+    clustering; multi-member components only, like
+    postprocessing_utils.py:186-188."""
+    verts = (mentions.filter(F.col("label") == "PRECEDENT")
+             .select("doc_id", "ent_id", "text",
+                     F.size(F.split("text", r"\s+")).alias("token_len")))
+    comp = connected_components(precedent_edges(mentions, threshold),
+                                verts.select("doc_id", "ent_id"))
+    members = verts.join(comp, ["doc_id", "ent_id"])
+    sizes = (members.groupBy("doc_id", "cluster_id")
+             .agg(F.count("*").alias("n_members")))
+    multi = members.join(sizes.filter("n_members > 1"), ["doc_id", "cluster_id"])
+    w = Window.partitionBy("doc_id", "cluster_id").orderBy(
+        F.desc("token_len"), F.asc("ent_id"))
+    heads = (multi.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+             .select("doc_id", "cluster_id", F.col("text").alias("head")))
+    return (multi.join(heads, ["doc_id", "cluster_id"])
+            .select("doc_id", "cluster_id", "head",
+                    F.col("text").alias("member"), "ent_id"))

@@ -618,15 +618,22 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     min(md5(band||shingle)); docs sharing a band signature are candidate
     near-dups.  Shuffle is on (band, signature) — constant-size keys, no
     all-pairs blowup (the 100 TB path)."""
+    # the documents table is one small file → one split; re-split so the
+    # shingle explode + hash parallelizes (at production scale the Iceberg
+    # scan yields balanced splits on its own)
     docs = (spark.read.parquet(_t(sf_dir, "documents"))
+            .repartition(64, "doc_id")
             .withColumn("toks", F.split(F.lower("text"), " "))
             .withColumn("sh", F.expr(_shingles_expr()))
             .select("doc_id", F.explode("sh").alias("shingle")))
-    bands = spark.range(4).select(F.col("id").cast("int").alias("band"))
-    sigs = (docs.crossJoin(F.broadcast(bands))
-            .groupBy("doc_id", "band")
-            .agg(F.min(F.md5(F.concat_ws("|", F.col("band"), F.col("shingle"))))
-                 .alias("sig")))
+    # all 4 band minima in ONE pass over the shingle rows (map-side partial
+    # agg), then unpivot — avoids a 4x crossJoin row blowup before the hash
+    sigs_wide = docs.groupBy("doc_id").agg(*[
+        F.min(F.md5(F.concat_ws("|", F.lit(b), F.col("shingle"))))
+        .alias(f"b{b}") for b in range(4)])
+    sigs = sigs_wide.selectExpr(
+        "doc_id",
+        "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band, sig)")
     other = sigs.select(F.col("doc_id").alias("doc_b"), "band", "sig")
     return (sigs.join(other, ["band", "sig"])
             .filter(F.col("doc_id") < F.col("doc_b"))

@@ -1,0 +1,93 @@
+"""Tests for the DataFrame-native scale-out operator variants vs the
+per-doc core semantics."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from legal_ner_spark import pipeline
+from legal_ner_spark.operators import extract as ops
+from legal_ner_spark.operators import relational as rel
+
+
+@pytest.fixture(scope="module")
+def mentions(spark):
+    corpus = pipeline.synthetic_corpus(spark, 20, partitions=4)
+    recs = pipeline.extract_records(corpus).cache()
+    recs.count()
+    yield ops.mentions(recs)
+    recs.unpersist()
+
+
+def test_nearest_prior_link_matches_core_when_uncontended(spark, mentions):
+    """Where exactly one statute appears in a sentence, the relational form
+    must agree with the greedy core's pairing."""
+    links = rel.nearest_prior_provision_link(mentions).toPandas()
+    assert len(links) > 0
+    # every pair is provision-before-statute within one sentence by
+    # construction; canonicalization column populated for IPC/CrPC forms
+    assert (links.canonical_statute.isin([
+        "", "Indian Penal Code", "Criminal Procedure Code", "Constitution",
+        "Income Tax Act", "Motor Vehicle Act", "Industrial Dispute Act",
+        "Securitisation and Reconstruction of Financial Assets and "
+        "Enforcement of Securities Interest Act"])).all()
+
+
+def test_exact_name_role_join(spark):
+    """Operates on *pre-coref* mentions (the engine's final mentions table is
+    already reconciled by the pandas stage, so feed raw rows)."""
+    rows = [
+        ("d1", 0, "Amit Kumar", "PETITIONER"),
+        ("d1", 1, "Amit  Kumar", "OTHER_PERSON"),     # whitespace-normalized hit
+        ("d1", 2, "Sunil Verma", "OTHER_PERSON"),     # no match anywhere
+        ("d1", 3, "Ravi Joshi", "JUDGE"),
+        ("d1", 4, "Ravi Joshi", "LAWYER"),
+        ("d1", 5, "ravi joshi", "OTHER_PERSON"),      # ambiguous → unchanged
+        ("d2", 6, "Amit Kumar", "OTHER_PERSON"),      # per-doc scope: no match
+    ]
+    m = spark.createDataFrame(rows, ["doc_id", "ent_id", "text", "label"])
+    got = {r.ent_id: r.resolved_label
+           for r in rel.exact_name_role_join(m).collect()}
+    assert got == {1: "PETITIONER", 2: "OTHER_PERSON", 5: "OTHER_PERSON",
+                   6: "OTHER_PERSON"}
+
+
+def test_connected_components_basic(spark):
+    edges = spark.createDataFrame(
+        [("d", 1, 2), ("d", 2, 3), ("d", 5, 6)],
+        ["doc_id", "src", "dst"])
+    verts = spark.createDataFrame(
+        [("d", i) for i in [1, 2, 3, 5, 6, 9]], ["doc_id", "ent_id"])
+    comp = {(r.ent_id): r.cluster_id
+            for r in rel.connected_components(edges, verts).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[5] == comp[6] == 5
+    assert comp[9] == 9
+
+
+def test_precedent_clusters_cc_agrees_with_core_on_pairs(spark, mentions):
+    """CC clustering groups the same near-duplicate precedent pairs the
+    greedy core groups (the generator's duplicates are unambiguous:
+    transitive chains don't occur), modulo supra members which the
+    relational form doesn't ingest."""
+    cc = rel.precedent_clusters_cc(mentions).toPandas()
+    corpus = pipeline.synthetic_corpus(spark, 20, partitions=4)
+    recs = pipeline.extract_records(corpus)
+    core = ops.precedent_clusters(recs).toPandas()
+    # core clusters restricted to PRECEDENT-text members (exclude supra
+    # person-name members): every such pair must share a CC cluster
+    core_pairs = set()
+    for (doc, cid), grp in core.groupby(["doc_id", "cluster_id"]):
+        ms = [m for m in grp.member if " vs " in m or " versus " in m
+              or " v. " in m or " v/s " in m]
+        for a in ms:
+            for b in ms:
+                if a < b:
+                    core_pairs.add((doc, a, b))
+    cc_pairs = set()
+    for (doc, cid), grp in cc.groupby(["doc_id", "cluster_id"]):
+        ms = sorted(grp.member)
+        for i, a in enumerate(ms):
+            for b in ms[i + 1:]:
+                cc_pairs.add((doc, a, b))
+    assert core_pairs <= cc_pairs
