@@ -1,0 +1,110 @@
+"""Deduplication operator family for training-data pipelines.
+
+Four tiers, all pure DataFrame (JVM-side, no Python UDFs):
+
+1. exact        — content-hash groupBy (map-side partial agg; shuffles the
+                  32-byte hash, never the text)
+2. minhash LSH  — banded min-signatures; candidate pairs share a
+                  (band, signature) key.  Shuffle keys are constant-size;
+                  no all-pairs blowup: the 100 TB path.
+3. simhash      — 16-bit nibble-majority fingerprint + hamming-distance
+                  pairing (cross-engine deterministic: built from md5 hex
+                  nibbles, no engine-specific hash).
+4. ngram Jaccard — exact all-pairs similarity over shingle sets; the
+                  verification tier applied to LSH candidates (bounded
+                  subsets only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_HEX = "0123456789abcdef"
+
+
+def shingle_rows(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles, exploded to rows."""
+    toks = F.split(F.lower(text_col), " ")
+    expr = (f"array_distinct(transform(sequence(0, greatest(size(toks) - {n}, -1)), "
+            + "i -> concat_ws(' ', "
+            + ", ".join(f"toks[i+{k}]" for k in range(n)) + ")))")
+    return (docs.withColumn("toks", toks)
+            .withColumn("sh", F.expr(expr))
+            .select(F.col(id_col).alias("doc_id"),
+                    F.explode("sh").alias("shingle")))
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    return (docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+            .agg(F.count("*").cast("bigint").alias("n_copies"),
+                 F.min(id_col).alias("keeper_doc_id")))
+
+
+def minhash_signatures(shingles: DataFrame, n_bands: int = 4) -> DataFrame:
+    """All band minima in one aggregation pass, then unpivoted with
+    ``stack`` — no row blowup before the hash."""
+    wide = shingles.groupBy("doc_id").agg(*[
+        F.min(F.md5(F.concat_ws("|", F.lit(b), F.col("shingle"))))
+        .alias(f"b{b}") for b in range(n_bands)])
+    stack = ", ".join(f"{b}, b{b}" for b in range(n_bands))
+    return wide.selectExpr("doc_id", f"stack({n_bands}, {stack}) AS (band, sig)")
+
+
+def lsh_candidates(sigs: DataFrame) -> DataFrame:
+    other = sigs.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    return (sigs.join(other, ["band", "sig"])
+            .filter(F.col("doc_id") < F.col("doc_b"))
+            .select("band", F.col("doc_id").alias("doc_a"), "doc_b")
+            .distinct())
+
+
+def ngram_jaccard_pairs(shingles: DataFrame, threshold: float = 0.12) -> DataFrame:
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (shingles.join(b, "shingle")
+             .filter(F.col("doc_id") < F.col("doc_b"))
+             .groupBy("doc_id", "doc_b").agg(F.count("*").alias("inter")))
+    return (inter
+            .join(sizes.withColumnRenamed("doc_id", "da")
+                  .withColumnRenamed("n", "na"), F.col("doc_id") == F.col("da"))
+            .join(sizes.withColumnRenamed("doc_id", "db")
+                  .withColumnRenamed("n", "nb"), F.col("doc_b") == F.col("db"))
+            .withColumn("jaccard", F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4))
+            .filter(F.col("jaccard") >= threshold)
+            .select(F.col("doc_id").alias("doc_a"), "doc_b", "jaccard"))
+
+
+def _nibble_expr(i: int) -> str:
+    """0-based hex nibble i of md5(token) as an int — expressed with
+    instr over a hex alphabet so DuckDB computes the identical value."""
+    return f"(instr('{_HEX}', substring(md5(tok), {i + 1}, 1)) - 1)"
+
+
+def simhash16(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """16-bit SimHash: bit i = majority vote over tokens of whether md5
+    nibble i >= 8.  Cheap, deterministic, and exactly reproducible in
+    ANSI SQL (the oracle uses the same instr/md5 arithmetic)."""
+    toks = (docs.select(F.col(id_col).alias("doc_id"),
+                        F.explode(F.split(F.lower(text_col), " ")).alias("tok")))
+    votes = toks.groupBy("doc_id").agg(*[
+        F.expr(f"sum(CASE WHEN {_nibble_expr(i)} >= 8 THEN 1 ELSE -1 END)")
+        .alias(f"v{i}") for i in range(16)])
+    bits = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))
+    return votes.selectExpr("doc_id", f"CAST({bits} AS BIGINT) AS simhash")
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    sh = simhash16(docs, id_col, text_col)
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+    return (sh.join(b, F.col("doc_id") < F.col("doc_b"))
+            .withColumn("hamming", F.expr("bit_count(simhash ^ sb)").cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select(F.col("doc_id").alias("doc_a"), "doc_b", "hamming"))

@@ -1,0 +1,117 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+- ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query
+  set against the candidate corpus; per-partition partial top-k via the
+  rank window.  The correctness baseline.
+- ``cosine_near_pairs`` — all-pairs above a cosine threshold on a bounded
+  subset (embedding near-dup dedup tier).
+- ``lsh_ann_topk`` — random-hyperplane LSH: deterministic ±1 hyperplanes
+  (md5-parity seeded), vectors bucketed by signature, exact rerank within
+  bucket.  The scale path: candidate generation is an equi-join on a
+  16-bit key instead of a crossJoin.
+
+All dot products run as Catalyst ``aggregate(zip_with(...))`` over
+double-cast arrays — JVM-side, codegen'd, no Python.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+_NORM = "sqrt(aggregate(transform({a}, x -> x * x), 0D, (acc, x) -> acc + x))"
+
+
+def _as_double(col: str) -> F.Column:
+    return F.expr(f"transform({col}, x -> cast(x AS double))")
+
+
+def cosine_expr(a: str, b: str) -> F.Column:
+    return F.expr(f"({_DOT.format(a=a, b=b)}) / "
+                  f"(({_NORM.format(a=a)}) * ({_NORM.format(a=b)}))")
+
+
+def brute_force_topk(queries: DataFrame, candidates: DataFrame,
+                     k: int = 5) -> DataFrame:
+    """queries(query_id, qv) × candidates(neighbor_id, cv) → top-k rows.
+    Rank on the 4-dp-rounded score with id tie-break (deterministic across
+    engines and summation orders)."""
+    j = (candidates.crossJoin(F.broadcast(queries))
+         .withColumn("cos_sim", F.round(cosine_expr("qv", "cv"), 4)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"),
+                                               F.asc("neighbor_id"))
+    return (j.withColumn("rnk", F.row_number().over(w)).filter(f"rnk <= {k}")
+            .select("query_id", "neighbor_id", "cos_sim",
+                    F.col("rnk").cast("int").alias("rnk")))
+
+
+def prepare_vectors(emb: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    return emb.select(F.col(id_col).alias("vec_id"),
+                      _as_double(vec_col).alias("v"))
+
+
+def cosine_near_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
+    a = prepare_vectors(emb).select(F.col("vec_id").alias("id_a"),
+                                    F.col("v").alias("va"))
+    b = prepare_vectors(emb).select(F.col("vec_id").alias("id_b"),
+                                    F.col("v").alias("vb"))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("cos_sim", F.round(cosine_expr("va", "vb"), 4))
+            .filter(F.col("cos_sim") >= threshold)
+            .select("id_a", "id_b", "cos_sim"))
+
+
+def hyperplanes(dim: int, n_planes: int, table: int = 0) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from md5 parity — reproducible across
+    runs/machines with no RNG state; ``table`` seeds independent tables."""
+    return [[1.0 if hashlib.md5(f"{table}|{j}|{d}".encode()).digest()[0] % 2
+             else -1.0 for d in range(dim)] for j in range(n_planes)]
+
+
+def lsh_signatures(vectors: DataFrame, dim: int, n_planes: int = 8,
+                   n_tables: int = 2) -> DataFrame:
+    """One signature row per (vector, table): standard multi-table LSH —
+    a pair is a candidate if it collides in ANY table, which trades a
+    linear factor of candidates for exponential recall gain."""
+    out = []
+    for t in range(n_tables):
+        sig = None
+        for j, plane in enumerate(hyperplanes(dim, n_planes, t)):
+            lit = "array(" + ", ".join(f"{x}D" for x in plane) + ")"
+            bit = F.when(F.expr(_DOT.format(a="v", b=lit)) > 0,
+                         F.lit(1 << j)).otherwise(F.lit(0))
+            sig = bit if sig is None else (sig + bit)
+        out.append(vectors.withColumn("table", F.lit(t))
+                   .withColumn("sig", sig.cast("int")))
+    df = out[0]
+    for o in out[1:]:
+        df = df.unionByName(o)
+    return df
+
+
+def lsh_ann_topk(queries: DataFrame, candidates: DataFrame, dim: int,
+                 k: int = 5, n_planes: int = 8, n_tables: int = 2) -> DataFrame:
+    """ANN: bucket by hyperplane signature per table, dedup candidates
+    across tables, exact cosine rerank.  Recall < 1 by construction (tested
+    vs brute force on planted neighbors); candidate generation is an
+    equi-join on (table, signature) — no crossJoin at any scale."""
+    qs = lsh_signatures(queries, dim, n_planes, n_tables)
+    cs = (lsh_signatures(candidates, dim, n_planes, n_tables)
+          .select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
+                  F.col("table").alias("ctable"), F.col("sig").alias("csig")))
+    cand = (cs.join(F.broadcast(
+        qs.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+                  "table", "sig")),
+        (F.col("ctable") == F.col("table")) & (F.col("csig") == F.col("sig")))
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"]))
+    j = cand.withColumn("cos_sim", F.round(cosine_expr("qv", "cv"), 4))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"),
+                                               F.asc("neighbor_id"))
+    return (j.withColumn("rnk", F.row_number().over(w)).filter(f"rnk <= {k}")
+            .select("query_id", "neighbor_id", "cos_sim",
+                    F.col("rnk").cast("int").alias("rnk")))

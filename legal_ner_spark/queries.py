@@ -547,10 +547,10 @@ GROUP BY n.n_name"""
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup by content hash — groupBy shuffles only the 32-byte hash,
     with map-side partial aggregation."""
+    from .operators import dedup
     docs = spark.read.parquet(_t(sf_dir, "documents"))
-    return (docs.groupBy(F.md5(F.col("text")).alias("content_hash"))
-            .agg(F.count("*").cast("bigint").alias("n_copies"),
-                 F.min("doc_id").cast("bigint").alias("keeper_doc_id")))
+    return (dedup.exact_duplicates(docs)
+            .withColumn("keeper_doc_id", F.col("keeper_doc_id").cast("bigint")))
 
 
 def o_dedup_exact():
@@ -568,27 +568,12 @@ def _shingles_expr():
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Near-dup by 3-gram Jaccard ≥ 0.12 over a bounded doc subset (the
     all-pairs form; the LSH variant below is the scale path)."""
+    from .operators import dedup
     docs = (spark.read.parquet(_t(sf_dir, "documents"))
-            .filter(F.col("doc_id") < 200)
-            .withColumn("toks", F.split(F.lower("text"), " "))
-            .withColumn("sh", F.expr(_shingles_expr()))
-            .select("doc_id", F.explode("sh").alias("shingle")))
-    sizes = docs.groupBy("doc_id").agg(F.count("*").alias("n"))
-    b = docs.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (docs.join(b, "shingle")
-             .filter(F.col("doc_id") < F.col("doc_b"))
-             .groupBy("doc_id", "doc_b").agg(F.count("*").alias("inter")))
-    out = (inter
-           .join(sizes.withColumnRenamed("doc_id", "da")
-                 .withColumnRenamed("n", "na"), F.col("doc_id") == F.col("da"))
-           .join(sizes.withColumnRenamed("doc_id", "db")
-                 .withColumnRenamed("n", "nb"), F.col("doc_b") == F.col("db"))
-           .withColumn("jaccard", F.round(
-               F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4))
-           .filter(F.col("jaccard") >= 0.12)
-           .select(F.col("doc_id").cast("bigint").alias("doc_a"),
-                   F.col("doc_b").cast("bigint").alias("doc_b"), "jaccard"))
-    return out
+            .filter(F.col("doc_id") < 200))
+    return (dedup.ngram_jaccard_pairs(dedup.shingle_rows(docs), threshold=0.12)
+            .select(F.col("doc_a").cast("bigint").alias("doc_a"),
+                    F.col("doc_b").cast("bigint").alias("doc_b"), "jaccard"))
 
 
 def o_dedup_ngram_jaccard():
@@ -618,28 +603,16 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     min(md5(band||shingle)); docs sharing a band signature are candidate
     near-dups.  Shuffle is on (band, signature) — constant-size keys, no
     all-pairs blowup (the 100 TB path)."""
+    from .operators import dedup
     # the documents table is one small file → one split; re-split so the
     # shingle explode + hash parallelizes (at production scale the Iceberg
     # scan yields balanced splits on its own)
     docs = (spark.read.parquet(_t(sf_dir, "documents"))
-            .repartition(64, "doc_id")
-            .withColumn("toks", F.split(F.lower("text"), " "))
-            .withColumn("sh", F.expr(_shingles_expr()))
-            .select("doc_id", F.explode("sh").alias("shingle")))
-    # all 4 band minima in ONE pass over the shingle rows (map-side partial
-    # agg), then unpivot — avoids a 4x crossJoin row blowup before the hash
-    sigs_wide = docs.groupBy("doc_id").agg(*[
-        F.min(F.md5(F.concat_ws("|", F.lit(b), F.col("shingle"))))
-        .alias(f"b{b}") for b in range(4)])
-    sigs = sigs_wide.selectExpr(
-        "doc_id",
-        "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band, sig)")
-    other = sigs.select(F.col("doc_id").alias("doc_b"), "band", "sig")
-    return (sigs.join(other, ["band", "sig"])
-            .filter(F.col("doc_id") < F.col("doc_b"))
-            .select("band", F.col("doc_id").cast("bigint").alias("doc_a"),
-                    F.col("doc_b").cast("bigint").alias("doc_b"))
-            .distinct())
+            .repartition(64, "doc_id"))
+    sigs = dedup.minhash_signatures(dedup.shingle_rows(docs), n_bands=4)
+    return (dedup.lsh_candidates(sigs)
+            .select("band", F.col("doc_a").cast("bigint").alias("doc_a"),
+                    F.col("doc_b").cast("bigint").alias("doc_b")))
 
 
 def o_dedup_minhash_lsh():
@@ -664,22 +637,14 @@ def q_similarity_topk(spark, sf_dir):
     Baseline ANN path; ranks on the rounded score for cross-engine
     determinism.  Scale path: broadcast the query set, partial top-k per
     partition via the window, no all-pairs shuffle."""
-    emb = (spark.read.parquet(_t(sf_dir, "embeddings"))
-           .withColumn("v", F.expr("transform(embedding, x -> cast(x AS double))")))
-    q = (emb.filter(F.col("vec_id") < 5)
+    from .operators import similarity
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    q = (similarity.prepare_vectors(emb.filter(F.col("vec_id") < 5))
          .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")))
-    c = (emb.filter(F.col("vec_id") >= 5)
+    c = (similarity.prepare_vectors(emb.filter(F.col("vec_id") >= 5))
          .select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")))
-    dot = "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (a, x) -> a + x)"
-    nq = "sqrt(aggregate(transform(qv, x -> x * x), 0D, (a, x) -> a + x))"
-    nc = "sqrt(aggregate(transform(cv, x -> x * x), 0D, (a, x) -> a + x))"
-    j = (c.crossJoin(F.broadcast(q))
-         .withColumn("cos_sim", F.round(F.expr(f"({dot}) / (({nq}) * ({nc}))"), 4)))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (j.withColumn("rnk", F.row_number().over(w)).filter("rnk <= 5")
-            .select("query_id", F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
-                    "cos_sim", F.col("rnk").cast("int").alias("rnk")))
+    return (similarity.brute_force_topk(q, c, k=5)
+            .withColumn("neighbor_id", F.col("neighbor_id").cast("bigint")))
 
 
 def o_similarity_topk():
@@ -790,6 +755,120 @@ def o_doc_fingerprint():
             "FROM documents")
 
 
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (hamming ≤ 3 on the 16-bit nibble-majority
+    fingerprint) over a bounded doc subset."""
+    from .operators import dedup
+    docs = (spark.read.parquet(_t(sf_dir, "documents"))
+            .filter(F.col("doc_id") < 300).repartition(32, "doc_id"))
+    return (dedup.simhash_near_pairs(docs, max_hamming=3)
+            .select(F.col("doc_a").cast("bigint").alias("doc_a"),
+                    F.col("doc_b").cast("bigint").alias("doc_b"), "hamming"))
+
+
+def o_simhash_pairs():
+    hexp = "0123456789abcdef"
+    votes = ", ".join(
+        f"sum(CASE WHEN (instr('{hexp}', substring(md5(tok), {i + 1}, 1)) - 1) >= 8 "
+        f"THEN 1 ELSE -1 END) AS v{i}" for i in range(16))
+    bits = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents WHERE doc_id < 300
+), votes AS (
+  SELECT doc_id, {votes} FROM toks GROUP BY doc_id
+), sh AS (
+  SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes
+)
+SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+
+
+def q_embedding_near_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (≥ 0.35 — the synthetic vectors are
+    near-orthogonal; production near-dup uses ≥ 0.95)."""
+    from .operators import similarity
+    emb = (spark.read.parquet(_t(sf_dir, "embeddings"))
+           .filter(F.col("vec_id") < 200))
+    return (similarity.cosine_near_pairs(emb, threshold=0.35)
+            .select(F.col("id_a").cast("bigint").alias("id_a"),
+                    F.col("id_b").cast("bigint").alias("id_b"), "cos_sim"))
+
+
+def o_embedding_near_pairs():
+    return """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200
+)
+SELECT a.vec_id::BIGINT AS id_a, b.vec_id::BIGINT AS id_b,
+       round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+             4) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+            4) >= 0.35"""
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN (random-hyperplane signatures, exact rerank within
+    bucket) — the scale path for similarity search.  Approximate by design
+    → rows-only check; recall vs brute force is asserted in pytest."""
+    from .operators import similarity
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    dim = len(emb.select("embedding").first()[0])
+    qs = similarity.prepare_vectors(emb.filter(F.col("vec_id") < 5)) \
+        .withColumnRenamed("vec_id", "vec_id")
+    cs = similarity.prepare_vectors(emb.filter(F.col("vec_id") >= 5))
+    return similarity.lsh_ann_topk(qs, cs, dim, k=5, n_planes=8)
+
+
+INGEST_FIXTURES = [
+    "a  b\n\n\n\nc http://www.judis.nic.in tail",
+    "Sentence one.\nNext line",
+    "multiple   spaces\tand tabs",
+    "trailing run   ",
+    "::: Uploaded on - 01/02/2020  ::: Downloaded on - 03/04/2021 at 10:00 ::: rest",
+]
+
+
+def q_ingest_clean(spark, sf_dir):
+    """Ingest text-hygiene chain (data_preparation.py:175-181,240-252)."""
+    from .operators.ingest import clean_judgment_text
+    return (_fixture_df(spark, INGEST_FIXTURES)
+            .select("text", clean_judgment_text(F.col("text")).alias("cleaned")))
+
+
+def o_ingest_clean():
+    # RE2 has no lookahead: `\s+(?!\s*$)` (collapse all runs except the
+    # trailing one) is expressed as rtrim-collapse-reappend, equivalent on
+    # any input; backreference syntax is \1 (Java/Spark uses $1).
+    return r"""
+WITH f AS (
+  SELECT text,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, 'http://www\.judis\.nic\.in(\s*?\x0c\s*?)?', '', 'g'),
+             '(::: Uploaded on - \d\d/\d\d/\d\d\d\d\s+)?::: Downloaded on - .{5,50}:::', '', 'g'),
+           'https://www\.mhc\.tn\.gov\.in/judis/(\s*?\x0c\s*?)?', '', 'g') AS t
+  FROM """ + _values_sql(INGEST_FIXTURES) + r"""
+), c1 AS (
+  SELECT text,
+         regexp_replace(rtrim(t), '\s+', ' ', 'g') ||
+         COALESCE(regexp_extract(t, '\s+$'), '') AS t
+  FROM f
+), c2 AS (
+  SELECT text, regexp_replace(t, '([."?])\n', '\1 \n\n', 'g') AS t FROM c1
+), c3 AS (
+  SELECT text, regexp_replace(t, '\n{3,}', E'\n\n', 'g') AS t FROM c2
+)
+SELECT text, trim(t) AS cleaned FROM c3"""
+
+
 # --------------------------------------------------------------------------
 # full KG pipeline (order-sensitive — rows-only checks, SURVEY.md §5.4)
 # --------------------------------------------------------------------------
@@ -852,6 +931,10 @@ QUERIES = {
     "quality_score": q_quality_score,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
+    "simhash_pairs": q_simhash_pairs,
+    "embedding_near_pairs": q_embedding_near_pairs,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ingest_clean": q_ingest_clean,
     "kg_triples": q_kg_triples,
     "kg_mentions": q_kg_mentions,
     "kg_provision_counts": q_kg_provision_counts,
@@ -883,5 +966,9 @@ ORACLES = {
     "quality_score": o_quality_score(),
     "token_count": o_token_count(),
     "doc_fingerprint": o_doc_fingerprint(),
-    # kg_* are order-sensitive pandas stages — rows-only checks by design
+    "simhash_pairs": o_simhash_pairs(),
+    "embedding_near_pairs": o_embedding_near_pairs(),
+    "ingest_clean": o_ingest_clean(),
+    # kg_* (order-sensitive pandas stages) and ann_lsh_topk (approximate by
+    # design, recall asserted in pytest) are rows-only by design
 }

@@ -1,0 +1,98 @@
+"""Dedup / similarity operator tests, including LSH recall vs brute force
+and sent-vs-doc run-mode parity."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from legal_ner_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+        (2, "completely different content about spark engines"),
+        (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (4, "spark engines process completely different content"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicates(spark, docs):
+    d = {r.content_hash: (r.n_copies, r.keeper_doc_id)
+         for r in dedup.exact_duplicates(docs).collect()}
+    assert (2, 0) in d.values()          # docs 0 and 3 collapse
+    assert sum(n for n, _ in d.values()) == 5
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard
+             for r in dedup.ngram_jaccard_pairs(
+                 dedup.shingle_rows(docs), threshold=0.3).collect()}
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0
+    assert (0, 1) in pairs and 0.5 < pairs[(0, 1)] < 1.0
+
+
+def test_minhash_lsh_catches_exact_dup(spark, docs):
+    sigs = dedup.minhash_signatures(dedup.shingle_rows(docs), n_bands=4)
+    cands = {(r.doc_a, r.doc_b) for r in dedup.lsh_candidates(sigs).collect()}
+    assert (0, 3) in cands               # identical shingle sets always collide
+
+
+def test_simhash_identical_docs_zero_hamming(spark, docs):
+    sh = {r.doc_id: r.simhash for r in dedup.simhash16(docs).collect()}
+    assert sh[0] == sh[3]
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in dedup.simhash_near_pairs(docs, max_hamming=16).collect()}
+    assert pairs[(0, 3)] == 0
+
+
+def test_lsh_ann_recall_on_planted_neighbors(spark):
+    """Random-hyperplane LSH only separates genuinely-similar vectors, so
+    the recall check plants true neighbors (cosine ≈ 0.99) among random
+    noise — queries must find their planted neighbor via bucket collision."""
+    import random
+    rng = random.Random(7)
+    dim = 32
+
+    def vec():
+        return [rng.gauss(0, 1) for _ in range(dim)]
+
+    rows = []
+    planted = {}
+    for qid in range(10):
+        v = vec()
+        rows.append((qid, v))                      # query
+        nid = 1000 + qid
+        noisy = [x + rng.gauss(0, 0.05) for x in v]  # its near-duplicate
+        rows.append((nid, noisy))
+        planted[qid] = nid
+    for i in range(200):                           # background noise
+        rows.append((2000 + i, vec()))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qs = similarity.prepare_vectors(emb.filter(F.col("vec_id") < 100))
+    cs = similarity.prepare_vectors(emb.filter(F.col("vec_id") >= 100))
+    got = {r.query_id: r.neighbor_id
+           for r in similarity.lsh_ann_topk(qs, cs, dim, k=1,
+                                            n_planes=8, n_tables=4).collect()}
+    hits = sum(got.get(q) == n for q, n in planted.items())
+    assert hits >= 8, (hits, got)
+
+
+def test_sent_mode_close_to_doc_mode(spark):
+    """run_type='sent' trades accuracy for batchability (README.md:159-165):
+    entities spanning a naive sentence boundary (e.g. 'Petition No. 70')
+    can be missed.  Assert the two modes agree on ≥90% of triples."""
+    from legal_ner_spark import synth
+    from legal_ner_spark.core.extract import extract_document
+    inter = union = 0
+    for i in range(8):
+        d = synth.gen_doc(i)
+        text = synth.assemble_text(d["spans"])
+        t_doc = set(extract_document(d["doc_id"], text, "doc").triples)
+        t_sent = set(extract_document(d["doc_id"], text, "sent").triples)
+        inter += len(t_doc & t_sent)
+        union += len(t_doc | t_sent)
+    assert inter / union >= 0.9, inter / union
