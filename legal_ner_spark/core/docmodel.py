@@ -21,6 +21,7 @@ Spark driver hot path.
 from __future__ import annotations
 
 import re
+from bisect import bisect_left, bisect_right
 
 # One token per word-ish run or single punctuation char.  Deterministic and
 # whitespace-stable: retokenizing the concatenation of two texts joined on
@@ -79,7 +80,7 @@ class Span:
 class Doc:
     """Tokenized document with sentence boundaries and entity spans."""
 
-    __slots__ = ("text", "tokens", "sents", "ents")
+    __slots__ = ("text", "tokens", "sents", "ents", "_tok_starts", "_tok_ends")
 
     def __init__(self, text: str, hard_breaks: tuple[int, ...] = ()):
         """``hard_breaks`` are extra guaranteed sentence boundaries (char
@@ -89,6 +90,10 @@ class Doc:
         # tokens: list of (start_char, end_char, text)
         self.tokens = [(m.start(), m.end(), m.group())
                        for m in _TOKEN_RE.finditer(text)]
+        # sorted boundary arrays for O(log n) char_span (the hot path: the
+        # tagger and alias discovery call char_span per candidate match)
+        self._tok_starts = [t[0] for t in self.tokens]
+        self._tok_ends = [t[1] for t in self.tokens]
         self.sents = self._split_sentences(hard_breaks)
         self.ents: list[Span] = []
 
@@ -117,12 +122,17 @@ class Doc:
                   alignment_mode: str = "expand") -> Span | None:
         """Snap a char range to covering tokens (alignment_mode='expand'
         semantics of spaCy ``Doc.char_span``, used at
-        postprocessing_utils.py:679 and :810)."""
-        toks = [i for i, (ts, te, _) in enumerate(self.tokens)
-                if te > start_char and ts < end_char]
-        if not toks:
+        postprocessing_utils.py:679 and :810).
+
+        Binary search over the sorted token boundaries: a token i overlaps
+        [start_char, end_char) iff end_i > start_char and start_i <
+        end_char; with non-overlapping sorted tokens that is exactly the
+        contiguous range [bisect_right(ends, start), bisect_left(starts,
+        end))."""
+        t0 = bisect_right(self._tok_ends, start_char)
+        t1 = bisect_left(self._tok_starts, end_char)
+        if t0 >= t1:
             return None
-        t0, t1 = toks[0], toks[-1] + 1
         sc = self.tokens[t0][0]
         ec = self.tokens[t1 - 1][1]
         return Span(t0, t1, sc, ec, self.text[sc:ec], label)
