@@ -154,6 +154,14 @@ def unique_statute_counts(records: DataFrame) -> DataFrame:
             .groupBy("doc_id", "norm_statute").agg(F.count("*").alias("freq")))
 
 
+def mention_label_stats(records: DataFrame) -> DataFrame:
+    """Corpus entity stats (SURVEY.md §2.4 'offline' row — the
+    README.md:80-96 label-count table as a live aggregation)."""
+    return (mentions(records).groupBy("label")
+            .agg(F.count("*").cast("bigint").alias("n_mentions"),
+                 F.countDistinct("doc_id").cast("bigint").alias("n_docs")))
+
+
 def csv_export(records: DataFrame) -> DataFrame:
     """The reference CSV flatten (postprocessing_utils.py:825-864):
     file_name, entity, label, normalised_entities."""

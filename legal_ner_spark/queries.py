@@ -892,6 +892,11 @@ def q_kg_provision_counts(spark, sf_dir):
     return ops.unique_provision_counts(_kg_records(spark, sf_dir))
 
 
+def q_kg_label_stats(spark, sf_dir):
+    """Corpus entity stats over the pipeline's mentions (README.md:80-96)."""
+    return ops.mention_label_stats(_kg_records(spark, sf_dir))
+
+
 def q_kg_statute_degree(spark, sf_dir):
     """Graph analytics over the materialized triples: in-degree of statute
     nodes under part_of."""
@@ -938,6 +943,7 @@ QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_mentions": q_kg_mentions,
     "kg_provision_counts": q_kg_provision_counts,
+    "kg_label_stats": q_kg_label_stats,
     "kg_statute_degree": q_kg_statute_degree,
 }
 

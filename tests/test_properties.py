@@ -1,0 +1,111 @@
+"""Property-based tests (hypothesis) — SURVEY.md §5.5 determinism/property
+strategy.  Pure-Python core only (no Spark session): fast, wide input
+space."""
+
+import re
+
+from hypothesis import given, settings, strategies as st
+
+from legal_ner_spark.core.docmodel import Doc, filter_spans, levenshtein
+from legal_ner_spark.core.preamble import (convert_upper_case_to_title,
+                                           separate_and_clean_preamble)
+from legal_ner_spark.core.postprocess import check_stat, _norm
+from legal_ner_spark import synth
+
+TEXT = st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+               max_size=200)
+WORDS = st.text(
+    alphabet=st.sampled_from("abcdefghijklmnopqrstuvwxyz ABCDE.\n"), max_size=200)
+
+
+@settings(max_examples=200, deadline=None)
+@given(WORDS)
+def test_tokens_cover_all_nonspace(text):
+    d = Doc(text)
+    covered = set()
+    for (s, e, _t) in d.tokens:
+        covered.update(range(s, e))
+    nonspace = {i for i, ch in enumerate(text) if not ch.isspace()}
+    assert covered == nonspace
+
+
+@settings(max_examples=200, deadline=None)
+@given(WORDS)
+def test_char_span_expand_covers_request(text):
+    d = Doc(text)
+    if len(text) < 4:
+        return
+    sp = d.char_span(1, len(text) - 1)
+    if sp is not None:
+        # expand semantics: the span covers at least the overlapped tokens
+        assert sp.start_char <= len(text) - 1 and sp.end_char >= 1
+        assert sp.text == text[sp.start_char:sp.end_char]
+
+
+@settings(max_examples=150, deadline=None)
+@given(WORDS)
+def test_filter_spans_output_nonoverlapping_and_sorted(text):
+    d = Doc(text)
+    n = len(d.tokens)
+    if n < 2:
+        return
+    spans = [d.token_span(i, min(i + k, n), "X")
+             for i in range(0, n - 1, 2) for k in (1, 2)]
+    kept = filter_spans(spans)
+    for a, b in zip(kept, kept[1:]):
+        assert a.end <= b.start          # non-overlapping
+        assert a.start <= b.start        # sorted
+
+
+@settings(max_examples=100, deadline=None)
+@given(TEXT, TEXT)
+def test_levenshtein_metric_properties(a, b):
+    d = levenshtein(a, b)
+    assert d == levenshtein(b, a)
+    assert (d == 0) == (a == b)
+    assert d <= max(len(a), len(b))
+    assert d >= abs(len(a) - len(b))
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT)
+def test_title_casing_preserves_length(text):
+    assert len(convert_upper_case_to_title(text)) == len(text)
+
+
+@settings(max_examples=200, deadline=None)
+@given(WORDS)
+def test_preamble_split_bounds(text):
+    titled, end = separate_and_clean_preamble(text)
+    assert 0 <= end <= len(text)
+    assert len(titled) == end            # title-casing is length-preserving
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT)
+def test_check_stat_total_and_deterministic(text):
+    assert check_stat(text) == check_stat(text)
+    assert isinstance(check_stat(text), str)
+
+
+@settings(max_examples=100, deadline=None)
+@given(TEXT)
+def test_norm_idempotent(text):
+    assert _norm(_norm(text)) == _norm(text)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000_000))
+def test_synth_deterministic_per_doc_id(idx):
+    a, b = synth.gen_doc(idx), synth.gen_doc(idx)
+    assert a == b
+    text = synth.assemble_text(a["spans"])
+    assert text == synth.gen_text(idx)
+    # media spans carry refs, text spans carry text, order is by offset
+    offs = [s["offset"] for s in a["spans"]]
+    assert offs == sorted(offs)
+    for s in a["spans"]:
+        if s["kind"] == "text":
+            assert s["media_ref"] == "" and s["text"] != ""
+        else:
+            assert s["media_ref"] != "" and s["text"] == ""
