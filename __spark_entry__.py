@@ -13,13 +13,41 @@ form (SURVEY.md §2.3) and get rows-only checks.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# the driver may import this module from any cwd — make the package findable
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make legal_ner_spark importable inside executor Python workers
+    regardless of the driver's cwd (the production shape is spark-submit
+    --py-files legal_ner_spark.zip; here we build and addPyFile the same
+    zip on the fly, once per session)."""
+    if getattr(_ship_package, "_done", None) is spark:
+        return
+    import pathlib
+    import tempfile
+    import zipfile
+
+    pkg = pathlib.Path(_REPO) / "legal_ner_spark"
+    z = pathlib.Path(tempfile.gettempdir()) / f"legal_ner_spark_{os.getpid()}.zip"
+    if not z.exists():
+        with zipfile.ZipFile(z, "w") as zf:
+            for p in sorted(pkg.rglob("*.py")):
+                zf.write(p, p.relative_to(pkg.parent))
+    spark.sparkContext.addPyFile(str(z))
+    _ship_package._done = spark
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    _ship_package(spark)
     from legal_ner_spark import pipeline
     from legal_ner_spark.operators import extract as ops
 
@@ -31,7 +59,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from legal_ner_spark.queries import QUERIES
-    return dict(QUERIES)
+
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ship_package(spark)
+            return fn(spark, sf_dir)
+        return run
+
+    return {name: wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1,0 +1,69 @@
+"""Explicit triple P/R metric (the BASELINE gate, computed and reported)
+and skew-mitigation operator equivalence."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from legal_ner_spark import pipeline, synth
+from legal_ner_spark.core.extract import extract_document
+from legal_ner_spark.operators import extract as ops
+from legal_ner_spark.operators.skew import (salted_two_phase_count,
+                                            salted_repartition)
+
+N_DOCS = 60
+
+
+def test_triple_precision_recall_gate(spark):
+    """BASELINE.md gate: triple P and R ≥ 0.95 vs the reference-faithful
+    fixtures (golden = single-doc core over the same corpus).  The engine
+    is the same semantics distributed, so the measured value is 1.0 — any
+    drop indicates a distribution artifact."""
+    corpus = pipeline.synthetic_corpus(spark, N_DOCS, partitions=8)
+    got = {(r.doc_id, r.subj, r.pred, r.obj)
+           for r in pipeline.extract_triples(corpus).collect()}
+    golden = set()
+    for i in range(N_DOCS):
+        d = synth.gen_doc(i)
+        r = extract_document(d["doc_id"], synth.assemble_text(d["spans"]))
+        golden.update((d["doc_id"],) + t for t in r.triples)
+    tp = len(got & golden)
+    precision = tp / len(got)
+    recall = tp / len(golden)
+    print(f"\ntriple precision={precision:.4f} recall={recall:.4f} "
+          f"(n_engine={len(got)}, n_golden={len(golden)})")
+    assert precision >= 0.95 and recall >= 0.95
+    assert precision == 1.0 and recall == 1.0
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """80% of rows on one hot key — the IPC/CrPC shape."""
+    hot = spark.range(8000).select(F.lit("IPC").alias("statute"))
+    cold = (spark.range(2000)
+            .select(F.concat(F.lit("Act_"), (F.col("id") % 50)).alias("statute")))
+    return hot.unionByName(cold)
+
+
+def test_salted_two_phase_count_equals_plain(spark, skewed):
+    plain = {r.statute: r.n for r in
+             skewed.groupBy("statute").agg(F.count("*").cast("bigint").alias("n")).collect()}
+    salted = {r.statute: r.n for r in
+              salted_two_phase_count(skewed, "statute", n_salts=16).collect()}
+    assert salted == plain
+    assert salted["IPC"] == 8000
+
+
+def test_salted_two_phase_first_exchange_is_spread(spark, skewed):
+    """The hot key's rows must hit multiple partial-agg groups."""
+    partial = (skewed.withColumn("_salt", F.pmod(
+        F.xxhash64(F.monotonically_increasing_id()), F.lit(16)))
+        .groupBy("statute", "_salt").count()
+        .filter("statute = 'IPC'"))
+    assert partial.count() > 4
+
+
+def test_salted_repartition_preserves_rows(spark, skewed):
+    out = salted_repartition(skewed, "statute", 16, n_salts=8)
+    assert out.count() == skewed.count()
+    assert out.columns == skewed.columns
