@@ -51,7 +51,8 @@ class DocResult:
     n_sentences: int = 0
 
 
-def _tag_judgment_by_sentence(judgment_text: str) -> list[tuple[int, int, str]]:
+def _tag_judgment_by_sentence(judgment_text: str,
+                              tagger) -> list[tuple[int, int, str]]:
     """run_type='sent' (legal_ner.py:26-27 → data_preparation.py:256-262):
     tag each sentence separately and rebase offsets — the batching mode the
     reference prefers for long docs (README.md:159-165).  With the
@@ -60,26 +61,29 @@ def _tag_judgment_by_sentence(judgment_text: str) -> list[tuple[int, int, str]]:
     doc = Doc(judgment_text)
     tags: list[tuple[int, int, str]] = []
     for sent in doc.sents:
-        for (s, e, label) in tag_region(judgment_text[sent.start_char:sent.end_char],
-                                        'judgment'):
+        for (s, e, label) in tagger(judgment_text[sent.start_char:sent.end_char],
+                                    'judgment'):
             tags.append((s + sent.start_char, e + sent.start_char, label))
     return tags
 
 
-def extract_document(doc_id: str, text: str, text_type: str = 'doc') -> DocResult:
+def extract_document(doc_id: str, text: str, text_type: str = 'doc',
+                     tagger=tag_region) -> DocResult:
     """Run the full reference lifecycle (SURVEY.md §3.1) on one document.
-    ``text_type`` ∈ {'doc','sent'} mirrors legal_ner.py:24-27."""
+    ``text_type`` ∈ {'doc','sent'} mirrors legal_ner.py:24-27; ``tagger``
+    is the NER stand-in contract (default: deterministic closed-vocab
+    tagger; production: core.model_tagger.load_spacy_tagger)."""
     # 1. preamble split (+200/5000 truncation, POS-guess, title-casing) —
     #    legal_ner.py:15 → data_preparation.py:108-127
     preamble_titled, preamble_end = separate_and_clean_preamble(text)
     # 2. judgment slice + mid-sentence newline join — legal_ner.py:20-22
     judgment_text = _MIDLINE_NEWLINE_RE.sub(r'\1 ', text[preamble_end:])
     # 3. NER per region — legal_ner.py:23-34
-    pre_tags = tag_region(preamble_titled, 'preamble')
+    pre_tags = tagger(preamble_titled, 'preamble')
     if text_type == 'sent':
-        jud_tags = _tag_judgment_by_sentence(judgment_text)
+        jud_tags = _tag_judgment_by_sentence(judgment_text, tagger)
     else:
-        jud_tags = tag_region(judgment_text, 'judgment')
+        jud_tags = tagger(judgment_text, 'judgment')
     # 4. concat with offset rebase — Doc.from_docs, legal_ner.py:39
     #    (ensure_whitespace: a space is inserted unless the left side already
     #    ends in whitespace)

@@ -559,12 +559,6 @@ def o_dedup_exact():
             "GROUP BY md5(text)")
 
 
-def _shingles_expr():
-    # word 3-gram shingles, 0-based token indexing (Spark SQL brackets)
-    return ("array_distinct(transform(sequence(0, greatest(size(toks) - 3, -1)), "
-            "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))")
-
-
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Near-dup by 3-gram Jaccard ≥ 0.12 over a bounded doc subset (the
     all-pairs form; the LSH variant below is the scale path)."""

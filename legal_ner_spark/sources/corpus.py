@@ -1,0 +1,61 @@
+"""Corpus source/sink abstraction — Iceberg in production, parquet in the
+sandbox, one code path.
+
+Production layout (north_rule):
+* corpus:   Iceberg table ``(doc_id string, spans array<...>)`` partitioned
+  by ``bucket(N, doc_id)`` — scan splits are balanced by construction and
+  partition pruning serves the resume path.
+* records:  Iceberg table partitioned by ``(rec_type, bucket(M, doc_id))``
+  — every downstream view is a partition-pruned read.
+* triples:  Iceberg table partitioned by ``pred`` (graph table).
+
+The sandbox has no Iceberg catalog; ``format='parquet'`` reproduces the
+same layout with directory partitioning.  Switching is one argument — no
+operator changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schema import CORPUS_SCHEMA
+
+
+def read_corpus(spark: SparkSession, location: str,
+                fmt: str = "parquet") -> DataFrame:
+    """Load the corpus.  ``location`` is a path (parquet) or a catalog
+    table name (iceberg)."""
+    if fmt == "iceberg":
+        return spark.read.format("iceberg").load(location)
+    return spark.read.schema(CORPUS_SCHEMA).parquet(location)
+
+
+def write_corpus(df: DataFrame, location: str, fmt: str = "parquet",
+                 n_buckets: int = 64) -> None:
+    if fmt == "iceberg":
+        # bucket partitioning must exist on the table (CREATE TABLE ...
+        # PARTITIONED BY (bucket(n_buckets, doc_id))); append respects it.
+        df.writeTo(location).append()
+    else:
+        df.write.mode("overwrite").parquet(location)
+
+
+def write_records(records: DataFrame, location: str,
+                  fmt: str = "parquet") -> None:
+    """Materialize the records table partitioned by rec_type (+ doc bucket
+    on Iceberg) — every projection in operators/extract.py becomes a
+    partition-pruned scan (verified via explain: PartitionFilters on
+    rec_type, see BENCH.md)."""
+    if fmt == "iceberg":
+        records.writeTo(location).append()
+    else:
+        records.write.mode("overwrite").partitionBy("rec_type").parquet(location)
+
+
+def write_triples(triples: DataFrame, location: str,
+                  fmt: str = "parquet") -> None:
+    """The KG graph table, partitioned by predicate."""
+    if fmt == "iceberg":
+        triples.writeTo(location).append()
+    else:
+        triples.write.mode("overwrite").partitionBy("pred").parquet(location)
