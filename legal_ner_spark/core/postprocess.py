@@ -604,17 +604,22 @@ def add_statute_head(clusters, stat_clusters):
 
 
 def remove_unidentified_statutes(doc: Doc, new_statutes):
-    """postprocessing_utils.py:625-636 — drop synthetic alias spans."""
-    return [e for e in doc.ents if e not in new_statutes]
+    """postprocessing_utils.py:625-636 — drop synthetic alias spans.
+    (Set membership ≡ the reference's list membership: Span.__hash__ is
+    consistent with __eq__.)"""
+    drop = set(new_statutes)
+    return [e for e in doc.ents if e not in drop]
 
 
 def pro_statute_coref_resol(doc: Doc):
     """postprocessing_utils.py:740-783 — the 9-step provision↔statute DAG."""
     new_clusters, new_statutes, old_clusters = create_unidentified_statutes(doc)
     old_entities = list(doc.ents)
+    seen = set(old_entities)
     for ent in new_statutes:
-        if ent not in old_entities:
+        if ent not in seen:
             old_entities.append(ent)
+            seen.add(ent)
     doc.ents = filter_spans(old_entities)
 
     stat_clusters = create_statute_clusters(doc, old_clusters, new_clusters)
@@ -638,9 +643,11 @@ def remove_overlapping_entities(ents, pro_sta_clusters):
     final = [e for e in ents if e.label not in
              ['PETITIONER', 'RESPONDENT', 'LAWYER', 'JUDGE', 'OTHER_PERSON',
               'WITNESS', 'PROVISION']]
+    present = set(final)
     for cluster in pro_sta_clusters:
-        if cluster[0] not in final:
+        if cluster[0] not in present:
             final.append(cluster[0])
+            present.add(cluster[0])
     return filter_spans(final)
 
 

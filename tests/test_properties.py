@@ -109,3 +109,17 @@ def test_synth_deterministic_per_doc_id(idx):
             assert s["media_ref"] == "" and s["text"] != ""
         else:
             assert s["media_ref"] != "" and s["text"] == ""
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=9, max_codepoint=0x2F00),
+               max_size=1500))
+def test_extract_document_total_on_arbitrary_text(text):
+    """The full lifecycle never raises on arbitrary input: pathological
+    docs degrade per-doc (postprocess_ok=False), they don't kill the
+    partition (SURVEY.md §7.3)."""
+    from legal_ner_spark.core.extract import extract_document
+    r = extract_document("fuzz", text)
+    assert isinstance(r.ok, bool)
+    for m in r.mentions:
+        assert 0 <= m.start_char < m.end_char
