@@ -544,6 +544,74 @@ GROUP BY n.n_name"""
 # training-data pipeline operators (documents / embeddings)
 # --------------------------------------------------------------------------
 
+def q_tpch_q6(spark, sf_dir):
+    """Forecast revenue change — pure pushed-down filter + single agg."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    return (li.filter((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                      & (F.col("l_shipdate") < F.lit("1997-01-01"))
+                      & (F.col("l_discount") >= 0.03)
+                      & (F.col("l_discount") <= 0.05)
+                      & (F.col("l_quantity") < 24))
+            .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+                 .alias("revenue"),
+                 F.count("*").cast("bigint").alias("n_rows")))
+
+
+def o_tpch_q6():
+    return """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*)::BIGINT AS n_rows
+FROM lineitem
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  AND l_discount >= 0.03 AND l_discount <= 0.05 AND l_quantity < 24"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity closes a session) —
+    the lag/cumsum window idiom; per-user session stats.  Relational
+    counterpart of stateful stream sessionization; shuffle on user_id
+    only."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("timestamp").cast("long") - F.lag(F.col("ts").cast("timestamp").cast("long")).over(w)
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)))
+    sess = marked.withColumn(
+        "session_seq", F.sum("new_session").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"))
+    return (sess.groupBy("user_id", "session_seq")
+            .agg(F.count("*").cast("bigint").alias("n_events"),
+                 F.min("event_id").alias("first_event"),
+                 F.max("event_id").alias("last_event"),
+                 (F.max(F.col("ts").cast("timestamp").cast("long"))
+                  - F.min(F.col("ts").cast("timestamp").cast("long"))).cast("bigint")
+                 .alias("duration_sec")))
+
+
+def o_sessionize():
+    return """
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, event_id, ts,
+         (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING))::BIGINT AS session_seq
+  FROM marked
+)
+SELECT user_id, session_seq, count(*)::BIGINT AS n_events,
+       min(event_id) AS first_event, max(event_id) AS last_event,
+       (max(floor(epoch(ts))) - min(floor(epoch(ts))))::BIGINT AS duration_sec
+FROM sess GROUP BY user_id, session_seq"""
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup by content hash — groupBy shuffles only the 32-byte hash,
     with map-side partial aggregation."""
@@ -922,6 +990,8 @@ QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
+    "tpch_q6": q_tpch_q6,
+    "sessionize": q_sessionize,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -958,6 +1028,8 @@ ORACLES = {
     "tpch_q1": o_tpch_q1(),
     "tpch_q3": o_tpch_q3(),
     "tpch_q5": o_tpch_q5(),
+    "tpch_q6": o_tpch_q6(),
+    "sessionize": o_sessionize(),
     "dedup_exact": o_dedup_exact(),
     "dedup_ngram_jaccard": o_dedup_ngram_jaccard(),
     "dedup_minhash_lsh": o_dedup_minhash_lsh(),
