@@ -959,6 +959,14 @@ def q_kg_label_stats(spark, sf_dir):
     return ops.mention_label_stats(_kg_records(spark, sf_dir))
 
 
+def q_kg_pagerank(spark, sf_dir):
+    """PageRank over the part_of citation graph of the materialized triples
+    (iterative join+agg — no SQL form; deterministic, rows-only check)."""
+    from .operators import graph
+    tri = ops.triples(_kg_records(spark, sf_dir))
+    return graph.pagerank(tri, pred="part_of", n_iter=4)
+
+
 def q_kg_statute_degree(spark, sf_dir):
     """Graph analytics over the materialized triples: in-degree of statute
     nodes under part_of."""
@@ -1009,6 +1017,7 @@ QUERIES = {
     "kg_provision_counts": q_kg_provision_counts,
     "kg_label_stats": q_kg_label_stats,
     "kg_statute_degree": q_kg_statute_degree,
+    "kg_pagerank": q_kg_pagerank,
 }
 
 ORACLES = {

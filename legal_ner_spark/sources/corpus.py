@@ -59,3 +59,14 @@ def write_triples(triples: DataFrame, location: str,
         triples.writeTo(location).append()
     else:
         triples.write.mode("overwrite").partitionBy("pred").parquet(location)
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_col: str,
+                   n_buckets: int = 16) -> None:
+    """Bucketed, sorted table for co-located joins: two tables bucketed the
+    same way join with NO exchange (Iceberg equivalent: bucket(N, col)
+    partition transform + storage-partitioned joins).  This is how the
+    100 TB mentions↔triples joins avoid reshuffling the big side."""
+    (df.write.mode("overwrite")
+     .bucketBy(n_buckets, bucket_col).sortBy(bucket_col)
+     .saveAsTable(table))

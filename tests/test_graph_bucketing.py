@@ -1,0 +1,64 @@
+"""Graph analytics over triples and bucketed co-located joins."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from legal_ner_spark import pipeline
+from legal_ner_spark.operators import extract as ops
+from legal_ner_spark.operators import graph
+from legal_ner_spark.sources import corpus as src
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    c = pipeline.synthetic_corpus(spark, 24, partitions=4)
+    t = ops.triples(pipeline.extract_records(c)).cache()
+    t.count()
+    yield t
+    t.unpersist()
+
+
+def test_node_degrees(triples):
+    deg = graph.node_degrees(triples, pred="part_of").toPandas()
+    assert (deg.in_degree + deg.out_degree > 0).all()
+    # statutes are objects of part_of: canonical IPC/CrPC names dominate
+    top = deg.sort_values("in_degree", ascending=False).iloc[0]
+    assert top.in_degree >= 3
+
+
+def test_pagerank_converges_and_sums_to_one(spark, triples):
+    pr = graph.pagerank(triples, pred="part_of", n_iter=8).toPandas()
+    assert len(pr) > 0
+    assert abs(pr["rank"].sum() - 1.0) < 0.05   # rank mass ~conserved
+    assert (pr["rank"] > 0).all()
+    # hub statutes (many provisions point at them) out-rank leaves
+    hub = pr.sort_values("rank", ascending=False).iloc[0]
+    assert hub["rank"] > 1.0 / len(pr)
+
+
+def test_pagerank_deterministic(spark, triples):
+    a = {r.node: r.rank for r in graph.pagerank(triples, "part_of", n_iter=5).collect()}
+    b = {r.node: r.rank for r in graph.pagerank(triples, "part_of", n_iter=5).collect()}
+    assert a == b
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path, triples):
+    """Two tables bucketed on the join key sort-merge-join with zero
+    shuffles — the co-location strategy for the big mentions↔triples joins
+    at scale."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        src.write_bucketed(triples, "t_bucketed", "doc_id", n_buckets=8)
+        docs = triples.select("doc_id").distinct() \
+            .withColumn("flag", F.lit(1))
+        src.write_bucketed(docs, "d_bucketed", "doc_id", n_buckets=8)
+        j = (spark.table("t_bucketed")
+             .join(spark.table("d_bucketed"), "doc_id"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        assert j.count() == triples.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS t_bucketed")
+        spark.sql("DROP TABLE IF EXISTS d_bucketed")
