@@ -68,7 +68,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "kg_construct_total_sec",
         "value": total,
         "unit": "sec",
@@ -78,7 +78,23 @@ def main() -> None:
         "kg_triples": int(n_triples),
         "kg_docs_per_sec": round(n_docs / kg_sec, 2),
         "cpus": cpus,
-    }))
+    }
+    # attach the two-parallelism scaling evidence measured by
+    # bench_scaling.py (north_rule gate; see BENCH.md) if present
+    here = os.path.dirname(os.path.abspath(__file__))
+    for tag, fname in (("scaling_8_32", "BENCH_SCALING_8_32.json"),
+                       ("scaling_4_16", "BENCH_SCALING.json")):
+        p = os.path.join(here, fname)
+        if os.path.exists(p):
+            with open(p) as fh:
+                s = json.load(fh)
+            out[tag] = {
+                "low_cpus": s["low"]["cpus"], "high_cpus": s["high"]["cpus"],
+                "low_docs_per_sec": s["low"]["docs_per_sec"],
+                "high_docs_per_sec": s["high"]["docs_per_sec"],
+                "efficiency": s["scaling_efficiency"], "n_docs": s["n_docs"],
+            }
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -75,3 +75,39 @@ def test_media_features_deterministic(spark, corpus):
     assert all(again[r] == f.features for r, f in by_ref.items())
     stats = {r.kind: r.n_spans for r in multimodal.media_stats(corpus).collect()}
     assert set(stats) <= {"image", "scan", "audio"}
+
+
+def test_stateful_running_statute_counts(spark, tmp_path):
+    """applyInPandasWithState keeps cumulative per-statute counts across
+    micro-batches (two files → two batches with maxFilesPerTrigger=1)."""
+    import pandas as pd
+    from legal_ner_spark.streaming.stateful import running_statute_counts
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("canonical", T.StringType())])
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    b1 = spark.createDataFrame(
+        [("Indian Penal Code",)] * 3 + [("Criminal Procedure Code",)], schema)
+    b2 = spark.createDataFrame(
+        [("Indian Penal Code",)] * 2 + [("Constitution",)], schema)
+    b1.coalesce(1).write.parquet(in_dir + "/f1")
+    b2.coalesce(1).write.parquet(in_dir + "/f2")
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(in_dir + "/*"))
+
+    def sink(batch_df, batch_id):
+        # update-mode state output lands as an append-log of running totals
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (running_statute_counts(stream)
+         .writeStream.outputMode("update").foreachBatch(sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    res = spark.read.parquet(out_dir).toPandas()
+    ipc = res[res.canonical == "Indian Penal Code"].sort_values("n_total")
+    # cumulative totals across the two batches: 3 then 5 (order of file
+    # pickup is nondeterministic, so accept 2-then-5 as well)
+    assert list(ipc.n_total)[-1] == 5
+    assert ipc.n_batch.sum() == 5
