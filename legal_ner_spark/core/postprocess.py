@@ -63,6 +63,16 @@ def split_precedents(precedents: list[Span]) -> list[tuple[Span, str | None, str
     return out
 
 
+def _lev_lt(a: str, b: str, threshold: int) -> bool:
+    """levenshtein(a,b) < threshold, with the |len(a)-len(b)| lower bound as
+    a free prefilter (distance >= length difference, so a big length gap
+    can never pass) — semantics identical, O(1) reject for most pairs in
+    precedent-heavy mega-docs."""
+    if abs(len(a) - len(b)) >= threshold:
+        return False
+    return levenshtein(a, b) < threshold
+
+
 def create_precedent_clusters(breakup, threshold: int = 5) -> dict[int, list[Span]]:
     """Greedy order-dependent clustering — postprocessing_utils.py:69-118.
     Seeds at the first unconsumed precedent; absorbs later ones on
@@ -87,8 +97,7 @@ def create_precedent_clusters(breakup, threshold: int = 5) -> dict[int, list[Spa
                         consumed.add(j)
                         cluster.append(pre1)
                 else:
-                    if (levenshtein(pet, pet1) < threshold
-                            and levenshtein(res, res1) < threshold):
+                    if _lev_lt(pet, pet1, threshold) and _lev_lt(res, res1, threshold):
                         consumed.add(j)
                         cluster.append(pre1)
         else:
