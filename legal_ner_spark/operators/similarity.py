@@ -93,6 +93,77 @@ def lsh_signatures(vectors: DataFrame, dim: int, n_planes: int = 8,
     return df
 
 
+def ivf_centroids(candidates: DataFrame, n_centroids: int = 8,
+                  refine_iters: int = 0) -> DataFrame:
+    """Coarse quantizer for IVF: deterministic seeds = the ``n_centroids``
+    lowest-``vec_id`` candidate vectors (reproducible across engines, no RNG,
+    SQL-expressible), optionally refined with ``refine_iters`` Lloyd steps
+    expressed as DataFrame ops (broadcast-argmin assign → position-wise mean
+    via ``posexplode``/``avg``).  At production scale the refinement runs on
+    a small uniform sample of the corpus; the inverted lists are built once
+    and reused across queries.  Returns (centroid_id:int, cv:array<double>)."""
+    cents = (candidates.orderBy("vec_id").limit(n_centroids)
+             .withColumn("centroid_id",
+                         (F.row_number().over(Window.orderBy("vec_id")) - 1)
+                         .cast("int"))
+             .select("centroid_id", F.col("v").alias("cv")))
+    for _ in range(refine_iters):
+        assigned = ivf_assign(candidates, cents, n_probe=1) \
+            .select("centroid_id", "v")
+        ex = assigned.select("centroid_id", F.posexplode("v").alias("pos", "val"))
+        cents = (ex.groupBy("centroid_id", "pos").agg(F.avg("val").alias("mv"))
+                 .groupBy("centroid_id")
+                 .agg(F.array_sort(F.collect_list(F.struct("pos", "mv")))
+                      .alias("s"))
+                 .select("centroid_id",
+                         F.expr("transform(s, x -> x.mv)").alias("cv")))
+    return cents
+
+
+def ivf_assign(vectors: DataFrame, centroids: DataFrame,
+               n_probe: int = 1) -> DataFrame:
+    """Assign each vector to its ``n_probe`` nearest centroids by cosine
+    (4-dp-rounded score, centroid_id tie-break — deterministic across
+    engines).  The centroid table is broadcast, so assignment is map-side:
+    no shuffle of the big side, which is what makes IVF the scale path."""
+    j = (vectors.crossJoin(F.broadcast(centroids))
+         .withColumn("ccos", F.round(cosine_expr("v", "cv"), 4)))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"),
+                                             F.asc("centroid_id"))
+    return (j.withColumn("crn", F.row_number().over(w))
+            .filter(f"crn <= {n_probe}")
+            .select("vec_id", "v", "centroid_id"))
+
+
+def ivf_ann_topk(queries: DataFrame, candidates: DataFrame, k: int = 5,
+                 n_centroids: int = 8, n_probe: int = 2,
+                 refine_iters: int = 0) -> DataFrame:
+    """IVF ANN: coarse-quantize candidates into ``n_centroids`` inverted
+    lists (one equi-join key per vector), probe each query's ``n_probe``
+    nearest lists, exact cosine rerank within probed lists.  Candidate
+    generation is an equi-join on ``centroid_id`` — no crossJoin against
+    the corpus at any scale; recall < 1 by construction (tested vs brute
+    force on planted neighbors).  Complements ``lsh_ann_topk``: IVF adapts
+    to the data distribution (with refinement), LSH is data-independent."""
+    cents = ivf_centroids(candidates, n_centroids, refine_iters)
+    lists = ivf_assign(candidates, cents, n_probe=1) \
+        .select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
+                "centroid_id")
+    probes = ivf_assign(
+        queries.select(F.col("vec_id"), F.col("v")), cents, n_probe=n_probe) \
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+                "centroid_id")
+    cand = (lists.join(F.broadcast(probes), "centroid_id")
+            .select("query_id", "neighbor_id", "qv", "cv")
+            .dropDuplicates(["query_id", "neighbor_id"]))
+    j = cand.withColumn("cos_sim", F.round(cosine_expr("qv", "cv"), 4))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"),
+                                               F.asc("neighbor_id"))
+    return (j.withColumn("rnk", F.row_number().over(w)).filter(f"rnk <= {k}")
+            .select("query_id", "neighbor_id", "cos_sim",
+                    F.col("rnk").cast("int").alias("rnk")))
+
+
 def lsh_ann_topk(queries: DataFrame, candidates: DataFrame, dim: int,
                  k: int = 5, n_planes: int = 8, n_tables: int = 2) -> DataFrame:
     """ANN: bucket by hyperplane signature per table, dedup candidates

@@ -484,8 +484,10 @@ def q_tpch_q3(spark, sf_dir):
     agg = (j.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
                 .alias("revenue")))
-    w = Window.orderBy(F.desc("revenue"), F.asc("o_orderkey"))
-    return (agg.withColumn("rn", F.row_number().over(w)).filter("rn <= 10")
+    # Distributed top-k: orderBy+limit compiles to TakeOrderedAndProject
+    # (per-partition partial top-10, merged on the driver) — no global
+    # single-partition Window at any scale.
+    return (agg.orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(10)
             .select(F.col("o_orderkey").alias("orderkey"), "revenue",
                     F.col("o_orderdate").cast("date").alias("orderdate"),
                     F.col("o_orderpriority").alias("orderpriority")))
@@ -889,6 +891,65 @@ def q_ann_lsh_topk(spark, sf_dir):
     return similarity.lsh_ann_topk(qs, cs, dim, k=5, n_planes=8)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-bucketed ANN (deterministic coarse quantizer, inverted-list
+    equi-join, exact rerank within probed lists) — the data-adaptive scale
+    path for similarity search.  Fully deterministic (seed centroids =
+    lowest-vec_id vectors, 4-dp-rounded scores, id tie-breaks) → exact
+    DuckDB oracle despite being an ANN structure."""
+    from .operators import similarity
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    qs = similarity.prepare_vectors(emb.filter(F.col("vec_id") < 5))
+    cs = similarity.prepare_vectors(emb.filter(F.col("vec_id") >= 5))
+    return (similarity.ivf_ann_topk(qs, cs, k=5, n_centroids=8, n_probe=2)
+            .select(F.col("query_id").cast("bigint").alias("query_id"),
+                    F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+                    "cos_sim", "rnk"))
+
+
+def o_ann_ivf_topk():
+    cos = ("round(list_dot_product({a}, {b}) / "
+           "(sqrt(list_dot_product({a}, {a})) * "
+           "sqrt(list_dot_product({b}, {b}))), 4)")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, v AS cv
+  FROM (SELECT * FROM e WHERE vec_id >= 5 ORDER BY vec_id LIMIT 8)
+),
+lists AS (
+  SELECT vec_id AS neighbor_id, centroid_id FROM (
+    SELECT c.vec_id, ct.centroid_id,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY {cos.format(a='c.v', b='ct.cv')} DESC,
+                      ct.centroid_id ASC) AS crn
+    FROM e c CROSS JOIN cents ct WHERE c.vec_id >= 5)
+  WHERE crn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, centroid_id FROM (
+    SELECT q.vec_id, ct.centroid_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY {cos.format(a='q.v', b='ct.cv')} DESC,
+                      ct.centroid_id ASC) AS crn
+    FROM e q CROSS JOIN cents ct WHERE q.vec_id < 5)
+  WHERE crn <= 2
+),
+cand AS (
+  SELECT DISTINCT p.query_id, l.neighbor_id
+  FROM probes p JOIN lists l USING (centroid_id)
+)
+SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+  SELECT c.query_id::BIGINT AS query_id, c.neighbor_id::BIGINT AS neighbor_id,
+         {cos.format(a='qe.v', b='ne.v')} AS cos_sim,
+         row_number() OVER (PARTITION BY c.query_id
+           ORDER BY {cos.format(a='qe.v', b='ne.v')} DESC,
+                    c.neighbor_id ASC) AS rnk
+  FROM cand c JOIN e qe ON qe.vec_id = c.query_id
+              JOIN e ne ON ne.vec_id = c.neighbor_id
+) WHERE rnk <= 5"""
+
+
 INGEST_FIXTURES = [
     "a  b\n\n\n\nc http://www.judis.nic.in tail",
     "Sentence one.\nNext line",
@@ -1011,6 +1072,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "embedding_near_pairs": q_embedding_near_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "ingest_clean": q_ingest_clean,
     "kg_triples": q_kg_triples,
     "kg_mentions": q_kg_mentions,
@@ -1049,6 +1111,7 @@ ORACLES = {
     "doc_fingerprint": o_doc_fingerprint(),
     "simhash_pairs": o_simhash_pairs(),
     "embedding_near_pairs": o_embedding_near_pairs(),
+    "ann_ivf_topk": o_ann_ivf_topk(),
     "ingest_clean": o_ingest_clean(),
     # kg_* (order-sensitive pandas stages) and ann_lsh_topk (approximate by
     # design, recall asserted in pytest) are rows-only by design

@@ -81,6 +81,51 @@ def test_lsh_ann_recall_on_planted_neighbors(spark):
     assert hits >= 8, (hits, got)
 
 
+def test_ivf_ann_recall_and_refinement(spark):
+    """IVF with planted neighbors: a query and its near-duplicate land in
+    the same inverted list (cosine to every centroid is nearly identical for
+    the pair), so n_probe=2 recall must be high; one Lloyd refinement step
+    must keep assignments legal (every vector maps to an existing centroid)
+    and not lose the planted neighbors."""
+    import random
+    rng = random.Random(11)
+    dim = 16
+
+    def vec():
+        return [rng.gauss(0, 1) for _ in range(dim)]
+
+    rows, planted = [], {}
+    for qid in range(8):
+        v = vec()
+        rows.append((qid, v))
+        nid = 1000 + qid
+        rows.append((nid, [x + rng.gauss(0, 0.03) for x in v]))
+        planted[qid] = nid
+    for i in range(150):
+        rows.append((2000 + i, vec()))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qs = similarity.prepare_vectors(emb.filter(F.col("vec_id") < 100))
+    cs = similarity.prepare_vectors(emb.filter(F.col("vec_id") >= 100))
+
+    got = {r.query_id: r.neighbor_id
+           for r in similarity.ivf_ann_topk(qs, cs, k=1, n_centroids=8,
+                                            n_probe=2).collect()}
+    hits = sum(got.get(q) == n for q, n in planted.items())
+    assert hits >= 6, (hits, got)
+
+    # Lloyd refinement: centroids stay well-formed and recall doesn't drop
+    cents = similarity.ivf_centroids(cs, n_centroids=8, refine_iters=1)
+    assert cents.count() <= 8
+    assert cents.select(F.min(F.size("cv")), F.max(F.size("cv"))).first() \
+        == (dim, dim)
+    got_r = {r.query_id: r.neighbor_id
+             for r in similarity.ivf_ann_topk(qs, cs, k=1, n_centroids=8,
+                                              n_probe=2,
+                                              refine_iters=1).collect()}
+    hits_r = sum(got_r.get(q) == n for q, n in planted.items())
+    assert hits_r >= 6, (hits_r, got_r)
+
+
 def test_sent_mode_close_to_doc_mode(spark):
     """run_type='sent' trades accuracy for batchability (README.md:159-165):
     entities spanning a naive sentence boundary (e.g. 'Petition No. 70')
