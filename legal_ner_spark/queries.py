@@ -670,9 +670,10 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     from .operators import dedup
     # the documents table is one small file → one split; re-split so the
     # shingle explode + hash parallelizes (at production scale the Iceberg
-    # scan yields balanced splits on its own)
+    # scan yields balanced splits on its own).  Width = cluster parallelism,
+    # not a constant: oversplitting tiny inputs just buys task overhead.
     docs = (spark.read.parquet(_t(sf_dir, "documents"))
-            .repartition(64, "doc_id"))
+            .repartition(spark.sparkContext.defaultParallelism, "doc_id"))
     sigs = dedup.minhash_signatures(dedup.shingle_rows(docs), n_bands=4)
     return (dedup.lsh_candidates(sigs)
             .select("band", F.col("doc_a").cast("bigint").alias("doc_a"),
