@@ -697,6 +697,101 @@ FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
 WHERE a.doc_id < b.doc_id"""
 
 
+_SHINGLE3_SQL = """
+  SELECT doc_id, unnest(list_distinct([
+           toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+           for i in generate_series(1, greatest(len(toks) - 2, 0))])) AS shingle
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        FROM documents WHERE {pred})"""
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark-contamination check: corpus docs sharing 3-gram shingles
+    with an eval set (docs 0-19 standing in for the benchmark).  The eval
+    shingle set is broadcast — the corpus side never shuffles, which is
+    what makes decontamination tractable at 10^12 docs."""
+    from .operators import textprep
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    bench = docs.filter(F.col("doc_id") < 20)
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    return (textprep.contamination(corpus, bench, n=3)
+            .withColumn("doc_id", F.col("doc_id").cast("bigint")))
+
+
+def o_contamination():
+    bsh = _SHINGLE3_SQL.format(pred="doc_id < 20")
+    dsh = _SHINGLE3_SQL.format(pred="doc_id >= 20")
+    return f"""
+WITH bsh AS (SELECT DISTINCT shingle FROM ({bsh})),
+dsh AS ({dsh}),
+totals AS (SELECT doc_id, count(*) AS n_shingles FROM dsh GROUP BY doc_id),
+hits AS (SELECT doc_id, count(*) AS n_hits
+         FROM dsh JOIN bsh USING (shingle) GROUP BY doc_id)
+SELECT t.doc_id::BIGINT AS doc_id, t.n_shingles::BIGINT AS n_shingles,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       round(coalesce(h.n_hits, 0) / t.n_shingles, 4) AS contamination
+FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id"""
+
+
+PII_FIXTURES = [
+    (0, "contact john.doe@example.com for the docket 1234567 copy"),
+    (1, "no personal data here"),
+    (2, "call 9876543210 or mail a.b@c.org and x@y.io today"),
+    (3, "short num 12345 stays"),
+]
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing (emails, ≥6-digit runs) with per-doc hit counts —
+    pure regex projection over planted fixtures (the driver documents
+    table contains no digits/emails, so fixtures give a non-trivial value
+    check; the operator itself is table-shape-agnostic)."""
+    from .operators import textprep
+    docs = spark.createDataFrame(PII_FIXTURES, ["doc_id", "text"])
+    return textprep.pii_redact(docs)
+
+
+def o_pii_redact():
+    rows = ", ".join(f"({i}, '{t}')" for i, t in PII_FIXTURES)
+    return rf"""
+WITH f(doc_id, text) AS (VALUES {rows})
+SELECT doc_id::BIGINT AS doc_id,
+       regexp_replace(
+         regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{{2,}}',
+                        '<EMAIL>', 'g'),
+         '\d{{6,}}', '<NUM>', 'g') AS clean_text,
+       len(regexp_extract_all(text,
+           '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{{2,}}'))::INT AS n_emails,
+       len(regexp_extract_all(text, '\d{{6,}}'))::INT AS n_numbers
+FROM f"""
+
+
+def q_pack_shards(spark, sf_dir):
+    """Token-budget shard packing (2,000 whitespace tokens per training
+    shard, doc_id order preserved) via a distributed prefix-sum: the only
+    global ordering runs over per-bucket totals (corpus/100 rows), never
+    the corpus itself."""
+    from .operators import textprep
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return textprep.pack_shards(docs, token_budget=2000, bucket_size=100)
+
+
+def o_pack_shards():
+    return r"""
+WITH t AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         len(str_split_regex(text, '\s+'))::BIGINT AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       floor((cum - n_tokens) / 2000)::BIGINT AS shard_id
+FROM c"""
+
+
 def q_similarity_topk(spark, sf_dir):
     """Brute-force cosine top-5 per query vector (queries = vec_id < 5).
     Baseline ANN path; ranks on the rounded score for cross-engine
@@ -1074,6 +1169,9 @@ QUERIES = {
     "embedding_near_pairs": q_embedding_near_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "contamination": q_contamination,
+    "pii_redact": q_pii_redact,
+    "pack_shards": q_pack_shards,
     "ingest_clean": q_ingest_clean,
     "kg_triples": q_kg_triples,
     "kg_mentions": q_kg_mentions,
@@ -1113,6 +1211,9 @@ ORACLES = {
     "simhash_pairs": o_simhash_pairs(),
     "embedding_near_pairs": o_embedding_near_pairs(),
     "ann_ivf_topk": o_ann_ivf_topk(),
+    "contamination": o_contamination(),
+    "pii_redact": o_pii_redact(),
+    "pack_shards": o_pack_shards(),
     "ingest_clean": o_ingest_clean(),
     # kg_* (order-sensitive pandas stages) and ann_lsh_topk (approximate by
     # design, recall asserted in pytest) are rows-only by design

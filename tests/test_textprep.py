@@ -1,0 +1,50 @@
+"""Training-corpus prep operators: contamination, PII redaction, shard
+packing (distributed prefix-sum correctness vs a plain Python cumsum)."""
+
+from pyspark.sql import functions as F
+
+from legal_ner_spark.operators import textprep
+
+
+def test_contamination_planted_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox sat still"),          # shares 2 shingles
+         (1, "completely unrelated content entirely here")],
+        ["doc_id", "text"])
+    got = {r.doc_id: (r.n_hits, r.contamination)
+           for r in textprep.contamination(docs, bench, n=3).collect()}
+    assert got[0][0] == 2 and got[0][1] > 0
+    assert got[1] == (0, 0.0)
+
+
+def test_pii_redact_counts_and_text(spark):
+    docs = spark.createDataFrame(
+        [(0, "mail a.b@c.org and dial 1234567 now"),
+         (1, "clean text 12345")],
+        ["doc_id", "text"])
+    rows = {r.doc_id: r for r in textprep.pii_redact(docs).collect()}
+    assert rows[0].clean_text == "mail <EMAIL> and dial <NUM> now"
+    assert rows[0].n_emails == 1 and rows[0].n_numbers == 1
+    assert rows[1].clean_text == "clean text 12345"   # 5 digits: below cutoff
+    assert rows[1].n_emails == 0 and rows[1].n_numbers == 0
+
+
+def test_pack_shards_matches_serial_cumsum(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (5 + i % 7))) for i in range(250)],
+        ["doc_id", "text"])
+    got = {r.doc_id: (r.n_tokens, r.shard_id)
+           for r in textprep.pack_shards(
+               docs, token_budget=100, bucket_size=32).collect()}
+    cum = 0
+    for i in range(250):
+        n = 5 + i % 7
+        assert got[i] == (n, cum // 100), (i, got[i], cum)
+        cum += n
+    # shards are contiguous in doc_id order and ~budget-sized
+    shard_ids = [got[i][1] for i in range(250)]
+    assert shard_ids == sorted(shard_ids)
+    assert shard_ids[-1] == (cum - (5 + 249 % 7)) // 100
