@@ -187,3 +187,44 @@ def levenshtein(a: str, b: str) -> int:
                            prev[j - 1] + (ca != cb)))
         prev = cur
     return prev[-1]
+
+
+def levenshtein_lt(a: str, b: str, threshold: int) -> bool:
+    """``levenshtein(a, b) < threshold`` via a Ukkonen band of width
+    2*threshold-1 with per-row early abort — O(threshold * len) instead of
+    O(len^2), exactly the same predicate: any cell whose true distance is
+    < threshold lies within the band (|i-j| <= cost), and a path cheaper
+    than threshold never leaves it, so banded == true for every cell that
+    can still pass; a banded row with min >= threshold proves failure."""
+    if a == b:
+        return threshold > 0
+    la, lb = len(a), len(b)
+    if abs(la - lb) >= threshold:
+        return False
+    if la == 0 or lb == 0:
+        return max(la, lb) < threshold
+    t = threshold
+    big = t + 1
+    prev = list(range(min(lb, t) + 1)) + [big] * (lb - min(lb, t))
+    for i in range(1, la + 1):
+        ca = a[i - 1]
+        lo = max(1, i - t + 1)
+        hi = min(lb, i + t - 1)
+        cur = [big] * (lb + 1)
+        cur[0] = i
+        row_min = big
+        for j in range(lo, hi + 1):
+            v = prev[j] + 1
+            w = cur[j - 1] + 1
+            if w < v:
+                v = w
+            w = prev[j - 1] + (ca != b[j - 1])
+            if w < v:
+                v = w
+            cur[j] = v
+            if v < row_min:
+                row_min = v
+        if row_min >= t:
+            return False
+        prev = cur
+    return prev[lb] < t

@@ -30,7 +30,7 @@ import re
 from collections import namedtuple
 from dataclasses import dataclass, field
 
-from .docmodel import Doc, Span, filter_spans, levenshtein
+from .docmodel import Doc, Span, filter_spans, levenshtein, levenshtein_lt
 
 PERSON_ROLES = ['PETITIONER', 'RESPONDENT', 'JUDGE', 'WITNESS', 'LAWYER']
 
@@ -64,13 +64,11 @@ def split_precedents(precedents: list[Span]) -> list[tuple[Span, str | None, str
 
 
 def _lev_lt(a: str, b: str, threshold: int) -> bool:
-    """levenshtein(a,b) < threshold, with the |len(a)-len(b)| lower bound as
-    a free prefilter (distance >= length difference, so a big length gap
-    can never pass) — semantics identical, O(1) reject for most pairs in
+    """levenshtein(a,b) < threshold via the banded DP (docmodel
+    .levenshtein_lt): length-gap O(1) reject + Ukkonen band + per-row
+    abort — identical predicate, ~threshold/len of the full DP's work on
     precedent-heavy mega-docs."""
-    if abs(len(a) - len(b)) >= threshold:
-        return False
-    return levenshtein(a, b) < threshold
+    return levenshtein_lt(a, b, threshold)
 
 
 def create_precedent_clusters(breakup, threshold: int = 5) -> dict[int, list[Span]]:

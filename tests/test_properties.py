@@ -68,6 +68,13 @@ def test_levenshtein_metric_properties(a, b):
 
 
 @settings(max_examples=200, deadline=None)
+@given(TEXT, TEXT, st.integers(min_value=1, max_value=8))
+def test_banded_levenshtein_predicate_equals_full_dp(a, b, t):
+    from legal_ner_spark.core.docmodel import levenshtein_lt
+    assert levenshtein_lt(a, b, t) == (levenshtein(a, b) < t)
+
+
+@settings(max_examples=200, deadline=None)
 @given(TEXT)
 def test_title_casing_preserves_length(text):
     assert len(convert_upper_case_to_title(text)) == len(text)
