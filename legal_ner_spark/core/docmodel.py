@@ -80,22 +80,46 @@ class Span:
 class Doc:
     """Tokenized document with sentence boundaries and entity spans."""
 
-    __slots__ = ("text", "tokens", "sents", "ents", "_tok_starts", "_tok_ends")
+    __slots__ = ("text", "ents", "_tok_starts", "_tok_ends", "_tokens",
+                 "_sents", "_hard_breaks")
 
     def __init__(self, text: str, hard_breaks: tuple[int, ...] = ()):
         """``hard_breaks`` are extra guaranteed sentence boundaries (char
         offsets) — used at the preamble/judgment junction, which spaCy's
-        ``Doc.from_docs`` preserves implicitly (legal_ner.py:39)."""
+        ``Doc.from_docs`` preserves implicitly (legal_ner.py:39).
+
+        Only the sorted token-boundary arrays are built eagerly (they back
+        the O(log n) ``char_span`` hot path).  The (start, end, text)
+        token tuples and the sentence list are lazy: the tagger constructs
+        a Doc per region purely for ``char_span`` alignment and never
+        touches either."""
         self.text = text
-        # tokens: list of (start_char, end_char, text)
-        self.tokens = [(m.start(), m.end(), m.group())
-                       for m in _TOKEN_RE.finditer(text)]
-        # sorted boundary arrays for O(log n) char_span (the hot path: the
-        # tagger and alias discovery call char_span per candidate match)
-        self._tok_starts = [t[0] for t in self.tokens]
-        self._tok_ends = [t[1] for t in self.tokens]
-        self.sents = self._split_sentences(hard_breaks)
+        starts: list[int] = []
+        ends: list[int] = []
+        sa, ea = starts.append, ends.append
+        for m in _TOKEN_RE.finditer(text):
+            sa(m.start())
+            ea(m.end())
+        self._tok_starts = starts
+        self._tok_ends = ends
+        self._tokens: list[tuple[int, int, str]] | None = None
+        self._sents: list[Span] | None = None
+        self._hard_breaks = hard_breaks
         self.ents: list[Span] = []
+
+    @property
+    def tokens(self) -> list[tuple[int, int, str]]:
+        if self._tokens is None:
+            t = self.text
+            self._tokens = [(s, e, t[s:e])
+                            for s, e in zip(self._tok_starts, self._tok_ends)]
+        return self._tokens
+
+    @property
+    def sents(self) -> list["Span"]:
+        if self._sents is None:
+            self._sents = self._split_sentences(self._hard_breaks)
+        return self._sents
 
     # -- construction helpers -------------------------------------------------
 
@@ -133,13 +157,13 @@ class Doc:
         t1 = bisect_left(self._tok_starts, end_char)
         if t0 >= t1:
             return None
-        sc = self.tokens[t0][0]
-        ec = self.tokens[t1 - 1][1]
+        sc = self._tok_starts[t0]
+        ec = self._tok_ends[t1 - 1]
         return Span(t0, t1, sc, ec, self.text[sc:ec], label)
 
     def token_span(self, t0: int, t1: int, label: str) -> Span:
-        sc = self.tokens[t0][0]
-        ec = self.tokens[t1 - 1][1]
+        sc = self._tok_starts[t0]
+        ec = self._tok_ends[t1 - 1]
         return Span(t0, t1, sc, ec, self.text[sc:ec], label)
 
     def sents_with_ents(self):

@@ -70,6 +70,7 @@ RULES: list[tuple[str, re.Pattern]] = [
 ]
 
 _PERSON_RE = re.compile(rf"\b(?:{_NAME_FULL}|{_FIRST})\b")
+_STATE_OF_RE = re.compile(rf"(?i)State\s+of\s+(?:{_GPE})")
 
 # Person-role context markers (the model learned these from preamble layout;
 # the stand-in reads them off the surrounding text).
@@ -115,7 +116,7 @@ def tag_region(text: str, region: str) -> list[tuple[int, int, str]]:
     # "State of X" as a litigant (preamble party line) — tagged like the
     # model tags respondents; elsewhere the bare GPE rule covers it.
     if region == "preamble":
-        for m in re.finditer(rf"(?i)State\s+of\s+(?:{_GPE})", text):
+        for m in _STATE_OF_RE.finditer(text):
             after = text[m.end():m.end() + 40]
             if _RES_MARK.search(after):
                 sp = doc.char_span(m.start(), m.end(), label="RESPONDENT")
