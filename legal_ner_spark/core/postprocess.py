@@ -187,8 +187,11 @@ def precedent_coref_resol(doc: Doc) -> dict[Span, list[Span]]:
     clusters = merge_supras_precedents(supra_matches, clusters)
     final = set_main_cluster(clusters)
     kept = {head: members for head, members in final.items() if len(members) > 1}
+    # set membership == the reference's list scan (same __eq__ under the
+    # hood), minus the O(ents x supras) rescan per entity
+    supra_set = set(supras)
     for ent in doc.ents:
-        if ent in supras:
+        if ent in supra_set:
             ent.label = 'PRECEDENT'
     return kept
 
