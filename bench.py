@@ -45,9 +45,10 @@ def main() -> None:
         n_rows = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
         n_docs = max(64, min(1600, n_rows // 5))
 
-    # compute-sized splits: ≥16 docs/task (task overhead amortized) but
-    # capped at ~6 tasks/core so the 2% mega-docs still spread
-    n_parts = max(cpus, min(cpus * 6, n_docs // 16))
+    # compute-sized splits: ≥64 docs/task (each task's Python-worker round
+    # trip costs ~hundreds of ms — oversplitting serializes that overhead)
+    # but capped at ~4 tasks/core so the 2% mega-docs still spread
+    n_parts = max(cpus, min(cpus * 4, n_docs // 64))
     kg_sec = float("inf")
     for _ in range(2):
         t0 = time.time()
@@ -83,7 +84,8 @@ def main() -> None:
     # bench_scaling.py (north_rule gate; see BENCH.md) if present
     here = os.path.dirname(os.path.abspath(__file__))
     for tag, fname in (("scaling_8_32", "BENCH_SCALING_8_32.json"),
-                       ("scaling_4_16", "BENCH_SCALING.json")):
+                       ("scaling_4_16", "BENCH_SCALING.json"),
+                       ("scaling_2_8", "BENCH_SCALING_2_8.json")):
         p = os.path.join(here, fname)
         if os.path.exists(p):
             with open(p) as fh:

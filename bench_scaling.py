@@ -71,7 +71,13 @@ def main() -> None:
         .write.mode("overwrite").parquet(corpus_path)
     spark.stop()
 
-    n_splits = max(192, min(1024, n_docs // 16))
+    # ~256 docs/split: each Python-worker task round trip costs a few
+    # hundred ms of Arrow stream setup + conversion overhead that does NOT
+    # parallelize perfectly across task threads in one JVM — oversplitting
+    # (e.g. 32-doc tasks) costs 2.4x throughput at 32 cores and shows up as
+    # fake scaling loss.  Floor of 4 waves at the high level keeps
+    # stragglers amortized (2% mega-docs).
+    n_splits = max(128, min(256, n_docs // 256))
     low = max((run_at(low_cpus, corpus_path, n_docs, n_splits)
                for _ in range(2)), key=lambda r: r["docs_per_sec"])
     high = max((run_at(high_cpus, corpus_path, n_docs, n_splits)
