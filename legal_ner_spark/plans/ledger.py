@@ -56,14 +56,30 @@ def _write_ledger_row(out_path: str, row: dict) -> None:
 
 
 def run_with_resume(corpus: DataFrame, out_path: str, n_buckets: int = 8,
-                    fail_after: int | None = None) -> list[int]:
+                    fail_after: int | None = None,
+                    tasks_per_core: int = 2) -> list[int]:
     """Process corpus → records parquet bucket-by-bucket with resume.
+
+    Each bucket job repartitions ITS OWN slice to ``tasks_per_core`` tasks
+    per core before the Arrow stage: without this, every bucket job
+    inherits the full corpus partitioning and runs all N splits on 1/K of
+    the docs — a few docs per task, where the Python-worker round-trip
+    overhead dominates (measured 2.4x at 32 cores; see BENCH.md).  The
+    per-bucket shuffle moves only that bucket's docs and is the standard
+    cost of partition-atomic writes.
 
     ``fail_after`` aborts after K buckets (test hook for kill/restart).
     Returns the bucket ids processed in this run.
     """
     done = completed_buckets(out_path)
     processed: list[int] = []
+    cores = corpus.sparkSession.sparkContext.defaultParallelism
+    # split sizing: never more splits than ~64 docs/task can fill — a
+    # bucket smaller than the cluster runs on fewer tasks rather than
+    # paying 32 empty Python-worker round trips (parquet count() is a
+    # metadata read, not a scan)
+    est_bucket_docs = max(1, corpus.count() // n_buckets)
+    n_splits = max(1, min(cores * tasks_per_core, est_bucket_docs // 64 or 1))
     bucketed = corpus.withColumn(
         "_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int"))
     for b in range(n_buckets):
@@ -71,7 +87,8 @@ def run_with_resume(corpus: DataFrame, out_path: str, n_buckets: int = 8,
             continue
         t0 = time.time()
         recs = ops.extract_records(
-            bucketed.filter(F.col("_bucket") == b).drop("_bucket"))
+            bucketed.filter(F.col("_bucket") == b).drop("_bucket")
+            .repartition(n_splits, "doc_id"))
         part_path = os.path.join(out_path, "records", f"bucket={b}")
         recs.write.mode("overwrite").parquet(part_path)
         spark = corpus.sparkSession
