@@ -77,3 +77,16 @@ def test_kg_extraction_plan_has_no_cartesian_or_global_window(spark):
     # fused extraction: text assembly + tagging + postprocess run inside
     # Arrow-stage python evals, not as joins
     assert "MapInPandas" in p or "mapInPandas" in p.lower(), p[:2000]
+
+
+def test_fused_extract_is_narrow_zero_exchange(spark):
+    """The architecture's core claim (ARCHITECTURE.md §2): corpus scan →
+    fused mapInPandas → triples projection introduces NO shuffle.  The
+    only allowed Exchange would come from an explicit repartition the
+    caller adds; the operator itself must stay narrow."""
+    from legal_ner_spark import pipeline
+    from legal_ner_spark.operators import extract as ops
+    corpus = pipeline.synthetic_corpus(spark, 8, partitions=2)
+    p = physical(ops.triples(ops.extract_records(corpus)))
+    assert "Exchange" not in p, p[:3000]
+    assert "MapInPandas" in p, p[:2000]
