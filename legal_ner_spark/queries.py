@@ -568,6 +568,64 @@ WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
   AND l_discount >= 0.03 AND l_discount <= 0.05 AND l_quantity < 24"""
 
 
+def q_tpch_q4(spark, sf_dir):
+    """Order-priority counts for orders with at least one returned line
+    (TPC-H Q4 shape adapted to this schema's columns: the EXISTS predicate
+    is returnflag='R' instead of commit<receipt).  Left-SEMI join — the
+    probe side streams, the build side deduplicates by key, no row
+    multiplication."""
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (orders
+            .filter((F.col("o_orderdate") >= F.lit("1996-07-01"))
+                    & (F.col("o_orderdate") < F.lit("1996-10-01")))
+            .join(returned, orders.o_orderkey == returned.l_orderkey,
+                  "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").cast("bigint").alias("order_count")))
+
+
+def o_tpch_q4():
+    return """
+SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders o
+WHERE o_orderdate >= '1996-07-01' AND o_orderdate < '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority"""
+
+
+def q_tpch_q17(spark, sf_dir):
+    """Small-quantity-order revenue (TPC-H Q17 shape): the correlated
+    scalar subquery `l_quantity < 0.2 * avg(l_quantity per part)`
+    decorrelated into a per-part aggregate joined back — the standard
+    Catalyst rewrite, written explicitly.  The brand part list is tiny →
+    broadcast; the per-part averages are computed once, map-side partial
+    agg, then broadcast-joined."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    part = spark.read.parquet(_t(sf_dir, "part"))
+    brand = part.filter(F.col("p_brand") == "Brand#4").select("p_partkey")
+    avgq = (li.join(F.broadcast(brand), li.l_partkey == brand.p_partkey)
+            .groupBy("l_partkey")
+            .agg((0.2 * F.avg("l_quantity")).alias("qty_thresh")))
+    return (li.join(F.broadcast(avgq), "l_partkey")
+            .filter(F.col("l_quantity") < F.col("qty_thresh"))
+            .agg(F.round(F.sum("l_extendedprice") / 7.0, 2)
+                 .alias("avg_yearly"),
+                 F.count("*").cast("bigint").alias("n_rows")))
+
+
+def o_tpch_q17():
+    return """
+SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+       count(*)::BIGINT AS n_rows
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#4'
+  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+                      WHERE l2.l_partkey = p.p_partkey)"""
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity closes a session) —
     the lag/cumsum window idiom; per-user session stats.  Relational
@@ -1156,6 +1214,8 @@ QUERIES = {
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
+    "tpch_q4": q_tpch_q4,
+    "tpch_q17": q_tpch_q17,
     "sessionize": q_sessionize,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1199,6 +1259,8 @@ ORACLES = {
     "tpch_q3": o_tpch_q3(),
     "tpch_q5": o_tpch_q5(),
     "tpch_q6": o_tpch_q6(),
+    "tpch_q4": o_tpch_q4(),
+    "tpch_q17": o_tpch_q17(),
     "sessionize": o_sessionize(),
     "dedup_exact": o_dedup_exact(),
     "dedup_ngram_jaccard": o_dedup_ngram_jaccard(),
