@@ -98,12 +98,21 @@ def run_with_resume(corpus: DataFrame, out_path: str, n_buckets: int = 8,
             F.sum((F.col("rec_type") == "doc").cast("int")).alias("n_docs"),
             F.sum(F.when(F.col("rec_type") == "doc",
                          F.crc32(F.to_json("spans"))).otherwise(0))
-            .alias("span_checksum")).collect()[0]
+            .alias("span_checksum"),
+            # monitoring metric, not a correctness gate (SURVEY.md §2.4):
+            # HLL sketch of distinct triple objects per bucket — a cheap
+            # drift signal (a bucket whose distinct-entity count collapses
+            # or explodes flags tagger/corpus anomalies at 100 TB without
+            # a distinct-count shuffle)
+            F.approx_count_distinct(
+                F.when(F.col("rec_type") == "triple", F.col("obj")))
+            .alias("approx_distinct_objs")).collect()[0]
         _write_ledger_row(out_path, {
             "bucket": b, "status": "done",
             "n_docs": int(stats.n_docs or 0),
             "n_records": int(stats.n_records or 0),
             "span_checksum": int(stats.span_checksum or 0),
+            "approx_distinct_objs": int(stats.approx_distinct_objs or 0),
             "wall_ms": int((time.time() - t0) * 1000),
         })
         processed.append(b)
