@@ -57,9 +57,10 @@ def main() -> None:
         kg_sec = min(kg_sec, time.time() - t0)
     timings["kg_extract_triples"] = round(kg_sec, 3)
 
-    bench_queries = ["tpch_q1", "tpch_q3", "tpch_q5", "nearest_prior_link",
-                     "dedup_exact", "dedup_minhash_lsh", "similarity_topk",
-                     "quality_score", "doc_fingerprint"]
+    bench_queries = ["tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q17",
+                     "nearest_prior_link", "dedup_exact", "dedup_minhash_lsh",
+                     "similarity_topk", "ann_ivf_topk", "contamination",
+                     "pack_shards", "quality_score", "doc_fingerprint"]
     for name in bench_queries:
         best = float("inf")
         for _ in range(2):  # best-of-2: shields against host noise spikes
@@ -96,6 +97,19 @@ def main() -> None:
                 "high_docs_per_sec": s["high"]["docs_per_sec"],
                 "efficiency": s["scaling_efficiency"], "n_docs": s["n_docs"],
             }
+    # the north_rule's own formulation — N vs 4N separate-JVM executors
+    # (bench_scaling_cluster.py, local-cluster mode)
+    p = os.path.join(here, "BENCH_SCALING_CLUSTER_1_4.json")
+    if os.path.exists(p):
+        with open(p) as fh:
+            s = json.load(fh)
+        out["scaling_executors_1_4"] = {
+            "low_executors": s["low"]["executors"],
+            "high_executors": s["high"]["executors"],
+            "low_docs_per_sec": s["low"]["docs_per_sec"],
+            "high_docs_per_sec": s["high"]["docs_per_sec"],
+            "efficiency": s["scaling_efficiency"], "n_docs": s["n_docs"],
+        }
     print(json.dumps(out))
     spark.stop()
 
