@@ -1,0 +1,59 @@
+"""Edge-case probes for the fused extract stage: empty corpus, all-media
+documents, unknown span kinds — each must flow through without error while
+holding the span-sequence invariant (kind, text, media_ref, order)."""
+
+from pyspark.sql import functions as F
+
+from legal_ner_spark import pipeline
+from legal_ner_spark.operators import extract as ops
+from legal_ner_spark.schema import CORPUS_SCHEMA
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(rows, CORPUS_SCHEMA)
+
+
+def test_empty_corpus_yields_zero_records(spark):
+    recs = ops.extract_records(_corpus(spark, []))
+    assert recs.count() == 0
+    assert recs.columns[0] == "doc_id"   # schema intact on empty input
+
+
+def test_all_media_doc_passes_spans_through_untouched(spark):
+    spans = [
+        {"kind": "image", "text": None, "media_ref": "s3://m/1.png", "offset": 0},
+        {"kind": "audio", "text": None, "media_ref": "s3://m/2.wav", "offset": 1},
+    ]
+    recs = ops.extract_records(
+        _corpus(spark, [("doc_media", spans)])).cache()
+    docs = recs.filter(F.col("rec_type") == "doc").collect()
+    assert len(docs) == 1
+    got = [(s.kind, s.text, s.media_ref, s.offset) for s in docs[0].spans]
+    assert got == [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                   for s in spans]
+    # no text content → no mentions, no triples
+    assert recs.filter(F.col("rec_type").isin("mention", "triple")).count() == 0
+    recs.unpersist()
+
+
+def test_unknown_kind_treated_as_media(spark):
+    spans = [
+        {"kind": "text", "text": "Section 302 of the Indian Penal Code. ",
+         "media_ref": None, "offset": 0},
+        {"kind": "hologram", "text": "IGNORED BY ASSEMBLY",
+         "media_ref": "x://h/1", "offset": 1},
+    ]
+    recs = ops.extract_records(
+        _corpus(spark, [("doc_mixed", spans)])).cache()
+    doc = recs.filter(F.col("rec_type") == "doc").collect()[0]
+    got = [(s.kind, s.text, s.media_ref, s.offset) for s in doc.spans]
+    assert got == [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                   for s in spans]
+    # the unknown-kind span's text must NOT leak into extraction
+    mention_texts = [r.text for r in
+                     recs.filter(F.col("rec_type") == "mention").collect()]
+    assert not any("IGNORED" in (t or "") for t in mention_texts)
+    # while the real text span still extracts
+    triples = recs.filter(F.col("rec_type") == "triple")
+    assert triples.filter(F.col("pred") == "part_of").count() >= 1
+    recs.unpersist()
