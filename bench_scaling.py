@@ -40,8 +40,11 @@ def run_at(cpus: int, corpus_path: str, n_docs: int, n_splits: int) -> dict:
     corpus = spark.read.parquet(corpus_path).repartition(n_splits, "doc_id")
     # warm-up: JVM + the full Python worker pool spin-up (one worker per
     # core imports the package and compiles its regexes) excluded from the
-    # measurement
-    ops.extract_records(corpus.limit(cpus * 8)).count()
+    # measurement.  Must touch EVERY partition so every worker warms — a
+    # limit() collapses to one task and leaves most of the pool cold
+    # inside the measured run, biasing the high-parallelism level.
+    corpus.count()
+    ops.extract_records(corpus.sample(0.08, seed=7)).count()
     t0 = time.time()
     n_triples = ops.triples(ops.extract_records(corpus)).count()
     wall = time.time() - t0
@@ -51,7 +54,7 @@ def run_at(cpus: int, corpus_path: str, n_docs: int, n_splits: int) -> dict:
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
     out_json = sys.argv[2] if len(sys.argv) > 2 else "BENCH_SCALING.json"
     low_cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     high_cpus = int(sys.argv[4]) if len(sys.argv) > 4 else 16
@@ -71,13 +74,13 @@ def main() -> None:
         .write.mode("overwrite").parquet(corpus_path)
     spark.stop()
 
-    # ~256 docs/split: each Python-worker task round trip costs a few
+    # ~128-256 docs/split: each Python-worker task round trip costs a few
     # hundred ms of Arrow stream setup + conversion overhead that does NOT
     # parallelize perfectly across task threads in one JVM — oversplitting
-    # (e.g. 32-doc tasks) costs 2.4x throughput at 32 cores and shows up as
-    # fake scaling loss.  Floor of 4 waves at the high level keeps
-    # stragglers amortized (2% mega-docs).
-    n_splits = max(128, min(256, n_docs // 256))
+    # (e.g. 32-doc tasks) costs 2.4x throughput at 32 cores and shows up
+    # as fake scaling loss.  No fixed floor: a small corpus gets fewer,
+    # still-full tasks rather than 128 near-empty ones.
+    n_splits = max(high_cpus, min(256, n_docs // 128))
     low = max((run_at(low_cpus, corpus_path, n_docs, n_splits)
                for _ in range(2)), key=lambda r: r["docs_per_sec"])
     high = max((run_at(high_cpus, corpus_path, n_docs, n_splits)

@@ -27,7 +27,9 @@ import time
 
 
 def get_lc(n_exec: int, cores: int, mem_mb: int = 3072):
+    import os
     from pyspark.sql import SparkSession
+    repo_root = os.path.dirname(os.path.abspath(__file__))
     return (SparkSession.builder
             .master(f"local-cluster[{n_exec},{cores},{mem_mb}]")
             .appName(f"scaling-{n_exec}x{cores}")
@@ -36,7 +38,7 @@ def get_lc(n_exec: int, cores: int, mem_mb: int = 3072):
             .config("spark.sql.adaptive.enabled", "true")
             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
-            .config("spark.executorEnv.PYTHONPATH", "/root/repo")
+            .config("spark.executorEnv.PYTHONPATH", repo_root)
             .config("spark.sql.session.timeZone", "UTC")
             .getOrCreate())
 

@@ -51,7 +51,8 @@ def main() -> None:
             spark, args.n_docs, partitions=cores * args.tasks_per_core)
 
     processed = ledger.run_with_resume(corpus, args.out,
-                                       n_buckets=args.buckets)
+                                       n_buckets=args.buckets,
+                                       tasks_per_core=args.tasks_per_core)
     records = ledger.read_all_records(spark, args.out)
     triples_path = os.path.join(args.out, "triples")
     (ops.triples(records).write.mode("overwrite")

@@ -30,10 +30,18 @@ def shingle_rows(docs: DataFrame, id_col: str = "doc_id",
     Uses ``slice(toks, i+1, n)`` rather than per-position ``toks[i+k]``
     indexing inside the lambda: repeated non-literal GetArrayItem inside a
     higher-order function is ~8x slower in Spark 4 (measured 5.5s vs 0.7s
-    over 260k shingles) — one slice call amortizes the bounds checks."""
+    over 260k shingles) — one slice call amortizes the bounds checks.
+
+    Docs with fewer than ``n`` tokens produce an explicit empty array
+    (dropped by the explode), matching the DuckDB oracle's empty
+    ``generate_series``: ``sequence(0, size-n)`` with a negative bound
+    would otherwise yield a DESCENDING sequence whose i=-1 element makes
+    ``slice`` throw at runtime."""
     toks = F.split(F.lower(text_col), " ")
-    expr = (f"array_distinct(transform(sequence(0, greatest(size(toks) - {n}, -1)), "
-            f"i -> concat_ws(' ', slice(toks, i + 1, {n}))))")
+    expr = (f"CASE WHEN size(toks) >= {n} THEN "
+            f"array_distinct(transform(sequence(0, size(toks) - {n}), "
+            f"i -> concat_ws(' ', slice(toks, i + 1, {n})))) "
+            f"ELSE array() END")
     return (docs.withColumn("toks", toks)
             .withColumn("sh", F.expr(expr))
             .select(F.col(id_col).alias("doc_id"),

@@ -34,18 +34,26 @@ def cosine_expr(a: str, b: str) -> F.Column:
                   f"(({_NORM.format(a=a)}) * ({_NORM.format(a=b)}))")
 
 
-def brute_force_topk(queries: DataFrame, candidates: DataFrame,
-                     k: int = 5) -> DataFrame:
-    """queries(query_id, qv) × candidates(neighbor_id, cv) → top-k rows.
-    Rank on the 4-dp-rounded score with id tie-break (deterministic across
-    engines and summation orders)."""
-    j = (candidates.crossJoin(F.broadcast(queries))
-         .withColumn("cos_sim", F.round(cosine_expr("qv", "cv"), 4)))
+def _rerank_topk(cand: DataFrame, k: int) -> DataFrame:
+    """Exact cosine rerank + top-k over candidate rows
+    (query_id, neighbor_id, qv, cv).  THE determinism contract shared by
+    the brute-force baseline and both ANN paths: rank on the
+    4-dp-rounded score with neighbor_id tie-break, so results are stable
+    across engines and float-summation orders — one definition, or the
+    ANN paths silently diverge from the baseline they are validated
+    against."""
+    j = cand.withColumn("cos_sim", F.round(cosine_expr("qv", "cv"), 4))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"),
                                                F.asc("neighbor_id"))
     return (j.withColumn("rnk", F.row_number().over(w)).filter(f"rnk <= {k}")
             .select("query_id", "neighbor_id", "cos_sim",
                     F.col("rnk").cast("int").alias("rnk")))
+
+
+def brute_force_topk(queries: DataFrame, candidates: DataFrame,
+                     k: int = 5) -> DataFrame:
+    """queries(query_id, qv) × candidates(neighbor_id, cv) → top-k rows."""
+    return _rerank_topk(candidates.crossJoin(F.broadcast(queries)), k)
 
 
 def prepare_vectors(emb: DataFrame, id_col: str = "vec_id",
@@ -156,12 +164,7 @@ def ivf_ann_topk(queries: DataFrame, candidates: DataFrame, k: int = 5,
     cand = (lists.join(F.broadcast(probes), "centroid_id")
             .select("query_id", "neighbor_id", "qv", "cv")
             .dropDuplicates(["query_id", "neighbor_id"]))
-    j = cand.withColumn("cos_sim", F.round(cosine_expr("qv", "cv"), 4))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"),
-                                               F.asc("neighbor_id"))
-    return (j.withColumn("rnk", F.row_number().over(w)).filter(f"rnk <= {k}")
-            .select("query_id", "neighbor_id", "cos_sim",
-                    F.col("rnk").cast("int").alias("rnk")))
+    return _rerank_topk(cand, k)
 
 
 def lsh_ann_topk(queries: DataFrame, candidates: DataFrame, dim: int,
@@ -180,9 +183,4 @@ def lsh_ann_topk(queries: DataFrame, candidates: DataFrame, dim: int,
         (F.col("ctable") == F.col("table")) & (F.col("csig") == F.col("sig")))
         .select("query_id", "neighbor_id", "qv", "cv")
         .dropDuplicates(["query_id", "neighbor_id"]))
-    j = cand.withColumn("cos_sim", F.round(cosine_expr("qv", "cv"), 4))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"),
-                                               F.asc("neighbor_id"))
-    return (j.withColumn("rnk", F.row_number().over(w)).filter(f"rnk <= {k}")
-            .select("query_id", "neighbor_id", "cos_sim",
-                    F.col("rnk").cast("int").alias("rnk")))
+    return _rerank_topk(cand, k)

@@ -10,12 +10,16 @@ tokenizer, all pure DataFrame / JVM-side:
 - ``pii_redact`` — regex redaction of emails / long digit runs with
   per-doc hit counts; a pure projection (whole-stage codegen, no shuffle).
 - ``pack_shards`` — deterministic token-budget shard assignment via a
-  distributed prefix-sum: per-bucket token totals (tiny) get an exclusive
+  distributed prefix-sum: per-bucket token totals get an exclusive
   running offset, docs get a bucket-local cumulative sum under a window
-  partitioned by bucket.  No global single-partition window at any scale:
-  the only global ordering runs over the bucket-totals table
-  (|corpus| / bucket_size rows), mirroring how Spark's own
-  repartitionByRange samples boundaries.
+  partitioned by bucket.  The per-doc cumsum never runs globally; the
+  ONE remaining global ordering is over the bucket-totals table
+  (|corpus| / bucket_size rows), so ``bucket_size`` is the scale knob:
+  at 10^12 docs set it ~10^6 so the totals table (~10^6 rows) fits a
+  single task comfortably — or recurse the same construction once more
+  for another 10^6x headroom.  Precondition: ``doc_id`` castable to
+  bigint (non-numeric ids null out of the bucket join and would be
+  silently dropped).
 """
 
 from __future__ import annotations
@@ -25,25 +29,28 @@ from pyspark.sql import functions as F
 
 from .dedup import shingle_rows
 
-EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+EMAIL_RE = r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
 LONGNUM_RE = r"\d{6,}"
 
 
 def contamination(docs: DataFrame, benchmark: DataFrame, n: int = 3,
                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-doc count + ratio of word n-gram shingles that also occur in
-    ``benchmark``.  Inner-join against the broadcast distinct benchmark
-    shingle set; docs with zero hits are reported with ratio 0 via the
-    left join back onto the corpus."""
+    ``benchmark``.  ONE pass over the corpus-side shingle table: left join
+    against the broadcast distinct benchmark shingles (map-side, no
+    shuffle of the big side), then a single groupBy(doc_id) computing both
+    the total and the hit count — the 10^12-doc side is shuffled exactly
+    once.  Docs with fewer than ``n`` tokens have no shingles and are
+    absent from the output (same as the SQL oracle)."""
     bench_sh = (shingle_rows(benchmark, id_col=id_col, text_col=text_col, n=n)
-                .select("shingle").distinct())
+                .select("shingle").distinct()
+                .withColumn("hit", F.lit(1)))
     doc_sh = shingle_rows(docs, id_col=id_col, text_col=text_col, n=n)
-    totals = doc_sh.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_shingles"))
-    hits = (doc_sh.join(F.broadcast(bench_sh), "shingle")
-            .groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_hits")))
-    return (totals.join(hits, "doc_id", "left")
-            .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)).cast("bigint"))
+    return (doc_sh.join(F.broadcast(bench_sh), "shingle", "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_shingles"),
+                 F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint")
+                 .alias("n_hits"))
             .withColumn("contamination",
                         F.round(F.col("n_hits") / F.col("n_shingles"), 4))
             .select("doc_id", "n_shingles", "n_hits", "contamination"))

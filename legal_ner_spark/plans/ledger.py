@@ -72,19 +72,23 @@ def run_with_resume(corpus: DataFrame, out_path: str, n_buckets: int = 8,
     Returns the bucket ids processed in this run.
     """
     done = completed_buckets(out_path)
+    pending = [b for b in range(n_buckets) if b not in done]
+    if not pending:
+        return []   # fully-resumed re-submit: no sizing pass, no work
     processed: list[int] = []
     cores = corpus.sparkSession.sparkContext.defaultParallelism
     # split sizing: never more splits than ~64 docs/task can fill — a
     # bucket smaller than the cluster runs on fewer tasks rather than
-    # paying 32 empty Python-worker round trips (parquet count() is a
-    # metadata read, not a scan)
+    # paying 32 empty Python-worker round trips.  The count() is one
+    # extra pass over the (possibly transformed) corpus plan; on a bare
+    # parquet/Iceberg scan it folds to a metadata read, and at 100 TB the
+    # caller should prefer passing a catalog row count via an
+    # un-transformed source.  It only runs when buckets are pending.
     est_bucket_docs = max(1, corpus.count() // n_buckets)
     n_splits = max(1, min(cores * tasks_per_core, est_bucket_docs // 64 or 1))
     bucketed = corpus.withColumn(
         "_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int"))
-    for b in range(n_buckets):
-        if b in done:
-            continue
+    for b in pending:
         t0 = time.time()
         recs = ops.extract_records(
             bucketed.filter(F.col("_bucket") == b).drop("_bucket")

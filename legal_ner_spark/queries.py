@@ -796,6 +796,7 @@ PII_FIXTURES = [
     (1, "no personal data here"),
     (2, "call 9876543210 or mail a.b@c.org and x@y.io today"),
     (3, "short num 12345 stays"),
+    (4, "Mixed-case John.Doe@Example.COM must redact too"),
 ]
 
 
@@ -815,11 +816,11 @@ def o_pii_redact():
 WITH f(doc_id, text) AS (VALUES {rows})
 SELECT doc_id::BIGINT AS doc_id,
        regexp_replace(
-         regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{{2,}}',
+         regexp_replace(text, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{{2,}}',
                         '<EMAIL>', 'g'),
          '\d{{6,}}', '<NUM>', 'g') AS clean_text,
        len(regexp_extract_all(text,
-           '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{{2,}}'))::INT AS n_emails,
+           '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{{2,}}'))::INT AS n_emails,
        len(regexp_extract_all(text, '\d{{6,}}'))::INT AS n_numbers
 FROM f"""
 

@@ -20,6 +20,18 @@ def docs(spark):
     return spark.createDataFrame(rows, ["doc_id", "text"])
 
 
+def test_shingles_on_short_docs_do_not_crash(spark):
+    """Docs with fewer than n tokens must yield zero shingles, not a
+    runtime error (sequence() with a negative bound descends and made
+    slice() throw; real corpora always contain near-empty docs)."""
+    short = spark.createDataFrame(
+        [(0, ""), (1, "one"), (2, "two words"), (3, "exactly three words")],
+        ["doc_id", "text"])
+    rows = dedup.shingle_rows(short).collect()
+    assert {r.doc_id for r in rows} == {3}
+    assert [r.shingle for r in rows] == ["exactly three words"]
+
+
 def test_exact_duplicates(spark, docs):
     d = {r.content_hash: (r.n_copies, r.keeper_doc_id)
          for r in dedup.exact_duplicates(docs).collect()}

@@ -32,6 +32,16 @@ def test_pii_redact_counts_and_text(spark):
     assert rows[1].n_emails == 0 and rows[1].n_numbers == 0
 
 
+def test_pii_redact_is_case_insensitive(spark):
+    """A PII scrubber that only matches lowercase leaks the PII it claims
+    to remove — uppercase/mixed-case emails must redact fully."""
+    docs = spark.createDataFrame(
+        [(0, "Reach John.Doe@Example.COM today")], ["doc_id", "text"])
+    row = textprep.pii_redact(docs).collect()[0]
+    assert row.clean_text == "Reach <EMAIL> today"
+    assert row.n_emails == 1
+
+
 def test_pack_shards_matches_serial_cumsum(spark):
     docs = spark.createDataFrame(
         [(i, " ".join(["w"] * (5 + i % 7))) for i in range(250)],
