@@ -42,6 +42,28 @@ def test_pii_redact_is_case_insensitive(spark):
     assert row.n_emails == 1
 
 
+def test_pack_shards_property_random_sizes(spark):
+    """Distributed prefix-sum == serial cumsum for arbitrary token counts,
+    budgets, and bucket sizes (including bucket_size > n_docs and
+    budget smaller than one doc)."""
+    import random
+    rng = random.Random(3)
+    for trial in range(3):
+        n = rng.randint(1, 120)
+        budget = rng.choice([7, 50, 1000])
+        bucket = rng.choice([1, 8, 500])
+        toks = [rng.randint(1, 30) for _ in range(n)]
+        docs = spark.createDataFrame(
+            [(i, " ".join(["w"] * toks[i])) for i in range(n)],
+            ["doc_id", "text"])
+        got = {r.doc_id: r.shard_id for r in textprep.pack_shards(
+            docs, token_budget=budget, bucket_size=bucket).collect()}
+        cum = 0
+        for i in range(n):
+            assert got[i] == cum // budget, (trial, i, budget, bucket)
+            cum += toks[i]
+
+
 def test_pack_shards_matches_serial_cumsum(spark):
     docs = spark.createDataFrame(
         [(i, " ".join(["w"] * (5 + i % 7))) for i in range(250)],
