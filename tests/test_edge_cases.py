@@ -36,6 +36,25 @@ def test_all_media_doc_passes_spans_through_untouched(spark):
     recs.unpersist()
 
 
+def test_wide_span_array_roundtrips(spark):
+    """A doc with thousands of media spans (a heavily-illustrated judgment)
+    must round-trip the full span array through both Arrow boundaries in
+    order — the invariant column is the original array, never rebuilt."""
+    spans = [{"kind": "image", "text": None,
+              "media_ref": f"s3://m/{i}.png", "offset": i}
+             for i in range(4000)]
+    spans.append({"kind": "text",
+                  "text": "Section 420 of the Indian Penal Code applies. ",
+                  "media_ref": None, "offset": 4000})
+    recs = ops.extract_records(_corpus(spark, [("doc_wide", spans)])).cache()
+    doc = recs.filter(F.col("rec_type") == "doc").collect()[0]
+    assert len(doc.spans) == 4001
+    assert [s.offset for s in doc.spans] == list(range(4001))
+    assert doc.spans[1234].media_ref == "s3://m/1234.png"
+    assert recs.filter("rec_type = 'triple' AND pred = 'part_of'").count() >= 1
+    recs.unpersist()
+
+
 def test_unknown_kind_treated_as_media(spark):
     spans = [
         {"kind": "text", "text": "Section 302 of the Indian Penal Code. ",
