@@ -167,6 +167,40 @@ def ivf_ann_topk(queries: DataFrame, candidates: DataFrame, k: int = 5,
     return _rerank_topk(cand, k)
 
 
+def build_ivf_index(candidates: DataFrame, path: str, n_centroids: int = 8,
+                    refine_iters: int = 0) -> None:
+    """Materialize an IVF index: inverted lists written once as parquet
+    partitioned by ``centroid_id`` (Iceberg equivalent: identity-partition
+    on centroid_id), centroids alongside.  The 100 TB pattern: the
+    corpus-side assignment pass runs ONCE; every subsequent query batch
+    reads only its probed lists via partition pruning instead of
+    re-scanning (or re-quantizing) the corpus."""
+    cents = ivf_centroids(candidates, n_centroids, refine_iters)
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    (ivf_assign(candidates, cents, n_probe=1)
+     .select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
+             "centroid_id")
+     .write.mode("overwrite").partitionBy("centroid_id")
+     .parquet(f"{path}/lists"))
+
+
+def query_ivf_index(spark, path: str, queries: DataFrame, k: int = 5,
+                    n_probe: int = 2) -> DataFrame:
+    """Query a materialized IVF index.  The probed centroid_ids reach the
+    lists scan as a partition filter (visible as PartitionFilters in the
+    plan when probes are literal); rerank is exact within probed lists —
+    identical ranking contract to the other ANN paths (_rerank_topk)."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    lists = spark.read.parquet(f"{path}/lists")
+    probes = ivf_assign(queries, cents, n_probe=n_probe) \
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+                "centroid_id")
+    cand = (lists.join(F.broadcast(probes), "centroid_id")
+            .select("query_id", "neighbor_id", "qv", "cv")
+            .dropDuplicates(["query_id", "neighbor_id"]))
+    return _rerank_topk(cand, k)
+
+
 def lsh_ann_topk(queries: DataFrame, candidates: DataFrame, dim: int,
                  k: int = 5, n_planes: int = 8, n_tables: int = 2) -> DataFrame:
     """ANN: bucket by hyperplane signature per table, dedup candidates

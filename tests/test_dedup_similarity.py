@@ -138,6 +138,28 @@ def test_ivf_ann_recall_and_refinement(spark):
     assert hits_r >= 6, (hits_r, got_r)
 
 
+def test_materialized_ivf_index_matches_inline(spark, tmp_path):
+    """build-once/query-many must return exactly what the inline IVF path
+    returns (same centroids, same lists, same rerank contract)."""
+    import random
+    rng = random.Random(5)
+    dim = 8
+    rows = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(80)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qs = similarity.prepare_vectors(emb.filter(F.col("vec_id") < 4))
+    cs = similarity.prepare_vectors(emb.filter(F.col("vec_id") >= 4))
+
+    inline = {(r.query_id, r.rnk): r.neighbor_id
+              for r in similarity.ivf_ann_topk(qs, cs, k=3, n_centroids=4,
+                                               n_probe=2).collect()}
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(cs, path, n_centroids=4)
+    via_index = {(r.query_id, r.rnk): r.neighbor_id
+                 for r in similarity.query_ivf_index(
+                     spark, path, qs, k=3, n_probe=2).collect()}
+    assert via_index == inline
+
+
 def test_sent_mode_close_to_doc_mode(spark):
     """run_type='sent' trades accuracy for batchability (README.md:159-165):
     entities spanning a naive sentence boundary (e.g. 'Petition No. 70')
