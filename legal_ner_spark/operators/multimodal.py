@@ -81,6 +81,78 @@ def extract_media_features(corpus: DataFrame, dim: int = 8) -> DataFrame:
     return spans.mapInPandas(fn, MEDIA_FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("media_ref", T.StringType(), False),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("resized", T.BinaryType()),
+    T.StructField("resize_ok", T.BooleanType()),
+])
+
+
+def resize_images(corpus: DataFrame, width: int = 224,
+                  height: int = 224) -> DataFrame:
+    """Image-resize stage (one image span in → one resized blob out).
+    The resize itself is a deterministic stub (PIL not installable here:
+    production swaps ``_resize_stub`` for ``Image.open(...).resize``);
+    the Spark plumbing — image-kind filter, Arrow batching, binary output
+    column — is real."""
+    spans = media_spans(corpus).filter(F.col("kind").isin("image", "scan"))
+
+    def _resize_stub(media_ref: str) -> bytes:
+        # content-addressed fake pixels, length prop. to target size
+        h = hashlib.sha256(f"resize|{media_ref}|{width}x{height}".encode())
+        return (h.digest() * (width * height // 32 + 1))[: width * height // 64]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_ref": pdf["media_ref"],
+                "width": width, "height": height,
+                "resized": [_resize_stub(r) for r in pdf["media_ref"]],
+                "resize_ok": True,
+            })
+
+    return spans.mapInPandas(fn, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("media_ref", T.StringType(), False),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("ts_sec", T.FloatType()),
+    T.StructField("frame_fingerprint", T.StringType()),
+])
+
+
+def sample_frames(corpus: DataFrame, n_frames: int = 4,
+                  spacing_sec: float = 1.0) -> DataFrame:
+    """Frame-sampling stage for audio/video spans — the one-to-many UDTF
+    shape (one media span in → ``n_frames`` rows out) that a real
+    ffmpeg/torchaudio sampler would have.  Stubbed fingerprints are
+    content-addressed so tests can assert exact values."""
+    spans = media_spans(corpus).filter(~F.col("kind").isin("image", "scan"))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "media_ref": [], "frame_idx": [],
+                   "ts_sec": [], "frame_fingerprint": []}
+            for d, r in zip(pdf["doc_id"], pdf["media_ref"]):
+                for i in range(n_frames):
+                    out["doc_id"].append(d)
+                    out["media_ref"].append(r)
+                    out["frame_idx"].append(i)
+                    out["ts_sec"].append(i * spacing_sec)
+                    out["frame_fingerprint"].append(
+                        hashlib.sha256(f"frame|{r}|{i}".encode())
+                        .hexdigest()[:16])
+            yield pd.DataFrame(out)
+
+    return spans.mapInPandas(fn, FRAMES_SCHEMA)
+
+
 def media_stats(corpus: DataFrame) -> DataFrame:
     """Per-kind media inventory — monitoring aggregate."""
     return (media_spans(corpus).groupBy("kind")

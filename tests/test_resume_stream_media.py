@@ -77,6 +77,31 @@ def test_media_features_deterministic(spark, corpus):
     assert set(stats) <= {"image", "scan", "audio"}
 
 
+def test_resize_and_frame_sample_plumbing(spark, corpus):
+    """Resize (1-in-1-out, binary column) and frame sampling (1-in-N-out
+    UDTF fan-out) — stubbed codecs, real Arrow plumbing."""
+    from pyspark.sql import functions as F
+    n_img = multimodal.media_spans(corpus) \
+        .filter(F.col("kind").isin("image", "scan")).count()
+    resized = multimodal.resize_images(corpus, width=64, height=64).collect()
+    assert len(resized) == n_img
+    assert all(r.resize_ok and r.width == 64 and isinstance(r.resized, (bytes, bytearray))
+               and len(r.resized) == 64 * 64 // 64 for r in resized)
+
+    n_av = multimodal.media_spans(corpus) \
+        .filter(~F.col("kind").isin("image", "scan")).count()
+    frames = multimodal.sample_frames(corpus, n_frames=3,
+                                      spacing_sec=0.5).collect()
+    assert len(frames) == n_av * 3                       # exact fan-out
+    by_ref = {}
+    for f in frames:
+        by_ref.setdefault(f.media_ref, []).append(f)
+    for ref, fs in by_ref.items():
+        assert sorted(x.frame_idx for x in fs) == [0, 1, 2]
+        assert {round(x.ts_sec, 2) for x in fs} == {0.0, 0.5, 1.0}
+        assert len({x.frame_fingerprint for x in fs}) == 3
+
+
 def test_stateful_running_statute_counts(spark, tmp_path):
     """applyInPandasWithState keeps cumulative per-statute counts across
     micro-batches (two files → two batches with maxFilesPerTrigger=1)."""
