@@ -16,7 +16,7 @@ from bisect import bisect_right
 from .docmodel import Doc, Span
 from .preamble import separate_and_clean_preamble
 from .tagger import tag_region
-from .postprocess import postprocess_doc, PostprocessResult, PERSON_ROLES
+from .postprocess import postprocess_doc, PostprocessResult
 
 _MIDLINE_NEWLINE_RE = re.compile(r'(\w[ -]*)(\n+)')
 

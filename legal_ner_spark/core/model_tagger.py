@@ -27,7 +27,7 @@ real, tested plumbing (the deterministic tagger runs through the identical
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 _MODEL = None
 _MODEL_PATH = None
@@ -50,13 +50,12 @@ def _get_model(model_path: str):
     global _MODEL, _MODEL_PATH
     if _MODEL is None or _MODEL_PATH != model_path:
         try:
-            import spacy  # noqa: F401
+            import spacy
         except ImportError as exc:
             raise NotImplementedError(
                 "spaCy model tagging requires the en_legal_ner_trf artifact "
                 "shipped via --archives; this sandbox uses the deterministic "
                 "tagger (legal_ner_spark.core.tagger) instead.") from exc
-        import spacy
         _MODEL = spacy.load(model_path)
         _MODEL_PATH = model_path
     return _MODEL
@@ -69,11 +68,30 @@ def load_spacy_tagger(config: TaggerConfig):
     def tag_region(text: str, region: str):
         nlp = _get_model(config.model_path)
         spans = []
-        # chunk guard for mega-docs (data_preparation.py:73-78)
-        doc = nlp(text[: config.max_tokens_per_chunk * 8])
-        for ent in doc.ents:
-            if ent.label_ in config.labels:
-                spans.append((ent.start_char, ent.end_char, ent.label_))
+        for start, end in chunk_bounds(text, config.max_tokens_per_chunk * 8):
+            doc = nlp(text[start:end])
+            for ent in doc.ents:
+                if ent.label_ in config.labels:
+                    spans.append((ent.start_char + start,
+                                  ent.end_char + start, ent.label_))
         return spans
 
     return tag_region
+
+
+def chunk_bounds(text: str, limit: int) -> list[tuple[int, int]]:
+    """Mega-doc chunking (data_preparation.py:73-78): cover the WHOLE text
+    in ≤limit-char windows split at whitespace (offsets rebase per chunk) —
+    truncating instead would silently drop every entity past the limit and
+    break the swap contract with the full-text deterministic tagger."""
+    bounds = []
+    start = 0
+    while start < len(text):
+        end = min(len(text), start + limit)
+        if end < len(text):
+            ws = text.rfind(" ", start, end)
+            if ws > start:
+                end = ws
+        bounds.append((start, end))
+        start = end
+    return bounds

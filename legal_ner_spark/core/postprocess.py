@@ -30,7 +30,7 @@ import re
 from collections import namedtuple
 from dataclasses import dataclass, field
 
-from .docmodel import Doc, Span, filter_spans, levenshtein, levenshtein_lt
+from .docmodel import Doc, Span, filter_spans, levenshtein_lt
 
 PERSON_ROLES = ['PETITIONER', 'RESPONDENT', 'JUDGE', 'WITNESS', 'LAWYER']
 
@@ -136,12 +136,13 @@ def get_precedent_supras(doc: Doc, entities_pn: list[Span],
                 break
             supra_text = re.sub(' +', '', supra.text)
             pre_text = re.sub(' +', '', pre.text)
-            try:
-                # QUIRK (:59): the supra text is used as a *regex pattern*;
-                # names with metacharacters behave as regexes do.
-                hit = re.search(supra_text, pre_text, re.IGNORECASE)
-            except re.error:
-                hit = None
+            # QUIRK (:59): the supra text is used as a *regex pattern*;
+            # names with metacharacters behave as regexes do — including
+            # raising re.error on invalid patterns, which the reference
+            # does NOT catch here: it propagates to the blanket except at
+            # legal_ner.py:42-47 and skips the doc's postprocessing (our
+            # per-doc ok=False degrade).
+            hit = re.search(supra_text, pre_text, re.IGNORECASE)
             if hit:
                 matches.append(pre)
         if matches:
@@ -563,7 +564,11 @@ def seperate_provision(doc: Doc, clusters):
         start = provision.start_char
         pro = provision.text
         keyword = section[0].split(' ')[0]
-        if keyword and keyword[-1] == 's':
+        # NOTE: keyword[-1] on an empty keyword raises IndexError exactly
+        # as the reference does (postprocessing_utils.py:796) — the doc
+        # then degrades via the per-doc except, mirroring the blanket
+        # skip at legal_ner.py:42-47.
+        if keyword[-1] == 's':
             keyword = keyword[:-1]
         combined = False
         for sec in section:
@@ -674,6 +679,20 @@ class PostprocessResult:
     ok: bool = True
 
 
+def _validate_ents(ents: list[Span]) -> None:
+    """spaCy's ``doc.ents`` setter semantics at postprocessing_utils.py:909:
+    assigning entities where any token is covered more than once (overlap
+    OR exact duplicate) raises ValueError, which the reference's blanket
+    except (legal_ner.py:42-47) turns into skip-all-postprocessing — our
+    per-doc ok=False degrade."""
+    ordered = sorted(ents, key=lambda s: (s.start, s.end))
+    for a, b in zip(ordered, ordered[1:]):
+        if b.start < a.end:
+            raise ValueError(
+                f"conflicting doc.ents: [{a.start},{a.end}) overlaps "
+                f"[{b.start},{b.end}) (spaCy E1010 semantics)")
+
+
 def postprocess_doc(doc: Doc) -> PostprocessResult:
     """Run the reference's full postprocessing DAG on one document.
 
@@ -690,6 +709,7 @@ def postprocess_doc(doc: Doc) -> PostprocessResult:
         pro_sta_pairs, stat_clusters = pro_statute_coref_resol(doc)
         all_entities = remove_overlapping_entities(doc.ents, pro_sta_pairs)
         all_entities.extend(other_person_ents)
+        _validate_ents(all_entities)
         doc.ents = all_entities
         return PostprocessResult(all_entities, precedent_clusters,
                                  stat_clusters, pro_sta_pairs, ok=True)

@@ -36,11 +36,13 @@ COURTS = [
     "High Court of Delhi", "High Court of Karnataka", "Sessions Court Pune",
 ]
 
-# Statute surface forms.  The first group canonicalizes under the reference's
-# 7-regex dictionary (postprocessing_utils.py:591-622); the second group
-# misses the dictionary (check_stat → '') and exercises the fallback path
-# where the statute's own text becomes the normalised form
-# (postprocessing_utils.py:735).
+# Statute surface forms.  The first group MOSTLY canonicalizes under the
+# reference's 7-regex dictionary (postprocessing_utils.py:591-622) —
+# EXCEPT 'Penal Code', which the reference's own _RE_IPC misses (it
+# requires a leading i|indian), so that surface deliberately exercises
+# the fallback path despite sitting with the IPC family; the second group
+# misses the dictionary entirely (check_stat → '') and the statute's own
+# text becomes the normalised form (postprocessing_utils.py:735).
 STATUTES_CANONICAL = [
     "Indian Penal Code", "I.P.C.", "Penal Code",
     "Code of Criminal Procedure", "Cr.P.C.", "Criminal Procedure Code",

@@ -223,3 +223,42 @@ def test_postprocess_doc_isolates_failures():
     res = pp.postprocess_doc(doc)
     assert res.ok is False
     assert [e.text for e in res.ents] == ["Section 999"]
+
+
+def test_duplicate_final_ents_degrade_like_reference():
+    """The reference's ``nlp_doc.ents = all_entities`` raises ValueError on
+    duplicate/overlapping spans (spaCy E1010) and the blanket except skips
+    postprocessing — our per-doc equivalent must reject them, not silently
+    keep a mangled entity list."""
+    import pytest
+    from legal_ner_spark.core.docmodel import Span
+    from legal_ner_spark.core.postprocess import _validate_ents
+
+    with pytest.raises(ValueError):
+        _validate_ents([Span(0, 2, 0, 9, "Raju Amit", "PETITIONER"),
+                        Span(0, 2, 0, 9, "Raju Amit", "PETITIONER")])
+    with pytest.raises(ValueError):
+        _validate_ents([Span(0, 3, 0, 12, "a b c", "ORG"),
+                        Span(2, 4, 8, 16, "c d", "GPE")])
+    # non-overlapping spans are fine
+    _validate_ents([Span(0, 2, 0, 9, "x", "ORG"),
+                    Span(2, 4, 10, 15, "y", "GPE")])
+
+
+def test_model_tagger_chunk_bounds_cover_everything():
+    """Chunking must cover the full text with no gaps/overlaps and split at
+    whitespace (no token straddles a chunk edge) — a truncating tagger
+    would drop every entity past the limit."""
+    from legal_ner_spark.core.model_tagger import chunk_bounds
+    text = ("word " * 5000).strip()
+    bounds = chunk_bounds(text, 1000)
+    assert bounds[0][0] == 0 and bounds[-1][1] == len(text)
+    for (s1, e1), (s2, _e2) in zip(bounds, bounds[1:]):
+        assert e1 == s2                                 # contiguous
+        assert e1 - s1 <= 1000
+        assert e1 == len(text) or text[e1] == " "       # whitespace split
+    assert chunk_bounds("", 100) == []
+    assert chunk_bounds("short", 100) == [(0, 5)]
+    # pathological: no whitespace at all — hard split, still full coverage
+    assert chunk_bounds("x" * 2500, 1000) == [(0, 1000), (1000, 2000),
+                                              (2000, 2500)]
