@@ -44,8 +44,10 @@ def main() -> None:
     spark = get_spark(app_name="legal-ner-kg", master=args.master)
     cores = spark.sparkContext.defaultParallelism
     if args.corpus:
-        corpus = (spark.read.parquet(args.corpus)
-                  .repartition(cores * args.tasks_per_core, "doc_id"))
+        # no repartition here: run_with_resume sizes each bucket job's own
+        # splits (an outer repartition would just add a second full-corpus
+        # shuffle before the per-bucket one)
+        corpus = spark.read.parquet(args.corpus)
     else:
         corpus = pipeline.synthetic_corpus(
             spark, args.n_docs, partitions=cores * args.tasks_per_core)
