@@ -73,6 +73,34 @@ def pii_redact(docs: DataFrame, id_col: str = "doc_id",
         .cast("int").alias("n_numbers"))
 
 
+def prepare_training_corpus(docs: DataFrame, min_quality: float = 0.3,
+                            token_budget: int = 2000,
+                            bucket_size: int = 100,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """The composed training-data front door: quality filter → exact-dedup
+    (keep the lowest doc_id per content hash) → token-budget shard
+    packing over the survivors.  One content-hash shuffle (the dedup
+    window) + the pack_shards prefix-sum machinery; everything else is
+    map-side.  Returns (doc_id, quality, n_tokens, shard_id)."""
+    n_tok = F.size(F.split(text_col, " "))
+    punct = F.length(F.regexp_replace(text_col, "[a-z0-9 ]", ""))
+    scored = docs.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.round(F.least(n_tok / F.lit(100.0), F.lit(1.0))
+                * (1 - punct / F.length(text_col)), 4).alias("quality"))
+    kept = scored.filter(F.col("quality") >= min_quality)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (kept.withColumn("_rn", F.row_number().over(w))
+               .filter("_rn = 1").drop("_rn"))
+    packed = pack_shards(deduped, token_budget=token_budget,
+                         bucket_size=bucket_size, id_col="doc_id",
+                         text_col="text")
+    return (packed.join(deduped.select("doc_id", "quality"), "doc_id")
+            .select("doc_id", "quality", "n_tokens", "shard_id"))
+
+
 def pack_shards(docs: DataFrame, token_budget: int = 2000,
                 bucket_size: int = 100, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:

@@ -851,6 +851,43 @@ SELECT doc_id, n_tokens,
 FROM c"""
 
 
+def q_prepare_training_corpus(spark, sf_dir):
+    """The composed training-data front door in one call: quality filter →
+    exact dedup (keep lowest doc_id per content hash) → token-budget shard
+    packing.  One content-hash shuffle + the distributed prefix-sum."""
+    from .operators import textprep
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return textprep.prepare_training_corpus(
+        docs, min_quality=0.3, token_budget=2000, bucket_size=100)
+
+
+def o_prepare_training_corpus():
+    return r"""
+WITH scored AS (
+  SELECT doc_id::BIGINT AS doc_id, text,
+         round(least(len(string_split(text, ' ')) / 100.0, 1.0)
+               * (1 - length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+                      / length(text)), 4) AS quality
+  FROM documents
+), kept AS (SELECT * FROM scored WHERE quality >= 0.3),
+deduped AS (
+  SELECT doc_id, text, quality FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM kept) WHERE rn = 1
+), t AS (
+  SELECT doc_id, quality,
+         len(str_split_regex(text, '\s+'))::BIGINT AS n_tokens
+  FROM deduped
+), c AS (
+  SELECT doc_id, quality, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, quality, n_tokens,
+       floor((cum - n_tokens) / 2000)::BIGINT AS shard_id
+FROM c"""
+
+
 def q_similarity_topk(spark, sf_dir):
     """Brute-force cosine top-5 per query vector (queries = vec_id < 5).
     Baseline ANN path; ranks on the rounded score for cross-engine
@@ -1233,6 +1270,7 @@ QUERIES = {
     "contamination": q_contamination,
     "pii_redact": q_pii_redact,
     "pack_shards": q_pack_shards,
+    "prepare_training_corpus": q_prepare_training_corpus,
     "ingest_clean": q_ingest_clean,
     "kg_triples": q_kg_triples,
     "kg_mentions": q_kg_mentions,
@@ -1277,6 +1315,7 @@ ORACLES = {
     "contamination": o_contamination(),
     "pii_redact": o_pii_redact(),
     "pack_shards": o_pack_shards(),
+    "prepare_training_corpus": o_prepare_training_corpus(),
     "ingest_clean": o_ingest_clean(),
     # kg_* (order-sensitive pandas stages) and ann_lsh_topk (approximate by
     # design, recall asserted in pytest) are rows-only by design

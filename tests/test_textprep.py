@@ -42,6 +42,22 @@ def test_pii_redact_is_case_insensitive(spark):
     assert row.n_emails == 1
 
 
+def test_prepare_training_corpus_composition(spark):
+    """quality filter drops junk, dedup keeps the lowest doc_id, shard
+    packing runs over survivors only."""
+    good = "clean words " * 30
+    docs = spark.createDataFrame(
+        [(0, good), (1, good),                      # dup pair: keep 0
+         (2, "?!#. ..! ,,"),                        # junk: quality ~0
+         (3, "another perfectly clean document " * 10)],
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in textprep.prepare_training_corpus(
+        docs, min_quality=0.3, token_budget=50, bucket_size=10).collect()}
+    assert set(out) == {0, 3}                       # 1 deduped, 2 filtered
+    assert out[0].quality >= 0.3 and out[3].quality >= 0.3
+    assert out[0].shard_id == 0 and out[3].shard_id >= 1
+
+
 def test_pack_shards_property_random_sizes(spark):
     """Distributed prefix-sum == serial cumsum for arbitrary token counts,
     budgets, and bucket sizes (including bucket_size > n_docs and
