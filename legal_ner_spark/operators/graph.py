@@ -39,7 +39,10 @@ def pagerank(triples: DataFrame, pred: str | None = None,
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # materialize once: out_deg feeds a join in EVERY iteration — left lazy
+    # it would re-run the edges groupBy shuffle n_iter times
+    out_deg = (edges.groupBy("src").agg(F.count("*").alias("deg"))
+               .localCheckpoint(eager=True))
     dangling = nodes.join(out_deg.withColumnRenamed("src", "node"),
                           "node", "left_anti").localCheckpoint(eager=True)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))

@@ -100,14 +100,21 @@ def precedent_edges(mentions: DataFrame, threshold: int = 5) -> DataFrame:
 
 
 def connected_components(edges: DataFrame, vertices: DataFrame,
-                         max_iter: int = 10) -> DataFrame:
+                         max_iter: int = 50) -> DataFrame:
     """Label-propagation connected components over (doc_id, src, dst) edges:
     each vertex converges to the minimum ent_id of its component.
 
     Iterative join plan (GraphFrames-style): per iteration one shuffle on
     (doc_id, vertex); labels are ints, AQE coalesces the tiny post-filter
     exchanges.  ``localCheckpoint`` truncates the growing lineage so the
-    plan stays bounded at high iteration counts."""
+    plan stays bounded at high iteration counts.
+
+    Raises RuntimeError if propagation has not converged after
+    ``max_iter`` iterations (a component whose diameter exceeds the cap
+    would otherwise be silently emitted fragmented — wrong clusters
+    without any signal).  Min-label propagation needs ~diameter
+    iterations; raise ``max_iter`` for pathological chain graphs or
+    switch to the large-star/small-star contraction variant."""
     sym = (edges.select("doc_id", "src", "dst")
            .union(edges.select("doc_id", F.col("dst").alias("src"),
                                F.col("src").alias("dst")))
@@ -118,6 +125,7 @@ def connected_components(edges: DataFrame, vertices: DataFrame,
     labels = (vertices.select("doc_id", F.col("ent_id").alias("v"),
                               F.col("ent_id").alias("comp"))
               .localCheckpoint(eager=True))
+    changed = 1
     for _ in range(max_iter):
         nbr_min = (sym.join(labels, (F.col("e_doc") == F.col("doc_id"))
                             & (F.col("dst") == F.col("v")))
@@ -138,6 +146,11 @@ def connected_components(edges: DataFrame, vertices: DataFrame,
         labels = updated
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations — raise max_iter (components need ~diameter "
+            "rounds of min-label propagation)")
     return labels.select("doc_id", F.col("v").alias("ent_id"),
                          F.col("comp").alias("cluster_id"))
 
@@ -148,9 +161,13 @@ def precedent_clusters_cc(mentions: DataFrame, threshold: int = 5) -> DataFrame:
     min ent_id among longest).  The order-free counterpart of the greedy
     clustering; multi-member components only, like
     postprocessing_utils.py:186-188."""
+    # token_len parity with the greedy path: Python str.split() ignores
+    # leading/trailing whitespace and gives 0 for empty — trim + guard
+    # (a bare split('\s+') counts a phantom empty token on padded text)
+    token_len = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+")))
     verts = (mentions.filter(F.col("label") == "PRECEDENT")
-             .select("doc_id", "ent_id", "text",
-                     F.size(F.split("text", r"\s+")).alias("token_len")))
+             .select("doc_id", "ent_id", "text", token_len.alias("token_len")))
     comp = connected_components(precedent_edges(mentions, threshold),
                                 verts.select("doc_id", "ent_id"))
     members = verts.join(comp, ["doc_id", "ent_id"])

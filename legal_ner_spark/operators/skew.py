@@ -9,10 +9,19 @@ default in session.py):
   on (key, salt) so the hot key's rows spread over N reducers; phase 2
   combines the N partials.  Identical result to a plain groupBy, bounded
   per-reducer load.
-* ``salted_repartition`` — spreads rows across partitions by
-  xxhash64(key) ⊕ salt before a per-group pandas stage, for when one group
-  would otherwise blow a single task (mega-judgment guard when grouping by
-  a coarser key than doc_id).
+* ``salted_repartition`` — spreads a hot key's rows across up to n_salts
+  partitions before a map-side stage, for when one key would otherwise
+  blow a single task (mega-judgment guard when partitioning by a coarser
+  key than doc_id).  NOT for grouped computations that need a whole group
+  in one partition — by construction it splits groups.
+
+Salts are DETERMINISTIC content hashes of the row, never
+``monotonically_increasing_id``/``rand``: a nondeterministic partition
+expression can silently drop or duplicate rows when a lost shuffle map
+output is recomputed (the recomputed rows hash to different reducers than
+the first attempt, and reducers that already fetched are not re-run —
+SPARK-23207 class).  Determinism trades perfect spreading of exact
+duplicate rows for retry safety; distinct rows still spread uniformly.
 """
 
 from __future__ import annotations
@@ -21,13 +30,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _row_salt(df: DataFrame, n_salts: int) -> F.Column:
+    """Deterministic per-row salt: hash of every column — stable across
+    task retries (same row → same salt → same reducer on every attempt)."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
+                  F.lit(n_salts))
+
+
 def salted_two_phase_count(df: DataFrame, key: str,
                            n_salts: int = 16) -> DataFrame:
     """``df.groupBy(key).count()`` with bounded per-reducer load under
     heavy key skew.  Result-identical; the first exchange is on
-    (key, salt) so no reducer sees more than ~1/n_salts of a hot key."""
-    partial = (df.withColumn("_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()),
-                                             F.lit(n_salts)))
+    (key, salt) so no reducer sees more than ~1/n_salts of a hot key
+    (assuming the hot key's rows are not all byte-identical)."""
+    partial = (df.withColumn("_salt", _row_salt(df, n_salts))
                .groupBy(key, "_salt")
                .agg(F.count("*").alias("_partial")))
     return (partial.groupBy(key)
@@ -36,9 +52,11 @@ def salted_two_phase_count(df: DataFrame, key: str,
 
 def salted_repartition(df: DataFrame, key: str, n_partitions: int,
                        n_salts: int = 8) -> DataFrame:
-    """Repartition by (hash(key), salt) — co-locates most of a key's rows
-    while splitting hot keys across up to n_salts partitions."""
-    return (df.withColumn("_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()),
-                                          F.lit(n_salts)))
+    """Repartition by (hash(key), salt): every key's rows spread across up
+    to n_salts partitions, bounding the hottest partition at ~1/n_salts of
+    the hottest key.  Use before MAP-side stages only (the Arrow extract,
+    per-row scoring); a grouped computation needing all of a key's rows
+    together must not be salted."""
+    return (df.withColumn("_salt", _row_salt(df, n_salts))
             .repartition(n_partitions, F.xxhash64(key), F.col("_salt"))
             .drop("_salt"))

@@ -30,12 +30,15 @@ def read_corpus(spark: SparkSession, location: str,
     return spark.read.schema(CORPUS_SCHEMA).parquet(location)
 
 
-def write_corpus(df: DataFrame, location: str, fmt: str = "parquet",
-                 n_buckets: int = 64) -> None:
+def write_corpus(df: DataFrame, location: str, fmt: str = "parquet") -> None:
+    """Both branches are IDEMPOTENT full replaces — a re-run after a
+    downstream failure must not double the table.  Bucket partitioning on
+    Iceberg comes from the table DDL (CREATE TABLE ... PARTITIONED BY
+    (bucket(N, doc_id))); createOrReplace/overwritePartitions respect it.
+    Incremental appends are the ledger's job (bucket-atomic), not this
+    whole-table writer's."""
     if fmt == "iceberg":
-        # bucket partitioning must exist on the table (CREATE TABLE ...
-        # PARTITIONED BY (bucket(n_buckets, doc_id))); append respects it.
-        df.writeTo(location).append()
+        df.writeTo(location).createOrReplace()
     else:
         df.write.mode("overwrite").parquet(location)
 
@@ -45,18 +48,18 @@ def write_records(records: DataFrame, location: str,
     """Materialize the records table partitioned by rec_type (+ doc bucket
     on Iceberg) — every projection in operators/extract.py becomes a
     partition-pruned scan (verified via explain: PartitionFilters on
-    rec_type, see BENCH.md)."""
+    rec_type, see BENCH.md).  Idempotent replace on both branches."""
     if fmt == "iceberg":
-        records.writeTo(location).append()
+        records.writeTo(location).overwritePartitions()
     else:
         records.write.mode("overwrite").partitionBy("rec_type").parquet(location)
 
 
 def write_triples(triples: DataFrame, location: str,
                   fmt: str = "parquet") -> None:
-    """The KG graph table, partitioned by predicate."""
+    """The KG graph table, partitioned by predicate.  Idempotent replace."""
     if fmt == "iceberg":
-        triples.writeTo(location).append()
+        triples.writeTo(location).overwritePartitions()
     else:
         triples.write.mode("overwrite").partitionBy("pred").parquet(location)
 

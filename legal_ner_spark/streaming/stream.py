@@ -5,8 +5,13 @@ engine's incremental-ingest path: new corpus files appear under a directory
 (production: Iceberg table appends), each micro-batch runs the *identical*
 fused extract operator via ``foreachBatch``, appending to the records table.
 All state is per-document, so no watermarks or stateful operators are
-needed — exactly-once comes from the sink's idempotent batch-id handling
-(checkpointLocation).
+needed.  Exactly-once = checkpointed source offsets (checkpointLocation)
+PLUS an idempotent sink: each micro-batch overwrites its OWN
+``batch=<id>`` partition directory, so a batch that commits data but dies
+before the checkpoint records it simply overwrites the same directory on
+replay instead of appending duplicates (a bare ``mode('append')`` parquet
+sink would double the batch).  Production Iceberg equivalent: REPLACE on
+a batch-id partition, or MERGE on doc_id.
 """
 
 from __future__ import annotations
@@ -28,8 +33,9 @@ def stream_extract(spark: SparkSession, corpus_dir: str, out_dir: str,
               .parquet(corpus_dir))
 
     def process(batch_df, batch_id: int) -> None:
+        # idempotent per-batch sink: replaying batch N overwrites batch N
         (ops.extract_records(batch_df)
-         .write.mode("append").parquet(out_dir))
+         .write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}"))
 
     return (stream.writeStream.foreachBatch(process)
             .option("checkpointLocation", checkpoint_dir)
