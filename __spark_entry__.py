@@ -36,10 +36,18 @@ def _ship_package(spark: SparkSession) -> None:
     import zipfile
 
     pkg = pathlib.Path(_REPO) / "legal_ner_spark"
-    z = pathlib.Path(tempfile.gettempdir()) / f"legal_ner_spark_{os.getpid()}.zip"
+    # name the zip by content hash — a pid-keyed reuse could ship STALE
+    # code after a source edit in a long-lived driver (or a recycled pid)
+    files = sorted(pkg.rglob("*.py"))
+    import hashlib
+    h = hashlib.sha256()
+    for p in files:
+        h.update(p.read_bytes())
+    z = (pathlib.Path(tempfile.gettempdir())
+         / f"legal_ner_spark_{h.hexdigest()[:16]}.zip")
     if not z.exists():
         with zipfile.ZipFile(z, "w") as zf:
-            for p in sorted(pkg.rglob("*.py")):
+            for p in files:
                 zf.write(p, p.relative_to(pkg.parent))
     spark.sparkContext.addPyFile(str(z))
     _ship_package._done = spark

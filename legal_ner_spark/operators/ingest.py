@@ -23,10 +23,14 @@ _CLEANUP = [
 ]
 
 _FOOTERS = [
-    # known footer/header patterns (:240-247)
+    # known footer/header patterns (data_preparation.py:239-246)
     r"http://www\.judis\.nic\.in(\s*?\x0c\s*?)?",
     r"(::: Uploaded on - \d\d/\d\d/\d\d\d\d\s+)?::: Downloaded on - .{5,50}:::",
     r"https://www\.mhc\.tn\.gov\.in/judis/(\s*?\x0c\s*?)?",
+    # e-signature footer (:244-245) — the reference applies DOTALL +
+    # IGNORECASE via re flags; Java regex takes them inline as (?si)
+    r"(?si)Signature Not Verified Signed By:.{5,100}Signing Date:"
+    r"\d\d\.\d\d\.\d\d\d\d(.{1,50}Page \d+\s*?! of \d+\s*?!\s*?\d\d:\d\d:\d\d)?",
 ]
 
 

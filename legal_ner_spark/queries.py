@@ -45,6 +45,9 @@ PRECEDENT_FIXTURES = [
     "State of Punjab v. Phil Rani and Anr",
     "2001 SCC 5",
     "Ramesh Patil",
+    # adversarial: 'vs' appears literally inside the petitioner before the
+    # real separator — regression guard for match-position (not instr) split
+    "Avs Corporation vs State of Punjab",
 ]
 
 NAME_FIXTURES = [
@@ -130,21 +133,31 @@ def o_statute_canon_freq():
             f"WHERE canonical <> '' GROUP BY canonical")
 
 
+# lazy-prefix forms: group 1 = text strictly before the FIRST regex match
+# (match.start() semantics).  A literal instr() on the matched string would
+# find an earlier verbatim occurrence (e.g. 'Avs Corporation vs State' —
+# VS_RE matches at offset 16 but instr finds 'vs ' inside 'Avs' at 1) and
+# split at the wrong point.
+PRE_CIT_RE = r"^(.*?)(?:" + CIT_RE + r")"
+PRE_VS_RE = r"^(.*?)(?:" + VS_RE + r")"
+
+
 def q_precedent_split(spark, sf_dir):
     """split_precedents (postprocessing_utils.py:121-143): citation prefix
-    cut, then vs-split into petitioner/respondent."""
+    cut at the citation MATCH position, then vs-split at the vs MATCH
+    position into petitioner/respondent."""
     df = _fixture_df(spark, PRECEDENT_FIXTURES)
     df = df.withColumn("cit", F.regexp_extract("text", CIT_RE, 0))
     df = df.withColumn(
         "body", F.when(F.col("cit") == "", F.col("text"))
-        .otherwise(F.expr("substring(text, 1, instr(text, cit) - 1)")))
+        .otherwise(F.regexp_extract("text", PRE_CIT_RE, 1)))
     df = df.withColumn("vs", F.regexp_extract("body", VS_RE, 0))
     return df.select(
         "text",
         F.when(F.col("vs") == "", F.lit(None)).otherwise(
-            F.trim(F.expr("substring(body, 1, instr(body, vs) - 1)"))).alias("pet"),
+            F.trim(F.regexp_extract("body", PRE_VS_RE, 1))).alias("pet"),
         F.when(F.col("vs") == "", F.lit(None)).otherwise(
-            F.trim(F.expr("substring(body, instr(body, vs) + length(vs))"))).alias("res"),
+            F.trim(F.regexp_replace("body", PRE_VS_RE, ""))).alias("res"),
         "cit")
 
 
@@ -156,7 +169,7 @@ WITH base AS (
 ), body AS (
   SELECT text, cit,
          CASE WHEN cit = '' THEN text
-              ELSE substring(text, 1, instr(text, cit) - 1) END AS body
+              ELSE regexp_extract(text, {_sql_quote(PRE_CIT_RE)}, 1) END AS body
   FROM base
 ), vs AS (
   SELECT text, cit, body,
@@ -165,9 +178,9 @@ WITH base AS (
 )
 SELECT text,
        CASE WHEN vs = '' THEN NULL
-            ELSE trim(substring(body, 1, instr(body, vs) - 1)) END AS pet,
+            ELSE trim(regexp_extract(body, {_sql_quote(PRE_VS_RE)}, 1)) END AS pet,
        CASE WHEN vs = '' THEN NULL
-            ELSE trim(substring(body, instr(body, vs) + length(vs))) END AS res,
+            ELSE trim(regexp_replace(body, {_sql_quote(PRE_VS_RE)}, '')) END AS res,
        cit
 FROM vs"""
 
@@ -220,8 +233,10 @@ def o_normalize_text():
             f"FROM {_values_sql(TEXT_FIXTURES)}")
 
 
-_KEYWORDS = ["JUDGMENT", "ORDER", "J U D G M E N T", "O R D E R",
-             "JUDGMENT & ORDER", "COMMON ORDER", "ORAL JUDGMENT"]
+# single source of truth — the engine's own ordered keyword list (first
+# match wins); a local copy here would silently desynchronize the
+# relational query + oracle from the actual preamble split
+from .core.preamble import PREAMBLE_END_KEYWORDS as _KEYWORDS
 
 
 def q_preamble_keyword(spark, sf_dir):
@@ -362,20 +377,22 @@ SELECT user_id, error_id, prior_id FROM (
 
 def q_ambiguity_prune(spark, sf_dir):
     """remove_ambiguous_names (postprocessing_utils.py:281-298) shape: keys
-    mapping to exactly one distinct label survive (customers whose orders
-    all share one status)."""
-    orders = spark.read.parquet(_t(sf_dir, "orders"))
-    return (orders.groupBy("o_custkey")
-            .agg(F.countDistinct("o_orderstatus").alias("n_status"),
-                 F.min("o_orderstatus").alias("the_status"))
-            .filter("n_status = 1")
-            .select(F.col("o_custkey").alias("custkey"), "the_status"))
+    mapping to exactly one distinct label survive.  Keyed on
+    (l_orderkey → l_returnflag): non-vacuous at EVERY test scale factor —
+    the earlier o_custkey→o_orderstatus form returned 0 rows at sf0.001,
+    making the parity check empty there."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    return (li.groupBy("l_orderkey")
+            .agg(F.countDistinct("l_returnflag").alias("n_flags"),
+                 F.min("l_returnflag").alias("the_flag"))
+            .filter("n_flags = 1")
+            .select(F.col("l_orderkey").alias("orderkey"), "the_flag"))
 
 
 def o_ambiguity_prune():
-    return ("SELECT o_custkey AS custkey, min(o_orderstatus) AS the_status "
-            "FROM orders GROUP BY o_custkey "
-            "HAVING count(DISTINCT o_orderstatus) = 1")
+    return ("SELECT l_orderkey AS orderkey, min(l_returnflag) AS the_flag "
+            "FROM lineitem GROUP BY l_orderkey "
+            "HAVING count(DISTINCT l_returnflag) = 1")
 
 
 def q_cluster_head(spark, sf_dir):
@@ -699,13 +716,8 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def o_dedup_ngram_jaccard():
-    return """
-WITH sh AS (
-  SELECT doc_id, unnest(list_distinct([
-           toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-           for i in generate_series(1, greatest(len(toks) - 2, 0))])) AS shingle
-  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
-        FROM documents WHERE doc_id < 200)
+    return f"""
+WITH sh AS ({_SHINGLE3_SQL.format(pred="doc_id < 200")}
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
 ), inter AS (
@@ -739,12 +751,8 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def o_dedup_minhash_lsh():
-    return """
-WITH sh AS (
-  SELECT doc_id, unnest(list_distinct([
-           toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-           for i in generate_series(1, greatest(len(toks) - 2, 0))])) AS shingle
-  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+    return f"""
+WITH sh AS ({_SHINGLE3_SQL.format(pred="1 = 1")}
 ), sigs AS (
   SELECT doc_id, band, min(md5(band || '|' || shingle)) AS sig
   FROM sh CROSS JOIN (SELECT unnest([0,1,2,3])::INT AS band)
@@ -811,7 +819,7 @@ def q_pii_redact(spark, sf_dir):
 
 
 def o_pii_redact():
-    rows = ", ".join(f"({i}, '{t}')" for i, t in PII_FIXTURES)
+    rows = ", ".join(f"({i}, {_sql_quote(t)})" for i, t in PII_FIXTURES)
     return rf"""
 WITH f(doc_id, text) AS (VALUES {rows})
 SELECT doc_id::BIGINT AS doc_id,
@@ -1076,11 +1084,13 @@ def q_ann_lsh_topk(spark, sf_dir):
     → rows-only check; recall vs brute force is asserted in pytest."""
     from .operators import similarity
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
-    dim = len(emb.select("embedding").first()[0])
-    qs = similarity.prepare_vectors(emb.filter(F.col("vec_id") < 5)) \
-        .withColumnRenamed("vec_id", "vec_id")
+    first = emb.select("embedding").first()
+    if first is None:   # empty table → empty result, like every other query
+        return (emb.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rnk int"))
+    qs = similarity.prepare_vectors(emb.filter(F.col("vec_id") < 5))
     cs = similarity.prepare_vectors(emb.filter(F.col("vec_id") >= 5))
-    return similarity.lsh_ann_topk(qs, cs, dim, k=5, n_planes=8)
+    return similarity.lsh_ann_topk(qs, cs, len(first[0]), k=5, n_planes=8)
 
 
 def q_ann_ivf_topk(spark, sf_dir):
@@ -1148,6 +1158,7 @@ INGEST_FIXTURES = [
     "multiple   spaces\tand tabs",
     "trailing run   ",
     "::: Uploaded on - 01/02/2020  ::: Downloaded on - 03/04/2021 at 10:00 ::: rest",
+    "body text SIGNATURE NOT VERIFIED SIGNED BY: Registrar X\nSigning Date:12.03.2021 tail",
 ]
 
 
@@ -1167,9 +1178,11 @@ WITH f AS (
   SELECT text,
          regexp_replace(
            regexp_replace(
-             regexp_replace(text, 'http://www\.judis\.nic\.in(\s*?\x0c\s*?)?', '', 'g'),
-             '(::: Uploaded on - \d\d/\d\d/\d\d\d\d\s+)?::: Downloaded on - .{5,50}:::', '', 'g'),
-           'https://www\.mhc\.tn\.gov\.in/judis/(\s*?\x0c\s*?)?', '', 'g') AS t
+             regexp_replace(
+               regexp_replace(text, 'http://www\.judis\.nic\.in(\s*?\x0c\s*?)?', '', 'g'),
+               '(::: Uploaded on - \d\d/\d\d/\d\d\d\d\s+)?::: Downloaded on - .{5,50}:::', '', 'g'),
+             'https://www\.mhc\.tn\.gov\.in/judis/(\s*?\x0c\s*?)?', '', 'g'),
+           '(?si)Signature Not Verified Signed By:.{5,100}Signing Date:\d\d\.\d\d\.\d\d\d\d(.{1,50}Page \d+\s*?! of \d+\s*?!\s*?\d\d:\d\d:\d\d)?', '', 'g') AS t
   FROM """ + _values_sql(INGEST_FIXTURES) + r"""
 ), c1 AS (
   SELECT text,
