@@ -19,6 +19,13 @@ VS_RE = r'(?i)\b((v(\.|/)*s*\.*)|versus)\s+'
 CIT_RE = (r'(\(\d+\)|\d+|\[\d+\])\s*(\(\d+\)|\d+|\[\d+\])*\s*[A-Z\.]+\s*'
           r'(\(\d+\)|\d+|\[\d+\])*\s*')
 
+# Lazy-prefix forms: group 1 = text strictly before the FIRST regex match
+# (match.start() semantics in one regexp_extract).  NEVER locate the match
+# with instr() on the matched string — a literal occurrence earlier in the
+# text ('Avs Corporation vs ...') splits at the wrong point.
+PRE_CIT_RE = r'^(.*?)(?:' + CIT_RE + r')'
+PRE_VS_RE = r'^(.*?)(?:' + VS_RE + r')'
+
 
 def statute_canon(col: Column) -> Column:
     """check_stat dictionary (postprocessing_utils.py:591-622) as a single

@@ -74,17 +74,20 @@ def precedent_edges(mentions: DataFrame, threshold: int = 5) -> DataFrame:
     equality — the reference's greedy absorption criteria
     (postprocessing_utils.py:100-116) as a symmetric relation.
     ``F.levenshtein`` is JVM-native; the join is keyed by doc_id only."""
-    from ..functions.text import VS_RE, CIT_RE
+    from ..functions.text import VS_RE, CIT_RE, PRE_CIT_RE, PRE_VS_RE
 
+    # lazy-prefix extraction = match.start() semantics (see functions/
+    # text.py: an instr() on the matched string splits at an earlier
+    # literal occurrence)
     pre = (mentions.filter(F.col("label") == "PRECEDENT")
            .withColumn("cit", F.regexp_extract("text", CIT_RE, 0))
            .withColumn("body", F.when(F.col("cit") == "", F.col("text"))
-                       .otherwise(F.expr("substring(text, 1, instr(text, cit) - 1)")))
+                       .otherwise(F.regexp_extract("text", PRE_CIT_RE, 1)))
            .withColumn("vs", F.regexp_extract("body", VS_RE, 0))
            .withColumn("pet", F.when(F.col("vs") == "", F.lit(None)).otherwise(
-               F.trim(F.expr("substring(body, 1, instr(body, vs) - 1)"))))
+               F.trim(F.regexp_extract("body", PRE_VS_RE, 1))))
            .withColumn("res", F.when(F.col("vs") == "", F.lit(None)).otherwise(
-               F.trim(F.expr("substring(body, instr(body, vs) + length(vs))"))))
+               F.trim(F.regexp_replace("body", PRE_VS_RE, ""))))
            .select("doc_id", "ent_id", "text", "pet", "res", "cit"))
     b = pre.select(F.col("doc_id").alias("bdoc"), F.col("ent_id").alias("bent"),
                    F.col("pet").alias("bpet"), F.col("res").alias("bres"),
@@ -95,6 +98,43 @@ def precedent_edges(mentions: DataFrame, threshold: int = 5) -> DataFrame:
     return (pre.join(b, (F.col("doc_id") == F.col("bdoc"))
                      & (F.col("ent_id") < F.col("bent"))
                      & (sim | cit_eq))
+            .select("doc_id", F.col("ent_id").alias("src"),
+                    F.col("bent").alias("dst")))
+
+
+def token_overlap_edges(mentions: DataFrame,
+                        jaccard_threshold: float = 0.5) -> DataFrame:
+    """Token-set Jaccard similarity edges between PRECEDENT mentions of one
+    document — the 'token-overlap connected components' variant the
+    north_star names alongside the Levenshtein form.  Relational shape:
+    explode distinct lowercase tokens, self-join on (doc_id, token) (never
+    an all-pairs cross join — candidate pairs must share ≥1 token), count
+    the intersection, Jaccard against the union.  Feed the edges to
+    ``connected_components``."""
+    pre = (mentions.filter(F.col("label") == "PRECEDENT")
+           .select("doc_id", "ent_id",
+                   F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+"))
+                   .alias("toks"))
+           .filter(F.size("toks") > 0))
+    toks = pre.select("doc_id", "ent_id", F.explode("toks").alias("tok"))
+    sizes = pre.select("doc_id", "ent_id", F.size("toks").alias("n"))
+    b = toks.select(F.col("doc_id").alias("bdoc"),
+                    F.col("ent_id").alias("bent"), F.col("tok").alias("btok"))
+    inter = (toks.join(b, (F.col("doc_id") == F.col("bdoc"))
+                       & (F.col("ent_id") < F.col("bent"))
+                       & (F.col("tok") == F.col("btok")))
+             .groupBy("doc_id", "ent_id", "bent")
+             .agg(F.count("*").alias("inter")))
+    sa = sizes.withColumnRenamed("ent_id", "ent_id").withColumnRenamed("n", "na")
+    sb = sizes.select(F.col("doc_id").alias("sdoc"),
+                      F.col("ent_id").alias("bent2"), F.col("n").alias("nb"))
+    return (inter.join(sa, ["doc_id", "ent_id"])
+            .join(sb, (F.col("doc_id") == F.col("sdoc"))
+                  & (F.col("bent") == F.col("bent2")))
+            .withColumn("jaccard",
+                        F.col("inter") / (F.col("na") + F.col("nb")
+                                          - F.col("inter")))
+            .filter(F.col("jaccard") >= jaccard_threshold)
             .select("doc_id", F.col("ent_id").alias("src"),
                     F.col("bent").alias("dst")))
 

@@ -133,13 +133,7 @@ def o_statute_canon_freq():
             f"WHERE canonical <> '' GROUP BY canonical")
 
 
-# lazy-prefix forms: group 1 = text strictly before the FIRST regex match
-# (match.start() semantics).  A literal instr() on the matched string would
-# find an earlier verbatim occurrence (e.g. 'Avs Corporation vs State' —
-# VS_RE matches at offset 16 but instr finds 'vs ' inside 'Avs' at 1) and
-# split at the wrong point.
-PRE_CIT_RE = r"^(.*?)(?:" + CIT_RE + r")"
-PRE_VS_RE = r"^(.*?)(?:" + VS_RE + r")"
+from .functions.text import PRE_CIT_RE, PRE_VS_RE
 
 
 def q_precedent_split(spark, sf_dir):

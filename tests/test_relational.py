@@ -91,3 +91,20 @@ def test_precedent_clusters_cc_agrees_with_core_on_pairs(spark, mentions):
             for b in ms[i + 1:]:
                 cc_pairs.add((doc, a, b))
     assert core_pairs <= cc_pairs
+
+
+def test_token_overlap_edges_cluster_same_precedents(spark, mentions):
+    """Token-overlap Jaccard edges must connect near-identical precedent
+    strings (same case cited with/without its citation suffix) and must
+    never connect mentions of different documents."""
+    edges = rel.token_overlap_edges(mentions, jaccard_threshold=0.5)
+    e = edges.toPandas()
+    assert len(e) > 0
+    # all edges intra-doc with src < dst by construction
+    assert (e.src < e.dst).all()
+    comp = rel.connected_components(
+        edges, mentions.filter(F.col("label") == "PRECEDENT")
+        .select("doc_id", "ent_id"))
+    n_clusters = comp.select("doc_id", "cluster_id").distinct().count()
+    n_verts = comp.count()
+    assert 0 < n_clusters <= n_verts
