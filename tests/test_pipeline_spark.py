@@ -81,3 +81,30 @@ def test_reference_aggregations(records):
 def test_postprocess_ok_flag_present(records):
     docs = ops.doc_spans(records).toPandas()
     assert docs.postprocess_ok.notna().all()
+
+
+def test_jvm_text_assembly_matches_python(spark):
+    """TEXT_ASSEMBLY_EXPR (Catalyst) must equal synth.assemble_text for
+    interleaved text+media docs."""
+    from pyspark.sql import functions as F
+    from legal_ner_spark import synth
+    from legal_ner_spark.operators.extract import TEXT_ASSEMBLY_EXPR
+    corpus = pipeline.synthetic_corpus(spark, 32, partitions=4)
+    got = {r.doc_id: r.text for r in corpus.select(
+        "doc_id", F.expr(TEXT_ASSEMBLY_EXPR).alias("text")).collect()}
+    for i in range(32):
+        d = synth.gen_doc(i)
+        assert got[d["doc_id"]] == synth.assemble_text(d["spans"])
+
+
+def test_no_passthrough_profile_matches_default(spark):
+    """carry_spans=False must produce the identical records minus the
+    spans column (null on doc rows)."""
+    from pyspark.sql import functions as F
+    corpus = pipeline.synthetic_corpus(spark, 24, partitions=4)
+    cols = [c for c in ops.RECORD_COLUMNS if c != "spans"]
+    a = ops.extract_records(corpus, carry_spans=True).select(*cols)
+    b = ops.extract_records(corpus, carry_spans=False).select(*cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    nospans = ops.extract_records(corpus, carry_spans=False)
+    assert nospans.filter("rec_type = 'doc' AND spans IS NOT NULL").count() == 0
