@@ -56,7 +56,10 @@ RULES: list[tuple[str, re.Pattern]] = [
     ("COURT", re.compile(rf"(?i)\b(?:{_COURT})\b")),
     ("CASE_NUMBER", re.compile(
         rf"(?i)\b(?:{_CASE_TYPE})(?:\s+\(C\))?\s+No\.?\s+\d+\s+of\s+\d{{4}}\b")),
-    ("STATUTE", re.compile(rf"(?i)\b(?:{_STATUTE})(?:,\s+\d{{4}})?")),
+    # trailing (?!\w) instead of \b: surfaces ending in '.' (I.P.C.) have
+    # no word boundary before a space, but a bare prefix match inside a
+    # longer word ('...Penal Codes') must still be rejected
+    ("STATUTE", re.compile(rf"(?i)\b(?:{_STATUTE})(?:,\s+\d{{4}})?(?!\w)")),
     ("PROVISION", re.compile(
         r"(?i)\b(?:Sections?|Articles?)\s+\d+[A-Z]?"
         r"(?:\s*\(\d+\))?"

@@ -65,9 +65,14 @@ TEXT_ASSEMBLY_EXPR = (
 
 
 def _records_for_doc(doc_id: str, spans, buf: _ColumnBuffer) -> None:
+    # null-tolerant: NULL spans array / NULL struct elements degrade to an
+    # empty doc instead of failing the partition (same as the JVM-side
+    # assembly path, where Catalyst filter/array_join skip nulls)
     spans_list = [dict(kind=s["kind"], text=s["text"],
-                       media_ref=s["media_ref"], offset=int(s["offset"]))
-                  for s in spans]
+                       media_ref=s["media_ref"],
+                       offset=int(s["offset"]) if s["offset"] is not None else 0)
+                  for s in (spans if spans is not None else [])
+                  if s is not None]
     text = assemble_text(spans_list)
     r = extract_document(doc_id, text)
     # span passthrough — the original spans array travels through the Arrow
@@ -118,16 +123,18 @@ def extract_records(corpus: DataFrame, carry_spans: bool = True) -> DataFrame:
                     _records_for_doc(doc_id, spans, buf)
                 yield buf.frame()
 
-        return corpus.mapInPandas(fn, RECORDS_SCHEMA)
+        # explicit projection: extra corpus columns must not cross Arrow
+        return corpus.select("doc_id", "spans").mapInPandas(fn, RECORDS_SCHEMA)
 
     assembled = corpus.select(
-        "doc_id", F.expr(TEXT_ASSEMBLY_EXPR).alias("text"))
+        "doc_id",
+        F.coalesce(F.expr(TEXT_ASSEMBLY_EXPR), F.lit("")).alias("text"))
 
     def fn_text(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             buf = _ColumnBuffer()
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                r = extract_document(doc_id, text)
+                r = extract_document(doc_id, text if text is not None else "")
                 _emit_records(doc_id, r, None, buf)
             yield buf.frame()
 

@@ -38,12 +38,17 @@ MEDIA_FEATURES_SCHEMA = T.StructType([
 def media_spans(corpus: DataFrame) -> DataFrame:
     """Explode the media spans of the corpus — narrow, column-pruned (the
     scan reads only doc_id + spans; Catalyst prunes the rest)."""
+    # position = the span's own offset field (its ordinal in the FULL
+    # interleaved sequence) — a posexplode index over the media-only
+    # filtered array would renumber spans and lose where each media item
+    # sits relative to the surrounding text
     return (corpus.select(
         "doc_id",
-        F.posexplode(F.filter("spans", lambda s: s["kind"] != "text"))
-        .alias("position", "span"))
+        F.explode(F.filter("spans", lambda s: s["kind"] != "text"))
+        .alias("span"))
         .select("doc_id", F.col("span.kind").alias("kind"),
-                F.col("span.media_ref").alias("media_ref"), "position"))
+                F.col("span.media_ref").alias("media_ref"),
+                F.col("span.offset").alias("position")))
 
 
 def _decode_stub(kind: str, media_ref: str, dim: int = 8) -> list[float]:

@@ -20,11 +20,21 @@ def get_spark(app_name: str = "legal-ner-spark", master: str | None = None,
               arrow_batch_rows: int = 64, extra_conf: dict | None = None
               ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    master = master or f"local[{cpus}]"
+    if master is None:
+        # respect an externally-configured master (spark-submit --master
+        # yarn/k8s sets spark.master in system properties; unconditionally
+        # calling .master() here would silently turn a cluster deployment
+        # into a local run).  Only default to local[N] when nothing is set.
+        from pyspark import SparkConf
+        if SparkConf().get("spark.master", None) is None:
+            master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if str(cpus).isdigit() else 32
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name).master(master)
+        builder
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -7,9 +7,9 @@ cited so far" as the corpus streams in.  This operator keeps one counter
 per statute key in Spark's state store — the `transformWithState`/
 `applyInPandasWithState` idiom — and emits updated totals each batch.
 
-State shape: (n_total: long, n_docs_seen: long).  No watermark/timeout:
-statute keys are a small closed-ish set; state is bounded by key
-cardinality, not stream length.
+State shape: (n_total: long).  No watermark/timeout: statute keys are a
+small closed-ish set; state is bounded by key cardinality, not stream
+length.
 """
 
 from __future__ import annotations

@@ -199,6 +199,12 @@ def gen_doc(idx: int) -> dict:
 
 def assemble_text(spans: list[dict]) -> str:
     """Document text = concat of kind='text' span texts in offset order
-    (BASELINE.json input_hint)."""
-    return "".join(s["text"] for s in sorted(spans, key=lambda s: s["offset"])
-                   if s["kind"] == "text")
+    (BASELINE.json input_hint).  Null-tolerant like the Catalyst form
+    (operators/extract.TEXT_ASSEMBLY_EXPR): a null spans array, null
+    struct elements, and null text values all degrade to '' rather than
+    raising — both profiles must treat dirty rows identically."""
+    if not spans:
+        return ""
+    return "".join(s["text"] for s in sorted(
+        (s for s in spans if s is not None), key=lambda s: s["offset"])
+        if s["kind"] == "text" and s["text"] is not None)
