@@ -36,6 +36,32 @@ def test_all_media_doc_passes_spans_through_untouched(spark):
     recs.unpersist()
 
 
+def test_null_spans_rows_degrade_not_crash(spark):
+    """NULL spans arrays, NULL struct elements, and NULL text values must
+    degrade to empty docs in BOTH extraction profiles (a real corpus
+    always contains dirty rows; one bad row must not fail a partition)."""
+    rows = [
+        ("doc_null_arr", None),
+        ("doc_null_text", [{"kind": "text", "text": None,
+                            "media_ref": None, "offset": 0},
+                           {"kind": "text",
+                            "text": "Section 302 of the Indian Penal Code. ",
+                            "media_ref": None, "offset": 1}]),
+    ]
+    corpus = _corpus(spark, rows)
+    for carry in (True, False):
+        recs = ops.extract_records(corpus, carry_spans=carry).cache()
+        docs = {r.doc_id for r in
+                recs.filter(F.col("rec_type") == "doc").collect()}
+        assert docs == {"doc_null_arr", "doc_null_text"}, (carry, docs)
+        # the null-text span is skipped; the good span still extracts
+        assert recs.filter("rec_type = 'triple' AND pred = 'part_of' "
+                           "AND doc_id = 'doc_null_text'").count() >= 1
+        assert recs.filter("doc_id = 'doc_null_arr' "
+                           "AND rec_type = 'triple'").count() == 0
+        recs.unpersist()
+
+
 def test_wide_span_array_roundtrips(spark):
     """A doc with thousands of media spans (a heavily-illustrated judgment)
     must round-trip the full span array through both Arrow boundaries in
