@@ -1237,6 +1237,24 @@ def q_kg_statute_degree(spark, sf_dir):
                  F.countDistinct("doc_id").cast("bigint").alias("n_docs")))
 
 
+def q_kg_statute_cocitation(spark, sf_dir):
+    """Corpus-level graph: co-citation edges between canonical statutes —
+    (a, b) weighted by the number of documents citing both under part_of.
+    Cross-DOCUMENT analytics (everything else in the KG path is per-doc):
+    distinct (doc, statute) pairs self-join on doc_id, then aggregate.
+    At 10^12 docs the join is bounded by statutes-per-doc (small), never
+    doc-pairs; the hot IPC-CrPC edge is exactly the salted-agg use case."""
+    tri = ops.triples(_kg_records(spark, sf_dir))
+    ds = (tri.filter(F.col("pred") == "part_of")
+          .select("doc_id", F.col("obj").alias("statute")).distinct())
+    b = ds.select(F.col("doc_id").alias("bdoc"),
+                  F.col("statute").alias("statute_b"))
+    return (ds.join(b, (F.col("doc_id") == F.col("bdoc"))
+                    & (F.col("statute") < F.col("statute_b")))
+            .groupBy(F.col("statute").alias("statute_a"), "statute_b")
+            .agg(F.count("*").cast("bigint").alias("n_docs")))
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1284,6 +1302,7 @@ QUERIES = {
     "kg_provision_counts": q_kg_provision_counts,
     "kg_label_stats": q_kg_label_stats,
     "kg_statute_degree": q_kg_statute_degree,
+    "kg_statute_cocitation": q_kg_statute_cocitation,
     "kg_pagerank": q_kg_pagerank,
 }
 
