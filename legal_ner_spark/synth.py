@@ -206,5 +206,6 @@ def assemble_text(spans: list[dict]) -> str:
     if not spans:
         return ""
     return "".join(s["text"] for s in sorted(
-        (s for s in spans if s is not None), key=lambda s: s["offset"])
+        (s for s in spans if s is not None),
+        key=lambda s: s["offset"] if s["offset"] is not None else 0)
         if s["kind"] == "text" and s["text"] is not None)

@@ -130,3 +130,31 @@ def test_extract_document_total_on_arbitrary_text(text):
     assert isinstance(r.ok, bool)
     for m in r.mentions:
         assert 0 <= m.start_char < m.end_char
+
+
+_span_st = st.one_of(
+    st.none(),
+    st.fixed_dictionaries({
+        "kind": st.one_of(st.none(), st.sampled_from(
+            ["text", "image", "audio", "hologram"])),
+        "text": st.one_of(st.none(), st.text(max_size=80)),
+        "media_ref": st.one_of(st.none(), st.text(max_size=20)),
+        "offset": st.one_of(st.none(), st.integers(-5, 50)),
+    }))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.one_of(st.none(), st.lists(_span_st, max_size=12)))
+def test_records_total_on_arbitrary_span_arrays(spans):
+    """The Python side of the fused stage never raises on dirty span
+    arrays (null arrays, null elements, null fields, negative offsets,
+    unknown kinds) — one bad row must degrade, not kill its partition."""
+    from legal_ner_spark.operators.extract import _ColumnBuffer, _records_for_doc
+    from legal_ner_spark.synth import assemble_text
+    buf = _ColumnBuffer()
+    # kind=None comparisons: assemble_text treats non-'text' as media
+    _records_for_doc("fuzz", spans, buf)
+    pdf = buf.frame()
+    assert (pdf["rec_type"] == "doc").sum() == 1
+    if spans:
+        assert isinstance(assemble_text([s for s in spans if s]), str)
