@@ -34,6 +34,10 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--tasks-per-core", type=int, default=6)
     ap.add_argument("--master", default=None)
+    ap.add_argument("--no-carry-spans", action="store_true",
+                    help="JVM-side text assembly; spans never cross the "
+                         "Arrow boundary (+16%% — use when the corpus "
+                         "table remains the span store)")
     args = ap.parse_args()
 
     from legal_ner_spark.session import get_spark
@@ -54,7 +58,8 @@ def main() -> None:
 
     processed = ledger.run_with_resume(corpus, args.out,
                                        n_buckets=args.buckets,
-                                       tasks_per_core=args.tasks_per_core)
+                                       tasks_per_core=args.tasks_per_core,
+                                       carry_spans=not args.no_carry_spans)
     records = ledger.read_all_records(spark, args.out)
     triples_path = os.path.join(args.out, "triples")
     (ops.triples(records).write.mode("overwrite")

@@ -57,7 +57,8 @@ def _write_ledger_row(out_path: str, row: dict) -> None:
 
 def run_with_resume(corpus: DataFrame, out_path: str, n_buckets: int = 8,
                     fail_after: int | None = None,
-                    tasks_per_core: int = 2) -> list[int]:
+                    tasks_per_core: int = 2,
+                    carry_spans: bool = True) -> list[int]:
     """Process corpus → records parquet bucket-by-bucket with resume.
 
     Each bucket job repartitions ITS OWN slice to ``tasks_per_core`` tasks
@@ -92,7 +93,7 @@ def run_with_resume(corpus: DataFrame, out_path: str, n_buckets: int = 8,
         t0 = time.time()
         recs = ops.extract_records(
             bucketed.filter(F.col("_bucket") == b).drop("_bucket")
-            .repartition(n_splits, "doc_id"))
+            .repartition(n_splits, "doc_id"), carry_spans=carry_spans)
         part_path = os.path.join(out_path, "records", f"bucket={b}")
         recs.write.mode("overwrite").parquet(part_path)
         spark = corpus.sparkSession
