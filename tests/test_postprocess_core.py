@@ -262,3 +262,21 @@ def test_model_tagger_chunk_bounds_cover_everything():
     # pathological: no whitespace at all — hard split, still full coverage
     assert chunk_bounds("x" * 2500, 1000) == [(0, 1000), (1000, 2000),
                                               (2000, 2500)]
+
+
+def test_statute_rule_word_boundaries():
+    """A vocabulary surface must not match as a prefix inside a longer
+    word (char_span expand would snap to a bogus statute span), while
+    dot-terminated abbreviations still match — the reason the rule ends
+    with (?!\\w) rather than \\b."""
+    from legal_ner_spark.core.tagger import tag_region
+
+    def statutes(txt):
+        return [txt[s:e] for (s, e, lab) in tag_region(txt, "judgment")
+                if lab == "STATUTE"]
+
+    assert statutes("He cited the Indian Penal Code today.") == ["Indian Penal Code"]
+    assert statutes("He cited the Indian Penal Codes today.") == []
+    assert statutes("Under I.P.C. section rules.") == ["I.P.C."]
+    assert statutes("Constitutional matters differ.") == []
+    assert statutes("Indian Penal Code, 1860 applies.") == ["Indian Penal Code, 1860"]
