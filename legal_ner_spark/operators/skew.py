@@ -31,9 +31,16 @@ from pyspark.sql import functions as F
 
 
 def _row_salt(df: DataFrame, n_salts: int) -> F.Column:
-    """Deterministic per-row salt: hash of every column — stable across
-    task retries (same row → same salt → same reducer on every attempt)."""
-    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
+    """Deterministic per-row salt: hash of every column PLUS the input
+    partition id — stable across task retries whenever the input
+    partitioning is (file scans re-read the same split on retry), and the
+    partition term spreads byte-identical hot rows that a pure content
+    hash would send to one reducer.  Residual: identical rows WITHIN one
+    input partition share a salt — harmless for aggregates with map-side
+    partial combine (one partial row per task reaches the shuffle) and
+    bounded by task size for pandas stages."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns])
+                  + F.spark_partition_id().cast("long"),
                   F.lit(n_salts))
 
 

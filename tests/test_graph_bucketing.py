@@ -47,6 +47,7 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path, triples):
     """Two tables bucketed on the join key sort-merge-join with zero
     shuffles — the co-location strategy for the big mentions↔triples joins
     at scale."""
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         src.write_bucketed(triples, "t_bucketed", "doc_id", n_buckets=8)
@@ -59,6 +60,6 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path, triples):
         assert "Exchange" not in plan, plan[:2000]
         assert j.count() == triples.count()
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
         spark.sql("DROP TABLE IF EXISTS t_bucketed")
         spark.sql("DROP TABLE IF EXISTS d_bucketed")

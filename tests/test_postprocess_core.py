@@ -255,8 +255,9 @@ def test_model_tagger_chunk_bounds_cover_everything():
     assert bounds[0][0] == 0 and bounds[-1][1] == len(text)
     for (s1, e1), (s2, _e2) in zip(bounds, bounds[1:]):
         assert e1 == s2                                 # contiguous
-        assert e1 - s1 <= 1000
-        assert e1 == len(text) or text[e1] == " "       # whitespace split
+    for (s, e) in bounds:                               # EVERY chunk incl. last
+        assert e - s <= 1000
+        assert e == len(text) or text[e] == " "         # whitespace split
     assert chunk_bounds("", 100) == []
     assert chunk_bounds("short", 100) == [(0, 5)]
     # pathological: no whitespace at all — hard split, still full coverage

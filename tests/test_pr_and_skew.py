@@ -55,11 +55,16 @@ def test_salted_two_phase_count_equals_plain(spark, skewed):
 
 
 def test_salted_two_phase_first_exchange_is_spread(spark, skewed):
-    """The hot key's rows must hit multiple partial-agg groups."""
-    partial = (skewed.withColumn("_salt", F.pmod(
-        F.xxhash64(F.monotonically_increasing_id()), F.lit(16)))
-        .groupBy("statute", "_salt").count()
-        .filter("statute = 'IPC'"))
+    """The hot key's rows must hit multiple partial-agg groups — asserted
+    against the OPERATOR'S OWN salt (a previous version of this test
+    inlined a different salt and was vacuous).  The skewed fixture's hot
+    rows are byte-identical, the worst case for a content-hash salt; the
+    partition-id term must still spread them across input partitions."""
+    from legal_ner_spark.operators.skew import _row_salt
+    src = skewed.repartition(8)   # ≥2 input partitions carrying hot rows
+    partial = (src.withColumn("_salt", _row_salt(src, 16))
+               .groupBy("statute", "_salt").count()
+               .filter("statute = 'IPC'"))
     assert partial.count() > 4
 
 

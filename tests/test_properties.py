@@ -37,8 +37,11 @@ def test_char_span_expand_covers_request(text):
         return
     sp = d.char_span(1, len(text) - 1)
     if sp is not None:
-        # expand semantics: the span covers at least the overlapped tokens
-        assert sp.start_char <= len(text) - 1 and sp.end_char >= 1
+        # expand semantics: EVERY token overlapping [1, len-1) lies fully
+        # inside the returned span (not merely "some overlap exists")
+        for (ts, te, _t) in d.tokens:
+            if te > 1 and ts < len(text) - 1:
+                assert sp.start_char <= ts and te <= sp.end_char
         assert sp.text == text[sp.start_char:sp.end_char]
 
 

@@ -100,8 +100,13 @@ def test_token_overlap_edges_cluster_same_precedents(spark, mentions):
     edges = rel.token_overlap_edges(mentions, jaccard_threshold=0.5)
     e = edges.toPandas()
     assert len(e) > 0
-    # all edges intra-doc with src < dst by construction
     assert (e.src < e.dst).all()
+    # intra-doc: both endpoints must be PRECEDENT ent_ids of the edge's doc
+    pre = mentions.filter(F.col("label") == "PRECEDENT") \
+        .select("doc_id", "ent_id").toPandas()
+    valid = {(r.doc_id, r.ent_id) for r in pre.itertuples()}
+    for r in e.itertuples():
+        assert (r.doc_id, r.src) in valid and (r.doc_id, r.dst) in valid
     comp = rel.connected_components(
         edges, mentions.filter(F.col("label") == "PRECEDENT")
         .select("doc_id", "ent_id"))

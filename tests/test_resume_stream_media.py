@@ -51,7 +51,7 @@ def test_stream_extract_matches_batch(spark, corpus, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     corpus.write.parquet(corpus_dir)
     q = stream_extract(spark, corpus_dir, out_dir, ckpt)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     got = {(r.doc_id, r.subj, r.pred, r.obj)
            for r in ops.triples(spark.read.parquet(out_dir)).collect()}
     want = {(r.doc_id, r.subj, r.pred, r.obj)
@@ -59,7 +59,7 @@ def test_stream_extract_matches_batch(spark, corpus, tmp_path):
     assert got == want
     # availableNow + checkpoint: restarting processes nothing new
     q2 = stream_extract(spark, corpus_dir, out_dir, ckpt)
-    q2.awaitTermination(60)
+    assert q2.awaitTermination(60)
     n_after = ops.triples(spark.read.parquet(out_dir)).count()
     assert n_after == len(want)
 
@@ -129,7 +129,7 @@ def test_stateful_running_statute_counts(spark, tmp_path):
          .writeStream.outputMode("update").foreachBatch(sink)
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     res = spark.read.parquet(out_dir).toPandas()
     ipc = res[res.canonical == "Indian Penal Code"].sort_values("n_total")
     # cumulative totals across the two batches: 3 then 5 (order of file

@@ -45,6 +45,11 @@ def main() -> int:
                     f"read_parquet('{sf_dir}/{t}.parquet')")
 
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo must not make the gate pass vacuously
+        print(f"FAIL  unknown query name(s): {sorted(unknown)}")
+        return 1
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
