@@ -4,12 +4,23 @@ Four tiers, all pure DataFrame (JVM-side, no Python UDFs):
 
 1. exact        — content-hash groupBy (map-side partial agg; shuffles the
                   32-byte hash, never the text)
-2. minhash LSH  — banded min-signatures; candidate pairs share a
-                  (band, signature) key.  Shuffle keys are constant-size;
-                  no all-pairs blowup: the 100 TB path.
-3. simhash      — 16-bit nibble-majority fingerprint + hamming-distance
-                  pairing (cross-engine deterministic: built from md5 hex
-                  nibbles, no engine-specific hash).
+2. minhash LSH  — b bands × r rows banding (standard S-curve): the band
+                  signature concatenates r independent min-hashes, so
+                  P(candidate) = 1-(1-J^r)^b — steep around the similarity
+                  threshold instead of the r=1 form whose low-J candidate
+                  rate explodes quadratically on topically-similar corpora.
+                  Candidate pairs share a (band, signature) equi-join key;
+                  shuffle keys are constant-size; no all-pairs blowup: the
+                  100 TB path.
+3. simhash      — 64-bit nibble-majority fingerprint + PIGEONHOLE-banded
+                  hamming pairing: the fingerprint splits into
+                  max_hamming+1 segments; any pair within the hamming
+                  budget must agree on at least one whole segment, so an
+                  equi-join on (segment_idx, segment_value) generates a
+                  candidate superset and the hamming filter verifies —
+                  EXACT results with no non-equi self-join anywhere
+                  (cross-engine deterministic: built from md5 hex nibbles,
+                  no engine-specific hash).
 4. ngram Jaccard — exact all-pairs similarity over shingle sets; the
                   verification tier applied to LSH candidates (bounded
                   subsets only).
@@ -55,13 +66,39 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
                  F.min(id_col).alias("keeper_doc_id")))
 
 
-def minhash_signatures(shingles: DataFrame, n_bands: int = 4) -> DataFrame:
-    """All band minima in one aggregation pass, then unpivoted with
-    ``stack`` — no row blowup before the hash."""
-    wide = shingles.groupBy("doc_id").agg(*[
-        F.min(F.md5(F.concat_ws("|", F.lit(b), F.col("shingle"))))
-        .alias(f"b{b}") for b in range(n_bands)])
-    stack = ", ".join(f"{b}, b{b}" for b in range(n_bands))
+# largest prime below 2^32 — modulus for the double-hashing family
+_MINHASH_PRIME = 4294967291
+
+
+def minhash_signatures(shingles: DataFrame, n_bands: int = 8,
+                       rows_per_band: int = 4) -> DataFrame:
+    """b×r banded MinHash signatures: (doc_id, band, sig) where ``sig``
+    concatenates the band's ``rows_per_band`` min-hashes (md5-compressed to
+    a fixed-width key).
+
+    The n_bands×rows_per_band hash family is Kirsch-Mitzenmacher double
+    hashing — g_i = (h1 + i·h2) mod p over two 32-bit halves of ONE
+    md5(shingle) — so each shingle computes one digest, not b·r of them;
+    the minima are 8-byte integers (cheaper to aggregate and shuffle than
+    32-char digest strings).  All band minima land in one aggregation pass
+    (map-side partial min), then unpivot with ``stack`` — no row blowup
+    before the hash."""
+    n_hash = n_bands * rows_per_band
+    h = (shingles
+         .withColumn("_m", F.md5("shingle"))
+         .withColumn("_h1", F.conv(F.substring("_m", 1, 8), 16, 10)
+                     .cast("bigint"))
+         .withColumn("_h2", F.conv(F.substring("_m", 9, 8), 16, 10)
+                     .cast("bigint")))
+    mins = h.groupBy("doc_id").agg(*[
+        F.min((F.col("_h1") + F.lit(i) * F.col("_h2")) % F.lit(_MINHASH_PRIME))
+        .alias(f"m{i}") for i in range(n_hash)])
+    band_sigs = [
+        F.md5(F.concat_ws("-", *[F.col(f"m{b * rows_per_band + r}")
+                                 for r in range(rows_per_band)])).alias(f"s{b}")
+        for b in range(n_bands)]
+    wide = mins.select("doc_id", *band_sigs)
+    stack = ", ".join(f"{b}, s{b}" for b in range(n_bands))
     return wide.selectExpr("doc_id", f"stack({n_bands}, {stack}) AS (band, sig)")
 
 
@@ -100,7 +137,9 @@ def simhash16(docs: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """16-bit SimHash: bit i = majority vote over tokens of whether md5
     nibble i >= 8.  Cheap, deterministic, and exactly reproducible in
-    ANSI SQL (the oracle uses the same instr/md5 arithmetic)."""
+    ANSI SQL (the oracle uses the same instr/md5 arithmetic).  Kept as the
+    compact single-value fingerprint; the near-pair path uses the 64-bit
+    segmented form below."""
     toks = (docs.select(F.col(id_col).alias("doc_id"),
                         F.explode(F.split(F.lower(text_col), " ")).alias("tok")))
     votes = toks.groupBy("doc_id").agg(*[
@@ -111,12 +150,71 @@ def simhash16(docs: DataFrame, id_col: str = "doc_id",
     return votes.selectExpr("doc_id", f"CAST({bits} AS BIGINT) AS simhash")
 
 
+def segment_sizes(n_bits: int, n_segments: int) -> list[int]:
+    """Near-even partition of ``n_bits`` into ``n_segments`` (differ ≤ 1)."""
+    base, rem = divmod(n_bits, n_segments)
+    return [base + (1 if s < rem else 0) for s in range(n_segments)]
+
+
+def simhash_segments(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     n_segments: int = 4) -> DataFrame:
+    """64-bit SimHash as ``n_segments`` integer segment columns s0..s{k-1}
+    (near-even partition of the 64 bits, so every bit is used for any k).
+
+    Global bit i = majority vote over tokens of bit (i mod 4) of md5 hex
+    nibble (i div 4) — 64 bits from the first 16 nibbles, 4x the 16-bit
+    form's resolution (16 bits give only 65,536 fingerprints, so at corpus
+    scale nearly everything collides within hamming 3).  Segmented storage
+    avoids 1<<63 sign overflow AND is exactly the shape the pigeonhole
+    band join needs.  Deterministic + reproducible in ANSI SQL."""
+    n_bits = 64
+    sizes = segment_sizes(n_bits, n_segments)
+    toks = (docs.select(F.col(id_col).alias("doc_id"),
+                        F.explode(F.split(F.lower(text_col), " ")).alias("tok")))
+    votes = toks.groupBy("doc_id").agg(*[
+        F.expr(f"sum(CASE WHEN ({_nibble_expr(i // 4)} & {1 << (i % 4)}) > 0 "
+               f"THEN 1 ELSE -1 END)").alias(f"v{i}") for i in range(n_bits)])
+    segs, start = [], 0
+    for s, width in enumerate(sizes):
+        expr = (" + ".join(
+            f"(CASE WHEN v{start + j} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(width)) or "0")
+        segs.append(F.expr(expr).cast("bigint").alias(f"s{s}"))
+        start += width
+    return votes.select("doc_id", *segs)
+
+
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
                        id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
-    sh = simhash16(docs, id_col, text_col)
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
-    return (sh.join(b, F.col("doc_id") < F.col("doc_b"))
-            .withColumn("hamming", F.expr("bit_count(simhash ^ sb)").cast("int"))
+    """Near-dup pairs with 64-bit-fingerprint hamming ≤ ``max_hamming`` —
+    EXACT, with no non-equi self-join anywhere in the plan.
+
+    Pigeonhole banding: the fingerprint splits into max_hamming+1
+    segments; ≤ max_hamming differing bits cannot touch every segment, so
+    every qualifying pair collides on at least one (segment_idx,
+    segment_value) equi-join key.  The join shuffles fixed-size integer
+    keys; candidates are verified by the exact hamming sum and deduped.
+    At corpus scale this is the same candidate-generation shape as the
+    MinHash LSH path (banded equi-join), not an O(n²) loop join."""
+    # max_hamming+1 segments — pigeonhole-complete for ANY max_hamming:
+    # beyond 64 the extra segments have width 0 and value 0 for every doc,
+    # so all pairs (correctly) become candidates
+    n_segments = max_hamming + 1
+    sh = simhash_segments(docs, id_col, text_col, n_segments=n_segments)
+    scols = [f"s{s}" for s in range(n_segments)]
+    stack = ", ".join(f"{s}, s{s}" for s in range(n_segments))
+    keyed = sh.selectExpr("doc_id", *scols,
+                          f"stack({n_segments}, {stack}) AS (seg_idx, seg_val)")
+    right = keyed.select(
+        F.col("doc_id").alias("doc_b"), "seg_idx", "seg_val",
+        *[F.col(f"s{s}").alias(f"b{s}") for s in range(n_segments)])
+    hamming = F.expr(" + ".join(
+        f"bit_count(s{s} ^ b{s})" for s in range(n_segments))).cast("int")
+    return (keyed.join(right, ["seg_idx", "seg_val"])
+            .filter(F.col("doc_id") < F.col("doc_b"))
+            .withColumn("hamming", hamming)
             .filter(F.col("hamming") <= max_hamming)
-            .select(F.col("doc_id").alias("doc_a"), "doc_b", "hamming"))
+            .select(F.col("doc_id").alias("doc_a"), "doc_b", "hamming")
+            .distinct())

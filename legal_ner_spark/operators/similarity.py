@@ -63,11 +63,41 @@ def prepare_vectors(emb: DataFrame, id_col: str = "vec_id",
 
 
 def cosine_near_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """ALL-PAIRS cosine near-dup pairs — exact, O(n²): the bounded
+    verification tier for small subsets only.  The production path at
+    corpus scale is ``lsh_near_pairs`` below (banded equi-join)."""
     a = prepare_vectors(emb).select(F.col("vec_id").alias("id_a"),
                                     F.col("v").alias("va"))
     b = prepare_vectors(emb).select(F.col("vec_id").alias("id_b"),
                                     F.col("v").alias("vb"))
     return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("cos_sim", F.round(cosine_expr("va", "vb"), 4))
+            .filter(F.col("cos_sim") >= threshold)
+            .select("id_a", "id_b", "cos_sim"))
+
+
+def lsh_near_pairs(emb: DataFrame, threshold: float = 0.95, dim: int = 64,
+                   n_planes: int = 8, n_tables: int = 2,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-dup pairs ≥ ``threshold`` via LSH buckets — the
+    scale path: candidates collide in ≥1 table's hyperplane-signature
+    bucket (equi-join on (table, sig), fixed-size keys), then exact
+    cosine verification.  No all-pairs / non-equi join anywhere in the
+    plan.  Deterministic (md5-parity hyperplanes) but approximate by
+    bucketing: pairs hashed apart in every table are missed — at the
+    production threshold (≥0.95) collision probability per table is
+    (1-θ/π)^n_planes with θ = arccos(0.95) ≈ 18°, i.e. ≈0.41, and ≥1-of-2
+    tables ≈ 0.66; raise n_tables for higher recall (linear cost)."""
+    vs = prepare_vectors(emb, id_col, vec_col)
+    sigs = lsh_signatures(vs, dim, n_planes, n_tables)
+    a = sigs.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+                    "table", "sig")
+    b = sigs.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+                    "table", "sig")
+    return (a.join(b, ["table", "sig"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
             .withColumn("cos_sim", F.round(cosine_expr("va", "vb"), 4))
             .filter(F.col("cos_sim") >= threshold)
             .select("id_a", "id_b", "cos_sim"))

@@ -727,10 +727,12 @@ WHERE round(i.inter / (sa.n + sb.n - i.inter), 4) >= 0.12"""
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash LSH candidates: 4 bands, signature per band =
-    min(md5(band||shingle)); docs sharing a band signature are candidate
-    near-dups.  Shuffle is on (band, signature) — constant-size keys, no
-    all-pairs blowup (the 100 TB path)."""
+    """MinHash LSH candidates, 8 bands × 4 rows: the band signature
+    concatenates 4 independent double-hashed min-hashes, so
+    P(candidate) = 1-(1-J^4)^8 — ~0.03 at J=0.2 instead of the r=1 form's
+    0.59, which is what keeps the candidate set linear on
+    topically-similar corpora.  Shuffle is on (band, signature) —
+    constant-size keys, no all-pairs blowup (the 100 TB path)."""
     from .operators import dedup
     # the documents table is one small file → one split; re-split so the
     # shingle explode + hash parallelizes (at production scale the Iceberg
@@ -738,19 +740,39 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     # not a constant: oversplitting tiny inputs just buys task overhead.
     docs = (spark.read.parquet(_t(sf_dir, "documents"))
             .repartition(spark.sparkContext.defaultParallelism, "doc_id"))
-    sigs = dedup.minhash_signatures(dedup.shingle_rows(docs), n_bands=4)
+    sigs = dedup.minhash_signatures(dedup.shingle_rows(docs),
+                                    n_bands=8, rows_per_band=4)
     return (dedup.lsh_candidates(sigs)
             .select("band", F.col("doc_a").cast("bigint").alias("doc_a"),
                     F.col("doc_b").cast("bigint").alias("doc_b")))
 
 
+def _hex8_int_sql(expr: str, start: int) -> str:
+    """DuckDB: integer value of 8 hex chars of ``expr`` starting at
+    1-based ``start`` — positional nibble sum, equal to Spark's
+    conv(substring(expr, start, 8), 16, 10)."""
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substring({expr}, {start + k}, 1)) - 1) "
+        f"* {16 ** (7 - k)}" for k in range(8))
+    return f"({terms})"
+
+
 def o_dedup_minhash_lsh():
+    from .operators.dedup import _MINHASH_PRIME
     return f"""
 WITH sh AS ({_SHINGLE3_SQL.format(pred="1 = 1")}
+), hh AS (
+  SELECT doc_id, {_hex8_int_sql('m', 1)}::BIGINT AS h1,
+         {_hex8_int_sql('m', 9)}::BIGINT AS h2
+  FROM (SELECT doc_id, md5(shingle) AS m FROM sh)
+), mins AS (
+  SELECT doc_id, i.i AS i, min((h1 + i.i * h2) % {_MINHASH_PRIME}) AS mn
+  FROM hh CROSS JOIN (SELECT unnest(generate_series(0, 31))::BIGINT AS i) i
+  GROUP BY doc_id, i.i
 ), sigs AS (
-  SELECT doc_id, band, min(md5(band || '|' || shingle)) AS sig
-  FROM sh CROSS JOIN (SELECT unnest([0,1,2,3])::INT AS band)
-  GROUP BY doc_id, band
+  SELECT doc_id, (i // 4)::INT AS band,
+         md5(string_agg(mn::VARCHAR, '-' ORDER BY i)) AS sig
+  FROM mins GROUP BY doc_id, (i // 4)
 )
 SELECT DISTINCT a.band, a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b
 FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
@@ -1014,77 +1036,143 @@ def o_doc_fingerprint():
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (hamming ≤ 3 on the 16-bit nibble-majority
-    fingerprint) over a bounded doc subset."""
+    """SimHash near-dup pairs (hamming ≤ 8 on the 64-bit nibble-majority
+    fingerprint) over the FULL documents table — the pigeonhole-banded
+    equi-join makes the unbounded form scale-safe, and the result is
+    EXACT, so the all-pairs DuckDB form below is a true oracle."""
     from .operators import dedup
     docs = (spark.read.parquet(_t(sf_dir, "documents"))
-            .filter(F.col("doc_id") < 300).repartition(32, "doc_id"))
-    return (dedup.simhash_near_pairs(docs, max_hamming=3)
+            .repartition(spark.sparkContext.defaultParallelism, "doc_id"))
+    return (dedup.simhash_near_pairs(docs, max_hamming=8)
             .select(F.col("doc_a").cast("bigint").alias("doc_a"),
                     F.col("doc_b").cast("bigint").alias("doc_b"), "hamming"))
 
 
 def o_simhash_pairs():
+    # 64-bit fingerprint: bit i = majority vote of bit (i%4) of md5 hex
+    # nibble (i//4) — identical arithmetic to dedup.simhash_segments; the
+    # oracle verifies the banded Spark plan against brute-force all-pairs
     hexp = "0123456789abcdef"
     votes = ", ".join(
-        f"sum(CASE WHEN (instr('{hexp}', substring(md5(tok), {i + 1}, 1)) - 1) >= 8 "
-        f"THEN 1 ELSE -1 END) AS v{i}" for i in range(16))
-    bits = " + ".join(
-        f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))
+        f"sum(CASE WHEN ((instr('{hexp}', substring(md5(tok), {i // 4 + 1}, 1)) - 1) "
+        f"& {1 << (i % 4)}) > 0 THEN 1 ELSE -1 END) AS v{i}" for i in range(64))
+    from .operators.dedup import segment_sizes
+    segs, start = [], 0
+    for s, width in enumerate(segment_sizes(64, 9)):   # max_hamming=8 → 9 segs
+        bits = " + ".join(
+            f"(CASE WHEN v{start + j} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(width))
+        segs.append(f"CAST({bits} AS BIGINT) AS s{s}")
+        start += width
+    ham = " + ".join(f"bit_count(xor(a.s{s}, b.s{s}))" for s in range(9))
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
-  FROM documents WHERE doc_id < 300
+  FROM documents
 ), votes AS (
   SELECT doc_id, {votes} FROM toks GROUP BY doc_id
 ), sh AS (
-  SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes
+  SELECT doc_id, {', '.join(segs)} FROM votes
 )
 SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b,
-       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+       ({ham})::INT AS hamming
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+WHERE ({ham}) <= 8"""
 
 
 def q_embedding_near_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs (≥ 0.35 — the synthetic vectors are
-    near-orthogonal; production near-dup uses ≥ 0.95)."""
+    near-orthogonal; production near-dup uses ≥ 0.95) over the FULL
+    embeddings table via LSH buckets: candidate generation is an equi-join
+    on (table, signature), no all-pairs join in the plan.  The oracle
+    mirrors the identical deterministic hyperplanes, so the approximate-
+    by-bucketing result is still exactly checkable."""
     from .operators import similarity
-    emb = (spark.read.parquet(_t(sf_dir, "embeddings"))
-           .filter(F.col("vec_id") < 200))
-    return (similarity.cosine_near_pairs(emb, threshold=0.35)
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    # dim=64 matches the testdata embeddings; the operator takes dim as a
+    # parameter for other corpora
+    return (similarity.lsh_near_pairs(emb, threshold=0.35, dim=64)
             .select(F.col("id_a").cast("bigint").alias("id_a"),
                     F.col("id_b").cast("bigint").alias("id_b"), "cos_sim"))
 
 
 def o_embedding_near_pairs():
-    return """
-WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200
+    from .operators.similarity import hyperplanes
+    dim, n_planes, n_tables = 64, 8, 2
+    sig_selects = []
+    for t in range(n_tables):
+        bits = []
+        for j, plane in enumerate(hyperplanes(dim, n_planes, t)):
+            lit = "[" + ", ".join(str(x) for x in plane) + "]::DOUBLE[]"
+            bits.append(f"(CASE WHEN list_dot_product(v, {lit}) > 0 "
+                        f"THEN {1 << j} ELSE 0 END)")
+        sig_selects.append(f"SELECT vec_id, ({' + '.join(bits)})::INT AS sig, "
+                           f"{t} AS tbl FROM e")
+    sigs = "\nUNION ALL\n".join(sig_selects)
+    cos = ("round(list_dot_product(ea.v, eb.v) / "
+           "(sqrt(list_dot_product(ea.v, ea.v)) * "
+           "sqrt(list_dot_product(eb.v, eb.v))), 4)")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sigs AS ({sigs}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.sig = b.sig
+  WHERE a.vec_id < b.vec_id
 )
-SELECT a.vec_id::BIGINT AS id_a, b.vec_id::BIGINT AS id_b,
-       round(list_dot_product(a.v, b.v) /
-             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-             4) AS cos_sim
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.v, b.v) /
-            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-            4) >= 0.35"""
+SELECT c.id_a::BIGINT AS id_a, c.id_b::BIGINT AS id_b, {cos} AS cos_sim
+FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b
+WHERE {cos} >= 0.35"""
 
 
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed ANN (random-hyperplane signatures, exact rerank within
-    bucket) — the scale path for similarity search.  Approximate by design
-    → rows-only check; recall vs brute force is asserted in pytest."""
+    bucket) — the data-independent scale path for similarity search.
+    Approximate by bucketing but fully deterministic: the md5-parity
+    hyperplanes and ±1 signature arithmetic are SQL-expressible, so the
+    DuckDB oracle reproduces the exact bucket structure and rerank."""
     from .operators import similarity
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
-    first = emb.select("embedding").first()
-    if first is None:   # empty table → empty result, like every other query
-        return (emb.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, cos_sim double, rnk int"))
     qs = similarity.prepare_vectors(emb.filter(F.col("vec_id") < 5))
     cs = similarity.prepare_vectors(emb.filter(F.col("vec_id") >= 5))
-    return similarity.lsh_ann_topk(qs, cs, len(first[0]), k=5, n_planes=8)
+    return (similarity.lsh_ann_topk(qs, cs, 64, k=5, n_planes=8)
+            .select(F.col("query_id").cast("bigint").alias("query_id"),
+                    F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+                    "cos_sim", "rnk"))
+
+
+def o_ann_lsh_topk():
+    from .operators.similarity import hyperplanes
+    dim, n_planes, n_tables = 64, 8, 2
+    sig_selects = []
+    for t in range(n_tables):
+        bits = []
+        for j, plane in enumerate(hyperplanes(dim, n_planes, t)):
+            lit = "[" + ", ".join(str(x) for x in plane) + "]::DOUBLE[]"
+            bits.append(f"(CASE WHEN list_dot_product(v, {lit}) > 0 "
+                        f"THEN {1 << j} ELSE 0 END)")
+        sig_selects.append(f"SELECT vec_id, ({' + '.join(bits)})::INT AS sig, "
+                           f"{t} AS tbl FROM e")
+    sigs = "\nUNION ALL\n".join(sig_selects)
+    cos = ("round(list_dot_product(qe.v, ne.v) / "
+           "(sqrt(list_dot_product(qe.v, qe.v)) * "
+           "sqrt(list_dot_product(ne.v, ne.v))), 4)")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sigs AS ({sigs}),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM sigs q JOIN sigs c ON q.tbl = c.tbl AND q.sig = c.sig
+  WHERE q.vec_id < 5 AND c.vec_id >= 5
+)
+SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+  SELECT cd.query_id::BIGINT AS query_id, cd.neighbor_id::BIGINT AS neighbor_id,
+         {cos} AS cos_sim,
+         row_number() OVER (PARTITION BY cd.query_id
+           ORDER BY {cos} DESC, cd.neighbor_id ASC)::INT AS rnk
+  FROM cand cd JOIN e qe ON qe.vec_id = cd.query_id
+               JOIN e ne ON ne.vec_id = cd.neighbor_id
+) WHERE rnk <= 5"""
 
 
 def q_ann_ivf_topk(spark, sf_dir):
@@ -1337,12 +1425,13 @@ ORACLES = {
     "doc_fingerprint": o_doc_fingerprint(),
     "simhash_pairs": o_simhash_pairs(),
     "embedding_near_pairs": o_embedding_near_pairs(),
+    "ann_lsh_topk": o_ann_lsh_topk(),
     "ann_ivf_topk": o_ann_ivf_topk(),
     "contamination": o_contamination(),
     "pii_redact": o_pii_redact(),
     "pack_shards": o_pack_shards(),
     "prepare_training_corpus": o_prepare_training_corpus(),
     "ingest_clean": o_ingest_clean(),
-    # kg_* (order-sensitive pandas stages) and ann_lsh_topk (approximate by
-    # design, recall asserted in pytest) are rows-only by design
+    # kg_triples/kg_mentions/kg_pagerank (order-sensitive pandas stages /
+    # iterative) are rows-only by design
 }

@@ -53,6 +53,31 @@ def test_minhash_lsh_catches_exact_dup(spark, docs):
     assert (0, 3) in cands               # identical shingle sets always collide
 
 
+def test_minhash_banding_precision_on_low_jaccard_corpus(spark):
+    """b=8×r=4 banding S-curve: planted Jaccard-0.2 pairs (topically
+    similar, NOT near-dups) must rarely become candidates — the r=1 form
+    admitted 59% of them (P = 1-(1-J)^4), which explodes quadratically on
+    real corpora; with r=4 the rate is 1-(1-J^4)^8 ≈ 1.3%.  Planted
+    Jaccard-0.9 near-dups must still all be caught (P ≈ 0.9997)."""
+    rows = []
+    for p in range(30):                      # J = 10/50 = 0.2
+        for k in range(10):
+            rows += [(p, f"sh{p}_{k}"), (1000 + p, f"sh{p}_{k}")]
+        for k in range(20):
+            rows += [(p, f"a{p}_{k}"), (1000 + p, f"b{p}_{k}")]
+    for p in range(100, 103):                # J = 18/20 = 0.9
+        for k in range(18):
+            rows += [(p, f"sh{p}_{k}"), (1000 + p, f"sh{p}_{k}")]
+        rows += [(p, f"a{p}_0"), (1000 + p, f"b{p}_0")]
+    shingles = spark.createDataFrame(rows, ["doc_id", "shingle"])
+    sigs = dedup.minhash_signatures(shingles, n_bands=8, rows_per_band=4)
+    cands = {(r.doc_a, r.doc_b) for r in dedup.lsh_candidates(sigs).collect()}
+    low_j_hits = sum((p, 1000 + p) in cands for p in range(30))
+    assert low_j_hits <= 4, f"{low_j_hits}/30 J=0.2 pairs became candidates"
+    for p in range(100, 103):
+        assert (p, 1000 + p) in cands
+
+
 def test_simhash_identical_docs_zero_hamming(spark, docs):
     sh = {r.doc_id: r.simhash for r in dedup.simhash16(docs).collect()}
     assert sh[0] == sh[3]
