@@ -22,9 +22,13 @@ CIT_RE = (r'(\(\d+\)|\d+|\[\d+\])\s*(\(\d+\)|\d+|\[\d+\])*\s*[A-Z\.]+\s*'
 # Lazy-prefix forms: group 1 = text strictly before the FIRST regex match
 # (match.start() semantics in one regexp_extract).  NEVER locate the match
 # with instr() on the matched string — a literal occurrence earlier in the
-# text ('Avs Corporation vs ...') splits at the wrong point.
-PRE_CIT_RE = r'^(.*?)(?:' + CIT_RE + r')'
-PRE_VS_RE = r'^(.*?)(?:' + VS_RE + r')'
+# text ('Avs Corporation vs ...') splits at the wrong point.  The prefix
+# is dotall ((?s:…)): '.' excludes newlines in both Java regex and RE2, so
+# a PRECEDENT whose citation/vs separator sits after a newline would
+# otherwise fail the prefix match entirely — diverging from the core's
+# match.start() slicing, which is newline-safe by construction.
+PRE_CIT_RE = r'^((?s:.*?))(?:' + CIT_RE + r')'
+PRE_VS_RE = r'^((?s:.*?))(?:' + VS_RE + r')'
 
 
 def statute_canon(col: Column) -> Column:

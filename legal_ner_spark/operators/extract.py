@@ -86,28 +86,38 @@ _PA_RECORDS_SCHEMA = pa.schema(
 
 # Catalyst equivalent of synth.assemble_text: concat of kind='text' span
 # texts in offset order — lets the no-passthrough profile ship ONE string
-# column across the Arrow boundary instead of the whole struct array
+# column across the Arrow boundary instead of the whole struct array.
+# Null offsets sort FIRST (stable within), matching assemble_text's
+# (offset is not None, offset) key — a bare a.offset < b.offset comparator
+# would evaluate to null on dirty rows and leave null-offset spans in
+# place, so the two carry_spans profiles could assemble different texts.
 TEXT_ASSEMBLY_EXPR = (
     "array_join(transform(array_sort(filter(spans, s -> s.kind = 'text'), "
-    "(a, b) -> CASE WHEN a.offset < b.offset THEN -1 "
+    "(a, b) -> CASE WHEN a.offset IS NULL AND b.offset IS NULL THEN 0 "
+    "WHEN a.offset IS NULL THEN -1 "
+    "WHEN b.offset IS NULL THEN 1 "
+    "WHEN a.offset < b.offset THEN -1 "
     "WHEN a.offset > b.offset THEN 1 ELSE 0 END), "
     "s -> s.text), '')")
 
 
-def _records_for_doc(doc_id: str, spans, buf: _ColumnBuffer) -> None:
+def _records_for_doc(doc_id: str, spans, buf: _ColumnBuffer,
+                     text_type: str = "doc") -> None:
     # null-tolerant: NULL spans array / NULL struct elements degrade to an
     # empty doc instead of failing the partition (same as the JVM-side
-    # assembly path, where Catalyst filter/array_join skip nulls)
+    # assembly path, where Catalyst filter/array_join skip nulls).
+    # Offsets stay EXACTLY as read — including None — so the passthrough
+    # spans on the doc row are byte-identical to the input (span-sequence
+    # invariant); null offsets only matter for the assembly sort key.
     spans_list = [dict(kind=s["kind"], text=s["text"],
-                       media_ref=s["media_ref"],
-                       offset=int(s["offset"]) if s["offset"] is not None else 0)
+                       media_ref=s["media_ref"], offset=s["offset"])
                   for s in (spans if spans is not None else [])
                   if s is not None]
     text = assemble_text(spans_list)
-    r = extract_document(doc_id, text)
+    r = extract_document(doc_id, text, text_type=text_type)
     # span passthrough — the original spans array travels through the Arrow
     # boundary untouched (span-sequence invariant: kind, text, media_ref,
-    # order)
+    # offset, order)
     _emit_records(doc_id, r, spans_list, buf)
 
 
@@ -131,7 +141,8 @@ def _emit_records(doc_id: str, r, spans_list, buf: _ColumnBuffer) -> None:
             norm_provision=npro, norm_statute=nsta)
 
 
-def extract_records(corpus: DataFrame, carry_spans: bool = True) -> DataFrame:
+def extract_records(corpus: DataFrame, carry_spans: bool = True,
+                    text_type: str = "doc") -> DataFrame:
     """corpus(doc_id, spans) → long records table (RECORDS_SCHEMA).
     Narrow: no shuffle is introduced by this operator.
 
@@ -143,7 +154,16 @@ def extract_records(corpus: DataFrame, carry_spans: bool = True) -> DataFrame:
     ONE string column crosses into Python — spans cannot be corrupted
     because they never leave the JVM (the invariant holds by
     construction); doc rows carry null spans.  Measured ~15% faster at 32
-    cores (the spans struct conversion is the bulk of the Arrow cost)."""
+    cores (the spans struct conversion is the bulk of the Arrow cost).
+
+    ``text_type`` ∈ {'doc','sent'} is the reference's headline
+    accuracy/latency knob (legal_ner.py:24-27, README.md:159-165): 'sent'
+    tags each sentence separately with offset rebase — preferred for very
+    long judgments — while 'doc' tags the judgment region in one call.
+    Both run inside the same fused narrow stage; the knob changes
+    per-document work only, never the plan shape."""
+    if text_type not in ("doc", "sent"):
+        raise ValueError(f"text_type must be 'doc' or 'sent', got {text_type!r}")
 
     if carry_spans:
         def fn(batches):
@@ -151,7 +171,7 @@ def extract_records(corpus: DataFrame, carry_spans: bool = True) -> DataFrame:
                 buf = _ColumnBuffer()
                 for doc_id, spans in zip(b.column("doc_id").to_pylist(),
                                          b.column("spans").to_pylist()):
-                    _records_for_doc(doc_id, spans, buf)
+                    _records_for_doc(doc_id, spans, buf, text_type=text_type)
                 yield buf.record_batch()
 
         # explicit projection: extra corpus columns must not cross Arrow
@@ -166,7 +186,8 @@ def extract_records(corpus: DataFrame, carry_spans: bool = True) -> DataFrame:
             buf = _ColumnBuffer()
             for doc_id, text in zip(b.column("doc_id").to_pylist(),
                                     b.column("text").to_pylist()):
-                r = extract_document(doc_id, text if text is not None else "")
+                r = extract_document(doc_id, text if text is not None else "",
+                                     text_type=text_type)
                 _emit_records(doc_id, r, None, buf)
             yield buf.record_batch()
 

@@ -47,19 +47,23 @@ def pagerank(triples: DataFrame, pred: str | None = None,
                           "node", "left_anti").localCheckpoint(eager=True)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(n_iter):
-        # dangling nodes spread their mass uniformly (standard PageRank)
+        # dangling nodes spread their mass uniformly (standard PageRank);
+        # the mass stays a 1-row DataFrame broadcast-cross-joined into the
+        # update — no .first()/collect, so each iteration costs exactly
+        # ONE job (the lineage-truncating checkpoint), not two
         d_mass = (dangling.join(ranks, "node")
-                  .agg(F.coalesce(F.sum("rank"), F.lit(0.0))).first()[0])
+                  .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d_mass")))
         contrib = (edges.join(out_deg, "src")
                    .join(ranks.withColumnRenamed("node", "src"), "src")
                    .select(F.col("dst").alias("node"),
                            (F.col("rank") / F.col("deg")).alias("c")))
         ranks = (nodes.join(contrib.groupBy("node")
                             .agg(F.sum("c").alias("c")), "node", "left")
+                 .crossJoin(F.broadcast(d_mass))
                  .select("node",
                          ((1 - damping) / n
                           + damping * (F.coalesce("c", F.lit(0.0))
-                                       + F.lit(d_mass / n)))
+                                       + F.col("d_mass") / n))
                          .alias("rank"))
                  .localCheckpoint(eager=True))
     return ranks.withColumn("rank", F.round("rank", 6))

@@ -92,8 +92,13 @@ def precedent_edges(mentions: DataFrame, threshold: int = 5) -> DataFrame:
     b = pre.select(F.col("doc_id").alias("bdoc"), F.col("ent_id").alias("bent"),
                    F.col("pet").alias("bpet"), F.col("res").alias("bres"),
                    F.col("cit").alias("bcit"))
-    sim = ((F.levenshtein("pet", "bpet") < threshold)
-           & (F.levenshtein("res", "bres") < threshold))
+    # 3-arg levenshtein (Spark ≥3.5) early-exits once the banded DP
+    # exceeds the bound — same result as `levenshtein(a,b) < threshold`
+    # (≥0 iff distance ≤ threshold-1), mirroring the bounded DP the
+    # Python core uses, at a fraction of the comparator cost on long
+    # non-matching names
+    sim = ((F.levenshtein("pet", "bpet", threshold - 1) >= 0)
+           & (F.levenshtein("res", "bres", threshold - 1) >= 0))
     cit_eq = (F.col("cit") != "") & (F.col("cit") == F.col("bcit"))
     return (pre.join(b, (F.col("doc_id") == F.col("bdoc"))
                      & (F.col("ent_id") < F.col("bent"))

@@ -63,7 +63,17 @@ def salted_repartition(df: DataFrame, key: str, n_partitions: int,
     to n_salts partitions, bounding the hottest partition at ~1/n_salts of
     the hottest key.  Use before MAP-side stages only (the Arrow extract,
     per-row scoring); a grouped computation needing all of a key's rows
-    together must not be salted."""
+    together must not be salted.
+
+    PRECONDITION: the input must be retry-deterministic per partition —
+    i.e. a file/Iceberg scan (a retried task re-reads the same split), not
+    the output of a shuffle or an AQE-coalesced stage.  The salt includes
+    spark_partition_id() to spread byte-identical hot rows; downstream of
+    a shuffle, a recomputed map task may see a different partition id and
+    reintroduce the SPARK-23207-class drop/duplicate risk this operator
+    exists to avoid.  Salt a scan, then transform — not the reverse.
+    (salted_two_phase_count is immune: re-aggregation keyed by the real
+    key makes any salt assignment correct.)"""
     return (df.withColumn("_salt", _row_salt(df, n_salts))
             .repartition(n_partitions, F.xxhash64(key), F.col("_salt"))
             .drop("_salt"))

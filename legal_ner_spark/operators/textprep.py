@@ -111,9 +111,23 @@ def pack_shards(docs: DataFrame, token_budget: int = 2000,
     Distributed prefix-sum: bucket = doc_id div ``bucket_size``; the
     global cumulative offset is computed once over the per-bucket totals
     (a table ``bucket_size``× smaller than the corpus) and broadcast back;
-    the per-doc cumsum window is partitioned by bucket."""
+    the per-doc cumsum window is partitioned by bucket.
+
+    ``doc_id`` must cast to bigint (the packing order is numeric).  A
+    non-castable or null id RAISES instead of silently nulling out of the
+    bucket join — silent row loss is the wrong failure mode for a
+    training-data pipeline; corpora with opaque string ids should first
+    assign a numeric ordering key (e.g. zipWithIndex at ingest or a
+    monotonic Iceberg sequence) and pack on that."""
+    # try_cast + explicit raise: uniform loud failure whether or not the
+    # deployment runs ANSI mode (a plain cast silently nulls with ANSI off)
+    casted = F.col(id_col).try_cast("bigint")
     toks = docs.select(
-        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.when(casted.isNull(),
+               F.raise_error(F.concat(
+                   F.lit(f"pack_shards: {id_col} not castable to bigint: "),
+                   F.coalesce(F.col(id_col).cast("string"), F.lit("NULL")))))
+        .otherwise(casted).alias("doc_id"),
         F.size(F.split(text_col, r"\s+")).cast("bigint").alias("n_tokens"))
     toks = toks.withColumn(
         "bucket", F.floor(F.col("doc_id") / bucket_size).cast("bigint"))

@@ -41,18 +41,23 @@ def synthetic_corpus(spark: SparkSession, n_docs: int,
     return rng.mapInPandas(gen, CORPUS_SCHEMA)
 
 
-def extract_records(corpus: DataFrame) -> DataFrame:
-    return ops.extract_records(corpus)
+def extract_records(corpus: DataFrame, carry_spans: bool = True,
+                    text_type: str = "doc") -> DataFrame:
+    """``text_type`` ∈ {'doc','sent'}: the reference's run_type knob
+    (legal_ner.py:24-27) — see operators.extract.extract_records."""
+    return ops.extract_records(corpus, carry_spans=carry_spans,
+                               text_type=text_type)
 
 
-def extract_triples(corpus: DataFrame) -> DataFrame:
-    return ops.triples(ops.extract_records(corpus))
+def extract_triples(corpus: DataFrame, text_type: str = "doc") -> DataFrame:
+    return ops.triples(ops.extract_records(corpus, text_type=text_type))
 
 
-def run_to_parquet(corpus: DataFrame, out_path: str) -> None:
+def run_to_parquet(corpus: DataFrame, out_path: str,
+                   text_type: str = "doc") -> None:
     """Materialize the records table (production: Iceberg partitioned by
     (rec_type, bucket(doc_id)); sandbox: parquet partitioned by rec_type)."""
-    (ops.extract_records(corpus)
+    (ops.extract_records(corpus, text_type=text_type)
      .write.mode("overwrite").partitionBy("rec_type").parquet(out_path))
 
 

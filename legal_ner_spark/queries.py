@@ -48,6 +48,10 @@ PRECEDENT_FIXTURES = [
     # adversarial: 'vs' appears literally inside the petitioner before the
     # real separator — regression guard for match-position (not instr) split
     "Avs Corporation vs State of Punjab",
+    # adversarial: newline inside the petitioner before the separator —
+    # regression guard for the dotall lazy prefix ('.' excludes \n in
+    # Java/RE2; the core's match.start() slicing is newline-safe)
+    "Rakesh\nSharma vs State of Goa 1999 AIR 12",
 ]
 
 NAME_FIXTURES = [
@@ -1290,39 +1294,84 @@ def _kg_records(spark, sf_dir):
     return pipeline.extract_records(corpus)
 
 
+# The kg_* aggregates run over a records table MATERIALIZED to a fixed
+# parquet path: that splits the flagship path into (a) the order-sensitive
+# per-doc extraction (pytest-gated: P/R = 1.0 vs the single-doc oracle,
+# determinism, parallelism invariance — no SQL form exists) and (b) the
+# relational aggregation half, which the DuckDB oracles below verify over
+# the very same parquet files.  Materialization happens once per
+# (process, sf_dir) — the extraction stage runs once, not once per query.
+_KG_RECORDS_PATH = "/root/repo/.artifacts/kg_records"
+_KG_SQL_SRC = f"read_parquet('{_KG_RECORDS_PATH}/*.parquet')"
+_kg_materialized_for: str | None = None
+
+
+def _kg_records_parquet(spark, sf_dir):
+    global _kg_materialized_for
+    if _kg_materialized_for != sf_dir:
+        (_kg_records(spark, sf_dir)
+         .write.mode("overwrite").parquet(_KG_RECORDS_PATH))
+        _kg_materialized_for = sf_dir
+    return spark.read.parquet(_KG_RECORDS_PATH)
+
+
 def q_kg_triples(spark, sf_dir):
-    return ops.triples(_kg_records(spark, sf_dir))
+    return ops.triples(_kg_records_parquet(spark, sf_dir))
 
 
 def q_kg_mentions(spark, sf_dir):
-    return ops.mentions(_kg_records(spark, sf_dir))
+    return ops.mentions(_kg_records_parquet(spark, sf_dir))
 
 
 def q_kg_provision_counts(spark, sf_dir):
-    return ops.unique_provision_counts(_kg_records(spark, sf_dir))
+    return ops.unique_provision_counts(_kg_records_parquet(spark, sf_dir))
+
+
+def o_kg_provision_counts():
+    return f"""
+SELECT doc_id, concat_ws(' of ', norm_provision, norm_statute)
+         AS provision_of_statute,
+       count(*)::BIGINT AS freq
+FROM {_KG_SQL_SRC} WHERE rec_type = 'pro_statute_pair'
+GROUP BY doc_id, concat_ws(' of ', norm_provision, norm_statute)"""
 
 
 def q_kg_label_stats(spark, sf_dir):
     """Corpus entity stats over the pipeline's mentions (README.md:80-96)."""
-    return ops.mention_label_stats(_kg_records(spark, sf_dir))
+    return ops.mention_label_stats(_kg_records_parquet(spark, sf_dir))
+
+
+def o_kg_label_stats():
+    return f"""
+SELECT label, count(*)::BIGINT AS n_mentions,
+       count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM {_KG_SQL_SRC} WHERE rec_type = 'mention' GROUP BY label"""
 
 
 def q_kg_pagerank(spark, sf_dir):
     """PageRank over the part_of citation graph of the materialized triples
     (iterative join+agg — no SQL form; deterministic, rows-only check)."""
     from .operators import graph
-    tri = ops.triples(_kg_records(spark, sf_dir))
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
     return graph.pagerank(tri, pred="part_of", n_iter=4)
 
 
 def q_kg_statute_degree(spark, sf_dir):
     """Graph analytics over the materialized triples: in-degree of statute
     nodes under part_of."""
-    tri = ops.triples(_kg_records(spark, sf_dir))
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
     return (tri.filter(F.col("pred") == "part_of")
             .groupBy(F.col("obj").alias("statute"))
             .agg(F.count("*").cast("bigint").alias("in_degree"),
                  F.countDistinct("doc_id").cast("bigint").alias("n_docs")))
+
+
+def o_kg_statute_degree():
+    return f"""
+SELECT obj AS statute, count(*)::BIGINT AS in_degree,
+       count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM {_KG_SQL_SRC} WHERE rec_type = 'triple' AND pred = 'part_of'
+GROUP BY obj"""
 
 
 def q_kg_statute_cocitation(spark, sf_dir):
@@ -1332,7 +1381,7 @@ def q_kg_statute_cocitation(spark, sf_dir):
     distinct (doc, statute) pairs self-join on doc_id, then aggregate.
     At 10^12 docs the join is bounded by statutes-per-doc (small), never
     doc-pairs; the hot IPC-CrPC edge is exactly the salted-agg use case."""
-    tri = ops.triples(_kg_records(spark, sf_dir))
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
     ds = (tri.filter(F.col("pred") == "part_of")
           .select("doc_id", F.col("obj").alias("statute")).distinct())
     b = ds.select(F.col("doc_id").alias("bdoc"),
@@ -1341,6 +1390,18 @@ def q_kg_statute_cocitation(spark, sf_dir):
                     & (F.col("statute") < F.col("statute_b")))
             .groupBy(F.col("statute").alias("statute_a"), "statute_b")
             .agg(F.count("*").cast("bigint").alias("n_docs")))
+
+
+def o_kg_statute_cocitation():
+    return f"""
+WITH ds AS (
+  SELECT DISTINCT doc_id, obj AS statute
+  FROM {_KG_SQL_SRC} WHERE rec_type = 'triple' AND pred = 'part_of'
+)
+SELECT a.statute AS statute_a, b.statute AS statute_b,
+       count(*)::BIGINT AS n_docs
+FROM ds a JOIN ds b ON a.doc_id = b.doc_id AND a.statute < b.statute
+GROUP BY a.statute, b.statute"""
 
 
 # --------------------------------------------------------------------------
@@ -1432,6 +1493,10 @@ ORACLES = {
     "pack_shards": o_pack_shards(),
     "prepare_training_corpus": o_prepare_training_corpus(),
     "ingest_clean": o_ingest_clean(),
+    "kg_provision_counts": o_kg_provision_counts(),
+    "kg_label_stats": o_kg_label_stats(),
+    "kg_statute_degree": o_kg_statute_degree(),
+    "kg_statute_cocitation": o_kg_statute_cocitation(),
     # kg_triples/kg_mentions/kg_pagerank (order-sensitive pandas stages /
     # iterative) are rows-only by design
 }

@@ -205,7 +205,10 @@ def assemble_text(spans: list[dict]) -> str:
     raising — both profiles must treat dirty rows identically."""
     if not spans:
         return ""
+    # null offsets sort FIRST, stably — the same total order as the
+    # Catalyst comparator in operators/extract.TEXT_ASSEMBLY_EXPR, so both
+    # carry_spans profiles assemble identical text on dirty rows
     return "".join(s["text"] for s in sorted(
         (s for s in spans if s is not None),
-        key=lambda s: s["offset"] if s["offset"] is not None else 0)
+        key=lambda s: (0, 0) if s["offset"] is None else (1, s["offset"]))
         if s["kind"] == "text" and s["text"] is not None)

@@ -108,3 +108,46 @@ def test_no_passthrough_profile_matches_default(spark):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     nospans = ops.extract_records(corpus, carry_spans=False)
     assert nospans.filter("rec_type = 'doc' AND spans IS NOT NULL").count() == 0
+
+
+def test_sent_mode_end_to_end_matches_core(spark):
+    """text_type='sent' plumbed through the Spark operator (legal_ner.py:
+    24-27 run_type knob): the fused stage's triples must exactly match the
+    single-doc core in sent mode, and the knob must be live (sent vs doc
+    may differ on boundary-spanning entities)."""
+    corpus = pipeline.synthetic_corpus(spark, 16, partitions=4)
+    got = {(r.doc_id, r.subj, r.pred, r.obj)
+           for r in ops.triples(
+               pipeline.extract_records(corpus, text_type="sent")).collect()}
+    golden = set()
+    for i in range(16):
+        d = synth.gen_doc(i)
+        r = extract_document(d["doc_id"], synth.assemble_text(d["spans"]),
+                             text_type="sent")
+        golden.update((d["doc_id"],) + t for t in r.triples)
+    assert got == golden
+
+
+def test_null_offset_spans_pass_through_and_assemble_identically(spark):
+    """Dirty rows: a null offset must survive the Arrow round trip as null
+    (not 0) on the doc row's passthrough spans, and both carry_spans
+    profiles must assemble the same text (null-offset spans sort first,
+    stably, in both the Python and Catalyst comparators)."""
+    from pyspark.sql import types as T
+    from legal_ner_spark.schema import CORPUS_SCHEMA
+    rows = [
+        ("d0", [{"kind": "text", "text": "b ", "media_ref": None, "offset": 5},
+                {"kind": "text", "text": "x ", "media_ref": None, "offset": None},
+                {"kind": "text", "text": "y ", "media_ref": None, "offset": None},
+                {"kind": "text", "text": "a ", "media_ref": None, "offset": 1}]),
+    ]
+    corpus = spark.createDataFrame(rows, CORPUS_SCHEMA)
+    doc = ops.extract_records(corpus, carry_spans=True) \
+        .filter("rec_type = 'doc'").collect()[0]
+    offsets = [s.offset for s in doc.spans]
+    assert offsets == [5, None, None, 1]          # untouched, including nulls
+    from pyspark.sql import functions as F
+    from legal_ner_spark.operators.extract import TEXT_ASSEMBLY_EXPR
+    jvm_text = corpus.select(F.expr(TEXT_ASSEMBLY_EXPR).alias("t")).collect()[0].t
+    py_text = synth.assemble_text([s.asDict() for s in doc.spans])
+    assert jvm_text == py_text == "x y a b "

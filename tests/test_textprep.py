@@ -96,3 +96,16 @@ def test_pack_shards_matches_serial_cumsum(spark):
     shard_ids = [got[i][1] for i in range(250)]
     assert shard_ids == sorted(shard_ids)
     assert shard_ids[-1] == (cum - (5 + 249 % 7)) // 100
+
+
+def test_pack_shards_raises_on_non_numeric_ids(spark):
+    """Non-castable doc_ids must RAISE, not silently drop rows (silent
+    loss is the wrong failure mode for a training-data pipeline)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+    bad = spark.createDataFrame(
+        [("1", "alpha beta"), ("doc-x", "gamma delta")], ["doc_id", "text"])
+    with pytest.raises((Py4JJavaError, PySparkException)) as ei:
+        textprep.pack_shards(bad, token_budget=10, bucket_size=2).collect()
+    assert "pack_shards" in str(ei.value)
