@@ -38,20 +38,26 @@ def shingle_rows(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles, exploded to rows.
 
-    Uses ``slice(toks, i+1, n)`` rather than per-position ``toks[i+k]``
-    indexing inside the lambda: repeated non-literal GetArrayItem inside a
-    higher-order function is ~8x slower in Spark 4 (measured 5.5s vs 0.7s
-    over 260k shingles) — one slice call amortizes the bounds checks.
+    Shingles come from ``arrays_zip`` of n shifted ``slice`` views of the
+    token array (struct per position), with the lambda reduced to field
+    reads + concat.  Higher-order-function lambdas are interpreted, not
+    codegen'd, so the per-element body dominates: a ``slice(toks, i+1,
+    n)`` call per element costs 5.2 s and per-position non-literal
+    ``GetArrayItem`` 11 s over 260k shingles, vs 1.4 s for this zip form
+    (the n slices run ONCE per doc, O(len) total, and the per-element
+    work is two O(1) field loads + concat).
 
     Docs with fewer than ``n`` tokens produce an explicit empty array
     (dropped by the explode), matching the DuckDB oracle's empty
-    ``generate_series``: ``sequence(0, size-n)`` with a negative bound
-    would otherwise yield a DESCENDING sequence whose i=-1 element makes
-    ``slice`` throw at runtime."""
+    ``generate_series``: ``slice`` with a non-positive length would throw
+    at runtime."""
     toks = F.split(F.lower(text_col), " ")
+    shifted = ", ".join(
+        f"slice(toks, {k + 1}, size(toks) - {n - 1})" for k in range(n))
+    body = ", ' ', ".join(f"x['{k}']" for k in range(n))
     expr = (f"CASE WHEN size(toks) >= {n} THEN "
-            f"array_distinct(transform(sequence(0, size(toks) - {n}), "
-            f"i -> concat_ws(' ', slice(toks, i + 1, {n})))) "
+            f"array_distinct(transform(arrays_zip({shifted}), "
+            f"x -> concat({body}))) "
             f"ELSE array() END")
     return (docs.withColumn("toks", toks)
             .withColumn("sh", F.expr(expr))
@@ -172,8 +178,14 @@ def simhash_segments(docs: DataFrame, id_col: str = "doc_id",
     sizes = segment_sizes(n_bits, n_segments)
     toks = (docs.select(F.col(id_col).alias("doc_id"),
                         F.explode(F.split(F.lower(text_col), " ")).alias("tok")))
-    votes = toks.groupBy("doc_id").agg(*[
-        F.expr(f"sum(CASE WHEN ({_nibble_expr(i // 4)} & {1 << (i % 4)}) > 0 "
+    # one md5 + 16 instr per TOKEN, projected before the aggregation — the
+    # 64 vote expressions then read nibble columns instead of each
+    # recomputing the digest (Catalyst does not CSE across agg expressions)
+    nibbles = toks.withColumn("_m", F.md5("tok")).select("doc_id", *[
+        F.expr(f"(instr('{_HEX}', substring(_m, {k + 1}, 1)) - 1)")
+        .alias(f"nb{k}") for k in range(16)])
+    votes = nibbles.groupBy("doc_id").agg(*[
+        F.expr(f"sum(CASE WHEN (nb{i // 4} & {1 << (i % 4)}) > 0 "
                f"THEN 1 ELSE -1 END)").alias(f"v{i}") for i in range(n_bits)])
     segs, start = [], 0
     for s, width in enumerate(sizes):

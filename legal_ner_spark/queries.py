@@ -1092,7 +1092,10 @@ def q_embedding_near_pairs(spark, sf_dir):
     mirrors the identical deterministic hyperplanes, so the approximate-
     by-bucketing result is still exactly checkable."""
     from .operators import similarity
-    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    # single-file parquet → one split; re-split so signature computation
+    # parallelizes (production scans yield balanced splits on their own)
+    emb = (spark.read.parquet(_t(sf_dir, "embeddings"))
+           .repartition(spark.sparkContext.defaultParallelism, "vec_id"))
     # dim=64 matches the testdata embeddings; the operator takes dim as a
     # parameter for other corpora
     return (similarity.lsh_near_pairs(emb, threshold=0.35, dim=64)
