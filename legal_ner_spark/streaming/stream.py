@@ -16,7 +16,8 @@ a batch-id partition, or MERGE on doc_id.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..schema import CORPUS_SCHEMA
@@ -41,3 +42,31 @@ def stream_extract(spark: SparkSession, corpus_dir: str, out_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def windowed_event_counts(events: DataFrame, window_duration: str = "10 minutes",
+                          watermark: str = "30 minutes",
+                          ts_col: str = "ts") -> DataFrame:
+    """Watermarked tumbling-window counts per event_type — the
+    late-data-tolerant streaming aggregation idiom (readStream →
+    withWatermark → window() groupBy).
+
+    The watermark bounds state: a window is finalized (and, in append
+    output mode, emitted exactly once) when the watermark passes its end;
+    rows arriving later than ``watermark`` behind the max observed event
+    time are dropped instead of reopening finalized windows.  At corpus
+    scale this is what keeps the state store O(active windows × keys)
+    instead of O(stream length).  Works identically on a batch DataFrame
+    (watermark is a no-op there), so batch backfill and the live stream
+    share one definition."""
+    # watermarks require TIMESTAMP (ltz); parquet often stores NTZ — cast
+    # is exact under the engine's pinned UTC session timezone
+    return (events
+            .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(ts_col, window_duration).alias("win"),
+                     "event_type")
+            .agg(F.count("*").cast("bigint").alias("n_events"))
+            .select(F.col("win.start").alias("window_start"),
+                    F.col("win.end").alias("window_end"),
+                    "event_type", "n_events"))

@@ -136,3 +136,74 @@ def test_stateful_running_statute_counts(spark, tmp_path):
     # pickup is nondeterministic, so accept 2-then-5 as well)
     assert list(ipc.n_total)[-1] == 5
     assert ipc.n_batch.sum() == 5
+
+
+def test_windowed_counts_stream_matches_batch(spark, tmp_path):
+    """Watermarked tumbling-window aggregation: the streaming result over
+    file micro-batches must equal the identical batch definition (one
+    shared operator, complete output mode)."""
+    from pyspark.sql import functions as F
+    from legal_ner_spark.streaming.stream import windowed_event_counts
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    in_dir, ckpt = str(tmp_path / "ev"), str(tmp_path / "ckpt_w")
+    ev.repartition(4).write.parquet(in_dir)
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = (windowed_event_counts(stream, "10 minutes", "30 minutes")
+         .writeStream.format("memory").queryName("win_counts")
+         .outputMode("complete")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = {(r.window_start, r.window_end, r.event_type): r.n_events
+           for r in spark.sql("SELECT * FROM win_counts").collect()}
+    want = {(r.window_start, r.window_end, r.event_type): r.n_events
+            for r in windowed_event_counts(ev, "10 minutes", "30 minutes")
+            .collect()}
+    assert got == want and len(want) > 0
+
+
+def test_windowed_counts_drop_late_rows_past_watermark(spark, tmp_path):
+    """Append-mode watermark semantics: a row arriving later than the
+    watermark behind max event time must be DROPPED, not reopen its
+    (already finalized) window — the state-bounding contract at corpus
+    scale.  Three sequential availableNow runs over one checkpoint:
+    (1) early events, (2) events 2h later (advances the watermark past
+    the early windows), (3) a late straggler inside an early window."""
+    import datetime as dt
+    from legal_ner_spark.streaming.stream import windowed_event_counts
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    in_dir = str(tmp_path / "ev_late")
+    out_dir = str(tmp_path / "win_out")
+    ckpt = str(tmp_path / "ckpt_late")
+
+    def drop(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(in_dir))
+        q = (windowed_event_counts(stream, "10 minutes", "30 minutes")
+             .writeStream.format("parquet").outputMode("append")
+             .option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+        return {(r.window_start, r.window_end, r.event_type): r.n_events
+                for r in spark.read.parquet(out_dir).collect()}
+
+    early = [(i, base + dt.timedelta(minutes=i), 1, "click", 1.0, "{}")
+             for i in range(5)]                     # all in [00:00, 00:10)
+    drop(early)
+    # 2h later: watermark advances to ~01:30, finalizing the early window
+    later = [(100 + i, base + dt.timedelta(hours=2, minutes=i), 1,
+              "click", 1.0, "{}") for i in range(3)]
+    drop(later)
+    # a straggler at 00:02 — 2h late, far past the 30-min watermark
+    emitted = drop([(999, base + dt.timedelta(minutes=2), 1,
+                     "click", 1.0, "{}")])
+    early_key = (base, base + dt.timedelta(minutes=10), "click")
+    # the early window finalized WITHOUT the straggler, emitted exactly once
+    assert emitted.get(early_key) == 5, emitted
