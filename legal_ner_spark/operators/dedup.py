@@ -230,3 +230,85 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
             .filter(F.col("hamming") <= max_hamming)
             .select(F.col("doc_id").alias("doc_a"), "doc_b", "hamming")
             .distinct())
+
+
+def near_duplicate_pairs(docs: DataFrame, threshold: float = 0.5,
+                         n_bands: int = 8, rows_per_band: int = 4,
+                         n: int = 3, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Verified near-dup pairs (doc_a, doc_b, jaccard ≥ threshold): banded
+    MinHash candidate generation, then EXACT n-gram Jaccard computed only
+    on candidate pairs — the shingle join is driven by the candidate
+    list, so verification cost is O(candidates × doc shingles), never
+    all-pairs.  This is the production dedup flow: probabilistic recall
+    from the S-curve, exact precision from the verify tier."""
+    sh = shingle_rows(docs, id_col=id_col, text_col=text_col, n=n)
+    cand = (lsh_candidates(
+        minhash_signatures(sh, n_bands=n_bands, rows_per_band=rows_per_band))
+        .select("doc_a", "doc_b").distinct())
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b_sh = sh.select(F.col("doc_id").alias("_bb"),
+                     F.col("shingle").alias("b_shingle"))
+    inter = (cand.join(a_sh, "doc_a")
+             .join(b_sh, (F.col("doc_b") == F.col("_bb"))
+                   & (F.col("shingle") == F.col("b_shingle")), "inner")
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").alias("inter")))
+    return (inter
+            .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                               F.col("n_sh").alias("na")), "doc_a")
+            .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                               F.col("n_sh").alias("nb")), "doc_b")
+            .withColumn("jaccard", F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+def near_dedup(docs: DataFrame, threshold: float = 0.5,
+               n_bands: int = 8, rows_per_band: int = 4, n: int = 3,
+               id_col: str = "doc_id", text_col: str = "text",
+               max_iter: int = 20) -> DataFrame:
+    """Corpus-level near-dedup keeper assignment: verified pairs →
+    connected components (min-label propagation over doc ids) →
+    keeper = smallest doc_id of each component.  Returns one row per doc
+    (doc_id, keeper_doc_id); singletons keep themselves, so the filter
+    ``doc_id = keeper_doc_id`` IS the deduplicated corpus.
+
+    Scale shape: the edge set is the verified near-dup pairs — orders of
+    magnitude smaller than the corpus — and each propagation round is one
+    shuffle keyed by doc id over (id, label) integer rows.  Component
+    diameters are tiny for dedup graphs (most are 2-cliques), so the loop
+    converges in a handful of rounds; convergence is CHECKED, and
+    non-convergence raises rather than silently emitting fragmented
+    components."""
+    pairs = near_duplicate_pairs(docs, threshold, n_bands, rows_per_band,
+                                 n, id_col, text_col)
+    edges = (pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+             .union(pairs.select(F.col("doc_b").alias("src"),
+                                 F.col("doc_a").alias("dst")))
+             .localCheckpoint(eager=True))
+    labels = (docs.select(F.col(id_col).alias("v"))
+              .withColumn("comp", F.col("v")).localCheckpoint(eager=True))
+    changed = 1
+    for _ in range(max_iter):
+        nbr = (edges.join(labels, edges.dst == labels.v)
+               .groupBy(F.col("src").alias("v2"))
+               .agg(F.min("comp").alias("nbr_comp")))
+        updated = (labels.join(nbr, labels.v == nbr.v2, "left")
+                   .select("v", F.least(F.col("comp"),
+                                        F.coalesce("nbr_comp", F.col("comp")))
+                           .alias("comp"))
+                   .localCheckpoint(eager=True))
+        changed = (labels.select("v", F.col("comp").alias("old"))
+                   .join(updated, "v").filter("old <> comp").limit(1).count())
+        labels = updated
+        if changed == 0:
+            break
+    if changed != 0:
+        raise RuntimeError(
+            f"near_dedup label propagation did not converge in {max_iter} "
+            "iterations — raise max_iter (pathological chain components)")
+    return labels.select(F.col("v").alias("doc_id"),
+                         F.col("comp").alias("keeper_doc_id"))

@@ -791,6 +791,67 @@ _SHINGLE3_SQL = """
         FROM documents WHERE {pred})"""
 
 
+def q_near_dedup(spark, sf_dir):
+    """The composed production dedup flow in one call: banded MinHash
+    candidates → exact Jaccard verification on candidates only →
+    connected components over verified pairs → keeper = smallest doc_id
+    per component.  One row per doc; ``doc_id = keeper_doc_id`` IS the
+    deduplicated corpus.  The oracle reproduces the identical hash
+    family, candidates, verify tier, and components (recursive CTE
+    transitive closure) in DuckDB."""
+    from .operators import dedup
+    docs = (spark.read.parquet(_t(sf_dir, "documents"))
+            .repartition(spark.sparkContext.defaultParallelism, "doc_id"))
+    return (dedup.near_dedup(docs, threshold=0.12)
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    F.col("keeper_doc_id").cast("bigint")
+                    .alias("keeper_doc_id")))
+
+
+def o_near_dedup():
+    from .operators.dedup import _MINHASH_PRIME
+    return f"""
+WITH RECURSIVE sh AS ({_SHINGLE3_SQL.format(pred="1 = 1")}
+), hh AS (
+  SELECT doc_id, {_hex8_int_sql('m', 1)}::BIGINT AS h1,
+         {_hex8_int_sql('m', 9)}::BIGINT AS h2
+  FROM (SELECT doc_id, md5(shingle) AS m FROM sh)
+), mins AS (
+  SELECT doc_id, i.i AS i, min((h1 + i.i * h2) % {_MINHASH_PRIME}) AS mn
+  FROM hh CROSS JOIN (SELECT unnest(generate_series(0, 31))::BIGINT AS i) i
+  GROUP BY doc_id, i.i
+), sigs AS (
+  SELECT doc_id, (i // 4)::INT AS band,
+         md5(string_agg(mn::VARCHAR, '-' ORDER BY i)) AS sig
+  FROM mins GROUP BY doc_id, (i // 4)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+), verified AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+               JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE round(i.inter / (sa.n_sh + sb.n_sh - i.inter), 4) >= 0.12
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM verified
+  UNION SELECT doc_b, doc_a FROM verified
+), reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src::BIGINT AS doc_id, min(dst)::BIGINT AS keeper_doc_id
+FROM reach GROUP BY src"""
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark-contamination check: corpus docs sharing 3-gram shingles
     with an eval set (docs 0-19 standing in for the benchmark).  The eval
@@ -1275,7 +1336,7 @@ WITH f AS (
   FROM """ + _values_sql(INGEST_FIXTURES) + r"""
 ), c1 AS (
   SELECT text,
-         regexp_replace(rtrim(t), '\s+', ' ', 'g') ||
+         regexp_replace(regexp_replace(t, '\s+$', ''), '\s+', ' ', 'g') ||
          COALESCE(regexp_extract(t, '\s+$'), '') AS t
   FROM f
 ), c2 AS (
@@ -1284,6 +1345,86 @@ WITH f AS (
   SELECT text, regexp_replace(t, '\n{3,}', E'\n\n', 'g') AS t FROM c2
 )
 SELECT text, trim(t) AS cleaned FROM c3"""
+
+
+HTML_FIXTURES = [
+    # qualifying p + non-qualifying p (no id prefix) + pre keeps layout
+    '<html><p id="p_1">Hello  world.\nNext</p><p id="x9">SKIPPED</p>'
+    '<pre id="pre_2">  kept   layout\n\n\nlines</pre></html>',
+    # entity unescape + hidden_text span dropped (constant-True quirk)
+    '<p id="p_1">A &amp; B &lt;tag&gt; &quot;q&quot;</p>'
+    '<blockquote id="blockquote_9">Quote '
+    '<span class="hidden_text">GARBAGE</span>text</blockquote>',
+    # footer pattern stripped after assembly
+    '<p id="p_1">visit http://www.judis.nic.in now</p>',
+    # sentence-break newline preserved at fragment end (trailing run is
+    # exempt from the whitespace collapse, so the break regex fires)
+    '<p id="p_3">One sentence.\n</p><p id="p_4">Two</p>',
+    # no qualifying tags at all
+    'no tags at all',
+    # blockquote id prefix on a p tag qualifies (reference checks the id
+    # prefix independently of the tag name)
+    '<p id="blockquote_7">cross tagged</p>',
+]
+
+
+def q_html_to_text(spark, sf_dir):
+    """HTML fetch-side parse re-expressed Spark-first
+    (data_preparation.py:202-254 minus the network GET): id-filtered
+    p/blockquote/pre fragments, hidden-text drop, per-fragment layout
+    normalization with pre exempted, entity unescape, footer strip."""
+    from .operators.ingest import html_to_text
+    return (_fixture_df(spark, HTML_FIXTURES, "html")
+            .select("html", html_to_text("html").alias("text")))
+
+
+def o_html_to_text():
+    from .operators.ingest import (_HTML_FRAGMENT_RE, _HIDDEN_RE, _TAG_RE,
+                                   _ENTITIES)
+    strip = (f"regexp_replace(regexp_replace(x, {_sql_quote(_HIDDEN_RE)}, "
+             f"'', 'g'), {_sql_quote(_TAG_RE)}, '', 'g')")
+
+    def unescape(e):
+        for ent, rep in _ENTITIES:
+            e = f"replace({e}, '{ent}', {_sql_quote(rep)})"
+        return e
+
+    # RE2 has no lookahead: \s+(?!\s*$) = rtrim-collapse + re-append the
+    # trailing run (same device as o_ingest_clean)
+    def collapse(e):
+        # NOT rtrim(): SQL rtrim strips spaces only, and the trailing run
+        # here can be newlines — whitespace-rtrim via regex
+        e = (f"(regexp_replace(regexp_replace({e}, '\\s+$', ''), "
+             f"'\\s+', ' ', 'g') || "
+             f"COALESCE(regexp_extract({e}, '\\s+$'), ''))")
+        # replacement MUST be an E-string: in a standard SQL string the
+        # rewrite engine silently drops the '\n' escapes
+        e = f"regexp_replace({e}, '([.\"?])\\n', E'\\\\1 \\n\\n', 'g')"
+        return f"regexp_replace({e}, '\\n{{2,}}', E'\\n\\n', 'g')"
+
+    pre_b = unescape(strip)
+    nonpre_b = unescape(collapse(strip))
+    footers = "t"
+    for pat in [
+        r"http://www\.judis\.nic\.in(\s*?\x0c\s*?)?",
+        r"(::: Uploaded on - \d\d/\d\d/\d\d\d\d\s+)?::: Downloaded on - .{5,50}:::",
+        r"https://www\.mhc\.tn\.gov\.in/judis/(\s*?\x0c\s*?)?",
+        r"(?si)Signature Not Verified Signed By:.{5,100}Signing Date:"
+        r"\d\d\.\d\d\.\d\d\d\d(.{1,50}Page \d+\s*?! of \d+\s*?!\s*?\d\d:\d\d:\d\d)?",
+    ]:
+        footers = f"regexp_replace({footers}, {_sql_quote(pat)}, '', 'g')"
+    return f"""
+WITH frags AS (
+  SELECT html, regexp_extract_all(html, {_sql_quote(_HTML_FRAGMENT_RE)}) AS fr
+  FROM {_values_sql(HTML_FIXTURES, 'html')}
+), assembled AS (
+  -- regexp_extract_all returns NULL (not []) on zero matches in DuckDB
+  SELECT html, COALESCE(array_to_string(list_transform(fr,
+    x -> CASE WHEN x LIKE '<pre%' THEN {pre_b} ELSE {nonpre_b} END), ''), '')
+    AS t
+  FROM frags
+)
+SELECT html, trim({footers}) AS text FROM assembled"""
 
 
 # --------------------------------------------------------------------------
@@ -1435,6 +1576,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "near_dedup": q_near_dedup,
     "similarity_topk": q_similarity_topk,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -1449,6 +1591,7 @@ QUERIES = {
     "pack_shards": q_pack_shards,
     "prepare_training_corpus": q_prepare_training_corpus,
     "ingest_clean": q_ingest_clean,
+    "html_to_text": q_html_to_text,
     "kg_triples": q_kg_triples,
     "kg_mentions": q_kg_mentions,
     "kg_provision_counts": q_kg_provision_counts,
@@ -1482,6 +1625,7 @@ ORACLES = {
     "dedup_exact": o_dedup_exact(),
     "dedup_ngram_jaccard": o_dedup_ngram_jaccard(),
     "dedup_minhash_lsh": o_dedup_minhash_lsh(),
+    "near_dedup": o_near_dedup(),
     "similarity_topk": o_similarity_topk(),
     "lang_id": o_lang_id(),
     "quality_score": o_quality_score(),
@@ -1496,6 +1640,7 @@ ORACLES = {
     "pack_shards": o_pack_shards(),
     "prepare_training_corpus": o_prepare_training_corpus(),
     "ingest_clean": o_ingest_clean(),
+    "html_to_text": o_html_to_text(),
     "kg_provision_counts": o_kg_provision_counts(),
     "kg_label_stats": o_kg_label_stats(),
     "kg_statute_degree": o_kg_statute_degree(),

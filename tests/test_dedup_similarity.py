@@ -200,3 +200,22 @@ def test_sent_mode_close_to_doc_mode(spark):
         inter += len(t_doc & t_sent)
         union += len(t_doc | t_sent)
     assert inter / union >= 0.9, inter / union
+
+
+def test_near_dedup_transitive_chain_and_singletons(spark):
+    """Composed dedup flow: A~B and B~C (A,C dissimilar) must merge into
+    ONE component by transitivity with keeper = min doc_id; unrelated
+    docs keep themselves; an exact dup joins its original's component."""
+    w = [f"w{i}" for i in range(40)]
+    rows = [
+        (0, " ".join(w[0:30])),            # A
+        (1, " ".join(w[2:32])),            # B: J≈0.87 with A
+        (2, " ".join(w[4:34])),            # C: J≈0.87 with B, ≈0.65 with A
+        (3, " ".join(f"x{i}" for i in range(30))),   # singleton
+        (4, " ".join(f"y{i}" for i in range(30))),   # singleton
+        (5, " ".join(w[0:30])),            # exact dup of A
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.keeper_doc_id
+           for r in dedup.near_dedup(docs, threshold=0.5).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 0}

@@ -102,3 +102,18 @@ def test_unknown_kind_treated_as_media(spark):
     triples = recs.filter(F.col("rec_type") == "triple")
     assert triples.filter(F.col("pred") == "part_of").count() >= 1
     recs.unpersist()
+
+
+def test_parse_html_corpus_shapes_and_hidden_drop(spark):
+    """HTML ingest front door: (doc_id, html) → (doc_id, text); hidden
+    spans dropped, pre layout preserved, non-qualifying ids skipped."""
+    from legal_ner_spark.operators.ingest import parse_html_corpus
+    rows = [("d0", '<p id="p_1">A.</p><p id="nope">SKIP</p>'
+                   '<pre id="pre_1">a   b\n\nc</pre>'),
+            ("d1", '<p id="p_1">x <span class="hidden_text">JUNK</span>y</p>')]
+    got = {r.doc_id: r.text
+           for r in parse_html_corpus(
+               spark.createDataFrame(rows, ["doc_id", "html"])).collect()}
+    assert got["d0"] == "A.a   b\n\nc"
+    assert "SKIP" not in got["d0"] and "JUNK" not in got["d1"]
+    assert got["d1"] == "x y"
