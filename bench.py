@@ -64,7 +64,7 @@ def main() -> None:
     ops.triples(pipeline.extract_records(corpus, text_type="sent")).count()
     sent_sec = time.time() - t0
 
-    bench_queries = ["tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q17",
+    bench_queries = ["tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q7", "tpch_q13", "tpch_q17",
                      "nearest_prior_link", "dedup_exact", "dedup_minhash_lsh", "near_dedup",
                      "simhash_pairs", "embedding_near_pairs", "similarity_topk",
                      "ann_lsh_topk", "ann_ivf_topk", "contamination",

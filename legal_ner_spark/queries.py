@@ -557,6 +557,113 @@ JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY n.n_name"""
 
 
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 (volume shipping between two nations): the two nation
+    roles are DIFFERENT broadcast copies of one tiny table, name-filtered
+    before the join so only the two relevant nations ever ship; lineitem
+    is the only shuffled side (its date filter pushes into the scan)."""
+    li = (spark.read.parquet(_t(sf_dir, "lineitem"))
+          .filter((F.col("l_shipdate") >= "1995-01-01")
+                  & (F.col("l_shipdate") <= "1997-12-31")))
+    supp = spark.read.parquet(_t(sf_dir, "supplier"))
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    nation = spark.read.parquet(_t(sf_dir, "nation"))
+    pair = ("NATION_1", "NATION_2")
+    n1 = (nation.filter(F.col("n_name").isin(*pair))
+          .select(F.col("n_nationkey").alias("n1_key"),
+                  F.col("n_name").alias("supp_nation")))
+    n2 = (nation.filter(F.col("n_name").isin(*pair))
+          .select(F.col("n_nationkey").alias("n2_key"),
+                  F.col("n_name").alias("cust_nation")))
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+         .filter(F.col("supp_nation") != F.col("cust_nation")))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").alias("l_year"))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+
+
+def o_tpch_q7():
+    return """
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l.l_shipdate)::INT AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+    AND n2.n_name IN ('NATION_1', 'NATION_2')
+    AND n1.n_name <> n2.n_name
+    AND l.l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1997-12-31'
+)
+GROUP BY supp_nation, cust_nation, l_year"""
+
+
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 shape (customer order-count distribution): LEFT join so
+    zero-order customers land in the 0 bucket, two-level aggregation —
+    the first keyed by customer (shuffle on c_custkey), the second over
+    the tiny counts table.  The driver's orders table has no o_comment,
+    so the exclusion filter is on o_orderpriority (same plan shape)."""
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    orders = (spark.read.parquet(_t(sf_dir, "orders"))
+              .filter(F.col("o_orderpriority") != "1-URGENT"))
+    per_cust = (cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").cast("bigint").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").cast("bigint").alias("custdist")))
+
+
+def o_tpch_q13():
+    return """
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count"""
+
+
+def q_windowed_counts(spark, sf_dir):
+    """The streaming windowed-agg operator on its batch leg (watermark is
+    a no-op on batch): tumbling 10-minute counts per event_type — one
+    definition shared by backfill and the live stream
+    (streaming/stream.windowed_event_counts; stream-vs-batch equality is
+    pytest-gated, late-data dropping has its own checkpointed test)."""
+    from .streaming.stream import windowed_event_counts
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return (windowed_event_counts(ev, "10 minutes", "30 minutes")
+            .select(F.col("window_start").cast("timestamp_ntz")
+                    .alias("window_start"),
+                    F.col("window_end").cast("timestamp_ntz")
+                    .alias("window_end"),
+                    "event_type", "n_events"))
+
+
+def o_windowed_counts():
+    return """
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+       time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes'
+         AS window_end,
+       event_type, count(*)::BIGINT AS n_events
+FROM events
+GROUP BY 1, 2, event_type"""
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline operators (documents / embeddings)
 # --------------------------------------------------------------------------
@@ -1572,6 +1679,9 @@ QUERIES = {
     "tpch_q6": q_tpch_q6,
     "tpch_q4": q_tpch_q4,
     "tpch_q17": q_tpch_q17,
+    "tpch_q7": q_tpch_q7,
+    "tpch_q13": q_tpch_q13,
+    "windowed_counts": q_windowed_counts,
     "sessionize": q_sessionize,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1621,6 +1731,9 @@ ORACLES = {
     "tpch_q6": o_tpch_q6(),
     "tpch_q4": o_tpch_q4(),
     "tpch_q17": o_tpch_q17(),
+    "tpch_q7": o_tpch_q7(),
+    "tpch_q13": o_tpch_q13(),
+    "windowed_counts": o_windowed_counts(),
     "sessionize": o_sessionize(),
     "dedup_exact": o_dedup_exact(),
     "dedup_ngram_jaccard": o_dedup_ngram_jaccard(),

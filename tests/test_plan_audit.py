@@ -108,3 +108,11 @@ def test_near_dup_pair_tier_has_no_loop_joins(spark):
         assert "BroadcastNestedLoopJoin" not in p, (name, p[:2000])
         assert "SortMergeJoin" in p or "ShuffledHashJoin" in p \
             or "BroadcastHashJoin" in p, (name, p[:2000])
+
+
+def test_q7_broadcasts_both_nation_roles(spark):
+    p = physical(queries.QUERIES["tpch_q7"](spark, SF))
+    assert "CartesianProduct" not in p
+    n_bcast = p.count("BroadcastExchange") + p.count("BroadcastQueryStage")
+    assert n_bcast >= 4, p[:3000]        # supp, cust, nation x2
+    assert "PushedFilters" in p          # l_shipdate range reaches the scan
