@@ -266,30 +266,93 @@ def near_duplicate_pairs(docs: DataFrame, threshold: float = 0.5,
             .select("doc_a", "doc_b", "jaccard"))
 
 
+def shingle_fingerprints(sh: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint): md5 of the sorted distinct shingle set.
+    Identical fingerprint ⇔ identical shingle set ⇔ Jaccard exactly 1
+    with IDENTICAL similarity to every other doc — so fingerprint groups
+    can be collapsed to one representative without changing any
+    threshold decision.  Docs with zero shingles are absent (they can
+    never pair and must stay singletons, not collapse together)."""
+    return (sh.groupBy("doc_id")
+            .agg(F.md5(F.array_join(F.array_sort(F.collect_set("shingle")),
+                                    "\x01")).alias("fingerprint")))
+
+
 def near_dedup(docs: DataFrame, threshold: float = 0.5,
                n_bands: int = 8, rows_per_band: int = 4, n: int = 3,
                id_col: str = "doc_id", text_col: str = "text",
-               max_iter: int = 20) -> DataFrame:
-    """Corpus-level near-dedup keeper assignment: verified pairs →
-    connected components (min-label propagation over doc ids) →
-    keeper = smallest doc_id of each component.  Returns one row per doc
-    (doc_id, keeper_doc_id); singletons keep themselves, so the filter
-    ``doc_id = keeper_doc_id`` IS the deduplicated corpus.
+               max_iter: int = 20, mode: str = "exact") -> DataFrame:
+    """Corpus-level near-dedup keeper assignment: exact-set pre-collapse →
+    verified pairs over representatives → connected components (min-label
+    propagation) → keeper = smallest doc_id of each component.  Returns
+    one row per doc (doc_id, keeper_doc_id); singletons keep themselves,
+    so the filter ``doc_id = keeper_doc_id`` IS the deduplicated corpus.
 
-    Scale shape: the edge set is the verified near-dup pairs — orders of
-    magnitude smaller than the corpus — and each propagation round is one
-    shuffle keyed by doc id over (id, label) integer rows.  Component
-    diameters are tiny for dedup graphs (most are 2-cliques), so the loop
-    converges in a handful of rounds; convergence is CHECKED, and
-    non-convergence raises rather than silently emitting fragmented
-    components."""
-    pairs = near_duplicate_pairs(docs, threshold, n_bands, rows_per_band,
-                                 n, id_col, text_col)
+    Stage 0 collapses identical shingle SETS (fingerprint groups) to
+    their min-doc_id representative — semantics-preserving (J=1 within a
+    group, and every member has byte-identical similarity to all other
+    docs), and it is what keeps template-heavy corpora tractable: a
+    cluster of 10^4 boilerplate copies becomes ONE representative before
+    any pair is enumerated.
+
+    ``mode='exact'`` (default) verifies ALL candidate pairs among
+    representatives — exact w.r.t. the threshold, but Ω(true pairs):
+    within a genuinely-near-dup mega-cluster of k distinct texts the
+    verify tier is O(k²) because the true pair set IS O(k²).
+    ``mode='scale'`` verifies only STAR edges (each representative ↔ the
+    smallest member of its LSH bucket): O(corpus) edges regardless of
+    cluster size.  Star merges are a SUBSET of exact merges (every star
+    edge is threshold-verified), so precision is preserved; recall drops
+    only for docs whose sole path into a cluster was a non-hub pair.
+
+    Each propagation round is one shuffle keyed by doc id over
+    (id, label) integer rows; component diameters are tiny for dedup
+    graphs, the loop converges in a handful of rounds; convergence is
+    CHECKED, and non-convergence raises rather than silently emitting
+    fragmented components."""
+    if mode not in ("exact", "scale"):
+        raise ValueError(f"mode must be 'exact' or 'scale', got {mode!r}")
+    sh_all = shingle_rows(docs, id_col=id_col, text_col=text_col, n=n)
+    fps = shingle_fingerprints(sh_all)
+    groups = (fps.groupBy("fingerprint")
+              .agg(F.min("doc_id").alias("rep")))
+    doc_rep = fps.join(groups, "fingerprint").select("doc_id", "rep")
+    reps = doc_rep.filter(F.col("doc_id") == F.col("rep")) \
+        .select(F.col("rep").alias("doc_id"))
+    sh = sh_all.join(reps, "doc_id")
+
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sigs = minhash_signatures(sh, n_bands=n_bands,
+                              rows_per_band=rows_per_band)
+    if mode == "exact":
+        cand = lsh_candidates(sigs).select("doc_a", "doc_b").distinct()
+    else:
+        hub = sigs.groupBy("band", "sig").agg(F.min("doc_id").alias("doc_a"))
+        cand = (sigs.join(hub, ["band", "sig"])
+                .filter(F.col("doc_id") != F.col("doc_a"))
+                .select("doc_a", F.col("doc_id").alias("doc_b")).distinct())
+    a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b_sh = sh.select(F.col("doc_id").alias("_bb"),
+                     F.col("shingle").alias("b_shingle"))
+    inter = (cand.join(a_sh, "doc_a")
+             .join(b_sh, (F.col("doc_b") == F.col("_bb"))
+                   & (F.col("shingle") == F.col("b_shingle")), "inner")
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").alias("inter")))
+    pairs = (inter
+             .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                                F.col("n_sh").alias("na")), "doc_a")
+             .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                                F.col("n_sh").alias("nb")), "doc_b")
+             .filter(F.round(F.col("inter")
+                             / (F.col("na") + F.col("nb") - F.col("inter")), 4)
+                     >= threshold)
+             .select("doc_a", "doc_b"))
     edges = (pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
              .union(pairs.select(F.col("doc_b").alias("src"),
                                  F.col("doc_a").alias("dst")))
              .localCheckpoint(eager=True))
-    labels = (docs.select(F.col(id_col).alias("v"))
+    labels = (reps.select(F.col("doc_id").alias("v"))
               .withColumn("comp", F.col("v")).localCheckpoint(eager=True))
     changed = 1
     for _ in range(max_iter):
@@ -310,5 +373,15 @@ def near_dedup(docs: DataFrame, threshold: float = 0.5,
         raise RuntimeError(
             f"near_dedup label propagation did not converge in {max_iter} "
             "iterations — raise max_iter (pathological chain components)")
-    return labels.select(F.col("v").alias("doc_id"),
-                         F.col("comp").alias("keeper_doc_id"))
+    # re-expand: every doc inherits its representative's component label
+    # (the label is the min rep id = min doc id of the merged component,
+    # since each rep is the min of its fingerprint group); docs with zero
+    # shingles never entered the graph and keep themselves
+    rep_comp = labels.select(F.col("v").alias("rep"), "comp")
+    assigned = (doc_rep.join(rep_comp, "rep")
+                .select("doc_id", F.col("comp").alias("keeper_doc_id")))
+    return (docs.select(F.col(id_col).alias("doc_id"))
+            .join(assigned, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("keeper_doc_id", F.col("doc_id"))
+                    .alias("keeper_doc_id")))

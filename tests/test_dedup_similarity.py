@@ -219,3 +219,30 @@ def test_near_dedup_transitive_chain_and_singletons(spark):
     got = {r.doc_id: r.keeper_doc_id
            for r in dedup.near_dedup(docs, threshold=0.5).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 0}
+
+
+def test_near_dedup_scale_mode_is_precision_preserving(spark):
+    """mode='scale' (star edges to the bucket hub) must never merge docs
+    exact mode would not (star merges ⊆ exact merges), and on simple
+    clusters the two agree; an exact-duplicate group must collapse in
+    stage 0 regardless of mode."""
+    w = [f"w{i}" for i in range(40)]
+    rows = ([(0, " ".join(w[0:30])), (1, " ".join(w[2:32])),
+             (2, " ".join(w[4:34])), (3, " ".join(f"x{i}" for i in range(30))),
+             (5, " ".join(w[0:30]))]
+            + [(10 + k, " ".join(f"z{i}" for i in range(25))) for k in range(4)])
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    exact = {r.doc_id: r.keeper_doc_id
+             for r in dedup.near_dedup(docs, threshold=0.5,
+                                       mode="exact").collect()}
+    scale = {r.doc_id: r.keeper_doc_id
+             for r in dedup.near_dedup(docs, threshold=0.5,
+                                       mode="scale").collect()}
+    # identical-text group 10..13 collapses in stage 0 in BOTH modes
+    assert all(exact[i] == 10 and scale[i] == 10 for i in range(10, 14))
+    assert exact[5] == 0 and scale[5] == 0
+    # precision: scale never merges what exact keeps apart
+    for d, k in scale.items():
+        if k != d:
+            assert exact[d] == exact[k], (d, k)
+    assert exact == scale   # on hub-connected clusters the modes agree
