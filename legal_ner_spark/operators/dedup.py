@@ -316,10 +316,16 @@ def near_dedup(docs: DataFrame, threshold: float = 0.5,
     fps = shingle_fingerprints(sh_all)
     groups = (fps.groupBy("fingerprint")
               .agg(F.min("doc_id").alias("rep")))
-    doc_rep = fps.join(groups, "fingerprint").select("doc_id", "rep")
+    # materialize the two frames every downstream branch reads (doc→rep
+    # map and representative shingles): without this the scan→shingle→
+    # fingerprint subtree re-executes once per consumer — candidates,
+    # verify (both sides), sizes, and the final re-expansion.  At cluster
+    # scale the same role is played by persisting to storage once.
+    doc_rep = (fps.join(groups, "fingerprint").select("doc_id", "rep")
+               .localCheckpoint(eager=True))
     reps = doc_rep.filter(F.col("doc_id") == F.col("rep")) \
         .select(F.col("rep").alias("doc_id"))
-    sh = sh_all.join(reps, "doc_id")
+    sh = sh_all.join(reps, "doc_id").localCheckpoint(eager=True)
 
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sigs = minhash_signatures(sh, n_bands=n_bands,
@@ -352,7 +358,12 @@ def near_dedup(docs: DataFrame, threshold: float = 0.5,
              .union(pairs.select(F.col("doc_b").alias("src"),
                                  F.col("doc_a").alias("dst")))
              .localCheckpoint(eager=True))
-    labels = (reps.select(F.col("doc_id").alias("v"))
+    # propagate over TOUCHED vertices only: a label can change only along
+    # an edge, and the dup graph is orders of magnitude smaller than the
+    # corpus — iterating over every doc would shuffle the whole corpus
+    # per round for nothing.  Untouched reps/docs fall through the final
+    # coalesce to keeper = self.
+    labels = (edges.select(F.col("src").alias("v")).distinct()
               .withColumn("comp", F.col("v")).localCheckpoint(eager=True))
     changed = 1
     for _ in range(max_iter):
@@ -375,11 +386,15 @@ def near_dedup(docs: DataFrame, threshold: float = 0.5,
             "iterations — raise max_iter (pathological chain components)")
     # re-expand: every doc inherits its representative's component label
     # (the label is the min rep id = min doc id of the merged component,
-    # since each rep is the min of its fingerprint group); docs with zero
-    # shingles never entered the graph and keep themselves
+    # since each rep is the min of its fingerprint group).  Reps with no
+    # near-dup edges never entered the propagation — their group members
+    # still collapse onto the rep; docs with zero shingles never entered
+    # the graph at all and keep themselves via the final coalesce.
     rep_comp = labels.select(F.col("v").alias("rep"), "comp")
-    assigned = (doc_rep.join(rep_comp, "rep")
-                .select("doc_id", F.col("comp").alias("keeper_doc_id")))
+    assigned = (doc_rep.join(rep_comp, "rep", "left")
+                .select("doc_id",
+                        F.coalesce("comp", F.col("rep"))
+                        .alias("keeper_doc_id")))
     return (docs.select(F.col(id_col).alias("doc_id"))
             .join(assigned, "doc_id", "left")
             .select("doc_id",

@@ -1207,6 +1207,42 @@ def o_doc_fingerprint():
             "FROM documents")
 
 
+def q_repetition_score(spark, sf_dir):
+    """Within-document repetition ratio (corpus-filtering signal: highly
+    repetitive docs are boilerplate/spam): 1 - distinct_3grams/total_3grams,
+    0 for docs too short to have a 3-gram.  Pure projection over the
+    token array — no shuffle, codegen'd."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    toks = F.split(F.lower("text"), " ")
+    total = F.greatest(F.size(toks) - F.lit(2), F.lit(0))
+    # same zip-of-shifted-slices shingle construction as dedup.shingle_rows,
+    # WITHOUT array_distinct (we need the total count), distinct via set size
+    shingles = F.expr(
+        "CASE WHEN size(toks) >= 3 THEN "
+        "transform(arrays_zip(slice(toks, 1, size(toks)-2), "
+        "slice(toks, 2, size(toks)-2), slice(toks, 3, size(toks)-2)), "
+        "x -> concat(x['0'], ' ', x['1'], ' ', x['2'])) ELSE array() END")
+    return (docs.withColumn("toks", toks)
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    total.cast("bigint").alias("n_3grams"),
+                    F.when(total > 0,
+                           F.round(1 - F.size(F.array_distinct(shingles))
+                                   / total, 4))
+                    .otherwise(F.lit(0.0)).alias("repetition")))
+
+
+def o_repetition_score():
+    return r"""
+SELECT doc_id::BIGINT AS doc_id,
+       greatest(len(toks) - 2, 0)::BIGINT AS n_3grams,
+       CASE WHEN len(toks) >= 3 THEN
+         round(1 - len(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                       for i in generate_series(1, len(toks) - 2)]))
+                   / (len(toks) - 2), 4)
+       ELSE 0.0 END AS repetition
+FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)"""
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (hamming ≤ 8 on the 64-bit nibble-majority
     fingerprint) over the FULL documents table — the pigeonhole-banded
@@ -1692,6 +1728,7 @@ QUERIES = {
     "quality_score": q_quality_score,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
+    "repetition_score": q_repetition_score,
     "simhash_pairs": q_simhash_pairs,
     "embedding_near_pairs": q_embedding_near_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -1744,6 +1781,7 @@ ORACLES = {
     "quality_score": o_quality_score(),
     "token_count": o_token_count(),
     "doc_fingerprint": o_doc_fingerprint(),
+    "repetition_score": o_repetition_score(),
     "simhash_pairs": o_simhash_pairs(),
     "embedding_near_pairs": o_embedding_near_pairs(),
     "ann_lsh_topk": o_ann_lsh_topk(),
