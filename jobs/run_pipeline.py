@@ -45,7 +45,13 @@ def main() -> None:
     from legal_ner_spark.plans import ledger
     from legal_ner_spark.operators import extract as ops
 
-    spark = get_spark(app_name="legal-ner-kg", master=args.master)
+    # local-mode robustness when launched from outside the repo root: the
+    # driver's sys.path insert does not reach Python WORKERS — point them
+    # at the repo explicitly.  Cluster deployments ship the package via
+    # --py-files instead (Spark distributes and pathes it per executor).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spark = get_spark(app_name="legal-ner-kg", master=args.master,
+                      extra_conf={"spark.executorEnv.PYTHONPATH": repo_root})
     cores = spark.sparkContext.defaultParallelism
     if args.corpus:
         # no repartition here: run_with_resume sizes each bucket job's own

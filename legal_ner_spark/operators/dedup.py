@@ -189,9 +189,14 @@ def simhash_segments(docs: DataFrame, id_col: str = "doc_id",
                f"THEN 1 ELSE -1 END)").alias(f"v{i}") for i in range(n_bits)])
     segs, start = [], 0
     for s, width in enumerate(sizes):
-        expr = (" + ".join(
-            f"(CASE WHEN v{start + j} > 0 THEN {1 << j} ELSE 0 END)"
-            for j in range(width)) or "0")
+        # shiftleft + bitwise OR, not literal powers of two summed: a
+        # 64-bit segment's top bit is 1<<63, which overflows BIGINT as a
+        # positive literal under ANSI mode; shiftleft wraps to the signed
+        # representation and OR of distinct bits never carries
+        expr = (" | ".join(
+            f"shiftleft(CAST(CASE WHEN v{start + j} > 0 THEN 1 ELSE 0 END "
+            f"AS BIGINT), {j})" for j in range(width))
+            or "CAST(0 AS BIGINT)")
         segs.append(F.expr(expr).cast("bigint").alias(f"s{s}"))
         start += width
     return votes.select("doc_id", *segs)

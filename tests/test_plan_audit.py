@@ -116,3 +116,11 @@ def test_q7_broadcasts_both_nation_roles(spark):
     n_bcast = p.count("BroadcastExchange") + p.count("BroadcastQueryStage")
     assert n_bcast >= 4, p[:3000]        # supp, cust, nation x2
     assert "PushedFilters" in p          # l_shipdate range reaches the scan
+
+
+def test_near_dedup_plan_has_no_loop_joins(spark):
+    """The composed dedup flow must stay equi-join-shaped end to end —
+    candidates, verify, and the CC iterations."""
+    p = physical(queries.QUERIES["near_dedup"](spark, SF))
+    assert "CartesianProduct" not in p, p[:2000]
+    assert "BroadcastNestedLoopJoin" not in p, p[:2000]

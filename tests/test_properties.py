@@ -161,3 +161,32 @@ def test_records_total_on_arbitrary_span_arrays(spans):
     assert (pdf["rec_type"] == "doc").sum() == 1
     if spans:
         assert isinstance(assemble_text([s for s in spans if s]), str)
+
+
+def test_simhash_pigeonhole_banding_is_complete(spark):
+    """Property: for random small corpora, the banded equi-join pair
+    generation must return EXACTLY the brute-force hamming pairs — the
+    pigeonhole construction is complete, not approximate."""
+    import itertools
+    import random
+    from legal_ner_spark.operators import dedup
+    rng = random.Random(42)
+    vocab = [f"t{i}" for i in range(12)]   # tiny vocab → many near-dups
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 25))))
+            for i in range(60)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for max_h in (0, 3, 8):
+        got = {(r.doc_a, r.doc_b): r.hamming
+               for r in dedup.simhash_near_pairs(docs, max_hamming=max_h)
+               .collect()}
+        segs = dedup.simhash_segments(docs, n_segments=1)
+        fp = {r.doc_id: r.s0 for r in segs.collect()}
+        want = {}
+        for a, b in itertools.combinations(sorted(fp), 2):
+            # Spark returns the segment as SIGNED 64-bit; mask before the
+            # popcount or Python counts bits of the magnitude instead of
+            # the two's-complement pattern
+            h = bin((fp[a] ^ fp[b]) & ((1 << 64) - 1)).count("1")
+            if h <= max_h:
+                want[(a, b)] = h
+        assert got == want, (max_h, len(got), len(want))
