@@ -117,3 +117,58 @@ def test_parse_html_corpus_shapes_and_hidden_drop(spark):
     assert got["d0"] == "A.a   b\n\nc"
     assert "SKIP" not in got["d0"] and "JUNK" not in got["d1"]
     assert got["d1"] == "x y"
+
+
+def test_every_query_survives_empty_tables(spark, tmp_path):
+    """Robustness: EVERY driver-contract query must run (to an empty or
+    synthesized result, never an exception) against a scale-factor dir
+    whose tables all have zero rows — partition pruning, window frames,
+    aggregations, iterative loops, and ANN index builds all hit their
+    empty edge at once.  (kg_* queries synthesize their own corpus, so
+    they stay non-empty by design.)"""
+    from legal_ner_spark import queries as q
+    empty_dir = str(tmp_path / "sf_empty")
+    import os
+    os.makedirs(empty_dir, exist_ok=True)
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        (spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+         .limit(0).coalesce(1).write.mode("overwrite")
+         .parquet(f"{empty_dir}/{t}.parquet"))
+    failures = []
+    for name, fn in q.QUERIES.items():
+        if name.startswith("kg_"):
+            continue    # synthesizes its own corpus; covered elsewhere
+        try:
+            fn(spark, empty_dir).count()
+        except Exception as exc:          # noqa: BLE001 — recording all
+            failures.append((name, f"{type(exc).__name__}: {exc}"))
+    assert not failures, failures
+
+
+def test_unicode_and_pathological_text_through_extract_and_dedup(spark):
+    """Multi-byte text (Devanagari, emoji), whitespace-only docs, and a
+    100k-char single token must flow through the fused extraction AND the
+    dedup tier without errors, with char-offset mentions still slicing
+    the original text correctly."""
+    from legal_ner_spark.operators import dedup, extract as ops
+    from legal_ner_spark.schema import CORPUS_SCHEMA
+    big = "x" * 100_000
+    texts = {
+        "uni": "धारा ३०२ भारतीय दंड संहिता 🙂 Supreme Court of India held.",
+        "ws": "   \n\n\t  ",
+        "big": big + " Section 302 of the Indian Penal Code",
+    }
+    rows = [(k, [{"kind": "text", "text": t, "media_ref": None, "offset": 0}])
+            for k, t in texts.items()]
+    corpus = spark.createDataFrame(rows, CORPUS_SCHEMA)
+    recs = ops.extract_records(corpus).cache()
+    assert recs.filter("rec_type = 'doc'").count() == 3
+    for m in ops.mentions(recs).collect():
+        assert texts[m.doc_id][m.start_char:m.end_char] == m.text
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    assert dedup.simhash_near_pairs(docs, max_hamming=64).count() == 3
+    kept = {r.doc_id for r in dedup.near_dedup(docs, threshold=0.9).collect()
+            if r.doc_id == r.keeper_doc_id}
+    assert kept == set(texts)     # no dups among these three
+    recs.unpersist()
