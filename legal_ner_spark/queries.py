@@ -1636,11 +1636,47 @@ FROM {_KG_SQL_SRC} WHERE rec_type = 'mention' GROUP BY label"""
 
 
 def q_kg_pagerank(spark, sf_dir):
-    """PageRank over the part_of citation graph of the materialized triples
-    (iterative join+agg — no SQL form; deterministic, rows-only check)."""
+    """PageRank over the part_of citation graph of the materialized
+    triples (iterative join+agg with lazy broadcast dangling mass).  The
+    iteration count is FIXED (4), so the oracle unrolls the power
+    iteration into four CTE layers — the one 'iterative, surely
+    non-SQL' query turns out to be exactly checkable."""
     from .operators import graph
     tri = ops.triples(_kg_records_parquet(spark, sf_dir))
     return graph.pagerank(tri, pred="part_of", n_iter=4)
+
+
+def o_kg_pagerank(n_iter: int = 4, damping: float = 0.85):
+    it = """
+d{i} AS (
+  SELECT coalesce(sum(r.rank), 0) AS dm
+  FROM r{p} r LEFT JOIN outdeg o ON r.node = o.src WHERE o.src IS NULL
+),
+c{i} AS (
+  SELECT e.dst AS node, sum(r.rank / o.deg) AS c
+  FROM edges e JOIN outdeg o ON e.src = o.src JOIN r{p} r ON r.node = e.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT n.node,
+         (1 - {d}) / (SELECT n FROM nn)
+         + {d} * (coalesce(c.c, 0) + (SELECT dm FROM d{i}) / (SELECT n FROM nn))
+           AS rank
+  FROM nodes n LEFT JOIN c{i} c ON n.node = c.node
+)"""
+    iters = ",".join(it.format(i=i, p=i - 1, d=damping)
+                     for i in range(1, n_iter + 1))
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT subj AS src, obj AS dst
+  FROM {_KG_SQL_SRC} WHERE rec_type = 'triple' AND pred = 'part_of'
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+{iters}
+SELECT node, round(rank, 6) AS rank FROM r{n_iter}"""
 
 
 def q_kg_statute_degree(spark, sf_dir):
@@ -1796,6 +1832,7 @@ ORACLES = {
     "kg_label_stats": o_kg_label_stats(),
     "kg_statute_degree": o_kg_statute_degree(),
     "kg_statute_cocitation": o_kg_statute_cocitation(),
-    # kg_triples/kg_mentions/kg_pagerank (order-sensitive pandas stages /
-    # iterative) are rows-only by design
+    "kg_pagerank": o_kg_pagerank(),
+    # kg_triples/kg_mentions (order-sensitive pandas extraction stages)
+    # are rows-only by design — every other query is value-exact oracled
 }
