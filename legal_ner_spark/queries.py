@@ -1603,11 +1603,30 @@ def _kg_records_parquet(spark, sf_dir):
 
 
 def q_kg_triples(spark, sf_dir):
+    """Triples projection over the materialized records.  The oracle
+    checks the materialization + pruned-scan projection half (DuckDB
+    reads the same parquet); the EXTRACTION half has no SQL form and is
+    gated by pytest instead — P/R = 1.0 vs the single-doc reference
+    oracle, determinism, and parallelism invariance
+    (tests/test_pipeline_spark.py)."""
     return ops.triples(_kg_records_parquet(spark, sf_dir))
 
 
+def o_kg_triples():
+    return (f"SELECT subj, pred, obj, doc_id FROM {_KG_SQL_SRC} "
+            "WHERE rec_type = 'triple'")
+
+
 def q_kg_mentions(spark, sf_dir):
+    """Mentions projection over the materialized records (oracle scope:
+    see q_kg_triples)."""
     return ops.mentions(_kg_records_parquet(spark, sf_dir))
+
+
+def o_kg_mentions():
+    return ("SELECT doc_id, ent_id, sent_id, start_char, end_char, "
+            f"text, label, region FROM {_KG_SQL_SRC} "
+            "WHERE rec_type = 'mention'")
 
 
 def q_kg_provision_counts(spark, sf_dir):
@@ -1828,11 +1847,15 @@ ORACLES = {
     "prepare_training_corpus": o_prepare_training_corpus(),
     "ingest_clean": o_ingest_clean(),
     "html_to_text": o_html_to_text(),
+    "kg_triples": o_kg_triples(),
+    "kg_mentions": o_kg_mentions(),
     "kg_provision_counts": o_kg_provision_counts(),
     "kg_label_stats": o_kg_label_stats(),
     "kg_statute_degree": o_kg_statute_degree(),
     "kg_statute_cocitation": o_kg_statute_cocitation(),
     "kg_pagerank": o_kg_pagerank(),
-    # kg_triples/kg_mentions (order-sensitive pandas extraction stages)
-    # are rows-only by design — every other query is value-exact oracled
+    # every query has an oracle row; for kg_triples/kg_mentions the oracle
+    # scope is the materialization + projection half — the pandas
+    # extraction half has no SQL form and is pytest-gated (P/R = 1.0,
+    # determinism, parallelism invariance)
 }
