@@ -237,20 +237,11 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
             .distinct())
 
 
-def near_duplicate_pairs(docs: DataFrame, threshold: float = 0.5,
-                         n_bands: int = 8, rows_per_band: int = 4,
-                         n: int = 3, id_col: str = "doc_id",
-                         text_col: str = "text") -> DataFrame:
-    """Verified near-dup pairs (doc_a, doc_b, jaccard ≥ threshold): banded
-    MinHash candidate generation, then EXACT n-gram Jaccard computed only
-    on candidate pairs — the shingle join is driven by the candidate
-    list, so verification cost is O(candidates × doc shingles), never
-    all-pairs.  This is the production dedup flow: probabilistic recall
-    from the S-curve, exact precision from the verify tier."""
-    sh = shingle_rows(docs, id_col=id_col, text_col=text_col, n=n)
-    cand = (lsh_candidates(
-        minhash_signatures(sh, n_bands=n_bands, rows_per_band=rows_per_band))
-        .select("doc_a", "doc_b").distinct())
+def _verify_pairs(sh: DataFrame, cand: DataFrame,
+                  threshold: float) -> DataFrame:
+    """Exact n-gram Jaccard over CANDIDATE pairs only (doc_a, doc_b,
+    jaccard ≥ threshold): the shingle join is driven by the candidate
+    list, so cost is O(candidates × doc shingles), never all-pairs."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b_sh = sh.select(F.col("doc_id").alias("_bb"),
@@ -269,6 +260,23 @@ def near_duplicate_pairs(docs: DataFrame, threshold: float = 0.5,
                 F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4))
             .filter(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard"))
+
+
+def near_duplicate_pairs(docs: DataFrame, threshold: float = 0.5,
+                         n_bands: int = 8, rows_per_band: int = 4,
+                         n: int = 3, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Verified near-dup pairs (doc_a, doc_b, jaccard ≥ threshold): banded
+    MinHash candidate generation, then EXACT n-gram Jaccard computed only
+    on candidate pairs — the shingle join is driven by the candidate
+    list, so verification cost is O(candidates × doc shingles), never
+    all-pairs.  This is the production dedup flow: probabilistic recall
+    from the S-curve, exact precision from the verify tier."""
+    sh = shingle_rows(docs, id_col=id_col, text_col=text_col, n=n)
+    cand = (lsh_candidates(
+        minhash_signatures(sh, n_bands=n_bands, rows_per_band=rows_per_band))
+        .select("doc_a", "doc_b").distinct())
+    return _verify_pairs(sh, cand, threshold)
 
 
 def shingle_fingerprints(sh: DataFrame) -> DataFrame:
@@ -332,7 +340,6 @@ def near_dedup(docs: DataFrame, threshold: float = 0.5,
         .select(F.col("rep").alias("doc_id"))
     sh = sh_all.join(reps, "doc_id").localCheckpoint(eager=True)
 
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sigs = minhash_signatures(sh, n_bands=n_bands,
                               rows_per_band=rows_per_band)
     if mode == "exact":
@@ -342,23 +349,7 @@ def near_dedup(docs: DataFrame, threshold: float = 0.5,
         cand = (sigs.join(hub, ["band", "sig"])
                 .filter(F.col("doc_id") != F.col("doc_a"))
                 .select("doc_a", F.col("doc_id").alias("doc_b")).distinct())
-    a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b_sh = sh.select(F.col("doc_id").alias("_bb"),
-                     F.col("shingle").alias("b_shingle"))
-    inter = (cand.join(a_sh, "doc_a")
-             .join(b_sh, (F.col("doc_b") == F.col("_bb"))
-                   & (F.col("shingle") == F.col("b_shingle")), "inner")
-             .groupBy("doc_a", "doc_b")
-             .agg(F.count("*").alias("inter")))
-    pairs = (inter
-             .join(sizes.select(F.col("doc_id").alias("doc_a"),
-                                F.col("n_sh").alias("na")), "doc_a")
-             .join(sizes.select(F.col("doc_id").alias("doc_b"),
-                                F.col("n_sh").alias("nb")), "doc_b")
-             .filter(F.round(F.col("inter")
-                             / (F.col("na") + F.col("nb") - F.col("inter")), 4)
-                     >= threshold)
-             .select("doc_a", "doc_b"))
+    pairs = _verify_pairs(sh, cand, threshold).select("doc_a", "doc_b")
     edges = (pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
              .union(pairs.select(F.col("doc_b").alias("src"),
                                  F.col("doc_a").alias("dst")))
