@@ -246,3 +246,18 @@ def test_near_dedup_scale_mode_is_precision_preserving(spark):
         if k != d:
             assert exact[d] == exact[k], (d, k)
     assert exact == scale   # on hub-connected clusters the modes agree
+
+
+def test_near_duplicate_pairs_reports_verified_jaccard(spark, docs):
+    """Pair-reporting API: banded candidates + exact verify must agree
+    with the brute-force ngram_jaccard_pairs on pairs the S-curve
+    reliably catches (exact dups always collide)."""
+    pairs = {(r.doc_a, r.doc_b): r.jaccard
+             for r in dedup.near_duplicate_pairs(docs, threshold=0.9).collect()}
+    assert pairs.get((0, 3)) == 1.0        # exact dup, J=1
+    brute = {(r.doc_a, r.doc_b): r.jaccard
+             for r in dedup.ngram_jaccard_pairs(
+                 dedup.shingle_rows(docs), threshold=0.9).collect()}
+    assert set(pairs) <= set(brute)        # never invents a pair
+    for k, v in pairs.items():
+        assert brute[k] == v               # verified values are exact
