@@ -69,7 +69,8 @@ def main() -> None:
                      "simhash_pairs", "embedding_near_pairs", "similarity_topk",
                      "ann_lsh_topk", "ann_ivf_topk", "contamination",
                      "pack_shards", "prepare_training_corpus",
-                     "quality_score", "doc_fingerprint"]
+                     "quality_score", "doc_fingerprint",
+                     "repetition_score", "windowed_counts"]
     for name in bench_queries:
         best = float("inf")
         for _ in range(2):  # best-of-2: shields against host noise spikes
