@@ -1207,6 +1207,57 @@ def o_doc_fingerprint():
             "FROM documents")
 
 
+CASE_TYPE_FIXTURES = [
+    (0, "assessee challenged the order under the income-tax act provisions"),
+    (1, "charged under section 302 of the penal code and the arms act"),
+    (2, "divorce petition under the marriage act before the family court"),
+    (3, "claim under the motor vehicles act for the accident compensation"),
+    (4, "dispute over the land acquisition act award and the stamp act"),
+    (5, "reference under the industrial disputes act regarding retrenchment"),
+    (6, "writ petition under article 226 of the constitution of india"),
+    (7, "proceedings under the sarfaesi act read with the rdb act"),
+    (8, "a plain contract dispute mentioning no statute keywords at all"),
+    (9, "penal code charge in a matter also citing the income-tax act"),
+]
+
+
+def q_case_type(spark, sf_dir):
+    """The reference's naive case-type classification
+    (representative_judgments_sample/README.md): 8 types, each defined by
+    the act-name phrases of its IndianKanoon query; first matching type
+    in table order wins, 'other' on no match.  A 110-phrase
+    constant-folded CASE chain over lower(text) — pure codegen
+    projection, the same shape as statute_canon."""
+    from .core.casetypes import CASE_TYPE_KEYWORDS
+    df = (spark.createDataFrame(CASE_TYPE_FIXTURES, ["doc_id", "text"])
+          .withColumn("_lt", F.lower("text")))
+    expr = F.lit("other")
+    for name, phrases in reversed(CASE_TYPE_KEYWORDS):
+        cond = None
+        for p in phrases:
+            c = F.instr(F.col("_lt"), p) > 0
+            cond = c if cond is None else (cond | c)
+        expr = F.when(cond, F.lit(name)).otherwise(expr)
+    return df.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                     expr.alias("case_type"))
+
+
+def o_case_type():
+    from .core.casetypes import CASE_TYPE_KEYWORDS
+    whens = []
+    for name, phrases in CASE_TYPE_KEYWORDS:
+        cond = " OR ".join(f"instr(_lt, {_sql_quote(p)}) > 0"
+                           for p in phrases)
+        whens.append(f"WHEN ({cond}) THEN {_sql_quote(name)}")
+    rows = ", ".join(f"({i}, {_sql_quote(t)})" for i, t in CASE_TYPE_FIXTURES)
+    return f"""
+WITH f(doc_id, text) AS (VALUES {rows}),
+l AS (SELECT doc_id, lower(text) AS _lt FROM f)
+SELECT doc_id::BIGINT AS doc_id,
+       CASE {' '.join(whens)} ELSE 'other' END AS case_type
+FROM l"""
+
+
 def q_repetition_score(spark, sf_dir):
     """Within-document repetition ratio (corpus-filtering signal: highly
     repetitive docs are boilerplate/spam): 1 - distinct_3grams/total_3grams,
@@ -1784,6 +1835,7 @@ QUERIES = {
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "repetition_score": q_repetition_score,
+    "case_type": q_case_type,
     "simhash_pairs": q_simhash_pairs,
     "embedding_near_pairs": q_embedding_near_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -1837,6 +1889,7 @@ ORACLES = {
     "token_count": o_token_count(),
     "doc_fingerprint": o_doc_fingerprint(),
     "repetition_score": o_repetition_score(),
+    "case_type": o_case_type(),
     "simhash_pairs": o_simhash_pairs(),
     "embedding_near_pairs": o_embedding_near_pairs(),
     "ann_lsh_topk": o_ann_lsh_topk(),
