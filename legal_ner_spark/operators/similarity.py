@@ -248,3 +248,32 @@ def lsh_ann_topk(queries: DataFrame, candidates: DataFrame, dim: int,
         .select("query_id", "neighbor_id", "qv", "cv")
         .dropDuplicates(["query_id", "neighbor_id"]))
     return _rerank_topk(cand, k)
+
+
+def quantize_embeddings(emb: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Symmetric per-vector int8 quantization for the embedding STORE:
+    scale = max|x| / 127, q_i = round(x_i / scale) ∈ [-127, 127] —
+    4× smaller than float32 at <0.1% cosine error for typical
+    embeddings, which at trillion-vector scale is the difference between
+    one storage tier and four.  Zero vectors quantize to all-zeros with
+    scale 0.  Pure Catalyst (transform/aggregate), deterministic, and
+    reproducible in ANSI SQL.  Returns (vec_id, scale, q:array<tinyint>)."""
+    v = _as_double(vec_col)
+    maxabs = F.expr(f"aggregate(transform({vec_col}, x -> abs(cast(x AS double))), "
+                    "0D, (a, x) -> greatest(a, x))")
+    scale = (maxabs / F.lit(127.0)).alias("scale")
+    q = F.when(maxabs == 0,
+               F.expr(f"transform({vec_col}, x -> cast(0 AS tinyint))")) \
+        .otherwise(F.expr(
+            f"transform({vec_col}, x -> cast(round(cast(x AS double) / "
+            f"(aggregate(transform({vec_col}, y -> abs(cast(y AS double))), "
+            f"0D, (a, y) -> greatest(a, y)) / 127.0)) AS tinyint))"))
+    return emb.select(F.col(id_col).alias("vec_id"), scale, q.alias("q"))
+
+
+def dequantize_embeddings(qdf: DataFrame) -> DataFrame:
+    """(vec_id, scale, q) → (vec_id, v:array<double>) — the read path."""
+    return qdf.select("vec_id",
+                      F.expr("transform(q, x -> cast(x AS double) * scale)")
+                      .alias("v"))

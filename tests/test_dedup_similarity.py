@@ -261,3 +261,26 @@ def test_near_duplicate_pairs_reports_verified_jaccard(spark, docs):
     assert set(pairs) <= set(brute)        # never invents a pair
     for k, v in pairs.items():
         assert brute[k] == v               # verified values are exact
+
+
+def test_quantize_dequantize_preserves_cosine(spark):
+    """int8 round trip: cosine(original, dequantized) ≥ 0.999 for random
+    gaussian vectors; zero vectors survive with scale 0; every quantized
+    component is within the int8 range."""
+    import random
+    rng = random.Random(3)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(50)]
+    rows.append((99, [0.0] * 64))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qd = similarity.quantize_embeddings(emb).cache()
+    qvals = {r.vec_id: (r.scale, r.q) for r in qd.collect()}
+    assert qvals[99][0] == 0.0 and set(qvals[99][1]) == {0}
+    assert all(-127 <= x <= 127 for _, q in qvals.values() for x in q)
+    deq = similarity.dequantize_embeddings(qd) \
+        .select(F.col("vec_id").alias("did"), F.col("v").alias("dv"))
+    joined = (similarity.prepare_vectors(emb).join(
+        deq, F.col("vec_id") == F.col("did"))
+        .filter(F.col("vec_id") != 99)
+        .select(similarity.cosine_expr("v", "dv").alias("cos")))
+    assert joined.agg(F.min("cos")).first()[0] >= 0.999
+    qd.unpersist()
