@@ -48,3 +48,48 @@ def running_statute_counts(statute_mentions_stream: DataFrame) -> DataFrame:
             .groupBy("canonical")
             .applyInPandasWithState(_update, OUTPUT_SCHEMA, STATE_SCHEMA,
                                     "update", GroupStateTimeout.NoTimeout))
+
+
+# --- Spark 4 transformWithStateInPandas variant -----------------------------
+# The successor API to applyInPandasWithState: typed per-key state handles
+# (ValueState/ListState/MapState), timers, and initial-state support.  Both
+# variants are kept — applyInPandasWithState for Spark 3.4+ deployments,
+# this one for Spark 4 — computing the identical cumulative counts.
+#
+# RUNTIME REQUIREMENTS (like the spaCy swap point in core/model_tagger.py):
+# the RocksDB state store provider AND the google.protobuf package (the
+# TWS state-server protocol is protobuf-encoded).  This sandbox ships no
+# protobuf, so the parity test auto-skips there; the
+# applyInPandasWithState form is the one exercised end-to-end.
+
+try:
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    class _RunningCountProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState("n_total", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n_batch = sum(len(pdf) for pdf in rows)
+            prev = self._count.get()[0] if self._count.exists() else 0
+            total = prev + n_batch
+            self._count.update((total,))
+            yield pd.DataFrame({"canonical": [key[0]], "n_total": [total],
+                                "n_batch": [n_batch]})
+
+        def close(self) -> None:
+            pass
+
+    def running_statute_counts_tws(statute_mentions_stream: DataFrame
+                                   ) -> DataFrame:
+        """transformWithStateInPandas form of ``running_statute_counts`` —
+        identical output contract, typed ValueState instead of the raw
+        GroupState tuple."""
+        return (statute_mentions_stream
+                .groupBy("canonical")
+                .transformWithStateInPandas(
+                    _RunningCountProcessor(), OUTPUT_SCHEMA, "update",
+                    "ProcessingTime"))
+except ImportError:   # pragma: no cover — pre-4.0 Spark
+    pass

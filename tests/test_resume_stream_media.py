@@ -207,3 +207,47 @@ def test_windowed_counts_drop_late_rows_past_watermark(spark, tmp_path):
     early_key = (base, base + dt.timedelta(minutes=10), "click")
     # the early window finalized WITHOUT the straggler, emitted exactly once
     assert emitted.get(early_key) == 5, emitted
+
+
+def test_transform_with_state_matches_apply_in_pandas_with_state(spark, tmp_path):
+    """The Spark-4 typed-state operator must produce the same cumulative
+    totals as the applyInPandasWithState form over the same two
+    micro-batches.  Requires google.protobuf (the TWS state-server
+    protocol) — auto-skips where absent, like the spaCy swap point."""
+    pytest.importorskip("google.protobuf.descriptor",
+                        reason="transformWithState needs protobuf")
+    import pandas as pd
+    from legal_ner_spark.streaming.stateful import (
+        running_statute_counts, running_statute_counts_tws)
+
+    # transformWithStateInPandas requires the RocksDB state store
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                   "org.apache.spark.sql.execution.streaming.state."
+                   "RocksDBStateStoreProvider")
+    in_dir = str(tmp_path / "mentions")
+    b1 = pd.DataFrame({"canonical": ["IPC", "IPC", "CrPC"]})
+    b2 = pd.DataFrame({"canonical": ["IPC", "Evidence Act"]})
+
+    def final_totals(op, ckpt, qname):
+        spark.createDataFrame(b1).coalesce(1).write.mode("append").parquet(in_dir)
+        spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(in_dir)
+        stream = (spark.readStream.schema("canonical string")
+                  .option("maxFilesPerTrigger", 1).parquet(in_dir))
+        q = (op(stream).writeStream.format("memory").queryName(qname)
+             .outputMode("update")
+             .option("checkpointLocation", str(tmp_path / ckpt))
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+        rows = spark.sql(f"SELECT * FROM {qname}").collect()
+        out = {}
+        for r in rows:   # update mode re-emits; keep the max total per key
+            out[r.canonical] = max(out.get(r.canonical, 0), r.n_total)
+        return out
+
+    want = {"IPC": 3, "CrPC": 1, "Evidence Act": 1}
+    got_a = final_totals(running_statute_counts, "ck_a", "tws_a")
+    assert got_a == want, got_a
+    import shutil
+    shutil.rmtree(in_dir)
+    got_b = final_totals(running_statute_counts_tws, "ck_b", "tws_b")
+    assert got_b == want, got_b
