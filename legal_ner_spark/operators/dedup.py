@@ -76,6 +76,38 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
 _MINHASH_PRIME = 4294967291
 
 
+def _minhash_inputs(shingles: DataFrame) -> DataFrame:
+    """Per-shingle double-hash bases: g_i = (h1 + i·h2) mod p over two
+    32-bit halves of ONE md5(shingle) — Kirsch-Mitzenmacher: one digest
+    feeds the whole b·r family."""
+    return (shingles
+            .withColumn("_m", F.md5("shingle"))
+            .withColumn("_h1", F.conv(F.substring("_m", 1, 8), 16, 10)
+                        .cast("bigint"))
+            .withColumn("_h2", F.conv(F.substring("_m", 9, 8), 16, 10)
+                        .cast("bigint")))
+
+
+def _minima_aggs(n_hash: int) -> list:
+    return [
+        F.min((F.col("_h1") + F.lit(i) * F.col("_h2")) % F.lit(_MINHASH_PRIME))
+        .alias(f"m{i}") for i in range(n_hash)]
+
+
+def _band_stack(wide: DataFrame, n_bands: int,
+                rows_per_band: int) -> DataFrame:
+    """(doc_id, m0..m{b·r-1}, …) → (doc_id, band, sig): band signature =
+    md5 of the band's concatenated minima (fixed-width key), unpivoted
+    with ``stack`` — no row blowup before the hash."""
+    band_sigs = [
+        F.md5(F.concat_ws("-", *[F.col(f"m{b * rows_per_band + r}")
+                                 for r in range(rows_per_band)])).alias(f"s{b}")
+        for b in range(n_bands)]
+    w = wide.select("doc_id", *band_sigs)
+    stack = ", ".join(f"{b}, s{b}" for b in range(n_bands))
+    return w.selectExpr("doc_id", f"stack({n_bands}, {stack}) AS (band, sig)")
+
+
 def minhash_signatures(shingles: DataFrame, n_bands: int = 8,
                        rows_per_band: int = 4) -> DataFrame:
     """b×r banded MinHash signatures: (doc_id, band, sig) where ``sig``
@@ -83,29 +115,13 @@ def minhash_signatures(shingles: DataFrame, n_bands: int = 8,
     a fixed-width key).
 
     The n_bands×rows_per_band hash family is Kirsch-Mitzenmacher double
-    hashing — g_i = (h1 + i·h2) mod p over two 32-bit halves of ONE
-    md5(shingle) — so each shingle computes one digest, not b·r of them;
-    the minima are 8-byte integers (cheaper to aggregate and shuffle than
-    32-char digest strings).  All band minima land in one aggregation pass
-    (map-side partial min), then unpivot with ``stack`` — no row blowup
-    before the hash."""
-    n_hash = n_bands * rows_per_band
-    h = (shingles
-         .withColumn("_m", F.md5("shingle"))
-         .withColumn("_h1", F.conv(F.substring("_m", 1, 8), 16, 10)
-                     .cast("bigint"))
-         .withColumn("_h2", F.conv(F.substring("_m", 9, 8), 16, 10)
-                     .cast("bigint")))
-    mins = h.groupBy("doc_id").agg(*[
-        F.min((F.col("_h1") + F.lit(i) * F.col("_h2")) % F.lit(_MINHASH_PRIME))
-        .alias(f"m{i}") for i in range(n_hash)])
-    band_sigs = [
-        F.md5(F.concat_ws("-", *[F.col(f"m{b * rows_per_band + r}")
-                                 for r in range(rows_per_band)])).alias(f"s{b}")
-        for b in range(n_bands)]
-    wide = mins.select("doc_id", *band_sigs)
-    stack = ", ".join(f"{b}, s{b}" for b in range(n_bands))
-    return wide.selectExpr("doc_id", f"stack({n_bands}, {stack}) AS (band, sig)")
+    hashing — one md5 per shingle, not b·r of them; the minima are 8-byte
+    integers (cheaper to aggregate and shuffle than 32-char digest
+    strings).  All band minima land in one aggregation pass (map-side
+    partial min), then unpivot with ``stack``."""
+    mins = (_minhash_inputs(shingles).groupBy("doc_id")
+            .agg(*_minima_aggs(n_bands * rows_per_band)))
+    return _band_stack(mins, n_bands, rows_per_band)
 
 
 def lsh_candidates(sigs: DataFrame) -> DataFrame:
@@ -237,12 +253,15 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
             .distinct())
 
 
-def _verify_pairs(sh: DataFrame, cand: DataFrame,
-                  threshold: float) -> DataFrame:
+def _verify_pairs(sh: DataFrame, cand: DataFrame, threshold: float,
+                  sizes: DataFrame | None = None) -> DataFrame:
     """Exact n-gram Jaccard over CANDIDATE pairs only (doc_a, doc_b,
     jaccard ≥ threshold): the shingle join is driven by the candidate
-    list, so cost is O(candidates × doc shingles), never all-pairs."""
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    list, so cost is O(candidates × doc shingles), never all-pairs.
+    ``sizes`` (doc_id, n_sh) can be passed in when the caller already
+    aggregated shingle counts (near_dedup's fused pass)."""
+    if sizes is None:
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b_sh = sh.select(F.col("doc_id").alias("_bb"),
                      F.col("shingle").alias("b_shingle"))
@@ -326,22 +345,28 @@ def near_dedup(docs: DataFrame, threshold: float = 0.5,
     if mode not in ("exact", "scale"):
         raise ValueError(f"mode must be 'exact' or 'scale', got {mode!r}")
     sh_all = shingle_rows(docs, id_col=id_col, text_col=text_col, n=n)
-    fps = shingle_fingerprints(sh_all)
-    groups = (fps.groupBy("fingerprint")
-              .agg(F.min("doc_id").alias("rep")))
-    # materialize the two frames every downstream branch reads (doc→rep
-    # map and representative shingles): without this the scan→shingle→
-    # fingerprint subtree re-executes once per consumer — candidates,
-    # verify (both sides), sizes, and the final re-expansion.  At cluster
-    # scale the same role is played by persisting to storage once.
-    doc_rep = (fps.join(groups, "fingerprint").select("doc_id", "rep")
-               .localCheckpoint(eager=True))
-    reps = doc_rep.filter(F.col("doc_id") == F.col("rep")) \
-        .select(F.col("rep").alias("doc_id"))
-    sh = sh_all.join(reps, "doc_id").localCheckpoint(eager=True)
+    # ONE aggregation pass over the shingles computes everything per-doc:
+    # the shingle-set fingerprint (stage-0 collapse key), the shingle
+    # count (Jaccard denominator), and all b·r minhash minima — the
+    # per-doc signature depends only on the shingle SET, so minima
+    # computed here and filtered to representatives are identical to
+    # recomputing them over representatives.  Checkpointed once (tiny:
+    # one row per doc) — every downstream branch reads this instead of
+    # re-executing the scan→shingle subtree.  At cluster scale the same
+    # role is played by persisting to storage once.
+    wide = (_minhash_inputs(sh_all).groupBy("doc_id")
+            .agg(F.md5(F.array_join(F.array_sort(F.collect_set("shingle")),
+                                    "\x01")).alias("fingerprint"),
+                 F.count("*").alias("n_sh"),
+                 *_minima_aggs(n_bands * rows_per_band))
+            .localCheckpoint(eager=True))
+    groups = wide.groupBy("fingerprint").agg(F.min("doc_id").alias("rep"))
+    doc_rep = (wide.select("doc_id", "fingerprint")
+               .join(groups, "fingerprint").select("doc_id", "rep"))
+    reps = groups.select(F.col("rep").alias("doc_id"))
+    rep_wide = wide.join(reps, "doc_id")
 
-    sigs = minhash_signatures(sh, n_bands=n_bands,
-                              rows_per_band=rows_per_band)
+    sigs = _band_stack(rep_wide, n_bands, rows_per_band)
     if mode == "exact":
         cand = lsh_candidates(sigs).select("doc_a", "doc_b").distinct()
     else:
@@ -349,7 +374,13 @@ def near_dedup(docs: DataFrame, threshold: float = 0.5,
         cand = (sigs.join(hub, ["band", "sig"])
                 .filter(F.col("doc_id") != F.col("doc_a"))
                 .select("doc_a", F.col("doc_id").alias("doc_b")).distinct())
-    pairs = _verify_pairs(sh, cand, threshold).select("doc_a", "doc_b")
+    # verify reads representative shingles (one extra narrow pass over
+    # the corpus, filtered by the broadcast-able rep list) and the
+    # precomputed sizes from `wide`
+    sh = sh_all.join(reps, "doc_id")
+    sizes = rep_wide.select("doc_id", "n_sh")
+    pairs = _verify_pairs(sh, cand, threshold,
+                          sizes=sizes).select("doc_a", "doc_b")
     edges = (pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
              .union(pairs.select(F.col("doc_b").alias("src"),
                                  F.col("doc_a").alias("dst")))
