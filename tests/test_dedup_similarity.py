@@ -284,3 +284,17 @@ def test_quantize_dequantize_preserves_cosine(spark):
         .select(similarity.cosine_expr("v", "dv").alias("cos")))
     assert joined.agg(F.min("cos")).first()[0] >= 0.999
     qd.unpersist()
+
+
+def test_shingle_fingerprints_collapse_identical_sets(spark):
+    """Standalone fingerprint API (the stage-0 collapse key, also usable
+    directly as a dedup key): identical shingle SETS — including the same
+    set reached via different token orders of the same trigram window —
+    share a fingerprint; different sets never do; zero-shingle docs are
+    absent."""
+    rows = [(0, "a b c d"), (1, "a b c d"),      # identical text
+            (2, "a b c x"), (3, "xy")]           # different / too short
+    sh = dedup.shingle_rows(spark.createDataFrame(rows, ["doc_id", "text"]))
+    fp = {r.doc_id: r.fingerprint
+          for r in dedup.shingle_fingerprints(sh).collect()}
+    assert fp[0] == fp[1] and fp[0] != fp[2] and 3 not in fp
