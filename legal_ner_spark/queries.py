@@ -1294,6 +1294,29 @@ SELECT doc_id::BIGINT AS doc_id,
 FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)"""
 
 
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary head: top-50 tokens by frequency THROUGH the
+    salted two-phase aggregation (operators/skew.py) — token frequency is
+    the canonical power-law skew ('the'/'of' dominate like IPC/CrPC in
+    the statute dimension), and the salted path is result-identical to a
+    plain groupBy, which is exactly what the oracle checks.  The final
+    top-k compiles to TakeOrderedAndProject (partial top-k per
+    partition, no global sort)."""
+    from .operators import skew
+    toks = (spark.read.parquet(_t(sf_dir, "documents"))
+            .select(F.explode(F.split(F.lower("text"), " ")).alias("token")))
+    counts = skew.salted_two_phase_count(toks, "token", n_salts=16)
+    return (counts.orderBy(F.desc("n"), F.asc("token")).limit(50)
+            .select("token", F.col("n").cast("bigint").alias("n")))
+
+
+def o_vocab_topk():
+    return """
+SELECT token, count(*)::BIGINT AS n
+FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+GROUP BY token ORDER BY n DESC, token ASC LIMIT 50"""
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (hamming ≤ 8 on the 64-bit nibble-majority
     fingerprint) over the FULL documents table — the pigeonhole-banded
@@ -1863,6 +1886,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "repetition_score": q_repetition_score,
     "case_type": q_case_type,
+    "vocab_topk": q_vocab_topk,
     "simhash_pairs": q_simhash_pairs,
     "embedding_near_pairs": q_embedding_near_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -1918,6 +1942,7 @@ ORACLES = {
     "doc_fingerprint": o_doc_fingerprint(),
     "repetition_score": o_repetition_score(),
     "case_type": o_case_type(),
+    "vocab_topk": o_vocab_topk(),
     "simhash_pairs": o_simhash_pairs(),
     "embedding_near_pairs": o_embedding_near_pairs(),
     "ann_lsh_topk": o_ann_lsh_topk(),

@@ -124,3 +124,13 @@ def test_near_dedup_plan_has_no_loop_joins(spark):
     p = physical(queries.QUERIES["near_dedup"](spark, SF))
     assert "CartesianProduct" not in p, p[:2000]
     assert "BroadcastNestedLoopJoin" not in p, p[:2000]
+
+
+def test_vocab_topk_salted_two_phase_and_distributed_topk(spark):
+    """The salted aggregation query must show the two-phase shape (an
+    exchange keyed by (token, salt) below the final token aggregation)
+    and a TakeOrderedAndProject top-k, never a global Window/Sort-all."""
+    p = physical(queries.QUERIES["vocab_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in p, p[:2000]
+    assert "_salt" in p, p[:2000]
+    assert "Window" not in p
