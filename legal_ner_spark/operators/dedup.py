@@ -124,12 +124,57 @@ def minhash_signatures(shingles: DataFrame, n_bands: int = 8,
     return _band_stack(mins, n_bands, rows_per_band)
 
 
-def lsh_candidates(sigs: DataFrame) -> DataFrame:
+def lsh_candidates(sigs: DataFrame,
+                   max_bucket: int | None = None) -> DataFrame:
+    """Candidate pairs from banded signatures: self-equi-join on
+    (band, sig).
+
+    ``max_bucket`` is the HOT-BUCKET guard: a degenerate band signature
+    (near-empty docs, template boilerplate that survived pre-collapse)
+    can make one bucket quadratic even though the join is an equi-join.
+    Buckets wider than ``max_bucket`` contribute STAR edges only (every
+    member ↔ the bucket's min doc_id) — O(width) instead of O(width²)
+    candidates, so the worst bucket costs linear work.  Star edges are a
+    subset of the full pair set, so precision downstream is unchanged;
+    recall within an oversize bucket drops only for pairs whose sole
+    path was a non-hub pair.  Use ``lsh_bucket_stats`` to see how many
+    buckets the cap touched."""
+    if max_bucket is not None:
+        widths = sigs.groupBy("band", "sig").agg(
+            F.count("*").alias("_w"), F.min("doc_id").alias("_hub"))
+        keyed = sigs.join(widths, ["band", "sig"])
+        normal = keyed.filter(F.col("_w") <= max_bucket).drop("_w", "_hub")
+        star = (keyed.filter((F.col("_w") > max_bucket)
+                             & (F.col("doc_id") != F.col("_hub")))
+                .select("band", F.col("_hub").alias("doc_a"),
+                        F.col("doc_id").alias("doc_b")))
+        other = normal.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+        pairs = (normal.join(other, ["band", "sig"])
+                 .filter(F.col("doc_id") < F.col("doc_b"))
+                 .select("band", F.col("doc_id").alias("doc_a"), "doc_b"))
+        # hub = min of the bucket, so star edges also satisfy doc_a < doc_b
+        return pairs.union(star).distinct()
     other = sigs.select(F.col("doc_id").alias("doc_b"), "band", "sig")
     return (sigs.join(other, ["band", "sig"])
             .filter(F.col("doc_id") < F.col("doc_b"))
             .select("band", F.col("doc_id").alias("doc_a"), "doc_b")
             .distinct())
+
+
+def lsh_bucket_stats(sigs: DataFrame, max_bucket: int) -> DataFrame:
+    """Observability for the hot-bucket guard: one row
+    (n_buckets, n_oversize, max_width, capped_pairs_dropped) so a
+    pipeline can LOG how much recall surface the cap touched instead of
+    silently truncating."""
+    w = sigs.groupBy("band", "sig").agg(F.count("*").alias("w"))
+    over = F.col("w") > max_bucket
+    return w.agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.sum(over.cast("bigint")).cast("bigint").alias("n_oversize"),
+        F.max("w").cast("bigint").alias("max_width"),
+        F.sum(F.when(over, (F.col("w") * (F.col("w") - 1)) / 2
+                     - (F.col("w") - 1)).otherwise(0))
+        .cast("bigint").alias("capped_pairs_dropped"))
 
 
 def ngram_jaccard_pairs(shingles: DataFrame, threshold: float = 0.12) -> DataFrame:
@@ -230,7 +275,17 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
     segment_value) equi-join key.  The join shuffles fixed-size integer
     keys; candidates are verified by the exact hamming sum and deduped.
     At corpus scale this is the same candidate-generation shape as the
-    MinHash LSH path (banded equi-join), not an O(n²) loop join."""
+    MinHash LSH path (banded equi-join), not an O(n²) loop join.
+
+    CANDIDATE-VOLUME BOUND: each segment has width w ≈ 64/(max_hamming+1)
+    bits, so on an n-doc corpus with near-uniform fingerprints expected
+    candidates are Θ(n²/2^w) per segment.  At the default max_hamming=3
+    (w=16) that is n²/65536 — fine.  At high hamming budgets (say
+    max_hamming=8, w≈7) it degrades toward n²/128: still an equi-join,
+    but the VERIFY tier's input grows quadratically.  For large budgets
+    prefer two-level banding (split into fewer, wider super-segments and
+    sub-band within each) or cap candidate buckets with
+    ``max_bucket`` — see ``lsh_candidates``."""
     # max_hamming+1 segments — pigeonhole-complete for ANY max_hamming:
     # beyond 64 the extra segments have width 0 and value 0 for every doc,
     # so all pairs (correctly) become candidates
@@ -313,7 +368,9 @@ def shingle_fingerprints(sh: DataFrame) -> DataFrame:
 def near_dedup(docs: DataFrame, threshold: float = 0.5,
                n_bands: int = 8, rows_per_band: int = 4, n: int = 3,
                id_col: str = "doc_id", text_col: str = "text",
-               max_iter: int = 20, mode: str = "exact") -> DataFrame:
+               max_iter: int = 20, mode: str = "exact",
+               checkpoint_dir: str | None = None,
+               max_bucket: int | None = None) -> DataFrame:
     """Corpus-level near-dedup keeper assignment: exact-set pre-collapse →
     verified pairs over representatives → connected components (min-label
     propagation) → keeper = smallest doc_id of each component.  Returns
@@ -337,13 +394,28 @@ def near_dedup(docs: DataFrame, threshold: float = 0.5,
     edge is threshold-verified), so precision is preserved; recall drops
     only for docs whose sole path into a cluster was a non-hub pair.
 
-    Each propagation round is one shuffle keyed by doc id over
-    (id, label) integer rows; component diameters are tiny for dedup
-    graphs, the loop converges in a handful of rounds; convergence is
-    CHECKED, and non-convergence raises rather than silently emitting
-    fragmented components."""
+    Label propagation runs with POINTER JUMPING (each round takes the
+    min over neighbours' labels AND the current label's own label —
+    path-halving, so rounds scale with log(diameter), not diameter), and
+    the convergence check rides the checkpointed frame as a materialized
+    ``changed`` flag instead of a separate old-vs-new join — fewer
+    sequential mini-jobs per round, which is the dominant cost of this
+    loop at any scale.  Convergence is CHECKED, and non-convergence
+    raises rather than silently emitting fragmented components.
+
+    ``checkpoint_dir``: when set, per-round lineage truncation is a
+    DURABLE parquet round-trip under that directory instead of
+    ``localCheckpoint`` — the cluster-safe mode (localCheckpoint blocks
+    die with their executor, killing the job mid-iteration; point
+    checkpoint_dir at HDFS/S3 on a real cluster).  Output is identical.
+
+    ``max_bucket``: optional hot-bucket guard for candidate generation —
+    see ``lsh_candidates``.  In ``mode='scale'`` it is moot (star edges
+    are already O(width) per bucket)."""
     if mode not in ("exact", "scale"):
         raise ValueError(f"mode must be 'exact' or 'scale', got {mode!r}")
+    from ..plans.checkpoint import Truncator
+    trunc = Truncator(checkpoint_dir)
     sh_all = shingle_rows(docs, id_col=id_col, text_col=text_col, n=n)
     # ONE aggregation pass over the shingles computes everything per-doc:
     # the shingle-set fingerprint (stage-0 collapse key), the shingle
@@ -354,12 +426,12 @@ def near_dedup(docs: DataFrame, threshold: float = 0.5,
     # one row per doc) — every downstream branch reads this instead of
     # re-executing the scan→shingle subtree.  At cluster scale the same
     # role is played by persisting to storage once.
-    wide = (_minhash_inputs(sh_all).groupBy("doc_id")
-            .agg(F.md5(F.array_join(F.array_sort(F.collect_set("shingle")),
-                                    "\x01")).alias("fingerprint"),
-                 F.count("*").alias("n_sh"),
-                 *_minima_aggs(n_bands * rows_per_band))
-            .localCheckpoint(eager=True))
+    wide = trunc(_minhash_inputs(sh_all).groupBy("doc_id")
+                 .agg(F.md5(F.array_join(
+                     F.array_sort(F.collect_set("shingle")), "\x01"))
+                     .alias("fingerprint"),
+                     F.count("*").alias("n_sh"),
+                     *_minima_aggs(n_bands * rows_per_band)), "wide")
     groups = wide.groupBy("fingerprint").agg(F.min("doc_id").alias("rep"))
     doc_rep = (wide.select("doc_id", "fingerprint")
                .join(groups, "fingerprint").select("doc_id", "rep"))
@@ -368,7 +440,8 @@ def near_dedup(docs: DataFrame, threshold: float = 0.5,
 
     sigs = _band_stack(rep_wide, n_bands, rows_per_band)
     if mode == "exact":
-        cand = lsh_candidates(sigs).select("doc_a", "doc_b").distinct()
+        cand = (lsh_candidates(sigs, max_bucket=max_bucket)
+                .select("doc_a", "doc_b").distinct())
     else:
         hub = sigs.groupBy("band", "sig").agg(F.min("doc_id").alias("doc_a"))
         cand = (sigs.join(hub, ["band", "sig"])
@@ -381,33 +454,49 @@ def near_dedup(docs: DataFrame, threshold: float = 0.5,
     sizes = rep_wide.select("doc_id", "n_sh")
     pairs = _verify_pairs(sh, cand, threshold,
                           sizes=sizes).select("doc_a", "doc_b")
-    edges = (pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-             .union(pairs.select(F.col("doc_b").alias("src"),
-                                 F.col("doc_a").alias("dst")))
-             .localCheckpoint(eager=True))
+    edges = trunc(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"),
+                            F.col("doc_a").alias("dst"))), "edges")
     # propagate over TOUCHED vertices only: a label can change only along
     # an edge, and the dup graph is orders of magnitude smaller than the
     # corpus — iterating over every doc would shuffle the whole corpus
     # per round for nothing.  Untouched reps/docs fall through the final
     # coalesce to keeper = self.
-    labels = (edges.select(F.col("src").alias("v")).distinct()
-              .withColumn("comp", F.col("v")).localCheckpoint(eager=True))
-    changed = 1
+    labels = trunc(edges.select(F.col("src").alias("v")).distinct()
+                   .withColumn("comp", F.col("v")), "labels_init")
+    converged = False
     for _ in range(max_iter):
-        nbr = (edges.join(labels, edges.dst == labels.v)
+        # one round = neighbour-min + POINTER JUMP (min with the current
+        # label's own label — path halving, log(diameter) rounds), with
+        # the convergence flag materialized INTO the checkpointed frame:
+        # the follow-up `changed` probe scans checkpointed blocks of a
+        # tiny table instead of running an old-vs-new join job
+        nbr = (edges.join(labels.select(F.col("v").alias("dv"),
+                                        F.col("comp").alias("dcomp")),
+                          edges.dst == F.col("dv"))
                .groupBy(F.col("src").alias("v2"))
-               .agg(F.min("comp").alias("nbr_comp")))
-        updated = (labels.join(nbr, labels.v == nbr.v2, "left")
-                   .select("v", F.least(F.col("comp"),
-                                        F.coalesce("nbr_comp", F.col("comp")))
-                           .alias("comp"))
-                   .localCheckpoint(eager=True))
-        changed = (labels.select("v", F.col("comp").alias("old"))
-                   .join(updated, "v").filter("old <> comp").limit(1).count())
-        labels = updated
-        if changed == 0:
+               .agg(F.min("dcomp").alias("nbr_comp")))
+        stepped = (labels.join(nbr, labels.v == nbr.v2, "left")
+                   .select("v", F.col("comp").alias("old"),
+                           F.least(F.col("comp"),
+                                   F.coalesce("nbr_comp", F.col("comp")))
+                           .alias("mid")))
+        ptr = labels.select(F.col("v").alias("pv"),
+                            F.col("comp").alias("pcomp"))
+        updated = trunc(
+            stepped.join(ptr, stepped.mid == F.col("pv"), "left")
+            .select("v",
+                    F.least(F.col("mid"), F.coalesce("pcomp", F.col("mid")))
+                    .alias("comp"),
+                    (F.col("old") != F.least(
+                        F.col("mid"), F.coalesce("pcomp", F.col("mid"))))
+                    .alias("changed")), "labels")
+        labels = updated.select("v", "comp")
+        if updated.filter("changed").limit(1).count() == 0:
+            converged = True
             break
-    if changed != 0:
+    if not converged:
         raise RuntimeError(
             f"near_dedup label propagation did not converge in {max_iter} "
             "iterations — raise max_iter (pathological chain components)")

@@ -27,24 +27,32 @@ def node_degrees(triples: DataFrame, pred: str | None = None) -> DataFrame:
 
 
 def pagerank(triples: DataFrame, pred: str | None = None,
-             damping: float = 0.85, n_iter: int = 10) -> DataFrame:
-    """PageRank over the (deduplicated) edge set of one predicate."""
+             damping: float = 0.85, n_iter: int = 10,
+             checkpoint_dir: str | None = None) -> DataFrame:
+    """PageRank over the (deduplicated) edge set of one predicate.
+
+    ``checkpoint_dir``: when set, per-iteration lineage truncation is a
+    durable parquet round-trip (cluster-safe — localCheckpoint blocks
+    die with their executor and kill the job mid-iteration; point this
+    at HDFS/S3 on a real cluster).  Output is identical either way."""
+    from ..plans.checkpoint import Truncator
+    trunc = Truncator(checkpoint_dir)
     edges = (triples if pred is None
              else triples.filter(F.col("pred") == pred))
-    edges = (edges.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
-             .distinct().localCheckpoint(eager=True))
-    nodes = (edges.select(F.col("src").alias("node"))
-             .union(edges.select(F.col("dst").alias("node")))
-             .distinct().localCheckpoint(eager=True))
+    edges = trunc(edges.select(F.col("subj").alias("src"),
+                               F.col("obj").alias("dst")).distinct(), "edges")
+    nodes = trunc(edges.select(F.col("src").alias("node"))
+                  .union(edges.select(F.col("dst").alias("node")))
+                  .distinct(), "nodes")
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     # materialize once: out_deg feeds a join in EVERY iteration — left lazy
     # it would re-run the edges groupBy shuffle n_iter times
-    out_deg = (edges.groupBy("src").agg(F.count("*").alias("deg"))
-               .localCheckpoint(eager=True))
-    dangling = nodes.join(out_deg.withColumnRenamed("src", "node"),
-                          "node", "left_anti").localCheckpoint(eager=True)
+    out_deg = trunc(edges.groupBy("src").agg(F.count("*").alias("deg")),
+                    "out_deg")
+    dangling = trunc(nodes.join(out_deg.withColumnRenamed("src", "node"),
+                                "node", "left_anti"), "dangling")
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(n_iter):
         # dangling nodes spread their mass uniformly (standard PageRank);
@@ -65,5 +73,6 @@ def pagerank(triples: DataFrame, pred: str | None = None,
                           + damping * (F.coalesce("c", F.lit(0.0))
                                        + F.col("d_mass") / n))
                          .alias("rank"))
-                 .localCheckpoint(eager=True))
+                 )
+        ranks = trunc(ranks, "ranks")
     return ranks.withColumn("rank", F.round("rank", 6))

@@ -65,8 +65,21 @@ _HTML_FRAGMENT_RE = "|".join(
     rf'(?s)<{t}\b[^>]*\bid="{_ID}[^"]*"[^>]*>.*?</{t}>'
     for t in ("p", "blockquote", "pre"))
 # hidden_text spans are ALWAYS dropped: check_hidden_text_is_invalid is
-# constant True (data_preparation.py:194-201 — SURVEY §2.1 quirk)
-_HIDDEN_RE = r'(?s)<[^>]*\bclass="[^"]*hidden_text[^"]*"[^>]*>.*?</[^>]+>'
+# constant True (data_preparation.py:194-201 — SURVEY §2.1 quirk).
+# One alternative per tag kind (same backreference-free device as
+# _HTML_FRAGMENT_RE, so the identical pattern runs under Java regex and
+# the oracle's RE2): the close tag must NAME-match the open tag, so a
+# hidden span containing nested OTHER-tag markup (<span class=
+# "hidden_text">A <b>B</b> C</span>) drops whole, like BeautifulSoup.
+# Known limitation: a hidden element nesting the SAME tag kind still
+# stops at the inner close (regex cannot count); the trailing generic
+# alternative keeps unusual tag kinds at least first-close dropped.
+_HIDDEN_TAGS = ("span", "div", "p", "a", "b", "i", "u", "em", "strong",
+                "font", "sup", "sub")
+_HIDDEN_RE = "|".join(
+    [rf'(?s)<{t}\b[^>]*\bclass="[^"]*hidden_text[^"]*"[^>]*>.*?</{t}>'
+     for t in _HIDDEN_TAGS]
+    + [r'(?s)<[^>]*\bclass="[^"]*hidden_text[^"]*"[^>]*>.*?</[^>]+>'])
 _TAG_RE = r"<[^>]+>"
 # the entity subset BeautifulSoup would unescape that occurs in judgment
 # HTML; amp LAST so '&amp;lt;' does not double-unescape

@@ -145,32 +145,40 @@ def token_overlap_edges(mentions: DataFrame,
 
 
 def connected_components(edges: DataFrame, vertices: DataFrame,
-                         max_iter: int = 50) -> DataFrame:
+                         max_iter: int = 50,
+                         checkpoint_dir: str | None = None) -> DataFrame:
     """Label-propagation connected components over (doc_id, src, dst) edges:
     each vertex converges to the minimum ent_id of its component.
 
     Iterative join plan (GraphFrames-style): per iteration one shuffle on
     (doc_id, vertex); labels are ints, AQE coalesces the tiny post-filter
-    exchanges.  ``localCheckpoint`` truncates the growing lineage so the
-    plan stays bounded at high iteration counts.
+    exchanges.  Each round applies neighbour-min AND a POINTER JUMP
+    (min with the current label's own label — path halving), so rounds
+    scale with log(diameter) rather than diameter; the convergence flag
+    is materialized into the truncated frame, so the per-round probe
+    scans tiny checkpointed blocks instead of running an old-vs-new join.
+
+    ``checkpoint_dir``: when set, lineage truncation is a durable
+    parquet round-trip (cluster-safe; localCheckpoint blocks die with
+    their executor) — identical output.
 
     Raises RuntimeError if propagation has not converged after
     ``max_iter`` iterations (a component whose diameter exceeds the cap
     would otherwise be silently emitted fragmented — wrong clusters
-    without any signal).  Min-label propagation needs ~diameter
-    iterations; raise ``max_iter`` for pathological chain graphs or
-    switch to the large-star/small-star contraction variant."""
-    sym = (edges.select("doc_id", "src", "dst")
-           .union(edges.select("doc_id", F.col("dst").alias("src"),
-                               F.col("src").alias("dst")))
-           .select(F.col("doc_id").alias("e_doc"), "src", "dst")
-           .localCheckpoint(eager=True))  # break lineage to the source DF —
+    without any signal)."""
+    from ..plans.checkpoint import Truncator
+    trunc = Truncator(checkpoint_dir)
+    sym = trunc(edges.select("doc_id", "src", "dst")
+                .union(edges.select("doc_id", F.col("dst").alias("src"),
+                                    F.col("src").alias("dst")))
+                .select(F.col("doc_id").alias("e_doc"), "src", "dst"),
+                "sym")  # break lineage to the source DF —
     # avoids self-join ambiguity when edges and vertices derive from the
     # same mentions frame, and keeps the per-iteration plan flat
-    labels = (vertices.select("doc_id", F.col("ent_id").alias("v"),
-                              F.col("ent_id").alias("comp"))
-              .localCheckpoint(eager=True))
-    changed = 1
+    labels = trunc(vertices.select("doc_id", F.col("ent_id").alias("v"),
+                                   F.col("ent_id").alias("comp")),
+                   "labels_init")
+    converged = False
     for _ in range(max_iter):
         nbr_min = (sym.join(labels, (F.col("e_doc") == F.col("doc_id"))
                             & (F.col("dst") == F.col("v")))
@@ -179,23 +187,30 @@ def connected_components(edges: DataFrame, vertices: DataFrame,
                            F.col("comp").alias("nbr_comp"))
                    .groupBy("doc_id", "v")
                    .agg(F.min("nbr_comp").alias("nbr_comp")))
-        updated = (labels.join(nbr_min, ["doc_id", "v"], "left")
-                   .select("doc_id", "v",
+        stepped = (labels.join(nbr_min, ["doc_id", "v"], "left")
+                   .select("doc_id", "v", F.col("comp").alias("old"),
                            F.least(F.col("comp"),
                                    F.coalesce("nbr_comp", F.col("comp")))
-                           .alias("comp"))
-                   .localCheckpoint(eager=True))
-        changed = (labels.select("doc_id", "v", F.col("comp").alias("old_comp"))
-                   .join(updated, ["doc_id", "v"])
-                   .filter("old_comp <> comp").limit(1).count())
-        labels = updated
-        if changed == 0:
+                           .alias("mid")))
+        ptr = labels.select(F.col("doc_id").alias("p_doc"),
+                            F.col("v").alias("pv"),
+                            F.col("comp").alias("pcomp"))
+        new_comp = F.least(F.col("mid"), F.coalesce("pcomp", F.col("mid")))
+        updated = trunc(
+            stepped.join(ptr, (F.col("doc_id") == F.col("p_doc"))
+                         & (F.col("mid") == F.col("pv")), "left")
+            .select("doc_id", "v", new_comp.alias("comp"),
+                    (F.col("old") != new_comp).alias("changed")),
+            "labels")
+        labels = updated.select("doc_id", "v", "comp")
+        if updated.filter("changed").limit(1).count() == 0:
+            converged = True
             break
-    if changed != 0:
+    if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
-            "iterations — raise max_iter (components need ~diameter "
-            "rounds of min-label propagation)")
+            "iterations — raise max_iter (components need ~log(diameter) "
+            "rounds of pointer-jumped min-label propagation)")
     return labels.select("doc_id", F.col("v").alias("ent_id"),
                          F.col("comp").alias("cluster_id"))
 

@@ -258,18 +258,23 @@ def quantize_embeddings(emb: DataFrame, id_col: str = "vec_id",
     embeddings, which at trillion-vector scale is the difference between
     one storage tier and four.  Zero vectors quantize to all-zeros with
     scale 0.  Pure Catalyst (transform/aggregate), deterministic, and
-    reproducible in ANSI SQL.  Returns (vec_id, scale, q:array<tinyint>)."""
-    v = _as_double(vec_col)
+    reproducible in ANSI SQL.  Returns (vec_id, scale, q:array<tinyint>).
+
+    The per-vector scale is projected into a column FIRST and captured by
+    the quantization lambda (HOF lambdas can reference outer attributes),
+    so quantization is O(d) per vector — recomputing the max-abs
+    aggregate inside the per-element lambda would be O(d²), a real cost
+    on the trillion-vector store this operator exists for."""
     maxabs = F.expr(f"aggregate(transform({vec_col}, x -> abs(cast(x AS double))), "
                     "0D, (a, x) -> greatest(a, x))")
-    scale = (maxabs / F.lit(127.0)).alias("scale")
-    q = F.when(maxabs == 0,
-               F.expr(f"transform({vec_col}, x -> cast(0 AS tinyint))")) \
+    base = emb.select(F.col(id_col).alias("vec_id"),
+                      _as_double(vec_col).alias("_v"),
+                      (maxabs / F.lit(127.0)).alias("scale"))
+    q = F.when(F.col("scale") == 0,
+               F.expr("transform(_v, x -> cast(0 AS tinyint))")) \
         .otherwise(F.expr(
-            f"transform({vec_col}, x -> cast(round(cast(x AS double) / "
-            f"(aggregate(transform({vec_col}, y -> abs(cast(y AS double))), "
-            f"0D, (a, y) -> greatest(a, y)) / 127.0)) AS tinyint))"))
-    return emb.select(F.col(id_col).alias("vec_id"), scale, q.alias("q"))
+            "transform(_v, x -> cast(round(x / scale) AS tinyint))"))
+    return base.select("vec_id", "scale", q.alias("q"))
 
 
 def dequantize_embeddings(qdf: DataFrame) -> DataFrame:

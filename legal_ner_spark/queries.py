@@ -14,6 +14,8 @@ engines' summation orders cannot flip the value hash.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1689,7 +1691,10 @@ def _kg_records(spark, sf_dir):
 # relational aggregation half, which the DuckDB oracles below verify over
 # the very same parquet files.  Materialization happens once per
 # (process, sf_dir) — the extraction stage runs once, not once per query.
-_KG_RECORDS_PATH = "/root/repo/.artifacts/kg_records"
+# repo-root-relative (derived from this file), not a hard-coded absolute
+# path — the kg_* query/oracle pairs must work from any checkout location
+_KG_RECORDS_PATH = str(
+    Path(__file__).resolve().parent.parent / ".artifacts" / "kg_records")
 _KG_SQL_SRC = f"read_parquet('{_KG_RECORDS_PATH}/*.parquet')"
 _kg_materialized_for: str | None = None
 
