@@ -45,39 +45,56 @@ def main() -> None:
         n_rows = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
         n_docs = max(64, min(1600, n_rows // 5))
 
+    # steady-state discipline: per measurement, ONE untimed warm-up run
+    # (absorbs the first-execution Janino codegen compile, which is
+    # 2-8 s on the widest aggregates and made best-of-2 misleading) then
+    # best-of-BENCH_RUNS timed runs (host noise here is 1.5-3× run to
+    # run — the min is the honest steady-state figure)
+    n_runs = int(os.environ.get("BENCH_RUNS", "3"))
+
+    def best_of(fn) -> float:
+        fn()  # warm-up, excluded
+        best = float("inf")
+        for _ in range(n_runs):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        return best
+
     # compute-sized splits: ≥64 docs/task (each task's Python-worker round
     # trip costs ~hundreds of ms — oversplitting serializes that overhead)
     # but capped at ~4 tasks/core so the 2% mega-docs still spread
     n_parts = max(cpus, min(cpus * 4, n_docs // 64))
-    kg_sec = float("inf")
-    for _ in range(2):
-        t0 = time.time()
+    n_triples = 0
+
+    def run_kg():
+        nonlocal n_triples
         corpus = pipeline.synthetic_corpus(spark, n_docs, partitions=n_parts)
         n_triples = ops.triples(pipeline.extract_records(corpus)).count()
-        kg_sec = min(kg_sec, time.time() - t0)
+
+    kg_sec = best_of(run_kg)
     timings["kg_extract_triples"] = round(kg_sec, 3)
 
     # sent-mode (the reference's run_type knob) on the same corpus — the
     # doc-vs-sent latency trade the reference documents (README.md:159-165)
-    t0 = time.time()
-    corpus = pipeline.synthetic_corpus(spark, n_docs, partitions=n_parts)
-    ops.triples(pipeline.extract_records(corpus, text_type="sent")).count()
-    sent_sec = time.time() - t0
+    # measured under the SAME warm-up + best-of-N loop as everything else
+    def run_sent():
+        corpus = pipeline.synthetic_corpus(spark, n_docs, partitions=n_parts)
+        ops.triples(pipeline.extract_records(corpus, text_type="sent")).count()
+
+    sent_sec = best_of(run_sent)
 
     bench_queries = ["tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q7", "tpch_q13", "tpch_q17",
                      "nearest_prior_link", "dedup_exact", "dedup_minhash_lsh", "near_dedup",
                      "simhash_pairs", "embedding_near_pairs", "similarity_topk",
-                     "ann_lsh_topk", "ann_ivf_topk", "contamination",
+                     "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_q_topk",
+                     "contamination",
                      "pack_shards", "prepare_training_corpus",
                      "quality_score", "doc_fingerprint",
                      "repetition_score", "windowed_counts"]
     for name in bench_queries:
-        best = float("inf")
-        for _ in range(2):  # best-of-2: shields against host noise spikes
-            t0 = time.time()
-            queries.QUERIES[name](spark, sf_dir).count()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+        timings[name] = round(best_of(
+            lambda: queries.QUERIES[name](spark, sf_dir).count()), 3)
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -175,18 +175,34 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
 
 def ivf_ann_topk(queries: DataFrame, candidates: DataFrame, k: int = 5,
                  n_centroids: int = 8, n_probe: int = 2,
-                 refine_iters: int = 0) -> DataFrame:
+                 refine_iters: int = 0, quantized: bool = False) -> DataFrame:
     """IVF ANN: coarse-quantize candidates into ``n_centroids`` inverted
     lists (one equi-join key per vector), probe each query's ``n_probe``
     nearest lists, exact cosine rerank within probed lists.  Candidate
     generation is an equi-join on ``centroid_id`` — no crossJoin against
     the corpus at any scale; recall < 1 by construction (tested vs brute
     force on planted neighbors).  Complements ``lsh_ann_topk``: IVF adapts
-    to the data distribution (with refinement), LSH is data-independent."""
+    to the data distribution (with refinement), LSH is data-independent.
+
+    ``quantized=True`` serves the rerank from the int8 STORE: list
+    vectors round-trip through ``quantize_embeddings`` /
+    ``dequantize_embeddings`` (the 4×-smaller storage tier) while the
+    index structure (centroids, list assignment) is built from the
+    float vectors and queries stay float — exactly the production split
+    where the index is built once from floats and served from int8.
+    Scores shift by the (tiny) quantization error; ranking contract is
+    unchanged (4-dp round, id tie-break)."""
     cents = ivf_centroids(candidates, n_centroids, refine_iters)
     lists = ivf_assign(candidates, cents, n_probe=1) \
         .select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
                 "centroid_id")
+    if quantized:
+        store = dequantize_embeddings(
+            quantize_embeddings(candidates, id_col="vec_id", vec_col="v"))
+        lists = (lists.drop("cv")
+                 .join(store.withColumnRenamed("vec_id", "neighbor_id"),
+                       "neighbor_id")
+                 .withColumnRenamed("v", "cv"))
     probes = ivf_assign(
         queries.select(F.col("vec_id"), F.col("v")), cents, n_probe=n_probe) \
         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
@@ -198,19 +214,32 @@ def ivf_ann_topk(queries: DataFrame, candidates: DataFrame, k: int = 5,
 
 
 def build_ivf_index(candidates: DataFrame, path: str, n_centroids: int = 8,
-                    refine_iters: int = 0) -> None:
+                    refine_iters: int = 0, quantized: bool = False) -> None:
     """Materialize an IVF index: inverted lists written once as parquet
     partitioned by ``centroid_id`` (Iceberg equivalent: identity-partition
     on centroid_id), centroids alongside.  The 100 TB pattern: the
     corpus-side assignment pass runs ONCE; every subsequent query batch
     reads only its probed lists via partition pruning instead of
-    re-scanning (or re-quantizing) the corpus."""
+    re-scanning (or re-quantizing) the corpus.
+
+    ``quantized=True`` writes the lists in int8 form — (neighbor_id,
+    scale:double, q:array<tinyint>, centroid_id) — 4× smaller on disk;
+    ``query_ivf_index`` dequantizes on read.  Centroids stay float (they
+    are ``n_centroids`` rows — size is irrelevant, assignment accuracy
+    is not)."""
     cents = ivf_centroids(candidates, n_centroids, refine_iters)
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
-    (ivf_assign(candidates, cents, n_probe=1)
-     .select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
-             "centroid_id")
-     .write.mode("overwrite").partitionBy("centroid_id")
+    asn = ivf_assign(candidates, cents, n_probe=1)
+    if quantized:
+        lists = (asn.select("vec_id", "centroid_id")
+                 .join(quantize_embeddings(candidates, id_col="vec_id",
+                                           vec_col="v"), "vec_id")
+                 .select(F.col("vec_id").alias("neighbor_id"), "scale", "q",
+                         "centroid_id"))
+    else:
+        lists = asn.select(F.col("vec_id").alias("neighbor_id"),
+                           F.col("v").alias("cv"), "centroid_id")
+    (lists.write.mode("overwrite").partitionBy("centroid_id")
      .parquet(f"{path}/lists"))
 
 
@@ -219,9 +248,16 @@ def query_ivf_index(spark, path: str, queries: DataFrame, k: int = 5,
     """Query a materialized IVF index.  The probed centroid_ids reach the
     lists scan as a partition filter (visible as PartitionFilters in the
     plan when probes are literal); rerank is exact within probed lists —
-    identical ranking contract to the other ANN paths (_rerank_topk)."""
+    identical ranking contract to the other ANN paths (_rerank_topk).
+    A quantized index (int8 lists, see ``build_ivf_index``) is detected
+    by schema and dequantized inside the rerank projection."""
     cents = spark.read.parquet(f"{path}/centroids")
     lists = spark.read.parquet(f"{path}/lists")
+    if "q" in lists.columns:
+        lists = lists.select(
+            "neighbor_id",
+            F.expr("transform(q, x -> cast(x AS double) * scale)")
+            .alias("cv"), "centroid_id")
     probes = ivf_assign(queries, cents, n_probe=n_probe) \
         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
                 "centroid_id")

@@ -1548,6 +1548,76 @@ SELECT query_id, neighbor_id, cos_sim, rnk FROM (
 ) WHERE rnk <= 5"""
 
 
+def q_ann_ivf_q_topk(spark, sf_dir):
+    """IVF ANN served from the int8 STORE (quantized=True): index built
+    from floats, rerank vectors round-trip through the 4×-smaller
+    (scale, int8[]) representation, queries stay float — the production
+    split proving the quantized tier is USABLE, not just writable.
+    Deterministic end-to-end, so the oracle reproduces the quantize →
+    dequantize → rerank arithmetic exactly."""
+    from .operators import similarity
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    qs = similarity.prepare_vectors(emb.filter(F.col("vec_id") < 5))
+    cs = similarity.prepare_vectors(emb.filter(F.col("vec_id") >= 5))
+    return (similarity.ivf_ann_topk(qs, cs, k=5, n_centroids=8, n_probe=2,
+                                    quantized=True)
+            .select(F.col("query_id").cast("bigint").alias("query_id"),
+                    F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+                    "cos_sim", "rnk"))
+
+
+def o_ann_ivf_q_topk():
+    cos = ("round(list_dot_product({a}, {b}) / "
+           "(sqrt(list_dot_product({a}, {a})) * "
+           "sqrt(list_dot_product({b}, {b}))), 4)")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+eq AS (
+  SELECT vec_id,
+         CASE WHEN ma = 0 THEN list_transform(v, x -> 0.0)
+              ELSE list_transform(v, x ->
+                (round(x / (ma / 127.0))::TINYINT)::DOUBLE * (ma / 127.0))
+         END AS v
+  FROM (SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) AS ma FROM e) m
+),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, v AS cv
+  FROM (SELECT * FROM e WHERE vec_id >= 5 ORDER BY vec_id LIMIT 8)
+),
+lists AS (
+  SELECT vec_id AS neighbor_id, centroid_id FROM (
+    SELECT c.vec_id, ct.centroid_id,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY {cos.format(a='c.v', b='ct.cv')} DESC,
+                      ct.centroid_id ASC) AS crn
+    FROM e c CROSS JOIN cents ct WHERE c.vec_id >= 5)
+  WHERE crn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, centroid_id FROM (
+    SELECT q.vec_id, ct.centroid_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY {cos.format(a='q.v', b='ct.cv')} DESC,
+                      ct.centroid_id ASC) AS crn
+    FROM e q CROSS JOIN cents ct WHERE q.vec_id < 5)
+  WHERE crn <= 2
+),
+cand AS (
+  SELECT DISTINCT p.query_id, l.neighbor_id
+  FROM probes p JOIN lists l USING (centroid_id)
+)
+SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+  SELECT c.query_id::BIGINT AS query_id, c.neighbor_id::BIGINT AS neighbor_id,
+         {cos.format(a='qe.v', b='ne.v')} AS cos_sim,
+         row_number() OVER (PARTITION BY c.query_id
+           ORDER BY {cos.format(a='qe.v', b='ne.v')} DESC,
+                    c.neighbor_id ASC) AS rnk
+  FROM cand c JOIN e qe ON qe.vec_id = c.query_id
+              JOIN eq ne ON ne.vec_id = c.neighbor_id
+) WHERE rnk <= 5"""
+
+
 INGEST_FIXTURES = [
     "a  b\n\n\n\nc http://www.judis.nic.in tail",
     "Sentence one.\nNext line",
@@ -1897,6 +1967,7 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "quantize_embeddings": q_quantize_embeddings,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_q_topk": q_ann_ivf_q_topk,
     "contamination": q_contamination,
     "pii_redact": q_pii_redact,
     "pack_shards": q_pack_shards,
@@ -1953,6 +2024,7 @@ ORACLES = {
     "ann_lsh_topk": o_ann_lsh_topk(),
     "quantize_embeddings": o_quantize_embeddings(),
     "ann_ivf_topk": o_ann_ivf_topk(),
+    "ann_ivf_q_topk": o_ann_ivf_q_topk(),
     "contamination": o_contamination(),
     "pii_redact": o_pii_redact(),
     "pack_shards": o_pack_shards(),

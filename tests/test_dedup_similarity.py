@@ -298,3 +298,128 @@ def test_shingle_fingerprints_collapse_identical_sets(spark):
     fp = {r.doc_id: r.fingerprint
           for r in dedup.shingle_fingerprints(sh).collect()}
     assert fp[0] == fp[1] and fp[0] != fp[2] and 3 not in fp
+
+
+def test_near_dedup_durable_checkpoint_identical(spark, tmp_path):
+    """checkpoint_dir switches lineage truncation from localCheckpoint to
+    a durable parquet round-trip — the cluster-safe mode (executor loss
+    cannot orphan truncated lineage).  Keeper assignment must be
+    byte-identical, and the rounds must actually land on disk."""
+    w = [f"w{i}" for i in range(40)]
+    rows = [(i, " ".join(w[i * 2:i * 2 + 30])) for i in range(6)] + \
+           [(9, " ".join(f"z{i}" for i in range(30)))]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    base = sorted((r.doc_id, r.keeper_doc_id)
+                  for r in dedup.near_dedup(docs, threshold=0.5).collect())
+    cdir = str(tmp_path / "ck")
+    durable = sorted(
+        (r.doc_id, r.keeper_doc_id)
+        for r in dedup.near_dedup(docs, threshold=0.5,
+                                  checkpoint_dir=cdir).collect())
+    assert durable == base
+    import os
+    steps = os.listdir(cdir)
+    assert any(s.endswith("wide") for s in steps)
+    assert any("labels" in s for s in steps)
+
+
+def test_near_dedup_chain_converges_in_log_rounds(spark):
+    """Pointer-jumped propagation needs ~log2(diameter) rounds, not
+    ~diameter: a 16-link near-dup chain must converge with max_iter=8
+    (plain min-label propagation would need ~16 and raise here)."""
+    w = [f"w{i}" for i in range(80)]
+    rows = [(i, " ".join(w[i * 2:i * 2 + 30])) for i in range(17)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.keeper_doc_id
+           for r in dedup.near_dedup(docs, threshold=0.5,
+                                     max_iter=8).collect()}
+    assert got == {i: 0 for i in range(17)}
+
+
+def test_lsh_hot_bucket_guard_bounds_candidates(spark):
+    """A degenerate (band, sig) bucket of width 50 must yield 49 star
+    edges under max_bucket, not 1225 pairs; normal buckets keep full
+    pairing, and lsh_bucket_stats reports exactly what was capped."""
+    mega = [(i, 0, "deadbeef") for i in range(50)]
+    normal = [(100 + i, 1, "cafe") for i in range(3)]
+    sigs = spark.createDataFrame(mega + normal, ["doc_id", "band", "sig"])
+    capped = dedup.lsh_candidates(sigs, max_bucket=10).collect()
+    star = [(r.doc_a, r.doc_b) for r in capped if r.band == 0]
+    full = [(r.doc_a, r.doc_b) for r in capped if r.band == 1]
+    assert len(star) == 49 and all(a == 0 for a, _ in star)
+    assert sorted(full) == [(100, 101), (100, 102), (101, 102)]
+    uncapped = dedup.lsh_candidates(sigs).count()
+    assert uncapped == 50 * 49 // 2 + 3
+    s = dedup.lsh_bucket_stats(sigs, max_bucket=10).collect()[0]
+    assert (s.n_buckets, s.n_oversize, s.max_width) == (2, 1, 50)
+    assert s.capped_pairs_dropped == 1225 - 49
+
+
+def test_near_dedup_with_hot_bucket_cap_still_exact_on_normal_corpus(spark):
+    """On a corpus with no oversize buckets, max_bucket must not change
+    the answer at all."""
+    w = [f"w{i}" for i in range(40)]
+    rows = [(0, " ".join(w[0:30])), (1, " ".join(w[2:32])),
+            (2, " ".join(f"x{i}" for i in range(30)))]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    base = sorted((r.doc_id, r.keeper_doc_id)
+                  for r in dedup.near_dedup(docs, threshold=0.5).collect())
+    capped = sorted((r.doc_id, r.keeper_doc_id)
+                    for r in dedup.near_dedup(docs, threshold=0.5,
+                                              max_bucket=64).collect())
+    assert capped == base
+
+
+def test_quantized_ivf_serve_recall_vs_float(spark):
+    """ivf_ann_topk(quantized=True) — the int8 serve path — must agree
+    with the float IVF path on nearly every returned neighbor (the
+    round-trip moves cosine by <0.1% so rank flips are rare), and its
+    reported scores must sit within 0.005 of the float scores."""
+    import random
+    rng = random.Random(7)
+    qs = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(32)]) for i in range(4)],
+        ["vec_id", "embedding"])
+    cs = spark.createDataFrame(
+        [(100 + i, [rng.gauss(0, 1) for _ in range(32)]) for i in range(60)],
+        ["vec_id", "embedding"])
+    qv = similarity.prepare_vectors(qs)
+    cv = similarity.prepare_vectors(cs)
+    flt = {(r.query_id, r.neighbor_id): r.cos_sim
+           for r in similarity.ivf_ann_topk(qv, cv, k=5).collect()}
+    qnt = {(r.query_id, r.neighbor_id): r.cos_sim
+           for r in similarity.ivf_ann_topk(qv, cv, k=5,
+                                            quantized=True).collect()}
+    overlap = set(flt) & set(qnt)
+    assert len(overlap) >= 0.8 * len(flt)
+    assert all(abs(flt[p] - qnt[p]) <= 0.005 for p in overlap)
+
+
+def test_quantized_ivf_index_on_disk_is_int8_and_matches_inline(spark,
+                                                                tmp_path):
+    """build_ivf_index(quantized=True) must store list vectors as
+    array<tinyint> + scale on disk (the 4× tier is REAL bytes, not a
+    flag), and query_ivf_index over that store must return exactly what
+    the inline quantized path returns."""
+    import random
+    rng = random.Random(11)
+    qs = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(32)]) for i in range(3)],
+        ["vec_id", "embedding"])
+    cs = spark.createDataFrame(
+        [(100 + i, [rng.gauss(0, 1) for _ in range(32)]) for i in range(40)],
+        ["vec_id", "embedding"])
+    qv = similarity.prepare_vectors(qs)
+    cv = similarity.prepare_vectors(cs)
+    path = str(tmp_path / "ivf_q")
+    similarity.build_ivf_index(cv, path, quantized=True)
+    lists = spark.read.parquet(f"{path}/lists")
+    assert dict(lists.dtypes)["q"] == "array<tinyint>"
+    assert "scale" in lists.columns and "cv" not in lists.columns
+    got = sorted((r.query_id, r.neighbor_id, r.cos_sim, r.rnk)
+                 for r in similarity.query_ivf_index(spark, path, qv,
+                                                     k=5).collect())
+    want = sorted((r.query_id, r.neighbor_id, r.cos_sim, r.rnk)
+                  for r in similarity.ivf_ann_topk(qv, cv, k=5,
+                                                   quantized=True).collect())
+    assert got == want

@@ -113,3 +113,34 @@ def test_token_overlap_edges_cluster_same_precedents(spark, mentions):
     n_clusters = comp.select("doc_id", "cluster_id").distinct().count()
     n_verts = comp.count()
     assert 0 < n_clusters <= n_verts
+
+
+def test_connected_components_chain_converges_in_log_rounds(spark):
+    """Pointer jumping: a 16-edge chain (diameter 16) must converge
+    within max_iter=8 — plain min-label propagation would need ~16
+    rounds and raise."""
+    edges = spark.createDataFrame(
+        [(0, i, i + 1) for i in range(16)], ["doc_id", "src", "dst"])
+    verts = spark.createDataFrame(
+        [(0, i) for i in range(17)], ["doc_id", "ent_id"])
+    comp = {r.ent_id: r.cluster_id
+            for r in rel.connected_components(edges, verts,
+                                              max_iter=8).collect()}
+    assert comp == {i: 0 for i in range(17)}
+
+
+def test_connected_components_durable_checkpoint_identical(spark, tmp_path):
+    """checkpoint_dir (durable parquet truncation) must not change the
+    labeling."""
+    edges = spark.createDataFrame(
+        [(0, 1, 2), (0, 2, 3), (1, 7, 8)], ["doc_id", "src", "dst"])
+    verts = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 9), (1, 7), (1, 8)],
+        ["doc_id", "ent_id"])
+    base = sorted((r.doc_id, r.ent_id, r.cluster_id)
+                  for r in rel.connected_components(edges, verts).collect())
+    durable = sorted(
+        (r.doc_id, r.ent_id, r.cluster_id)
+        for r in rel.connected_components(
+            edges, verts, checkpoint_dir=str(tmp_path / "cc")).collect())
+    assert durable == base
