@@ -68,11 +68,14 @@ def _tag_judgment_by_sentence(judgment_text: str,
 
 
 def extract_document(doc_id: str, text: str, text_type: str = 'doc',
-                     tagger=tag_region) -> DocResult:
+                     tagger=tag_region,
+                     strict_compat: bool = True) -> DocResult:
     """Run the full reference lifecycle (SURVEY.md §3.1) on one document.
     ``text_type`` ∈ {'doc','sent'} mirrors legal_ner.py:24-27; ``tagger``
     is the NER stand-in contract (default: deterministic closed-vocab
-    tagger; production: core.model_tagger.load_spacy_tagger)."""
+    tagger; production: core.model_tagger.load_spacy_tagger).
+    ``strict_compat=False`` runs the fixed-quirk postprocessing
+    (see postprocess_doc)."""
     # 1. preamble split (+200/5000 truncation, POS-guess, title-casing) —
     #    legal_ner.py:15 → data_preparation.py:108-127
     preamble_titled, preamble_end = separate_and_clean_preamble(text)
@@ -103,7 +106,7 @@ def extract_document(doc_id: str, text: str, text_type: str = 'doc',
     ents.sort(key=lambda sp: sp.start)
     doc.ents = ents
     # 5. postprocessing DAG — legal_ner.py:43 → postprocessing_utils.py:896-915
-    result = postprocess_doc(doc)
+    result = postprocess_doc(doc, strict_compat=strict_compat)
     return _emit(doc_id, doc, result, preamble_len=len(preamble_titled))
 
 

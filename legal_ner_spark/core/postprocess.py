@@ -71,11 +71,16 @@ def _lev_lt(a: str, b: str, threshold: int) -> bool:
     return levenshtein_lt(a, b, threshold)
 
 
-def create_precedent_clusters(breakup, threshold: int = 5) -> dict[int, list[Span]]:
+def create_precedent_clusters(breakup, threshold: int = 5,
+                              strict_compat: bool = True) -> dict[int, list[Span]]:
     """Greedy order-dependent clustering — postprocessing_utils.py:69-118.
     Seeds at the first unconsumed precedent; absorbs later ones on
     edit-distance<threshold of both parties, or on exact citation equality
-    when parties are missing."""
+    when parties are missing.
+
+    ``strict_compat=False`` fixes the ''-citation quirks: citation-equality
+    absorption requires a NON-empty citation, so citation-less precedents
+    are never glued together just because both lack a citation."""
     clusters: dict[int, list[Span]] = {}
     consumed: set[int] = set()
     num = 0
@@ -91,7 +96,8 @@ def create_precedent_clusters(breakup, threshold: int = 5) -> dict[int, list[Spa
                     # exclude`` branch is dead — cit defaults to '' — so the
                     # live behavior is citation equality, which also absorbs
                     # no-vs/no-cit precedents into a seed whose cit is ''.
-                    if cit1 == cit:
+                    # strict_compat=False requires a real citation.
+                    if cit1 == cit and (strict_compat or cit != ''):
                         consumed.add(j)
                         cluster.append(pre1)
                 else:
@@ -103,9 +109,10 @@ def create_precedent_clusters(breakup, threshold: int = 5) -> dict[int, list[Spa
             # true since cit defaults to '' — and its inner ``cit_1 != None``
             # guard is vacuous, so a party-less seed absorbs every later
             # precedent (with or without parties) of equal citation,
-            # including equal-'' citations.
+            # including equal-'' citations.  strict_compat=False requires a
+            # real citation here too.
             for j in range(i + 1, len(breakup)):
-                if breakup[j][3] == cit:
+                if breakup[j][3] == cit and (strict_compat or cit != ''):
                     consumed.add(j)
                     cluster.append(breakup[j][0])
         clusters[num] = cluster
@@ -176,14 +183,16 @@ def set_main_cluster(clusters: dict[int, list[Span]]) -> dict[Span, list[Span]]:
     return final
 
 
-def precedent_coref_resol(doc: Doc) -> dict[Span, list[Span]]:
+def precedent_coref_resol(doc: Doc,
+                          strict_compat: bool = True) -> dict[Span, list[Span]]:
     """postprocessing_utils.py:170-198: full precedent stage.  Relabels supra
     spans to PRECEDENT in doc.ents; returns multi-member clusters only."""
     entities_pn = [e for e in doc.ents
                    if e.label in ('OTHER_PERSON', 'ORG', 'PETITIONER', 'RESPONDENT')]
     entities_precedents = [e for e in doc.ents if e.label == 'PRECEDENT']
     breakup = split_precedents(entities_precedents)
-    clusters = create_precedent_clusters(breakup, threshold=5)
+    clusters = create_precedent_clusters(breakup, threshold=5,
+                                         strict_compat=strict_compat)
     supra_matches, supras = get_precedent_supras(doc, entities_pn, entities_precedents)
     clusters = merge_supras_precedents(supra_matches, clusters)
     final = set_main_cluster(clusters)
@@ -286,8 +295,12 @@ def map_name_wise_other_person(other_cleaned, known_cleaned):
     return found
 
 
-def other_person_coref_res(doc: Doc) -> list[Span]:
-    """postprocessing_utils.py:315-335 — the person-entity output set."""
+def other_person_coref_res(doc: Doc, strict_compat: bool = True) -> list[Span]:
+    """postprocessing_utils.py:315-335 — the person-entity output set.
+
+    ``strict_compat=False`` fixes the stale-loop-variable removal quirk:
+    exactly the MATCHED persons are removed (they were re-labelled and
+    appended to ``found``), so unrelated persons survive."""
     other_person, found, entities, known_person = map_exact_other_person(doc)
     known_cleaned = separate_name(known_person, only_first_last_name=False)
     other_cleaned = separate_name(other_person, only_first_last_name=True)
@@ -296,13 +309,18 @@ def other_person_coref_res(doc: Doc) -> list[Span]:
     for o in oth:
         other_person[o[0]].label = o[1]
         found.append(other_person[o[0]])
-    # QUIRK (:327-328): the reference's removal loop reuses the stale loop
-    # variable ``o`` — it removes the element at index o[0] (the *last*
-    # match) len(oth) times from the shrinking list, dropping unrelated
-    # persons.  Mirrored exactly, including the IndexError when the index
-    # falls off the end (caught by the per-doc wrapper like legal_ner.py:42).
-    for _ in oth:
-        other_person.remove(other_person[o[0]])
+    if strict_compat:
+        # QUIRK (:327-328): the reference's removal loop reuses the stale
+        # loop variable ``o`` — it removes the element at index o[0] (the
+        # *last* match) len(oth) times from the shrinking list, dropping
+        # unrelated persons.  Mirrored exactly, including the IndexError
+        # when the index falls off the end (caught by the per-doc wrapper
+        # like legal_ner.py:42).
+        for _ in oth:
+            other_person.remove(other_person[o[0]])
+    else:
+        for idx in sorted({m[0] for m in oth}, reverse=True):
+            del other_person[idx]
     for person in other_person:
         if person not in found:
             found.append(person)
@@ -351,8 +369,13 @@ _ACT_RE = re.compile(
     r"\b(([A-Z][A-Za-z'']*|\d{4})(?:\s+[A-Z][a-z'']*)*\s*(a|A)ct|\s*(a|A)ct)\b")
 
 
-def create_unidentified_statutes(doc: Doc):
-    """Parenthetical alias discovery — postprocessing_utils.py:639-713."""
+def create_unidentified_statutes(doc: Doc, strict_compat: bool = True):
+    """Parenthetical alias discovery — postprocessing_utils.py:639-713.
+
+    ``strict_compat=False`` fixes two list quirks: per-statute alias
+    clusters EXTEND instead of resetting (moot today — one alias per
+    statute upstream — but correct if that changes), and the discarded-
+    span removal iterates a snapshot so no member is skipped."""
     statutes = [e for e in doc.ents if e.label == 'STATUTE']
     statutes_start_end = [(s.start, s.end) for s in statutes]
 
@@ -382,8 +405,11 @@ def create_unidentified_statutes(doc: Doc):
             # the statute's list is reset on every alias (only the last
             # alias's spans survive).  Each statute contributes at most one
             # alias upstream, so plain reset-then-extend is the exact
-            # behavior.
-            new_clusters[statute] = list(spans)
+            # behavior.  strict_compat=False accumulates instead.
+            if strict_compat:
+                new_clusters[statute] = list(spans)
+            else:
+                new_clusters.setdefault(statute, []).extend(spans)
 
     discarded = [s for s in new_statutes
                  for (os_, oe) in statutes_start_end
@@ -397,8 +423,8 @@ def create_unidentified_statutes(doc: Doc):
     for sta, members in new_clusters.items():
         # QUIRK (:699-710): the reference removes from the list while
         # iterating it, skipping the element after each removal — iterate the
-        # live list the same way.
-        for s in members:
+        # live list the same way.  strict_compat=False iterates a snapshot.
+        for s in (members if strict_compat else list(members)):
             if s in discarded:
                 members.remove(s)
                 old_clusters.setdefault(sta, []).append(s)
@@ -406,15 +432,23 @@ def create_unidentified_statutes(doc: Doc):
     return new_clusters, new_statutes, old_clusters
 
 
-def create_statute_clusters(doc: Doc, old_clusters, new_clusters):
+def create_statute_clusters(doc: Doc, old_clusters, new_clusters,
+                            strict_compat: bool = True):
     """postprocessing_utils.py:559-588 — canonical-keyed statute clusters.
     QUIRK (:567-576): the reference checks Span keys against text keys, so
-    same-text statutes overwrite rather than extend; mirrored."""
+    same-text statutes overwrite rather than extend; mirrored.
+    ``strict_compat=False`` extends same-text clusters instead."""
     clusters: dict[str, list[Span]] = {}
     for c, members in old_clusters.items():
-        clusters[c.text] = list(members)
+        if strict_compat:
+            clusters[c.text] = list(members)
+        else:
+            clusters.setdefault(c.text, []).extend(members)
     for c, members in new_clusters.items():
-        clusters[c.text] = list(members)
+        if strict_compat:
+            clusters[c.text] = list(members)
+        else:
+            clusters.setdefault(c.text, []).extend(members)
     for statute in (e for e in doc.ents if e.label == 'STATUTE'):
         stat = check_stat(statute.text)
         if stat == '':
@@ -423,9 +457,14 @@ def create_statute_clusters(doc: Doc, old_clusters, new_clusters):
     return clusters
 
 
-def get_exact_match_pro_statute(doc: Doc):
+def get_exact_match_pro_statute(doc: Doc, strict_compat: bool = True):
     """Sentence-window nearest-preceding-provision pairing
-    (postprocessing_utils.py:356-392)."""
+    (postprocessing_utils.py:356-392).
+
+    ``strict_compat=False`` fixes the filtered-index quirk: the argmin is
+    taken over (distance, position) of the QUALIFYING provisions and the
+    matching provision itself is popped — the statute always pairs with
+    its actual nearest preceding provision."""
     pro_statute: list[list] = []
     pro_left: list[Span] = []
     total_statutes: list[Span] = []
@@ -434,12 +473,17 @@ def get_exact_match_pro_statute(doc: Doc):
         pros = [e for e in ents if e.label == 'PROVISION']
         total_statutes.extend(statutes)
         for statute in statutes:
-            nearest = [statute.start - p.end for p in pros
-                       if p.end <= statute.start]
-            if nearest:
-                # QUIRK (:382-384): index into the *filtered* distance list is
-                # used against the *unfiltered* pros list.
-                ind = nearest.index(min(nearest))
+            cands = [(statute.start - p.end, idx)
+                     for idx, p in enumerate(pros)
+                     if p.end <= statute.start]
+            if cands:
+                if strict_compat:
+                    # QUIRK (:382-384): index into the *filtered* distance
+                    # list is used against the *unfiltered* pros list.
+                    nearest = [d for d, _ in cands]
+                    ind = nearest.index(min(nearest))
+                else:
+                    ind = min(cands)[1]
                 provision = pros.pop(ind)
                 pro_statute.append([provision, statute])
         if pros:
@@ -508,9 +552,16 @@ def check_validity(provision: Span, statute: Span) -> bool:
 
 
 def map_pro_statute_on_heuristics(matching_pro_left, matching_pro_statute,
-                                  pro_statute, total_statutes):
+                                  pro_statute, total_statutes,
+                                  strict_compat: bool = True):
     """Implicit-provision resolution — postprocessing_utils.py:447-500,
-    including the ``pro_statute[-1]`` IndexError path on an empty list."""
+    including the ``pro_statute[-1]`` IndexError path on an empty list.
+
+    ``strict_compat=False`` guards the two crash/wrap quirks: an empty
+    ``pro_statute`` means append (no ``[-1]`` probe → no IndexError →
+    the doc is not voided), and the validity walk stops at the list
+    head instead of wrapping to ``total_statutes[-1]`` — a provision
+    with no valid preceding statute is skipped rather than mispaired."""
     for pro_left in matching_pro_left:
         provision_to_find = pro_left[0]
         sta = [i for i, v in enumerate(matching_pro_statute)
@@ -522,7 +573,8 @@ def map_pro_statute_on_heuristics(matching_pro_left, matching_pro_statute,
         if len(sta) > 0:
             sta_index = j - 1 if j > 0 else 0
             statute = matching_pro_statute[sta[sta_index]]
-            if pro_statute[-1][0] != pro_left[1]:
+            if (not strict_compat and not pro_statute) \
+                    or pro_statute[-1][0] != pro_left[1]:
                 pro_statute.append([pro_left[1], statute[1]])
             else:
                 pro_statute.pop(-1)
@@ -533,9 +585,17 @@ def map_pro_statute_on_heuristics(matching_pro_left, matching_pro_statute,
                 if v.end > pro_left[1].end:
                     i = m
                     break
-            while check_validity(pro_left[1], total_statutes[i - 1]):
-                i = i - 1
-            if pro_statute[-1][0] != pro_left[1]:
+            if strict_compat:
+                while check_validity(pro_left[1], total_statutes[i - 1]):
+                    i = i - 1
+            else:
+                while i - 1 >= 0 and check_validity(pro_left[1],
+                                                    total_statutes[i - 1]):
+                    i = i - 1
+                if i - 1 < 0:
+                    continue  # no valid preceding statute — skip the pair
+            if (not strict_compat and not pro_statute) \
+                    or pro_statute[-1][0] != pro_left[1]:
                 matching_pro_statute.append([pro_left[0], total_statutes[i - 1]])
                 pro_statute.append([pro_left[1], total_statutes[i - 1], ''])
     return matching_pro_statute, pro_statute
@@ -626,9 +686,10 @@ def remove_unidentified_statutes(doc: Doc, new_statutes):
     return [e for e in doc.ents if e not in drop]
 
 
-def pro_statute_coref_resol(doc: Doc):
+def pro_statute_coref_resol(doc: Doc, strict_compat: bool = True):
     """postprocessing_utils.py:740-783 — the 9-step provision↔statute DAG."""
-    new_clusters, new_statutes, old_clusters = create_unidentified_statutes(doc)
+    new_clusters, new_statutes, old_clusters = create_unidentified_statutes(
+        doc, strict_compat=strict_compat)
     old_entities = list(doc.ents)
     seen = set(old_entities)
     for ent in new_statutes:
@@ -637,15 +698,18 @@ def pro_statute_coref_resol(doc: Doc):
             seen.add(ent)
     doc.ents = filter_spans(old_entities)
 
-    stat_clusters = create_statute_clusters(doc, old_clusters, new_clusters)
-    pro_statute, pro_left, total_statutes = get_exact_match_pro_statute(doc)
+    stat_clusters = create_statute_clusters(doc, old_clusters, new_clusters,
+                                            strict_compat=strict_compat)
+    pro_statute, pro_left, total_statutes = get_exact_match_pro_statute(
+        doc, strict_compat=strict_compat)
     to_remove, matching_pro_statute = separate_provision_get_pairs_statute(pro_statute)
     matching_pro_left = separate_provision_get_pairs_pro(pro_left)
     for pro in to_remove:
         if pro in pro_statute:
             pro_statute.remove(pro)
     matching_pro_statute, pro_statute = map_pro_statute_on_heuristics(
-        matching_pro_left, matching_pro_statute, pro_statute, total_statutes)
+        matching_pro_left, matching_pro_statute, pro_statute, total_statutes,
+        strict_compat=strict_compat)
     clusters = get_clusters(pro_statute)
     clusters = seperate_provision(doc, clusters)
     doc.ents = remove_unidentified_statutes(doc, new_statutes)
@@ -693,20 +757,33 @@ def _validate_ents(ents: list[Span]) -> None:
                 f"[{b.start},{b.end}) (spaCy E1010 semantics)")
 
 
-def postprocess_doc(doc: Doc) -> PostprocessResult:
+def postprocess_doc(doc: Doc, strict_compat: bool = True) -> PostprocessResult:
     """Run the reference's full postprocessing DAG on one document.
 
     On any exception the document's raw entities are returned unmodified and
     ``ok=False`` — the per-doc analogue of the blanket except at
     legal_ner.py:42-47 (which skips postprocessing for the whole doc), so a
     single pathological document cannot void its Spark partition.
+
+    ``strict_compat=True`` (default) mirrors every documented reference
+    quirk byte-for-byte — the parity mode the P/R gate runs against.
+    ``strict_compat=False`` runs the FIXED semantics for the quirks that
+    are plainly bugs (SURVEY.md §7.3): non-stale person removal,
+    filtered-index nearest-provision pairing, guarded ``pro_statute[-1]``
+    and non-wrapping validity walk (no doc-voiding IndexError),
+    non-empty-citation precedent absorption, accumulate-not-reset
+    alias/statute clusters, snapshot iteration in alias re-bucketing —
+    for users who want correct-rather-than-faithful triples.
     """
     raw_ents = [Span(e.start, e.end, e.start_char, e.end_char, e.text, e.label)
                 for e in doc.ents]
     try:
-        precedent_clusters = precedent_coref_resol(doc)
-        other_person_ents = other_person_coref_res(doc)
-        pro_sta_pairs, stat_clusters = pro_statute_coref_resol(doc)
+        precedent_clusters = precedent_coref_resol(
+            doc, strict_compat=strict_compat)
+        other_person_ents = other_person_coref_res(
+            doc, strict_compat=strict_compat)
+        pro_sta_pairs, stat_clusters = pro_statute_coref_resol(
+            doc, strict_compat=strict_compat)
         all_entities = remove_overlapping_entities(doc.ents, pro_sta_pairs)
         all_entities.extend(other_person_ents)
         _validate_ents(all_entities)

@@ -102,7 +102,8 @@ TEXT_ASSEMBLY_EXPR = (
 
 
 def _records_for_doc(doc_id: str, spans, buf: _ColumnBuffer,
-                     text_type: str = "doc") -> None:
+                     text_type: str = "doc",
+                     strict_compat: bool = True) -> None:
     # null-tolerant: NULL spans array / NULL struct elements degrade to an
     # empty doc instead of failing the partition (same as the JVM-side
     # assembly path, where Catalyst filter/array_join skip nulls).
@@ -114,7 +115,8 @@ def _records_for_doc(doc_id: str, spans, buf: _ColumnBuffer,
                   for s in (spans if spans is not None else [])
                   if s is not None]
     text = assemble_text(spans_list)
-    r = extract_document(doc_id, text, text_type=text_type)
+    r = extract_document(doc_id, text, text_type=text_type,
+                         strict_compat=strict_compat)
     # span passthrough — the original spans array travels through the Arrow
     # boundary untouched (span-sequence invariant: kind, text, media_ref,
     # offset, order)
@@ -142,7 +144,8 @@ def _emit_records(doc_id: str, r, spans_list, buf: _ColumnBuffer) -> None:
 
 
 def extract_records(corpus: DataFrame, carry_spans: bool = True,
-                    text_type: str = "doc") -> DataFrame:
+                    text_type: str = "doc",
+                    strict_compat: bool = True) -> DataFrame:
     """corpus(doc_id, spans) → long records table (RECORDS_SCHEMA).
     Narrow: no shuffle is introduced by this operator.
 
@@ -161,7 +164,12 @@ def extract_records(corpus: DataFrame, carry_spans: bool = True,
     tags each sentence separately with offset rebase — preferred for very
     long judgments — while 'doc' tags the judgment region in one call.
     Both run inside the same fused narrow stage; the knob changes
-    per-document work only, never the plan shape."""
+    per-document work only, never the plan shape.
+
+    ``strict_compat=False`` switches the per-doc postprocessing to the
+    FIXED-quirk semantics (core.postprocess.postprocess_doc) — correct
+    rather than byte-faithful triples; the parity/P-R gates always run
+    the default strict mode."""
     if text_type not in ("doc", "sent"):
         raise ValueError(f"text_type must be 'doc' or 'sent', got {text_type!r}")
 
@@ -171,7 +179,8 @@ def extract_records(corpus: DataFrame, carry_spans: bool = True,
                 buf = _ColumnBuffer()
                 for doc_id, spans in zip(b.column("doc_id").to_pylist(),
                                          b.column("spans").to_pylist()):
-                    _records_for_doc(doc_id, spans, buf, text_type=text_type)
+                    _records_for_doc(doc_id, spans, buf, text_type=text_type,
+                                     strict_compat=strict_compat)
                 yield buf.record_batch()
 
         # explicit projection: extra corpus columns must not cross Arrow
@@ -187,7 +196,8 @@ def extract_records(corpus: DataFrame, carry_spans: bool = True,
             for doc_id, text in zip(b.column("doc_id").to_pylist(),
                                     b.column("text").to_pylist()):
                 r = extract_document(doc_id, text if text is not None else "",
-                                     text_type=text_type)
+                                     text_type=text_type,
+                                     strict_compat=strict_compat)
                 _emit_records(doc_id, r, None, buf)
             yield buf.record_batch()
 

@@ -42,11 +42,13 @@ def synthetic_corpus(spark: SparkSession, n_docs: int,
 
 
 def extract_records(corpus: DataFrame, carry_spans: bool = True,
-                    text_type: str = "doc") -> DataFrame:
+                    text_type: str = "doc",
+                    strict_compat: bool = True) -> DataFrame:
     """``text_type`` ∈ {'doc','sent'}: the reference's run_type knob
     (legal_ner.py:24-27) — see operators.extract.extract_records."""
     return ops.extract_records(corpus, carry_spans=carry_spans,
-                               text_type=text_type)
+                               text_type=text_type,
+                               strict_compat=strict_compat)
 
 
 def extract_triples(corpus: DataFrame, text_type: str = "doc") -> DataFrame:

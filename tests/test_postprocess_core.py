@@ -281,3 +281,58 @@ def test_statute_rule_word_boundaries():
     assert statutes("Under I.P.C. section rules.") == ["I.P.C."]
     assert statutes("Constitutional matters differ.") == []
     assert statutes("Indian Penal Code, 1860 applies.") == ["Indian Penal Code, 1860"]
+
+
+# ------------------------------------------------------- strict_compat toggle
+
+def test_strict_compat_stale_removal_loop_both_behaviors():
+    """The reference's stale-loop-variable removal (postprocessing_utils
+    .py:327-328) drops an UNRELATED person once two OTHER_PERSONs match
+    known names; strict_compat=True mirrors that byte-for-byte,
+    strict_compat=False removes exactly the matched persons."""
+    text = "Ramesh Kumar filed. Ramesh spoke. Kumar agreed. Ganesh watched."
+    spec = [("Ramesh Kumar", "PETITIONER"),
+            ("Ramesh", "OTHER_PERSON", 1),
+            ("Kumar", "OTHER_PERSON", 1),
+            ("Ganesh", "OTHER_PERSON")]
+    strict = pp.other_person_coref_res(_doc_with_ents(text, spec))
+    fixed = pp.other_person_coref_res(_doc_with_ents(text, spec),
+                                      strict_compat=False)
+    assert "Ganesh" not in {s.text for s in strict}          # quirk: dropped
+    fixed_by_text = {s.text: s.label for s in fixed}
+    assert fixed_by_text.get("Ganesh") == "OTHER_PERSON"     # fix: survives
+    # the genuinely matched persons behave the same in both modes
+    for res in (strict, fixed):
+        by_text = {s.text: s.label for s in res}
+        assert by_text["Ramesh"] == "PETITIONER"
+        assert by_text["Kumar"] == "PETITIONER"
+
+
+def test_strict_compat_empty_pro_statute_guard_both_behaviors():
+    """A provision whose only statute comes LATER leaves pro_statute
+    empty; the reference's ``pro_statute[-1]`` probe raises and voids the
+    whole doc (ok=False).  strict_compat=False guards it: postprocessing
+    completes (ok=True) and the unmatchable pair is skipped."""
+    text = "Section 5 applies here. The Indian Penal Code governs."
+    spec = [("Section 5", "PROVISION"), ("Indian Penal Code", "STATUTE")]
+    strict = pp.postprocess_doc(_doc_with_ents(text, spec))
+    assert strict.ok is False                                 # quirk: voided
+    fixed = pp.postprocess_doc(_doc_with_ents(text, spec),
+                               strict_compat=False)
+    assert fixed.ok is True                                   # fix: completes
+    assert fixed.provision_statute_pairs == []
+
+
+def test_strict_compat_empty_citation_precedent_absorption():
+    """Two citation-less, party-less precedents: the reference's vacuous
+    ``cit != None`` guard glues them into one cluster on ''==''
+    (postprocessing_utils.py:109); strict_compat=False requires a real
+    citation, so they stay singletons."""
+    d = Doc("In re Alpha Matter. In re Beta Matter.")
+    a = d.char_span(0, 18, label="PRECEDENT")
+    b = d.char_span(20, 37, label="PRECEDENT")
+    breakup = [(a, None, None, ''), (b, None, None, '')]
+    strict = pp.create_precedent_clusters(breakup)
+    assert [len(v) for v in strict.values()] == [2]           # quirk: merged
+    fixed = pp.create_precedent_clusters(breakup, strict_compat=False)
+    assert sorted(len(v) for v in fixed.values()) == [1, 1]   # fix: separate
