@@ -79,7 +79,8 @@ def cosine_near_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
 def lsh_near_pairs(emb: DataFrame, threshold: float = 0.95, dim: int = 64,
                    n_planes: int = 8, n_tables: int = 2,
                    id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding",
+                   max_bucket: int | None = None) -> DataFrame:
     """Embedding near-dup pairs ≥ ``threshold`` via LSH buckets — the
     scale path: candidates collide in ≥1 table's hyperplane-signature
     bucket (equi-join on (table, sig), fixed-size keys), then exact
@@ -88,15 +89,36 @@ def lsh_near_pairs(emb: DataFrame, threshold: float = 0.95, dim: int = 64,
     bucketing: pairs hashed apart in every table are missed — at the
     production threshold (≥0.95) collision probability per table is
     (1-θ/π)^n_planes with θ = arccos(0.95) ≈ 18°, i.e. ≈0.41, and ≥1-of-2
-    tables ≈ 0.66; raise n_tables for higher recall (linear cost)."""
+    tables ≈ 0.66; raise n_tables for higher recall (linear cost).
+
+    ``max_bucket`` is the hot-bucket guard: a degenerate signature (e.g.
+    a spike of near-zero vectors all hashing to one bucket) can make one
+    bucket quadratic; buckets wider than the cap contribute STAR edges
+    (member ↔ bucket-min) — O(width) candidates, cosine-verified like
+    every other candidate, so precision is unchanged."""
     vs = prepare_vectors(emb, id_col, vec_col)
     sigs = lsh_signatures(vs, dim, n_planes, n_tables)
     a = sigs.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
                     "table", "sig")
     b = sigs.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
                     "table", "sig")
-    return (a.join(b, ["table", "sig"])
-            .filter(F.col("id_a") < F.col("id_b"))
+    if max_bucket is None:
+        cand = (a.join(b, ["table", "sig"])
+                .filter(F.col("id_a") < F.col("id_b")))
+    else:
+        widths = sigs.groupBy("table", "sig").agg(
+            F.count("*").alias("_w"), F.min("vec_id").alias("_hub"))
+        a_k = a.join(widths, ["table", "sig"])
+        normal = (a_k.filter(F.col("_w") <= max_bucket).drop("_w", "_hub")
+                  .join(b, ["table", "sig"])
+                  .filter(F.col("id_a") < F.col("id_b")))
+        hubs = (a_k.filter(F.col("_w") > max_bucket)
+                .filter(F.col("id_a") == F.col("_hub"))
+                .select("table", "sig", F.col("id_a"), F.col("va")))
+        star = (hubs.join(b, ["table", "sig"])
+                .filter(F.col("id_a") < F.col("id_b")))
+        cand = normal.unionByName(star)
+    return (cand
             .dropDuplicates(["id_a", "id_b"])
             .withColumn("cos_sim", F.round(cosine_expr("va", "vb"), 4))
             .filter(F.col("cos_sim") >= threshold)

@@ -423,3 +423,23 @@ def test_quantized_ivf_index_on_disk_is_int8_and_matches_inline(spark,
                   for r in similarity.ivf_ann_topk(qv, cv, k=5,
                                                    quantized=True).collect())
     assert got == want
+
+
+def test_embedding_lsh_hot_bucket_guard(spark):
+    """lsh_near_pairs(max_bucket=...): identical vectors (one degenerate
+    bucket) must produce star-shaped candidates only — every member still
+    pairs with the hub (cosine 1.0 ≥ threshold), but candidate count is
+    linear; without the cap the same bucket yields all pairs."""
+    base = [1.0] + [0.0] * 31
+    rows = [(i, base) for i in range(20)] + \
+           [(100, [0.0] * 31 + [1.0]), (101, [0.0] * 31 + [1.0])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    capped = similarity.lsh_near_pairs(emb, threshold=0.95, dim=32,
+                                       max_bucket=8).collect()
+    in_clone = [(r.id_a, r.id_b) for r in capped if r.id_b < 100]
+    assert sorted(in_clone) == [(0, i) for i in range(1, 20)]  # star to hub
+    assert (100, 101) in {(r.id_a, r.id_b) for r in capped}    # normal bucket
+    uncapped = {(r.id_a, r.id_b)
+                for r in similarity.lsh_near_pairs(emb, threshold=0.95,
+                                                   dim=32).collect()}
+    assert len([p for p in uncapped if p[1] < 100]) == 20 * 19 // 2
