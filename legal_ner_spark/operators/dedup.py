@@ -463,10 +463,17 @@ def near_dedup(docs: DataFrame, threshold: float = 0.5,
     # corpus — iterating over every doc would shuffle the whole corpus
     # per round for nothing.  Untouched reps/docs fall through the final
     # coalesce to keeper = self.
-    labels = trunc(edges.select(F.col("src").alias("v")).distinct()
-                   .withColumn("comp", F.col("v")), "labels_init")
+    # round 1 is a single aggregation straight off the checkpointed edge
+    # blocks: initial labels are the identity, so neighbour-min is
+    # min(self, min(dst)) and the pointer jump is a no-op — this folds
+    # labels_init + the first nbr/update/jump joins into ONE eager job.
+    # A component of size ≥ 2 always changes some vertex in round 1, so
+    # the convergence probe starts at round 2.
+    labels = trunc(edges.groupBy(F.col("src").alias("v"))
+                   .agg(F.least(F.col("v"), F.min("dst")).alias("comp")),
+                   "labels_r1")
     converged = False
-    for _ in range(max_iter):
+    for _ in range(max_iter - 1):
         # one round = neighbour-min + POINTER JUMP (min with the current
         # label's own label — path halving, log(diameter) rounds), with
         # the convergence flag materialized INTO the checkpointed frame:
