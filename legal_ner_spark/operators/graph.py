@@ -16,6 +16,81 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def weakly_connected_components(edges: DataFrame, max_iter: int = 30,
+                                checkpoint_dir: str | None = None) -> DataFrame:
+    """Global weakly-connected components over an (src, dst) edge table:
+    (node, component) where component = min node id of the component.
+    Nodes are whatever the edge endpoints are (strings or ints).
+
+    Same iteration shape as the near-dedup CC: round 1 is one
+    aggregation off the checkpointed symmetric edges (labels start as
+    the identity), then pointer-jumped min-label rounds — log(diameter)
+    rounds, one (node)-keyed shuffle each, labels are (id, label) rows
+    so the per-round data is tiny relative to any corpus.
+    ``checkpoint_dir`` switches lineage truncation to the durable
+    parquet round-trip (cluster mode).  Isolated nodes don't appear
+    (an edge table has no degree-0 vertices); left-join the node table
+    and coalesce to self for full coverage."""
+    from ..plans.checkpoint import Truncator
+    trunc = Truncator(checkpoint_dir)
+    sym = trunc(edges.select("src", "dst")
+                .union(edges.select(F.col("dst").alias("src"),
+                                    F.col("src").alias("dst"))), "wcc_edges")
+    labels = trunc(sym.groupBy(F.col("src").alias("v"))
+                   .agg(F.least(F.col("v"), F.min("dst")).alias("comp")),
+                   "wcc_r1")
+    converged = False
+    for _ in range(max_iter - 1):
+        nbr = (sym.join(labels.select(F.col("v").alias("dv"),
+                                      F.col("comp").alias("dcomp")),
+                        sym.dst == F.col("dv"))
+               .groupBy(F.col("src").alias("v2"))
+               .agg(F.min("dcomp").alias("nbr_comp")))
+        stepped = (labels.join(nbr, labels.v == nbr.v2, "left")
+                   .select("v", F.col("comp").alias("old"),
+                           F.least(F.col("comp"),
+                                   F.coalesce("nbr_comp", F.col("comp")))
+                           .alias("mid")))
+        ptr = labels.select(F.col("v").alias("pv"),
+                            F.col("comp").alias("pcomp"))
+        updated = trunc(
+            stepped.join(ptr, stepped.mid == F.col("pv"), "left")
+            .select("v",
+                    F.least(F.col("mid"), F.coalesce("pcomp", F.col("mid")))
+                    .alias("comp"),
+                    (F.col("old") != F.least(
+                        F.col("mid"), F.coalesce("pcomp", F.col("mid"))))
+                    .alias("changed")), "wcc_labels")
+        labels = updated.select("v", "comp")
+        if updated.filter("changed").limit(1).count() == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"weakly_connected_components did not converge in {max_iter} "
+            "iterations — raise max_iter")
+    return labels.select(F.col("v").alias("node"),
+                         F.col("comp").alias("component"))
+
+
+def triangles(edges: DataFrame) -> DataFrame:
+    """Triangle enumeration over an undirected edge table: rows
+    (node_a, node_b, node_c) with a < b < c and all three edges present.
+    The classic compact-forward shape as THREE equi-joins on canonical
+    (min, max) edges — no cross product anywhere; at web scale add a
+    degree-ordering step so high-degree hubs sit on the probe side.
+    Input may list either direction / duplicates; it is canonicalized
+    and deduped first."""
+    e = (edges.select(F.least("src", "dst").alias("a"),
+                      F.greatest("src", "dst").alias("b"))
+         .filter(F.col("a") != F.col("b")).distinct())
+    ab = e.select(F.col("a").alias("node_a"), F.col("b").alias("node_b"))
+    bc = e.select(F.col("a").alias("node_b"), F.col("b").alias("node_c"))
+    ac = e.select(F.col("a").alias("node_a"), F.col("b").alias("node_c"))
+    return (ab.join(bc, "node_b").join(ac, ["node_a", "node_c"])
+            .select("node_a", "node_b", "node_c"))
+
+
 def node_degrees(triples: DataFrame, pred: str | None = None) -> DataFrame:
     t = triples if pred is None else triples.filter(F.col("pred") == pred)
     out_d = t.groupBy(F.col("subj").alias("node")).agg(

@@ -57,6 +57,35 @@ def salted_two_phase_count(df: DataFrame, key: str,
             .agg(F.sum("_partial").cast("bigint").alias("n")))
 
 
+def salted_join(big: DataFrame, small: DataFrame, key: str,
+                n_salts: int = 16, how: str = "inner") -> DataFrame:
+    """Equi-join under heavy key skew when the small side is too large to
+    broadcast: the big side gets a deterministic per-row salt, the small
+    side is REPLICATED n_salts times (one copy per salt value), and the
+    join key becomes (key, salt) — the hot key's probe rows spread over
+    n_salts reducers instead of landing on one.  Result-identical to
+    ``big.join(small, key, how)`` for 'inner' and 'left' (each big row
+    meets exactly one replica of each matching small row).
+
+    Cost model: shuffles n_salts × |small| instead of melting one reducer
+    — the right trade when |small| is modest but above the broadcast
+    threshold and the big side has IPC/CrPC-grade hot keys.  Prefer
+    ``F.broadcast(small)`` when small fits the driver/executors; prefer
+    AQE skew-join when the skew is runtime-discovered rather than known.
+    Salting is deterministic (see module docstring) so a recomputed map
+    task re-sends identical rows — no SPARK-23207-class loss."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salts = big.sparkSession.range(n_salts).select(
+        F.col("id").cast("int").alias("_salt"))
+    b = big.withColumn("_salt",
+                       F.pmod(F.xxhash64(*[F.col(c) for c in big.columns])
+                              + F.spark_partition_id().cast("long"),
+                              F.lit(n_salts)).cast("int"))
+    s = small.crossJoin(F.broadcast(salts))
+    return b.join(s, [key, "_salt"], how).drop("_salt")
+
+
 def salted_repartition(df: DataFrame, key: str, n_partitions: int,
                        n_salts: int = 8) -> DataFrame:
     """Repartition by (hash(key), salt): every key's rows spread across up

@@ -1922,6 +1922,102 @@ FROM ds a JOIN ds b ON a.doc_id = b.doc_id AND a.statute < b.statute
 GROUP BY a.statute, b.statute"""
 
 
+def q_kg_precedent_components(spark, sf_dir):
+    """Corpus-level case communities: weakly-connected components of the
+    bipartite doc ↔ precedent citation graph (docs joined by shared
+    cited precedents).  Runs the global pointer-jumped CC operator —
+    log(diameter) rounds of (node)-keyed shuffles over (id, label) rows,
+    durable-checkpoint capable — the 10^12-doc shape for community
+    discovery over the KG."""
+    from .operators.graph import weakly_connected_components
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    edges = (tri.filter(F.col("pred") == "cites_precedent")
+             .select(F.concat(F.lit("d:"), "doc_id").alias("src"),
+                     F.concat(F.lit("p:"), "obj").alias("dst"))
+             .distinct())
+    return weakly_connected_components(edges)
+
+
+def o_kg_precedent_components():
+    return f"""
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT 'd:' || doc_id AS a, 'p:' || obj AS b
+  FROM {{src}} WHERE rec_type = 'triple' AND pred = 'cites_precedent'
+), edges AS (
+  SELECT a, b FROM e0 UNION SELECT b, a FROM e0
+), nodes AS (
+  SELECT DISTINCT a AS n FROM edges
+), reach(src, dst) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS node, min(dst) AS component FROM reach GROUP BY src""".format(
+        src=_KG_SQL_SRC)
+
+
+def q_kg_statute_triangles(spark, sf_dir):
+    """Triangles in the statute co-citation graph (triples of statutes
+    pairwise co-cited by at least one document) — the classic
+    graph-analytics aggregate, expressed as three equi-joins over
+    canonicalized a<b edges; no cross product at any scale."""
+    from .operators.graph import triangles
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    ds = (tri.filter(F.col("pred") == "part_of")
+          .select("doc_id", F.col("obj").alias("statute")).distinct())
+    b = ds.select(F.col("doc_id").alias("bdoc"),
+                  F.col("statute").alias("statute_b"))
+    edges = (ds.join(b, (F.col("doc_id") == F.col("bdoc"))
+                     & (F.col("statute") < F.col("statute_b")))
+             .select(F.col("statute").alias("src"),
+                     F.col("statute_b").alias("dst")).distinct())
+    return triangles(edges)
+
+
+def o_kg_statute_triangles():
+    return f"""
+WITH ds AS (
+  SELECT DISTINCT doc_id, obj AS statute
+  FROM {_KG_SQL_SRC} WHERE rec_type = 'triple' AND pred = 'part_of'
+), e AS (
+  SELECT DISTINCT a.statute AS a, b.statute AS b
+  FROM ds a JOIN ds b ON a.doc_id = b.doc_id AND a.statute < b.statute
+)
+SELECT e1.a AS node_a, e1.b AS node_b, e2.b AS node_c
+FROM e e1 JOIN e e2 ON e2.a = e1.b
+          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b"""
+
+
+def q_salted_join_agg(spark, sf_dir):
+    """Skew-proof large-to-medium equi-join: lineitem ⋈ part through
+    ``salted_join`` (small side replicated per salt, big side salted, join
+    on (key, salt)) then brand revenue.  Result-identical to the plain
+    join — the oracle IS the plain join — while the hottest part key's
+    rows spread over n_salts reducers; the pattern for
+    known-hot-key joins whose small side exceeds the broadcast
+    threshold (IPC/CrPC-grade skew in KG terms)."""
+    from .operators import skew
+    li = (spark.read.parquet(_t(sf_dir, "lineitem"))
+          .withColumnRenamed("l_partkey", "partkey"))
+    pt = (spark.read.parquet(_t(sf_dir, "part"))
+          .withColumnRenamed("p_partkey", "partkey"))
+    j = skew.salted_join(li, pt.select("partkey", "p_brand"), "partkey",
+                         n_salts=8)
+    return (j.groupBy("p_brand")
+            .agg(F.count("*").cast("bigint").alias("n_items"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+
+
+def o_salted_join_agg():
+    return """
+SELECT p_brand, count(*)::BIGINT AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p_brand"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1980,6 +2076,9 @@ QUERIES = {
     "kg_label_stats": q_kg_label_stats,
     "kg_statute_degree": q_kg_statute_degree,
     "kg_statute_cocitation": q_kg_statute_cocitation,
+    "kg_precedent_components": q_kg_precedent_components,
+    "kg_statute_triangles": q_kg_statute_triangles,
+    "salted_join_agg": q_salted_join_agg,
     "kg_pagerank": q_kg_pagerank,
 }
 
@@ -2037,6 +2136,9 @@ ORACLES = {
     "kg_label_stats": o_kg_label_stats(),
     "kg_statute_degree": o_kg_statute_degree(),
     "kg_statute_cocitation": o_kg_statute_cocitation(),
+    "kg_precedent_components": o_kg_precedent_components(),
+    "kg_statute_triangles": o_kg_statute_triangles(),
+    "salted_join_agg": o_salted_join_agg(),
     "kg_pagerank": o_kg_pagerank(),
     # every query has an oracle row; for kg_triples/kg_mentions the oracle
     # scope is the materialization + projection half — the pandas

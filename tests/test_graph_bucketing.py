@@ -63,3 +63,38 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path, triples):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
         spark.sql("DROP TABLE IF EXISTS t_bucketed")
         spark.sql("DROP TABLE IF EXISTS d_bucketed")
+
+
+def test_weakly_connected_components_chain_and_islands(spark):
+    """Global WCC: a 12-link chain (diameter 12) must converge within
+    max_iter=8 thanks to pointer jumping; a separate island keeps its own
+    component; labels are the component minimum."""
+    rows = [(i, i + 1) for i in range(12)] + [(100, 101), (101, 102)]
+    edges = spark.createDataFrame(rows, ["src", "dst"])
+    comp = {r.node: r.component
+            for r in graph.weakly_connected_components(
+                edges, max_iter=8).collect()}
+    assert all(comp[i] == 0 for i in range(13))
+    assert all(comp[i] == 100 for i in (100, 101, 102))
+
+
+def test_weakly_connected_components_durable_checkpoint(spark, tmp_path):
+    edges = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], ["src", "dst"])
+    base = sorted((r.node, r.component)
+                  for r in graph.weakly_connected_components(edges).collect())
+    durable = sorted(
+        (r.node, r.component)
+        for r in graph.weakly_connected_components(
+            edges, checkpoint_dir=str(tmp_path / "wcc")).collect())
+    assert durable == base == [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)]
+
+
+def test_triangles_enumeration(spark):
+    """K4 contains exactly 4 triangles; direction/duplicate edges must
+    not multiply them; the dangling edge adds none."""
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    noisy = k4 + [(b, a) for a, b in k4] + [(3, 9)]   # reversed + tail
+    tri = sorted((r.node_a, r.node_b, r.node_c)
+                 for r in graph.triangles(
+                     spark.createDataFrame(noisy, ["src", "dst"])).collect())
+    assert tri == [(0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)]

@@ -72,3 +72,30 @@ def test_salted_repartition_preserves_rows(spark, skewed):
     out = salted_repartition(skewed, "statute", 16, n_salts=8)
     assert out.count() == skewed.count()
     assert out.columns == skewed.columns
+
+
+def test_salted_join_equals_plain_join(spark, skewed):
+    """salted_join must be result-identical to the plain equi-join on a
+    hot-keyed input, for inner and left (including unmatched left rows),
+    and must reject other join types."""
+    from legal_ner_spark.operators.skew import salted_join
+    dim = spark.createDataFrame(
+        [("IPC", 1), ("CrPC", 2)], ["statute", "dim_val"])
+    plain = sorted(map(tuple, skewed.join(dim, "statute", "inner").collect()))
+    salted = sorted(map(tuple,
+                        salted_join(skewed, dim, "statute", n_salts=4)
+                        .select(*skewed.columns, "dim_val").collect()))
+    plain_cols = skewed.join(dim, "statute", "inner").columns
+    assert len(salted) == len(plain)
+    assert sorted(map(tuple, salted_join(skewed, dim, "statute", n_salts=4)
+                      .select(*plain_cols).collect())) == plain
+    left_plain = sorted(map(tuple,
+                            skewed.join(dim, "statute", "left")
+                            .select(*plain_cols).collect()))
+    left_salted = sorted(map(tuple,
+                             salted_join(skewed, dim, "statute", n_salts=4,
+                                         how="left")
+                             .select(*plain_cols).collect()))
+    assert left_salted == left_plain
+    with pytest.raises(ValueError):
+        salted_join(skewed, dim, "statute", how="outer")
