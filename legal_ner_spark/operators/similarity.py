@@ -154,21 +154,31 @@ def lsh_signatures(vectors: DataFrame, dim: int, n_planes: int = 8,
 
 
 def ivf_centroids(candidates: DataFrame, n_centroids: int = 8,
-                  refine_iters: int = 0) -> DataFrame:
+                  refine_iters: int = 0,
+                  sample_fraction: float | None = None) -> DataFrame:
     """Coarse quantizer for IVF: deterministic seeds = the ``n_centroids``
     lowest-``vec_id`` candidate vectors (reproducible across engines, no RNG,
     SQL-expressible), optionally refined with ``refine_iters`` Lloyd steps
     expressed as DataFrame ops (broadcast-argmin assign → position-wise mean
-    via ``posexplode``/``avg``).  At production scale the refinement runs on
-    a small uniform sample of the corpus; the inverted lists are built once
-    and reused across queries.  Returns (centroid_id:int, cv:array<double>)."""
-    cents = (candidates.orderBy("vec_id").limit(n_centroids)
+    via ``posexplode``/``avg``).  Returns (centroid_id:int, cv:array<double>).
+
+    ``sample_fraction``: the 100 TB knob — seeding and refinement run
+    over a seeded uniform SAMPLE of the corpus instead of the full table
+    (the limit(k) seed is a TakeOrdered, cheap at any scale, but each
+    Lloyd step over 10^12 vectors is not; a 10^-6 sample refines the
+    same centroids to within sampling noise).  Sampled seeding is
+    deterministic for a fixed input partitioning (Spark's seeded
+    Bernoulli sample is per-partition), which is why the exactly-oracled
+    query path keeps the default ``None``."""
+    pool = (candidates if sample_fraction is None
+            else candidates.sample(fraction=sample_fraction, seed=42))
+    cents = (pool.orderBy("vec_id").limit(n_centroids)
              .withColumn("centroid_id",
                          (F.row_number().over(Window.orderBy("vec_id")) - 1)
                          .cast("int"))
              .select("centroid_id", F.col("v").alias("cv")))
     for _ in range(refine_iters):
-        assigned = ivf_assign(candidates, cents, n_probe=1) \
+        assigned = ivf_assign(pool, cents, n_probe=1) \
             .select("centroid_id", "v")
         ex = assigned.select("centroid_id", F.posexplode("v").alias("pos", "val"))
         cents = (ex.groupBy("centroid_id", "pos").agg(F.avg("val").alias("mv"))

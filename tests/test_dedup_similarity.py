@@ -443,3 +443,33 @@ def test_embedding_lsh_hot_bucket_guard(spark):
                 for r in similarity.lsh_near_pairs(emb, threshold=0.95,
                                                    dim=32).collect()}
     assert len([p for p in uncapped if p[1] < 100]) == 20 * 19 // 2
+
+
+def test_ivf_sample_seeded_centroids_still_serve(spark):
+    """sample_fraction (the 100 TB seeding knob) must still produce a
+    working quantizer: k centroids, and IVF top-1 over the sampled-seed
+    index finds the planted exact-duplicate neighbor for every query."""
+    import random
+    rng = random.Random(5)
+    cs_rows = [(100 + i, [rng.gauss(0, 1) for _ in range(16)])
+               for i in range(200)]
+    qs_rows = [(i, cs_rows[i * 37][1]) for i in range(4)]  # exact dups
+    qv = similarity.prepare_vectors(
+        spark.createDataFrame(qs_rows, ["vec_id", "embedding"]))
+    cv = similarity.prepare_vectors(
+        spark.createDataFrame(cs_rows, ["vec_id", "embedding"]))
+    cents = similarity.ivf_centroids(cv, n_centroids=4, refine_iters=1,
+                                     sample_fraction=0.5)
+    assert cents.count() == 4
+    lists = similarity.ivf_assign(cv, cents, n_probe=1).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
+        "centroid_id")
+    probes = similarity.ivf_assign(qv, cents, n_probe=4).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        "centroid_id")
+    cand = (lists.join(F.broadcast(probes), "centroid_id")
+            .select("query_id", "neighbor_id", "qv", "cv")
+            .dropDuplicates(["query_id", "neighbor_id"]))
+    top1 = {r.query_id: r.neighbor_id
+            for r in similarity._rerank_topk(cand, 1).collect()}
+    assert top1 == {i: 100 + i * 37 for i in range(4)}

@@ -134,3 +134,28 @@ def test_vocab_topk_salted_two_phase_and_distributed_topk(spark):
     assert "TakeOrderedAndProject" in p, p[:2000]
     assert "_salt" in p, p[:2000]
     assert "Window" not in p
+
+
+def test_salted_join_exchanges_on_key_and_salt(spark):
+    """The salted join's shuffle must cluster on (key, salt) — that IS
+    the skew defense.  At sf0.01 the whole big side fits the broadcast
+    threshold (Catalyst correctly skips the shuffle — also fine), so the
+    audit pins the 100 TB shape by disabling auto-broadcast for the big
+    join while the 8-row salt replication stays an explicit broadcast."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = physical(queries.QUERIES["salted_join_agg"](spark, SF))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "CartesianProduct" not in p, p[:2000]
+    ex = [ln for ln in p.splitlines() if "Exchange hashpartitioning" in ln]
+    assert any("partkey" in ln and "_salt" in ln for ln in ex), p[:3000]
+
+
+def test_triangle_plan_is_equi_joins_only(spark):
+    """Triangle enumeration must compile to hash equi-joins — no
+    BroadcastNestedLoopJoin / CartesianProduct (the O(n²)+ shapes)."""
+    p = physical(queries.QUERIES["kg_statute_triangles"](spark, SF))
+    assert "CartesianProduct" not in p, p[:2000]
+    assert "BroadcastNestedLoopJoin" not in p, p[:2000]
