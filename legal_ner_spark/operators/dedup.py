@@ -454,66 +454,27 @@ def near_dedup(docs: DataFrame, threshold: float = 0.5,
     sizes = rep_wide.select("doc_id", "n_sh")
     pairs = _verify_pairs(sh, cand, threshold,
                           sizes=sizes).select("doc_a", "doc_b")
-    edges = trunc(
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b").alias("src"),
-                            F.col("doc_a").alias("dst"))), "edges")
-    # propagate over TOUCHED vertices only: a label can change only along
-    # an edge, and the dup graph is orders of magnitude smaller than the
-    # corpus — iterating over every doc would shuffle the whole corpus
-    # per round for nothing.  Untouched reps/docs fall through the final
-    # coalesce to keeper = self.
-    # round 1 is a single aggregation straight off the checkpointed edge
-    # blocks: initial labels are the identity, so neighbour-min is
-    # min(self, min(dst)) and the pointer jump is a no-op — this folds
-    # labels_init + the first nbr/update/jump joins into ONE eager job.
-    # A component of size ≥ 2 always changes some vertex in round 1, so
-    # the convergence probe starts at round 2.
-    labels = trunc(edges.groupBy(F.col("src").alias("v"))
-                   .agg(F.least(F.col("v"), F.min("dst")).alias("comp")),
-                   "labels_r1")
-    converged = False
-    for _ in range(max_iter - 1):
-        # one round = neighbour-min + POINTER JUMP (min with the current
-        # label's own label — path halving, log(diameter) rounds), with
-        # the convergence flag materialized INTO the checkpointed frame:
-        # the follow-up `changed` probe scans checkpointed blocks of a
-        # tiny table instead of running an old-vs-new join job
-        nbr = (edges.join(labels.select(F.col("v").alias("dv"),
-                                        F.col("comp").alias("dcomp")),
-                          edges.dst == F.col("dv"))
-               .groupBy(F.col("src").alias("v2"))
-               .agg(F.min("dcomp").alias("nbr_comp")))
-        stepped = (labels.join(nbr, labels.v == nbr.v2, "left")
-                   .select("v", F.col("comp").alias("old"),
-                           F.least(F.col("comp"),
-                                   F.coalesce("nbr_comp", F.col("comp")))
-                           .alias("mid")))
-        ptr = labels.select(F.col("v").alias("pv"),
-                            F.col("comp").alias("pcomp"))
-        updated = trunc(
-            stepped.join(ptr, stepped.mid == F.col("pv"), "left")
-            .select("v",
-                    F.least(F.col("mid"), F.coalesce("pcomp", F.col("mid")))
-                    .alias("comp"),
-                    (F.col("old") != F.least(
-                        F.col("mid"), F.coalesce("pcomp", F.col("mid"))))
-                    .alias("changed")), "labels")
-        labels = updated.select("v", "comp")
-        if updated.filter("changed").limit(1).count() == 0:
-            converged = True
-            break
-    if not converged:
-        raise RuntimeError(
-            f"near_dedup label propagation did not converge in {max_iter} "
-            "iterations — raise max_iter (pathological chain components)")
+    # components over TOUCHED vertices only: a label can change only
+    # along an edge, and the dup graph is orders of magnitude smaller
+    # than the corpus — iterating over every doc would shuffle the whole
+    # corpus per round for nothing.  Untouched reps/docs fall through
+    # the final coalesce to keeper = self.  The iteration itself is the
+    # shared pointer-jumped + hub-updated min-label loop (log-diameter
+    # rounds, durable-checkpoint capable) — see
+    # graph.weakly_connected_components.
+    from .graph import weakly_connected_components
+    comp = weakly_connected_components(
+        pairs.select(F.col("doc_a").alias("src"),
+                     F.col("doc_b").alias("dst")),
+        max_iter=max_iter, checkpoint_dir=checkpoint_dir)
     # re-expand: every doc inherits its representative's component label
     # (the label is the min rep id = min doc id of the merged component,
     # since each rep is the min of its fingerprint group).  Reps with no
     # near-dup edges never entered the propagation — their group members
     # still collapse onto the rep; docs with zero shingles never entered
     # the graph at all and keep themselves via the final coalesce.
-    rep_comp = labels.select(F.col("v").alias("rep"), "comp")
+    rep_comp = comp.select(F.col("node").alias("rep"),
+                           F.col("component").alias("comp"))
     assigned = (doc_rep.join(rep_comp, "rep", "left")
                 .select("doc_id",
                         F.coalesce("comp", F.col("rep"))

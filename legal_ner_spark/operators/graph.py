@@ -22,11 +22,23 @@ def weakly_connected_components(edges: DataFrame, max_iter: int = 30,
     (node, component) where component = min node id of the component.
     Nodes are whatever the edge endpoints are (strings or ints).
 
-    Same iteration shape as the near-dedup CC: round 1 is one
-    aggregation off the checkpointed symmetric edges (labels start as
-    the identity), then pointer-jumped min-label rounds — log(diameter)
-    rounds, one (node)-keyed shuffle each, labels are (id, label) rows
-    so the per-round data is tiny relative to any corpus.
+    Round 1 is one aggregation off the checkpointed symmetric edges
+    (labels start as the identity).  Each later round combines THREE
+    contraction devices, all (node)-keyed shuffles over tiny (id, label)
+    rows:
+
+    1. neighbour-min — the min label crosses every edge;
+    2. pointer jump through the previous labels (path doubling along
+       label chains);
+    3. reverse-pointer hub update — each label value h learns the min
+       candidate among the vertices POINTING at it, and its pointees
+       jump through the updated hub in the same round.  Without this, a
+       minimum entering a star-labelled group at a leaf crawls toward
+       the hub one edge per round (pointer jumps are no-ops when every
+       interior label already points at the group hub — the measured
+       stall shape: long chains joined by random bridges), and rounds
+       degrade from log(diameter) back to diameter.
+
     ``checkpoint_dir`` switches lineage truncation to the durable
     parquet round-trip (cluster mode).  Isolated nodes don't appear
     (an edge table has no degree-0 vertices); left-join the node table
@@ -46,20 +58,27 @@ def weakly_connected_components(edges: DataFrame, max_iter: int = 30,
                         sym.dst == F.col("dv"))
                .groupBy(F.col("src").alias("v2"))
                .agg(F.min("dcomp").alias("nbr_comp")))
-        stepped = (labels.join(nbr, labels.v == nbr.v2, "left")
-                   .select("v", F.col("comp").alias("old"),
-                           F.least(F.col("comp"),
-                                   F.coalesce("nbr_comp", F.col("comp")))
-                           .alias("mid")))
+        cand0 = (labels.join(nbr, labels.v == nbr.v2, "left")
+                 .select("v", F.col("comp").alias("old"),
+                         F.least(F.col("comp"),
+                                 F.coalesce("nbr_comp", F.col("comp")))
+                         .alias("c0")))
         ptr = labels.select(F.col("v").alias("pv"),
                             F.col("comp").alias("pcomp"))
+        cand1 = (cand0.join(ptr, cand0.c0 == F.col("pv"), "left")
+                 .select("v", "old",
+                         F.least(F.col("c0"),
+                                 F.coalesce("pcomp", F.col("c0")))
+                         .alias("c1")))
+        hub = cand1.groupBy(F.col("old").alias("h")).agg(
+            F.min("c1").alias("h_min"))
         updated = trunc(
-            stepped.join(ptr, stepped.mid == F.col("pv"), "left")
+            cand1.join(hub, cand1.old == hub.h, "left")
             .select("v",
-                    F.least(F.col("mid"), F.coalesce("pcomp", F.col("mid")))
+                    F.least(F.col("c1"), F.coalesce("h_min", F.col("c1")))
                     .alias("comp"),
                     (F.col("old") != F.least(
-                        F.col("mid"), F.coalesce("pcomp", F.col("mid"))))
+                        F.col("c1"), F.coalesce("h_min", F.col("c1"))))
                     .alias("changed")), "wcc_labels")
         labels = updated.select("v", "comp")
         if updated.filter("changed").limit(1).count() == 0:

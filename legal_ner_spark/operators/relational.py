@@ -152,8 +152,11 @@ def connected_components(edges: DataFrame, vertices: DataFrame,
 
     Iterative join plan (GraphFrames-style): per iteration one shuffle on
     (doc_id, vertex); labels are ints, AQE coalesces the tiny post-filter
-    exchanges.  Each round applies neighbour-min AND a POINTER JUMP
-    (min with the current label's own label — path halving), so rounds
+    exchanges.  Each round applies neighbour-min, a POINTER JUMP (min
+    with the current label's own label — path halving) AND a
+    reverse-pointer hub update (each label value learns the min
+    candidate of its pointees — see graph.weakly_connected_components
+    for why the jump alone stalls on star-labelled chains), so rounds
     scale with log(diameter) rather than diameter; the convergence flag
     is materialized into the truncated frame, so the per-round probe
     scans tiny checkpointed blocks instead of running an old-vs-new join.
@@ -187,18 +190,28 @@ def connected_components(edges: DataFrame, vertices: DataFrame,
                            F.col("comp").alias("nbr_comp"))
                    .groupBy("doc_id", "v")
                    .agg(F.min("nbr_comp").alias("nbr_comp")))
-        stepped = (labels.join(nbr_min, ["doc_id", "v"], "left")
-                   .select("doc_id", "v", F.col("comp").alias("old"),
-                           F.least(F.col("comp"),
-                                   F.coalesce("nbr_comp", F.col("comp")))
-                           .alias("mid")))
+        cand0 = (labels.join(nbr_min, ["doc_id", "v"], "left")
+                 .select("doc_id", "v", F.col("comp").alias("old"),
+                         F.least(F.col("comp"),
+                                 F.coalesce("nbr_comp", F.col("comp")))
+                         .alias("c0")))
         ptr = labels.select(F.col("doc_id").alias("p_doc"),
                             F.col("v").alias("pv"),
                             F.col("comp").alias("pcomp"))
-        new_comp = F.least(F.col("mid"), F.coalesce("pcomp", F.col("mid")))
+        cand1 = (cand0.join(ptr, (F.col("doc_id") == F.col("p_doc"))
+                            & (F.col("c0") == F.col("pv")), "left")
+                 .select("doc_id", "v", "old",
+                         F.least(F.col("c0"),
+                                 F.coalesce("pcomp", F.col("c0")))
+                         .alias("c1")))
+        # reverse-pointer hub update (see graph.weakly_connected_components)
+        hub = (cand1.groupBy(F.col("doc_id").alias("h_doc"),
+                             F.col("old").alias("h"))
+               .agg(F.min("c1").alias("h_min")))
+        new_comp = F.least(F.col("c1"), F.coalesce("h_min", F.col("c1")))
         updated = trunc(
-            stepped.join(ptr, (F.col("doc_id") == F.col("p_doc"))
-                         & (F.col("mid") == F.col("pv")), "left")
+            cand1.join(hub, (F.col("doc_id") == F.col("h_doc"))
+                       & (F.col("old") == F.col("h")), "left")
             .select("doc_id", "v", new_comp.alias("comp"),
                     (F.col("old") != new_comp).alias("changed")),
             "labels")
