@@ -92,6 +92,42 @@ def weakly_connected_components(edges: DataFrame, max_iter: int = 30,
                          F.col("comp").alias("component"))
 
 
+def bfs_distances(edges: DataFrame, sources: DataFrame,
+                  max_depth: int = 10,
+                  checkpoint_dir: str | None = None) -> DataFrame:
+    """Multi-source BFS over an undirected (src, dst) edge table:
+    (node, distance) for every node within ``max_depth`` hops of any
+    source — e.g. distance from landmark precedents in the citation
+    graph.  ``sources`` must have a ``node`` column.
+
+    Frontier expansion: each round joins the CURRENT frontier (nodes
+    first reached last round — not the whole visited set) against the
+    checkpointed edges, anti-joins the visited set, and stops when the
+    frontier empties — rounds = eccentricity, work per round =
+    O(frontier × avg degree), the textbook Pregel shape expressed as
+    DataFrame ops.  ``checkpoint_dir`` = durable truncation (cluster
+    mode), same contract as the CC/PageRank loops."""
+    from ..plans.checkpoint import Truncator
+    trunc = Truncator(checkpoint_dir)
+    sym = trunc(edges.select("src", "dst")
+                .union(edges.select(F.col("dst").alias("src"),
+                                    F.col("src").alias("dst"))), "bfs_edges")
+    visited = trunc(sources.select("node").distinct()
+                    .withColumn("distance", F.lit(0)), "bfs_r0")
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        nxt = (sym.join(frontier.select(F.col("node").alias("f")),
+                        sym.src == F.col("f"))
+               .select(F.col("dst").alias("node")).distinct()
+               .join(visited.select("node"), "node", "left_anti")
+               .withColumn("distance", F.lit(depth)))
+        frontier = trunc(nxt, "bfs_frontier")
+        if frontier.limit(1).count() == 0:
+            break
+        visited = trunc(visited.unionByName(frontier), "bfs_visited")
+    return visited
+
+
 def triangles(edges: DataFrame) -> DataFrame:
     """Triangle enumeration over an undirected edge table: rows
     (node_a, node_b, node_c) with a < b < c and all three edges present.

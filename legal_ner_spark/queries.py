@@ -1988,6 +1988,42 @@ FROM e e1 JOIN e e2 ON e2.a = e1.b
           JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b"""
 
 
+def q_kg_citation_distance(spark, sf_dir):
+    """Multi-hop reachability over the KG: BFS distance (≤ 6 hops) from
+    the landmark precedents (every precedent cited by ≥ 2 documents)
+    through the doc ↔ precedent citation graph — frontier-expansion
+    rounds over the checkpointed edge table, the Pregel shape as
+    DataFrame ops."""
+    from .operators.graph import bfs_distances
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    e = (tri.filter(F.col("pred") == "cites_precedent")
+         .select(F.concat(F.lit("d:"), "doc_id").alias("src"),
+                 F.concat(F.lit("p:"), "obj").alias("dst"))
+         .distinct())
+    sources = (e.groupBy("dst").agg(F.countDistinct("src").alias("n"))
+               .filter("n >= 2").select(F.col("dst").alias("node")))
+    return bfs_distances(e, sources, max_depth=6)
+
+
+def o_kg_citation_distance():
+    return f"""
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT 'd:' || doc_id AS a, 'p:' || obj AS b
+  FROM {{src}} WHERE rec_type = 'triple' AND pred = 'cites_precedent'
+), edges AS (
+  SELECT a, b FROM e0 UNION SELECT b, a FROM e0
+), srcs AS (
+  SELECT b FROM e0 GROUP BY b HAVING count(DISTINCT a) >= 2
+), walk(node, d) AS (
+  SELECT b, 0 FROM srcs
+  UNION
+  SELECT e.b, w.d + 1 FROM walk w JOIN edges e ON e.a = w.node
+  WHERE w.d < 6
+)
+SELECT node, min(d)::INT AS distance FROM walk GROUP BY node""".format(
+        src=_KG_SQL_SRC)
+
+
 def q_salted_join_agg(spark, sf_dir):
     """Skew-proof large-to-medium equi-join: lineitem ⋈ part through
     ``salted_join`` (small side replicated per salt, big side salted, join
@@ -2078,6 +2114,7 @@ QUERIES = {
     "kg_statute_cocitation": q_kg_statute_cocitation,
     "kg_precedent_components": q_kg_precedent_components,
     "kg_statute_triangles": q_kg_statute_triangles,
+    "kg_citation_distance": q_kg_citation_distance,
     "salted_join_agg": q_salted_join_agg,
     "kg_pagerank": q_kg_pagerank,
 }
@@ -2138,6 +2175,7 @@ ORACLES = {
     "kg_statute_cocitation": o_kg_statute_cocitation(),
     "kg_precedent_components": o_kg_precedent_components(),
     "kg_statute_triangles": o_kg_statute_triangles(),
+    "kg_citation_distance": o_kg_citation_distance(),
     "salted_join_agg": o_salted_join_agg(),
     "kg_pagerank": o_kg_pagerank(),
     # every query has an oracle row; for kg_triples/kg_mentions the oracle

@@ -98,3 +98,22 @@ def test_triangles_enumeration(spark):
                  for r in graph.triangles(
                      spark.createDataFrame(noisy, ["src", "dst"])).collect())
     assert tri == [(0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)]
+
+
+def test_bfs_distances_frontier_semantics(spark, tmp_path):
+    """Min-hop distances from multiple sources; nodes beyond max_depth
+    are absent; durable-checkpoint mode returns the identical frontier
+    history."""
+    #  0-1-2-3-4-5  chain, plus island 10-11
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)] + [(10, 11)], ["src", "dst"])
+    sources = spark.createDataFrame([(0,), (10,)], ["node"])
+    got = {r.node: r.distance
+           for r in graph.bfs_distances(edges, sources,
+                                        max_depth=3).collect()}
+    assert got == {0: 0, 10: 0, 1: 1, 11: 1, 2: 2, 3: 3}   # 4,5 beyond cap
+    durable = {r.node: r.distance
+               for r in graph.bfs_distances(
+                   edges, sources, max_depth=3,
+                   checkpoint_dir=str(tmp_path / "bfs")).collect()}
+    assert durable == got
