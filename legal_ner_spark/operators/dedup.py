@@ -353,6 +353,121 @@ def near_duplicate_pairs(docs: DataFrame, threshold: float = 0.5,
     return _verify_pairs(sh, cand, threshold)
 
 
+def dedup_index_build(docs: DataFrame, path: str, threshold: float = 0.5,
+                      n_bands: int = 8, rows_per_band: int = 4, n: int = 3,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      mode: str = "exact",
+                      checkpoint_dir: str | None = None,
+                      max_bucket: int | None = None) -> None:
+    """Build the FROZEN-KEEPER dedup index — the incremental-ingestion
+    story at 10^12 docs: run ``near_dedup`` once over the initial corpus
+    and persist (a) the full keeper assignment, (b) the keeper
+    representatives' shingle rows, sizes, and banded MinHash signatures.
+    Subsequent batches dedup against this index via
+    ``dedup_index_append`` without ever rescanning the old corpus —
+    only the keeper-rep surface (one row per CLUSTER, not per doc) is
+    ever joined again."""
+    keepers = near_dedup(docs, threshold=threshold, n_bands=n_bands,
+                         rows_per_band=rows_per_band, n=n, id_col=id_col,
+                         text_col=text_col, mode=mode,
+                         checkpoint_dir=checkpoint_dir,
+                         max_bucket=max_bucket)
+    keepers.write.mode("overwrite").parquet(f"{path}/keepers")
+    spark = docs.sparkSession
+    reps = (spark.read.parquet(f"{path}/keepers")
+            .filter("doc_id = keeper_doc_id").select("doc_id"))
+    sh = (shingle_rows(docs, id_col=id_col, text_col=text_col, n=n)
+          .join(reps, "doc_id"))
+    sh.write.mode("overwrite").parquet(f"{path}/shingles")
+    shk = spark.read.parquet(f"{path}/shingles")
+    (shk.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+     .write.mode("overwrite").parquet(f"{path}/sizes"))
+    (minhash_signatures(shk, n_bands=n_bands, rows_per_band=rows_per_band)
+     .write.mode("overwrite").parquet(f"{path}/sigs"))
+
+
+def dedup_index_append(new_docs: DataFrame, path: str,
+                       threshold: float = 0.5, n_bands: int = 8,
+                       rows_per_band: int = 4, n: int = 3,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       checkpoint_dir: str | None = None,
+                       max_bucket: int | None = None) -> DataFrame:
+    """Dedup a NEW batch against a frozen index (see
+    ``dedup_index_build``) and grow the index.  Returns one row per new
+    doc (doc_id, keeper_doc_id).
+
+    FROZEN-KEEPER SEMANTICS (the standard incremental trade): existing
+    assignments never change.  A new doc joins an existing cluster only
+    through a verified pair (exact Jaccard ≥ threshold) with that
+    cluster's KEEPER representative; new-new verified pairs chain
+    components within the batch; a component touching ≥1 existing
+    keeper maps every new member to the MINIMUM such keeper (if a batch
+    bridges two old clusters, the old clusters stay distinct — only the
+    new docs pick one side), and keeper-less components keep their
+    minimum new doc_id.  Near-dups of a non-keeper cluster MEMBER that
+    do not also match the keeper are missed — the recall cost of never
+    re-reading the corpus.
+
+    Scale shape: candidates are banded equi-joins (new × new and new ×
+    keeper-sig table), verification touches only candidate shingles,
+    components run on the pointer-jumped WCC loop, and every index
+    write is an append of the NEW keepers' surface only."""
+    from ..plans.checkpoint import Truncator
+    from .graph import weakly_connected_components
+    spark = new_docs.sparkSession
+    trunc = Truncator(checkpoint_dir)
+    sh_new = trunc(shingle_rows(new_docs, id_col=id_col, text_col=text_col,
+                                n=n), "append_shingles")
+    sizes_new = sh_new.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sigs_new = minhash_signatures(sh_new, n_bands=n_bands,
+                                  rows_per_band=rows_per_band)
+    k_sigs = spark.read.parquet(f"{path}/sigs")
+    k_sh = spark.read.parquet(f"{path}/shingles")
+    k_sizes = spark.read.parquet(f"{path}/sizes")
+    cand_nn = (lsh_candidates(sigs_new, max_bucket=max_bucket)
+               .select("doc_a", "doc_b"))
+    cand_nk = (sigs_new.join(k_sigs.select(F.col("doc_id").alias("doc_b"),
+                                           "band", "sig"), ["band", "sig"])
+               .select(F.col("doc_id").alias("doc_a"), "doc_b"))
+    cand = cand_nn.union(cand_nk).distinct()
+    pairs = _verify_pairs(sh_new.unionByName(k_sh), cand, threshold,
+                          sizes=sizes_new.unionByName(k_sizes)) \
+        .select("doc_a", "doc_b")
+    comp = weakly_connected_components(
+        pairs.select(F.col("doc_a").alias("src"),
+                     F.col("doc_b").alias("dst")),
+        checkpoint_dir=checkpoint_dir)
+    reps = (spark.read.parquet(f"{path}/keepers")
+            .filter("doc_id = keeper_doc_id")
+            .select(F.col("doc_id").alias("node")))
+    comp_keeper = (comp.join(reps, "node")
+                   .groupBy("component").agg(F.min("node").alias("kmin")))
+    assigned = (comp.join(comp_keeper, "component", "left")
+                .select(F.col("node").alias("doc_id"),
+                        F.coalesce("kmin", F.col("component"))
+                        .alias("keeper_doc_id")))
+    out = trunc(
+        new_docs.select(F.col(id_col).alias("doc_id"))
+        .join(assigned, "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("keeper_doc_id", F.col("doc_id"))
+                .alias("keeper_doc_id")), "append_out")
+    # grow the index: the new batch's assignment rows plus the surface
+    # (shingles/sizes/sigs) of its NEW keepers only.  `out` is
+    # materialized above, so these appends cannot feed back into the
+    # plan that computed it.
+    out.write.mode("append").parquet(f"{path}/keepers")
+    new_reps = out.filter("doc_id = keeper_doc_id").select("doc_id")
+    sh_reps = sh_new.join(new_reps, "doc_id")
+    sh_reps.write.mode("append").parquet(f"{path}/shingles")
+    (sizes_new.join(new_reps, "doc_id")
+     .write.mode("append").parquet(f"{path}/sizes"))
+    (minhash_signatures(sh_reps, n_bands=n_bands,
+                        rows_per_band=rows_per_band)
+     .write.mode("append").parquet(f"{path}/sigs"))
+    return out
+
+
 def shingle_fingerprints(sh: DataFrame) -> DataFrame:
     """(doc_id, fingerprint): md5 of the sorted distinct shingle set.
     Identical fingerprint ⇔ identical shingle set ⇔ Jaccard exactly 1

@@ -961,6 +961,133 @@ SELECT src::BIGINT AS doc_id, min(dst)::BIGINT AS keeper_doc_id
 FROM reach GROUP BY src"""
 
 
+def _minhash_sig_ctes(src: str, suf: str) -> str:
+    """The (md5 → double-hash → 32 minima → 8 band sigs) CTE chain over
+    a shingle CTE ``src``, suffixed so several instances can share one
+    WITH block — the same hash family as the Spark operators."""
+    from .operators.dedup import _MINHASH_PRIME
+    return f"""hh{suf} AS (
+  SELECT doc_id, {_hex8_int_sql('m', 1)}::BIGINT AS h1,
+         {_hex8_int_sql('m', 9)}::BIGINT AS h2
+  FROM (SELECT doc_id, md5(shingle) AS m FROM {src})
+), mins{suf} AS (
+  SELECT doc_id, i.i AS i, min((h1 + i.i * h2) % {_MINHASH_PRIME}) AS mn
+  FROM hh{suf} CROSS JOIN (SELECT unnest(generate_series(0, 31))::BIGINT AS i) i
+  GROUP BY doc_id, i.i
+), sigs{suf} AS (
+  SELECT doc_id, (i // 4)::INT AS band,
+         md5(string_agg(mn::VARCHAR, '-' ORDER BY i)) AS sig
+  FROM mins{suf} GROUP BY doc_id, (i // 4)
+)"""
+
+
+def q_near_dedup_incremental(spark, sf_dir):
+    """Incremental ingestion dedup — the flow a 10^12-doc corpus
+    actually runs: build the frozen-keeper index over the first batch
+    (even doc_ids), then dedup the second batch (odd doc_ids) AGAINST
+    the index (banded candidates vs the keeper-sig table + within-batch
+    pairs, exact verification, WCC, min-keeper resolution) without
+    rescanning batch 1.  Returns the combined corpus-wide assignment;
+    batch-1 rows are byte-identical to a plain near_dedup of batch 1
+    (frozen)."""
+    import tempfile
+    from .operators import dedup
+    docs = (spark.read.parquet(_t(sf_dir, "documents"))
+            .repartition(spark.sparkContext.defaultParallelism, "doc_id"))
+    path = tempfile.mkdtemp(prefix="dedup_idx_")
+    dedup.dedup_index_build(docs.filter("doc_id % 2 = 0"), path,
+                            threshold=0.12)
+    dedup.dedup_index_append(docs.filter("doc_id % 2 = 1"), path,
+                             threshold=0.12)
+    return (spark.read.parquet(f"{path}/keepers")
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    F.col("keeper_doc_id").cast("bigint")
+                    .alias("keeper_doc_id")))
+
+
+def o_near_dedup_incremental():
+    from .operators.dedup import _MINHASH_PRIME  # noqa: F401 (via helper)
+    j = "round(i.inter / (sa.n_sh + sb.n_sh - i.inter), 4) >= 0.12"
+    return f"""
+WITH RECURSIVE sh1 AS ({_SHINGLE3_SQL.format(pred="doc_id % 2 = 0")}
+), {_minhash_sig_ctes('sh1', '1')}, cand1 AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigs1 a JOIN sigs1 b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.doc_id < b.doc_id
+), sizes1 AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh1 GROUP BY doc_id
+), inter1 AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand1 c JOIN sh1 a ON a.doc_id = c.doc_a
+               JOIN sh1 b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+), verified1 AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter1 i JOIN sizes1 sa ON sa.doc_id = i.doc_a
+                JOIN sizes1 sb ON sb.doc_id = i.doc_b
+  WHERE {j}
+), edges1 AS (
+  SELECT doc_a AS a, doc_b AS b FROM verified1
+  UNION SELECT doc_b, doc_a FROM verified1
+), reach1(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents WHERE doc_id % 2 = 0
+  UNION
+  SELECT r.src, e.b FROM reach1 r JOIN edges1 e ON r.dst = e.a
+), keepers1 AS (
+  SELECT src AS doc_id, min(dst) AS keeper FROM reach1 GROUP BY src
+), reps1 AS (
+  SELECT DISTINCT keeper AS doc_id FROM keepers1
+), shk AS (
+  SELECT s.doc_id, s.shingle FROM sh1 s JOIN reps1 USING (doc_id)
+), {_minhash_sig_ctes('shk', 'k')}, sh2 AS (
+{_SHINGLE3_SQL.format(pred="doc_id % 2 = 1")}
+), {_minhash_sig_ctes('sh2', '2')}, cand2 AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigs2 a JOIN sigs2 b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.doc_id < b.doc_id
+  UNION
+  SELECT DISTINCT a.doc_id, k.doc_id
+  FROM sigs2 a JOIN sigsk k ON a.band = k.band AND a.sig = k.sig
+), sh_all AS (
+  SELECT doc_id, shingle FROM sh2 UNION ALL SELECT doc_id, shingle FROM shk
+), sizes_all AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh_all GROUP BY doc_id
+), inter2 AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand2 c JOIN sh_all a ON a.doc_id = c.doc_a
+               JOIN sh_all b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+), verified2 AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter2 i JOIN sizes_all sa ON sa.doc_id = i.doc_a
+                JOIN sizes_all sb ON sb.doc_id = i.doc_b
+  WHERE {j}
+), edges2 AS (
+  SELECT doc_a AS a, doc_b AS b FROM verified2
+  UNION SELECT doc_b, doc_a FROM verified2
+), reach2(src, dst) AS (
+  SELECT DISTINCT a, a FROM edges2
+  UNION
+  SELECT r.src, e.b FROM reach2 r JOIN edges2 e ON r.dst = e.a
+), comp AS (
+  SELECT src AS node, min(dst) AS component FROM reach2 GROUP BY src
+), comp_keeper AS (
+  SELECT c.component, min(c.node) AS kmin
+  FROM comp c JOIN reps1 r ON c.node = r.doc_id
+  GROUP BY c.component
+), keepers2 AS (
+  SELECT d.doc_id,
+         COALESCE(ck.kmin, c.component, d.doc_id) AS keeper
+  FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+  LEFT JOIN comp c ON c.node = d.doc_id
+  LEFT JOIN comp_keeper ck ON ck.component = c.component
+)
+SELECT doc_id::BIGINT AS doc_id, keeper::BIGINT AS keeper_doc_id
+FROM keepers1
+UNION ALL
+SELECT doc_id::BIGINT, keeper::BIGINT FROM keepers2"""
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark-contamination check: corpus docs sharing 3-gram shingles
     with an eval set (docs 0-19 standing in for the benchmark).  The eval
@@ -2086,6 +2213,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "near_dedup": q_near_dedup,
+    "near_dedup_incremental": q_near_dedup_incremental,
     "similarity_topk": q_similarity_topk,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -2147,6 +2275,7 @@ ORACLES = {
     "dedup_ngram_jaccard": o_dedup_ngram_jaccard(),
     "dedup_minhash_lsh": o_dedup_minhash_lsh(),
     "near_dedup": o_near_dedup(),
+    "near_dedup_incremental": o_near_dedup_incremental(),
     "similarity_topk": o_similarity_topk(),
     "lang_id": o_lang_id(),
     "quality_score": o_quality_score(),

@@ -473,3 +473,41 @@ def test_ivf_sample_seeded_centroids_still_serve(spark):
     top1 = {r.query_id: r.neighbor_id
             for r in similarity._rerank_topk(cand, 1).collect()}
     assert top1 == {i: 100 + i * 37 for i in range(4)}
+
+
+def test_incremental_dedup_frozen_keeper_semantics(spark, tmp_path):
+    """Index build + append: a new near-dup of an existing KEEPER joins
+    that cluster; a new-new pair forms its own cluster; batch-1
+    assignments are frozen (byte-identical to plain near_dedup of
+    batch 1); a second append sees the first append's keepers."""
+    w = [f"w{i}" for i in range(40)]
+    batch1 = spark.createDataFrame(
+        [(0, " ".join(w[0:30])), (1, " ".join(w[2:32])),     # cluster {0,1}
+         (4, " ".join(f"q{i}" for i in range(30)))],          # singleton
+        ["doc_id", "text"])
+    path = str(tmp_path / "idx")
+    dedup.dedup_index_build(batch1, path, threshold=0.5)
+    k1 = {r.doc_id: r.keeper_doc_id
+          for r in spark.read.parquet(f"{path}/keepers").collect()}
+    assert k1 == {0: 0, 1: 0, 4: 4}
+    batch2 = spark.createDataFrame(
+        [(10, " ".join(w[0:30])),                             # dup of keeper 0
+         (11, " ".join(f"z{i}" for i in range(30))),          # new cluster
+         (12, " ".join(f"z{i}" for i in range(30))),          # with 11
+         (13, " ".join(f"y{i}" for i in range(30)))],         # singleton
+        ["doc_id", "text"])
+    out = {r.doc_id: r.keeper_doc_id
+           for r in dedup.dedup_index_append(batch2, path,
+                                             threshold=0.5).collect()}
+    assert out == {10: 0, 11: 11, 12: 11, 13: 13}
+    # frozen: batch-1 rows unchanged in the grown keepers table
+    grown = {r.doc_id: r.keeper_doc_id
+             for r in spark.read.parquet(f"{path}/keepers").collect()}
+    assert {d: k for d, k in grown.items() if d < 10} == k1
+    # a third batch matches the keeper MINTED by the second append
+    batch3 = spark.createDataFrame(
+        [(20, " ".join(f"z{i}" for i in range(30)))], ["doc_id", "text"])
+    out3 = {r.doc_id: r.keeper_doc_id
+            for r in dedup.dedup_index_append(batch3, path,
+                                              threshold=0.5).collect()}
+    assert out3 == {20: 11}
