@@ -91,7 +91,9 @@ def main() -> None:
                      "contamination",
                      "pack_shards", "prepare_training_corpus",
                      "quality_score", "doc_fingerprint",
-                     "repetition_score", "windowed_counts"]
+                     "repetition_score", "windowed_counts",
+                     "salted_join_agg", "kg_statute_triangles",
+                     "kg_precedent_components"]
     for name in bench_queries:
         timings[name] = round(best_of(
             lambda: queries.QUERIES[name](spark, sf_dir).count()), 3)

@@ -509,14 +509,12 @@ def near_dedup(docs: DataFrame, threshold: float = 0.5,
     edge is threshold-verified), so precision is preserved; recall drops
     only for docs whose sole path into a cluster was a non-hub pair.
 
-    Label propagation runs with POINTER JUMPING (each round takes the
-    min over neighbours' labels AND the current label's own label —
-    path-halving, so rounds scale with log(diameter), not diameter), and
-    the convergence check rides the checkpointed frame as a materialized
-    ``changed`` flag instead of a separate old-vs-new join — fewer
-    sequential mini-jobs per round, which is the dominant cost of this
-    loop at any scale.  Convergence is CHECKED, and non-convergence
-    raises rather than silently emitting fragmented components.
+    The component phase runs on the shared
+    ``graph.weakly_connected_components`` loop: pointer jumping + the
+    reverse-pointer hub update give log(diameter) rounds, the
+    convergence flag is materialized into the checkpointed frame (no
+    separate old-vs-new join job), and non-convergence raises rather
+    than silently emitting fragmented components.
 
     ``checkpoint_dir``: when set, per-round lineage truncation is a
     DURABLE parquet round-trip under that directory instead of
