@@ -1539,6 +1539,78 @@ FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b
 WHERE {cos} >= 0.35"""
 
 
+def q_user_last_event(spark, sf_dir):
+    """CDC/upsert compaction: the LATEST event per user (ts desc,
+    event_id desc tie-break) — the state-table view a streaming upsert
+    sink maintains, expressed as the rank-1 window so batch backfill and
+    the stream share semantics.  Scale shape: one hash exchange on
+    user_id, rank pushed to per-partition TakeOrdered by Catalyst."""
+    events = spark.read.parquet(_t(sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"),
+                                              F.desc("event_id"))
+    return (events.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select(F.col("user_id").cast("bigint").alias("user_id"),
+                    F.col("event_id").cast("bigint").alias("last_event_id"),
+                    F.col("event_type").alias("last_type"),
+                    F.round("value", 4).alias("last_value")))
+
+
+def o_user_last_event():
+    return """
+SELECT user_id::BIGINT AS user_id, event_id::BIGINT AS last_event_id,
+       event_type AS last_type, round(value, 4) AS last_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+    ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1"""
+
+
+def q_quality_quantiles(spark, sf_dir):
+    """Corpus quality DISTRIBUTION per detected language: exact
+    percentiles (p10/p50/p90) of the composite quality score — the
+    filter-threshold-picking analytics a training-data pipeline runs
+    before choosing cutoffs.  Exact `percentile` (linear interpolation)
+    so the DuckDB `quantile_cont` oracle matches to 4 dp; at 100 TB the
+    same query swaps to `percentile_approx` (sketch-mergeable, one pass)
+    with no plan-shape change."""
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    docs = (spark.read.parquet(_t(sf_dir, "documents"))
+            .withColumn("toks", F.split(F.lower("text"), " ")))
+    n_tok = F.size("toks")
+    punct = F.length(F.regexp_replace("text", "[a-z0-9 ]", ""))
+    quality = F.round(F.least(n_tok / F.lit(100.0), F.lit(1.0))
+                      * (1 - punct / F.length("text")), 4)
+    lang = F.when(
+        F.expr(f"size(filter(toks, t -> t IN ({stop})))") / n_tok >= 0.1,
+        "en").otherwise("unk")
+    base = docs.select(lang.alias("lang_guess"), quality.alias("q"))
+    return (base.groupBy("lang_guess")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.round(F.expr("percentile(q, 0.1)"), 4).alias("q10"),
+                 F.round(F.expr("percentile(q, 0.5)"), 4).alias("q50"),
+                 F.round(F.expr("percentile(q, 0.9)"), 4).alias("q90")))
+
+
+def o_quality_quantiles():
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT CASE WHEN len(list_filter(toks, t -> t IN ({stop}))) / len(toks) >= 0.1
+              THEN 'en' ELSE 'unk' END AS lang_guess,
+         round(least(len(toks) / 100.0, 1.0)
+               * (1 - length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+                      / length(text)), 4) AS q
+  FROM (SELECT text, string_split(lower(text), ' ') AS toks FROM documents)
+)
+SELECT lang_guess, count(*)::BIGINT AS n_docs,
+       round(quantile_cont(q, 0.1), 4) AS q10,
+       round(quantile_cont(q, 0.5), 4) AS q50,
+       round(quantile_cont(q, 0.9), 4) AS q90
+FROM base GROUP BY lang_guess"""
+
+
 def q_quantize_embeddings(spark, sf_dir):
     """int8 embedding quantization for the vector STORE (4× smaller than
     float32 at <0.1% cosine error — at trillion-vector scale a storage
@@ -2115,6 +2187,34 @@ FROM e e1 JOIN e e2 ON e2.a = e1.b
           JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b"""
 
 
+def q_kg_media_stats(spark, sf_dir):
+    """Interleaved-corpus media inventory over the materialized records:
+    per media kind, span count, distinct carrying docs, distinct refs —
+    the data model's multimodal half exercised through the ORACLED path
+    (spans ride the Arrow boundary untouched and land on the 'doc'
+    rows; DuckDB unnests the very same parquet array)."""
+    recs = _kg_records_parquet(spark, sf_dir)
+    return (recs.filter("rec_type = 'doc'")
+            .select("doc_id", F.explode("spans").alias("s"))
+            .filter("s.kind <> 'text'")
+            .groupBy(F.col("s.kind").alias("kind"))
+            .agg(F.count("*").cast("bigint").alias("n_spans"),
+                 F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+                 F.countDistinct("s.media_ref").cast("bigint")
+                 .alias("n_refs")))
+
+
+def o_kg_media_stats():
+    return f"""
+SELECT s.kind AS kind, count(*)::BIGINT AS n_spans,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(DISTINCT s.media_ref)::BIGINT AS n_refs
+FROM (SELECT doc_id, unnest(spans) AS s
+      FROM {_KG_SQL_SRC} WHERE rec_type = 'doc')
+WHERE s.kind <> 'text'
+GROUP BY s.kind"""
+
+
 def q_kg_citation_distance(spark, sf_dir):
     """Multi-hop reachability over the KG: BFS distance (≤ 6 hops) from
     the landmark precedents (every precedent cited by ≥ 2 documents)
@@ -2209,6 +2309,7 @@ QUERIES = {
     "tpch_q13": q_tpch_q13,
     "windowed_counts": q_windowed_counts,
     "sessionize": q_sessionize,
+    "user_last_event": q_user_last_event,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2217,6 +2318,7 @@ QUERIES = {
     "similarity_topk": q_similarity_topk,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
+    "quality_quantiles": q_quality_quantiles,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "repetition_score": q_repetition_score,
@@ -2243,6 +2345,7 @@ QUERIES = {
     "kg_precedent_components": q_kg_precedent_components,
     "kg_statute_triangles": q_kg_statute_triangles,
     "kg_citation_distance": q_kg_citation_distance,
+    "kg_media_stats": q_kg_media_stats,
     "salted_join_agg": q_salted_join_agg,
     "kg_pagerank": q_kg_pagerank,
 }
@@ -2271,6 +2374,7 @@ ORACLES = {
     "tpch_q13": o_tpch_q13(),
     "windowed_counts": o_windowed_counts(),
     "sessionize": o_sessionize(),
+    "user_last_event": o_user_last_event(),
     "dedup_exact": o_dedup_exact(),
     "dedup_ngram_jaccard": o_dedup_ngram_jaccard(),
     "dedup_minhash_lsh": o_dedup_minhash_lsh(),
@@ -2279,6 +2383,7 @@ ORACLES = {
     "similarity_topk": o_similarity_topk(),
     "lang_id": o_lang_id(),
     "quality_score": o_quality_score(),
+    "quality_quantiles": o_quality_quantiles(),
     "token_count": o_token_count(),
     "doc_fingerprint": o_doc_fingerprint(),
     "repetition_score": o_repetition_score(),
@@ -2305,6 +2410,7 @@ ORACLES = {
     "kg_precedent_components": o_kg_precedent_components(),
     "kg_statute_triangles": o_kg_statute_triangles(),
     "kg_citation_distance": o_kg_citation_distance(),
+    "kg_media_stats": o_kg_media_stats(),
     "salted_join_agg": o_salted_join_agg(),
     "kg_pagerank": o_kg_pagerank(),
     # every query has an oracle row; for kg_triples/kg_mentions the oracle

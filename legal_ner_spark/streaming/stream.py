@@ -44,6 +44,25 @@ def stream_extract(spark: SparkSession, corpus_dir: str, out_dir: str,
             .start())
 
 
+def dedup_events_stream(events: DataFrame, id_cols: tuple = ("event_id",),
+                        watermark: str = "30 minutes",
+                        ts_col: str = "ts") -> DataFrame:
+    """At-least-once → effectively-once event dedup for streams:
+    ``dropDuplicatesWithinWatermark`` keeps the seen-key state only
+    within the watermark horizon, so state is O(keys per horizon), not
+    O(stream length) — the difference between a dedup that runs forever
+    and one that OOMs the state store.  (Plain ``dropDuplicates`` on a
+    stream never expires its keys.)  Exact within the horizon: a replayed
+    or duplicate row arriving inside the watermark window is dropped;
+    one arriving later than the horizon is a new row by definition.
+    Works on a batch frame too (reduces to dropDuplicates)."""
+    out = (events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+           .withWatermark(ts_col, watermark))
+    if out.isStreaming:
+        return out.dropDuplicatesWithinWatermark(list(id_cols))
+    return out.dropDuplicates(list(id_cols))
+
+
 def windowed_event_counts(events: DataFrame, window_duration: str = "10 minutes",
                           watermark: str = "30 minutes",
                           ts_col: str = "ts") -> DataFrame:

@@ -251,3 +251,34 @@ def test_transform_with_state_matches_apply_in_pandas_with_state(spark, tmp_path
     shutil.rmtree(in_dir)
     got_b = final_totals(running_statute_counts_tws, "ck_b", "tws_b")
     assert got_b == want, got_b
+
+
+def test_stream_dedup_within_watermark_drops_replays(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: replayed/duplicate event rows
+    arriving within the watermark horizon are dropped — the streamed
+    distinct-id set must equal the batch dropDuplicates of the same
+    files, with bounded state (unlike stream dropDuplicates)."""
+    from pyspark.sql import functions as F
+    from legal_ner_spark.streaming.stream import dedup_events_stream
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .limit(200).cache())
+    in_dir, ckpt = str(tmp_path / "dup_ev"), str(tmp_path / "ckpt_d")
+    ev.repartition(2).write.parquet(in_dir)                   # originals
+    # replay half the events again as a second file set (at-least-once)
+    (ev.filter("event_id % 2 = 0").repartition(1)
+     .write.mode("append").parquet(in_dir))
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = (dedup_events_stream(stream, ("event_id",), "2 hours")
+         .writeStream.format("memory").queryName("dedup_ev")
+         .outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = spark.sql("SELECT event_id FROM dedup_ev").collect()
+    ids = [r.event_id for r in got]
+    assert len(ids) == len(set(ids)) == ev.count()            # one row per id
+    # batch leg of the same operator = plain dropDuplicates
+    batch = dedup_events_stream(spark.read.parquet(in_dir), ("event_id",))
+    assert batch.count() == ev.count()
+    ev.unpersist()
