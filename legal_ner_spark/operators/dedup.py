@@ -391,7 +391,8 @@ def dedup_index_append(new_docs: DataFrame, path: str,
                        rows_per_band: int = 4, n: int = 3,
                        id_col: str = "doc_id", text_col: str = "text",
                        checkpoint_dir: str | None = None,
-                       max_bucket: int | None = None) -> DataFrame:
+                       max_bucket: int | None = None,
+                       mode: str = "exact") -> DataFrame:
     """Dedup a NEW batch against a frozen index (see
     ``dedup_index_build``) and grow the index.  Returns one row per new
     doc (doc_id, keeper_doc_id).
@@ -411,7 +412,19 @@ def dedup_index_append(new_docs: DataFrame, path: str,
     Scale shape: candidates are banded equi-joins (new × new and new ×
     keeper-sig table), verification touches only candidate shingles,
     components run on the pointer-jumped WCC loop, and every index
-    write is an append of the NEW keepers' surface only."""
+    write is an append of the NEW keepers' surface only.
+
+    ``mode='exact'`` (default) pairs every colliding (new, keeper) in a
+    bucket — Ω(bucket products) on template-heavy corpora.
+    ``mode='scale'`` pairs each new doc with each bucket's MIN keeper
+    (and new-new pairs become star edges), so candidates are O(new ×
+    bands) regardless of bucket width — the near_dedup(mode='scale')
+    trade carried over: precision preserved (every pair is
+    threshold-verified), recall drops only for docs whose sole match
+    was a non-hub bucket member.  Measured at the 131k worst-case
+    stress: 251 s → 86 s for the append of 65k docs."""
+    if mode not in ("exact", "scale"):
+        raise ValueError(f"mode must be 'exact' or 'scale', got {mode!r}")
     from ..plans.checkpoint import Truncator
     from .graph import weakly_connected_components
     spark = new_docs.sparkSession
@@ -424,11 +437,38 @@ def dedup_index_append(new_docs: DataFrame, path: str,
     k_sigs = spark.read.parquet(f"{path}/sigs")
     k_sh = spark.read.parquet(f"{path}/shingles")
     k_sizes = spark.read.parquet(f"{path}/sizes")
-    cand_nn = (lsh_candidates(sigs_new, max_bucket=max_bucket)
-               .select("doc_a", "doc_b"))
-    cand_nk = (sigs_new.join(k_sigs.select(F.col("doc_id").alias("doc_b"),
-                                           "band", "sig"), ["band", "sig"])
-               .select(F.col("doc_id").alias("doc_a"), "doc_b"))
+    if mode == "scale":
+        hub_n = (sigs_new.groupBy("band", "sig")
+                 .agg(F.min("doc_id").alias("doc_a")))
+        cand_nn = (sigs_new.join(hub_n, ["band", "sig"])
+                   .filter(F.col("doc_id") != F.col("doc_a"))
+                   .select("doc_a", F.col("doc_id").alias("doc_b")))
+    else:
+        cand_nn = (lsh_candidates(sigs_new, max_bucket=max_bucket)
+                   .select("doc_a", "doc_b"))
+    k_sig_sel = k_sigs.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    if mode == "scale":
+        hub_k = (k_sig_sel.groupBy("band", "sig")
+                 .agg(F.min("doc_b").alias("doc_b")))
+        cand_nk = (sigs_new.join(hub_k, ["band", "sig"])
+                   .select(F.col("doc_id").alias("doc_a"), "doc_b"))
+    elif max_bucket is not None:
+        # hot-bucket guard for the bipartite new×keeper join: when a
+        # (band, sig) bucket holds more than max_bucket KEEPERS, new docs
+        # in that bucket pair only with the bucket's min keeper —
+        # candidates per bucket drop from n_new × n_keepers to n_new.
+        # Without this, a template-heavy corpus (every doc sharing hot
+        # band signatures) makes the nk join quadratic and spills the
+        # cluster (measured: 27 GB of shuffle at the 131k stress).
+        kw = (k_sig_sel.groupBy("band", "sig")
+              .agg(F.count("*").alias("_w"), F.min("doc_b").alias("_hub")))
+        k_sig_sel = (k_sig_sel.join(kw, ["band", "sig"])
+                     .filter((F.col("_w") <= max_bucket)
+                             | (F.col("doc_b") == F.col("_hub")))
+                     .drop("_w", "_hub"))
+    if mode != "scale":
+        cand_nk = (sigs_new.join(k_sig_sel, ["band", "sig"])
+                   .select(F.col("doc_id").alias("doc_a"), "doc_b"))
     cand = cand_nn.union(cand_nk).distinct()
     pairs = _verify_pairs(sh_new.unionByName(k_sh), cand, threshold,
                           sizes=sizes_new.unionByName(k_sizes)) \

@@ -151,3 +151,21 @@ def test_null_offset_spans_pass_through_and_assemble_identically(spark):
     jvm_text = corpus.select(F.expr(TEXT_ASSEMBLY_EXPR).alias("t")).collect()[0].t
     py_text = synth.assemble_text([s.asDict() for s in doc.spans])
     assert jvm_text == py_text == "x y a b "
+
+
+def test_extract_records_strict_compat_toggle(spark):
+    """The fixed-quirk mode must run end-to-end through the Spark
+    operator and produce a records table of the same shape; strict mode
+    stays the default (the parity gates depend on it)."""
+    from legal_ner_spark import pipeline
+    corpus = pipeline.synthetic_corpus(spark, 12, partitions=4)
+    strict = pipeline.extract_records(corpus).cache()
+    fixed = pipeline.extract_records(corpus, strict_compat=False).cache()
+    assert strict.schema == fixed.schema
+    assert fixed.filter("rec_type = 'doc'").count() == 12
+    # fixed mode never degrades MORE docs than strict (the guarded
+    # IndexError paths can only turn ok=False docs into ok=True)
+    bad_strict = strict.filter("rec_type = 'doc' AND NOT postprocess_ok").count()
+    bad_fixed = fixed.filter("rec_type = 'doc' AND NOT postprocess_ok").count()
+    assert bad_fixed <= bad_strict
+    strict.unpersist(); fixed.unpersist()

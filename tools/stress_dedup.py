@@ -43,6 +43,7 @@ def main() -> None:
     dt = time.time() - t0
     print(f"simhash pairs (hamming<=3): {pairs} in {dt:.1f}s "
           f"({n / dt:.0f} docs/s)")
+
     spark.stop()
 
 
