@@ -158,13 +158,21 @@ def node_degrees(triples: DataFrame, pred: str | None = None) -> DataFrame:
 
 def pagerank(triples: DataFrame, pred: str | None = None,
              damping: float = 0.85, n_iter: int = 10,
-             checkpoint_dir: str | None = None) -> DataFrame:
+             checkpoint_dir: str | None = None,
+             sources: DataFrame | None = None) -> DataFrame:
     """PageRank over the (deduplicated) edge set of one predicate.
 
     ``checkpoint_dir``: when set, per-iteration lineage truncation is a
     durable parquet round-trip (cluster-safe — localCheckpoint blocks
     die with their executor and kill the job mid-iteration; point this
-    at HDFS/S3 on a real cluster).  Output is identical either way."""
+    at HDFS/S3 on a real cluster).  Output is identical either way.
+
+    ``sources``: PERSONALIZED PageRank — the restart vector concentrates
+    on the given node set (column ``node``): p(v) = 1/|S| for v ∈ S,
+    else 0; the dangling mass also restarts at the sources.  Ranks then
+    measure proximity to the source set (e.g. influence of a landmark
+    statute through the citation graph) instead of global centrality.
+    Same iteration shape, same per-round cost."""
     from ..plans.checkpoint import Truncator
     trunc = Truncator(checkpoint_dir)
     edges = (triples if pred is None
@@ -183,6 +191,34 @@ def pagerank(triples: DataFrame, pred: str | None = None,
                     "out_deg")
     dangling = trunc(nodes.join(out_deg.withColumnRenamed("src", "node"),
                                 "node", "left_anti"), "dangling")
+    if sources is not None:
+        ns = sources.select("node").distinct()
+        n_src = ns.count()
+        if n_src == 0:
+            raise ValueError("personalized pagerank needs >= 1 source node")
+        nodes_p = trunc(
+            nodes.join(ns.withColumn("_s", F.lit(1)), "node", "left")
+            .select("node", F.when(F.col("_s") == 1, F.lit(1.0) / n_src)
+                    .otherwise(F.lit(0.0)).alias("p")), "pvec")
+        ranks = nodes_p.select("node", F.col("p").alias("rank"))
+        for _ in range(n_iter):
+            d_mass = (dangling.join(ranks, "node")
+                      .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                           .alias("d_mass")))
+            contrib = (edges.join(out_deg, "src")
+                       .join(ranks.withColumnRenamed("node", "src"), "src")
+                       .select(F.col("dst").alias("node"),
+                               (F.col("rank") / F.col("deg")).alias("c")))
+            ranks = trunc(
+                nodes_p.join(contrib.groupBy("node")
+                             .agg(F.sum("c").alias("c")), "node", "left")
+                .crossJoin(F.broadcast(d_mass))
+                .select("node",
+                        ((1 - damping) * F.col("p")
+                         + damping * (F.coalesce("c", F.lit(0.0))
+                                      + F.col("d_mass") * F.col("p")))
+                        .alias("rank")), "ppr")
+        return ranks.withColumn("rank", F.round("rank", 6))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(n_iter):
         # dangling nodes spread their mass uniformly (standard PageRank);

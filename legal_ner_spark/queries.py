@@ -2073,6 +2073,64 @@ r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
 SELECT node, round(rank, 6) AS rank FROM r{n_iter}"""
 
 
+def q_kg_ppr(spark, sf_dir):
+    """PERSONALIZED PageRank from the most-cited statute (tie-break:
+    name): proximity of every node in the part_of graph to the landmark
+    — 'how close is this provision/statute to the IPC's neighbourhood'.
+    Restart vector on the source, dangling mass restarts at the source;
+    fixed 4 iterations, so the oracle unrolls the power iteration with
+    the personalized restart term."""
+    from .operators import graph
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    src = (tri.filter(F.col("pred") == "part_of")
+           .groupBy(F.col("obj").alias("node"))
+           .agg(F.count("*").alias("cnt"))
+           .orderBy(F.desc("cnt"), F.asc("node")).limit(1).select("node"))
+    return graph.pagerank(tri, pred="part_of", n_iter=4, sources=src)
+
+
+def o_kg_ppr(n_iter: int = 4, damping: float = 0.85):
+    it = """
+d{i} AS (
+  SELECT coalesce(sum(r.rank), 0) AS dm
+  FROM r{p} r LEFT JOIN outdeg o ON r.node = o.src WHERE o.src IS NULL
+),
+c{i} AS (
+  SELECT e.dst AS node, sum(r.rank / o.deg) AS c
+  FROM edges e JOIN outdeg o ON e.src = o.src JOIN r{p} r ON r.node = e.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT n.node,
+         (1 - {d}) * n.p
+         + {d} * (coalesce(c.c, 0) + (SELECT dm FROM d{i}) * n.p) AS rank
+  FROM nodesp n LEFT JOIN c{i} c ON n.node = c.node
+)"""
+    iters = ",".join(it.format(i=i, p=i - 1, d=damping)
+                     for i in range(1, n_iter + 1))
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT subj AS src, obj AS dst
+  FROM {_KG_SQL_SRC} WHERE rec_type = 'triple' AND pred = 'part_of'
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+srcs AS (
+  SELECT obj AS node
+  FROM {_KG_SQL_SRC} WHERE rec_type = 'triple' AND pred = 'part_of'
+  GROUP BY obj ORDER BY count(*) DESC, obj LIMIT 1
+),
+nodesp AS (
+  SELECT n.node,
+         CASE WHEN n.node IN (SELECT node FROM srcs)
+              THEN 1.0 / (SELECT count(*) FROM srcs) ELSE 0.0 END AS p
+  FROM nodes n
+),
+r0 AS (SELECT node, p AS rank FROM nodesp),
+{iters}
+SELECT node, round(rank, 6) AS rank FROM r{n_iter}"""
+
+
 def q_kg_statute_degree(spark, sf_dir):
     """Graph analytics over the materialized triples: in-degree of statute
     nodes under part_of."""
@@ -2348,6 +2406,7 @@ QUERIES = {
     "kg_media_stats": q_kg_media_stats,
     "salted_join_agg": q_salted_join_agg,
     "kg_pagerank": q_kg_pagerank,
+    "kg_ppr": q_kg_ppr,
 }
 
 ORACLES = {
@@ -2413,6 +2472,7 @@ ORACLES = {
     "kg_media_stats": o_kg_media_stats(),
     "salted_join_agg": o_salted_join_agg(),
     "kg_pagerank": o_kg_pagerank(),
+    "kg_ppr": o_kg_ppr(),
     # every query has an oracle row; for kg_triples/kg_mentions the oracle
     # scope is the materialization + projection half — the pandas
     # extraction half has no SQL form and is pytest-gated (P/R = 1.0,

@@ -117,3 +117,21 @@ def test_bfs_distances_frontier_semantics(spark, tmp_path):
                    edges, sources, max_depth=3,
                    checkpoint_dir=str(tmp_path / "bfs")).collect()}
     assert durable == got
+
+
+def test_personalized_pagerank_concentrates_on_source(spark):
+    """PPR on a 2-component graph: mass must stay in the source's
+    component (all other-component ranks 0) and sum to ~1; the source
+    holds the largest rank."""
+    tri = spark.createDataFrame(
+        [("a", "part_of", "S"), ("b", "part_of", "S"), ("S", "part_of", "T"),
+         ("x", "part_of", "Y")],
+        ["subj", "pred", "obj"])
+    src = spark.createDataFrame([("S",)], ["node"])
+    ranks = {r.node: r.rank
+             for r in graph.pagerank(tri, pred="part_of", n_iter=8,
+                                     sources=src).collect()}
+    assert ranks["x"] == 0.0 and ranks["Y"] == 0.0
+    assert abs(sum(ranks.values()) - 1.0) < 1e-4
+    assert ranks["S"] == max(ranks.values())
+    assert ranks["T"] > 0                       # downstream of the source
