@@ -56,6 +56,44 @@ def contamination(docs: DataFrame, benchmark: DataFrame, n: int = 3,
             .select("doc_id", "n_shingles", "n_hits", "contamination"))
 
 
+def sample_corpus(docs: DataFrame, rates: dict[str, float],
+                  strat_col: str = "lang", id_col: str = "doc_id",
+                  default_rate: float = 0.0, salt: str = "") -> DataFrame:
+    """Deterministic hash-stratified sampling — the data-MIXING primitive
+    of a training-corpus pipeline (per-language / per-source keep rates,
+    e.g. upweight en, downsample crawl dupes).
+
+    keep ⇔ md5(salt ∥ doc_id) first-8-hex-digits, as an integer mod 1e6,
+    < rate(stratum)·1e6.  Three properties a `rand()` sample lacks, all
+    load-bearing at 10^12 docs:
+
+    - **reproducible under retry/resume** — the keep decision is a pure
+      function of the row, so a recomputed task (or a resumed run over
+      remaining partitions, plans/ledger.py) selects the identical set;
+    - **composable** — sampling at r1 then r2 with the same salt yields
+      exactly the min(r1, r2) sample (prefix property of the threshold),
+      so mixture reweighting never needs the original corpus;
+    - **zero-shuffle** — a constant-folded CASE over the stratum column +
+      a filter: stays inside one WholeStageCodegen span of the scan, no
+      exchange, trivially 100 TB-safe.
+
+    Distinct ``salt`` values give independent samples (held-out splits).
+    Emits (doc_id, stratum, sample_key) for audit; sample_key ∈ [0, 1e6).
+    """
+    rate_expr = F.lit(float(default_rate))
+    for value, rate in sorted(rates.items()):
+        rate_expr = F.when(F.col(strat_col) == value,
+                           F.lit(float(rate))).otherwise(rate_expr)
+    key = (F.conv(F.substring(F.md5(F.concat(F.lit(salt),
+                                             F.col(id_col).cast("string"))),
+                              1, 8), 16, 10)
+           .cast("bigint") % 1_000_000)
+    return (docs.withColumn("sample_key", key)
+            .filter(F.col("sample_key") < rate_expr * 1_000_000)
+            .select(F.col(id_col).alias("doc_id"),
+                    F.col(strat_col).alias("stratum"), "sample_key"))
+
+
 def pii_redact(docs: DataFrame, id_col: str = "doc_id",
                text_col: str = "text") -> DataFrame:
     """Redact emails and ≥6-digit runs; emit hit counts for monitoring.

@@ -1213,6 +1213,41 @@ SELECT doc_id, quality, n_tokens,
 FROM c"""
 
 
+SAMPLE_RATES = {"en": 0.9, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.25}
+
+
+def q_corpus_sample(spark, sf_dir):
+    """Deterministic hash-stratified sampling — the data-MIXING primitive
+    (per-language keep rates).  keep ⇔ md5-derived key < rate·1e6; pure
+    projection+filter, zero shuffle, reproducible under retry/resume and
+    composable across rate changes (prefix property).  Oracle replays the
+    identical hash arithmetic, so membership is value-exact, not
+    statistical."""
+    from .operators import textprep
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return (textprep.sample_corpus(docs, SAMPLE_RATES, strat_col="lang",
+                                   default_rate=0.0, salt="mix1")
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    "stratum",
+                    F.col("sample_key").cast("bigint").alias("sample_key")))
+
+
+def o_corpus_sample():
+    when = " ".join(
+        f"WHEN lang = '{v}' THEN {r}"
+        for v, r in sorted(SAMPLE_RATES.items()))
+    return f"""
+WITH keyed AS (
+  SELECT doc_id::BIGINT AS doc_id, lang AS stratum,
+         ('0x' || substr(md5('mix1' || doc_id::VARCHAR), 1, 8))::UBIGINT
+           % 1000000 AS sample_key,
+         CASE {when} ELSE 0.0 END AS rate
+  FROM documents
+)
+SELECT doc_id, stratum, sample_key::BIGINT AS sample_key
+FROM keyed WHERE sample_key < rate * 1000000"""
+
+
 def q_similarity_topk(spark, sf_dir):
     """Brute-force cosine top-5 per query vector (queries = vec_id < 5).
     Baseline ANN path; ranks on the rounded score for cross-engine
@@ -2392,6 +2427,7 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "pack_shards": q_pack_shards,
     "prepare_training_corpus": q_prepare_training_corpus,
+    "corpus_sample": q_corpus_sample,
     "ingest_clean": q_ingest_clean,
     "html_to_text": q_html_to_text,
     "kg_triples": q_kg_triples,
@@ -2458,6 +2494,7 @@ ORACLES = {
     "pii_redact": o_pii_redact(),
     "pack_shards": o_pack_shards(),
     "prepare_training_corpus": o_prepare_training_corpus(),
+    "corpus_sample": o_corpus_sample(),
     "ingest_clean": o_ingest_clean(),
     "html_to_text": o_html_to_text(),
     "kg_triples": o_kg_triples(),

@@ -109,3 +109,54 @@ def test_pack_shards_raises_on_non_numeric_ids(spark):
     with pytest.raises((Py4JJavaError, PySparkException)) as ei:
         textprep.pack_shards(bad, token_budget=10, bucket_size=2).collect()
     assert "pack_shards" in str(ei.value)
+
+def _mix_docs(spark, n=400):
+    rows = [(i, f"text {i}", ["en", "de", "zh"][i % 3]) for i in range(n)]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_sample_corpus_deterministic_and_stratified(spark):
+    """Same input + salt ⇒ identical sample; rates steer strata
+    independently (rate 0 drops the stratum entirely, rate 1 keeps it)."""
+    docs = _mix_docs(spark)
+    rates = {"en": 1.0, "de": 0.5, "zh": 0.0}
+    a = textprep.sample_corpus(docs, rates, salt="s").collect()
+    b = textprep.sample_corpus(docs, rates, salt="s").collect()
+    assert sorted(r.doc_id for r in a) == sorted(r.doc_id for r in b)
+    by_stratum = {}
+    for r in a:
+        by_stratum.setdefault(r.stratum, set()).add(r.doc_id)
+    assert len(by_stratum.get("en", set())) == 134          # all of en
+    assert "zh" not in by_stratum                           # rate 0
+    n_de = len(by_stratum.get("de", set()))
+    assert 0 < n_de < 133                                   # strictly sampled
+
+
+def test_sample_corpus_prefix_property(spark):
+    """Sampling at r2 < r1 with the same salt selects an exact SUBSET of
+    the r1 sample (threshold prefix) — the property that makes mixture
+    reweighting replayable without the original corpus."""
+    docs = _mix_docs(spark)
+    big = {r.doc_id for r in textprep.sample_corpus(
+        docs, {"en": 0.8, "de": 0.8, "zh": 0.8}, salt="s").collect()}
+    small = {r.doc_id for r in textprep.sample_corpus(
+        docs, {"en": 0.3, "de": 0.3, "zh": 0.3}, salt="s").collect()}
+    assert small < big
+
+
+def test_sample_corpus_salt_gives_independent_samples(spark):
+    docs = _mix_docs(spark)
+    rates = {"en": 0.5, "de": 0.5, "zh": 0.5}
+    a = {r.doc_id for r in textprep.sample_corpus(docs, rates, salt="x").collect()}
+    b = {r.doc_id for r in textprep.sample_corpus(docs, rates, salt="y").collect()}
+    assert a != b                     # different split identities
+    assert a and b
+
+
+def test_sample_corpus_plan_has_no_exchange(spark):
+    """The sampler must stay a scan-local projection+filter: any Exchange
+    in the plan would mean the mixing primitive shuffles 10^12 rows."""
+    docs = _mix_docs(spark, n=50)
+    plan = (textprep.sample_corpus(docs, {"en": 0.5}, salt="s")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan, plan[:2000]
