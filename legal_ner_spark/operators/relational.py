@@ -254,3 +254,46 @@ def precedent_clusters_cc(mentions: DataFrame, threshold: int = 5) -> DataFrame:
     return (multi.join(heads, ["doc_id", "cluster_id"])
             .select("doc_id", "cluster_id", "head",
                     F.col("text").alias("member"), "ent_id"))
+
+
+def interval_join(intervals: DataFrame, points: DataFrame,
+                  start_col: str, end_col: str, ts_col: str,
+                  bin_seconds: int = 3600) -> DataFrame:
+    """Pure range join (no shared key): pair every interval
+    [start, end) with every point whose timestamp falls inside it —
+    the shape Spark would otherwise plan as a BroadcastNestedLoopJoin /
+    CartesianProduct, which is O(|L|·|R|) and unrunnable at 10^12 rows.
+
+    Binned equi-join strategy: quantize time into ``bin_seconds`` bins;
+    an interval is exploded to the bins it covers, a point belongs to
+    exactly ONE bin, and the join becomes an equi-join on the bin id
+    followed by the exact range predicate.  Each qualifying pair is
+    produced exactly once (the point side is never exploded), so no
+    dedup pass is needed.
+
+    Scale calculus: candidate volume = Σ|interval|/bin · points-per-bin;
+    ``bin_seconds`` trades interval fan-out (len/bin rows per interval)
+    against bin selectivity (points per bin) — set it near the median
+    interval length.  A burst bin is ordinary equi-join skew: AQE
+    skew-split handles it, no custom salting needed.  Columns from both
+    inputs are preserved (callers project first to keep shuffle width
+    down)."""
+    def secs(df, col):
+        # TIMESTAMP_NTZ has no direct double cast (Spark 4); route through
+        # TIMESTAMP — both sides reinterpret in the same session tz, and
+        # binning only needs a consistent monotonic epoch
+        c = F.col(col)
+        if dict(df.dtypes)[col].startswith("timestamp"):
+            c = c.cast("timestamp")
+        return c.cast("double")
+
+    iv = intervals.withColumn(
+        "_bin", F.explode(F.sequence(
+            F.floor(secs(intervals, start_col) / bin_seconds).cast("bigint"),
+            F.floor(secs(intervals, end_col) / bin_seconds).cast("bigint"))))
+    pt = points.withColumn(
+        "_bin", F.floor(secs(points, ts_col) / bin_seconds).cast("bigint"))
+    return (iv.join(pt, "_bin")
+            .filter((F.col(ts_col) >= F.col(start_col))
+                    & (F.col(ts_col) < F.col(end_col)))
+            .drop("_bin"))

@@ -1602,6 +1602,43 @@ FROM (
 ) WHERE rn = 1"""
 
 
+def q_interval_events(spark, sf_dir):
+    """Keyless range join via time-binned equi-join: high-value events
+    (value > 150) open a 1-hour alert window; count + sum every event
+    inside each window.  Naive Spark plans this as a nested-loop — the
+    binning rewrite (operators/relational.py interval_join) turns it
+    into an exploded equi-join on the hour bin + exact range filter,
+    the only range-join form that survives 10^12×10^12.  Plan-audited
+    (tests/test_plan_audit.py) to contain no NestedLoop/Cartesian."""
+    from .operators.relational import interval_join
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    anchors = (ev.filter(F.col("value") > 150)
+               .select(F.col("event_id").alias("anchor_id"),
+                       F.col("ts").alias("w_start"),
+                       (F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+                       .alias("w_end")))
+    joined = interval_join(anchors, ev.select("ts", "value"),
+                           "w_start", "w_end", "ts", bin_seconds=3600)
+    return (joined.groupBy("anchor_id")
+            .agg(F.count("*").cast("bigint").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.col("anchor_id").cast("bigint").alias("anchor_id"),
+                    "n_events", "sum_value"))
+
+
+def o_interval_events():
+    return """
+WITH a AS (
+  SELECT event_id AS anchor_id, ts AS w_start,
+         ts + INTERVAL 1 HOUR AS w_end
+  FROM events WHERE value > 150
+)
+SELECT a.anchor_id::BIGINT AS anchor_id, count(*)::BIGINT AS n_events,
+       round(sum(e.value), 2) AS sum_value
+FROM a JOIN events e ON e.ts >= a.w_start AND e.ts < a.w_end
+GROUP BY a.anchor_id"""
+
+
 def q_quality_quantiles(spark, sf_dir):
     """Corpus quality DISTRIBUTION per detected language: exact
     percentiles (p10/p50/p90) of the composite quality score — the
@@ -2403,6 +2440,7 @@ QUERIES = {
     "windowed_counts": q_windowed_counts,
     "sessionize": q_sessionize,
     "user_last_event": q_user_last_event,
+    "interval_events": q_interval_events,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2470,6 +2508,7 @@ ORACLES = {
     "windowed_counts": o_windowed_counts(),
     "sessionize": o_sessionize(),
     "user_last_event": o_user_last_event(),
+    "interval_events": o_interval_events(),
     "dedup_exact": o_dedup_exact(),
     "dedup_ngram_jaccard": o_dedup_ngram_jaccard(),
     "dedup_minhash_lsh": o_dedup_minhash_lsh(),

@@ -159,3 +159,13 @@ def test_triangle_plan_is_equi_joins_only(spark):
     p = physical(queries.QUERIES["kg_statute_triangles"](spark, SF))
     assert "CartesianProduct" not in p, p[:2000]
     assert "BroadcastNestedLoopJoin" not in p, p[:2000]
+
+
+def test_interval_events_has_no_nested_loop(spark):
+    """The keyless range join must compile to an equi-join on the time
+    bin (hash join), never BroadcastNestedLoopJoin/CartesianProduct —
+    the O(|L|*|R|) plans Spark emits for raw range predicates."""
+    p = physical(queries.QUERIES["interval_events"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p, p[:3000]
+    assert "CartesianProduct" not in p, p[:3000]
+    assert "Join" in p  # it IS a join — on the _bin equi key

@@ -144,3 +144,49 @@ def test_connected_components_durable_checkpoint_identical(spark, tmp_path):
         for r in rel.connected_components(
             edges, verts, checkpoint_dir=str(tmp_path / "cc")).collect())
     assert durable == base
+
+
+def test_interval_join_matches_bruteforce(spark):
+    """Binned equi-join must produce exactly the nested-loop pair set,
+    each pair once, across bin-spanning intervals and random points."""
+    import random
+    rng = random.Random(7)
+    ivs = [(i, float(rng.randrange(0, 5000)),) for i in range(40)]
+    ivs = [(i, s, s + rng.randrange(1, 9000)) for i, s in
+           [(i, s) for i, (i2, s) in enumerate(ivs)]]
+    pts = [(j, float(rng.randrange(0, 15000)), j * 1.5) for j in range(300)]
+    intervals = spark.createDataFrame(ivs, ["iv_id", "lo", "hi"])
+    points = spark.createDataFrame(pts, ["pt_id", "t", "v"])
+    got = sorted((r.iv_id, r.pt_id) for r in rel.interval_join(
+        intervals, points, "lo", "hi", "t", bin_seconds=600).collect())
+    want = sorted((i, j) for i, lo, hi in ivs
+                  for j, t, _ in pts if lo <= t < hi)
+    assert got == want
+
+
+def test_interval_join_boundary_semantics(spark):
+    """start inclusive, end exclusive — including points exactly on a
+    bin edge."""
+    intervals = spark.createDataFrame([(0, 100.0, 700.0)],
+                                      ["iv_id", "lo", "hi"])
+    points = spark.createDataFrame(
+        [(0, 100.0), (1, 699.999), (2, 700.0), (3, 99.999), (4, 600.0)],
+        ["pt_id", "t"])
+    got = sorted(r.pt_id for r in rel.interval_join(
+        intervals, points, "lo", "hi", "t", bin_seconds=600).collect())
+    assert got == [0, 1, 4]
+
+
+def test_interval_join_timestamp_columns(spark):
+    """Timestamp (NTZ) columns bin correctly via the timestamp cast."""
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    intervals = spark.createDataFrame(
+        [(0, base, base + dt.timedelta(hours=1))], ["iv_id", "lo", "hi"])
+    points = spark.createDataFrame(
+        [(0, base), (1, base + dt.timedelta(minutes=59)),
+         (2, base + dt.timedelta(hours=1)),
+         (3, base - dt.timedelta(seconds=1))], ["pt_id", "t"])
+    got = sorted(r.pt_id for r in rel.interval_join(
+        intervals, points, "lo", "hi", "t").collect())
+    assert got == [0, 1]
