@@ -1683,6 +1683,32 @@ SELECT lang_guess, count(*)::BIGINT AS n_docs,
 FROM base GROUP BY lang_guess"""
 
 
+def q_corpus_rollup(spark, sf_dir):
+    """OLAP rollup over the corpus dimensions: per-(lang, source) /
+    per-lang / grand-total doc counts and char volume in ONE pass —
+    Catalyst expands the rollup into grouping sets and keeps the
+    partial aggregation map-side, so the 10^12-row table is read and
+    shuffled once for all three granularities (vs three separate
+    scans).  Null grouping keys are coalesced to 'ALL' so the hash
+    compare is unambiguous across engines."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return (docs.rollup("lang", "source")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum("n_chars").cast("bigint").alias("total_chars"),
+                 F.round(F.avg("n_chars"), 2).alias("avg_chars"))
+            .select(F.coalesce("lang", F.lit("ALL")).alias("lang"),
+                    F.coalesce("source", F.lit("ALL")).alias("source"),
+                    "n_docs", "total_chars", "avg_chars"))
+
+
+def o_corpus_rollup():
+    return """
+SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+       count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+       round(avg(n_chars), 2) AS avg_chars
+FROM documents GROUP BY ROLLUP (lang, source)"""
+
+
 def q_quantize_embeddings(spark, sf_dir):
     """int8 embedding quantization for the vector STORE (4× smaller than
     float32 at <0.1% cosine error — at trillion-vector scale a storage
@@ -2450,6 +2476,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "quality_quantiles": q_quality_quantiles,
+    "corpus_rollup": q_corpus_rollup,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "repetition_score": q_repetition_score,
@@ -2518,6 +2545,7 @@ ORACLES = {
     "lang_id": o_lang_id(),
     "quality_score": o_quality_score(),
     "quality_quantiles": o_quality_quantiles(),
+    "corpus_rollup": o_corpus_rollup(),
     "token_count": o_token_count(),
     "doc_fingerprint": o_doc_fingerprint(),
     "repetition_score": o_repetition_score(),

@@ -169,3 +169,13 @@ def test_interval_events_has_no_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in p, p[:3000]
     assert "CartesianProduct" not in p, p[:3000]
     assert "Join" in p  # it IS a join — on the _bin equi key
+
+
+def test_corpus_rollup_is_single_pass(spark):
+    """rollup(lang, source) must expand grouping sets in ONE scan with
+    map-side partial aggregation — exactly one hash exchange, no union
+    of three separate aggregations."""
+    p = physical(queries.QUERIES["corpus_rollup"](spark, SF))
+    assert "Expand" in p, p[:2000]
+    assert p.count("Exchange hashpartitioning") == 1, p[:3000]
+    assert "Union" not in p, p[:2000]
