@@ -146,6 +146,52 @@ def triangles(edges: DataFrame) -> DataFrame:
             .select("node_a", "node_b", "node_c"))
 
 
+def kcore(edges: DataFrame, k: int = 2, max_iter: int = 30,
+          checkpoint_dir: str | None = None) -> DataFrame:
+    """k-core decomposition membership: the maximal subgraph in which
+    every node keeps degree ≥ k after all lower-degree nodes are
+    (recursively) peeled away — the standard device for trimming the
+    long tail of a citation graph down to its mutually-supported core.
+
+    Iterative peel, each round three (node)-keyed shuffles over rows
+    that only SHRINK: degree aggregate → survivors (deg ≥ k) →
+    semi-join both endpoints against the survivor set.  Rounds =
+    peeling depth of the graph (typically ≪ diameter); convergence =
+    edge count unchanged, read off the eagerly-truncated round result
+    so each round costs exactly one job.  ``checkpoint_dir`` switches
+    lineage truncation to the durable parquet round-trip (cluster
+    mode), same contract as the CC/BFS/PageRank loops.
+
+    Input direction/duplicates don't matter (symmetrized + deduped,
+    self-loops dropped).  Returns (node, degree) — degree WITHIN the
+    core.  Nodes outside the k-core simply don't appear."""
+    from ..plans.checkpoint import Truncator
+    trunc = Truncator(checkpoint_dir)
+    und = (edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+           .distinct())
+    sym = trunc(und.union(und.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst"))).distinct(),
+                "kcore_edges")
+    n_prev = sym.count()
+    for _ in range(max_iter):
+        keep = (sym.groupBy("src").agg(F.count("*").alias("deg"))
+                .filter(F.col("deg") >= k)
+                .select(F.col("src").alias("node")))
+        nxt = trunc(
+            sym.join(keep.select(F.col("node").alias("src")), "src",
+                     "left_semi")
+            .join(keep.select(F.col("node").alias("dst")), "dst",
+                  "left_semi"), "kcore_round")
+        n_now = nxt.count()
+        sym = nxt
+        if n_now == n_prev:
+            return (sym.groupBy(F.col("src").alias("node"))
+                    .agg(F.count("*").cast("bigint").alias("degree")))
+        n_prev = n_now
+    raise RuntimeError(
+        f"kcore did not converge in {max_iter} rounds — raise max_iter")
+
+
 def node_degrees(triples: DataFrame, pred: str | None = None) -> DataFrame:
     t = triples if pred is None else triples.filter(F.col("pred") == pred)
     out_d = t.groupBy(F.col("subj").alias("node")).agg(

@@ -2343,6 +2343,45 @@ FROM e e1 JOIN e e2 ON e2.a = e1.b
           JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b"""
 
 
+def q_kg_kcore(spark, sf_dir):
+    """4-core of the doc ↔ statute citation graph: recursively peel
+    nodes of degree < 4 until the mutually-supported core remains —
+    the standard trim that separates the KG's dense legal core (IPC/
+    CrPC-heavy practice areas and the judgments resting on them) from
+    the long tail.  Iterative peel with shrink-only rounds; oracle is
+    the same peel UNROLLED 8 rounds (fixpoint-stable: converged rounds
+    are no-ops, and the operator itself converges in ≤ 3 rounds at
+    these scales — it RAISES if max_iter is hit, so a silent
+    under-unroll cannot slip through)."""
+    from .operators.graph import kcore
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    ds = (tri.filter(F.col("pred") == "part_of")
+          .select(F.concat(F.lit("d:"), "doc_id").alias("src"),
+                  F.concat(F.lit("s:"), "obj").alias("dst")).distinct())
+    return kcore(ds, k=4, max_iter=8)
+
+
+def o_kg_kcore(k: int = 4, rounds: int = 8):
+    sql = f"""
+WITH ds AS (
+  SELECT DISTINCT 'd:' || doc_id AS a, 's:' || obj AS b
+  FROM {_KG_SQL_SRC} WHERE rec_type = 'triple' AND pred = 'part_of'
+), e0 AS MATERIALIZED (
+  SELECT a, b FROM ds UNION SELECT b AS a, a AS b FROM ds
+)"""
+    # AS MATERIALIZED: each round references the previous round twice; an
+    # inlined CTE chain would expand to 2^rounds copies of the base scan
+    for i in range(1, rounds + 1):
+        sql += f""", n{i} AS MATERIALIZED (
+  SELECT a FROM e{i-1} GROUP BY a HAVING count(*) >= {k}
+), e{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{i-1} e
+  JOIN n{i} x ON e.a = x.a JOIN n{i} y ON e.b = y.a
+)"""
+    return sql + f"""
+SELECT a AS node, count(*)::BIGINT AS degree FROM e{rounds} GROUP BY a"""
+
+
 def q_kg_media_stats(spark, sf_dir):
     """Interleaved-corpus media inventory over the materialized records:
     per media kind, span count, distinct carrying docs, distinct refs —
@@ -2503,6 +2542,7 @@ QUERIES = {
     "kg_statute_cocitation": q_kg_statute_cocitation,
     "kg_precedent_components": q_kg_precedent_components,
     "kg_statute_triangles": q_kg_statute_triangles,
+    "kg_kcore": q_kg_kcore,
     "kg_citation_distance": q_kg_citation_distance,
     "kg_media_stats": q_kg_media_stats,
     "salted_join_agg": q_salted_join_agg,
@@ -2572,6 +2612,7 @@ ORACLES = {
     "kg_statute_cocitation": o_kg_statute_cocitation(),
     "kg_precedent_components": o_kg_precedent_components(),
     "kg_statute_triangles": o_kg_statute_triangles(),
+    "kg_kcore": o_kg_kcore(),
     "kg_citation_distance": o_kg_citation_distance(),
     "kg_media_stats": o_kg_media_stats(),
     "salted_join_agg": o_salted_join_agg(),

@@ -135,3 +135,45 @@ def test_personalized_pagerank_concentrates_on_source(spark):
     assert abs(sum(ranks.values()) - 1.0) < 1e-4
     assert ranks["S"] == max(ranks.values())
     assert ranks["T"] > 0                       # downstream of the source
+
+
+def test_kcore_recursive_peel(spark):
+    """A node whose degree is >= k only via peelable neighbours must fall
+    in a LATER round: path 0-1-2-3-4 pendant off a 4-clique {4,5,6,7};
+    the 2-core is exactly the clique — the path peels one node per
+    round."""
+    clique = [(a, b) for a in (4, 5, 6, 7) for b in (4, 5, 6, 7) if a < b]
+    path = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    edges = spark.createDataFrame(clique + path, ["src", "dst"])
+    got = {r.node: r.degree for r in graph.kcore(edges, k=2).collect()}
+    assert got == {4: 3, 5: 3, 6: 3, 7: 3}
+
+
+def test_kcore_whole_graph_survives(spark):
+    """A cycle is its own 2-core — one round, nothing peeled."""
+    cyc = [(i, (i + 1) % 5) for i in range(5)]
+    edges = spark.createDataFrame(cyc, ["src", "dst"])
+    got = {r.node: r.degree for r in graph.kcore(edges, k=2).collect()}
+    assert got == {i: 2 for i in range(5)}
+
+
+def test_kcore_empty_core_and_raise(spark):
+    """A tree has no 2-core (empty result); max_iter too small raises
+    instead of silently returning a half-peeled graph."""
+    tree = [(0, 1), (0, 2), (1, 3), (1, 4)]
+    edges = spark.createDataFrame(tree, ["src", "dst"])
+    assert graph.kcore(edges, k=2).count() == 0
+    chain = [(i, i + 1) for i in range(12)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.kcore(spark.createDataFrame(chain, ["src", "dst"]),
+                    k=2, max_iter=2)
+
+
+def test_kcore_durable_checkpoint_identical(spark, tmp_path):
+    clique = [(a, b) for a in (4, 5, 6, 7) for b in (4, 5, 6, 7) if a < b]
+    edges = spark.createDataFrame(clique + [(0, 4), (0, 5)], ["src", "dst"])
+    base = sorted((r.node, r.degree)
+                  for r in graph.kcore(edges, k=2).collect())
+    durable = sorted((r.node, r.degree) for r in graph.kcore(
+        edges, k=2, checkpoint_dir=str(tmp_path / "kc")).collect())
+    assert durable == base
