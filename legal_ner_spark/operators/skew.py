@@ -106,3 +106,23 @@ def salted_repartition(df: DataFrame, key: str, n_partitions: int,
     return (df.withColumn("_salt", _row_salt(df, n_salts))
             .repartition(n_partitions, F.xxhash64(key), F.col("_salt"))
             .drop("_salt"))
+
+
+def digest_semi_prune(big: DataFrame, keys: DataFrame, big_key: str,
+                      key_col: str) -> DataFrame:
+    """Pre-shuffle semi-join pruning: broadcast the DISTINCT 64-bit
+    digests (xxhash64) of the key set and semi-join the big side on the
+    digest — non-matching rows die at the scan, before they pay the
+    shuffle.  8 bytes/key: ~80 MB broadcast at 10^7 keys, the practical
+    ceiling; contract is SUPERSET-of-semi-join (a digest collision is a
+    false positive at 2^-64, false negatives impossible), so compose
+    with the exact join downstream — it shuffles only the pruned rows.
+
+    Above ~10^7-10^8 keys, don't broadcast digests: Spark's own runtime
+    Bloom-filter injection (spark.sql.optimizer.runtime.bloomFilter.*,
+    ON by default — demonstrated in tests/test_plan_audit.py) builds a
+    bits-per-key filter on the selective side automatically, and
+    salted_join handles the case where the key set must shuffle."""
+    dig = keys.select(F.xxhash64(F.col(key_col)).alias("_kh")).distinct()
+    return big.join(F.broadcast(dig),
+                    F.xxhash64(F.col(big_key)) == F.col("_kh"), "left_semi")

@@ -1602,6 +1602,38 @@ FROM (
 ) WHERE rn = 1"""
 
 
+def q_rolling_events(spark, sf_dir):
+    """Per-user trailing-24h activity at every event: RANGE-framed
+    window (value-based frame over epoch seconds, not row counts) —
+    count and volume of the user's events in the preceding day.  One
+    hash exchange on user_id + per-partition sort; the frame is
+    evaluated with a sliding two-pointer pass, never a per-row rescan.
+    Range frames are tie-safe (equal timestamps are peers on both
+    engines), so the result is deterministic without an event_id
+    tie-break."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    # frame over unix MICROS, not seconds: a seconds cast truncates and
+    # admits/rejects boundary events differently from the oracle's exact
+    # INTERVAL arithmetic
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+         .rangeBetween(-86400 * 1_000_000, 0))
+    return (ev.select(F.col("user_id").cast("bigint").alias("user_id"),
+                      F.col("event_id").cast("bigint").alias("event_id"),
+                      F.count("*").over(w).cast("bigint").alias("n_24h"),
+                      F.round(F.sum("value").over(w), 2).alias("sum_24h")))
+
+
+def o_rolling_events():
+    return """
+SELECT user_id::BIGINT AS user_id, event_id::BIGINT AS event_id,
+       count(*) OVER w::BIGINT AS n_24h,
+       round(sum(value) OVER w, 2) AS sum_24h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)"""
+
+
 def q_interval_events(spark, sf_dir):
     """Keyless range join via time-binned equi-join: high-value events
     (value > 150) open a 1-hour alert window; count + sum every event
@@ -2343,6 +2375,39 @@ FROM e e1 JOIN e e2 ON e2.a = e1.b
           JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b"""
 
 
+def q_digest_prune_agg(spark, sf_dir):
+    """Pre-shuffle semi-join pruning: lineitem is first filtered through
+    a broadcast of the urgent orders' 64-bit key digests (8 bytes/key —
+    rows with no match die at the scan, before the shuffle), then the
+    EXACT semi-join + aggregate runs over the survivors.  The digest
+    pass is a superset filter (collisions ≈ 2^-64), so the composed
+    result is value-exact; at 10^8+ keys the same role is played by
+    Spark's runtime Bloom injection (plan-audited in tests)."""
+    from .operators.skew import digest_semi_prune
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    pruned = digest_semi_prune(li, urgent, "l_orderkey", "o_orderkey")
+    exact = pruned.join(
+        F.broadcast(urgent.select(F.col("o_orderkey").alias("l_orderkey"))),
+        "l_orderkey", "left_semi")
+    return (exact.groupBy("l_returnflag")
+            .agg(F.count("*").cast("bigint").alias("n_items"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+
+
+def o_digest_prune_agg():
+    return """
+SELECT l_returnflag, count(*)::BIGINT AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag"""
+
+
 def q_kg_kcore(spark, sf_dir):
     """4-core of the doc ↔ statute citation graph: recursively peel
     nodes of degree < 4 until the mutually-supported core remains —
@@ -2506,6 +2571,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "user_last_event": q_user_last_event,
     "interval_events": q_interval_events,
+    "rolling_events": q_rolling_events,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2546,6 +2612,7 @@ QUERIES = {
     "kg_citation_distance": q_kg_citation_distance,
     "kg_media_stats": q_kg_media_stats,
     "salted_join_agg": q_salted_join_agg,
+    "digest_prune_agg": q_digest_prune_agg,
     "kg_pagerank": q_kg_pagerank,
     "kg_ppr": q_kg_ppr,
 }
@@ -2576,6 +2643,7 @@ ORACLES = {
     "sessionize": o_sessionize(),
     "user_last_event": o_user_last_event(),
     "interval_events": o_interval_events(),
+    "rolling_events": o_rolling_events(),
     "dedup_exact": o_dedup_exact(),
     "dedup_ngram_jaccard": o_dedup_ngram_jaccard(),
     "dedup_minhash_lsh": o_dedup_minhash_lsh(),
@@ -2616,6 +2684,7 @@ ORACLES = {
     "kg_citation_distance": o_kg_citation_distance(),
     "kg_media_stats": o_kg_media_stats(),
     "salted_join_agg": o_salted_join_agg(),
+    "digest_prune_agg": o_digest_prune_agg(),
     "kg_pagerank": o_kg_pagerank(),
     "kg_ppr": o_kg_ppr(),
     # every query has an oracle row; for kg_triples/kg_mentions the oracle

@@ -179,3 +179,46 @@ def test_corpus_rollup_is_single_pass(spark):
     assert "Expand" in p, p[:2000]
     assert p.count("Exchange hashpartitioning") == 1, p[:3000]
     assert "Union" not in p, p[:2000]
+
+
+def test_digest_prune_is_broadcast_only(spark):
+    """Both the digest pass and the exact semi-join must broadcast —
+    the 10^12-row fact side never shuffles in this query (its only
+    exchange is the final tiny groupBy on returnflag)."""
+    p = physical(queries.QUERIES["digest_prune_agg"](spark, SF))
+    assert p.count("BroadcastHashJoin") + p.count("BroadcastQueryStage") >= 2, p[:3000]
+    assert "SortMergeJoin" not in p, p[:3000]
+    # allowed exchanges: the final tiny groupBy (l_returnflag) and the
+    # keys-side digest distinct (_kh — 8-byte rows); the lineitem fact
+    # side itself must never hash-exchange
+    ex = [ln for ln in p.splitlines() if "Exchange hashpartitioning" in ln]
+    assert all(("l_returnflag" in ln) or ("_kh" in ln) for ln in ex), ex
+
+
+def test_runtime_bloom_filter_injection_fires(spark):
+    """Spark's own runtime Bloom-filter injection (the >10^8-key scale
+    path digest_semi_prune documents) must actually fire in this build
+    when a selective creation side joins a large probe side: with the
+    size thresholds scaled to the test tables, the optimized plan
+    carries bloom_filter_agg/might_contain on the probe scan."""
+    old_app = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    old_bhj = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1KB")
+        # force a shuffle join: bloom injection targets shuffle joins
+        # (a broadcast join already prunes at the probe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'")
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloomFilter" in opt or "might_contain" in opt, opt[:4000]
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_app)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bhj)
