@@ -93,7 +93,9 @@ def main() -> None:
                      "quality_score", "doc_fingerprint",
                      "repetition_score", "windowed_counts",
                      "salted_join_agg", "kg_statute_triangles",
-                     "kg_precedent_components"]
+                     "kg_precedent_components",
+                     "corpus_sample", "corpus_rollup", "rolling_events",
+                     "interval_events", "digest_prune_agg", "kg_kcore"]
     for name in bench_queries:
         timings[name] = round(best_of(
             lambda: queries.QUERIES[name](spark, sf_dir).count()), 3)
