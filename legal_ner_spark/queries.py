@@ -796,6 +796,48 @@ SELECT user_id, session_seq, count(*)::BIGINT AS n_events,
 FROM sess GROUP BY user_id, session_seq"""
 
 
+def q_session_window_counts(spark, sf_dir):
+    """Native ``session_window`` sessionization (30-min gap): the SAME
+    operator Structured Streaming runs incrementally with state —
+    declaring it in batch means backfill and live stream share one
+    definition (streaming/stream.py holds the readStream twin of the
+    windowed aggs).  Spark merges an event landing EXACTLY gap seconds
+    after the previous one (windows touch ⇒ merge — pinned by
+    tests/test_relational.py::test_session_window_gap_boundary), so the
+    oracle's island detection breaks only on diff > 1800 s.  One user_id
+    exchange, session merge inside the aggregate."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return (ev.groupBy("user_id",
+                       F.session_window(F.col("ts").cast("timestamp"),
+                                        "30 minutes").alias("sw"))
+            .agg(F.count("*").cast("bigint").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.col("user_id").cast("bigint").alias("user_id"),
+                    F.col("sw.start").cast("timestamp_ntz")
+                    .alias("session_start"),
+                    "n_events", "sum_value"))
+
+
+def o_session_window_counts():
+    return """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS seq
+  FROM marked
+)
+SELECT user_id::BIGINT AS user_id, min(ts) AS session_start,
+       count(*)::BIGINT AS n_events, round(sum(value), 2) AS sum_value
+FROM sess GROUP BY user_id, seq"""
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup by content hash — groupBy shuffles only the 32-byte hash,
     with map-side partial aggregation."""
@@ -2569,6 +2611,7 @@ QUERIES = {
     "tpch_q13": q_tpch_q13,
     "windowed_counts": q_windowed_counts,
     "sessionize": q_sessionize,
+    "session_window_counts": q_session_window_counts,
     "user_last_event": q_user_last_event,
     "interval_events": q_interval_events,
     "rolling_events": q_rolling_events,
@@ -2641,6 +2684,7 @@ ORACLES = {
     "tpch_q13": o_tpch_q13(),
     "windowed_counts": o_windowed_counts(),
     "sessionize": o_sessionize(),
+    "session_window_counts": o_session_window_counts(),
     "user_last_event": o_user_last_event(),
     "interval_events": o_interval_events(),
     "rolling_events": o_rolling_events(),

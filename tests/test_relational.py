@@ -190,3 +190,22 @@ def test_interval_join_timestamp_columns(spark):
     got = sorted(r.pt_id for r in rel.interval_join(
         intervals, points, "lo", "hi", "t").collect())
     assert got == [0, 1]
+
+
+def test_session_window_gap_boundary(spark):
+    """Spark's session_window merges an event landing EXACTLY gap
+    seconds after the previous one (touching windows merge); only a
+    strictly larger gap breaks the session — the boundary the DuckDB
+    oracle mirrors with `diff > gap` as the break
+    (queries.o_session_window_counts)."""
+    import datetime as dt
+    from pyspark.sql import functions as F
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    ev = spark.createDataFrame(
+        [(1, base), (1, base + dt.timedelta(seconds=1799)),
+         (1, base + dt.timedelta(seconds=1799 + 1800)),
+         (1, base + dt.timedelta(seconds=1799 + 1800 + 1801))],
+        ["user_id", "ts"])
+    out = (ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+           .agg(F.count("*").alias("n")).collect())
+    assert sorted(r.n for r in out) == [1, 3]
