@@ -95,7 +95,8 @@ def main() -> None:
                      "salted_join_agg", "kg_statute_triangles",
                      "kg_precedent_components",
                      "corpus_sample", "corpus_rollup", "rolling_events",
-                     "interval_events", "digest_prune_agg", "kg_kcore"]
+                     "interval_events", "digest_prune_agg", "kg_kcore",
+                     "session_window_counts"]
     for name in bench_queries:
         timings[name] = round(best_of(
             lambda: queries.QUERIES[name](spark, sf_dir).count()), 3)

@@ -89,3 +89,29 @@ def windowed_event_counts(events: DataFrame, window_duration: str = "10 minutes"
             .select(F.col("win.start").alias("window_start"),
                     F.col("win.end").alias("window_end"),
                     "event_type", "n_events"))
+
+
+def session_event_stats(events: DataFrame, gap: str = "30 minutes",
+                        watermark: str = "1 hour",
+                        ts_col: str = "ts") -> DataFrame:
+    """Watermarked SESSION-window stats per user — the stateful gap
+    sessionization Structured Streaming runs incrementally: open
+    sessions live in the state store, merge when events land within
+    ``gap`` of them, and finalize (append-mode emit) once the watermark
+    passes session end + gap.  State is O(open sessions), bounded by
+    the watermark horizon, not stream length.
+
+    Works identically on a batch frame (watermark is a no-op) — the
+    batch leg is the ORACLED `session_window_counts` query, so backfill
+    and live stream provably share one definition; the stream-vs-batch
+    equality test (tests/test_resume_stream_media.py) closes the loop."""
+    return (events
+            .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+            .withWatermark(ts_col, watermark)
+            .groupBy("user_id",
+                     F.session_window(F.col(ts_col), gap).alias("sw"))
+            .agg(F.count("*").cast("bigint").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select("user_id", F.col("sw.start").alias("session_start"),
+                    F.col("sw.end").alias("session_end"),
+                    "n_events", "sum_value"))

@@ -282,3 +282,56 @@ def test_stream_dedup_within_watermark_drops_replays(spark, tmp_path):
     batch = dedup_events_stream(spark.read.parquet(in_dir), ("event_id",))
     assert batch.count() == ev.count()
     ev.unpersist()
+
+
+def test_session_stats_stream_matches_batch(spark, tmp_path):
+    """Gap-session stats: the stateful streaming session_window result
+    must equal the identical batch definition, including sessions that
+    EXTEND across micro-batch boundaries (state-store merge).  Three
+    sequential availableNow runs over one checkpoint feed chronological
+    chunks (session windows discard watermark-late input even in
+    complete mode, so an unordered replay would diverge by design —
+    production ingest is time-ordered, e.g. Iceberg appends)."""
+    import datetime as dt
+    from legal_ner_spark.streaming.stream import session_event_stats
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    in_dir, ckpt = str(tmp_path / "ev_s"), str(tmp_path / "ckpt_s")
+
+    def m(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    chunks = [
+        # user 1: one session 0-20; user 2: singleton at 5
+        [(1, m(0), 1, "c", 1.0, "{}"), (2, m(10), 1, "c", 2.0, "{}"),
+         (3, m(20), 1, "c", 3.0, "{}"), (4, m(5), 2, "c", 4.0, "{}")],
+        # user 1: 25 EXTENDS the open session across the batch boundary;
+        # 100 opens a new one
+        [(5, m(25), 1, "c", 5.0, "{}"), (6, m(100), 1, "c", 6.0, "{}")],
+        # user 2: new session; user 1: 115 extends the 100-session
+        [(7, m(110), 2, "c", 7.0, "{}"), (8, m(115), 1, "c", 8.0, "{}")],
+    ]
+    for rows in chunks:
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(in_dir))
+        q = (session_event_stats(stream, "30 minutes", "1 hour")
+             .writeStream.format("memory").queryName("sess_stats")
+             .outputMode("complete")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+    got = {(r.user_id, r.session_start, r.session_end):
+           (r.n_events, r.sum_value)
+           for r in spark.sql("SELECT * FROM sess_stats").collect()}
+    ev = spark.createDataFrame([r for c in chunks for r in c], schema)
+    want = {(r.user_id, r.session_start, r.session_end):
+            (r.n_events, r.sum_value)
+            for r in session_event_stats(ev, "30 minutes", "1 hour")
+            .collect()}
+    assert got == want and len(want) == 4
+    # the boundary-spanning session really merged: 4 events, 0 -> 25+30min
+    assert got[(1, m(0), m(55))] == (4, 11.0)
