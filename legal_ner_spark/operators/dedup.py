@@ -637,3 +637,72 @@ def near_dedup(docs: DataFrame, threshold: float = 0.5,
             .select("doc_id",
                     F.coalesce("keeper_doc_id", F.col("doc_id"))
                     .alias("keeper_doc_id")))
+
+
+def positional_shingle_rows(docs: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", n: int = 8) -> DataFrame:
+    """Word n-gram shingles exploded WITH their 0-based token offset —
+    the input to passage-level (sub-document) duplicate detection, where
+    position matters and duplicates must not be collapsed.  Same
+    arrays_zip-of-shifted-slices construction as ``shingle_rows`` (O(len)
+    slice work per doc, O(1) lambda body per element) minus the
+    ``array_distinct``, plus ``posexplode`` for the offset."""
+    toks = F.split(F.lower(text_col), " ")
+    shifted = ", ".join(
+        f"slice(toks, {k + 1}, size(toks) - {n - 1})" for k in range(n))
+    body = ", ' ', ".join(f"x['{k}']" for k in range(n))
+    expr = (f"CASE WHEN size(toks) >= {n} THEN "
+            f"transform(arrays_zip({shifted}), x -> concat({body})) "
+            f"ELSE array() END")
+    return (docs.withColumn("toks", toks)
+            .withColumn("sh", F.expr(expr))
+            .select(F.col(id_col).alias("doc_id"),
+                    F.posexplode("sh").alias("pos", "shingle")))
+
+
+def duplicate_passages(docs: DataFrame, n: int = 8, min_docs: int = 2,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Sub-document duplicate-passage spans: maximal token ranges of each
+    doc covered by word n-grams that also occur in >= ``min_docs`` - 1
+    OTHER documents (boilerplate headers, license blocks, templated
+    paragraphs — the passage-level dedup of Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499,
+    re-expressed as three relational stages instead of a suffix array).
+
+    Output: (doc_id, span_start, span_end, n_dup_shingles) — token-index
+    half-open ranges [span_start, span_end), overlapping n-gram hits
+    merged per doc via gaps-and-islands.
+
+    Scale shape (10^12 docs):
+    - stage 1 (which shingles are corpus-duplicated) shuffles
+      (shingle-hash, doc_id) once; the distinct-doc count is a two-level
+      aggregate (partial per-mapper dedup), so a boilerplate shingle in
+      every doc costs one row per mapper, not a hot reducer;
+    - stage 2 re-joins occurrences to the duplicated-shingle table on the
+      shingle hash — an equi-join whose output is proportional to the
+      DUPLICATED volume, not the corpus;
+    - stage 3's window is partitioned by doc_id (per-doc state bounded by
+      doc length — no global ordering anywhere).
+    The shuffled shingle key is a 32-byte md5, never the n-gram text.
+    """
+    occ = (positional_shingle_rows(docs, id_col=id_col, text_col=text_col,
+                                   n=n)
+           .select("doc_id", "pos", F.md5("shingle").alias("sh")))
+    dup = (occ.groupBy("sh")
+           .agg(F.count_distinct("doc_id").alias("nd"))
+           .filter(F.col("nd") >= min_docs)
+           .select("sh"))
+    hits = occ.join(dup, "sh").select("doc_id", "pos")
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + n).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    new_island = F.when(prev_end.isNull() | (F.col("pos") > prev_end),
+                        F.lit(1)).otherwise(F.lit(0))
+    return (hits.withColumn("isl", F.sum(new_island).over(w))
+            .groupBy("doc_id", "isl")
+            .agg(F.min("pos").cast("bigint").alias("span_start"),
+                 (F.max("pos") + n).cast("bigint").alias("span_end"),
+                 F.count("*").cast("bigint").alias("n_dup_shingles"))
+            .select("doc_id", "span_start", "span_end", "n_dup_shingles"))

@@ -1130,6 +1130,54 @@ UNION ALL
 SELECT doc_id::BIGINT, keeper::BIGINT FROM keepers2"""
 
 
+def q_duplicate_passages(spark, sf_dir):
+    """Sub-document duplicate-passage spans (Lee et al. 2107.06499 style):
+    maximal token ranges covered by 8-grams occurring in >= 2 docs —
+    boilerplate/template detection below the whole-doc dedup granularity.
+    Three relational stages (shingle-count / re-join / per-doc islands),
+    shuffle volume proportional to the DUPLICATED text, not the corpus."""
+    from .operators import dedup
+    docs = (spark.read.parquet(_t(sf_dir, "documents"))
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"), "text"))
+    return dedup.duplicate_passages(docs, n=8, min_docs=2)
+
+
+def o_duplicate_passages():
+    return """
+WITH toks AS (
+  SELECT doc_id::BIGINT AS doc_id, string_split(lower(text), ' ') AS t
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS sh
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, len(t) - 7)) AS i) s
+  WHERE len(t) >= 8
+),
+dup AS (
+  SELECT sh FROM occ GROUP BY sh HAVING count(DISTINCT doc_id) >= 2
+),
+hits AS (SELECT o.doc_id, o.pos FROM occ o JOIN dup USING (sh)),
+marked AS (
+  SELECT doc_id, pos,
+         max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1
+                  ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM marked
+)
+SELECT doc_id, min(pos)::BIGINT AS span_start,
+       (max(pos) + 8)::BIGINT AS span_end,
+       count(*)::BIGINT AS n_dup_shingles
+FROM isl GROUP BY doc_id, g"""
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark-contamination check: corpus docs sharing 3-gram shingles
     with an eval set (docs 0-19 standing in for the benchmark).  The eval
@@ -2620,6 +2668,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "near_dedup": q_near_dedup,
     "near_dedup_incremental": q_near_dedup_incremental,
+    "duplicate_passages": q_duplicate_passages,
     "similarity_topk": q_similarity_topk,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -2693,6 +2742,7 @@ ORACLES = {
     "dedup_minhash_lsh": o_dedup_minhash_lsh(),
     "near_dedup": o_near_dedup(),
     "near_dedup_incremental": o_near_dedup_incremental(),
+    "duplicate_passages": o_duplicate_passages(),
     "similarity_topk": o_similarity_topk(),
     "lang_id": o_lang_id(),
     "quality_score": o_quality_score(),

@@ -511,3 +511,42 @@ def test_incremental_dedup_frozen_keeper_semantics(spark, tmp_path):
             for r in dedup.dedup_index_append(batch3, path,
                                               threshold=0.5).collect()}
     assert out3 == {20: 11}
+
+
+def test_duplicate_passages_spans_and_merge(spark):
+    """Hand-built corpus with a known shared passage: the duplicated
+    region must come back as ONE merged span per doc (consecutive n-gram
+    hits overlap and collapse via gaps-and-islands), with exact half-open
+    token bounds, and unique text must produce no span."""
+    shared = "alpha beta gamma delta epsilon zeta"          # 6 tokens
+    rows = [
+        (0, f"u0a u0b {shared} u0c u0d"),                   # span tokens 2..8
+        (1, f"{shared} v1a v1b v1c v1d v1e"),               # span tokens 0..6
+        (2, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"),               # unique: no span
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           dedup.duplicate_passages(docs, n=4, min_docs=2).collect()}
+    assert set(out) == {0, 1}
+    # doc 0: 4-gram hits at pos 2,3,4 (shingles inside the shared region
+    # only — boundary 4-grams mix unique tokens) -> one span [2, 8)
+    assert (out[0].span_start, out[0].span_end, out[0].n_dup_shingles) \
+        == (2, 8, 3)
+    assert (out[1].span_start, out[1].span_end, out[1].n_dup_shingles) \
+        == (0, 6, 3)
+
+
+def test_duplicate_passages_disjoint_islands(spark):
+    """Two shared passages separated by unique text in the same doc must
+    yield TWO spans (the island break fires when pos > running max end)."""
+    p1, p2 = "a b c d", "p q r s"
+    rows = [
+        (0, f"{p1} x1 x2 x3 x4 x5 {p2}"),
+        (1, f"{p1} y1 y2 y3 y4 y5 {p2}"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = sorted(
+        (r.span_start, r.span_end)
+        for r in dedup.duplicate_passages(docs, n=4, min_docs=2)
+        .filter(F.col("doc_id") == 0).collect())
+    assert spans == [(0, 4), (9, 13)]
