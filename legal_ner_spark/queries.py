@@ -1338,6 +1338,47 @@ SELECT doc_id, stratum, sample_key::BIGINT AS sample_key
 FROM keyed WHERE sample_key < rate * 1000000"""
 
 
+BM25_TERMS = ["join", "merge", "vector", "spark"]
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 keyword retrieval (Lucene idf variant): top-20 docs for a
+    4-term query.  Posting-list-sized explode (filtered to query terms in
+    the scan stage), broadcast df/avgdl, TakeOrdered top-k — the audit /
+    subset-pull primitive of a corpus pipeline."""
+    from .operators import search
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return (search.bm25_topk(docs, BM25_TERMS, k=20)
+            .withColumn("doc_id", F.col("doc_id").cast("bigint")))
+
+
+def o_bm25_topk():
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+WITH base AS (
+  SELECT doc_id::BIGINT AS doc_id, string_split(lower(text), ' ') AS toks
+  FROM documents
+),
+stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM base),
+toks AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM base
+),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM toks
+  WHERE term IN ({terms}) GROUP BY doc_id, dl, term
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT doc_id, bm25 FROM (
+  SELECT tf.doc_id,
+         round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * tf * 2.2
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4)
+           AS bm25
+  FROM tf JOIN dft USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id
+) ORDER BY bm25 DESC, doc_id LIMIT 20"""
+
+
 def q_similarity_topk(spark, sf_dir):
     """Brute-force cosine top-5 per query vector (queries = vec_id < 5).
     Baseline ANN path; ranks on the rounded score for cross-engine
@@ -2669,6 +2710,7 @@ QUERIES = {
     "near_dedup": q_near_dedup,
     "near_dedup_incremental": q_near_dedup_incremental,
     "duplicate_passages": q_duplicate_passages,
+    "bm25_topk": q_bm25_topk,
     "similarity_topk": q_similarity_topk,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -2743,6 +2785,7 @@ ORACLES = {
     "near_dedup": o_near_dedup(),
     "near_dedup_incremental": o_near_dedup_incremental(),
     "duplicate_passages": o_duplicate_passages(),
+    "bm25_topk": o_bm25_topk(),
     "similarity_topk": o_similarity_topk(),
     "lang_id": o_lang_id(),
     "quality_score": o_quality_score(),

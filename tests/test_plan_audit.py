@@ -222,3 +222,15 @@ def test_runtime_bloom_filter_injection_fires(spark):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             old_app)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bhj)
+
+
+def test_bm25_broadcasts_stats_and_uses_topk(spark):
+    """BM25's df table and (n_docs, avgdl) scalar must ride broadcast
+    exchanges (never shuffle the posting list against them) and the final
+    cut must be TakeOrderedAndProject, not a global sort."""
+    p = physical(queries.QUERIES["bm25_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in p, p[:2000]
+    n_bcast = p.count("BroadcastExchange") + p.count("BroadcastQueryStage")
+    assert n_bcast >= 2, p[:3000]
+    assert "CartesianProduct" not in p, p[:2000]
+    assert "SortMergeJoin" not in p, p[:2000]

@@ -160,3 +160,50 @@ def test_sample_corpus_plan_has_no_exchange(spark):
     plan = (textprep.sample_corpus(docs, {"en": 0.5}, salt="s")
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan, plan[:2000]
+
+
+def test_bm25_matches_hand_computed_scores(spark):
+    """4-doc fixture where every BM25 ingredient (tf, df, dl, avgdl, the
+    Lucene idf) is computed independently in Python and compared to 4
+    decimals; also checks the no-match doc is absent and ranking order."""
+    import math
+    from legal_ner_spark.operators import search
+    rows = [
+        (0, "join join merge alpha beta"),        # dl 5: join tf2, merge tf1
+        (1, "join gamma delta epsilon"),          # dl 4: join tf1
+        (2, "merge merge merge zeta"),            # dl 4: merge tf3
+        (3, "nothing relevant here at all okay"), # dl 6: no match
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.bm25
+           for r in search.bm25_topk(docs, ["join", "merge"], k=10)
+           .collect()}
+    n, avgdl, k1, b = 4, 19 / 4, 1.2, 0.75
+    idf = {"join": math.log((n - 2 + 0.5) / (2 + 0.5) + 1),
+           "merge": math.log((n - 2 + 0.5) / (2 + 0.5) + 1)}
+
+    def s(tf, dl, t):
+        return idf[t] * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    exp = {0: round(s(2, 5, "join") + s(1, 5, "merge"), 4),
+           1: round(s(1, 4, "join"), 4),
+           2: round(s(3, 4, "merge"), 4)}
+    assert got == exp
+    ordered = sorted(got, key=lambda d: (-got[d], d))
+    assert ordered[0] == 0   # two terms + tf 2 must outrank single hits
+
+
+def test_bm25_topk_cut_is_deterministic(spark):
+    """k smaller than the hit count must keep the highest rounded scores
+    with doc_id as the tie-break (cross-engine reproducible cut)."""
+    from legal_ner_spark.operators import search
+    rows = [(i, "join filler" + " pad" * (i % 3)) for i in range(10)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = search.bm25_topk(docs, ["join"], k=4).collect()
+    assert len(out) == 4
+    scores = [r.bm25 for r in out]
+    assert scores == sorted(scores, reverse=True)
+    # identical (score, doc_id) ordering on a re-run
+    again = search.bm25_topk(docs, ["join"], k=4).collect()
+    assert [(r.doc_id, r.bm25) for r in out] == \
+        [(r.doc_id, r.bm25) for r in again]
