@@ -1,0 +1,89 @@
+"""Mergeable cardinality sketches (K-Minimum-Values).
+
+`approx_count_distinct` exists, but its HLL++ registers are opaque and
+engine-specific — useless when the pipeline needs to PERSIST per-partition
+sketches and merge them later (incremental corpus stats, per-day distinct
+users/tokens rolled into monthly, cross-dataset overlap estimates).  KMV
+(Bar-Yossef et al. 2002; Beyer et al., "On Synopses for Distinct-Value
+Estimation Under Multiset Operations", SIGMOD'07) is the classic
+mergeable alternative: keep the k smallest values of a uniform hash; the
+kth smallest normalized hash U_(k) yields the unbiased estimator
+(k-1)/U_(k); the union sketch is just min-k of the concatenation.
+
+Everything here is deterministic and engine-neutral (md5-derived 60-bit
+hashes, no xxhash/HLL internals), so a DuckDB oracle reproduces sketches
+BIT-EXACTLY — the correctness gate covers the sketch contents, not only
+the estimate.
+
+Scale shape: phase 1 aggregates on (group, salt) — a hot group's distinct
+values spread over ``n_salts`` reducers, and each partial is capped at k
+hashes BEFORE the phase-2 shuffle, so the merge moves n_salts·k longs per
+group no matter how many rows or distinct values the group has.  The salt
+is the value's own hash mod n_salts: duplicate values land in the same
+partial and dedup inside ``collect_set`` (map-side partial aggregation),
+never inflating the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 15 md5 hex nibbles = 60 uniform bits; hash domain size for the estimator
+_KMV_DOMAIN = float(1 << 60)
+
+
+def _kmv_hash(col: F.Column) -> F.Column:
+    """Deterministic 60-bit uniform hash: md5 hex prefix as an integer.
+    Engine-neutral (DuckDB: ('0x' || substr(md5(v), 1, 15))::UBIGINT)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15),
+                  16, 10).cast("bigint")
+
+
+def kmv_partial(df: DataFrame, group_col: str, value_col: str,
+                k: int = 64, n_salts: int = 8) -> DataFrame:
+    """Phase 1: per-(group, salt) min-k hash arrays — the persistable /
+    shippable partial sketches.  Output: (group, _salt, partial)."""
+    h = _kmv_hash(F.col(value_col))
+    return (df.select(F.col(group_col).alias("grp"),
+                      F.pmod(h, F.lit(n_salts)).alias("_salt"),
+                      h.alias("h"))
+            .groupBy("grp", "_salt")
+            .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k)
+                 .alias("partial")))
+
+
+def kmv_merge(partials: DataFrame, k: int = 64) -> DataFrame:
+    """Phase 2: union partial sketches into the final per-group sketch +
+    estimate.  Correct because every one of the k globally smallest
+    hashes is among the k smallest of its own salt's partial, so the
+    concatenation always contains the exact global min-k.
+
+    Output: (grp, sketch_size, est_distinct, sketch_digest) — the digest
+    is md5 over the comma-joined sketch so downstream equality checks
+    (and the SQL oracle) compare full sketch CONTENTS without hauling
+    arrays around."""
+    sketch = F.slice(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("partial")))),
+        1, k)
+    est = F.when(F.size("sketch") < k,
+                 F.size("sketch").cast("double")) \
+           .otherwise(F.lit(float(k - 1)) * F.lit(_KMV_DOMAIN)
+                      / F.element_at("sketch", k))
+    return (partials.groupBy("grp").agg(sketch.alias("sketch"))
+            .select("grp",
+                    F.size("sketch").cast("bigint").alias("sketch_size"),
+                    F.round(est, 4).alias("est_distinct"),
+                    F.md5(F.array_join(
+                        F.transform("sketch", lambda h: h.cast("string")),
+                        ",")).alias("sketch_digest")))
+
+
+def kmv_sketch(df: DataFrame, group_col: str, value_col: str,
+               k: int = 64, n_salts: int = 8) -> DataFrame:
+    """Distinct-count sketch per group: two-phase (salted partials, then
+    bounded merge).  (k-1)/U_(k) has relative error ~ 1/sqrt(k-2)
+    (~12.7% at k=64, ~3.2% at k=1000); groups with < k distinct values
+    return the EXACT count (the sketch holds every hash)."""
+    return kmv_merge(kmv_partial(df, group_col, value_col,
+                                 k=k, n_salts=n_salts), k=k)

@@ -1338,6 +1338,39 @@ SELECT doc_id, stratum, sample_key::BIGINT AS sample_key
 FROM keyed WHERE sample_key < rate * 1000000"""
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """Mergeable K-Minimum-Values cardinality sketch: distinct users per
+    event type at k=64 (two-phase salted partials, bounded merge — the
+    persistable alternative to HLL's opaque registers).  The oracle
+    rebuilds the SKETCH bit-exactly (md5-derived 60-bit hashes), so the
+    gate covers sketch contents + estimate, not a tolerance band."""
+    from .operators import sketch
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return (sketch.kmv_sketch(ev, "event_type", "user_id",
+                              k=64, n_salts=8)
+            .withColumnRenamed("grp", "event_type"))
+
+
+def o_kmv_distinct():
+    return """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::UBIGINT::BIGINT
+           AS h
+  FROM events
+),
+sk AS (
+  SELECT event_type, list_slice(list_sort(list(h)), 1, 64) AS sketch
+  FROM h GROUP BY event_type
+)
+SELECT event_type, len(sketch)::BIGINT AS sketch_size,
+       round(CASE WHEN len(sketch) < 64 THEN len(sketch)::DOUBLE
+             ELSE 63.0 * 1152921504606846976.0 / sketch[64] END, 4)
+         AS est_distinct,
+       md5(array_to_string(sketch, ',')) AS sketch_digest
+FROM sk"""
+
+
 BM25_TERMS = ["join", "merge", "vector", "spark"]
 
 
@@ -2711,6 +2744,7 @@ QUERIES = {
     "near_dedup_incremental": q_near_dedup_incremental,
     "duplicate_passages": q_duplicate_passages,
     "bm25_topk": q_bm25_topk,
+    "kmv_distinct": q_kmv_distinct,
     "similarity_topk": q_similarity_topk,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -2786,6 +2820,7 @@ ORACLES = {
     "near_dedup_incremental": o_near_dedup_incremental(),
     "duplicate_passages": o_duplicate_passages(),
     "bm25_topk": o_bm25_topk(),
+    "kmv_distinct": o_kmv_distinct(),
     "similarity_topk": o_similarity_topk(),
     "lang_id": o_lang_id(),
     "quality_score": o_quality_score(),

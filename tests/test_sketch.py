@@ -1,0 +1,61 @@
+"""KMV cardinality sketch: mergeability, exact small-group path, and
+estimator accuracy."""
+
+from pyspark.sql import functions as F
+
+from legal_ner_spark.operators import sketch
+
+
+def _rows(spark, pairs):
+    return spark.createDataFrame(pairs, ["grp", "val"])
+
+
+def test_kmv_exact_below_k(spark):
+    """Groups with fewer than k distinct values must return the EXACT
+    count (the sketch holds every hash), duplicates notwithstanding."""
+    pairs = [("a", v % 10) for v in range(1000)] + \
+            [("b", v) for v in range(63)]
+    out = {r.grp: (r.sketch_size, r.est_distinct)
+           for r in sketch.kmv_sketch(_rows(spark, pairs), "grp", "val",
+                                      k=64).collect()}
+    assert out["a"] == (10, 10.0)
+    assert out["b"] == (63, 63.0)
+
+
+def test_kmv_merge_equals_whole(spark):
+    """THE sketch property: partials built over two disjoint halves of
+    the data, unioned and merged, must produce the byte-identical sketch
+    (digest included) as one pass over the whole — this is what lets
+    per-day sketches roll into monthly without re-reading the corpus."""
+    pairs = [("g", v * 7919 % 5000) for v in range(20000)]
+    df = _rows(spark, pairs)
+    whole = sketch.kmv_sketch(df, "grp", "val", k=64).collect()[0]
+    p1 = sketch.kmv_partial(df.filter(F.col("val") % 2 == 0),
+                            "grp", "val", k=64)
+    p2 = sketch.kmv_partial(df.filter(F.col("val") % 2 == 1),
+                            "grp", "val", k=64)
+    merged = sketch.kmv_merge(p1.unionByName(p2), k=64).collect()[0]
+    assert merged.sketch_digest == whole.sketch_digest
+    assert merged.est_distinct == whole.est_distinct
+    assert merged.sketch_size == whole.sketch_size == 64
+
+
+def test_kmv_estimate_within_theory_band(spark):
+    """(k-1)/U_(k) at k=256 has ~1/sqrt(254) ≈ 6.3% relative standard
+    error; require the single-draw estimate within 4 sigma of the true
+    4,096 distinct values."""
+    pairs = [("g", v) for v in range(4096)]
+    out = sketch.kmv_sketch(_rows(spark, pairs), "grp", "val",
+                            k=256).collect()[0]
+    assert out.sketch_size == 256
+    assert abs(out.est_distinct - 4096) / 4096 < 4 / (254 ** 0.5)
+
+
+def test_kmv_salting_bounds_partial_width(spark):
+    """Every phase-1 partial must be capped at k hashes regardless of
+    group size (the cap is what bounds the phase-2 shuffle)."""
+    pairs = [("hot", v) for v in range(5000)]
+    widths = [len(r.partial) for r in
+              sketch.kmv_partial(_rows(spark, pairs), "grp", "val",
+                                 k=32, n_salts=4).collect()]
+    assert len(widths) == 4 and all(w == 32 for w in widths)
