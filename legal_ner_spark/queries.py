@@ -1338,6 +1338,75 @@ SELECT doc_id, stratum, sample_key::BIGINT AS sample_key
 FROM keyed WHERE sample_key < rate * 1000000"""
 
 
+def q_corpus_expectations(spark, sf_dir):
+    """Data-contract validation gate over documents + events: null keys,
+    empty text, out-of-enum event types, null timestamps, negative
+    values, duplicate event ids — all row-local checks folded into ONE
+    aggregation pass per table, uniqueness as its own key-shuffle row."""
+    from .operators import quality
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    doc_checks = quality.check_constraints(docs, {
+        "doc_id_null": F.col("doc_id").isNull(),
+        "doc_text_empty": F.col("text").isNull()
+                          | (F.length("text") == 0),
+        "doc_lang_missing": F.col("lang").isNull(),
+    })
+    ev_checks = quality.check_constraints(ev, {
+        "event_ts_null": F.col("ts").isNull(),
+        "event_user_null": F.col("user_id").isNull(),
+        "event_type_unknown": ~F.col("event_type").isin(
+            "click", "view", "purchase", "signup", "error"),
+        "event_value_negative": F.col("value") < 0,
+    })
+    uniq = quality.check_unique(ev, ["event_id"])
+    return doc_checks.unionByName(ev_checks).unionByName(uniq)
+
+
+def o_corpus_expectations():
+    return """
+SELECT 'doc_id_null' AS check_name,
+       count(*) FILTER (doc_id IS NULL)::BIGINT AS n_violations,
+       round(count(*) FILTER (doc_id IS NULL) / count(*), 4)
+         AS violation_rate
+FROM documents
+UNION ALL
+SELECT 'doc_text_empty',
+       count(*) FILTER (text IS NULL OR length(text) = 0)::BIGINT,
+       round(count(*) FILTER (text IS NULL OR length(text) = 0)
+             / count(*), 4)
+FROM documents
+UNION ALL
+SELECT 'doc_lang_missing', count(*) FILTER (lang IS NULL)::BIGINT,
+       round(count(*) FILTER (lang IS NULL) / count(*), 4)
+FROM documents
+UNION ALL
+SELECT 'event_ts_null', count(*) FILTER (ts IS NULL)::BIGINT,
+       round(count(*) FILTER (ts IS NULL) / count(*), 4)
+FROM events
+UNION ALL
+SELECT 'event_user_null', count(*) FILTER (user_id IS NULL)::BIGINT,
+       round(count(*) FILTER (user_id IS NULL) / count(*), 4)
+FROM events
+UNION ALL
+SELECT 'event_type_unknown',
+       count(*) FILTER (event_type NOT IN
+         ('click', 'view', 'purchase', 'signup', 'error'))::BIGINT,
+       round(count(*) FILTER (event_type NOT IN
+         ('click', 'view', 'purchase', 'signup', 'error')) / count(*), 4)
+FROM events
+UNION ALL
+SELECT 'unique_event_id',
+       (count(*) - count(DISTINCT event_id))::BIGINT,
+       round((count(*) - count(DISTINCT event_id)) / count(*), 4)
+FROM events
+UNION ALL
+SELECT 'event_value_negative',
+       count(*) FILTER (value < 0)::BIGINT,
+       round(count(*) FILTER (value < 0) / count(*), 4)
+FROM events"""
+
+
 def q_kmv_distinct(spark, sf_dir):
     """Mergeable K-Minimum-Values cardinality sketch: distinct users per
     event type at k=64 (two-phase salted partials, bounded merge — the
@@ -2745,6 +2814,7 @@ QUERIES = {
     "duplicate_passages": q_duplicate_passages,
     "bm25_topk": q_bm25_topk,
     "kmv_distinct": q_kmv_distinct,
+    "corpus_expectations": q_corpus_expectations,
     "similarity_topk": q_similarity_topk,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -2821,6 +2891,7 @@ ORACLES = {
     "duplicate_passages": o_duplicate_passages(),
     "bm25_topk": o_bm25_topk(),
     "kmv_distinct": o_kmv_distinct(),
+    "corpus_expectations": o_corpus_expectations(),
     "similarity_topk": o_similarity_topk(),
     "lang_id": o_lang_id(),
     "quality_score": o_quality_score(),

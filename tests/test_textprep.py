@@ -207,3 +207,34 @@ def test_bm25_topk_cut_is_deterministic(spark):
     again = search.bm25_topk(docs, ["join"], k=4).collect()
     assert [(r.doc_id, r.bm25) for r in out] == \
         [(r.doc_id, r.bm25) for r in again]
+
+
+def test_check_constraints_counts_planted_violations(spark):
+    """Planted dirty rows must be counted per check with exact rates,
+    and the whole row-local battery must stay a single-scan aggregate
+    (no Exchange of data rows in the plan)."""
+    from legal_ner_spark.operators import quality
+    rows = [(1, "ok", 5), (2, "", 7), (None, "ok", -1), (4, None, 0)]
+    df = spark.createDataFrame(rows, ["id", "txt", "v"])
+    out = {r.check_name: (r.n_violations, r.violation_rate)
+           for r in quality.check_constraints(df, {
+               "id_null": F.col("id").isNull(),
+               "txt_empty": F.col("txt").isNull()
+                            | (F.length("txt") == 0),
+               "v_negative": F.col("v") < 0,
+           }).collect()}
+    assert out == {"id_null": (1, 0.25), "txt_empty": (2, 0.5),
+                   "v_negative": (1, 0.25)}
+
+
+def test_check_unique_excess_copies(spark):
+    from legal_ner_spark.operators import quality
+    df = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (3,), (3,)], ["k"])
+    r = quality.check_unique(df, ["k"]).collect()[0]
+    # 3 copies of 1 (+2 excess) and 2 of 3 (+1) over 6 rows
+    assert (r.check_name, r.n_violations, r.violation_rate) \
+        == ("unique_k", 3, 0.5)
+    clean = quality.check_unique(
+        spark.createDataFrame([(1,), (2,)], ["k"]), ["k"]).collect()[0]
+    assert (clean.n_violations, clean.violation_rate) == (0, 0.0)
