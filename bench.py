@@ -96,7 +96,9 @@ def main() -> None:
                      "kg_precedent_components",
                      "corpus_sample", "corpus_rollup", "rolling_events",
                      "interval_events", "digest_prune_agg", "kg_kcore",
-                     "session_window_counts"]
+                     "session_window_counts",
+                     "duplicate_passages", "bm25_topk", "kmv_distinct",
+                     "corpus_expectations"]
     for name in bench_queries:
         timings[name] = round(best_of(
             lambda: queries.QUERIES[name](spark, sf_dir).count()), 3)

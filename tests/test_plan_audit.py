@@ -234,3 +234,14 @@ def test_bm25_broadcasts_stats_and_uses_topk(spark):
     assert n_bcast >= 2, p[:3000]
     assert "CartesianProduct" not in p, p[:2000]
     assert "SortMergeJoin" not in p, p[:2000]
+
+
+def test_duplicate_passages_no_loop_joins_single_window(spark):
+    """The passage-dedup re-join must be an equi-join on the shingle hash
+    (no Cartesian/NestedLoop anywhere) and the islands merge must ride
+    ONE per-doc window sort, not a global sort."""
+    p = physical(queries.QUERIES["duplicate_passages"](spark, SF))
+    assert "CartesianProduct" not in p, p[:2000]
+    assert "BroadcastNestedLoopJoin" not in p, p[:2000]
+    assert "Sort [doc_id" in p or "Window" in p, p[:2000]
+    assert "Exchange rangepartitioning" not in p, p[:2000]

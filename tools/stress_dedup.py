@@ -47,5 +47,39 @@ def main() -> None:
     spark.stop()
 
 
+
+
+def passages(n: int = 65536) -> None:
+    """Volume stress for duplicate_passages on the template worst case
+    (every doc shares boilerplate with every other — duplicated-shingle
+    volume ~= total occurrence volume, the adversarial shape for the
+    re-join stage).  Usage: python tools/stress_dedup.py passages [n]."""
+    from legal_ner_spark.session import get_spark
+    from pyspark.sql import functions as F
+    from legal_ner_spark import pipeline
+    from legal_ner_spark.operators import dedup
+    from legal_ner_spark.operators.extract import TEXT_ASSEMBLY_EXPR
+
+    spark = get_spark(master="local[32]", shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = pipeline.synthetic_corpus(spark, n, partitions=max(64, n // 256))
+    docs = corpus.select(
+        "doc_id",
+        F.coalesce(F.expr(TEXT_ASSEMBLY_EXPR), F.lit("")).alias("text"))
+    docs.cache()
+    print(f"corpus: {docs.count()} docs")
+    t0 = time.time()
+    out = dedup.duplicate_passages(docs, n=8, min_docs=2)
+    spans, shingles = out.agg(
+        F.count("*"), F.sum("n_dup_shingles")).collect()[0]
+    dt = time.time() - t0
+    print(f"duplicate_passages: {spans} spans / {shingles} dup shingles "
+          f"over {n} docs in {dt:.1f}s ({n / dt:.0f} docs/s)")
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "passages":
+        passages(int(sys.argv[2]) if len(sys.argv) > 2 else 65536)
+    else:
+        main()
