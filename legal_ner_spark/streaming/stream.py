@@ -115,3 +115,49 @@ def session_event_stats(events: DataFrame, gap: str = "30 minutes",
             .select("user_id", F.col("sw.start").alias("session_start"),
                     F.col("sw.end").alias("session_end"),
                     "n_events", "sum_value"))
+
+
+def stream_kmv_sketch(spark: SparkSession, events_dir: str, state_dir: str,
+                      checkpoint_dir: str, schema,
+                      group_col: str, value_col: str, k: int = 64,
+                      n_salts: int = 8,
+                      max_files_per_trigger: int = 4) -> StreamingQuery:
+    """Incremental cardinality sketching: maintain per-group KMV distinct
+    sketches over an unbounded stream WITHOUT keeping raw values.
+
+    KMV's union-is-min-k mergeability makes the state APPEND-ONLY: each
+    micro-batch writes its own (group, salt, min-k) partials to an
+    idempotent ``batch=<id>`` partition (replay overwrites, never
+    duplicates — same exactly-once recipe as ``stream_extract``), and the
+    read side folds every partial through ``kmv_merge``.  No state-store
+    round-trips, no read-modify-write races, state volume is
+    O(batches × groups × salts × k) longs — compact batches into one
+    partial per (group, salt) whenever that sum grows (Iceberg: REWRITE
+    of the partials partition; the merge result IS a valid partial).
+    The batch twin over the same data is the oracled ``kmv_distinct``
+    query — `read_kmv_state` after the stream equals it digest-for-digest
+    (tests/test_resume_stream_media.py)."""
+    from ..operators import sketch as sk
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(events_dir))
+
+    def process(batch_df, batch_id: int) -> None:
+        (sk.kmv_partial(batch_df, group_col, value_col, k=k,
+                        n_salts=n_salts)
+         .write.mode("overwrite").parquet(f"{state_dir}/batch={batch_id}"))
+
+    return (stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def read_kmv_state(spark: SparkSession, state_dir: str,
+                   k: int = 64) -> DataFrame:
+    """Fold every persisted partial sketch into the current per-group
+    (grp, sketch_size, est_distinct, sketch_digest) view."""
+    from ..operators import sketch as sk
+    return sk.kmv_merge(
+        spark.read.parquet(state_dir).select("grp", "_salt", "partial"),
+        k=k)

@@ -335,3 +335,46 @@ def test_session_stats_stream_matches_batch(spark, tmp_path):
     assert got == want and len(want) == 4
     # the boundary-spanning session really merged: 4 events, 0 -> 25+30min
     assert got[(1, m(0), m(55))] == (4, 11.0)
+
+
+def test_stream_kmv_state_equals_batch_sketch(spark, tmp_path):
+    """Incremental KMV maintenance: partial sketches appended per
+    micro-batch, folded on read, must equal the one-pass batch sketch
+    digest-for-digest — and a checkpointed restart must change nothing
+    (idempotent batch=<id> state partitions)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from legal_ner_spark.operators import sketch as sk
+    from legal_ner_spark.streaming.stream import (read_kmv_state,
+                                                  stream_kmv_sketch)
+    schema = T.StructType([T.StructField("grp", T.StringType()),
+                           T.StructField("val", T.LongType())])
+    rows = [("a", v * 31 % 500) for v in range(2000)] + \
+           [("b", v) for v in range(40)]
+    df = spark.createDataFrame(rows, schema=schema)
+    in_dir, state, ckpt = (str(tmp_path / d) for d in
+                           ("in", "state", "ckpt"))
+    # three separate files -> at least two micro-batches at
+    # maxFilesPerTrigger=1 (merge across batch boundaries is the point)
+    for i in range(3):
+        (df.filter(F.col("val") % 3 == i)
+         .write.mode("append").parquet(in_dir))
+    q = stream_kmv_sketch(spark, in_dir, state, ckpt, schema,
+                          "grp", "val", k=64, max_files_per_trigger=1)
+    assert q.awaitTermination(120)
+    want = {r.grp: (r.sketch_digest, r.est_distinct, r.sketch_size)
+            for r in sk.kmv_sketch(df, "grp", "val", k=64).collect()}
+    got = {r.grp: (r.sketch_digest, r.est_distinct, r.sketch_size)
+           for r in read_kmv_state(spark, state, k=64).collect()}
+    assert got == want
+    assert got["b"][2] == 40            # exact below k
+    # restart with the same checkpoint: no new state partitions
+    import os
+    n_parts = len(os.listdir(state))
+    q2 = stream_kmv_sketch(spark, in_dir, state, ckpt, schema,
+                           "grp", "val", k=64, max_files_per_trigger=1)
+    assert q2.awaitTermination(60)
+    assert len(os.listdir(state)) == n_parts
+    assert {r.grp: r.sketch_digest
+            for r in read_kmv_state(spark, state, k=64).collect()} \
+        == {g: w[0] for g, w in want.items()}
