@@ -85,6 +85,7 @@ def main() -> None:
     sent_sec = best_of(run_sent)
 
     bench_queries = ["tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q7", "tpch_q13", "tpch_q17",
+                     "tpch_q8", "tpch_q10", "tpch_q14", "tpch_q18", "tpch_q19",
                      "nearest_prior_link", "dedup_exact", "dedup_minhash_lsh", "near_dedup",
                      "simhash_pairs", "embedding_near_pairs", "similarity_topk",
                      "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_q_topk",

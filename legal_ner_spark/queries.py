@@ -750,6 +750,193 @@ WHERE p.p_brand = 'Brand#4'
                       WHERE l2.l_partkey = p.p_partkey)"""
 
 
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 (national market share): share = conditional sum /
+    total sum inside ONE aggregate over the 8-way join — no second pass;
+    every dimension broadcasts, lineitem is the only shuffled side."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    part = spark.read.parquet(_t(sf_dir, "part"))
+    supp = spark.read.parquet(_t(sf_dir, "supplier"))
+    orders = (spark.read.parquet(_t(sf_dir, "orders"))
+              .filter((F.col("o_orderdate") >= "1995-01-01")
+                      & (F.col("o_orderdate") <= "1996-12-31")))
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    nation = spark.read.parquet(_t(sf_dir, "nation"))
+    region = spark.read.parquet(_t(sf_dir, "region"))
+    n1 = nation.select(F.col("n_nationkey").alias("c_nkey"),
+                       F.col("n_regionkey").alias("c_rkey"))
+    n2 = nation.select(F.col("n_nationkey").alias("s_nkey"),
+                       F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (li.join(F.broadcast(part.filter(F.col("p_type") == "ECONOMY")),
+                 li.l_partkey == part.p_partkey)
+         .join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+         .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+               F.col("c_rkey") == F.col("r_regionkey")))
+    return (j.groupBy(F.year("o_orderdate").alias("o_year"))
+            .agg(F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)
+                      .otherwise(0.0)) / F.sum(vol), 4)
+                .alias("mkt_share")))
+
+
+def o_tpch_q8():
+    return """
+SELECT year(o.o_orderdate)::INT AS o_year,
+       round(sum(CASE WHEN n2.n_name = 'NATION_3'
+                      THEN l.l_extendedprice * (1 - l.l_discount)
+                      ELSE 0.0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+         AS mkt_share
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+  AND o.o_orderdate BETWEEN '1995-01-01' AND '1996-12-31'
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+JOIN region r ON n1.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+GROUP BY 1"""
+
+
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 (returned-item revenue, top 20 customers): the
+    returnflag filter pushes into the lineitem scan; customer/nation
+    broadcast; the cut is TakeOrdered on the rounded revenue."""
+    li = (spark.read.parquet(_t(sf_dir, "lineitem"))
+          .filter(F.col("l_returnflag") == "R"))
+    orders = (spark.read.parquet(_t(sf_dir, "orders"))
+              .filter((F.col("o_orderdate") >= "1995-07-01")
+                      & (F.col("o_orderdate") < "1995-10-01")))
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    nation = spark.read.parquet(_t(sf_dir, "nation"))
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+         .join(F.broadcast(nation),
+               cust.c_nationkey == nation.n_nationkey))
+    return (j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy(F.col("revenue").desc(), "c_custkey")
+            .limit(20))
+
+
+def o_tpch_q10():
+    return """
+SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= '1995-07-01' AND o.o_orderdate < '1995-10-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c.c_custkey LIMIT 20"""
+
+
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 (promo revenue share): conditional/total ratio in one
+    aggregate; part broadcasts, the month filter pushes into the
+    lineitem scan."""
+    li = (spark.read.parquet(_t(sf_dir, "lineitem"))
+          .filter((F.col("l_shipdate") >= "1995-09-01")
+                  & (F.col("l_shipdate") < "1995-10-01")))
+    part = spark.read.parquet(_t(sf_dir, "part"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .agg(F.round(
+                100.0 * F.sum(F.when(F.col("p_type") == "ECONOMY", vol)
+                              .otherwise(0.0)) / F.sum(vol), 4)
+                .alias("promo_revenue")))
+
+
+def o_tpch_q14():
+    return """
+SELECT round(100.0 * sum(CASE WHEN p.p_type = 'ECONOMY'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0.0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+         AS promo_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= '1995-09-01' AND l.l_shipdate < '1995-10-01'"""
+
+
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 (large-volume orders): the HAVING pre-aggregates
+    lineitem to per-order quantity BEFORE any join (the classic
+    aggregate-then-join rewrite — the join input shrinks from 6M rows
+    to the qualifying orders), then customer broadcasts."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("total_qty"))
+           .filter(F.col("total_qty") > 150))
+    return (big.join(orders, big.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .select("c_name", "c_custkey", "o_orderkey",
+                    F.col("o_orderdate").cast("date").cast("string")
+                    .alias("o_orderdate"),
+                    "o_totalprice",
+                    F.round("total_qty", 2).alias("total_qty"))
+            .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+            .limit(100))
+
+
+def o_tpch_q18():
+    return """
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o.o_totalprice, round(t.total_qty, 2) AS total_qty
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+) t
+JOIN orders o ON t.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100"""
+
+
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 (disjunctive brand/size/quantity predicates): the OR-of-
+    ANDs stays a single scan-side filter after the broadcast part join —
+    Catalyst extracts the common p_partkey equi-key so no fallback to a
+    nested-loop join."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    part = spark.read.parquet(_t(sf_dir, "part"))
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 15)
+         & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 25)
+           & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 30))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 35)
+           & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 40)))
+    return (j.filter(cond)
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+
+
+def o_tpch_q19():
+    return """
+SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size <= 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size <= 25
+       AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#3' AND p.p_size <= 35
+       AND l.l_quantity BETWEEN 20 AND 40)"""
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity closes a session) —
     the lag/cumsum window idiom; per-user session stats.  Relational
@@ -2800,6 +2987,11 @@ QUERIES = {
     "tpch_q17": q_tpch_q17,
     "tpch_q7": q_tpch_q7,
     "tpch_q13": q_tpch_q13,
+    "tpch_q8": q_tpch_q8,
+    "tpch_q10": q_tpch_q10,
+    "tpch_q14": q_tpch_q14,
+    "tpch_q18": q_tpch_q18,
+    "tpch_q19": q_tpch_q19,
     "windowed_counts": q_windowed_counts,
     "sessionize": q_sessionize,
     "session_window_counts": q_session_window_counts,
@@ -2877,6 +3069,11 @@ ORACLES = {
     "tpch_q17": o_tpch_q17(),
     "tpch_q7": o_tpch_q7(),
     "tpch_q13": o_tpch_q13(),
+    "tpch_q8": o_tpch_q8(),
+    "tpch_q10": o_tpch_q10(),
+    "tpch_q14": o_tpch_q14(),
+    "tpch_q18": o_tpch_q18(),
+    "tpch_q19": o_tpch_q19(),
     "windowed_counts": o_windowed_counts(),
     "sessionize": o_sessionize(),
     "session_window_counts": o_session_window_counts(),

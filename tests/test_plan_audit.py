@@ -245,3 +245,29 @@ def test_duplicate_passages_no_loop_joins_single_window(spark):
     assert "BroadcastNestedLoopJoin" not in p, p[:2000]
     assert "Sort [doc_id" in p or "Window" in p, p[:2000]
     assert "Exchange rangepartitioning" not in p, p[:2000]
+
+
+def test_q18_aggregates_before_join(spark):
+    """Q18's plan must pre-aggregate lineitem to per-order totals BEFORE
+    joining orders (join input = qualifying orders, not 6M lineitems):
+    a HashAggregate must appear below the first SortMergeJoin/
+    BroadcastHashJoin in the plan tree, and customer must broadcast."""
+    p = physical(queries.QUERIES["tpch_q18"](spark, SF))
+    assert "TakeOrderedAndProject" in p, p[:2000]
+    first_join = min(i for i in (p.find("SortMergeJoin"),
+                                 p.find("BroadcastHashJoin"))
+                     if i != -1)
+    agg_positions = [i for i in range(len(p))
+                     if p.startswith("HashAggregate", i)]
+    assert any(i > first_join for i in agg_positions), p[:3000]
+    assert p.count("BroadcastExchange") + p.count("BroadcastQueryStage") \
+        >= 1, p[:3000]
+
+
+def test_q10_pushes_returnflag_and_uses_topk(spark):
+    p = plan_of(queries.QUERIES["tpch_q10"](spark, SF))
+    assert "PushedFilters" in p, p[:1500]
+    pushed = p.split("PushedFilters")[1].splitlines()[0]
+    assert "l_returnflag" in pushed, pushed
+    pp = physical(queries.QUERIES["tpch_q10"](spark, SF))
+    assert "TakeOrderedAndProject" in pp, pp[:2000]
