@@ -98,7 +98,7 @@ def main() -> None:
                      "corpus_sample", "corpus_rollup", "rolling_events",
                      "interval_events", "digest_prune_agg", "kg_kcore",
                      "session_window_counts",
-                     "duplicate_passages", "bm25_topk", "kmv_distinct",
+                     "duplicate_passages", "bm25_topk", "bm25_index_topk", "kmv_distinct",
                      "corpus_expectations"]
     for name in bench_queries:
         timings[name] = round(best_of(

@@ -1668,6 +1668,23 @@ SELECT doc_id, bm25 FROM (
 ) ORDER BY bm25 DESC, doc_id LIMIT 20"""
 
 
+def q_bm25_index_topk(spark, sf_dir):
+    """BM25 served from the MATERIALIZED inverted index (build-once
+    posting lists partitioned by term-hash bucket, partition-pruned
+    query).  Result must equal the inline ``bm25_topk`` exactly — the
+    oracle is the same SQL, so the gate proves the index round-trip is
+    lossless."""
+    from pathlib import Path
+    from .operators import search
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    sf_tag = Path(sf_dir.rstrip("/")).name
+    path = str(Path(__file__).resolve().parent.parent / ".artifacts"
+               / f"text_index_{sf_tag}")
+    search.build_text_index(docs, path)
+    return (search.query_text_index(spark, path, BM25_TERMS, k=20)
+            .withColumn("doc_id", F.col("doc_id").cast("bigint")))
+
+
 def q_similarity_topk(spark, sf_dir):
     """Brute-force cosine top-5 per query vector (queries = vec_id < 5).
     Baseline ANN path; ranks on the rounded score for cross-engine
@@ -3005,6 +3022,7 @@ QUERIES = {
     "near_dedup_incremental": q_near_dedup_incremental,
     "duplicate_passages": q_duplicate_passages,
     "bm25_topk": q_bm25_topk,
+    "bm25_index_topk": q_bm25_index_topk,
     "kmv_distinct": q_kmv_distinct,
     "corpus_expectations": q_corpus_expectations,
     "similarity_topk": q_similarity_topk,
@@ -3087,6 +3105,7 @@ ORACLES = {
     "near_dedup_incremental": o_near_dedup_incremental(),
     "duplicate_passages": o_duplicate_passages(),
     "bm25_topk": o_bm25_topk(),
+    "bm25_index_topk": o_bm25_topk(),
     "kmv_distinct": o_kmv_distinct(),
     "corpus_expectations": o_corpus_expectations(),
     "similarity_topk": o_similarity_topk(),

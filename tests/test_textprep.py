@@ -238,3 +238,26 @@ def test_check_unique_excess_copies(spark):
     clean = quality.check_unique(
         spark.createDataFrame([(1,), (2,)], ["k"]), ["k"]).collect()[0]
     assert (clean.n_violations, clean.violation_rate) == (0, 0.0)
+
+
+def test_text_index_serves_identically_and_prunes_partitions(spark,
+                                                             tmp_path):
+    """The materialized inverted index must (a) serve the exact same
+    top-k as the inline scorer and (b) read ONLY the query terms' hash
+    buckets — PartitionFilters on bucket in the postings scan."""
+    from legal_ner_spark.operators import search
+    rows = [(i, f"join merge alpha{i % 7} beta{i % 5} gamma pad pad")
+            for i in range(200)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    path = str(tmp_path / "tidx")
+    search.build_text_index(docs, path, n_buckets=16)
+    inline = [(r.doc_id, r.bm25)
+              for r in search.bm25_topk(docs, ["join", "gamma"], k=15)
+              .collect()]
+    served_df = search.query_text_index(spark, path, ["join", "gamma"],
+                                        k=15, n_buckets=16)
+    assert [(r.doc_id, r.bm25) for r in served_df.collect()] == inline
+    plan = served_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan[:2000]
+    pf = plan.split("PartitionFilters")[1].splitlines()[0]
+    assert "bucket" in pf, pf
