@@ -87,6 +87,12 @@ def build_text_index(docs: DataFrame, path: str, n_buckets: int = 64,
                             F.pmod(F.xxhash64("term"), F.lit(n_buckets))))
     (postings.write.mode("overwrite").partitionBy("bucket")
      .parquet(f"{path}/postings"))
+    # a 0-row, UNpartitioned twin pins the schema: an empty corpus (or a
+    # bucket layout with no matching partitions) leaves the partitioned
+    # dir without inferable schema, and the reader must not depend on
+    # data being present (works on any filesystem, unlike a sidecar file)
+    (postings.limit(0).write.mode("overwrite")
+     .parquet(f"{path}/postings_schema"))
 
 
 def query_text_index(spark, path: str, terms: list[str], k: int = 20,
@@ -105,7 +111,8 @@ def query_text_index(spark, path: str, terms: list[str], k: int = 20,
                    .distinct().collect())
     buckets = sorted({r.b for r in bucket_rows})
     stats = spark.read.parquet(f"{path}/stats")
-    tf = (spark.read.parquet(f"{path}/postings")
+    schema = spark.read.parquet(f"{path}/postings_schema").schema
+    tf = (spark.read.schema(schema).parquet(f"{path}/postings")
           .filter(F.col("bucket").isin(buckets))
           .filter(F.col("term").isin(list(terms))))
     df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
