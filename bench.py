@@ -99,7 +99,7 @@ def main() -> None:
                      "interval_events", "digest_prune_agg", "kg_kcore",
                      "session_window_counts",
                      "duplicate_passages", "bm25_topk", "bm25_index_topk", "kmv_distinct",
-                     "corpus_expectations"]
+                     "corpus_expectations", "grouped_topk", "quality_outliers"]
     for name in bench_queries:
         timings[name] = round(best_of(
             lambda: queries.QUERIES[name](spark, sf_dir).count()), 3)

@@ -686,15 +686,27 @@ def duplicate_passages(docs: DataFrame, n: int = 8, min_docs: int = 2,
       doc length — no global ordering anywhere).
     The shuffled shingle key is a 32-byte md5, never the n-gram text.
     """
+    from pyspark.sql import Window
     occ = (positional_shingle_rows(docs, id_col=id_col, text_col=text_col,
                                    n=n)
            .select("doc_id", "pos", F.md5("shingle").alias("sh")))
-    dup = (occ.groupBy("sh")
-           .agg(F.count_distinct("doc_id").alias("nd"))
-           .filter(F.col("nd") >= min_docs)
-           .select("sh"))
-    hits = occ.join(dup, "sh").select("doc_id", "pos")
-    from pyspark.sql import Window
+    if min_docs == 2:
+        # fast path: >=2 distinct docs <=> min(doc_id) != max(doc_id)
+        # over the shingle's occurrence group — ONE tokenize pass and ONE
+        # shuffle on sh (the agg+re-join form scans the corpus twice and
+        # shuffles occurrences a second time for the join; both forms
+        # concentrate a boilerplate shingle's occurrences on one reducer,
+        # so the window costs nothing extra in skew, O(1) state per row)
+        wsh = Window.partitionBy("sh")
+        hits = (occ.withColumn("_dup", F.min("doc_id").over(wsh)
+                               != F.max("doc_id").over(wsh))
+                .filter("_dup").select("doc_id", "pos"))
+    else:
+        dup = (occ.groupBy("sh")
+               .agg(F.count_distinct("doc_id").alias("nd"))
+               .filter(F.col("nd") >= min_docs)
+               .select("sh"))
+        hits = occ.join(dup, "sh").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev_end = F.max(F.col("pos") + n).over(
         w.rowsBetween(Window.unboundedPreceding, -1))

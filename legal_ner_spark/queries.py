@@ -1594,6 +1594,81 @@ SELECT 'event_value_negative',
 FROM events"""
 
 
+def q_grouped_topk(spark, sf_dir):
+    """Top-3 terms per language by frequency: the per-group top-k idiom
+    done scale-safe — the window runs over the AGGREGATED (lang, term)
+    count table (vocab-sized), never the exploded token stream; the
+    count itself has the salted two-phase path (`vocab_topk`) when a
+    single term dominates."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    counts = (docs.select("lang",
+                          F.explode(F.split(F.lower("text"), " "))
+                          .alias("term"))
+              .groupBy("lang", "term")
+              .agg(F.count("*").cast("bigint").alias("n")))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(),
+                                           F.col("term"))
+    return (counts.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("lang", "term", "n",
+                    F.col("rnk").cast("int").alias("rnk")))
+
+
+def o_grouped_topk():
+    return """
+SELECT lang, term, n, rnk FROM (
+  SELECT lang, term, n,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n DESC, term)::INT AS rnk
+  FROM (
+    SELECT lang, term, count(*)::BIGINT AS n
+    FROM (SELECT lang,
+                 unnest(string_split(lower(text), ' ')) AS term
+          FROM documents)
+    GROUP BY lang, term
+  )
+) WHERE rnk <= 3"""
+
+
+def q_quality_outliers(spark, sf_dir):
+    """Per-language statistical outlier flagging: docs whose token count
+    deviates > 2 sigma from their language's mean (corpus-monitoring /
+    filter-debug primitive).  One aggregate pass for the per-lang
+    moments, broadcast back over the scan — no shuffle of the docs."""
+    docs = (spark.read.parquet(_t(sf_dir, "documents"))
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    "lang",
+                    F.size(F.split(F.lower("text"), " "))
+                    .alias("n_tokens")))
+    stats = (docs.groupBy("lang")
+             .agg(F.avg("n_tokens").alias("mu"),
+                  F.stddev_pop("n_tokens").alias("sigma")))
+    z = F.round((F.col("n_tokens") - F.col("mu")) / F.col("sigma"), 4)
+    return (docs.join(F.broadcast(stats), "lang")
+            .withColumn("z", z)
+            .filter(F.abs(F.col("z")) > 2.0)
+            .select("doc_id", "lang",
+                    F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                    "z"))
+
+
+def o_quality_outliers():
+    return """
+WITH toks AS (
+  SELECT doc_id::BIGINT AS doc_id, lang,
+         len(string_split(lower(text), ' ')) AS n_tokens
+  FROM documents
+),
+stats AS (
+  SELECT lang, avg(n_tokens) AS mu, stddev_pop(n_tokens) AS sigma
+  FROM toks GROUP BY lang
+)
+SELECT t.doc_id, t.lang, t.n_tokens::BIGINT AS n_tokens,
+       round((t.n_tokens - s.mu) / s.sigma, 4) AS z
+FROM toks t JOIN stats s USING (lang)
+WHERE abs(round((t.n_tokens - s.mu) / s.sigma, 4)) > 2.0"""
+
+
 def q_kmv_distinct(spark, sf_dir):
     """Mergeable K-Minimum-Values cardinality sketch: distinct users per
     event type at k=64 (two-phase salted partials, bounded merge — the
@@ -3024,6 +3099,8 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "bm25_index_topk": q_bm25_index_topk,
     "kmv_distinct": q_kmv_distinct,
+    "grouped_topk": q_grouped_topk,
+    "quality_outliers": q_quality_outliers,
     "corpus_expectations": q_corpus_expectations,
     "similarity_topk": q_similarity_topk,
     "lang_id": q_lang_id,
@@ -3107,6 +3184,8 @@ ORACLES = {
     "bm25_topk": o_bm25_topk(),
     "bm25_index_topk": o_bm25_topk(),
     "kmv_distinct": o_kmv_distinct(),
+    "grouped_topk": o_grouped_topk(),
+    "quality_outliers": o_quality_outliers(),
     "corpus_expectations": o_corpus_expectations(),
     "similarity_topk": o_similarity_topk(),
     "lang_id": o_lang_id(),

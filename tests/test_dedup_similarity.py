@@ -550,3 +550,40 @@ def test_duplicate_passages_disjoint_islands(spark):
         for r in dedup.duplicate_passages(docs, n=4, min_docs=2)
         .filter(F.col("doc_id") == 0).collect())
     assert spans == [(0, 4), (9, 13)]
+
+
+def test_duplicate_passages_min_docs_paths_agree(spark):
+    """min_docs=2 runs the min!=max window fast path, min_docs>2 the
+    count_distinct+join general path — on a corpus where a passage is
+    shared by exactly 3 docs and another by exactly 2, min_docs=3 must
+    keep only the former, and the two paths must agree where their
+    thresholds coincide."""
+    p3, p2 = "a b c d e", "p q r s t"
+    rows = [(0, f"{p3} x0 x1 x2"), (1, f"{p3} y0 y1 y2"),
+            (2, f"{p3} z0 z1 z2"),
+            (3, f"{p2} w0 w1 w2"), (4, f"{p2} v0 v1 v2")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got3 = {(r.doc_id, r.span_start, r.span_end)
+            for r in dedup.duplicate_passages(docs, n=5,
+                                              min_docs=3).collect()}
+    assert got3 == {(0, 0, 5), (1, 0, 5), (2, 0, 5)}
+    # a min_docs=2 threshold expressed through the general path must
+    # equal the fast path exactly
+    fast = sorted(map(tuple, dedup.duplicate_passages(
+        docs, n=5, min_docs=2).collect()))
+    # force the general path by asking for the same threshold via a
+    # 2-doc requirement on a copy (min_docs=2 dispatches to the window;
+    # compare against min_docs=2 semantics computed with the join form)
+    from legal_ner_spark.operators import dedup as dd
+    occ = dd.positional_shingle_rows(docs, n=5).select(
+        "doc_id", "pos", F.md5("shingle").alias("sh"))
+    dup = (occ.groupBy("sh").agg(F.count_distinct("doc_id").alias("nd"))
+           .filter("nd >= 2").select("sh"))
+    from pyspark.sql import Window
+    wsh = Window.partitionBy("sh")
+    assert {tuple(r) for r in occ.join(dup, "sh")
+            .select("doc_id", "pos").collect()} \
+        == {tuple(r) for r in occ.withColumn(
+            "_d", F.min("doc_id").over(wsh) != F.max("doc_id").over(wsh))
+            .filter("_d").select("doc_id", "pos").collect()}
+    assert len(fast) == 5
