@@ -1,0 +1,74 @@
+"""Atomic multi-table snapshot publish (Iceberg-commit stand-in).
+
+The KG job materializes SEVERAL tables that must stay mutually
+consistent — triples, mentions, cluster heads, stats.  A crash between
+two table writes must never leave readers seeing new triples against old
+mentions.  Iceberg solves this with a snapshot commit; the parquet
+equivalent here is the same two-phase shape:
+
+1. every table writes to an IMMUTABLE snapshot directory
+   ``<root>/<table>/snap=<snapshot_id>/`` (a re-run of the same snapshot
+   id overwrites its own directories — idempotent, like a replayed
+   foreachBatch);
+2. one atomic manifest swap (`os.rename` of ``_current.json``; on
+   HDFS/S3 the same role is played by an Iceberg snapshot commit or a
+   conditional PUT) flips ALL tables at once.
+
+Readers resolve through the manifest, so a publish that dies after
+writing some tables is invisible: the manifest still names the previous
+snapshot, whose directories are immutable.  Old snapshots stay readable
+until vacuumed (time travel for free).
+
+Complements `plans/ledger.py` (intra-job per-bucket resume) — the ledger
+gets a killed JOB back to where it was; the manifest keeps CONSUMERS
+consistent across job boundaries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST = "_current.json"
+
+
+def publish_tables(tables: dict[str, DataFrame], root: str,
+                   snapshot_id: str,
+                   partition_by: dict[str, list[str]] | None = None) -> dict:
+    """Write every table to its ``snap=<snapshot_id>`` directory, then
+    atomically swap the manifest.  Returns the manifest dict."""
+    partition_by = partition_by or {}
+    entries = {}
+    for name, df in tables.items():
+        path = os.path.join(root, name, f"snap={snapshot_id}")
+        writer = df.write.mode("overwrite")
+        if name in partition_by:
+            writer = writer.partitionBy(*partition_by[name])
+        writer.parquet(path)
+        entries[name] = path
+    manifest = {"snapshot": snapshot_id, "tables": entries}
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(root, f".{_MANIFEST}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.rename(tmp, os.path.join(root, _MANIFEST))  # the commit point
+    return manifest
+
+
+def current_manifest(root: str) -> dict | None:
+    path = os.path.join(root, _MANIFEST)
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def read_published(spark: SparkSession, root: str, name: str) -> DataFrame:
+    """Read a table AT THE CURRENT SNAPSHOT (never a half-published
+    one).  Raises KeyError if the table was not part of the snapshot."""
+    manifest = current_manifest(root)
+    if manifest is None:
+        raise FileNotFoundError(f"no published snapshot under {root}")
+    return spark.read.parquet(manifest["tables"][name])

@@ -378,3 +378,40 @@ def test_stream_kmv_state_equals_batch_sketch(spark, tmp_path):
     assert {r.grp: r.sketch_digest
             for r in read_kmv_state(spark, state, k=64).collect()} \
         == {g: w[0] for g, w in want.items()}
+
+
+def test_snapshot_publish_is_atomic_across_tables(spark, tmp_path):
+    """A publish that dies between table writes must be invisible:
+    readers resolve through the manifest, which still names the previous
+    snapshot's immutable directories.  Completing the publish flips ALL
+    tables at once; republishing the same snapshot id is idempotent."""
+    import os
+    from legal_ner_spark.plans import publish
+    root = str(tmp_path / "kg")
+    t1a = spark.createDataFrame([(1, "x")], ["k", "v"])
+    t1b = spark.createDataFrame([(1, 10)], ["k", "n"])
+    publish.publish_tables({"triples": t1a, "stats": t1b}, root, "v1")
+    assert publish.current_manifest(root)["snapshot"] == "v1"
+
+    # v2 write crashes after the first table (simulate: write one
+    # snapshot dir directly, never swap the manifest)
+    t2a = spark.createDataFrame([(2, "y")], ["k", "v"])
+    t2a.write.mode("overwrite").parquet(
+        os.path.join(root, "triples", "snap=v2"))
+    got = publish.read_published(spark, root, "triples").collect()
+    assert [(r.k, r.v) for r in got] == [(1, "x")]      # still v1
+    assert publish.read_published(spark, root, "stats").collect()[0].n == 10
+
+    # complete v2: both tables flip together
+    t2b = spark.createDataFrame([(2, 20)], ["k", "n"])
+    publish.publish_tables({"triples": t2a, "stats": t2b}, root, "v2")
+    assert [(r.k, r.v) for r in
+            publish.read_published(spark, root, "triples").collect()] \
+        == [(2, "y")]
+    assert publish.read_published(spark, root, "stats").collect()[0].n == 20
+    # v1 stays readable (time travel until vacuum)
+    v1 = spark.read.parquet(os.path.join(root, "triples", "snap=v1"))
+    assert [(r.k, r.v) for r in v1.collect()] == [(1, "x")]
+    # idempotent replay of v2
+    publish.publish_tables({"triples": t2a, "stats": t2b}, root, "v2")
+    assert publish.read_published(spark, root, "triples").count() == 1
