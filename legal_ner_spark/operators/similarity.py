@@ -350,3 +350,107 @@ def dequantize_embeddings(qdf: DataFrame) -> DataFrame:
     return qdf.select("vec_id",
                       F.expr("transform(q, x -> cast(x AS double) * scale)")
                       .alias("v"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011): split d dims into m subspaces, learn ksub
+# centroids per subspace, store each vector as m small codes (here m bytes:
+# 64-dim float64 -> 4 bytes, 128x).  Queries score candidates via ADC
+# (asymmetric distance computation): a per-query distance TABLE of
+# m x ksub entries, then each candidate costs m array lookups — no
+# candidate-side float math at all.  Deterministic end-to-end (first-ksub
+# seeding, rounded-distance argmin with centroid tie-break), so the whole
+# pipeline is SQL-oracle-able like the IVF path.
+# ---------------------------------------------------------------------------
+
+def _d2_expr(a: str, b: str) -> F.Column:
+    """Squared L2 via the expanded dot form aa - 2ab + bb — the same
+    algebra the DuckDB oracle runs (list_dot_product), so both engines
+    agree at the 4-dp rounding the rankings use."""
+    return F.expr(f"({_DOT.format(a=a, b=a)}) - 2 * "
+                  f"({_DOT.format(a=a, b=b)}) + ({_DOT.format(a=b, b=b)})")
+
+
+def _subspace_explode(df: DataFrame, vec_col: str, m: int,
+                      dsub: int) -> DataFrame:
+    subs = ", ".join(
+        f"struct({s} AS subspace, "
+        f"slice({vec_col}, {s * dsub + 1}, {dsub}) AS sv)"
+        for s in range(m))
+    return (df.withColumn("_s", F.explode(F.expr(f"array({subs})")))
+            .select(*[c for c in df.columns if c != vec_col],
+                    F.col("_s.subspace").alias("subspace"),
+                    F.col("_s.sv").alias("sv")))
+
+
+def pq_centroids(cands: DataFrame, m: int = 4, ksub: int = 16,
+                 d: int = 64) -> DataFrame:
+    """Per-subspace codebooks, deterministically seeded from the first
+    ``ksub`` vectors by vec_id (same contract as ``ivf_centroids``; at
+    corpus scale seed from a hash-sample instead — the construction is
+    unchanged).  Output: (subspace, centroid_id, cv)."""
+    dsub = d // m
+    w = Window.orderBy("vec_id")
+    seeds = (cands.orderBy("vec_id").limit(ksub)
+             .withColumn("centroid_id", F.row_number().over(w) - 1))
+    return (_subspace_explode(seeds, "v", m, dsub)
+            .select("subspace", "centroid_id", F.col("sv").alias("cv")))
+
+
+def pq_encode(cands: DataFrame, cents: DataFrame, m: int = 4,
+              d: int = 64) -> DataFrame:
+    """Encode each vector as its per-subspace nearest codebook entry:
+    subvector explode (m narrow rows per vector), broadcast codebook
+    join, argmin on the 4-dp-rounded squared L2 with centroid_id
+    tie-break (the cross-engine determinism contract), re-packed to an
+    m-byte ``codes`` array ordered by subspace.  One shuffle (the
+    per-vector re-pack); the corpus never crosses the network as
+    floats."""
+    dsub = d // m
+    sub = _subspace_explode(cands.select("vec_id", "v"), "v", m, dsub)
+    j = (sub.join(F.broadcast(cents), "subspace")
+         .withColumn("d2", F.round(_d2_expr("sv", "cv"), 4)))
+    w = (Window.partitionBy("vec_id", "subspace")
+         .orderBy(F.col("d2").asc(), F.col("centroid_id").asc()))
+    best = j.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    return (best.groupBy("vec_id")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("subspace", "centroid_id"))),
+                lambda x: x["centroid_id"].cast("tinyint"))
+                .alias("codes")))
+
+
+def pq_topk(queries: DataFrame, cents: DataFrame, codes: DataFrame,
+            k: int = 5, m: int = 4, ksub: int = 16,
+            d: int = 64) -> DataFrame:
+    """ADC top-k: per query build the m×ksub distance table ONCE
+    (queries × broadcast codebook, rounded entries ordered by
+    (subspace, centroid_id)), broadcast the tables over the codes
+    relation, and score each candidate as m array lookups inside one
+    codegen'd HOF — no per-candidate float math, no explode of the
+    corpus side, and the final cut is the shared rank-window contract
+    (ascending rounded distance, neighbor_id tie-break)."""
+    dsub = d // m
+    qsub = _subspace_explode(
+        queries.select(F.col("vec_id").alias("query_id"), "v"),
+        "v", m, dsub)
+    qd = (qsub.join(F.broadcast(cents), "subspace")
+          .withColumn("d2", F.round(_d2_expr("sv", "cv"), 4)))
+    dtab = (qd.groupBy("query_id")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("subspace", "centroid_id", "d2"))),
+                lambda x: x["d2"]).alias("dtab")))
+    adc = (f"aggregate(zip_with(codes, sequence(0, {m - 1}), "
+           f"(c, s) -> element_at(dtab, s * {ksub} + c + 1)), "
+           f"0D, (acc, x) -> acc + x)")
+    scored = (codes.crossJoin(F.broadcast(dtab))
+              .withColumn("pq_dist", F.round(F.expr(adc), 4)))
+    w = Window.partitionBy("query_id").orderBy(F.col("pq_dist").asc(),
+                                               F.col("vec_id").asc())
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(f"rnk <= {k}")
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    "pq_dist", F.col("rnk").cast("int").alias("rnk")))

@@ -2469,6 +2469,75 @@ INGEST_FIXTURES = [
 ]
 
 
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantized ANN (Jégou et al. 2011): 64-dim corpus encoded
+    as 4-byte codes (m=4 subspaces × 16 centroids), queries score via the
+    ADC distance table — m array lookups per candidate, zero candidate-
+    side float math.  Deterministic seeding + rounded-argmin make the
+    full codebook→encode→ADC pipeline value-exact against the oracle."""
+    from .operators import similarity
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    qs = similarity.prepare_vectors(emb.filter(F.col("vec_id") < 5))
+    cs = similarity.prepare_vectors(emb.filter(F.col("vec_id") >= 5))
+    cents = similarity.pq_centroids(cs, m=4, ksub=16, d=64)
+    codes = similarity.pq_encode(cs, cents, m=4, d=64)
+    return (similarity.pq_topk(qs, cents, codes, k=5, m=4, ksub=16, d=64)
+            .select(F.col("query_id").cast("bigint").alias("query_id"),
+                    F.col("neighbor_id").cast("bigint")
+                    .alias("neighbor_id"),
+                    "pq_dist", "rnk"))
+
+
+def o_ann_pq_topk():
+    d2 = ("round(list_dot_product({a}, {a}) "
+          "- 2 * list_dot_product({a}, {b}) "
+          "+ list_dot_product({b}, {b}), 4)")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sub AS (
+  SELECT vec_id, s.subspace,
+         list_slice(v, s.subspace * 16 + 1, s.subspace * 16 + 16) AS sv
+  FROM e, (SELECT unnest(generate_series(0, 3)) AS subspace) s
+),
+cents AS (
+  SELECT sub.subspace, seeds.centroid_id, sub.sv AS cv
+  FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id
+    FROM (SELECT vec_id FROM e WHERE vec_id >= 5 ORDER BY vec_id LIMIT 16)
+  ) seeds JOIN sub USING (vec_id)
+),
+enc AS (
+  SELECT vec_id, subspace, centroid_id AS code FROM (
+    SELECT s.vec_id, s.subspace, c.centroid_id,
+           row_number() OVER (PARTITION BY s.vec_id, s.subspace
+             ORDER BY {d2.format(a='s.sv', b='c.cv')} ASC,
+                      c.centroid_id ASC) AS rn
+    FROM sub s JOIN cents c USING (subspace)
+    WHERE s.vec_id >= 5)
+  WHERE rn = 1
+),
+qd AS (
+  SELECT s.vec_id AS query_id, s.subspace, c.centroid_id,
+         {d2.format(a='s.sv', b='c.cv')} AS d2
+  FROM sub s JOIN cents c USING (subspace)
+  WHERE s.vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, enc.vec_id AS neighbor_id, round(sum(q.d2), 4)
+           AS pq_dist
+  FROM enc JOIN qd q
+    ON q.subspace = enc.subspace AND q.centroid_id = enc.code
+  GROUP BY 1, 2
+)
+SELECT query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id,
+       pq_dist, rnk FROM (
+  SELECT query_id, neighbor_id, pq_dist,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY pq_dist ASC, neighbor_id ASC)::INT AS rnk
+  FROM scored
+) WHERE rnk <= 5"""
+
+
 def q_ingest_clean(spark, sf_dir):
     """Ingest text-hygiene chain (data_preparation.py:175-181,240-252)."""
     from .operators.ingest import clean_judgment_text
@@ -3118,6 +3187,7 @@ QUERIES = {
     "quantize_embeddings": q_quantize_embeddings,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_q_topk": q_ann_ivf_q_topk,
+    "ann_pq_topk": q_ann_pq_topk,
     "contamination": q_contamination,
     "pii_redact": q_pii_redact,
     "pack_shards": q_pack_shards,
@@ -3203,6 +3273,7 @@ ORACLES = {
     "quantize_embeddings": o_quantize_embeddings(),
     "ann_ivf_topk": o_ann_ivf_topk(),
     "ann_ivf_q_topk": o_ann_ivf_q_topk(),
+    "ann_pq_topk": o_ann_pq_topk(),
     "contamination": o_contamination(),
     "pii_redact": o_pii_redact(),
     "pack_shards": o_pack_shards(),

@@ -587,3 +587,58 @@ def test_duplicate_passages_min_docs_paths_agree(spark):
             "_d", F.min("doc_id").over(wsh) != F.max("doc_id").over(wsh))
             .filter("_d").select("doc_id", "pos").collect()}
     assert len(fast) == 5
+
+
+def test_pq_codes_and_adc_recall(spark):
+    """PQ end-to-end on planted neighbors: (a) codes are m small ints
+    bounded by ksub (the 4-bytes-per-vector claim), (b) ADC distance of a
+    query to its near-duplicate beats the noise floor so top-1 recall is
+    high, (c) the ADC score equals the hand-computed sum of per-subspace
+    codebook distances for a spot vector."""
+    import random
+    rng = random.Random(11)
+    dim, m, ksub = 32, 4, 8
+
+    def vec():
+        return [rng.gauss(0, 1) for _ in range(dim)]
+
+    rows, planted = [], {}
+    for qid in range(8):
+        v = vec()
+        rows.append((qid, v))
+        nid = 1000 + qid
+        rows.append((nid, [x + rng.gauss(0, 0.02) for x in v]))
+        planted[qid] = nid
+    for i in range(150):
+        rows.append((2000 + i, vec()))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qs = similarity.prepare_vectors(emb.filter(F.col("vec_id") < 100))
+    cs = similarity.prepare_vectors(emb.filter(F.col("vec_id") >= 100))
+    cents = similarity.pq_centroids(cs, m=m, ksub=ksub, d=dim)
+    codes = similarity.pq_encode(cs, cents, m=m, d=dim)
+    rows_codes = codes.collect()
+    assert all(len(r.codes) == m for r in rows_codes)
+    assert all(0 <= c < ksub for r in rows_codes for c in r.codes)
+    got = {r.query_id: r.neighbor_id
+           for r in similarity.pq_topk(qs, cents, codes, k=1,
+                                       m=m, ksub=ksub, d=dim).collect()}
+    hits = sum(got.get(q) == n for q, n in planted.items())
+    assert hits >= 6, (hits, got)
+    # spot-check ADC arithmetic: distance(q0, some vec) must equal the
+    # sum over subspaces of round(d2(q_sub, codebook[code]), 4)
+    q0 = {r.vec_id: r.v for r in qs.collect()}[0]
+    cvs = {(r.subspace, r.centroid_id): r.cv for r in cents.collect()}
+    code0 = {r.vec_id: r.codes for r in rows_codes}[1000]
+    dsub = dim // m
+    want = 0.0
+    for s in range(m):
+        qsub = q0[s * dsub:(s + 1) * dsub]
+        cv = cvs[(s, code0[s])]
+        aa = sum(a * a for a in qsub)
+        ab = sum(a * b for a, b in zip(qsub, cv))
+        bb = sum(b * b for b in cv)
+        want += round(aa - 2 * ab + bb, 4)
+    adc = {(r.query_id, r.neighbor_id): r.pq_dist
+           for r in similarity.pq_topk(qs, cents, codes, k=200,
+                                       m=m, ksub=ksub, d=dim).collect()}
+    assert abs(adc[(0, 1000)] - round(want, 4)) <= 1e-4
