@@ -7,7 +7,7 @@ extraction pipeline, return the triples DataFrame.
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator family
 from SURVEY.md §2 plus the training-data-pipeline operators; oracles are
 DuckDB-ANSI SQL over the same parquet tables (or shared VALUES fixtures).
-All 63 queries carry an oracle; for the two order-sensitive extraction
+All 84 queries carry an oracle; for the two order-sensitive extraction
 outputs (kg_triples/kg_mentions) the oracle scope is the materialization +
 projection half — the pandas extraction half has no SQL form (SURVEY.md
 §2.3) and is pytest-gated instead (P/R = 1.0, determinism,

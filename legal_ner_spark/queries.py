@@ -14,6 +14,7 @@ engines' summation orders cannot flip the value hash.
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1754,7 +1755,7 @@ def q_bm25_index_topk(spark, sf_dir):
     docs = spark.read.parquet(_t(sf_dir, "documents"))
     sf_tag = Path(sf_dir.rstrip("/")).name
     path = str(Path(__file__).resolve().parent.parent / ".artifacts"
-               / f"text_index_{sf_tag}")
+               / f"text_index_{sf_tag}_{os.getpid()}")
     search.build_text_index(docs, path)
     return (search.query_text_index(spark, path, BM25_TERMS, k=20)
             .withColumn("doc_id", F.col("doc_id").cast("bigint")))
@@ -2673,8 +2674,13 @@ def _kg_records(spark, sf_dir):
 # (process, sf_dir) — the extraction stage runs once, not once per query.
 # repo-root-relative (derived from this file), not a hard-coded absolute
 # path — the kg_* query/oracle pairs must work from any checkout location
+# pid-stamped so concurrent processes (pytest + oracle gate + bench on
+# one host) never overwrite each other's materialization mid-read; the
+# oracle SQL below embeds the same path, so query and oracle always
+# agree within a process
 _KG_RECORDS_PATH = str(
-    Path(__file__).resolve().parent.parent / ".artifacts" / "kg_records")
+    Path(__file__).resolve().parent.parent / ".artifacts"
+    / f"kg_records_{os.getpid()}")
 _KG_SQL_SRC = f"read_parquet('{_KG_RECORDS_PATH}/*.parquet')"
 _kg_materialized_for: str | None = None
 
