@@ -1526,6 +1526,33 @@ SELECT doc_id, stratum, sample_key::BIGINT AS sample_key
 FROM keyed WHERE sample_key < rate * 1000000"""
 
 
+def q_conversion_join(spark, sf_dir):
+    """Click→purchase attribution within 1 hour per user — the BATCH
+    twin of the stream-stream time-bounded join (`streaming.
+    conversion_join`); one definition serves backfill and the live
+    stream, and the stream-vs-batch equality test closes the loop."""
+    from .streaming.stream import conversion_join
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    out = conversion_join(ev.filter(F.col("event_type") == "click"),
+                          ev.filter(F.col("event_type") == "purchase"))
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("click_id").cast("bigint").alias("click_id"),
+        F.col("purchase_id").cast("bigint").alias("purchase_id"),
+        "click_ts", "purchase_ts", "purchase_value")
+
+
+def o_conversion_join():
+    return """
+SELECT c.user_id::BIGINT AS user_id, c.event_id::BIGINT AS click_id,
+       p.event_id::BIGINT AS purchase_id, c.ts AS click_ts,
+       p.ts AS purchase_ts, round(p.value, 2) AS purchase_value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR"""
+
+
 def q_corpus_expectations(spark, sf_dir):
     """Data-contract validation gate over documents + events: null keys,
     empty text, out-of-enum event types, null timestamps, negative
@@ -3177,6 +3204,7 @@ QUERIES = {
     "grouped_topk": q_grouped_topk,
     "quality_outliers": q_quality_outliers,
     "corpus_expectations": q_corpus_expectations,
+    "conversion_join": q_conversion_join,
     "similarity_topk": q_similarity_topk,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -3263,6 +3291,7 @@ ORACLES = {
     "grouped_topk": o_grouped_topk(),
     "quality_outliers": o_quality_outliers(),
     "corpus_expectations": o_corpus_expectations(),
+    "conversion_join": o_conversion_join(),
     "similarity_topk": o_similarity_topk(),
     "lang_id": o_lang_id(),
     "quality_score": o_quality_score(),

@@ -161,3 +161,37 @@ def read_kmv_state(spark: SparkSession, state_dir: str,
     return sk.kmv_merge(
         spark.read.parquet(state_dir).select("grp", "_salt", "partial"),
         k=k)
+
+
+def conversion_join(clicks: DataFrame, purchases: DataFrame,
+                    max_gap: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream time-bounded equi-join: purchases attributed to the
+    same user's click within ``max_gap`` — the conversion/attribution
+    join Structured Streaming runs with BOUNDED state.  Both sides are
+    watermarked and the join condition carries the time bound, so the
+    state store retains each side only for watermark + gap (without the
+    bound, a stream-stream join must buffer one side forever).  Inner
+    join ⇒ matches emit as they arrive; the watermark only drives state
+    eviction — so the availableNow backfill equals the batch join
+    exactly (tests/test_resume_stream_media.py pins this equality, and
+    the ORACLED batch twin is the `conversion_join` driver query).
+
+    Input frames must carry (user_id, ts, event_id, value); works on
+    batch frames too (watermarks are no-ops there)."""
+    c = (clicks.select(F.col("user_id"),
+                       F.col("ts").cast("timestamp").alias("click_ts"),
+                       F.col("event_id").alias("click_id"))
+         .withWatermark("click_ts", watermark))
+    p = (purchases.select(F.col("user_id").alias("p_user_id"),
+                          F.col("ts").cast("timestamp").alias("purchase_ts"),
+                          F.col("event_id").alias("purchase_id"),
+                          F.col("value").alias("purchase_value"))
+         .withWatermark("purchase_ts", watermark))
+    return (c.join(p, F.expr(f"""
+        user_id = p_user_id AND
+        purchase_ts >= click_ts AND
+        purchase_ts <= click_ts + INTERVAL {max_gap}"""))
+            .select("user_id", "click_id", "purchase_id",
+                    "click_ts", "purchase_ts",
+                    F.round("purchase_value", 2).alias("purchase_value")))

@@ -415,3 +415,58 @@ def test_snapshot_publish_is_atomic_across_tables(spark, tmp_path):
     # idempotent replay of v2
     publish.publish_tables({"triples": t2a, "stats": t2b}, root, "v2")
     assert publish.read_published(spark, root, "triples").count() == 1
+
+
+def test_stream_stream_conversion_join_matches_batch(spark, tmp_path):
+    """The time-bounded stream-stream join, run as a REAL streaming
+    query (two readStream sides, bounded state via watermarks + the
+    time condition, parquet append sink), must emit exactly the batch
+    join's rows across micro-batch boundaries (clicks and purchases
+    arriving in different files)."""
+    import datetime as dt
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from legal_ner_spark.streaming.stream import conversion_join
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType())])
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, 7, "click", t0, 0.0),
+        (2, 7, "purchase", t0 + 30 * m, 9.5),     # inside 1h -> match
+        (3, 7, "purchase", t0 + 90 * m, 1.0),     # outside 1h of click 1
+        (4, 8, "click", t0 + 5 * m, 0.0),
+        (5, 8, "purchase", t0 + 6 * m, 2.25),     # match
+        (6, 9, "purchase", t0 + 10 * m, 3.0),     # purchase w/o click
+        (7, 7, "click", t0 + 31 * m, 0.0),        # matches purchase 3 only
+    ]
+    df = spark.createDataFrame(rows, schema=schema)
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in
+                             ("in", "out", "ck"))
+    # clicks and purchases land in separate files -> separate batches
+    df.filter("event_type = 'click'").write.mode("append").parquet(in_dir)
+    df.filter("event_type = 'purchase'").write.mode("append") \
+        .parquet(in_dir)
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    joined = conversion_join(src.filter("event_type = 'click'"),
+                             src.filter("event_type = 'purchase'"))
+    q = (joined.writeStream.format("parquet")
+         .option("path", out_dir).option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = {(r.user_id, r.click_id, r.purchase_id, r.purchase_value)
+           for r in spark.read.parquet(out_dir).collect()}
+    want = {(r.user_id, r.click_id, r.purchase_id, r.purchase_value)
+            for r in conversion_join(
+                df.filter("event_type = 'click'"),
+                df.filter("event_type = 'purchase'")).collect()}
+    assert got == want
+    assert got == {(7, 1, 2, 9.5),   # inside the hour
+                   (7, 7, 3, 1.0),   # 2nd click catches the late purchase
+                   (8, 4, 5, 2.25)}  # and nothing else: no (1->3) pair
+                                     # (90m gap) and no user-9 orphan
