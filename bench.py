@@ -88,7 +88,7 @@ def main() -> None:
                      "tpch_q8", "tpch_q10", "tpch_q14", "tpch_q18", "tpch_q19",
                      "nearest_prior_link", "dedup_exact", "dedup_minhash_lsh", "near_dedup",
                      "simhash_pairs", "embedding_near_pairs", "similarity_topk",
-                     "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_q_topk", "ann_pq_topk",
+                     "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_q_topk", "ann_pq_topk", "ann_ivfpq_topk",
                      "contamination",
                      "pack_shards", "prepare_training_corpus",
                      "quality_score", "doc_fingerprint",

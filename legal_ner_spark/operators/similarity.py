@@ -454,3 +454,53 @@ def pq_topk(queries: DataFrame, cents: DataFrame, codes: DataFrame,
             .filter(f"rnk <= {k}")
             .select("query_id", F.col("vec_id").alias("neighbor_id"),
                     "pq_dist", F.col("rnk").cast("int").alias("rnk")))
+
+
+def ivfpq_topk(queries: DataFrame, cands: DataFrame, k: int = 5,
+               n_centroids: int = 8, n_probe: int = 2, m: int = 4,
+               ksub: int = 16, d: int = 64) -> DataFrame:
+    """IVF-PQ (the FAISS `IVFx,PQy` layout, no-residual variant): the
+    coarse quantizer prunes candidates to the probed inverted lists —
+    1/n_centroids of the corpus per probe — and PQ ADC scores ONLY those
+    candidates, so query cost is (pruned candidate count) × m array
+    lookups with zero full-width float math after the probe step.  Both
+    stages reuse their standalone deterministic constructions
+    (`ivf_centroids`/`ivf_assign`, `pq_centroids`/`pq_encode`), so the
+    composition stays SQL-oracle-able end-to-end.  Returned distance is
+    the PQ approximation (rounded, neighbor tie-break); rerank against
+    the float store (as `ann_ivf_q_topk` does for int8) if exact order
+    matters."""
+    coarse = ivf_centroids(cands, n_centroids)
+    lists = (ivf_assign(cands, coarse, n_probe=1)
+             .select(F.col("vec_id").alias("neighbor_id"), "centroid_id"))
+    cents = pq_centroids(cands, m=m, ksub=ksub, d=d)
+    codes = pq_encode(cands, cents, m=m, d=d)
+    probes = (ivf_assign(queries, coarse, n_probe=n_probe)
+              .select(F.col("vec_id").alias("query_id"), "centroid_id"))
+    cand_pairs = (probes.join(lists, "centroid_id")
+                  .select("query_id", "neighbor_id").distinct())
+    dsub = d // m
+    qsub = _subspace_explode(
+        queries.select(F.col("vec_id").alias("query_id"), "v"),
+        "v", m, dsub)
+    qd = (qsub.join(F.broadcast(cents), "subspace")
+          .withColumn("d2", F.round(_d2_expr("sv", "cv"), 4)))
+    dtab = (qd.groupBy("query_id")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("subspace", "centroid_id", "d2"))),
+                lambda x: x["d2"]).alias("dtab")))
+    adc = (f"aggregate(zip_with(codes, sequence(0, {m - 1}), "
+           f"(c, s) -> element_at(dtab, s * {ksub} + c + 1)), "
+           f"0D, (acc, x) -> acc + x)")
+    scored = (cand_pairs
+              .join(codes.withColumnRenamed("vec_id", "neighbor_id"),
+                    "neighbor_id")
+              .join(F.broadcast(dtab), "query_id")
+              .withColumn("pq_dist", F.round(F.expr(adc), 4)))
+    w = Window.partitionBy("query_id").orderBy(F.col("pq_dist").asc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(f"rnk <= {k}")
+            .select("query_id", "neighbor_id", "pq_dist",
+                    F.col("rnk").cast("int").alias("rnk")))

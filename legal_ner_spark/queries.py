@@ -2566,6 +2566,106 @@ SELECT query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id,
 ) WHERE rnk <= 5"""
 
 
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composition (FAISS `IVF8,PQ4` shape, no-residual): coarse
+    probes prune to ~n_probe/n_centroids of the corpus, PQ ADC scores
+    only the pruned candidates — the layout that serves 10^12 vectors
+    from codes.  Both stages reuse their standalone deterministic
+    constructions, so the whole composition is value-exact vs DuckDB."""
+    from .operators import similarity
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    qs = similarity.prepare_vectors(emb.filter(F.col("vec_id") < 5))
+    cs = similarity.prepare_vectors(emb.filter(F.col("vec_id") >= 5))
+    return (similarity.ivfpq_topk(qs, cs, k=5, n_centroids=8, n_probe=2,
+                                  m=4, ksub=16, d=64)
+            .select(F.col("query_id").cast("bigint").alias("query_id"),
+                    F.col("neighbor_id").cast("bigint")
+                    .alias("neighbor_id"),
+                    "pq_dist", "rnk"))
+
+
+def o_ann_ivfpq_topk():
+    cos = ("round(list_dot_product({a}, {b}) / "
+           "(sqrt(list_dot_product({a}, {a})) * "
+           "sqrt(list_dot_product({b}, {b}))), 4)")
+    d2 = ("round(list_dot_product({a}, {a}) "
+          "- 2 * list_dot_product({a}, {b}) "
+          "+ list_dot_product({b}, {b}), 4)")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+coarse AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, v AS cv
+  FROM (SELECT * FROM e WHERE vec_id >= 5 ORDER BY vec_id LIMIT 8)
+),
+lists AS (
+  SELECT vec_id AS neighbor_id, centroid_id FROM (
+    SELECT c.vec_id, ct.centroid_id,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY {cos.format(a='c.v', b='ct.cv')} DESC,
+                      ct.centroid_id ASC) AS crn
+    FROM e c CROSS JOIN coarse ct WHERE c.vec_id >= 5)
+  WHERE crn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, centroid_id FROM (
+    SELECT q.vec_id, ct.centroid_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY {cos.format(a='q.v', b='ct.cv')} DESC,
+                      ct.centroid_id ASC) AS crn
+    FROM e q CROSS JOIN coarse ct WHERE q.vec_id < 5)
+  WHERE crn <= 2
+),
+cand AS (
+  SELECT DISTINCT p.query_id, l.neighbor_id
+  FROM probes p JOIN lists l USING (centroid_id)
+),
+sub AS (
+  SELECT vec_id, s.subspace,
+         list_slice(v, s.subspace * 16 + 1, s.subspace * 16 + 16) AS sv
+  FROM e, (SELECT unnest(generate_series(0, 3)) AS subspace) s
+),
+pqcents AS (
+  SELECT sub.subspace, seeds.pq_centroid_id, sub.sv AS cv
+  FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1
+             AS pq_centroid_id
+    FROM (SELECT vec_id FROM e WHERE vec_id >= 5 ORDER BY vec_id LIMIT 16)
+  ) seeds JOIN sub USING (vec_id)
+),
+enc AS (
+  SELECT vec_id, subspace, pq_centroid_id AS code FROM (
+    SELECT s.vec_id, s.subspace, c.pq_centroid_id,
+           row_number() OVER (PARTITION BY s.vec_id, s.subspace
+             ORDER BY {d2.format(a='s.sv', b='c.cv')} ASC,
+                      c.pq_centroid_id ASC) AS rn
+    FROM sub s JOIN pqcents c USING (subspace)
+    WHERE s.vec_id >= 5)
+  WHERE rn = 1
+),
+qd AS (
+  SELECT s.vec_id AS query_id, s.subspace, c.pq_centroid_id,
+         {d2.format(a='s.sv', b='c.cv')} AS d2
+  FROM sub s JOIN pqcents c USING (subspace)
+  WHERE s.vec_id < 5
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id, round(sum(q.d2), 4) AS pq_dist
+  FROM cand
+  JOIN enc ON enc.vec_id = cand.neighbor_id
+  JOIN qd q ON q.query_id = cand.query_id
+           AND q.subspace = enc.subspace
+           AND q.pq_centroid_id = enc.code
+  GROUP BY 1, 2
+)
+SELECT query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id,
+       pq_dist, rnk FROM (
+  SELECT query_id, neighbor_id, pq_dist,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY pq_dist ASC, neighbor_id ASC)::INT AS rnk
+  FROM scored
+) WHERE rnk <= 5"""
+
+
 def q_ingest_clean(spark, sf_dir):
     """Ingest text-hygiene chain (data_preparation.py:175-181,240-252)."""
     from .operators.ingest import clean_judgment_text
@@ -3222,6 +3322,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_q_topk": q_ann_ivf_q_topk,
     "ann_pq_topk": q_ann_pq_topk,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "contamination": q_contamination,
     "pii_redact": q_pii_redact,
     "pack_shards": q_pack_shards,
@@ -3309,6 +3410,7 @@ ORACLES = {
     "ann_ivf_topk": o_ann_ivf_topk(),
     "ann_ivf_q_topk": o_ann_ivf_q_topk(),
     "ann_pq_topk": o_ann_pq_topk(),
+    "ann_ivfpq_topk": o_ann_ivfpq_topk(),
     "contamination": o_contamination(),
     "pii_redact": o_pii_redact(),
     "pack_shards": o_pack_shards(),

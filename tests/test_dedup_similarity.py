@@ -642,3 +642,44 @@ def test_pq_codes_and_adc_recall(spark):
            for r in similarity.pq_topk(qs, cents, codes, k=200,
                                        m=m, ksub=ksub, d=dim).collect()}
     assert abs(adc[(0, 1000)] - round(want, 4)) <= 1e-4
+
+
+def test_ivfpq_prunes_and_still_finds_planted_neighbors(spark):
+    """IVF-PQ must (a) score only candidates from probed lists — the
+    result set for each query is a subset of the probed-lists corpus, so
+    with k larger than a list, fewer than k rows can come back — and
+    (b) keep high top-1 recall on planted near-duplicates (query and
+    near-dup share a coarse cell AND a PQ neighborhood)."""
+    import random
+    rng = random.Random(13)
+    dim = 32
+
+    def vec():
+        return [rng.gauss(0, 1) for _ in range(dim)]
+
+    rows, planted = [], {}
+    for qid in range(8):
+        v = vec()
+        rows.append((qid, v))
+        rows.append((1000 + qid, [x + rng.gauss(0, 0.02) for x in v]))
+        planted[qid] = 1000 + qid
+    for i in range(150):
+        rows.append((2000 + i, vec()))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qs = similarity.prepare_vectors(emb.filter(F.col("vec_id") < 100))
+    cs = similarity.prepare_vectors(emb.filter(F.col("vec_id") >= 100))
+    top1 = {r.query_id: r.neighbor_id
+            for r in similarity.ivfpq_topk(qs, cs, k=1, n_centroids=8,
+                                           n_probe=2, m=4, ksub=8,
+                                           d=dim).collect()}
+    hits = sum(top1.get(q) == n for q, n in planted.items())
+    assert hits >= 6, (hits, top1)
+    # pruning is real: asking for the full corpus per query returns only
+    # the probed-lists subset, strictly fewer than the corpus size
+    allk = similarity.ivfpq_topk(qs, cs, k=10_000, n_centroids=8,
+                                 n_probe=2, m=4, ksub=8, d=dim)
+    per_q = {r.query_id: r.n for r in
+             allk.groupBy("query_id").agg(F.count("*").alias("n"))
+             .collect()}
+    n_corpus = cs.count()
+    assert all(0 < n < n_corpus for n in per_q.values()), per_q
