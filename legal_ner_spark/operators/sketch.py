@@ -87,3 +87,52 @@ def kmv_sketch(df: DataFrame, group_col: str, value_col: str,
     return the EXACT count (the sketch holds every hash)."""
     return kmv_merge(kmv_partial(df, group_col, value_col,
                                  k=k, n_salts=n_salts), k=k)
+
+
+def cms_build(df: DataFrame, value_col: str, weight_col: str | None = None,
+              depth: int = 4, width: int = 256) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) as a relation:
+    one row per (row_idx, col_idx) cell with the summed weight of items
+    hashing there.  depth independent hash rows come from salting the
+    same md5 (engine-neutral, like the KMV hash); merging two sketches
+    is a union + groupBy-sum (tested), so per-partition / per-day
+    sketches roll up without the raw stream.  The whole build is ONE
+    aggregation of (depth × |input|) narrow rows — at most depth·width
+    cells survive, bounded state no matter the input size."""
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r")
+    w = F.lit(1).cast("bigint") if weight_col is None \
+        else F.col(weight_col).cast("bigint")
+    keyed = (df.select(F.col(value_col).cast("string").alias("item"),
+                       w.alias("w"))
+             .select("item", "w", rows)
+             .withColumn("c", _cms_col(F.col("item"), F.col("r"), width)))
+    return (keyed.groupBy("r", "c")
+            .agg(F.sum("w").cast("bigint").alias("cnt")))
+
+
+def _cms_col(item: F.Column, row: F.Column, width: int) -> F.Column:
+    """Column index of ``item`` in hash row ``row``: first 8 md5 hex
+    digits of 'r|item' mod width (DuckDB:
+    ('0x' || substr(md5(r || '|' || item), 1, 8))::UBIGINT % width)."""
+    return F.pmod(
+        F.conv(F.substring(
+            F.md5(F.concat_ws("|", row.cast("string"), item)), 1, 8),
+            16, 10).cast("bigint"),
+        F.lit(width))
+
+
+def cms_query(sketch: DataFrame, probes: DataFrame, value_col: str,
+              depth: int = 4, width: int = 256) -> DataFrame:
+    """Point-estimate counts for probe items: min over the depth rows of
+    the probed cells (the count-min bound: est >= true, over-count
+    ≤ 2·N/width with prob 1 - 2^-depth).  The sketch side is at most
+    depth×width rows — broadcast — so probing is map-side."""
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r")
+    keyed = (probes.select(F.col(value_col).cast("string").alias("item"))
+             .distinct()
+             .select("item", rows)
+             .withColumn("c", _cms_col(F.col("item"), F.col("r"), width)))
+    return (keyed.join(F.broadcast(sketch), ["r", "c"], "left")
+            .groupBy("item")
+            .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("bigint")
+                 .alias("est")))

@@ -1730,6 +1730,46 @@ SELECT event_type, len(sketch)::BIGINT AS sketch_size,
 FROM sk"""
 
 
+def q_cms_freq(spark, sf_dir):
+    """Count-min-sketch point frequencies: build a depth=4 × width=256
+    CMS over events.user_id (ONE bounded aggregation — at most
+    depth·width cells survive regardless of input size), then probe the
+    first 32 user ids map-side against the broadcast sketch.  The oracle
+    rebuilds the sketch cell-exactly from the same md5 hash family, so
+    the gate covers the sketch contents, not a tolerance band; estimates
+    are upper bounds (est ≥ true) by construction."""
+    from .operators import sketch
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    cms = sketch.cms_build(ev, "user_id", depth=4, width=256)
+    probes = spark.range(1, 33).withColumnRenamed("id", "user_id")
+    return (sketch.cms_query(cms, probes, "user_id", depth=4, width=256)
+            .select(F.col("item").cast("bigint").alias("user_id"), "est"))
+
+
+def o_cms_freq():
+    return """
+WITH rs AS (SELECT unnest(generate_series(0, 3)) AS r),
+cells AS (
+  SELECT r,
+         ('0x' || substr(md5(r::VARCHAR || '|' || user_id::VARCHAR),
+                         1, 8))::UBIGINT % 256 AS c,
+         count(*)::BIGINT AS cnt
+  FROM events CROSS JOIN rs
+  GROUP BY r, c
+),
+probes AS (SELECT unnest(generate_series(1, 32)) AS user_id),
+pc AS (
+  SELECT user_id, r,
+         ('0x' || substr(md5(r::VARCHAR || '|' || user_id::VARCHAR),
+                         1, 8))::UBIGINT % 256 AS c
+  FROM probes CROSS JOIN rs
+)
+SELECT user_id::BIGINT AS user_id,
+       min(coalesce(cnt, 0))::BIGINT AS est
+FROM pc LEFT JOIN cells USING (r, c)
+GROUP BY user_id"""
+
+
 BM25_TERMS = ["join", "merge", "vector", "spark"]
 
 
@@ -3301,6 +3341,7 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "bm25_index_topk": q_bm25_index_topk,
     "kmv_distinct": q_kmv_distinct,
+    "cms_freq": q_cms_freq,
     "grouped_topk": q_grouped_topk,
     "quality_outliers": q_quality_outliers,
     "corpus_expectations": q_corpus_expectations,
@@ -3389,6 +3430,7 @@ ORACLES = {
     "bm25_topk": o_bm25_topk(),
     "bm25_index_topk": o_bm25_topk(),
     "kmv_distinct": o_kmv_distinct(),
+    "cms_freq": o_cms_freq(),
     "grouped_topk": o_grouped_topk(),
     "quality_outliers": o_quality_outliers(),
     "corpus_expectations": o_corpus_expectations(),

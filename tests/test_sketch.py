@@ -1,5 +1,6 @@
-"""KMV cardinality sketch: mergeability, exact small-group path, and
-estimator accuracy."""
+"""KMV cardinality sketch (mergeability, exact small-group path,
+estimator accuracy) and count-min sketch (upper-bound guarantee,
+mergeability, bounded state)."""
 
 from pyspark.sql import functions as F
 
@@ -59,3 +60,55 @@ def test_kmv_salting_bounds_partial_width(spark):
               sketch.kmv_partial(_rows(spark, pairs), "grp", "val",
                                  k=32, n_salts=4).collect()]
     assert len(widths) == 4 and all(w == 32 for w in widths)
+
+
+def _items(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], ["item"])
+
+
+def test_cms_estimate_is_upper_bound_and_often_exact(spark):
+    """CMS point queries never under-count (min over depth rows of summed
+    cells), and with width 256 ≫ 50 distinct items, no collisions means
+    every estimate is exactly the true count here."""
+    vals = [v % 50 for v in range(5000)]
+    cms = sketch.cms_build(_items(spark, vals), "item",
+                           depth=4, width=256)
+    est = {int(r.item): r.est
+           for r in sketch.cms_query(cms, _items(spark, range(50)),
+                                     "item", depth=4,
+                                     width=256).collect()}
+    true = {v: vals.count(v) for v in range(50)}
+    assert all(est[v] >= true[v] for v in range(50))
+    assert est == true  # collision-free at this load factor
+
+
+def test_cms_merge_equals_whole(spark):
+    """THE sketch property: sketches over two disjoint halves, unioned
+    and groupBy-summed, must equal the one-pass sketch cell-for-cell —
+    per-partition/per-day sketches roll up without the raw stream."""
+    df = _items(spark, [v % 97 for v in range(10000)])
+    whole = {(r.r, r.c): r.cnt
+             for r in sketch.cms_build(df, "item", depth=4,
+                                       width=64).collect()}
+    p1 = sketch.cms_build(df.filter(F.col("item") % 2 == 0), "item",
+                          depth=4, width=64)
+    p2 = sketch.cms_build(df.filter(F.col("item") % 2 == 1), "item",
+                          depth=4, width=64)
+    merged = {(r.r, r.c): r.cnt
+              for r in p1.unionByName(p2).groupBy("r", "c")
+              .agg(F.sum("cnt").alias("cnt")).collect()}
+    assert merged == whole
+
+
+def test_cms_state_bounded_and_unseen_items_zero(spark):
+    """The sketch never exceeds depth×width cells no matter the input,
+    and probing an item that never occurred returns 0 when its cells are
+    empty (guaranteed here: 3 distinct items can't fill a row)."""
+    cms = sketch.cms_build(_items(spark, [1, 2, 3] * 100), "item",
+                           depth=3, width=512)
+    assert cms.count() <= 3 * 512
+    est = {int(r.item): r.est
+           for r in sketch.cms_query(cms, _items(spark, [99999]),
+                                     "item", depth=3,
+                                     width=512).collect()}
+    assert est[99999] == 0
