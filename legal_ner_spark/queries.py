@@ -641,6 +641,169 @@ FROM (
 GROUP BY c_count"""
 
 
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 shape (shipping-priority audit): big-big shuffle join
+    orders↔lineitem with the year filter pushed into the lineitem scan,
+    conditional counts by priority class per line status.  The driver's
+    lineitem has no l_shipmode/receiptdate, so the group key is
+    l_linestatus and the date window is on l_shipdate (same plan
+    shape, per the q13 precedent)."""
+    li = (spark.read.parquet(_t(sf_dir, "lineitem"))
+          .filter((F.col("l_shipdate") >= "1996-01-01")
+                  & (F.col("l_shipdate") < "1997-01-01")))
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(urgent, 1).otherwise(0)).cast("bigint")
+                 .alias("high_line_count"),
+                 F.sum(F.when(urgent, 0).otherwise(1)).cast("bigint")
+                 .alias("low_line_count")))
+
+
+def o_tpch_q12():
+    return """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+         ::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority <> '1-URGENT' THEN 1 ELSE 0 END)
+         ::BIGINT AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+GROUP BY l_linestatus"""
+
+
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 (top supplier): quarterly revenue per supplier, then
+    the argmax via a 1-row broadcast max joined back — the
+    scalar-subquery plan that avoids any global sort.  Revenue rounds
+    to 2dp BEFORE the max on both engines so the comparison is
+    value-exact."""
+    li = (spark.read.parquet(_t(sf_dir, "lineitem"))
+          .filter((F.col("l_shipdate") >= "1996-01-01")
+                  & (F.col("l_shipdate") < "1996-04-01")))
+    rev = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+           .agg(F.round(F.sum(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))), 2)
+                .alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("total_revenue"))
+    sup = spark.read.parquet(_t(sf_dir, "supplier"))
+    return (rev.join(F.broadcast(mx), "total_revenue")
+            .join(F.broadcast(sup),
+                  F.col("supplier_no") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name", "total_revenue"))
+
+
+def o_tpch_q15():
+    return """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)"""
+
+
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for 'F'
+    orders, late lines (ship lag > 60 days — the driver's lineitem has
+    no receipt/commit dates, so lateness is l_shipdate vs o_orderdate;
+    same plan shape) whose order HAS another supplier (the EXISTS) but
+    NO other late supplier (the NOT EXISTS).  Both correlated
+    subqueries collapse into ONE per-order aggregate over the same
+    late-flagged join — distinct-supplier and distinct-late-supplier
+    counts — instead of two more passes over lineitem; supplier+nation
+    broadcast."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    orders = (spark.read.parquet(_t(sf_dir, "orders"))
+              .filter(F.col("o_orderstatus") == "F")
+              .select("o_orderkey", "o_orderdate"))
+    lines = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+             .withColumn("late",
+                         F.datediff(F.to_date("l_shipdate"),
+                                    F.to_date("o_orderdate")) > 60))
+    ordstats = (lines.groupBy("l_orderkey")
+                .agg(F.countDistinct("l_suppkey").alias("nsupp"),
+                     F.countDistinct(
+                         F.when(F.col("late"), F.col("l_suppkey")))
+                     .alias("nlate")))
+    sup = spark.read.parquet(_t(sf_dir, "supplier"))
+    nat = spark.read.parquet(_t(sf_dir, "nation"))
+    sn = (sup.join(nat, sup.s_nationkey == nat.n_nationkey)
+          .filter(F.col("n_name") == "NATION_3")
+          .select("s_suppkey", "s_name"))
+    return (lines.filter("late")
+            .join(ordstats.filter((F.col("nsupp") >= 2)
+                                  & (F.col("nlate") == 1)),
+                  "l_orderkey")
+            .join(F.broadcast(sn),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("numwait")))
+
+
+def o_tpch_q21():
+    return """
+WITH lines AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         datediff('day', o.o_orderdate::DATE, l.l_shipdate::DATE) > 60
+           AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+)
+SELECT s.s_name, count(*)::BIGINT AS numwait
+FROM lines l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE l1.late AND n.n_name = 'NATION_3'
+  AND EXISTS (SELECT 1 FROM lines l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lines l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+GROUP BY s.s_name"""
+
+
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity): customers with
+    above-average positive balance and no RECENT orders — scalar-average
+    broadcast + left-anti join on o_custkey, grouped by nation (the
+    driver's customer has no c_phone country code, and every customer
+    has SOME order, so dormancy is 'none since 1999'; same plan shape —
+    the date filter pushes into the orders scan before the anti join)."""
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    orders = (spark.read.parquet(_t(sf_dir, "orders"))
+              .filter(F.col("o_orderdate") >= "1999-01-01"))
+    avg_bal = (cust.filter(F.col("c_acctbal") > 0.0)
+               .agg(F.avg("c_acctbal").alias("__avg")))
+    return (cust.crossJoin(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("__avg"))
+            .join(orders.select(F.col("o_custkey").alias("c_custkey")),
+                  "c_custkey", "left_anti")
+            .groupBy(F.col("c_nationkey").cast("bigint")
+                     .alias("cntrycode"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("numcust"),
+                 F.round(F.sum("c_acctbal"), 2).alias("totacctbal")))
+
+
+def o_tpch_q22():
+    return """
+SELECT c_nationkey::BIGINT AS cntrycode, count(*)::BIGINT AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                   WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= '1999-01-01')
+GROUP BY c_nationkey"""
+
+
 def q_windowed_counts(spark, sf_dir):
     """The streaming windowed-agg operator on its batch leg (watermark is
     a no-op on batch): tumbling 10-minute counts per event_type — one
@@ -2154,6 +2317,211 @@ FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b
 WHERE {cos} >= 0.35"""
 
 
+def q_range_partition_hist(spark, sf_dir):
+    """Deterministic range-partition plan: md5-hash sample of orders
+    (retry/resume-stable — Spark's own RangePartitioner sample is not
+    reproducible), equal-depth cuts at integer-exact ranks
+    ceil(i·n/32), then every row routed bucket = #cuts < value via ONE
+    broadcast cut array — zero shuffles of the table (plan-audited).
+    The histogram output exposes the planned layout: per-bucket row
+    count and [lo, hi] value range.  Oracle rebuilds sample, cuts, and
+    routing from the same hash family — bit-exact, no float
+    interpolation anywhere."""
+    from .plans import partitioning as rp
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    cuts = rp.range_cuts(orders, "o_totalprice", "o_orderkey",
+                         n_buckets=32, sample_rate=0.05)
+    b = rp.assign_buckets(orders, "o_totalprice", cuts)
+    return (b.groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                 F.round(F.min("o_totalprice"), 2).alias("lo"),
+                 F.round(F.max("o_totalprice"), 2).alias("hi")))
+
+
+def o_range_partition_hist():
+    return """
+WITH sample AS (
+  SELECT o_totalprice AS v FROM orders
+  WHERE ('0x' || substr(md5('rp1' || o_orderkey::VARCHAR),
+                        1, 8))::UBIGINT % 1000000 < 50000
+),
+ranked AS (
+  SELECT v, row_number() OVER (ORDER BY v) AS rn,
+         count(*) OVER () AS n
+  FROM sample
+),
+positions AS (
+  SELECT DISTINCT ceil(i * (SELECT count(*) FROM sample) / 32) AS p
+  FROM (SELECT unnest(generate_series(1, 31)) AS i)
+),
+cuts AS (SELECT v AS cut FROM ranked JOIN positions ON rn = p),
+b AS (
+  SELECT o_totalprice,
+         (SELECT count(*) FROM cuts WHERE cut < o_totalprice) AS bucket
+  FROM orders
+)
+SELECT bucket::BIGINT AS bucket, count(*)::BIGINT AS n_rows,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM b GROUP BY bucket"""
+
+
+def q_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) clustering layout — the multi-dimension file
+    layout behind Delta/Iceberg OPTIMIZE ZORDER: each dimension
+    range-bucketed to 4 bits via deterministic sampled cuts, bits
+    interleaved into zkey by pure Catalyst shift/AND arithmetic (zero
+    shuffles), then the planned layout exposed as 32 zkey ranges with
+    their zone maps (min/max per dimension).  Tight boxes in BOTH
+    dimensions at once are what make single-column predicates prune
+    files under either column — test_partitioning.py measures the
+    pruning win against a 1-d sorted layout.  Oracle rebuilds samples,
+    cuts, buckets, and the interleave bit-for-bit."""
+    from .plans import partitioning as rp
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    cuts_p = rp.range_cuts(orders, "o_totalprice", "o_orderkey",
+                           n_buckets=16, sample_rate=0.05, salt="z1")
+    cuts_c = rp.range_cuts(orders, "o_custkey", "o_orderkey",
+                           n_buckets=16, sample_rate=0.05, salt="z2")
+    b = rp.assign_buckets(orders, "o_totalprice", cuts_p, "bp")
+    b = rp.assign_buckets(b, "o_custkey", cuts_c, "bc")
+    z = rp.zorder_key(b, ["bp", "bc"], bits=4)
+    return (z.groupBy(F.floor(F.col("zkey") / 8).cast("bigint")
+                      .alias("zrange"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                 F.round(F.min("o_totalprice"), 2).alias("price_lo"),
+                 F.round(F.max("o_totalprice"), 2).alias("price_hi"),
+                 F.min("o_custkey").cast("bigint").alias("cust_lo"),
+                 F.max("o_custkey").cast("bigint").alias("cust_hi")))
+
+
+def o_zorder_layout():
+    interleave = " + ".join(
+        f"(((bp >> {j}) & 1) << {2 * j}) + (((bc >> {j}) & 1) << {2 * j + 1})"
+        for j in range(4))
+    return f"""
+WITH sp AS (
+  SELECT o_totalprice AS v FROM orders
+  WHERE ('0x' || substr(md5('z1' || o_orderkey::VARCHAR),
+                        1, 8))::UBIGINT % 1000000 < 50000
+),
+rp_ AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM sp),
+pp AS (SELECT DISTINCT ceil(i * (SELECT count(*) FROM sp) / 16) AS p
+       FROM (SELECT unnest(generate_series(1, 15)) AS i)),
+cp AS (SELECT v AS cut FROM rp_ JOIN pp ON rn = p),
+sc AS (
+  SELECT o_custkey AS v FROM orders
+  WHERE ('0x' || substr(md5('z2' || o_orderkey::VARCHAR),
+                        1, 8))::UBIGINT % 1000000 < 50000
+),
+rc AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM sc),
+pc_ AS (SELECT DISTINCT ceil(i * (SELECT count(*) FROM sc) / 16) AS p
+        FROM (SELECT unnest(generate_series(1, 15)) AS i)),
+cc AS (SELECT v AS cut FROM rc JOIN pc_ ON rn = p),
+b AS (
+  SELECT o_totalprice, o_custkey,
+         (SELECT count(*) FROM cp WHERE cut < o_totalprice) AS bp,
+         (SELECT count(*) FROM cc WHERE cut < o_custkey) AS bc
+  FROM orders
+),
+z AS (SELECT *, {interleave} AS zkey FROM b)
+SELECT (zkey // 8)::BIGINT AS zrange, count(*)::BIGINT AS n_rows,
+       round(min(o_totalprice), 2) AS price_lo,
+       round(max(o_totalprice), 2) AS price_hi,
+       min(o_custkey)::BIGINT AS cust_lo,
+       max(o_custkey)::BIGINT AS cust_hi
+FROM z GROUP BY 1"""
+
+
+CDC_CUTOFF = "2024-01-16 00:00:00"
+
+
+def q_cdc_user_state(spark, sf_dir):
+    """CDC change-log replay with tombstones: events become an op stream
+    (signup→I, error→D, else U) applied in TWO stages — snapshot from
+    the first half-month, then the second half applied over it — and the
+    oracle folds the WHOLE log in one pass.  Their equality is the
+    composition law that makes incremental daily applies equivalent to a
+    full rebuild (also pinned by test_maintenance.py on adversarial
+    delete/re-insert logs).  Scale shape: one hash exchange per side,
+    folded window reuses the changes-side partitioning."""
+    from .plans import maintenance as mt
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    ops_df = ev.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "ts", F.col("event_id").cast("bigint").alias("event_id"),
+        F.when(F.col("event_type") == "signup", "I")
+         .when(F.col("event_type") == "error", "D")
+         .otherwise("U").alias("op"),
+        F.col("event_type").alias("last_type"),
+        F.round("value", 4).alias("last_value"))
+    cut = F.lit(CDC_CUTOFF).cast("timestamp")
+    empty = spark.createDataFrame(
+        [], "user_id bigint, last_type string, last_value double")
+    base = mt.cdc_apply(empty, ops_df.filter(F.col("ts") < cut),
+                        ["user_id"], ["last_type", "last_value"],
+                        ["ts", "event_id"])
+    return mt.cdc_apply(base, ops_df.filter(F.col("ts") >= cut),
+                        ["user_id"], ["last_type", "last_value"],
+                        ["ts", "event_id"])
+
+
+def o_cdc_user_state():
+    return """
+WITH ops AS (
+  SELECT user_id::BIGINT AS user_id, ts, event_id,
+         CASE event_type WHEN 'signup' THEN 'I'
+                         WHEN 'error' THEN 'D' ELSE 'U' END AS op,
+         event_type AS last_type, round(value, 4) AS last_value
+  FROM events
+), latest AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM ops
+)
+SELECT user_id, last_type, last_value
+FROM latest WHERE rn = 1 AND op <> 'D'"""
+
+
+def q_scd2_user_runs(spark, sf_dir):
+    """SCD-2 dimension build: change-point compress each user's event
+    log into runs of identical event_type with [valid_from, valid_to)
+    intervals (NULL valid_to = current version) — the dimension shape an
+    as-of join consumes.  One exchange end to end: the run filter and
+    both window passes share the user_id hash partitioning (plan-audited
+    in test_maintenance.py)."""
+    from .plans import maintenance as mt
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    out = mt.scd2_versions(ev, ["user_id"], "event_type", "ts",
+                           tie_cols=["event_id"])
+    return out.select(F.col("user_id").cast("bigint").alias("user_id"),
+                      F.col("version_n").cast("bigint").alias("version_n"),
+                      "attr", "valid_from", "valid_to")
+
+
+def o_scd2_user_runs():
+    return """
+WITH o AS (
+  SELECT user_id::BIGINT AS user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), runs AS (
+  SELECT user_id, ts AS valid_from, event_id, event_type FROM o
+  WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+)
+SELECT user_id,
+       row_number() OVER (PARTITION BY user_id
+                          ORDER BY valid_from, event_id)::BIGINT
+         AS version_n,
+       event_type AS attr, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id
+                              ORDER BY valid_from, event_id) AS valid_to
+FROM runs"""
+
+
 def q_user_last_event(spark, sf_dir):
     """CDC/upsert compaction: the LATEST event per user (ts desc,
     event_id desc tie-break) — the state-table view a streaming upsert
@@ -3326,10 +3694,18 @@ QUERIES = {
     "tpch_q14": q_tpch_q14,
     "tpch_q18": q_tpch_q18,
     "tpch_q19": q_tpch_q19,
+    "tpch_q12": q_tpch_q12,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q21": q_tpch_q21,
+    "tpch_q22": q_tpch_q22,
     "windowed_counts": q_windowed_counts,
     "sessionize": q_sessionize,
     "session_window_counts": q_session_window_counts,
     "user_last_event": q_user_last_event,
+    "cdc_user_state": q_cdc_user_state,
+    "scd2_user_runs": q_scd2_user_runs,
+    "range_partition_hist": q_range_partition_hist,
+    "zorder_layout": q_zorder_layout,
     "interval_events": q_interval_events,
     "rolling_events": q_rolling_events,
     "dedup_exact": q_dedup_exact,
@@ -3415,10 +3791,18 @@ ORACLES = {
     "tpch_q14": o_tpch_q14(),
     "tpch_q18": o_tpch_q18(),
     "tpch_q19": o_tpch_q19(),
+    "tpch_q12": o_tpch_q12(),
+    "tpch_q15": o_tpch_q15(),
+    "tpch_q21": o_tpch_q21(),
+    "tpch_q22": o_tpch_q22(),
     "windowed_counts": o_windowed_counts(),
     "sessionize": o_sessionize(),
     "session_window_counts": o_session_window_counts(),
     "user_last_event": o_user_last_event(),
+    "cdc_user_state": o_cdc_user_state(),
+    "scd2_user_runs": o_scd2_user_runs(),
+    "range_partition_hist": o_range_partition_hist(),
+    "zorder_layout": o_zorder_layout(),
     "interval_events": o_interval_events(),
     "rolling_events": o_rolling_events(),
     "dedup_exact": o_dedup_exact(),
