@@ -99,7 +99,10 @@ def main() -> None:
                      "interval_events", "digest_prune_agg", "kg_kcore",
                      "session_window_counts",
                      "duplicate_passages", "bm25_topk", "bm25_index_topk", "kmv_distinct",
-                     "corpus_expectations", "grouped_topk", "quality_outliers"]
+                     "corpus_expectations", "grouped_topk", "quality_outliers",
+                     "cms_freq", "cdc_user_state", "scd2_user_runs",
+                     "range_partition_hist", "zorder_layout",
+                     "tpch_q12", "tpch_q15", "tpch_q21", "tpch_q22"]
     for name in bench_queries:
         timings[name] = round(best_of(
             lambda: queries.QUERIES[name](spark, sf_dir).count()), 3)

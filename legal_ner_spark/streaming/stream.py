@@ -163,6 +163,53 @@ def read_kmv_state(spark: SparkSession, state_dir: str,
         k=k)
 
 
+def stream_cdc_state(spark: SparkSession, changes_dir: str, state_dir: str,
+                     checkpoint_dir: str, schema,
+                     key_cols: tuple, value_cols: tuple, seq_cols: tuple,
+                     op_col: str = "op",
+                     max_files_per_trigger: int = 4) -> StreamingQuery:
+    """Incremental CDC materialization over an unbounded change stream
+    WITHOUT a state store: each micro-batch writes its own FOLDED
+    partial (latest change per key within the batch, op and seq kept)
+    to an idempotent ``batch=<id>`` partition — replay overwrites,
+    never duplicates, the same exactly-once recipe as
+    ``stream_extract``.  Because ``fold_changes`` keys the winner on the
+    log's total order (seq_cols), folding partials-of-partials equals
+    folding the whole log — the associativity that lets per-batch state
+    stay APPEND-ONLY (no read-modify-write races) and lets compaction
+    rewrite many batch partitions into one partial at any time.
+    ``read_cdc_state`` is the serving view; its batch twin is the
+    ORACLED ``cdc_user_state`` query, and the stream-equals-batch test
+    closes the loop (tests/test_resume_stream_media.py)."""
+    from ..plans import maintenance as mt
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(changes_dir))
+
+    def process(batch_df, batch_id: int) -> None:
+        (mt.fold_changes(
+            batch_df.select(*key_cols, *value_cols, op_col, *seq_cols),
+            key_cols, seq_cols, op_col)
+         .write.mode("overwrite").parquet(f"{state_dir}/batch={batch_id}"))
+
+    return (stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def read_cdc_state(spark: SparkSession, state_dir: str,
+                   key_cols: tuple, value_cols: tuple, seq_cols: tuple,
+                   op_col: str = "op") -> DataFrame:
+    """Fold every persisted per-batch partial into the current snapshot:
+    latest change per key across ALL batches, tombstones dropped."""
+    from ..plans import maintenance as mt
+    folded = mt.fold_changes(spark.read.parquet(state_dir),
+                             key_cols, seq_cols, op_col)
+    return (folded.filter(F.col(op_col) != F.lit("D"))
+            .select(*key_cols, *value_cols))
+
+
 def conversion_join(clicks: DataFrame, purchases: DataFrame,
                     max_gap: str = "1 hour",
                     watermark: str = "2 hours") -> DataFrame:

@@ -380,6 +380,56 @@ def test_stream_kmv_state_equals_batch_sketch(spark, tmp_path):
         == {g: w[0] for g, w in want.items()}
 
 
+def test_stream_cdc_state_equals_batch_apply(spark, tmp_path):
+    """Incremental CDC materialization: per-micro-batch FOLDED partials,
+    folded again on read, must equal the one-pass batch cdc_apply — even
+    when changes arrive OUT OF ORDER across batches (a key's winning
+    change in an earlier micro-batch than a stale one: the seq-keyed
+    fold, not arrival order, decides).  Restart with the same checkpoint
+    must add no state partitions and change nothing."""
+    import os
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from legal_ner_spark.plans import maintenance as mt
+    from legal_ner_spark.streaming.stream import (read_cdc_state,
+                                                  stream_cdc_state)
+    schema = T.StructType([T.StructField("k", T.LongType()),
+                           T.StructField("seq", T.LongType()),
+                           T.StructField("op", T.StringType()),
+                           T.StructField("val", T.StringType())])
+    rows = [((v * 7) % 13, v, "DIU"[v % 3], f"v{v}") for v in range(120)]
+    df = spark.createDataFrame(rows, schema=schema)
+    in_dir, state, ckpt = (str(tmp_path / d) for d in
+                           ("in", "state", "ckpt"))
+    # seq % 3 split ⇒ every micro-batch holds an interleaved slice of
+    # the log, so most keys' winners arrive in a DIFFERENT batch than
+    # their stale changes
+    for i in range(3):
+        (df.filter(F.col("seq") % 3 == i)
+         .write.mode("append").parquet(in_dir))
+    q = stream_cdc_state(spark, in_dir, state, ckpt, schema,
+                         ("k",), ("val",), ("seq",),
+                         max_files_per_trigger=1)
+    assert q.awaitTermination(120)
+    empty = spark.createDataFrame([], "k bigint, val string")
+    want = sorted((r.k, r.val)
+                  for r in mt.cdc_apply(empty, df, ["k"], ["val"],
+                                        ["seq"]).collect())
+    got = sorted((r.k, r.val)
+                 for r in read_cdc_state(spark, state, ("k",), ("val",),
+                                         ("seq",)).collect())
+    assert got == want and len(want) > 0
+    n_parts = len(os.listdir(state))
+    q2 = stream_cdc_state(spark, in_dir, state, ckpt, schema,
+                          ("k",), ("val",), ("seq",),
+                          max_files_per_trigger=1)
+    assert q2.awaitTermination(60)
+    assert len(os.listdir(state)) == n_parts
+    assert sorted((r.k, r.val)
+                  for r in read_cdc_state(spark, state, ("k",), ("val",),
+                                          ("seq",)).collect()) == want
+
+
 def test_snapshot_publish_is_atomic_across_tables(spark, tmp_path):
     """A publish that dies between table writes must be invisible:
     readers resolve through the manifest, which still names the previous
