@@ -715,10 +715,12 @@ def q_tpch_q21(spark, sf_dir):
     no receipt/commit dates, so lateness is l_shipdate vs o_orderdate;
     same plan shape) whose order HAS another supplier (the EXISTS) but
     NO other late supplier (the NOT EXISTS).  Both correlated
-    subqueries collapse into ONE per-order aggregate over the same
+    subqueries collapse into per-order WINDOW aggregates over the same
     late-flagged join — distinct-supplier and distinct-late-supplier
-    counts — instead of two more passes over lineitem; supplier+nation
-    broadcast."""
+    counts as collect_set sizes partitioned by order — so lineitem is
+    scanned ONCE and shuffled once on l_orderkey (a groupBy+rejoin
+    formulation would scan the fact table twice; plan-audited);
+    supplier+nation broadcast."""
     li = spark.read.parquet(_t(sf_dir, "lineitem"))
     orders = (spark.read.parquet(_t(sf_dir, "orders"))
               .filter(F.col("o_orderstatus") == "F")
@@ -727,20 +729,19 @@ def q_tpch_q21(spark, sf_dir):
              .withColumn("late",
                          F.datediff(F.to_date("l_shipdate"),
                                     F.to_date("o_orderdate")) > 60))
-    ordstats = (lines.groupBy("l_orderkey")
-                .agg(F.countDistinct("l_suppkey").alias("nsupp"),
-                     F.countDistinct(
-                         F.when(F.col("late"), F.col("l_suppkey")))
-                     .alias("nlate")))
+    wo = Window.partitionBy("l_orderkey")
+    lines = (lines
+             .withColumn("nsupp", F.size(F.collect_set("l_suppkey")
+                                         .over(wo)))
+             .withColumn("nlate", F.size(F.collect_set(
+                 F.when(F.col("late"), F.col("l_suppkey"))).over(wo))))
     sup = spark.read.parquet(_t(sf_dir, "supplier"))
     nat = spark.read.parquet(_t(sf_dir, "nation"))
     sn = (sup.join(nat, sup.s_nationkey == nat.n_nationkey)
           .filter(F.col("n_name") == "NATION_3")
           .select("s_suppkey", "s_name"))
-    return (lines.filter("late")
-            .join(ordstats.filter((F.col("nsupp") >= 2)
-                                  & (F.col("nlate") == 1)),
-                  "l_orderkey")
+    return (lines.filter(F.col("late") & (F.col("nsupp") >= 2)
+                         & (F.col("nlate") == 1))
             .join(F.broadcast(sn),
                   F.col("l_suppkey") == F.col("s_suppkey"))
             .groupBy("s_name")

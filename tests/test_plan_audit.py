@@ -64,6 +64,22 @@ def test_q5_broadcasts_all_dimensions(spark):
     assert n_bcast >= 4, p[:3000]
 
 
+def test_q21_scans_lineitem_once(spark):
+    """Q21's EXISTS / NOT-EXISTS pair rides window aggregates over the
+    one late-flagged join, so the fact table is scanned once — the
+    groupBy+rejoin formulation would read lineitem twice."""
+    p = physical(queries.QUERIES["tpch_q21"](spark, SF))
+    assert p.count("lineitem.parquet") == 1, p[:3000]
+    assert "CartesianProduct" not in p
+
+
+def test_zorder_routing_is_shuffle_free(spark):
+    """Bucket routing + bit interleave must be broadcast + projection:
+    the zone-map groupBy is the ONLY hash exchange in zorder_layout."""
+    p = physical(queries.QUERIES["zorder_layout"](spark, SF))
+    assert p.count("Exchange hashpartitioning") == 1, p[:3000]
+
+
 def test_sessionize_single_exchange(spark):
     p = physical(queries.QUERIES["sessionize"](spark, SF))
     n_hash_exchanges = p.count("Exchange hashpartitioning")
