@@ -2523,6 +2523,91 @@ SELECT user_id,
 FROM runs"""
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered funnel (signup → click → purchase, strictly increasing
+    timestamps): earliest completion time of each step via chained
+    conditional window-mins over ONE user_id partitioning — the final
+    per-user groupBy reuses the same exchange, so the whole funnel is a
+    single shuffle (greedy earliest-step is optimal for
+    earliest-completion funnels, which is why nested mins = the fold)."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    w = Window.partitionBy("user_id")
+    step = lambda typ, after: F.min(  # noqa: E731
+        F.when((F.col("event_type") == typ)
+               & (F.col("ts") > after if after is not None else F.lit(True)),
+               F.col("ts"))).over(w)
+    d = ev.withColumn("t1", step("signup", None))
+    d = d.withColumn("t2", step("click", F.col("t1")))
+    d = d.withColumn("t3", step("purchase", F.col("t2")))
+    return (d.groupBy(F.col("user_id").cast("bigint").alias("user_id"))
+            .agg(F.min("t1").alias("ts_signup"),
+                 F.min("t2").alias("ts_click"),
+                 F.min("t3").alias("ts_purchase"))
+            .withColumn("steps_reached",
+                        (F.col("ts_signup").isNotNull().cast("int")
+                         + F.col("ts_click").isNotNull().cast("int")
+                         + F.col("ts_purchase").isNotNull().cast("int"))
+                        .cast("bigint")))
+
+
+def o_funnel():
+    return """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+t1 AS (SELECT user_id, min(ts) AS ts_signup FROM events
+       WHERE event_type = 'signup' GROUP BY user_id),
+t2 AS (SELECT e.user_id, min(e.ts) AS ts_click
+       FROM events e JOIN t1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > t1.ts_signup
+       GROUP BY e.user_id),
+t3 AS (SELECT e.user_id, min(e.ts) AS ts_purchase
+       FROM events e JOIN t2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > t2.ts_click
+       GROUP BY e.user_id)
+SELECT u.user_id::BIGINT AS user_id, ts_signup, ts_click, ts_purchase,
+       ((ts_signup IS NOT NULL)::INT + (ts_click IS NOT NULL)::INT
+        + (ts_purchase IS NOT NULL)::INT)::BIGINT AS steps_reached
+FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+LEFT JOIN t3 USING (user_id)"""
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-activity ISO week, then
+    distinct-user counts per (cohort, week offset) — the triangle table
+    behind every retention curve.  Two aggregations, both keyed on
+    user_id then (cohort, offset); countDistinct is exact (the KMV
+    sketch is the approximate tier for when cohort×offset×users
+    explodes)."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    first = (ev.groupBy("user_id")
+             .agg(F.min(F.date_trunc("week", F.col("ts")))
+                  .alias("cohort")))
+    act = (ev.select("user_id",
+                     F.date_trunc("week", F.col("ts")).alias("wk"))
+           .distinct())
+    return (act.join(first, "user_id")
+            .groupBy("cohort",
+                     (F.datediff(F.to_date("wk"), F.to_date("cohort"))
+                      / 7).cast("bigint").alias("week_offset"))
+            .agg(F.countDistinct("user_id").cast("bigint")
+                 .alias("n_users")))
+
+
+def o_cohort_retention():
+    return """
+WITH first AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort
+  FROM events GROUP BY user_id
+),
+act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+        FROM events)
+SELECT cohort,
+       (datediff('day', cohort::DATE, wk::DATE) // 7)::BIGINT
+         AS week_offset,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM act JOIN first USING (user_id)
+GROUP BY 1, 2"""
+
+
 def q_user_last_event(spark, sf_dir):
     """CDC/upsert compaction: the LATEST event per user (ts desc,
     event_id desc tie-break) — the state-table view a streaming upsert
@@ -3703,6 +3788,8 @@ QUERIES = {
     "sessionize": q_sessionize,
     "session_window_counts": q_session_window_counts,
     "user_last_event": q_user_last_event,
+    "funnel": q_funnel,
+    "cohort_retention": q_cohort_retention,
     "cdc_user_state": q_cdc_user_state,
     "scd2_user_runs": q_scd2_user_runs,
     "range_partition_hist": q_range_partition_hist,
@@ -3800,6 +3887,8 @@ ORACLES = {
     "sessionize": o_sessionize(),
     "session_window_counts": o_session_window_counts(),
     "user_last_event": o_user_last_event(),
+    "funnel": o_funnel(),
+    "cohort_retention": o_cohort_retention(),
     "cdc_user_state": o_cdc_user_state(),
     "scd2_user_runs": o_scd2_user_runs(),
     "range_partition_hist": o_range_partition_hist(),

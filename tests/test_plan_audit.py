@@ -80,6 +80,36 @@ def test_zorder_routing_is_shuffle_free(spark):
     assert p.count("Exchange hashpartitioning") == 1, p[:3000]
 
 
+def test_funnel_single_exchange(spark):
+    """Three chained window-mins + the per-user rollup must share ONE
+    user_id exchange — a join-per-step funnel would shuffle 3×."""
+    p = physical(queries.QUERIES["funnel"](spark, SF))
+    assert p.count("Exchange hashpartitioning") == 1, p[:3000]
+
+
+def test_funnel_requires_strict_order(spark):
+    """A click BEFORE the signup (or tied with it) must not count as
+    step 2; a later one must."""
+    from pyspark.sql import types as T
+    import datetime as dt
+    rows = [(1, dt.datetime(2024, 1, 1, 10), "click"),     # too early
+            (1, dt.datetime(2024, 1, 1, 12), "signup"),
+            (1, dt.datetime(2024, 1, 1, 12), "click"),     # tie: excluded
+            (2, dt.datetime(2024, 1, 2, 9), "signup"),
+            (2, dt.datetime(2024, 1, 2, 10), "click"),
+            (2, dt.datetime(2024, 1, 2, 11), "purchase")]
+    schema = T.StructType([T.StructField("user_id", T.LongType()),
+                           T.StructField("ts", T.TimestampType()),
+                           T.StructField("event_type", T.StringType())])
+    df = spark.createDataFrame(rows, schema)
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {r.user_id: r.steps_reached
+           for r in queries.QUERIES["funnel"](spark, d).collect()}
+    assert out == {1: 1, 2: 3}
+
+
 def test_sessionize_single_exchange(spark):
     p = physical(queries.QUERIES["sessionize"](spark, SF))
     n_hash_exchanges = p.count("Exchange hashpartitioning")
