@@ -53,3 +53,49 @@ def check_unique(df: DataFrame, cols: list[str],
                 F.when(F.col("_n") > 0,
                        F.round(F.col("n_violations") / F.col("_n"), 4))
                 .otherwise(F.lit(0.0)).alias("violation_rate")))
+
+
+_INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def profile_table(df: DataFrame) -> DataFrame:
+    """ANALYZE-style one-pass column profile: per column, row count,
+    null count, exact distinct count, min/max (string and integral
+    columns — rendered as strings; other types NULL, since float
+    formatting is not engine-portable), and average string length.
+
+    All columns fold into ONE aggregation; the multiple DISTINCT
+    aggregates expand map-side (Spark's Expand operator — one shuffle
+    carrying (column-id, value) pairs).  At 10^12 rows swap the exact
+    distincts for `approx_count_distinct` or the mergeable KMV sketch
+    (`operators/sketch.py`) — the output contract stays identical.
+    These are the stats a cost-based optimizer, a skew planner, or a
+    data-contract monitor reads first."""
+    exprs: list[Column] = []
+    for field in df.schema.fields:
+        c, t = field.name, field.dataType.simpleString()
+        exprs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.col(c).isNull().cast("long")).cast("bigint")
+            .alias(f"{c}__nulls"),
+            F.countDistinct(c).cast("bigint").alias(f"{c}__nd"),
+        ]
+        if t == "string":
+            exprs += [F.min(c).alias(f"{c}__min"),
+                      F.max(c).alias(f"{c}__max"),
+                      F.round(F.avg(F.length(c)), 4).alias(f"{c}__len")]
+        elif t in _INT_TYPES:
+            exprs += [F.min(c).cast("string").alias(f"{c}__min"),
+                      F.max(c).cast("string").alias(f"{c}__max"),
+                      F.lit(None).cast("double").alias(f"{c}__len")]
+        else:
+            exprs += [F.lit(None).cast("string").alias(f"{c}__min"),
+                      F.lit(None).cast("string").alias(f"{c}__max"),
+                      F.lit(None).cast("double").alias(f"{c}__len")]
+    wide = df.agg(*exprs)
+    stack = ", ".join(
+        f"'{c}', `{c}__rows`, `{c}__nulls`, `{c}__nd`, "
+        f"`{c}__min`, `{c}__max`, `{c}__len`" for c in df.columns)
+    return wide.selectExpr(
+        f"stack({len(df.columns)}, {stack}) as "
+        "(col_name, n_rows, n_nulls, n_distinct, min_s, max_s, avg_len)")

@@ -65,6 +65,39 @@ def current_manifest(root: str) -> dict | None:
         return json.load(fh)
 
 
+def vacuum(root: str, keep_ids: set[str] | None = None,
+           dry_run: bool = False) -> dict[str, list[str]]:
+    """Delete snapshot directories no longer reachable: everything except
+    the manifest-referenced snapshot and ``keep_ids`` (pass an in-flight
+    publish's id here — an unfinished publish is unreferenced and would
+    otherwise be collected as garbage, which is correct AFTER it is
+    abandoned but not while it is being written).  The current snapshot
+    can never be removed.  Returns {table: [removed snapshot ids]};
+    ``dry_run`` reports without deleting (run it first at 100 TB — the
+    same listing is the audit trail)."""
+    import shutil
+
+    manifest = current_manifest(root)
+    if manifest is None:
+        raise FileNotFoundError(f"no published snapshot under {root}")
+    keep = {manifest["snapshot"]} | (keep_ids or set())
+    removed: dict[str, list[str]] = {}
+    for table in sorted(os.listdir(root)):
+        tdir = os.path.join(root, table)
+        if not os.path.isdir(tdir):
+            continue
+        for entry in sorted(os.listdir(tdir)):
+            if not entry.startswith("snap="):
+                continue
+            snap_id = entry.split("=", 1)[1]
+            if snap_id in keep:
+                continue
+            if not dry_run:
+                shutil.rmtree(os.path.join(tdir, entry))
+            removed.setdefault(table, []).append(snap_id)
+    return removed
+
+
 def read_published(spark: SparkSession, root: str, name: str) -> DataFrame:
     """Read a table AT THE CURRENT SNAPSHOT (never a half-published
     one).  Raises KeyError if the table was not part of the snapshot."""

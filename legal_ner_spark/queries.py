@@ -2523,6 +2523,36 @@ SELECT user_id,
 FROM runs"""
 
 
+def q_table_profile(spark, sf_dir):
+    """ANALYZE-style one-pass column profile of the documents table —
+    rows / nulls / exact distincts / min-max / avg length per column in
+    ONE aggregation (multi-DISTINCT via Expand, one shuffle).  The
+    first thing a CBO, skew planner, or data-contract monitor asks of a
+    new table; at 10^12 rows the exact distincts swap for the KMV
+    sketch with the same output contract."""
+    from .operators.quality import profile_table
+    return profile_table(spark.read.parquet(_t(sf_dir, "documents")))
+
+
+def o_table_profile():
+    cols = {"doc_id": "int", "text": "str", "lang": "str",
+            "source": "str", "n_chars": "int"}
+    parts = []
+    for c, kind in cols.items():
+        if kind == "str":
+            mm = (f"min({c}) AS min_s, max({c}) AS max_s, "
+                  f"round(avg(length({c})), 4) AS avg_len")
+        else:
+            mm = (f"min({c})::VARCHAR AS min_s, max({c})::VARCHAR AS "
+                  f"max_s, NULL::DOUBLE AS avg_len")
+        parts.append(f"""
+SELECT '{c}' AS col_name, count(*)::BIGINT AS n_rows,
+       sum(({c} IS NULL)::INT)::BIGINT AS n_nulls,
+       count(DISTINCT {c})::BIGINT AS n_distinct, {mm}
+FROM documents""")
+    return "\nUNION ALL".join(parts)
+
+
 def q_funnel(spark, sf_dir):
     """Ordered funnel (signup → click → purchase, strictly increasing
     timestamps): earliest completion time of each step via chained
@@ -3790,6 +3820,7 @@ QUERIES = {
     "user_last_event": q_user_last_event,
     "funnel": q_funnel,
     "cohort_retention": q_cohort_retention,
+    "table_profile": q_table_profile,
     "cdc_user_state": q_cdc_user_state,
     "scd2_user_runs": q_scd2_user_runs,
     "range_partition_hist": q_range_partition_hist,
@@ -3889,6 +3920,7 @@ ORACLES = {
     "user_last_event": o_user_last_event(),
     "funnel": o_funnel(),
     "cohort_retention": o_cohort_retention(),
+    "table_profile": o_table_profile(),
     "cdc_user_state": o_cdc_user_state(),
     "scd2_user_runs": o_scd2_user_runs(),
     "range_partition_hist": o_range_partition_hist(),

@@ -467,6 +467,34 @@ def test_snapshot_publish_is_atomic_across_tables(spark, tmp_path):
     assert publish.read_published(spark, root, "triples").count() == 1
 
 
+def test_vacuum_removes_only_unreachable_snapshots(spark, tmp_path):
+    """vacuum must drop snapshots the manifest no longer names, never
+    the current one, honour keep_ids (the in-flight-publish escape
+    hatch), and report-without-deleting under dry_run."""
+    import os
+    from legal_ner_spark.plans import publish
+    root = str(tmp_path / "kg")
+    df = spark.createDataFrame([(1, "x")], ["k", "v"])
+    for sid in ("v1", "v2", "v3"):
+        publish.publish_tables({"triples": df, "stats": df}, root, sid)
+    # a half-written, unreferenced v4 (publish in flight)
+    df.write.mode("overwrite").parquet(
+        os.path.join(root, "triples", "snap=v4"))
+
+    dry = publish.vacuum(root, keep_ids={"v4"}, dry_run=True)
+    assert dry == {"triples": ["v1", "v2"], "stats": ["v1", "v2"]}
+    assert os.path.isdir(os.path.join(root, "triples", "snap=v1"))
+
+    removed = publish.vacuum(root, keep_ids={"v4"})
+    assert removed == dry
+    left = sorted(os.listdir(os.path.join(root, "triples")))
+    assert left == ["snap=v3", "snap=v4"]
+    # current snapshot untouched and still readable
+    assert publish.read_published(spark, root, "triples").count() == 1
+    # without keep_ids the in-flight v4 is garbage and goes too
+    assert publish.vacuum(root) == {"triples": ["v4"]}
+
+
 def test_stream_stream_conversion_join_matches_batch(spark, tmp_path):
     """The time-bounded stream-stream join, run as a REAL streaming
     query (two readStream sides, bounded state via watermarks + the

@@ -261,3 +261,22 @@ def test_text_index_serves_identically_and_prunes_partitions(spark,
     assert "PartitionFilters" in plan, plan[:2000]
     pf = plan.split("PartitionFilters")[1].splitlines()[0]
     assert "bucket" in pf, pf
+
+
+def test_profile_table_counts_nulls_distincts_and_types(spark):
+    """Planted nulls and duplicates must show up exactly; min/max render
+    for string and integral columns, NULL for doubles (float formatting
+    is not engine-portable)."""
+    from legal_ner_spark.operators.quality import profile_table
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, "a", None), (3, None, 1.0), (3, "bb", 1.0)],
+        "k bigint, s string, x double")
+    prof = {r.col_name: r for r in profile_table(df).collect()}
+    assert prof["k"].n_rows == 4 and prof["k"].n_nulls == 0
+    assert prof["k"].n_distinct == 3
+    assert (prof["k"].min_s, prof["k"].max_s) == ("1", "3")
+    assert prof["s"].n_nulls == 1 and prof["s"].n_distinct == 2
+    assert (prof["s"].min_s, prof["s"].max_s) == ("a", "bb")
+    assert prof["s"].avg_len == round((1 + 1 + 2) / 3, 4)
+    assert prof["x"].n_distinct == 2
+    assert prof["x"].min_s is None and prof["x"].avg_len is None
