@@ -103,7 +103,8 @@ def main() -> None:
                      "cms_freq", "cdc_user_state", "scd2_user_runs",
                      "range_partition_hist", "zorder_layout",
                      "tpch_q12", "tpch_q15", "tpch_q21", "tpch_q22",
-                     "funnel", "cohort_retention", "table_profile"]
+                     "funnel", "cohort_retention", "table_profile",
+                     "approx_counts", "column_histogram", "asof_enrich"]
     for name in bench_queries:
         timings[name] = round(best_of(
             lambda: queries.QUERIES[name](spark, sf_dir).count()), 3)

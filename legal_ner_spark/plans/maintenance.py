@@ -70,6 +70,52 @@ def cdc_apply(base: DataFrame, changes: DataFrame,
                       for v in value_cols]))
 
 
+def asof_dimension_join(facts: DataFrame, versions: DataFrame,
+                        key_cols: Sequence[str], attr_col: str,
+                        fact_ts_col: str,
+                        valid_from_col: str = "valid_from",
+                        version_order_col: str | None = None) -> DataFrame:
+    """Point-in-time enrichment: attach to every fact row the dimension
+    attribute valid AT the fact's timestamp (the feature-store /
+    training-data join that prevents label leakage — never a LATER
+    version).  Facts with no version at-or-before their timestamp get
+    NULL.
+
+    Implementation is the union + window trick, NOT a non-equi range
+    join: version rows (tagged 0) and fact rows (tagged 1) interleave in
+    one (key, ts, tag) sort; ``last_value(attr, ignorenulls)`` over the
+    preceding frame carries each version forward to the facts after it.
+    One hash exchange + sort — a BroadcastNestedLoop/range join here
+    would be the 100 TB mistake.  Ties resolve dimension-first (tag 0
+    sorts before tag 1), so a fact AT a version boundary sees the NEW
+    version, matching the [valid_from, valid_to) convention of
+    ``scd2_versions``.  If two versions of one key can share a
+    valid_from, pass ``version_order_col`` (e.g. scd2's ``version_n``)
+    to make the winner deterministic — the highest wins."""
+    keys = list(key_cols)
+    payload = [c for c in facts.columns if c not in keys]
+    fact_types = dict(facts.dtypes)
+    attr_type = dict(versions.dtypes)[attr_col]
+    vord = (F.col(version_order_col) if version_order_col
+            else F.lit(0)).cast("long").alias("__vord")
+    f_side = facts.select(
+        *keys, F.col(fact_ts_col).alias("__ts"),
+        F.lit(None).cast(attr_type).alias("__attr"),
+        F.lit(1).alias("__tag"), F.lit(0).cast("long").alias("__vord"),
+        *payload)
+    v_side = versions.select(
+        *keys, F.col(valid_from_col).alias("__ts"),
+        F.col(attr_col).alias("__attr"), F.lit(0).alias("__tag"), vord,
+        *[F.lit(None).cast(fact_types[c]).alias(c) for c in payload])
+    w = (Window.partitionBy(*keys).orderBy("__ts", "__tag", "__vord")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (f_side.unionByName(v_side)
+            .withColumn(attr_col,
+                        F.last("__attr", ignorenulls=True).over(w))
+            .filter(F.col("__tag") == 1)
+            .select(*keys, *payload, attr_col))
+
+
 def scd2_versions(changes: DataFrame, key_cols: Sequence[str],
                   attr_col: str, ts_col: str,
                   tie_cols: Sequence[str] = ()) -> DataFrame:

@@ -2553,6 +2553,129 @@ FROM documents""")
     return "\nUNION ALL".join(parts)
 
 
+def q_approx_counts(spark, sf_dir):
+    """Approximate query processing on the cheap: per-type event counts
+    estimated from a deterministic 10% md5 sample of event_id,
+    Horvitz-Thompson scaled ×10.  Same retry-stable hash family as
+    `corpus_sample`, so the 'approximate' answer is REPRODUCIBLE — the
+    oracle replays the sample and matches value-exactly; the error vs
+    the true counts is the (documented) sampling error, not
+    nondeterminism.  Scan + filter + one tiny agg: the 100 TB shape for
+    dashboard-grade counts."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    key = F.pmod(F.conv(F.substring(
+        F.md5(F.concat(F.lit("aqp1"), F.col("event_id").cast("string"))),
+        1, 8), 16, 10).cast("bigint"), F.lit(1000000))
+    return (ev.filter(key < 100000)
+            .groupBy("event_type")
+            .agg((F.count(F.lit(1)) * 10).cast("bigint")
+                 .alias("est_events")))
+
+
+def o_approx_counts():
+    return """
+SELECT event_type, (count(*) * 10)::BIGINT AS est_events
+FROM events
+WHERE ('0x' || substr(md5('aqp1' || event_id::VARCHAR),
+                      1, 8))::UBIGINT % 1000000 < 100000
+GROUP BY event_type"""
+
+
+def q_column_histogram(spark, sf_dir):
+    """Equi-width histogram of o_totalprice in 32 bins — the other half
+    of the ANALYZE stats (`table_profile` gives moments/NDV, this gives
+    shape).  Two-pass: a one-row min/max aggregate broadcast back over
+    the scan, then bin = floor((v-min)/width) clamped so v=max lands in
+    the last bin.  Bin edges are exact float arithmetic replayed by the
+    oracle."""
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    mm = orders.agg(F.min("o_totalprice").alias("__lo"),
+                    F.max("o_totalprice").alias("__hi"))
+    binned = (orders.crossJoin(F.broadcast(mm))
+              .withColumn("bin", F.least(
+                  F.lit(31),
+                  F.floor((F.col("o_totalprice") - F.col("__lo")) * 32.0
+                          / (F.col("__hi") - F.col("__lo"))))
+                  .cast("bigint")))
+    return (binned.groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                 F.round(F.min("o_totalprice"), 2).alias("lo"),
+                 F.round(F.max("o_totalprice"), 2).alias("hi")))
+
+
+def o_column_histogram():
+    return """
+WITH mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+            FROM orders)
+SELECT least(31, floor((o_totalprice - lo) * 32.0 / (hi - lo)))::BIGINT
+         AS bin,
+       count(*)::BIGINT AS n_rows,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM orders CROSS JOIN mm
+GROUP BY 1"""
+
+
+def q_asof_enrich(spark, sf_dir):
+    """Point-in-time feature join (the label-leakage-safe feature-store
+    join): an account-status SCD-2 dimension built from signup/error
+    events, then every purchase enriched with the status valid AT its
+    timestamp — never a later version.  Union + carry-forward window
+    (one exchange + sort), NOT a non-equi range join; purchases before
+    any status version keep NULL."""
+    from .plans import maintenance as mt
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    dim = mt.scd2_versions(
+        ev.filter(F.col("event_type").isin("signup", "error")),
+        ["user_id"], "event_type", "ts", tie_cols=["event_id"])
+    facts = (ev.filter(F.col("event_type") == "purchase")
+             .select("user_id",
+                     F.col("event_id").alias("purchase_id"), "ts",
+                     F.round("value", 4).alias("value")))
+    out = mt.asof_dimension_join(facts, dim, ["user_id"], "attr", "ts",
+                                 version_order_col="version_n")
+    return out.select(F.col("user_id").cast("bigint").alias("user_id"),
+                      F.col("purchase_id").cast("bigint")
+                      .alias("purchase_id"), "ts", "value",
+                      F.col("attr").alias("status"))
+
+
+def o_asof_enrich():
+    return """
+WITH chg AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE event_type IN ('signup', 'error')
+), o AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM chg
+), runs AS (
+  SELECT user_id, ts AS valid_from, event_id, event_type FROM o
+  WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+), v AS (
+  SELECT user_id, valid_from, event_type AS attr,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY valid_from, event_id) AS version_n
+  FROM runs
+), facts AS (
+  SELECT user_id::BIGINT AS user_id, event_id::BIGINT AS purchase_id,
+         ts, round(value, 4) AS value
+  FROM events WHERE event_type = 'purchase'
+), ranked AS (
+  SELECT f.*, v.attr,
+         row_number() OVER (PARTITION BY f.purchase_id
+                            ORDER BY v.valid_from DESC,
+                                     v.version_n DESC) AS rn
+  FROM facts f LEFT JOIN v
+    ON f.user_id = v.user_id AND v.valid_from <= f.ts
+)
+SELECT user_id, purchase_id, ts, value, attr AS status
+FROM ranked WHERE rn = 1"""
+
+
 def q_funnel(spark, sf_dir):
     """Ordered funnel (signup → click → purchase, strictly increasing
     timestamps): earliest completion time of each step via chained
@@ -3821,6 +3944,9 @@ QUERIES = {
     "funnel": q_funnel,
     "cohort_retention": q_cohort_retention,
     "table_profile": q_table_profile,
+    "approx_counts": q_approx_counts,
+    "column_histogram": q_column_histogram,
+    "asof_enrich": q_asof_enrich,
     "cdc_user_state": q_cdc_user_state,
     "scd2_user_runs": q_scd2_user_runs,
     "range_partition_hist": q_range_partition_hist,
@@ -3921,6 +4047,9 @@ ORACLES = {
     "funnel": o_funnel(),
     "cohort_retention": o_cohort_retention(),
     "table_profile": o_table_profile(),
+    "approx_counts": o_approx_counts(),
+    "column_histogram": o_column_histogram(),
+    "asof_enrich": o_asof_enrich(),
     "cdc_user_state": o_cdc_user_state(),
     "scd2_user_runs": o_scd2_user_runs(),
     "range_partition_hist": o_range_partition_hist(),

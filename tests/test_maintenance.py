@@ -95,6 +95,35 @@ def test_scd2_null_attr_runs(spark):
         [(None, 0), ("a", 2), (None, 3)]
 
 
+def test_asof_dimension_join_boundaries_and_leakage(spark):
+    """Facts see the version valid AT their timestamp: a fact exactly on
+    a boundary takes the NEW version ([from, to) convention), a fact
+    before any version gets NULL, and a LATER version never leaks
+    backwards; equal-valid_from versions resolve to the higher
+    version_n."""
+    from legal_ner_spark.plans import maintenance as mt
+    versions = spark.createDataFrame(
+        [(1, 1, 10, "a"), (1, 2, 20, "b"),
+         (2, 1, 50, "x"), (2, 2, 50, "y")],   # same valid_from ties
+        "user_id int, version_n int, valid_from int, attr string")
+    facts = spark.createDataFrame(
+        [(1, 100, 5), (1, 101, 10), (1, 102, 15), (1, 103, 20),
+         (1, 104, 99), (2, 200, 50), (3, 300, 7)],
+        "user_id int, fact_id int, ts int")
+    out = {r.fact_id: r.attr
+           for r in mt.asof_dimension_join(
+               facts, versions, ["user_id"], "attr", "ts",
+               valid_from_col="valid_from",
+               version_order_col="version_n").collect()}
+    assert out == {100: None,   # before any version
+                   101: "a",    # boundary: new version applies AT ts
+                   102: "a",
+                   103: "b",    # no leak of b before 20, applies at 20
+                   104: "b",
+                   200: "y",    # tie on valid_from → higher version_n
+                   300: None}   # key with no dimension at all
+
+
 def test_scd2_single_exchange(spark):
     """The run filter and both window passes must share ONE hash
     exchange on the key — a second shuffle here doubles the cost of
