@@ -121,6 +121,27 @@ def _cms_col(item: F.Column, row: F.Column, width: int) -> F.Column:
         F.lit(width))
 
 
+def cms_join_size(spark, sketch_a: DataFrame, sketch_b: DataFrame,
+                  depth: int = 4) -> DataFrame:
+    """Equi-join cardinality estimate from two count-min sketches built
+    on the join key with the same (depth, width): per hash row, the dot
+    product Σ_c cntA·cntB over-counts |A ⋈ B| only by collisions, so
+    min over the depth rows is the tightest upper bound (Cormode &
+    Muthukrishnan's inner-product estimator).  This is the planner
+    primitive — choose broadcast vs shuffle vs salt BEFORE running the
+    join, from two bounded sketches instead of a scan.  Rows with no
+    overlapping cells contribute 0 (handled via the left join from the
+    full row range), making disjoint inputs estimate exactly 0."""
+    prod = (sketch_a.alias("a")
+            .join(sketch_b.alias("b"), ["r", "c"])
+            .groupBy("r")
+            .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("dot")))
+    rows = spark.range(depth).withColumnRenamed("id", "r")
+    return (rows.join(prod, "r", "left")
+            .agg(F.min(F.coalesce("dot", F.lit(0))).cast("bigint")
+                 .alias("est_join_size")))
+
+
 def cms_query(sketch: DataFrame, probes: DataFrame, value_col: str,
               depth: int = 4, width: int = 256) -> DataFrame:
     """Point-estimate counts for probe items: min over the depth rows of

@@ -1934,6 +1934,84 @@ FROM pc LEFT JOIN cells USING (r, c)
 GROUP BY user_id"""
 
 
+def q_cms_join_size(spark, sf_dir):
+    """Pre-execution join-size estimation from sketches: |clicks ⋈
+    purchases on user_id| bounded above by the count-min inner-product
+    estimator — the planner reads two depth×width sketches instead of
+    scanning either side (pick broadcast/shuffle/salt BEFORE the join).
+    Oracle rebuilds both sketches and the min-of-dot-products from the
+    same md5 family, value-exact."""
+    from .operators import sketch
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    a = sketch.cms_build(ev.filter(F.col("event_type") == "click"),
+                         "user_id", depth=4, width=256)
+    b = sketch.cms_build(ev.filter(F.col("event_type") == "purchase"),
+                         "user_id", depth=4, width=256)
+    return sketch.cms_join_size(spark, a, b, depth=4)
+
+
+def o_cms_join_size():
+    cell = ("('0x' || substr(md5(r::VARCHAR || '|' || user_id::VARCHAR),"
+            " 1, 8))::UBIGINT % 256")
+    return f"""
+WITH rs AS (SELECT unnest(generate_series(0, 3)) AS r),
+a AS (
+  SELECT r, {cell} AS c, count(*)::BIGINT AS cnt
+  FROM events CROSS JOIN rs WHERE event_type = 'click' GROUP BY r, c
+),
+b AS (
+  SELECT r, {cell} AS c, count(*)::BIGINT AS cnt
+  FROM events CROSS JOIN rs WHERE event_type = 'purchase' GROUP BY r, c
+),
+dots AS (
+  SELECT rs.r, coalesce(sum(a.cnt * b.cnt), 0) AS dot
+  FROM rs LEFT JOIN a ON a.r = rs.r
+          LEFT JOIN b ON b.r = a.r AND b.c = a.c
+  GROUP BY rs.r
+)
+SELECT min(dot)::BIGINT AS est_join_size FROM dots"""
+
+
+def q_resample_daily(spark, sf_dir):
+    """Time-series gap filling: per-user daily event counts with missing
+    days materialized as 0 between each user's first and last activity —
+    the resample step every windowed model needs before training.
+    Per-user `sequence(first_day, last_day, 1 day)` explode keeps the
+    generated rows proportional to the OUTPUT, joined back left; no
+    calendar cross join (which at 10^12 keys × days would dwarf the
+    data)."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    per_day = (ev.groupBy(F.col("user_id").cast("bigint")
+                          .alias("user_id"),
+                          F.date_trunc("day", F.col("ts")).alias("day"))
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_events")))
+    days = (per_day.groupBy("user_id")
+            .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+            .select("user_id", F.explode(F.expr(
+                "sequence(d0, d1, interval 1 day)")).alias("day")))
+    return (days.join(per_day, ["user_id", "day"], "left")
+            .select("user_id", "day",
+                    F.coalesce("n_events", F.lit(0)).cast("bigint")
+                    .alias("n_events")))
+
+
+def o_resample_daily():
+    return """
+WITH per_day AS (
+  SELECT user_id::BIGINT AS user_id, date_trunc('day', ts) AS day,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2
+),
+spans AS (
+  SELECT user_id, unnest(generate_series(min(day), max(day),
+                                         INTERVAL 1 DAY)) AS day
+  FROM per_day GROUP BY user_id
+)
+SELECT s.user_id, s.day,
+       coalesce(p.n_events, 0)::BIGINT AS n_events
+FROM spans s LEFT JOIN per_day p USING (user_id, day)"""
+
+
 BM25_TERMS = ["join", "merge", "vector", "spark"]
 
 
@@ -3963,6 +4041,8 @@ QUERIES = {
     "bm25_index_topk": q_bm25_index_topk,
     "kmv_distinct": q_kmv_distinct,
     "cms_freq": q_cms_freq,
+    "cms_join_size": q_cms_join_size,
+    "resample_daily": q_resample_daily,
     "grouped_topk": q_grouped_topk,
     "quality_outliers": q_quality_outliers,
     "corpus_expectations": q_corpus_expectations,
@@ -4066,6 +4146,8 @@ ORACLES = {
     "bm25_index_topk": o_bm25_topk(),
     "kmv_distinct": o_kmv_distinct(),
     "cms_freq": o_cms_freq(),
+    "cms_join_size": o_cms_join_size(),
+    "resample_daily": o_resample_daily(),
     "grouped_topk": o_grouped_topk(),
     "quality_outliers": o_quality_outliers(),
     "corpus_expectations": o_corpus_expectations(),

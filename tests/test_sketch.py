@@ -100,6 +100,24 @@ def test_cms_merge_equals_whole(spark):
     assert merged == whole
 
 
+def test_cms_join_size_upper_bound_and_disjoint_zero(spark):
+    """The inner-product estimate never under-counts the true equi-join
+    size, is exact at this collision-free load factor, and disjoint
+    key sets estimate exactly 0."""
+    a = _items(spark, [1, 1, 1, 2, 3])        # key 1 ×3, 2 ×1, 3 ×1
+    b = _items(spark, [1, 2, 2, 4])           # key 1 ×1, 2 ×2, 4 ×1
+    true_size = 3 * 1 + 1 * 2                 # = 5 pairs
+    sa = sketch.cms_build(a, "item", depth=4, width=256)
+    sb = sketch.cms_build(b, "item", depth=4, width=256)
+    est = sketch.cms_join_size(spark, sa, sb, depth=4).collect()[0]
+    assert est.est_join_size >= true_size
+    assert est.est_join_size == true_size     # no collisions at 5/256
+    sc = sketch.cms_build(_items(spark, [99, 98]), "item",
+                          depth=4, width=256)
+    assert sketch.cms_join_size(spark, sa, sc,
+                                depth=4).collect()[0].est_join_size == 0
+
+
 def test_cms_state_bounded_and_unseen_items_zero(spark):
     """The sketch never exceeds depth×width cells no matter the input,
     and probing an item that never occurred returns 0 when its cells are
