@@ -53,6 +53,34 @@ def test_cdc_split_composition_law(spark):
         assert two == whole, f"split at {cut} diverged"
 
 
+def test_cdc_composition_randomized_logs(spark):
+    """Property sweep without per-example Spark overhead: 25 seeded
+    random logs (varying lengths, delete/re-insert patterns, some
+    entirely inside one half — so the other half-apply must be an
+    IDENTITY pass-through) share one frame via key prefixing; the
+    composition law must hold for every log at the common split."""
+    import random
+    rng = random.Random(7)
+    rows = []
+    for log in range(25):
+        for seq in range(rng.randint(1, 40)):
+            rows.append((f"{log}:{rng.randint(0, 6)}", seq,
+                         rng.choice("IUD"), f"{log}v{seq}"))
+    df = spark.createDataFrame(rows, ["k", "seq", "op", "val"])
+    empty = spark.createDataFrame([], "k string, val string")
+    whole = sorted(
+        (r.k, r.val)
+        for r in mt.cdc_apply(empty, df, ["k"], ["val"],
+                              ["seq"]).collect())
+    snap = mt.cdc_apply(empty, df.filter(F.col("seq") < 10),
+                        ["k"], ["val"], ["seq"])
+    two = sorted(
+        (r.k, r.val)
+        for r in mt.cdc_apply(snap, df.filter(F.col("seq") >= 10),
+                              ["k"], ["val"], ["seq"]).collect())
+    assert two == whole
+
+
 def test_scd2_interval_integrity_and_asof_reconstruction(spark):
     """Per key: version_n is 1..n contiguous, valid_to chains to the
     next valid_from, only the last version is open, consecutive attrs
