@@ -36,11 +36,18 @@ _MANIFEST = "_current.json"
 
 def publish_tables(tables: dict[str, DataFrame], root: str,
                    snapshot_id: str,
-                   partition_by: dict[str, list[str]] | None = None) -> dict:
+                   partition_by: dict[str, list[str]] | None = None,
+                   carry: dict[str, str] | None = None) -> dict:
     """Write every table to its ``snap=<snapshot_id>`` directory, then
-    atomically swap the manifest.  Returns the manifest dict."""
+    atomically swap the manifest.  Returns the manifest dict.
+
+    ``carry`` maps table names to EXISTING snapshot paths (from the
+    previous manifest) to be re-referenced without rewriting — the
+    incremental-maintenance move: only the changed table pays a write,
+    unchanged ones ride along because their directories are immutable
+    and ``vacuum`` keeps every snapshot the manifest still names."""
     partition_by = partition_by or {}
-    entries = {}
+    entries = dict(carry or {})
     for name, df in tables.items():
         path = os.path.join(root, name, f"snap={snapshot_id}")
         writer = df.write.mode("overwrite")
@@ -80,12 +87,21 @@ def vacuum(root: str, keep_ids: set[str] | None = None,
     manifest = current_manifest(root)
     if manifest is None:
         raise FileNotFoundError(f"no published snapshot under {root}")
-    keep = {manifest["snapshot"]} | (keep_ids or set())
+    # per-table keep: the snapshot id the manifest references for THAT
+    # table (which may be OLDER than the committed id when the table was
+    # carried by reference — publish_tables carry=…) plus keep_ids
+    base_keep = {manifest["snapshot"]} | (keep_ids or set())
+    table_keep: dict[str, set[str]] = {}
+    for name, path in manifest["tables"].items():
+        leaf = os.path.basename(path.rstrip("/"))
+        if leaf.startswith("snap="):
+            table_keep.setdefault(name, set()).add(leaf.split("=", 1)[1])
     removed: dict[str, list[str]] = {}
     for table in sorted(os.listdir(root)):
         tdir = os.path.join(root, table)
         if not os.path.isdir(tdir):
             continue
+        keep = base_keep | table_keep.get(table, set())
         for entry in sorted(os.listdir(tdir)):
             if not entry.startswith("snap="):
                 continue

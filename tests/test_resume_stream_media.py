@@ -467,6 +467,61 @@ def test_snapshot_publish_is_atomic_across_tables(spark, tmp_path):
     assert publish.read_published(spark, root, "triples").count() == 1
 
 
+def test_maintain_table_job_two_cycles(spark, tmp_path, monkeypatch):
+    """jobs/maintain_table.py end to end, two days of change logs: day 1
+    bootstraps from the empty base, day 2 applies deletes/updates/
+    inserts over the PUBLISHED day-1 snapshot, carries the untouched
+    history table BY REFERENCE, and vacuums — which must keep the
+    carried day-1 snapshot alive because the manifest still names it.
+    Final state must equal the whole-log fold, and the atomic flip must
+    keep both tables mutually consistent."""
+    import sys
+    from jobs import maintain_table
+    from legal_ner_spark.plans import maintenance as mt, publish
+
+    day1 = [(1, 1, "I", "a"), (2, 2, "I", "b"), (3, 3, "I", "c")]
+    day2 = [(1, 4, "D", None), (2, 5, "U", "b2"), (4, 6, "I", "d")]
+    schema = "k bigint, seq bigint, op string, v string"
+    c1, c2, root = (str(tmp_path / d) for d in ("c1", "c2", "root"))
+    spark.createDataFrame(day1, schema).write.parquet(c1)
+    spark.createDataFrame(day2, schema).write.parquet(c2)
+
+    def run(changes, snap, extra=()):
+        monkeypatch.setattr(sys, "argv", [
+            "maintain_table.py", "--changes", changes, "--root", root,
+            "--table", "state", "--keys", "k", "--values", "v",
+            "--seq", "seq", "--snapshot-id", snap,
+            "--master", "local[8]", *extra])
+        maintain_table.main()
+
+    run(c1, "s1", extra=("--scd2-attr", "v"))
+    assert {(r.k, r.v) for r in
+            publish.read_published(spark, root, "state").collect()} \
+        == {(1, "a"), (2, "b"), (3, "c")}
+    assert publish.read_published(spark, root,
+                                  "state_history").count() == 3
+
+    run(c2, "s2", extra=("--vacuum",))
+    got = {(r.k, r.v) for r in
+           publish.read_published(spark, root, "state").collect()}
+    whole = mt.cdc_apply(
+        spark.createDataFrame([], "k bigint, v string"),
+        spark.read.parquet(c1).unionByName(spark.read.parquet(c2)),
+        ["k"], ["v"], ["seq"])
+    assert got == {(r.k, r.v) for r in whole.collect()} \
+        == {(2, "b2"), (3, "c"), (4, "d")}
+    # history was carried by reference into snapshot s2: same s1 path,
+    # still readable AFTER vacuum (manifest names it → vacuum keeps it)
+    m = publish.current_manifest(root)
+    assert m["snapshot"] == "s2"
+    assert m["tables"]["state_history"].endswith("snap=s1")
+    assert publish.read_published(spark, root,
+                                  "state_history").count() == 3
+    # the state table's s1 dir is unreferenced and was vacuumed
+    import os
+    assert sorted(os.listdir(os.path.join(root, "state"))) == ["snap=s2"]
+
+
 def test_vacuum_removes_only_unreachable_snapshots(spark, tmp_path):
     """vacuum must drop snapshots the manifest no longer names, never
     the current one, honour keep_ids (the in-flight-publish escape
