@@ -105,7 +105,8 @@ def main() -> None:
                      "tpch_q12", "tpch_q15", "tpch_q21", "tpch_q22",
                      "funnel", "cohort_retention", "table_profile",
                      "approx_counts", "column_histogram", "asof_enrich",
-                     "cms_join_size", "resample_daily"]
+                     "cms_join_size", "resample_daily",
+                     "weighted_sample", "user_transitions"]
     for name in bench_queries:
         timings[name] = round(best_of(
             lambda: queries.QUERIES[name](spark, sf_dir).count()), 3)

@@ -181,3 +181,27 @@ def pack_shards(docs: DataFrame, token_budget: int = 2000,
             .select("doc_id", "n_tokens",
                     F.floor((F.col("cum") - F.col("n_tokens")) / token_budget)
                     .cast("bigint").alias("shard_id")))
+
+
+def weighted_sample(df: DataFrame, weight_col: str, id_col: str,
+                    k: int, salt: str = "ws1") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): rank key = ln(u)/w with u an md5-derived uniform in
+    (0,1) — u^(1/w) order-equivalent — and take the top k.  Inclusion
+    probability tracks the weight (the data-mixing knob: sample long /
+    high-quality docs more), and because u comes from the same
+    engine-neutral hash family as `sample_corpus`, the draw is
+    reproducible under retry/resume and replayable by the DuckDB oracle.
+    Plan shape: projection + TakeOrderedAndProject — no shuffle beyond
+    the top-k collect; rows with weight ≤ 0 are excluded (ln(u)/w would
+    flip sign).  Ties (impossible-in-practice equal keys) break on the
+    id for full determinism."""
+    u = ((F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+        1, 8), 16, 10).cast("double") + 1.0) / 4294967297.0)
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (df.filter(F.col(weight_col) > 0)
+            .withColumn("__k", key)
+            .orderBy(F.desc("__k"), F.col(id_col))
+            .limit(k)
+            .drop("__k"))

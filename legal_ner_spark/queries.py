@@ -2754,6 +2754,68 @@ SELECT user_id, purchase_id, ts, value, attr AS status
 FROM ranked WHERE rn = 1"""
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis–Spirakis,
+    md5-derived uniforms): top-100 documents by ln(u)/n_chars — the
+    data-mixing draw that favours long docs yet stays reproducible
+    under retry/resume.  Plan: projection + TakeOrderedAndProject, no
+    shuffle.  The oracle replays the identical hash + key arithmetic,
+    so the SELECTION is value-exact, not statistical."""
+    from .operators.textprep import weighted_sample
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    out = weighted_sample(docs, "n_chars", "doc_id", k=100)
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      "lang",
+                      F.col("n_chars").cast("bigint").alias("n_chars"))
+
+
+def o_weighted_sample():
+    return """
+SELECT doc_id::BIGINT AS doc_id, lang, n_chars::BIGINT AS n_chars
+FROM (
+  SELECT doc_id, lang, n_chars,
+         ln((('0x' || substr(md5('ws1' || doc_id::VARCHAR),
+                             1, 8))::UBIGINT + 1) / 4294967297.0)
+           / n_chars AS k
+  FROM documents WHERE n_chars > 0
+  ORDER BY k DESC, doc_id LIMIT 100
+)"""
+
+
+def q_user_transitions(spark, sf_dir):
+    """First-order behaviour model: event-type transition matrix with
+    per-source probabilities — lead() over each user's timeline (one
+    user_id exchange), bigram counts, then P(dst|src) via the tiny
+    per-source totals window.  The Markov-chain input every
+    next-event-prediction baseline starts from."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.withColumn("dst", F.lead("event_type").over(w))
+             .filter(F.col("dst").isNotNull())
+             .select(F.col("event_type").alias("src"), "dst"))
+    counts = (pairs.groupBy("src", "dst")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    tot = Window.partitionBy("src")
+    return counts.withColumn(
+        "p", F.round(F.col("n") / F.sum("n").over(tot), 4))
+
+
+def o_user_transitions():
+    return """
+WITH pairs AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events
+), counts AS (
+  SELECT src, dst, count(*)::BIGINT AS n FROM pairs
+  WHERE dst IS NOT NULL GROUP BY src, dst
+)
+SELECT src, dst, n,
+       round(n / sum(n) OVER (PARTITION BY src), 4) AS p
+FROM counts"""
+
+
 def q_funnel(spark, sf_dir):
     """Ordered funnel (signup → click → purchase, strictly increasing
     timestamps): earliest completion time of each step via chained
@@ -4025,6 +4087,8 @@ QUERIES = {
     "approx_counts": q_approx_counts,
     "column_histogram": q_column_histogram,
     "asof_enrich": q_asof_enrich,
+    "weighted_sample": q_weighted_sample,
+    "user_transitions": q_user_transitions,
     "cdc_user_state": q_cdc_user_state,
     "scd2_user_runs": q_scd2_user_runs,
     "range_partition_hist": q_range_partition_hist,
@@ -4130,6 +4194,8 @@ ORACLES = {
     "approx_counts": o_approx_counts(),
     "column_histogram": o_column_histogram(),
     "asof_enrich": o_asof_enrich(),
+    "weighted_sample": o_weighted_sample(),
+    "user_transitions": o_user_transitions(),
     "cdc_user_state": o_cdc_user_state(),
     "scd2_user_runs": o_scd2_user_runs(),
     "range_partition_hist": o_range_partition_hist(),

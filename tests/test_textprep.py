@@ -280,3 +280,25 @@ def test_profile_table_counts_nulls_distincts_and_types(spark):
     assert prof["s"].avg_len == round((1 + 1 + 2) / 3, 4)
     assert prof["x"].n_distinct == 2
     assert prof["x"].min_s is None and prof["x"].avg_len is None
+
+
+def test_weighted_sample_favors_weight_and_is_reproducible(spark):
+    """A 100x-weight group must dominate the draw, the draw must be
+    identical run to run (md5 uniforms, not RNG state), and k rows come
+    back whenever enough positive-weight rows exist."""
+    from pyspark.sql import functions as F
+    from legal_ner_spark.operators.textprep import weighted_sample
+    df = spark.range(4000).select(
+        F.col("id"),
+        F.when(F.col("id") < 2000, 1.0).otherwise(100.0).alias("w"))
+    got1 = sorted(r.id for r in weighted_sample(df, "w", "id",
+                                                k=200).collect())
+    got2 = sorted(r.id for r in weighted_sample(df, "w", "id",
+                                                k=200).collect())
+    assert got1 == got2 and len(got1) == 200
+    heavy = sum(1 for i in got1 if i >= 2000)
+    assert heavy >= 180
+    # zero/negative weights are never drawn
+    df0 = df.withColumn("w", F.when(F.col("id") % 2 == 0, -1.0)
+                        .otherwise(0.0))
+    assert weighted_sample(df0, "w", "id", k=10).count() == 0
