@@ -2754,6 +2754,61 @@ SELECT user_id, purchase_id, ts, value, attr AS status
 FROM ranked WHERE rn = 1"""
 
 
+def q_perplexity_score(spark, sf_dir):
+    """Corpus-LM perplexity filtering (the standard quality gate for
+    training data): a bigram model with add-one smoothing estimated
+    from the corpus itself, then each document scored by its mean
+    negative log-likelihood — high scores flag boilerplate-free but
+    incoherent text, low scores flag templated text.  Shapes: one
+    bigram explode reused for both the model counts and the scoring
+    join (Spark caches nothing here — two passes over the exploded
+    bigrams, both ending in key-hash joins on md5-sized keys); V is the
+    distinct-unigram count broadcast as a literal 1-row frame."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    toks = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.split(F.lower(F.col("text")), " ").alias("ts"))
+    big = toks.select(
+        "doc_id",
+        F.explode(F.arrays_zip(
+            F.slice("ts", 1, F.size("ts") - 1),
+            F.slice("ts", 2, F.size("ts") - 1))).alias("bg")) \
+        .select("doc_id", F.col("bg.0").alias("w1"),
+                F.col("bg.1").alias("w2"))
+    uni = toks.select("doc_id", F.explode("ts").alias("w1"))
+    c_bi = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    c_un = uni.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    v = uni.agg(F.countDistinct("w1").alias("v"))
+    scored = (big.join(c_bi, ["w1", "w2"]).join(c_un, "w1")
+              .crossJoin(F.broadcast(v))
+              .withColumn("nll", -F.log((F.col("cb") + 1)
+                                        / (F.col("cu") + F.col("v")))))
+    return (scored.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+                 F.round(F.avg("nll"), 4).alias("mean_nll")))
+
+
+def o_perplexity_score():
+    return """
+WITH toks AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         string_split(lower(text), ' ') AS ts
+  FROM documents
+),
+uni AS (SELECT doc_id, unnest(ts) AS w1 FROM toks),
+big AS (
+  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(ts) - 1)) AS t(i)
+),
+c_bi AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY w1, w2),
+c_un AS (SELECT w1, count(*) AS cu FROM uni GROUP BY w1),
+v AS (SELECT count(DISTINCT w1) AS v FROM uni)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       round(avg(-ln((cb + 1.0) / (cu + v)))::DOUBLE, 4) AS mean_nll
+FROM big JOIN c_bi USING (w1, w2) JOIN c_un USING (w1) CROSS JOIN v
+GROUP BY doc_id"""
+
+
 def q_weighted_sample(spark, sf_dir):
     """Weighted sampling without replacement (Efraimidis–Spirakis,
     md5-derived uniforms): top-100 documents by ln(u)/n_chars — the
@@ -4089,6 +4144,7 @@ QUERIES = {
     "asof_enrich": q_asof_enrich,
     "weighted_sample": q_weighted_sample,
     "user_transitions": q_user_transitions,
+    "perplexity_score": q_perplexity_score,
     "cdc_user_state": q_cdc_user_state,
     "scd2_user_runs": q_scd2_user_runs,
     "range_partition_hist": q_range_partition_hist,
@@ -4196,6 +4252,7 @@ ORACLES = {
     "asof_enrich": o_asof_enrich(),
     "weighted_sample": o_weighted_sample(),
     "user_transitions": o_user_transitions(),
+    "perplexity_score": o_perplexity_score(),
     "cdc_user_state": o_cdc_user_state(),
     "scd2_user_runs": o_scd2_user_runs(),
     "range_partition_hist": o_range_partition_hist(),
