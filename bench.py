@@ -106,7 +106,10 @@ def main() -> None:
                      "funnel", "cohort_retention", "table_profile",
                      "approx_counts", "column_histogram", "asof_enrich",
                      "cms_join_size", "resample_daily",
-                     "weighted_sample", "user_transitions"]
+                     "weighted_sample", "user_transitions",
+                     "perplexity_score", "kg_hits", "kg_node_ids",
+                     "kg_edges_encoded", "kg_adjacency",
+                     "entity_link_fuzzy", "stratified_sample"]
     for name in bench_queries:
         timings[name] = round(best_of(
             lambda: queries.QUERIES[name](spark, sf_dir).count()), 3)

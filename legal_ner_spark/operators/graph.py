@@ -12,7 +12,7 @@ post-join exchanges.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -288,3 +288,99 @@ def pagerank(triples: DataFrame, pred: str | None = None,
                  )
         ranks = trunc(ranks, "ranks")
     return ranks.withColumn("rank", F.round("rank", 6))
+
+
+def hits(triples: DataFrame, pred: str | None = None, n_iter: int = 8,
+         checkpoint_dir: str | None = None) -> DataFrame:
+    """HITS hubs & authorities over one predicate's edge set — the natural
+    citation-graph complement to PageRank: judgments that cite widely are
+    HUBS, precedents cited by good hubs are AUTHORITIES.
+
+    Kleinberg's update with L1 normalization each half-step (scores sum
+    to 1), so values stay bounded and the fixed-iteration unrolled SQL
+    oracle reproduces them exactly.  Per iteration: two edge joins + two
+    aggregations, all keyed by node id over (id, double) rows; the two
+    normalizers are 1-row aggregates broadcast into the update — each
+    iteration costs exactly ONE lineage-truncating job, like pagerank.
+    ``checkpoint_dir`` switches truncation to the durable parquet
+    round-trip (cluster mode)."""
+    from ..plans.checkpoint import Truncator
+    trunc = Truncator(checkpoint_dir)
+    edges = (triples if pred is None
+             else triples.filter(F.col("pred") == pred))
+    edges = trunc(edges.select(F.col("subj").alias("src"),
+                               F.col("obj").alias("dst")).distinct(),
+                  "hits_edges")
+    nodes = trunc(edges.select(F.col("src").alias("node"))
+                  .union(edges.select(F.col("dst").alias("node")))
+                  .distinct(), "hits_nodes")
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("hub", F.lit(0.0)) \
+                    .withColumn("auth", F.lit(0.0))
+    hub = nodes.withColumn("hub", F.lit(1.0 / n))
+    auth = nodes.withColumn("auth", F.lit(0.0))
+    for _ in range(n_iter):
+        a_raw = (edges.join(hub.withColumnRenamed("node", "src"), "src")
+                 .groupBy(F.col("dst").alias("node"))
+                 .agg(F.sum("hub").alias("a_raw")))
+        a_sum = a_raw.agg(F.sum("a_raw").alias("a_sum"))
+        auth = (nodes.join(a_raw, "node", "left")
+                .crossJoin(F.broadcast(a_sum))
+                .select("node", (F.coalesce("a_raw", F.lit(0.0))
+                                 / F.col("a_sum")).alias("auth")))
+        h_raw = (edges.join(auth.withColumnRenamed("node", "dst"), "dst")
+                 .groupBy(F.col("src").alias("node"))
+                 .agg(F.sum("auth").alias("h_raw")))
+        h_sum = h_raw.agg(F.sum("h_raw").alias("h_sum"))
+        hub = trunc(
+            nodes.join(h_raw, "node", "left")
+            .crossJoin(F.broadcast(h_sum))
+            .select("node", (F.coalesce("h_raw", F.lit(0.0))
+                             / F.col("h_sum")).alias("hub")), "hits_hub")
+    return (hub.join(auth, "node")
+            .select("node", F.round("hub", 6).alias("hub"),
+                    F.round("auth", 6).alias("auth")))
+
+
+def dense_node_ids(names: DataFrame, col: str = "node",
+                   prefix_len: int = 2) -> DataFrame:
+    """Dictionary-encode node names to dense contiguous int64 ids
+    [0, n) — the materialization step before GNN training / adjacency
+    export, where string ids are dead weight.
+
+    Assignment order is (md5(name)[:prefix_len], name): deterministic
+    and engine-reproducible (md5 exists on every engine; the id equals
+    row_number over that order), but NOT global lexical rank — that
+    would need a global sort.  Scale shape: the per-name window
+    partitions by the 16^prefix_len hash buckets (uniform under md5),
+    and the only global window runs over the tiny bucket-totals table,
+    broadcast back — the distributed prefix-sum pattern
+    (textprep.pack_shards).  No single-partition pass over the corpus
+    anywhere."""
+    dn = (names.select(F.col(col).alias("node")).distinct()
+          .withColumn("_b", F.substring(
+              F.md5(F.col("node").cast("string")), 1, prefix_len)))
+    btot = dn.groupBy("_b").agg(F.count(F.lit(1)).alias("cnt"))
+    wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.withColumn("off", F.coalesce(F.sum("cnt").over(wb),
+                                             F.lit(0)))
+    wl = Window.partitionBy("_b").orderBy("node")
+    return (dn.join(F.broadcast(boff.select("_b", "off")), "_b")
+            .withColumn("node_id",
+                        (F.row_number().over(wl) + F.col("off") - 1)
+                        .cast("bigint"))
+            .select("node", "node_id"))
+
+
+def encode_edges(edges: DataFrame, ids: DataFrame) -> DataFrame:
+    """Remap an (src, dst) string edge list through the dense-id
+    dictionary: two broadcast-or-shuffle hash joins keyed by name.  INNER
+    joins — an edge endpoint absent from the dictionary is a pipeline bug
+    and should surface as a count drop, not a null id."""
+    return (edges
+            .join(ids.select(F.col("node").alias("src"),
+                             F.col("node_id").alias("src_id")), "src")
+            .join(ids.select(F.col("node").alias("dst"),
+                             F.col("node_id").alias("dst_id")), "dst")
+            .select("src_id", "dst_id"))

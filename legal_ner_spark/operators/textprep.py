@@ -205,3 +205,23 @@ def weighted_sample(df: DataFrame, weight_col: str, id_col: str,
             .orderBy(F.desc("__k"), F.col(id_col))
             .limit(k)
             .drop("__k"))
+
+
+def stratified_sample(df: DataFrame, strata_col: str, id_col: str,
+                      k_per_stratum: int, salt: str = "ss1") -> DataFrame:
+    """Deterministic stratified sampling: k rows per stratum, ranked by an
+    md5-derived uniform on the id (same engine-neutral hash family as
+    `sample_corpus` / `weighted_sample`, so draws are reproducible under
+    retry/resume and replayable by the DuckDB oracle).  The data-balance
+    primitive for training mixes — equal per-language / per-source quotas
+    regardless of raw corpus skew.
+
+    Plan shape: one window partitioned by the stratum (per-group
+    TopK, no global sort); a mega-stratum is still one partition's
+    window — for pathological 90%-one-language corpora, pre-salt the
+    stratum and re-rank, as in skew.salted_topk."""
+    u = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(u, F.col(id_col))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k_per_stratum)
+            .drop("_rn"))

@@ -4097,6 +4097,243 @@ FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY p_brand"""
 
 
+def q_kg_hits(spark, sf_dir):
+    """HITS hubs/authorities over the citation graph: judgments that cite
+    widely are hubs, precedents cited by good hubs are authorities.
+    Fixed 4 iterations with L1 normalization each half-step, so the
+    oracle unrolls the mutual-reinforcement recurrence exactly (the
+    pagerank playbook)."""
+    from .operators import graph
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    return graph.hits(tri, pred="cites_precedent", n_iter=4)
+
+
+def o_kg_hits(n_iter: int = 4):
+    # MATERIALIZED + window-sum normalization: scalar subqueries against
+    # chained CTEs make DuckDB re-inline (and per-row re-evaluate) the
+    # whole prefix of the recurrence — 4 levels of that is effectively
+    # n^4 re-evaluations and never finishes; sum() OVER () computes the
+    # normalizer in the same pass (NULLs from the left join are ignored,
+    # so the window total equals the raw-score total)
+    it = """
+ar{i} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(h.hub) AS a_raw
+  FROM edges e JOIN h{p} h ON h.node = e.src GROUP BY e.dst
+),
+a{i} AS MATERIALIZED (
+  SELECT n.node, coalesce(ar.a_raw, 0) / sum(ar.a_raw) OVER () AS auth
+  FROM nodes n LEFT JOIN ar{i} ar ON n.node = ar.node
+),
+hr{i} AS MATERIALIZED (
+  SELECT e.src AS node, sum(a.auth) AS h_raw
+  FROM edges e JOIN a{i} a ON a.node = e.dst GROUP BY e.src
+),
+h{i} AS MATERIALIZED (
+  SELECT n.node, coalesce(hr.h_raw, 0) / sum(hr.h_raw) OVER () AS hub
+  FROM nodes n LEFT JOIN hr{i} hr ON n.node = hr.node
+)"""
+    iters = ",".join(it.format(i=i, p=i - 1) for i in range(1, n_iter + 1))
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT subj AS src, obj AS dst
+  FROM {_KG_SQL_SRC} WHERE rec_type = 'triple' AND pred = 'cites_precedent'
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+h0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS hub FROM nodes),
+{iters}
+SELECT h.node, round(h.hub, 6) AS hub, round(a.auth, 6) AS auth
+FROM h{n_iter} h JOIN a{n_iter} a USING (node)"""
+
+
+def q_kg_node_ids(spark, sf_dir):
+    """Dense int64 id dictionary over every KG node (distinct subj ∪ obj
+    of the triples) — the GNN-export encoding step.  Ids are a
+    distributed prefix-sum over md5-prefix buckets, never a global
+    sort; the oracle replays the exact (bucket, name) order with one
+    row_number."""
+    from .operators import graph
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    nodes = tri.select(F.col("subj").alias("node")).union(
+        tri.select(F.col("obj").alias("node")))
+    return graph.dense_node_ids(nodes)
+
+
+def o_kg_node_ids():
+    return f"""
+WITH tri AS (SELECT subj, obj FROM {_KG_SQL_SRC} WHERE rec_type = 'triple'),
+nodes AS (SELECT subj AS node FROM tri UNION SELECT obj FROM tri)
+SELECT node,
+       (row_number() OVER (ORDER BY substring(md5(node), 1, 2), node)
+        - 1)::BIGINT AS node_id
+FROM nodes"""
+
+
+def q_kg_edges_encoded(spark, sf_dir):
+    """part_of edge list remapped through the dense-id dictionary —
+    (src_id, dst_id) int64 pairs ready for adjacency/GNN consumption;
+    two name-keyed hash joins, inner so a dictionary miss surfaces as a
+    count drop."""
+    from .operators import graph
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    nodes = tri.select(F.col("subj").alias("node")).union(
+        tri.select(F.col("obj").alias("node")))
+    ids = graph.dense_node_ids(nodes)
+    e = (tri.filter(F.col("pred") == "part_of")
+         .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+         .distinct())
+    return graph.encode_edges(e, ids)
+
+
+def o_kg_edges_encoded():
+    return f"""
+WITH tri AS (SELECT * FROM {_KG_SQL_SRC} WHERE rec_type = 'triple'),
+nodes AS (SELECT subj AS node FROM tri UNION SELECT obj FROM tri),
+ids AS (
+  SELECT node,
+         (row_number() OVER (ORDER BY substring(md5(node), 1, 2), node)
+          - 1)::BIGINT AS node_id
+  FROM nodes
+),
+e AS (SELECT DISTINCT subj AS src, obj AS dst FROM tri
+      WHERE pred = 'part_of')
+SELECT s.node_id AS src_id, d.node_id AS dst_id
+FROM e JOIN ids s ON e.src = s.node JOIN ids d ON e.dst = d.node"""
+
+
+def q_kg_adjacency(spark, sf_dir):
+    """Adjacency-list export of the part_of graph: per source node the
+    sorted, deduplicated neighbour list (joined to one string for
+    engine-neutral hashing) plus out-degree — the other standard graph
+    materialization format next to the encoded edge list."""
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    return (tri.filter(F.col("pred") == "part_of")
+            .groupBy(F.col("subj").alias("src"))
+            .agg(F.concat_ws("|", F.sort_array(F.collect_set("obj")))
+                 .alias("neighbors"),
+                 F.size(F.collect_set("obj")).cast("bigint")
+                 .alias("out_degree")))
+
+
+def o_kg_adjacency():
+    return f"""
+SELECT subj AS src,
+       array_to_string(list(DISTINCT obj ORDER BY obj), '|') AS neighbors,
+       count(DISTINCT obj)::BIGINT AS out_degree
+FROM {_KG_SQL_SRC} WHERE rec_type = 'triple' AND pred = 'part_of'
+GROUP BY subj"""
+
+
+# dirty statute surface forms for the fuzzy linking tier — typos, OCR
+# noise, reorderings the regex dictionary (STATUTE_CANON) cannot catch,
+# plus true negatives that must NOT link at the 0.3 threshold
+ENTITY_LINK_FIXTURES = [
+    "Indain Penal Code",                      # transposition typo
+    "Indian  Penal\tCode, 1860",              # whitespace + year suffix
+    "Criminal Procedure Code (Amendment)",
+    "Crminal Procedure Code",                 # dropped letter
+    "Income Tax Act 1961",
+    "Income-Tax Act",
+    "Motor Vehical Act",                      # OCR-style vowel swap
+    "Motor Vehicles Act",
+    "Industrail Dispute Act",
+    "Industrial Disputes Act, 1947",
+    "Constitutional",                         # shares 'constitution' stem
+    "The Constitution",
+    "Limitation Act",                         # true negative
+    "Bananas Act",                            # true negative
+    "ipc",                                    # acronym: no trigram overlap
+]
+
+
+def q_entity_link_fuzzy(spark, sf_dir):
+    """Fuzzy entity linking: dirty statute surface forms → canonical
+    dictionary entries by character-trigram Jaccard (threshold 0.3,
+    best-1 per mention) — the complementary tier to the regex
+    canonicalizer for misspellings/OCR noise.  Broadcast dictionary
+    trigrams; the only shuffle is the blocked (mention, candidate)
+    count."""
+    from .operators import linking
+    mentions = _fixture_df(spark, ENTITY_LINK_FIXTURES, col="mention")
+    canon = sorted({c for _, c in STATUTE_CANON})
+    dictionary = _fixture_df(spark, canon, col="entity")
+    return linking.trigram_link(mentions, dictionary, threshold=0.3)
+
+
+def o_entity_link_fuzzy(threshold: float = 0.3):
+    canon = sorted({c for _, c in STATUTE_CANON})
+    return f"""
+WITH m0 AS (SELECT DISTINCT text AS mention
+            FROM {_values_sql(ENTITY_LINK_FIXTURES)}),
+mn AS (
+  SELECT mention,
+         trim(regexp_replace(lower(mention), '[^a-z0-9]+', ' ', 'g')) AS nm
+  FROM m0
+),
+mt AS (
+  SELECT mention,
+         list_distinct(list_transform(
+           generate_series(1, length(nm) - 2),
+           i -> substring(nm, i, 3))) AS tg
+  FROM mn WHERE length(nm) >= 3
+),
+me AS (SELECT mention, len(tg) AS m_sz, unnest(tg) AS tg FROM mt),
+d0 AS (SELECT DISTINCT text AS entity
+       FROM {_values_sql(canon)}),
+dn AS (
+  SELECT entity,
+         trim(regexp_replace(lower(entity), '[^a-z0-9]+', ' ', 'g')) AS nd
+  FROM d0
+),
+dt AS (
+  SELECT entity,
+         list_distinct(list_transform(
+           generate_series(1, length(nd) - 2),
+           i -> substring(nd, i, 3))) AS tg
+  FROM dn WHERE length(nd) >= 3
+),
+de AS (SELECT entity, len(tg) AS e_sz, unnest(tg) AS tg FROM dt),
+j AS (
+  SELECT mention, m_sz, entity, e_sz, count(*) AS inter
+  FROM me JOIN de USING (tg)
+  GROUP BY mention, m_sz, entity, e_sz
+),
+s AS (
+  SELECT mention, entity,
+         inter / (m_sz + e_sz - inter) AS score
+  FROM j
+),
+r AS (
+  SELECT mention, entity, score,
+         row_number() OVER (PARTITION BY mention
+                            ORDER BY score DESC, entity) AS rn
+  FROM s WHERE score >= {threshold}
+)
+SELECT mention, entity, round(score, 4) AS score FROM r WHERE rn = 1"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-language stratified sample (k=20 per stratum) via the
+    md5-uniform draw — the data-balance primitive for training mixes;
+    one per-stratum window, no global sort."""
+    from .operators import textprep
+    docs = (spark.read.parquet(_t(sf_dir, "documents"))
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    "lang", "n_chars"))
+    return textprep.stratified_sample(docs, "lang", "doc_id", 20)
+
+
+def o_stratified_sample():
+    return """
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id::BIGINT AS doc_id, lang, n_chars,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('ss1' || doc_id::VARCHAR), doc_id) AS rn
+  FROM documents) t
+WHERE rn <= 20"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4202,6 +4439,12 @@ QUERIES = {
     "kg_statute_triangles": q_kg_statute_triangles,
     "kg_kcore": q_kg_kcore,
     "kg_citation_distance": q_kg_citation_distance,
+    "kg_hits": q_kg_hits,
+    "kg_node_ids": q_kg_node_ids,
+    "kg_edges_encoded": q_kg_edges_encoded,
+    "kg_adjacency": q_kg_adjacency,
+    "entity_link_fuzzy": q_entity_link_fuzzy,
+    "stratified_sample": q_stratified_sample,
     "kg_media_stats": q_kg_media_stats,
     "salted_join_agg": q_salted_join_agg,
     "digest_prune_agg": q_digest_prune_agg,
@@ -4310,6 +4553,12 @@ ORACLES = {
     "kg_statute_triangles": o_kg_statute_triangles(),
     "kg_kcore": o_kg_kcore(),
     "kg_citation_distance": o_kg_citation_distance(),
+    "kg_hits": o_kg_hits(),
+    "kg_node_ids": o_kg_node_ids(),
+    "kg_edges_encoded": o_kg_edges_encoded(),
+    "kg_adjacency": o_kg_adjacency(),
+    "entity_link_fuzzy": o_entity_link_fuzzy(),
+    "stratified_sample": o_stratified_sample(),
     "kg_media_stats": o_kg_media_stats(),
     "salted_join_agg": o_salted_join_agg(),
     "digest_prune_agg": o_digest_prune_agg(),

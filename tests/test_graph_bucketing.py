@@ -177,3 +177,70 @@ def test_kcore_durable_checkpoint_identical(spark, tmp_path):
     durable = sorted((r.node, r.degree) for r in graph.kcore(
         edges, k=2, checkpoint_dir=str(tmp_path / "kc")).collect())
     assert durable == base
+
+
+def test_hits_normalized_and_bipartite_structure(spark, triples):
+    """Hub/auth each sum to 1; with cites_precedent edges (doc -> case)
+    pure sources have auth 0 and pure sinks have hub 0."""
+    res = graph.hits(triples, pred="cites_precedent", n_iter=4).toPandas()
+    assert abs(res.hub.sum() - 1.0) < 1e-4
+    assert abs(res.auth.sum() - 1.0) < 1e-4
+    docs = res[res.node.str.startswith("doc_")]
+    cases = res[~res.node.str.startswith("doc_")]
+    assert len(docs) and len(cases)
+    assert (docs.auth == 0).all() and (docs.hub > 0).all()
+    assert (cases.hub == 0).all() and (cases.auth > 0).all()
+
+
+def test_hits_mutual_reinforcement(spark):
+    """The doc citing the popular case outranks the doc citing the
+    obscure one; the case cited by more hubs gets more authority."""
+    e = spark.createDataFrame(
+        [("d1", "cites", "pop"), ("d2", "cites", "pop"),
+         ("d3", "cites", "pop"), ("d3", "cites", "rare"),
+         ("d4", "cites", "rare")],
+        "subj string, pred string, obj string")
+    r = {x.node: x for x in graph.hits(e, n_iter=8).collect()}
+    assert r["pop"].auth > r["rare"].auth
+    assert r["d3"].hub > r["d4"].hub          # d3 also cites the popular one
+
+
+def test_hits_durable_checkpoint_identical(spark, tmp_path, triples):
+    a = graph.hits(triples, pred="cites_precedent", n_iter=3)
+    b = graph.hits(triples, pred="cites_precedent", n_iter=3,
+                   checkpoint_dir=str(tmp_path / "ck"))
+    pa = a.orderBy("node").toPandas()
+    pb = b.orderBy("node").toPandas()
+    assert pa.equals(pb)
+
+
+def test_dense_node_ids_dense_and_deterministic(spark, triples):
+    nodes = triples.select(F.col("subj").alias("node")).union(
+        triples.select(F.col("obj").alias("node")))
+    ids = graph.dense_node_ids(nodes).toPandas()
+    n = nodes.distinct().count()
+    assert len(ids) == n
+    assert sorted(ids.node_id) == list(range(n))        # dense, unique, 0-based
+    # deterministic under different parallelism
+    ids2 = graph.dense_node_ids(nodes.repartition(13)).toPandas()
+    m1 = dict(zip(ids.node, ids.node_id))
+    m2 = dict(zip(ids2.node, ids2.node_id))
+    assert m1 == m2
+
+
+def test_encode_edges_roundtrip(spark, triples):
+    e = (triples.filter(F.col("pred") == "part_of")
+         .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+         .distinct())
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node")))
+    ids = graph.dense_node_ids(nodes)
+    enc = graph.encode_edges(e, ids)
+    assert enc.count() == e.count()                     # inner join lost nothing
+    # decoding through the dictionary restores the original edge set
+    dec = (enc.join(ids.withColumnRenamed("node_id", "src_id")
+                    .withColumnRenamed("node", "src"), "src_id")
+           .join(ids.withColumnRenamed("node_id", "dst_id")
+                 .withColumnRenamed("node", "dst"), "dst_id")
+           .select("src", "dst"))
+    assert dec.exceptAll(e).count() == 0 and e.exceptAll(dec).count() == 0

@@ -1,0 +1,57 @@
+"""Fuzzy entity linking (trigram-Jaccard) + stratified sampling."""
+
+from pyspark.sql import functions as F
+
+from legal_ner_spark.operators import linking, textprep
+
+
+def _dict_df(spark):
+    return spark.createDataFrame(
+        [("Indian Penal Code",), ("Criminal Procedure Code",),
+         ("Income Tax Act",), ("Motor Vehicle Act",)], "entity string")
+
+
+def test_trigram_link_typos_link_junk_does_not(spark):
+    m = spark.createDataFrame(
+        [("Indain Penal Code",), ("Income-Tax Act 1961",),
+         ("Bananas Act",), ("ipc",)], "mention string")
+    out = {r.mention: r for r in
+           linking.trigram_link(m, _dict_df(spark)).collect()}
+    assert out["Indain Penal Code"].entity == "Indian Penal Code"
+    assert out["Income-Tax Act 1961"].entity == "Income Tax Act"
+    assert "Bananas Act" not in out          # below threshold
+    assert "ipc" not in out                  # < 3 normalized chars
+
+def test_trigram_link_exact_match_scores_one_and_ties_break_by_name(spark):
+    m = spark.createDataFrame([("Income Tax Act",)], "mention string")
+    d = spark.createDataFrame(
+        [("Income Tax Act",), ("Income Tax Act Amendment",)], "entity string")
+    rows = linking.trigram_link(m, d, threshold=0.1).collect()
+    assert len(rows) == 1                     # best-1 per mention
+    assert rows[0].entity == "Income Tax Act" and rows[0].score == 1.0
+
+
+def test_trigram_link_parallelism_invariant(spark):
+    m = spark.createDataFrame(
+        [(f"Indian Penal Code {i}",) for i in range(50)]
+        + [("Motor Vehical Act",)], "mention string")
+    a = linking.trigram_link(m, _dict_df(spark)).orderBy("mention").collect()
+    b = (linking.trigram_link(m.repartition(17), _dict_df(spark))
+         .orderBy("mention").collect())
+    assert a == b
+
+
+def test_stratified_sample_quota_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 10 else "fr") for i in range(200)],
+        "doc_id bigint, lang string")
+    s = textprep.stratified_sample(df, "lang", "doc_id", 5)
+    counts = {r.lang: r.n for r in
+              s.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"en": 5, "fr": 5}
+    s2 = textprep.stratified_sample(df.repartition(7), "lang", "doc_id", 5)
+    assert sorted(map(tuple, s.collect())) == sorted(map(tuple, s2.collect()))
+    # stratum smaller than k: returned whole, never padded
+    tiny = spark.createDataFrame([(1, "de"), (2, "de")],
+                                 "doc_id bigint, lang string")
+    assert textprep.stratified_sample(tiny, "lang", "doc_id", 5).count() == 2
