@@ -109,7 +109,9 @@ def main() -> None:
                      "weighted_sample", "user_transitions",
                      "perplexity_score", "kg_hits", "kg_node_ids",
                      "kg_edges_encoded", "kg_adjacency",
-                     "entity_link_fuzzy", "stratified_sample"]
+                     "entity_link_fuzzy", "stratified_sample",
+                     "kg_negative_samples", "kg_statute_pmi",
+                     "mixture_sample", "dataset_split"]
     for name in bench_queries:
         timings[name] = round(best_of(
             lambda: queries.QUERIES[name](spark, sf_dir).count()), 3)

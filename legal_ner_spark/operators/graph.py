@@ -384,3 +384,36 @@ def encode_edges(edges: DataFrame, ids: DataFrame) -> DataFrame:
             .join(ids.select(F.col("node").alias("dst"),
                              F.col("node_id").alias("dst_id")), "dst")
             .select("src_id", "dst_id"))
+
+
+def negative_samples(triples: DataFrame, ids: DataFrame, k: int = 2,
+                     salt: str = "ns1") -> DataFrame:
+    """Filtered negative sampling for KG-embedding training: per positive
+    triple, ``k`` corrupted-object candidates drawn deterministically
+    from the dense-id dictionary (md5-derived index — reproducible under
+    retry/resume and replayable by the oracle), minus any corruption
+    that happens to be a true triple (the standard 'filtered' setting).
+
+    Scale shape: candidates = positives × k (a projection + explode);
+    the dictionary lookup is one equi-join keyed by int64 node_id; the
+    filtered-setting check is one left-anti equi-join on the triple key.
+    No sampling loop, no driver state."""
+    pos = triples.select("subj", "pred", "obj").distinct()
+    nn = ids.agg(F.count(F.lit(1)).alias("n_nodes"))
+    cand = (pos.crossJoin(F.broadcast(nn))
+            .select("subj", "pred", "obj", "n_nodes",
+                    F.explode(F.sequence(F.lit(1), F.lit(k)))
+                    .alias("neg_ix"))
+            .withColumn(
+                "neg_id",
+                F.pmod(F.conv(F.substring(F.md5(F.concat(
+                    F.lit(salt), F.col("subj"), F.lit("|"),
+                    F.col("pred"), F.lit("|"), F.col("obj"), F.lit("|"),
+                    F.col("neg_ix").cast("string"))), 1, 8), 16, 10)
+                    .cast("bigint"), F.col("n_nodes"))))
+    neg = (cand.join(ids.select(F.col("node_id").alias("neg_id"),
+                                F.col("node").alias("neg_obj")), "neg_id")
+           .select("subj", "pred", "obj", "neg_ix", "neg_obj"))
+    return neg.join(
+        pos.select("subj", "pred", F.col("obj").alias("neg_obj")),
+        ["subj", "pred", "neg_obj"], "left_anti")

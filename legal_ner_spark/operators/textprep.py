@@ -225,3 +225,48 @@ def stratified_sample(df: DataFrame, strata_col: str, id_col: str,
     return (df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k_per_stratum)
             .drop("_rn"))
+
+
+def mixture_sample(df: DataFrame, strata_col: str, id_col: str,
+                   k_total: int, alpha: float = 0.5,
+                   salt: str = "mx1") -> DataFrame:
+    """Temperature-based mixture sampling (the multilingual-LM data-mix
+    rule, alpha<1 upsamples tail strata relative to their raw share):
+    stratum quota ∝ count^alpha, floored at 1, then the per-stratum
+    draw uses the md5 uniform.  The quota table is tiny (one row per
+    stratum) — its normalizing sum is a window over that table and the
+    result is broadcast-joined back; the corpus side sees exactly one
+    per-stratum window, no global sort."""
+    cnt = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_c"))
+    quota = (cnt.withColumn("_w", F.pow("_c", F.lit(alpha)))
+             .withColumn("_wsum", F.sum("_w").over(
+                 Window.rowsBetween(Window.unboundedPreceding,
+                                    Window.unboundedFollowing)))
+             .select(strata_col,
+                     F.greatest(F.lit(1), F.floor(
+                         F.lit(k_total) * F.col("_w") / F.col("_wsum")))
+                     .cast("int").alias("_quota")))
+    u = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(u, F.col(id_col))
+    return (df.join(F.broadcast(quota), strata_col)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= F.col("_quota"))
+            .drop("_rn", "_quota"))
+
+
+def hash_split(df: DataFrame, id_col: str,
+               weights: tuple[int, int, int] = (80, 10, 10),
+               salt: str = "sp1") -> DataFrame:
+    """Deterministic train/valid/test assignment by hash bucket — the
+    split survives re-runs, insertions, and engine swaps because it
+    depends only on (salt, id), never on row order or a seed stream.
+    Pure projection: no shuffle at all."""
+    train, valid, _ = weights
+    b = F.pmod(F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+        1, 8), 16, 10).cast("bigint"), F.lit(100))
+    return df.withColumn(
+        "split",
+        F.when(b < train, "train")
+         .when(b < train + valid, "valid")
+         .otherwise("test"))

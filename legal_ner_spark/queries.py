@@ -4334,6 +4334,159 @@ SELECT doc_id, lang, n_chars FROM (
 WHERE rn <= 20"""
 
 
+def q_kg_negative_samples(spark, sf_dir):
+    """Filtered negative sampling for KG-embedding training: 2 corrupted
+    objects per positive triple, drawn by md5 index from the dense node
+    dictionary, minus accidental true triples.  Projection + explode +
+    two equi-joins — no sampling loop."""
+    from .operators import graph
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    nodes = tri.select(F.col("subj").alias("node")).union(
+        tri.select(F.col("obj").alias("node")))
+    ids = graph.dense_node_ids(nodes)
+    return graph.negative_samples(tri, ids, k=2)
+
+
+def o_kg_negative_samples(k: int = 2):
+    return f"""
+WITH tri0 AS (SELECT subj, pred, obj FROM {_KG_SQL_SRC}
+              WHERE rec_type = 'triple'),
+tri AS (SELECT DISTINCT subj, pred, obj FROM tri0),
+nodes AS (SELECT subj AS node FROM tri0 UNION SELECT obj FROM tri0),
+ids AS (
+  SELECT node,
+         (row_number() OVER (ORDER BY substring(md5(node), 1, 2), node)
+          - 1)::BIGINT AS node_id
+  FROM nodes
+),
+nn AS (SELECT count(*) AS n_nodes FROM ids),
+cand AS (
+  SELECT t.subj, t.pred, t.obj, s.j::INT AS neg_ix,
+         (('0x' || substr(md5('ns1' || t.subj || '|' || t.pred || '|'
+                              || t.obj || '|' || s.j::VARCHAR), 1, 8))
+          ::UBIGINT % (SELECT n_nodes FROM nn))::BIGINT AS neg_id
+  FROM tri t, unnest(generate_series(1, {k})) AS s(j)
+),
+neg AS (
+  SELECT c.subj, c.pred, c.obj, c.neg_ix, i.node AS neg_obj
+  FROM cand c JOIN ids i ON c.neg_id = i.node_id
+)
+SELECT n.subj, n.pred, n.obj, n.neg_ix, n.neg_obj
+FROM neg n LEFT JOIN tri t2
+  ON n.subj = t2.subj AND n.pred = t2.pred AND n.neg_obj = t2.obj
+WHERE t2.subj IS NULL"""
+
+
+def q_kg_statute_pmi(spark, sf_dir):
+    """Pointwise mutual information of statute co-citation: which statute
+    pairs co-occur in documents MORE than their individual popularity
+    predicts (PMI > 0) — the association-mining layer over the raw
+    co-citation counts.  Pair counts come from the bounded per-doc
+    self-join; marginals and the doc total are tiny aggregates broadcast
+    into the final projection."""
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    ds = (tri.filter(F.col("pred") == "part_of")
+          .select("doc_id", F.col("obj").alias("statute")).distinct())
+    nd = ds.agg(F.countDistinct("doc_id").alias("n_total"))
+    marg = ds.groupBy("statute").agg(F.count(F.lit(1)).alias("c"))
+    b = ds.select(F.col("doc_id").alias("bdoc"),
+                  F.col("statute").alias("statute_b"))
+    pairs = (ds.join(b, (F.col("doc_id") == F.col("bdoc"))
+                     & (F.col("statute") < F.col("statute_b")))
+             .groupBy(F.col("statute").alias("statute_a"), "statute_b")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")))
+    return (pairs
+            .join(F.broadcast(marg.select(
+                F.col("statute").alias("statute_a"),
+                F.col("c").alias("c_a"))), "statute_a")
+            .join(F.broadcast(marg.select(
+                F.col("statute").alias("statute_b"),
+                F.col("c").alias("c_b"))), "statute_b")
+            .crossJoin(F.broadcast(nd))
+            .select("statute_a", "statute_b", "n_docs",
+                    F.round(F.log(F.col("n_docs") * F.col("n_total")
+                                  / (F.col("c_a") * F.col("c_b"))), 4)
+                    .alias("pmi")))
+
+
+def o_kg_statute_pmi():
+    return f"""
+WITH ds AS (
+  SELECT DISTINCT doc_id, obj AS statute
+  FROM {_KG_SQL_SRC} WHERE rec_type = 'triple' AND pred = 'part_of'
+),
+nd AS (SELECT count(DISTINCT doc_id) AS n_total FROM ds),
+marg AS (SELECT statute, count(*) AS c FROM ds GROUP BY statute),
+pairs AS (
+  SELECT a.statute AS statute_a, b.statute AS statute_b,
+         count(*)::BIGINT AS n_docs
+  FROM ds a JOIN ds b
+    ON a.doc_id = b.doc_id AND a.statute < b.statute
+  GROUP BY a.statute, b.statute
+)
+SELECT p.statute_a, p.statute_b, p.n_docs,
+       round(ln(p.n_docs * (SELECT n_total FROM nd)
+                / (ma.c * mb.c)), 4) AS pmi
+FROM pairs p
+JOIN marg ma ON p.statute_a = ma.statute
+JOIN marg mb ON p.statute_b = mb.statute"""
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Temperature-based mixture sampling (alpha = 0.5): per-language
+    quotas ∝ count^alpha — tail languages upsampled relative to their
+    raw share, the multilingual-LM data-mix rule — then the md5-uniform
+    per-stratum draw."""
+    from .operators import textprep
+    docs = (spark.read.parquet(_t(sf_dir, "documents"))
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"), "lang"))
+    return textprep.mixture_sample(docs, "lang", "doc_id", 100, alpha=0.5)
+
+
+def o_mixture_sample(k_total: int = 100, alpha: float = 0.5):
+    return f"""
+WITH cnt AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+quota AS (
+  SELECT lang,
+         greatest(1, floor({k_total} * pow(c, {alpha})
+                           / sum(pow(c, {alpha})) OVER ()))::INT AS q
+  FROM cnt
+),
+ranked AS (
+  SELECT doc_id::BIGINT AS doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('mx1' || doc_id::VARCHAR), doc_id) AS rn
+  FROM documents
+)
+SELECT r.lang, r.doc_id
+FROM ranked r JOIN quota USING (lang)
+WHERE r.rn <= quota.q"""
+
+
+def q_dataset_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/valid/test assignment by salted hash
+    bucket — survives re-runs, insertions, and engine swaps (no seed
+    stream, no row order); pure projection, zero shuffle."""
+    from .operators import textprep
+    docs = (spark.read.parquet(_t(sf_dir, "documents"))
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"), "lang"))
+    return textprep.hash_split(docs, "doc_id")
+
+
+def o_dataset_split():
+    return """
+SELECT doc_id::BIGINT AS doc_id, lang,
+       CASE WHEN b < 80 THEN 'train'
+            WHEN b < 90 THEN 'valid'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('sp1' || doc_id::VARCHAR), 1, 8))::UBIGINT
+           % 100 AS b
+  FROM documents) t"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4445,6 +4598,10 @@ QUERIES = {
     "kg_adjacency": q_kg_adjacency,
     "entity_link_fuzzy": q_entity_link_fuzzy,
     "stratified_sample": q_stratified_sample,
+    "kg_negative_samples": q_kg_negative_samples,
+    "kg_statute_pmi": q_kg_statute_pmi,
+    "mixture_sample": q_mixture_sample,
+    "dataset_split": q_dataset_split,
     "kg_media_stats": q_kg_media_stats,
     "salted_join_agg": q_salted_join_agg,
     "digest_prune_agg": q_digest_prune_agg,
@@ -4559,6 +4716,10 @@ ORACLES = {
     "kg_adjacency": o_kg_adjacency(),
     "entity_link_fuzzy": o_entity_link_fuzzy(),
     "stratified_sample": o_stratified_sample(),
+    "kg_negative_samples": o_kg_negative_samples(),
+    "kg_statute_pmi": o_kg_statute_pmi(),
+    "mixture_sample": o_mixture_sample(),
+    "dataset_split": o_dataset_split(),
     "kg_media_stats": o_kg_media_stats(),
     "salted_join_agg": o_salted_join_agg(),
     "digest_prune_agg": o_digest_prune_agg(),

@@ -244,3 +244,25 @@ def test_encode_edges_roundtrip(spark, triples):
                  .withColumnRenamed("node", "dst"), "dst_id")
            .select("src", "dst"))
     assert dec.exceptAll(e).count() == 0 and e.exceptAll(dec).count() == 0
+
+
+def test_negative_samples_filtered_and_bounded(spark, triples):
+    """≤ k negatives per positive; no emitted negative is a true triple;
+    deterministic across parallelism."""
+    nodes = triples.select(F.col("subj").alias("node")).union(
+        triples.select(F.col("obj").alias("node")))
+    ids = graph.dense_node_ids(nodes)
+    neg = graph.negative_samples(triples, ids, k=2).cache()
+    pos = triples.select("subj", "pred", "obj").distinct()
+    n_pos = pos.count()
+    assert 0 < neg.count() <= 2 * n_pos
+    leaked = neg.join(
+        pos.withColumnRenamed("obj", "neg_obj"),
+        ["subj", "pred", "neg_obj"]).count()
+    assert leaked == 0
+    per = neg.groupBy("subj", "pred", "obj").count()
+    assert per.agg(F.max("count")).first()[0] <= 2
+    again = graph.negative_samples(triples.repartition(11), ids, k=2)
+    assert sorted(map(tuple, neg.collect())) == \
+        sorted(map(tuple, again.collect()))
+    neg.unpersist()

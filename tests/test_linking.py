@@ -55,3 +55,36 @@ def test_stratified_sample_quota_and_determinism(spark):
     tiny = spark.createDataFrame([(1, "de"), (2, "de")],
                                  "doc_id bigint, lang string")
     assert textprep.stratified_sample(tiny, "lang", "doc_id", 5).count() == 2
+
+
+def test_mixture_sample_upsamples_tail(spark):
+    """alpha=0.5: the tail stratum's sampled share exceeds its raw share."""
+    df = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small") for i in range(1000)],
+        "doc_id bigint, lang string")
+    s = textprep.mixture_sample(df, "lang", "doc_id", 100, alpha=0.5)
+    got = {r.lang: r.n for r in
+           s.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # raw share of 'small' is 10%; sqrt weights give 10/(30+10) = 25%
+    assert got["small"] / (got["small"] + got["big"]) > 0.15
+    # alpha=1 reproduces the raw proportions
+    s1 = textprep.mixture_sample(df, "lang", "doc_id", 100, alpha=1.0)
+    got1 = {r.lang: r.n for r in
+            s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got1["small"] <= 10
+
+
+def test_hash_split_stable_under_insertion(spark):
+    """An id's split never changes when other rows appear — the property
+    that makes hash splits leak-proof across dataset versions."""
+    a = spark.createDataFrame([(i,) for i in range(100)], "doc_id bigint")
+    b = spark.createDataFrame([(i,) for i in range(500)], "doc_id bigint")
+    sa = {r.doc_id: r.split for r in
+          textprep.hash_split(a, "doc_id").collect()}
+    sb = {r.doc_id: r.split for r in
+          textprep.hash_split(b, "doc_id").collect()}
+    assert all(sb[k] == v for k, v in sa.items())
+    from collections import Counter
+    c = Counter(sb.values())
+    assert c["train"] > c["valid"] and c["train"] > c["test"]
+    assert set(c) == {"train", "valid", "test"}
