@@ -4487,6 +4487,109 @@ FROM (
   FROM documents) t"""
 
 
+def q_ngram_diversity(spark, sf_dir):
+    """Distinct-2 diversity (self-repetition metric for generated/crawled
+    text): distinct bigrams / total bigrams per document — low values
+    flag template spam and degenerate decoding.  Pure projection over
+    the token array (no explode, no shuffle): bigrams materialize as an
+    in-row array and both counts come from array ops."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    toks = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.split(F.lower(F.col("text")), " ").alias("ts"))
+    bg = toks.filter(F.size("ts") >= 2).withColumn(
+        "bg", F.expr("transform(sequence(1, size(ts) - 1),"
+                     " i -> concat(ts[i-1], ' ', ts[i]))"))
+    return bg.select(
+        "doc_id",
+        F.size("bg").cast("bigint").alias("n_bigrams"),
+        F.round(F.size(F.array_distinct("bg")) / F.size("bg"), 4)
+        .alias("distinct2"))
+
+
+def o_ngram_diversity():
+    return """
+WITH toks AS (
+  SELECT doc_id::BIGINT AS doc_id, string_split(lower(text), ' ') AS ts
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(ts) - 1),
+                        i -> ts[i] || ' ' || ts[i + 1]) AS bg
+  FROM toks WHERE len(ts) >= 2
+)
+SELECT doc_id, len(bg)::BIGINT AS n_bigrams,
+       round(len(list_distinct(bg)) / len(bg), 4) AS distinct2
+FROM bg"""
+
+
+def q_zipf_slope(spark, sf_dir):
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of
+    log(freq) on log(rank) (healthy natural text ≈ −1; templated or
+    synthetic text flattens).  Rank is computed DISTRIBUTED: ties rank
+    within their frequency class via a freq-partitioned window, and the
+    class offset comes from the tiny (distinct-freq → count) table's
+    cumulative window — the prefix-sum idiom again, no global window
+    over the vocabulary."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    vocab = (docs.select(F.explode(F.split(F.lower("text"), " "))
+                         .alias("w"))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("f")))
+    ftot = vocab.groupBy("f").agg(F.count(F.lit(1)).alias("nf"))
+    wcum = (Window.orderBy(F.desc("f"))
+            .rowsBetween(Window.unboundedPreceding, -1))
+    foff = ftot.withColumn("off", F.coalesce(F.sum("nf").over(wcum),
+                                             F.lit(0)))
+    wtie = Window.partitionBy("f").orderBy("w")
+    ranked = (vocab.join(F.broadcast(foff.select("f", "off")), "f")
+              .withColumn("rank", F.row_number().over(wtie) + F.col("off")))
+    return (ranked
+            .select(F.log("rank").alias("lx"), F.log("f").alias("ly"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_vocab"),
+                 F.round(F.covar_pop("lx", "ly") / F.var_pop("lx"), 4)
+                 .alias("zipf_slope")))
+
+
+def o_zipf_slope():
+    return """
+WITH vocab AS (
+  SELECT w, count(*) AS f FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents) t
+  GROUP BY w
+),
+ranked AS (
+  SELECT f, row_number() OVER (ORDER BY f DESC, w) AS rank FROM vocab
+)
+SELECT count(*)::BIGINT AS n_vocab,
+       round(regr_slope(ln(f), ln(rank)), 4) AS zipf_slope
+FROM ranked"""
+
+
+_PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def q_corpus_pivot(spark, sf_dir):
+    """source × language contingency table via PIVOT with pinned values
+    (dynamic pivots collect the value set to the driver — pinning keeps
+    the plan one pass).  Missing cells coalesce to 0 so the shape is
+    engine-neutral."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    p = (docs.groupBy("source").pivot("lang", _PIVOT_LANGS)
+         .agg(F.count(F.lit(1))))
+    return p.select(
+        "source",
+        *[F.coalesce(F.col(lang), F.lit(0)).cast("bigint").alias(lang)
+          for lang in _PIVOT_LANGS])
+
+
+def o_corpus_pivot():
+    cells = ", ".join(
+        f"count(*) FILTER (lang = '{lang}')::BIGINT AS {lang}"
+        for lang in _PIVOT_LANGS)
+    return f"SELECT source, {cells} FROM documents GROUP BY source"
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4602,6 +4705,9 @@ QUERIES = {
     "kg_statute_pmi": q_kg_statute_pmi,
     "mixture_sample": q_mixture_sample,
     "dataset_split": q_dataset_split,
+    "ngram_diversity": q_ngram_diversity,
+    "zipf_slope": q_zipf_slope,
+    "corpus_pivot": q_corpus_pivot,
     "kg_media_stats": q_kg_media_stats,
     "salted_join_agg": q_salted_join_agg,
     "digest_prune_agg": q_digest_prune_agg,
@@ -4720,6 +4826,9 @@ ORACLES = {
     "kg_statute_pmi": o_kg_statute_pmi(),
     "mixture_sample": o_mixture_sample(),
     "dataset_split": o_dataset_split(),
+    "ngram_diversity": o_ngram_diversity(),
+    "zipf_slope": o_zipf_slope(),
+    "corpus_pivot": o_corpus_pivot(),
     "kg_media_stats": o_kg_media_stats(),
     "salted_join_agg": o_salted_join_agg(),
     "digest_prune_agg": o_digest_prune_agg(),

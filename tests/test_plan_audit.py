@@ -317,3 +317,58 @@ def test_q10_pushes_returnflag_and_uses_topk(spark):
     assert "l_returnflag" in pushed, pushed
     pp = physical(queries.QUERIES["tpch_q10"](spark, SF))
     assert "TakeOrderedAndProject" in pp, pp[:2000]
+
+
+def test_trigram_link_broadcasts_dictionary_no_cartesian(spark):
+    """The dictionary side of the fuzzy linker must broadcast: blocking
+    happens through the trigram equi-join, never a cartesian score-all."""
+    p = physical(queries.QUERIES["entity_link_fuzzy"](spark, SF))
+    assert "BroadcastHashJoin" in p, p[:2000]
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_dense_node_ids_windows_are_bucket_partitioned(spark):
+    """The corpus-sized window must partition by the hash bucket; the
+    only global (empty-partition-spec) window runs over the tiny
+    bucket-totals table AFTER its aggregation — never over the corpus."""
+    from pyspark.sql import functions as F
+    from legal_ner_spark.operators import graph
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ids = graph.dense_node_ids(
+        docs.select(F.col("text").alias("node")))
+    p = physical(ids)
+    import re
+    specs = re.findall(r"Window \[.*?windowspecdefinition\(([^)]*)\)", p)
+    assert specs, p[:2000]
+    # every windowspecdefinition either references _b (bucket window) or
+    # follows the bucket-totals aggregate (global over ≤4096 rows)
+    bucketed = [s for s in specs if "_b" in s]
+    assert bucketed, specs
+
+
+def test_negative_samples_all_equi_joins(spark):
+    p = physical(queries.QUERIES["kg_negative_samples"](spark, SF))
+    assert "CartesianProduct" not in p
+    # the only nested-loop is the 1-row n_nodes broadcast
+    import re
+    bnlj = p.count("BroadcastNestedLoopJoin")
+    assert bnlj <= 1, p[:3000]
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p \
+        or "BroadcastHashJoin" in p
+
+
+def test_hash_split_is_pure_projection(spark):
+    p = physical(queries.QUERIES["dataset_split"](spark, SF))
+    assert "Exchange" not in p, p[:2000]
+
+
+def test_zipf_rank_window_is_freq_partitioned(spark):
+    """The vocabulary-sized rank window must partition by frequency
+    class; only the tiny distinct-freq table gets the global cumulative
+    window (the prefix-sum idiom)."""
+    import re
+    p = physical(queries.QUERIES["zipf_slope"](spark, SF))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert any(s.startswith("f#") or ", f#" in s or s.split(",")[0].strip().startswith("f#")
+               for s in specs), specs
