@@ -112,7 +112,8 @@ def main() -> None:
                      "entity_link_fuzzy", "stratified_sample",
                      "kg_negative_samples", "kg_statute_pmi",
                      "mixture_sample", "dataset_split",
-                     "ngram_diversity", "zipf_slope", "corpus_pivot"]
+                     "ngram_diversity", "zipf_slope", "corpus_pivot",
+                     "chunk_windows", "oov_rate"]
     for name in bench_queries:
         timings[name] = round(best_of(
             lambda: queries.QUERIES[name](spark, sf_dir).count()), 3)

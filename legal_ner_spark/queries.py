@@ -4590,6 +4590,99 @@ def o_corpus_pivot():
     return f"SELECT source, {cells} FROM documents GROUP BY source"
 
 
+def q_chunk_windows(spark, sf_dir, window: int = 64, stride: int = 48):
+    """Sliding-window sequence chunking (the tokenize-and-chunk step that
+    turns documents into fixed-length training sequences, stride <
+    window for overlap): per doc, chunk i covers tokens
+    [i·stride, i·stride + window).  Chunk count uses pure integer
+    arithmetic (1 + ⌈(n−W)/S⌉ via floordiv) so both engines agree
+    exactly; the explode fans out ∝ OUTPUT chunks, and everything else
+    is in-row array slicing — no shuffle at all."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    toks = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.split(F.lower(F.col("text")), " ").alias("ts"))
+    n = F.size("ts")
+    n_chunks = F.when(n <= window, F.lit(1)).otherwise(
+        F.floor((n - window + stride - 1) / stride) + 1).cast("int")
+    chunks = (toks.withColumn("n_chunks", n_chunks)
+              .select("doc_id", "ts",
+                      F.explode(F.expr("sequence(0, n_chunks - 1)"))
+                      .alias("chunk_ix")))
+    body = F.slice("ts", F.col("chunk_ix") * stride + 1, window)
+    return chunks.select(
+        "doc_id", "chunk_ix",
+        F.size(body).cast("bigint").alias("n_tokens"),
+        F.array_join(body, " ").alias("chunk_text"))
+
+
+def o_chunk_windows(window: int = 64, stride: int = 48):
+    return f"""
+WITH toks AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         string_split(lower(text), ' ') AS ts
+  FROM documents
+),
+counted AS (
+  SELECT doc_id, ts,
+         CASE WHEN len(ts) <= {window} THEN 1
+              ELSE ((len(ts) - {window} + {stride} - 1) // {stride}) + 1
+         END::INT AS n_chunks
+  FROM toks
+),
+ex AS (
+  SELECT doc_id, ts, s.i::INT AS chunk_ix
+  FROM counted, unnest(generate_series(0, n_chunks - 1)) AS s(i)
+)
+SELECT doc_id, chunk_ix,
+       len(list_slice(ts, chunk_ix * {stride} + 1,
+                      chunk_ix * {stride} + {window}))::BIGINT AS n_tokens,
+       array_to_string(list_slice(ts, chunk_ix * {stride} + 1,
+                                  chunk_ix * {stride} + {window}), ' ')
+         AS chunk_text
+FROM ex"""
+
+
+def q_oov_rate(spark, sf_dir, vocab_k: int = 1000):
+    """Out-of-vocabulary rate per document against the corpus top-k
+    vocabulary (the coverage check run before committing to a tokenizer
+    vocab).  Vocab cut = TakeOrdered over the aggregated vocab (partial
+    per-partition top-k, deterministic (freq desc, token) tie-break),
+    broadcast into a left join over the exploded tokens; one doc_id
+    aggregation closes it."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    tok = (docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                       F.explode(F.split(F.lower("text"), " "))
+                       .alias("w")))
+    vocab = (tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+             .orderBy(F.desc("c"), F.asc("w")).limit(vocab_k)
+             .select("w", F.lit(1).alias("_in")))
+    return (tok.join(F.broadcast(vocab), "w", "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                 F.round(F.avg(F.when(F.col("_in").isNull(), 1.0)
+                               .otherwise(0.0)), 4).alias("oov_rate")))
+
+
+def o_oov_rate(vocab_k: int = 1000):
+    return f"""
+WITH tok AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         unnest(string_split(lower(text), ' ')) AS w
+  FROM documents
+),
+vocab AS (
+  SELECT w FROM (
+    SELECT w, count(*) AS c FROM tok GROUP BY w
+    ORDER BY c DESC, w LIMIT {vocab_k}) t
+)
+SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+       round(avg(CASE WHEN v.w IS NULL THEN 1.0 ELSE 0.0 END), 4)
+         AS oov_rate
+FROM tok t LEFT JOIN vocab v ON t.w = v.w
+GROUP BY t.doc_id"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4708,6 +4801,8 @@ QUERIES = {
     "ngram_diversity": q_ngram_diversity,
     "zipf_slope": q_zipf_slope,
     "corpus_pivot": q_corpus_pivot,
+    "chunk_windows": q_chunk_windows,
+    "oov_rate": q_oov_rate,
     "kg_media_stats": q_kg_media_stats,
     "salted_join_agg": q_salted_join_agg,
     "digest_prune_agg": q_digest_prune_agg,
@@ -4829,6 +4924,8 @@ ORACLES = {
     "ngram_diversity": o_ngram_diversity(),
     "zipf_slope": o_zipf_slope(),
     "corpus_pivot": o_corpus_pivot(),
+    "chunk_windows": o_chunk_windows(),
+    "oov_rate": o_oov_rate(),
     "kg_media_stats": o_kg_media_stats(),
     "salted_join_agg": o_salted_join_agg(),
     "digest_prune_agg": o_digest_prune_agg(),

@@ -302,3 +302,34 @@ def test_weighted_sample_favors_weight_and_is_reproducible(spark):
     df0 = df.withColumn("w", F.when(F.col("id") % 2 == 0, -1.0)
                         .otherwise(0.0))
     assert weighted_sample(df0, "w", "id", k=10).count() == 0
+
+
+def test_chunk_windows_coverage_and_overlap(spark, tmp_path):
+    """Every token position is covered; consecutive chunks overlap by
+    window - stride; a short doc yields exactly one whole-doc chunk."""
+    import os
+    from legal_ner_spark import queries
+    long_text = " ".join(f"t{i}" for i in range(150))
+    short_text = "a b c"
+    df = spark.createDataFrame([(1, long_text, "en", "s", 1),
+                                (2, short_text, "en", "s", 1)],
+                               "doc_id bigint, text string, lang string,"
+                               " source string, n_chars bigint")
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = queries.QUERIES["chunk_windows"](spark, d).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == short_text
+    cs = sorted(by_doc[1], key=lambda r: r.chunk_ix)
+    # 150 tokens, W=64, S=48 -> chunks at 0/48/96: 1+ceil((150-64)/48)=3
+    assert [c.chunk_ix for c in cs] == [0, 1, 2]
+    assert cs[0].n_tokens == 64 and cs[-1].n_tokens == 150 - 96
+    # coverage: union of [ix*48, ix*48+n) covers [0, 150)
+    covered = set()
+    for c in cs:
+        covered.update(range(c.chunk_ix * 48, c.chunk_ix * 48 + c.n_tokens))
+    assert covered == set(range(150))
+    # overlap: chunk 1 starts 16 tokens before chunk 0 ends
+    assert cs[0].chunk_text.split()[48:] == cs[1].chunk_text.split()[:16]
