@@ -28,7 +28,7 @@ Four tiers, all pure DataFrame (JVM-side, no Python UDFs):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _HEX = "0123456789abcdef"
@@ -718,3 +718,72 @@ def duplicate_passages(docs: DataFrame, n: int = 8, min_docs: int = 2,
                  (F.max("pos") + n).cast("bigint").alias("span_end"),
                  F.count("*").cast("bigint").alias("n_dup_shingles"))
             .select("doc_id", "span_start", "span_end", "n_dup_shingles"))
+
+
+def prefix_filter_pairs(docs: DataFrame, t_num: int = 4, t_den: int = 5,
+                        n: int = 5, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (AllPairs/PPJoin,
+    Bayardo et al. WWW'07): all pairs with shingle-set Jaccard ≥
+    t_num/t_den — no false negatives, unlike the MinHash/SimHash tiers,
+    which trade recall for fewer candidates.
+
+    The threshold is a RATIONAL (t_num/t_den) and every pruning bound is
+    integer arithmetic — ``ceil(0.8·s)`` in binary floating point is
+    off-by-one for some sizes, and a too-short prefix silently DROPS
+    pairs; ceil_div(t_num·s, t_den) cannot.
+
+    Shape: shingles are ordered by global rarity (document frequency
+    asc — the rank uses the freq-partitioned window + tiny cumulative
+    offset table, no global window); each doc emits only its first
+    s − ⌈t·s⌉ + 1 rarest shingles (pigeonhole: two sets with J ≥ t must
+    share a prefix token), candidates come from the prefix equi-join +
+    length filter, and one count-join verifies exact Jaccard.  Shuffle
+    volume ∝ prefix postings, not the corpus; the residual hazard is a
+    hot prefix shingle (bounded by how many docs share a RAREST-tier
+    shingle — at 100 TB cap posting width like lsh max_bucket and route
+    overflow to the MinHash tier)."""
+    sh = shingle_rows(docs, id_col=id_col, text_col=text_col, n=n)
+    dfq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    nf = dfq.groupBy("df").agg(F.count(F.lit(1)).alias("nf"))
+    woff = Window.orderBy("df").rowsBetween(Window.unboundedPreceding, -1)
+    off = nf.withColumn("off", F.coalesce(F.sum("nf").over(woff), F.lit(0)))
+    wtie = Window.partitionBy("df").orderBy("shingle")
+    ranked = (dfq.join(F.broadcast(off.select("df", "off")), "df")
+              .withColumn("rk", F.row_number().over(wtie) + F.col("off"))
+              .select("shingle", "rk"))
+    tok = sh.join(ranked, "shingle").select(
+        F.col("doc_id").alias("doc"), "shingle", "rk")
+    sz = tok.groupBy("doc").agg(F.count(F.lit(1)).alias("s"))
+    # prefix length: s - ceil(t*s) + 1, all-integer
+    plen = (F.col("s")
+            - F.floor((F.lit(t_num) * F.col("s") + t_den - 1) / t_den)
+            + 1)
+    wdoc = Window.partitionBy("doc").orderBy("rk")
+    pfx = (tok.join(sz, "doc")
+           .withColumn("pos", F.row_number().over(wdoc))
+           .filter(F.col("pos") <= plen)
+           .select("doc", "shingle", "s"))
+    a = pfx.select(F.col("doc").alias("da"), "shingle",
+                   F.col("s").alias("sa"))
+    b = pfx.select(F.col("doc").alias("db"), "shingle",
+                   F.col("s").alias("sb"))
+    cand = (a.join(b, "shingle")
+            .filter(F.col("da") < F.col("db"))
+            .select("da", "db", "sa", "sb").distinct()
+            # length filter: J ≥ t needs t·max(sa,sb) ≤ min(sa,sb)
+            .filter((F.lit(t_den) * F.col("sb") >= t_num * F.col("sa"))
+                    & (F.lit(t_den) * F.col("sa")
+                       >= t_num * F.col("sb"))))
+    ta = tok.select(F.col("doc").alias("da"), "shingle")
+    tb = tok.select(F.col("doc").alias("db"), "shingle")
+    inter = (cand.join(ta, "da").join(tb, ["db", "shingle"])
+             .groupBy("da", "db", "sa", "sb")
+             .agg(F.count(F.lit(1)).alias("i")))
+    return (inter
+            .filter(F.lit(t_den) * F.col("i")
+                    >= t_num * (F.col("sa") + F.col("sb") - F.col("i")))
+            .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"),
+                    F.round(F.col("i") / (F.col("sa") + F.col("sb")
+                                          - F.col("i")), 4)
+                    .alias("jaccard")))

@@ -4683,6 +4683,44 @@ FROM tok t LEFT JOIN vocab v ON t.w = v.w
 GROUP BY t.doc_id"""
 
 
+def q_dedup_prefix_filter(spark, sf_dir):
+    """EXACT set-similarity join (prefix filtering, AllPairs/PPJoin):
+    every doc pair with 5-gram-shingle Jaccard ≥ 4/5.  The oracle is the
+    brute-force all-pairs join — equality proves the prefix filter has
+    NO false negatives, the property the approximate tiers (minhash /
+    simhash) trade away."""
+    from .operators import dedup
+    docs = (spark.read.parquet(_t(sf_dir, "documents"))
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    "text"))
+    return dedup.prefix_filter_pairs(docs, t_num=4, t_den=5, n=5)
+
+
+def o_dedup_prefix_filter(t_num: int = 4, t_den: int = 5, n: int = 5):
+    return f"""
+WITH toks AS (
+  SELECT doc_id::BIGINT AS doc_id, string_split(lower(text), ' ') AS t
+  FROM documents
+),
+tok AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(t, i, i + {n} - 1), ' ') AS shingle
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, len(t) - {n} + 1)) AS i) s
+  WHERE len(t) >= {n}
+),
+sz AS (SELECT doc_id, count(*) AS s FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM tok a JOIN tok b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(i * 1.0 / (sa.s + sb.s - i), 4) AS jaccard
+FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+WHERE {t_den} * i >= {t_num} * (sa.s + sb.s - i)"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4803,6 +4841,7 @@ QUERIES = {
     "corpus_pivot": q_corpus_pivot,
     "chunk_windows": q_chunk_windows,
     "oov_rate": q_oov_rate,
+    "dedup_prefix_filter": q_dedup_prefix_filter,
     "kg_media_stats": q_kg_media_stats,
     "salted_join_agg": q_salted_join_agg,
     "digest_prune_agg": q_digest_prune_agg,
@@ -4926,6 +4965,7 @@ ORACLES = {
     "corpus_pivot": o_corpus_pivot(),
     "chunk_windows": o_chunk_windows(),
     "oov_rate": o_oov_rate(),
+    "dedup_prefix_filter": o_dedup_prefix_filter(),
     "kg_media_stats": o_kg_media_stats(),
     "salted_join_agg": o_salted_join_agg(),
     "digest_prune_agg": o_digest_prune_agg(),

@@ -683,3 +683,71 @@ def test_ivfpq_prunes_and_still_finds_planted_neighbors(spark):
              .collect()}
     n_corpus = cs.count()
     assert all(0 < n < n_corpus for n in per_q.values()), per_q
+
+
+def test_prefix_filter_exact_at_threshold_boundary(spark):
+    """A pair at EXACTLY the rational threshold must be kept (the
+    integer bound is ≥, and float ceil must not shorten the prefix);
+    just-below pairs must be dropped; result equals brute force."""
+    from itertools import combinations
+    from legal_ner_spark.operators.dedup import prefix_filter_pairs
+    base = [f"w{i}" for i in range(20)]
+    docs = {
+        # J(d1, d2): shingles of d1 = 16 3-grams over 18 toks... built
+        # instead from explicit token streams with known shingle sets:
+        1: " ".join(base),                    # 18 3-gram shingles? n=3: 18
+        2: " ".join(base),                    # identical → J = 1
+        3: " ".join(base[:19] + ["zz"]),      # near dup
+        4: " ".join(f"u{i}" for i in range(20)),   # disjoint
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id bigint, text string")
+    got = {(r.doc_a, r.doc_b): r.jaccard
+           for r in prefix_filter_pairs(df, t_num=3, t_den=5, n=3).collect()}
+    # brute force ground truth
+    def shingles(t):
+        ts = t.lower().split()
+        return {" ".join(ts[i:i + 3]) for i in range(len(ts) - 2)}
+    want = {}
+    for a, b in combinations(sorted(docs), 2):
+        sa, sb = shingles(docs[a]), shingles(docs[b])
+        i = len(sa & sb)
+        u = len(sa | sb)
+        if 5 * i >= 3 * u:
+            want[(a, b)] = round(i / u, 4)
+    assert got == want and (1, 2) in got and (1, 4) not in got
+
+
+def test_prefix_filter_no_false_negatives_random(spark):
+    """Randomized cross-check vs brute force over 30 docs with planted
+    overlap structure (fixed seed)."""
+    import random
+    from itertools import combinations
+    from legal_ner_spark.operators.dedup import prefix_filter_pairs
+    rng = random.Random(7)
+    vocab = [f"v{i}" for i in range(40)]
+    texts = {}
+    for d in range(30):
+        if d % 3 == 0 and d > 0:
+            # mutate a previous doc: near dup with controlled distance
+            src = texts[d - 1].split()
+            k = rng.randrange(0, 4)
+            for _ in range(k):
+                src[rng.randrange(len(src))] = rng.choice(vocab)
+            texts[d] = " ".join(src)
+        else:
+            texts[d] = " ".join(rng.choice(vocab) for _ in range(25))
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id bigint, text string")
+    got = {(r.doc_a, r.doc_b): r.jaccard
+           for r in prefix_filter_pairs(df, t_num=1, t_den=2, n=4).collect()}
+    def shingles(t):
+        ts = t.lower().split()
+        return {" ".join(ts[i:i + 4]) for i in range(len(ts) - 3)}
+    want = {}
+    for a, b in combinations(sorted(texts), 2):
+        sa, sb = shingles(texts[a]), shingles(texts[b])
+        i = len(sa & sb)
+        u = len(sa | sb)
+        if u and 2 * i >= u:
+            want[(a, b)] = round(i / u, 4)
+    assert got == want and want      # non-vacuous

@@ -372,3 +372,11 @@ def test_zipf_rank_window_is_freq_partitioned(spark):
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
     assert any(s.startswith("f#") or ", f#" in s or s.split(",")[0].strip().startswith("f#")
                for s in specs), specs
+
+
+def test_prefix_filter_join_is_equi_only(spark):
+    """The exact similarity join must stay equi-join shaped: candidates
+    from the prefix-shingle hash join, never a cartesian/theta join."""
+    p = physical(queries.QUERIES["dedup_prefix_filter"](spark, SF))
+    assert "CartesianProduct" not in p, p[:2000]
+    assert "BroadcastNestedLoopJoin" not in p, p[:2000]
