@@ -3654,9 +3654,31 @@ _KG_SQL_SRC = f"read_parquet('{_KG_RECORDS_PATH}/*.parquet')"
 _kg_materialized_for: str | None = None
 
 
+def _prune_stale_kg_records() -> None:
+    """Remove sibling kg_records_<pid> dirs whose owning process is gone
+    — each process materializes its own copy (concurrency safety), so
+    without this the artifacts dir grows by ~1 MB per pytest/bench/gate
+    process forever."""
+    import shutil
+    art = Path(_KG_RECORDS_PATH).parent
+    if not art.is_dir():
+        return
+    for d in art.glob("kg_records_*"):
+        pid = d.name.rsplit("_", 1)[-1]
+        if not pid.isdigit() or int(pid) == os.getpid():
+            continue
+        try:
+            os.kill(int(pid), 0)          # raises if the pid is gone
+        except ProcessLookupError:
+            shutil.rmtree(d, ignore_errors=True)
+        except PermissionError:
+            pass                          # alive under another uid: keep
+
+
 def _kg_records_parquet(spark, sf_dir):
     global _kg_materialized_for
     if _kg_materialized_for != sf_dir:
+        _prune_stale_kg_records()
         (_kg_records(spark, sf_dir)
          .write.mode("overwrite").parquet(_KG_RECORDS_PATH))
         _kg_materialized_for = sf_dir
