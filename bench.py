@@ -113,7 +113,9 @@ def main() -> None:
                      "kg_negative_samples", "kg_statute_pmi",
                      "mixture_sample", "dataset_split",
                      "ngram_diversity", "zipf_slope", "corpus_pivot",
-                     "chunk_windows", "oov_rate", "dedup_prefix_filter"]
+                     "chunk_windows", "oov_rate", "dedup_prefix_filter",
+                     "kg_clustering_coeff", "kg_assortativity",
+                     "kg_component_sizes"]
     for name in bench_queries:
         timings[name] = round(best_of(
             lambda: queries.QUERIES[name](spark, sf_dir).count()), 3)

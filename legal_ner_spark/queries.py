@@ -4743,6 +4743,149 @@ FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
 WHERE {t_den} * i >= {t_num} * (sa.s + sb.s - i)"""
 
 
+def _cocitation_edges(spark, sf_dir):
+    """Canonical (a < b) undirected statute co-citation edges — shared
+    base for the triangle/coefficient/assortativity analytics."""
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    ds = (tri.filter(F.col("pred") == "part_of")
+          .select("doc_id", F.col("obj").alias("statute")).distinct())
+    b = ds.select(F.col("doc_id").alias("bdoc"),
+                  F.col("statute").alias("sb"))
+    return (ds.join(b, (F.col("doc_id") == F.col("bdoc"))
+                    & (F.col("statute") < F.col("sb")))
+            .select(F.col("statute").alias("a"), F.col("sb").alias("b"))
+            .distinct())
+
+
+_COCITE_EDGES_SQL = f"""
+  SELECT DISTINCT x.statute AS a, y.statute AS b
+  FROM (SELECT DISTINCT doc_id, obj AS statute FROM {_KG_SQL_SRC}
+        WHERE rec_type = 'triple' AND pred = 'part_of') x
+  JOIN (SELECT DISTINCT doc_id, obj AS statute FROM {_KG_SQL_SRC}
+        WHERE rec_type = 'triple' AND pred = 'part_of') y
+    ON x.doc_id = y.doc_id AND x.statute < y.statute"""
+
+
+def q_kg_clustering_coeff(spark, sf_dir):
+    """Local clustering coefficient per statute in the co-citation
+    graph: 2·T(v) / (d(v)·(d(v)−1)) — how interlinked a statute's
+    neighbourhood is.  Triangle counts come from the three-equi-join
+    enumeration (each triangle touches its 3 corners via one explode);
+    degrees from the symmetric edge aggregation."""
+    from .operators import graph
+    e = _cocitation_edges(spark, sf_dir)
+    tri = graph.triangles(e.select(F.col("a").alias("src"),
+                                   F.col("b").alias("dst")))
+    tv = (tri.select(F.explode(F.array("node_a", "node_b", "node_c"))
+                     .alias("node"))
+          .groupBy("node").agg(F.count(F.lit(1)).alias("t")))
+    deg = (e.select(F.col("a").alias("node"))
+           .union(e.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+    return (deg.join(tv, "node", "left")
+            .filter(F.col("d") >= 2)
+            .select("node", F.col("d").cast("bigint").alias("degree"),
+                    F.coalesce("t", F.lit(0)).cast("bigint")
+                    .alias("n_triangles"),
+                    F.round(2.0 * F.coalesce("t", F.lit(0))
+                            / (F.col("d") * (F.col("d") - 1)), 4)
+                    .alias("clustering_coeff")))
+
+
+def o_kg_clustering_coeff():
+    return f"""
+WITH e AS ({_COCITE_EDGES_SQL}),
+tri AS (
+  SELECT ab.a AS na, ab.b AS nb, bc.b AS nc
+  FROM e ab JOIN e bc ON ab.b = bc.a JOIN e ac
+    ON ac.a = ab.a AND ac.b = bc.b
+),
+tv AS (
+  SELECT node, count(*) AS t FROM (
+    SELECT na AS node FROM tri UNION ALL
+    SELECT nb FROM tri UNION ALL SELECT nc FROM tri) u
+  GROUP BY node
+),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e) u
+  GROUP BY node
+)
+SELECT deg.node, deg.d::BIGINT AS degree,
+       coalesce(tv.t, 0)::BIGINT AS n_triangles,
+       round(2.0 * coalesce(tv.t, 0) / (deg.d * (deg.d - 1)), 4)
+         AS clustering_coeff
+FROM deg LEFT JOIN tv ON deg.node = tv.node
+WHERE deg.d >= 2"""
+
+
+def q_kg_assortativity(spark, sf_dir):
+    """Degree assortativity of the co-citation graph: Pearson r between
+    endpoint degrees over the symmetric edge list (negative = hubs link
+    to the periphery, the typical citation shape).  One degree
+    aggregation broadcast into both edge roles, one corr aggregate."""
+    e = _cocitation_edges(spark, sf_dir)
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = (sym.groupBy(F.col("a").alias("node"))
+           .agg(F.count(F.lit(1)).alias("d")))
+    j = (sym.join(F.broadcast(deg.select(F.col("node").alias("a"),
+                                         F.col("d").alias("da"))), "a")
+         .join(F.broadcast(deg.select(F.col("node").alias("b"),
+                                      F.col("d").alias("db"))), "b"))
+    return j.agg(F.count(F.lit(1)).cast("bigint").alias("n_edge_ends"),
+                 F.round(F.corr("da", "db"), 4).alias("assortativity"))
+
+
+def o_kg_assortativity():
+    return f"""
+WITH e AS ({_COCITE_EDGES_SQL}),
+sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT a AS node, count(*) AS d FROM sym GROUP BY a)
+SELECT count(*)::BIGINT AS n_edge_ends,
+       round(corr(da.d, db.d), 4) AS assortativity
+FROM sym JOIN deg da ON sym.a = da.node JOIN deg db ON sym.b = db.node"""
+
+
+def q_kg_component_sizes(spark, sf_dir):
+    """Component-size histogram of the citation communities (size →
+    how many components): the connectivity summary read off the CC
+    labels with two tiny aggregations."""
+    from .operators.graph import weakly_connected_components
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    edges = (tri.filter(F.col("pred") == "cites_precedent")
+             .select(F.concat(F.lit("d:"), "doc_id").alias("src"),
+                     F.concat(F.lit("p:"), "obj").alias("dst"))
+             .distinct())
+    comp = weakly_connected_components(edges)
+    return (comp.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("size"))
+            .groupBy("size")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_components"))
+            .select(F.col("size").cast("bigint").alias("size"),
+                    "n_components"))
+
+
+def o_kg_component_sizes():
+    return f"""
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT 'd:' || doc_id AS a, 'p:' || obj AS b
+  FROM {_KG_SQL_SRC} WHERE rec_type = 'triple' AND pred = 'cites_precedent'
+), edges AS (
+  SELECT a, b FROM e0 UNION SELECT b, a FROM e0
+), nodes AS (
+  SELECT DISTINCT a AS n FROM edges
+), reach(src, dst) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+), comp AS (
+  SELECT src AS node, min(dst) AS component FROM reach GROUP BY src
+)
+SELECT size::BIGINT AS size, count(*)::BIGINT AS n_components
+FROM (SELECT component, count(*) AS size FROM comp GROUP BY component) t
+GROUP BY size"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4864,6 +5007,9 @@ QUERIES = {
     "chunk_windows": q_chunk_windows,
     "oov_rate": q_oov_rate,
     "dedup_prefix_filter": q_dedup_prefix_filter,
+    "kg_clustering_coeff": q_kg_clustering_coeff,
+    "kg_assortativity": q_kg_assortativity,
+    "kg_component_sizes": q_kg_component_sizes,
     "kg_media_stats": q_kg_media_stats,
     "salted_join_agg": q_salted_join_agg,
     "digest_prune_agg": q_digest_prune_agg,
@@ -4988,6 +5134,9 @@ ORACLES = {
     "chunk_windows": o_chunk_windows(),
     "oov_rate": o_oov_rate(),
     "dedup_prefix_filter": o_dedup_prefix_filter(),
+    "kg_clustering_coeff": o_kg_clustering_coeff(),
+    "kg_assortativity": o_kg_assortativity(),
+    "kg_component_sizes": o_kg_component_sizes(),
     "kg_media_stats": o_kg_media_stats(),
     "salted_join_agg": o_salted_join_agg(),
     "digest_prune_agg": o_digest_prune_agg(),

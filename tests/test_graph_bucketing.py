@@ -266,3 +266,23 @@ def test_negative_samples_filtered_and_bounded(spark, triples):
     assert sorted(map(tuple, neg.collect())) == \
         sorted(map(tuple, again.collect()))
     neg.unpersist()
+
+
+def test_clustering_coeff_known_graphs(spark):
+    """K4 nodes: coeff 1; a path's interior nodes: 0 (pinned through the
+    query's operator composition on a hand-built edge set)."""
+    from legal_ner_spark.operators import graph
+    # K4 on a,b,c,d + path d-e-f (e interior, degree 2, no triangle)
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+             ("b", "d"), ("c", "d"), ("d", "e"), ("e", "f")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    tri = graph.triangles(e)
+    tv = {r.node: r.t for r in
+          tri.selectExpr("explode(array(node_a, node_b, node_c)) AS node")
+          .groupBy("node").agg(F.count(F.lit(1)).alias("t")).collect()}
+    assert tv == {"a": 3, "b": 3, "c": 3, "d": 3}
+    # coefficients via the same arithmetic the query uses
+    deg = {"a": 3, "b": 3, "c": 3, "d": 4, "e": 2}
+    coeff = {n: 2 * tv.get(n, 0) / (d * (d - 1)) for n, d in deg.items()}
+    assert coeff["a"] == 1.0 and coeff["e"] == 0.0
+    assert abs(coeff["d"] - 0.5) < 1e-12      # 3 triangles of C(4,2)=6
