@@ -69,3 +69,60 @@ def trigram_link(mentions: DataFrame, dictionary: DataFrame,
             .filter(F.col("_rn") == 1)
             .select("mention", "entity",
                     F.round("score", 4).alias("score")))
+
+
+def sorted_neighborhood_pairs(records: DataFrame, key_col: str,
+                              id_col: str, window: int = 3,
+                              max_edit: int = 3) -> DataFrame:
+    """Sorted-neighborhood entity resolution (Hernández & Stolfo '95):
+    records sorted by a normalized key; each record is compared only to
+    its ``window`` lexical successors; survivors are pairs with edit
+    distance ≤ ``max_edit``.
+
+    The global LEXICAL rank is computed WITHOUT a global sort: the
+    2-char prefix of the normalized key is itself a lexical range, so
+    rank = row_number within the prefix bucket + the cumulative count of
+    lexically-earlier buckets (the tiny bucket-totals table again).
+    Neighbor candidates come from an equi-join on rank÷window blocks
+    (each left row probes its own and the next block — every pair at
+    distance ≤ window falls in one of the two), so the plan is
+    projection + two hash joins, never a rank-range theta join.  Skew
+    bound: a prefix bucket holds at most the records sharing 2 leading
+    chars — for name data, orders of magnitude below corpus size
+    (document and cap like lsh max_bucket if an adversarial corpus
+    concentrates)."""
+    from pyspark.sql import Window as W
+    r = (records.select(F.col(id_col).alias("rid"),
+                        F.col(key_col).alias("key")).distinct()
+         .withColumn("nk", norm_for_match(F.col("key")))
+         .filter(F.length("nk") > 0)
+         .withColumn("_b", F.substring("nk", 1, 2)))
+    btot = r.groupBy("_b").agg(F.count(F.lit(1)).alias("cnt"))
+    wb = W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1)
+    boff = btot.withColumn("off", F.coalesce(F.sum("cnt").over(wb),
+                                             F.lit(0)))
+    wl = W.partitionBy("_b").orderBy("nk", "rid")
+    ranked = (r.join(F.broadcast(boff.select("_b", "off")), "_b")
+              .withColumn("rank", F.row_number().over(wl) + F.col("off"))
+              .select("rid", "key", "nk", "rank"))
+    left = ranked.select(F.col("rid").alias("id_a"),
+                         F.col("key").alias("key_a"),
+                         F.col("nk").alias("nk_a"),
+                         F.col("rank").alias("ra"),
+                         F.explode(F.array(
+                             F.floor(F.col("rank") / window),
+                             F.floor(F.col("rank") / window) + 1))
+                         .alias("blk"))
+    right = ranked.select(F.col("rid").alias("id_b"),
+                          F.col("key").alias("key_b"),
+                          F.col("nk").alias("nk_b"),
+                          F.col("rank").alias("rb"),
+                          F.floor(F.col("rank") / window).alias("blk"))
+    cand = (left.join(right, "blk")
+            .filter((F.col("rb") > F.col("ra"))
+                    & (F.col("rb") - F.col("ra") <= window))
+            .drop("blk").distinct())
+    return (cand.filter(F.levenshtein("nk_a", "nk_b") <= max_edit)
+            .select("id_a", "id_b", "key_a", "key_b",
+                    F.levenshtein("nk_a", "nk_b").cast("int")
+                    .alias("edit_distance")))

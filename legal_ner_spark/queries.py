@@ -4886,6 +4886,42 @@ FROM (SELECT component, count(*) AS size FROM comp GROUP BY component) t
 GROUP BY size"""
 
 
+def q_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood ER over distinct cited-precedent names:
+    lexical rank WITHOUT a global sort (2-char-prefix buckets + tiny
+    cumulative offsets), rank÷window block equi-join, edit-distance ≤ 6
+    verify — catches 'vs'/'versus' + OCR variants of the same case that
+    sit adjacent in sort order."""
+    from .operators import linking
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    names = (tri.filter(F.col("pred") == "cites_precedent")
+             .select(F.col("obj").alias("name")).distinct())
+    return linking.sorted_neighborhood_pairs(
+        names, key_col="name", id_col="name", window=3, max_edit=6)
+
+
+def o_sorted_neighborhood(window: int = 3, max_edit: int = 6):
+    return f"""
+WITH m AS (
+  SELECT DISTINCT obj AS key FROM {_KG_SQL_SRC}
+  WHERE rec_type = 'triple' AND pred = 'cites_precedent'
+),
+n AS (
+  SELECT key,
+         trim(regexp_replace(lower(key), '[^a-z0-9]+', ' ', 'g')) AS nk
+  FROM m
+),
+ranked AS (
+  SELECT key, nk, row_number() OVER (ORDER BY nk, key) AS rank
+  FROM n WHERE length(nk) > 0
+)
+SELECT a.key AS id_a, b.key AS id_b, a.key AS key_a, b.key AS key_b,
+       levenshtein(a.nk, b.nk)::INT AS edit_distance
+FROM ranked a JOIN ranked b
+  ON b.rank > a.rank AND b.rank - a.rank <= {window}
+WHERE levenshtein(a.nk, b.nk) <= {max_edit}"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5010,6 +5046,7 @@ QUERIES = {
     "kg_clustering_coeff": q_kg_clustering_coeff,
     "kg_assortativity": q_kg_assortativity,
     "kg_component_sizes": q_kg_component_sizes,
+    "sorted_neighborhood": q_sorted_neighborhood,
     "kg_media_stats": q_kg_media_stats,
     "salted_join_agg": q_salted_join_agg,
     "digest_prune_agg": q_digest_prune_agg,
@@ -5137,6 +5174,7 @@ ORACLES = {
     "kg_clustering_coeff": o_kg_clustering_coeff(),
     "kg_assortativity": o_kg_assortativity(),
     "kg_component_sizes": o_kg_component_sizes(),
+    "sorted_neighborhood": o_sorted_neighborhood(),
     "kg_media_stats": o_kg_media_stats(),
     "salted_join_agg": o_salted_join_agg(),
     "digest_prune_agg": o_digest_prune_agg(),

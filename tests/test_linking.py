@@ -88,3 +88,28 @@ def test_hash_split_stable_under_insertion(spark):
     c = Counter(sb.values())
     assert c["train"] > c["valid"] and c["train"] > c["test"]
     assert set(c) == {"train", "valid", "test"}
+
+
+def test_sorted_neighborhood_window_and_verify(spark):
+    from legal_ner_spark.operators import linking
+    rows = [("r1", "Madhu Limaye vs State"),
+            ("r2", "Madhu Limaye v. State"),      # adjacent, edit 0 after norm? no: 'vs' vs 'v'
+            ("r3", "Madhu Limaye versus State"),  # nearby, larger edit
+            ("r4", "Zoltan Varga vs Union"),      # far in sort order
+            ("r5", "Zoltan Varga vs Union")]      # exact dup of r4
+    df = spark.createDataFrame(rows, "rid string, name string")
+    out = linking.sorted_neighborhood_pairs(
+        df, key_col="name", id_col="rid", window=2, max_edit=4)
+    got = {frozenset((r.id_a, r.id_b)): r.edit_distance
+           for r in out.collect()}
+    assert got[frozenset(("r1", "r2"))] == 1       # 'vs' ↔ 'v'
+    assert got[frozenset(("r4", "r5"))] == 0       # exact dup
+    assert got[frozenset(("r1", "r3"))] == 4       # 'vs' ↔ 'versus'
+    assert frozenset(("r2", "r3")) not in got      # edit 5 > max_edit
+    assert not any(p >= {"r4", "r1"} for p in got)  # far apart in order
+    # parallelism invariance
+    out2 = linking.sorted_neighborhood_pairs(
+        df.repartition(7), key_col="name", id_col="rid",
+        window=2, max_edit=4)
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, out2.collect()))
