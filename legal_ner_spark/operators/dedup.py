@@ -745,16 +745,29 @@ def prefix_filter_pairs(docs: DataFrame, t_num: int = 4, t_den: int = 5,
     overflow to the MinHash tier)."""
     sh = shingle_rows(docs, id_col=id_col, text_col=text_col, n=n)
     dfq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    nf = dfq.groupBy("df").agg(F.count(F.lit(1)).alias("nf"))
-    woff = Window.orderBy("df").rowsBetween(Window.unboundedPreceding, -1)
+    # global order = (df, md5-bucket, shingle).  Prefix filtering needs
+    # ANY deterministic total order with rarity as the leading key; the
+    # md5 sub-bucket exists because real corpora put most of the
+    # vocabulary in ONE frequency class (df = 1) — a window partitioned
+    # by df alone would hold the whole vocab in one partition there
+    # (measured: 4.1 s of the query's 5.5 s at sf0.1).
+    dfq = dfq.withColumn("_tb", F.substring(F.md5("shingle"), 1, 2))
+    nf = dfq.groupBy("df", "_tb").agg(F.count(F.lit(1)).alias("nf"))
+    woff = (Window.orderBy("df", "_tb")
+            .rowsBetween(Window.unboundedPreceding, -1))
     off = nf.withColumn("off", F.coalesce(F.sum("nf").over(woff), F.lit(0)))
-    wtie = Window.partitionBy("df").orderBy("shingle")
-    ranked = (dfq.join(F.broadcast(off.select("df", "off")), "df")
+    wtie = Window.partitionBy("df", "_tb").orderBy("shingle")
+    ranked = (dfq.join(F.broadcast(off.select("df", "_tb", "off")),
+                       ["df", "_tb"])
               .withColumn("rk", F.row_number().over(wtie) + F.col("off"))
               .select("shingle", "rk"))
+    # only the PREFIX stage pays the rank join; sizes and the verify
+    # join read the raw shingle relation, so the two-exchange rank
+    # subtree is evaluated once, not four times (measured 2× win)
     tok = sh.join(ranked, "shingle").select(
         F.col("doc_id").alias("doc"), "shingle", "rk")
-    sz = tok.groupBy("doc").agg(F.count(F.lit(1)).alias("s"))
+    sz = sh.groupBy(F.col("doc_id").alias("doc")).agg(
+        F.count(F.lit(1)).alias("s"))
     # prefix length: s - ceil(t*s) + 1, all-integer
     plen = (F.col("s")
             - F.floor((F.lit(t_num) * F.col("s") + t_den - 1) / t_den)
@@ -775,8 +788,8 @@ def prefix_filter_pairs(docs: DataFrame, t_num: int = 4, t_den: int = 5,
             .filter((F.lit(t_den) * F.col("sb") >= t_num * F.col("sa"))
                     & (F.lit(t_den) * F.col("sa")
                        >= t_num * F.col("sb"))))
-    ta = tok.select(F.col("doc").alias("da"), "shingle")
-    tb = tok.select(F.col("doc").alias("db"), "shingle")
+    ta = sh.select(F.col("doc_id").alias("da"), "shingle")
+    tb = sh.select(F.col("doc_id").alias("db"), "shingle")
     inter = (cand.join(ta, "da").join(tb, ["db", "shingle"])
              .groupBy("da", "db", "sa", "sb")
              .agg(F.count(F.lit(1)).alias("i")))
