@@ -4922,6 +4922,34 @@ FROM ranked a JOIN ranked b
 WHERE levenshtein(a.nk, b.nk) <= {max_edit}"""
 
 
+def q_kg_related_cases(spark, sf_dir):
+    """Distance-2 neighborhood size in the bipartite citation graph: for
+    each document, how many OTHER documents share at least one cited
+    precedent — the 'related cases' feature.  One self-join on the
+    precedent key (bounded by citations-per-precedent, never doc
+    pairs), one distinct aggregate."""
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    e = (tri.filter(F.col("pred") == "cites_precedent")
+         .select("doc_id", F.col("obj").alias("prec")).distinct())
+    other = e.select(F.col("doc_id").alias("odoc"), "prec")
+    return (e.join(other, "prec")
+            .filter(F.col("doc_id") != F.col("odoc"))
+            .groupBy("doc_id")
+            .agg(F.countDistinct("odoc").cast("bigint")
+                 .alias("n_related")))
+
+
+def o_kg_related_cases():
+    return f"""
+WITH e AS (
+  SELECT DISTINCT doc_id, obj AS prec FROM {_KG_SQL_SRC}
+  WHERE rec_type = 'triple' AND pred = 'cites_precedent'
+)
+SELECT a.doc_id, count(DISTINCT b.doc_id)::BIGINT AS n_related
+FROM e a JOIN e b ON a.prec = b.prec AND a.doc_id <> b.doc_id
+GROUP BY a.doc_id"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5047,6 +5075,7 @@ QUERIES = {
     "kg_assortativity": q_kg_assortativity,
     "kg_component_sizes": q_kg_component_sizes,
     "sorted_neighborhood": q_sorted_neighborhood,
+    "kg_related_cases": q_kg_related_cases,
     "kg_media_stats": q_kg_media_stats,
     "salted_join_agg": q_salted_join_agg,
     "digest_prune_agg": q_digest_prune_agg,
@@ -5175,6 +5204,7 @@ ORACLES = {
     "kg_assortativity": o_kg_assortativity(),
     "kg_component_sizes": o_kg_component_sizes(),
     "sorted_neighborhood": o_sorted_neighborhood(),
+    "kg_related_cases": o_kg_related_cases(),
     "kg_media_stats": o_kg_media_stats(),
     "salted_join_agg": o_salted_join_agg(),
     "digest_prune_agg": o_digest_prune_agg(),
