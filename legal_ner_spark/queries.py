@@ -4950,6 +4950,47 @@ FROM e a JOIN e b ON a.prec = b.prec AND a.doc_id <> b.doc_id
 GROUP BY a.doc_id"""
 
 
+def q_kg_media_density(spark, sf_dir):
+    """Interleaved-corpus media density joined to KG yield: per document,
+    media-span fraction and the triple count its text spans produced —
+    the data-quality view that surfaces 'media-heavy docs yield fewer
+    triples'.  Span stats come from in-row array predicates (no
+    explode); the triple counts ride a left join so zero-triple docs
+    keep a row."""
+    recs = _kg_records_parquet(spark, sf_dir)
+    docs = (recs.filter("rec_type = 'doc'")
+            .select("doc_id",
+                    F.size("spans").cast("bigint").alias("n_spans"),
+                    F.size(F.filter("spans", lambda s:
+                                    s["kind"] != F.lit("text")))
+                    .cast("bigint").alias("n_media")))
+    tc = (recs.filter("rec_type = 'triple'")
+          .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_triples")))
+    return (docs.join(tc, "doc_id", "left")
+            .select("doc_id", "n_spans", "n_media",
+                    F.round(F.col("n_media") / F.col("n_spans"), 4)
+                    .alias("media_frac"),
+                    F.coalesce("n_triples", F.lit(0)).cast("bigint")
+                    .alias("n_triples")))
+
+
+def o_kg_media_density():
+    return f"""
+WITH d AS (
+  SELECT doc_id, len(spans)::BIGINT AS n_spans,
+         len(list_filter(spans, s -> s.kind <> 'text'))::BIGINT AS n_media
+  FROM {_KG_SQL_SRC} WHERE rec_type = 'doc'
+),
+tc AS (
+  SELECT doc_id, count(*) AS n_triples FROM {_KG_SQL_SRC}
+  WHERE rec_type = 'triple' GROUP BY doc_id
+)
+SELECT d.doc_id, d.n_spans, d.n_media,
+       round(d.n_media * 1.0 / d.n_spans, 4) AS media_frac,
+       coalesce(tc.n_triples, 0)::BIGINT AS n_triples
+FROM d LEFT JOIN tc ON d.doc_id = tc.doc_id"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5076,6 +5117,7 @@ QUERIES = {
     "kg_component_sizes": q_kg_component_sizes,
     "sorted_neighborhood": q_sorted_neighborhood,
     "kg_related_cases": q_kg_related_cases,
+    "kg_media_density": q_kg_media_density,
     "kg_media_stats": q_kg_media_stats,
     "salted_join_agg": q_salted_join_agg,
     "digest_prune_agg": q_digest_prune_agg,
@@ -5205,6 +5247,7 @@ ORACLES = {
     "kg_component_sizes": o_kg_component_sizes(),
     "sorted_neighborhood": o_sorted_neighborhood(),
     "kg_related_cases": o_kg_related_cases(),
+    "kg_media_density": o_kg_media_density(),
     "kg_media_stats": o_kg_media_stats(),
     "salted_join_agg": o_salted_join_agg(),
     "digest_prune_agg": o_digest_prune_agg(),
