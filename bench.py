@@ -116,7 +116,7 @@ def main() -> None:
                      "chunk_windows", "oov_rate", "dedup_prefix_filter",
                      "kg_clustering_coeff", "kg_assortativity",
                      "kg_component_sizes", "sorted_neighborhood",
-                     "kg_related_cases", "kg_media_density"]
+                     "kg_related_cases", "kg_media_density", "hybrid_rrf"]
     for name in bench_queries:
         timings[name] = round(best_of(
             lambda: queries.QUERIES[name](spark, sf_dir).count()), 3)

@@ -4991,6 +4991,96 @@ SELECT d.doc_id, d.n_spans, d.n_media,
 FROM d LEFT JOIN tc ON d.doc_id = tc.doc_id"""
 
 
+def q_hybrid_rrf(spark, sf_dir, k_leg: int = 50, k: int = 20,
+                 rrf_k: int = 60):
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.
+    SIGIR'09): the BM25 lexical leg and the cosine vector leg each
+    produce a top-50 ranking (both legs reuse the EXACT oracled
+    operators — round-before-rank determinism), fused by
+    Σ 1/(60 + rank) over a full-outer id join, top-20.  The modern
+    RAG-serving read path: each leg is the already-scale-shaped
+    operator; fusion touches only 2 × 50 rows."""
+    from .operators import search, similarity
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    lex = (search.bm25_topk(docs, BM25_TERMS, k=k_leg)
+           .withColumn("doc_id", F.col("doc_id").cast("bigint")))
+    wl = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex = lex.select("doc_id", F.row_number().over(wl).alias("lex_rank"))
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    q = (similarity.prepare_vectors(emb.filter(F.col("vec_id") == 0))
+         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")))
+    c = (similarity.prepare_vectors(emb.filter(F.col("vec_id") > 0))
+         .select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("v").alias("cv")))
+    vec = (similarity.brute_force_topk(q, c, k=k_leg)
+           .select(F.col("neighbor_id").cast("bigint").alias("doc_id"),
+                   F.col("rnk").alias("vec_rank")))
+    fused = (lex.join(vec, "doc_id", "full_outer")
+             .select("doc_id",
+                     F.round(F.coalesce(1.0 / (rrf_k + F.col("lex_rank")),
+                                        F.lit(0.0))
+                             + F.coalesce(1.0 / (rrf_k
+                                                 + F.col("vec_rank")),
+                                          F.lit(0.0)), 6).alias("rrf"),
+                     F.coalesce("lex_rank", F.lit(0)).cast("int")
+                     .alias("lex_rank"),
+                     F.coalesce("vec_rank", F.lit(0)).cast("int")
+                     .alias("vec_rank")))
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(k)
+
+
+def o_hybrid_rrf(k_leg: int = 50, k: int = 20, rrf_k: int = 60):
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+WITH base AS (
+  SELECT doc_id::BIGINT AS doc_id, string_split(lower(text), ' ') AS toks
+  FROM documents
+),
+stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM base),
+tk AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM base),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM tk
+  WHERE term IN ({terms}) GROUP BY doc_id, dl, term
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+  FROM (
+    SELECT tf.doc_id,
+           round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                     * tf * 2.2
+                     / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4)
+             AS bm25
+    FROM tf JOIN dft USING (term) CROSS JOIN stats
+    GROUP BY tf.doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT {k_leg})
+),
+vec AS (
+  SELECT neighbor_id AS doc_id, rnk AS vec_rank FROM (
+    SELECT c.vec_id::BIGINT AS neighbor_id,
+           row_number() OVER (
+             ORDER BY round(
+               list_dot_product(q.embedding::DOUBLE[],
+                                c.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(q.embedding::DOUBLE[],
+                                      q.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                      c.embedding::DOUBLE[]))), 4) DESC,
+             c.vec_id ASC) AS rnk
+    FROM embeddings q CROSS JOIN embeddings c
+    WHERE q.vec_id = 0 AND c.vec_id > 0
+  ) WHERE rnk <= {k_leg}
+)
+SELECT doc_id,
+       round(coalesce(1.0 / ({rrf_k} + lex_rank), 0)
+             + coalesce(1.0 / ({rrf_k} + vec_rank), 0), 6) AS rrf,
+       coalesce(lex_rank, 0)::INT AS lex_rank,
+       coalesce(vec_rank, 0)::INT AS vec_rank
+FROM lex FULL OUTER JOIN vec USING (doc_id)
+ORDER BY rrf DESC, doc_id LIMIT {k}"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5118,6 +5208,7 @@ QUERIES = {
     "sorted_neighborhood": q_sorted_neighborhood,
     "kg_related_cases": q_kg_related_cases,
     "kg_media_density": q_kg_media_density,
+    "hybrid_rrf": q_hybrid_rrf,
     "kg_media_stats": q_kg_media_stats,
     "salted_join_agg": q_salted_join_agg,
     "digest_prune_agg": q_digest_prune_agg,
@@ -5248,6 +5339,7 @@ ORACLES = {
     "sorted_neighborhood": o_sorted_neighborhood(),
     "kg_related_cases": o_kg_related_cases(),
     "kg_media_density": o_kg_media_density(),
+    "hybrid_rrf": o_hybrid_rrf(),
     "kg_media_stats": o_kg_media_stats(),
     "salted_join_agg": o_salted_join_agg(),
     "digest_prune_agg": o_digest_prune_agg(),
