@@ -14,6 +14,13 @@ extract → triples count at local-cluster[N_EXEC,4] and
 local-cluster[4*N_EXEC,4]; fixed split plan; best-of-2 per level (shields
 tenant-noise spikes on this shared host).
 
+Size the input so the HIGH leg's wall stays well above the fixed
+per-stage overhead (~1.5-2 s of scheduling + Arrow setup): at 32k docs
+the 4-executor leg runs ~11 s and the overhead alone reads as ~15% lost
+efficiency (measured 0.72 vs 0.87 for the same build at 64k docs).  At
+100 TB every stage runs minutes, so the amortized figure is the
+representative one — hence the 65536 default.
+
 Usage: python bench_scaling_cluster.py [n_docs] [out.json] [n_exec] [cores_per_exec]
 """
 
@@ -72,7 +79,7 @@ def run_at(n_exec: int, cores: int, corpus_path: str, n_docs: int,
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 65536
     out_json = sys.argv[2] if len(sys.argv) > 2 else "BENCH_SCALING_CLUSTER.json"
     n_exec = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     cores = int(sys.argv[4]) if len(sys.argv) > 4 else 4
