@@ -116,7 +116,8 @@ def main() -> None:
                      "chunk_windows", "oov_rate", "dedup_prefix_filter",
                      "kg_clustering_coeff", "kg_assortativity",
                      "kg_component_sizes", "sorted_neighborhood",
-                     "kg_related_cases", "kg_media_density", "hybrid_rrf"]
+                     "kg_related_cases", "kg_media_density", "hybrid_rrf",
+                     "kg_court_profiles", "kg_canonical_citations"]
     for name in bench_queries:
         timings[name] = round(best_of(
             lambda: queries.QUERIES[name](spark, sf_dir).count()), 3)

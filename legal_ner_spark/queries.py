@@ -5081,6 +5081,108 @@ FROM lex FULL OUTER JOIN vec USING (doc_id)
 ORDER BY rrf DESC, doc_id LIMIT {k}"""
 
 
+def q_kg_court_profiles(spark, sf_dir):
+    """Court-level KG rollup: join the decided_by edges with each doc's
+    part_of statutes — per court, caseload, statute breadth, and the
+    modal statute (deterministic max_by tie-break) — a star join ACROSS
+    predicates of the same triple table, partition-prunable by pred."""
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    db = (tri.filter(F.col("pred") == "decided_by")
+          .select("doc_id", F.col("obj").alias("court")).distinct())
+    st = (tri.filter(F.col("pred") == "part_of")
+          .select("doc_id", F.col("obj").alias("statute")).distinct())
+    cs = (db.join(st, "doc_id")
+          .groupBy("court", "statute")
+          .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("court").orderBy(F.desc("n"), F.asc("statute"))
+    top = (cs.withColumn("_rn", F.row_number().over(w))
+           .filter("_rn = 1")
+           .select("court", F.col("statute").alias("top_statute"),
+                   F.col("n").cast("bigint").alias("top_statute_docs")))
+    base = (db.join(st, "doc_id", "left")
+            .groupBy("court")
+            .agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+                 F.countDistinct("statute").cast("bigint")
+                 .alias("n_statutes")))
+    return base.join(top, "court", "left")
+
+
+def o_kg_court_profiles():
+    return f"""
+WITH db AS (
+  SELECT DISTINCT doc_id, obj AS court FROM {_KG_SQL_SRC}
+  WHERE rec_type = 'triple' AND pred = 'decided_by'
+),
+st AS (
+  SELECT DISTINCT doc_id, obj AS statute FROM {_KG_SQL_SRC}
+  WHERE rec_type = 'triple' AND pred = 'part_of'
+),
+cs AS (
+  SELECT court, statute, count(*) AS n
+  FROM db JOIN st USING (doc_id) GROUP BY court, statute
+),
+top AS (
+  SELECT court, statute AS top_statute, n::BIGINT AS top_statute_docs
+  FROM (SELECT court, statute, n,
+               row_number() OVER (PARTITION BY court
+                                  ORDER BY n DESC, statute) AS rn
+        FROM cs) t
+  WHERE rn = 1
+),
+base AS (
+  SELECT db.court, count(DISTINCT db.doc_id)::BIGINT AS n_docs,
+         count(DISTINCT st.statute)::BIGINT AS n_statutes
+  FROM db LEFT JOIN st ON db.doc_id = st.doc_id
+  GROUP BY db.court
+)
+SELECT base.court, base.n_docs, base.n_statutes,
+       top.top_statute, top.top_statute_docs
+FROM base LEFT JOIN top ON base.court = top.court"""
+
+
+def q_kg_canonical_citations(spark, sf_dir):
+    """Alias-resolved statute citations: rewrite part_of objects through
+    the per-doc same_as edges (alias → canonical statute), then count —
+    the canonicalization join every downstream consumer wants instead of
+    raw surface forms.  Left join + coalesce so unaliased citations pass
+    through."""
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    po = (tri.filter(F.col("pred") == "part_of")
+          .select("doc_id", F.col("subj").alias("provision"),
+                  F.col("obj").alias("statute")))
+    sa = (tri.filter(F.col("pred") == "same_as")
+          .select(F.col("doc_id").alias("sa_doc"),
+                  F.col("subj").alias("sa_alias"),
+                  F.col("obj").alias("canonical")).distinct())
+    return (po.join(sa, (po.doc_id == F.col("sa_doc"))
+                    & (po.statute == F.col("sa_alias")), "left")
+            .select("doc_id",
+                    F.coalesce("canonical", "statute")
+                    .alias("canonical_statute"))
+            .groupBy("canonical_statute")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_citations"),
+                 F.countDistinct("doc_id").cast("bigint")
+                 .alias("n_docs")))
+
+
+def o_kg_canonical_citations():
+    return f"""
+WITH po AS (
+  SELECT doc_id, subj AS provision, obj AS statute FROM {_KG_SQL_SRC}
+  WHERE rec_type = 'triple' AND pred = 'part_of'
+),
+sa AS (
+  SELECT DISTINCT doc_id, subj AS alias, obj AS canonical
+  FROM {_KG_SQL_SRC} WHERE rec_type = 'triple' AND pred = 'same_as'
+)
+SELECT coalesce(sa.canonical, po.statute) AS canonical_statute,
+       count(*)::BIGINT AS n_citations,
+       count(DISTINCT po.doc_id)::BIGINT AS n_docs
+FROM po LEFT JOIN sa
+  ON po.doc_id = sa.doc_id AND po.statute = sa.alias
+GROUP BY coalesce(sa.canonical, po.statute)"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5209,6 +5311,8 @@ QUERIES = {
     "kg_related_cases": q_kg_related_cases,
     "kg_media_density": q_kg_media_density,
     "hybrid_rrf": q_hybrid_rrf,
+    "kg_court_profiles": q_kg_court_profiles,
+    "kg_canonical_citations": q_kg_canonical_citations,
     "kg_media_stats": q_kg_media_stats,
     "salted_join_agg": q_salted_join_agg,
     "digest_prune_agg": q_digest_prune_agg,
@@ -5340,6 +5444,8 @@ ORACLES = {
     "kg_related_cases": o_kg_related_cases(),
     "kg_media_density": o_kg_media_density(),
     "hybrid_rrf": o_hybrid_rrf(),
+    "kg_court_profiles": o_kg_court_profiles(),
+    "kg_canonical_citations": o_kg_canonical_citations(),
     "kg_media_stats": o_kg_media_stats(),
     "salted_join_agg": o_salted_join_agg(),
     "digest_prune_agg": o_digest_prune_agg(),
