@@ -169,3 +169,29 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def compact(spark: SparkSession, root: str, snapshot_id: str) -> dict:
+    """Compact the accumulated per-batch triple tables into ONE table —
+    the Iceberg 'rewrite data files' maintenance move: reader cost is
+    O(tables) per query, so after many small ingests a compaction pass
+    rewrites the union once and re-publishes.  The manifest flip is
+    still the commit point (readers see either all batches or the one
+    compacted table, never a mix), old snapshots stay readable until
+    vacuum, and the small kg_degrees table is carried BY REFERENCE —
+    compaction rewrites bytes, it must not change any answer."""
+    man = publish.current_manifest(root)
+    if man is None:
+        raise FileNotFoundError(f"no published snapshot under {root}")
+    batches = sorted(t for t in man["tables"]
+                     if t.startswith(_BATCH_PREFIX))
+    if len(batches) <= 1:
+        return man
+    all_tri = _union([spark.read.parquet(man["tables"][t])
+                      for t in batches])
+    # publish_tables builds the manifest from carry + written tables
+    # ONLY, so the stale batch entries vanish with the same atomic flip
+    carry = {"kg_degrees": man["tables"]["kg_degrees"]}
+    return publish.publish_tables(
+        {f"{_BATCH_PREFIX}00000": all_tri}, root, snapshot_id,
+        carry=carry)

@@ -5183,6 +5183,42 @@ FROM po LEFT JOIN sa
 GROUP BY coalesce(sa.canonical, po.statute)"""
 
 
+def q_kg_judge_profiles(spark, sf_dir):
+    """Per-judge rollup across three role predicates: caseload, courts
+    served, distinct lawyers appearing — the multi-countDistinct rides
+    ONE Expand-based aggregation after the per-doc star join (no
+    per-metric re-scan)."""
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    j = (tri.filter(F.col("pred") == "has_judge")
+         .select("doc_id", F.col("obj").alias("judge")).distinct())
+    c = (tri.filter(F.col("pred") == "decided_by")
+         .select("doc_id", F.col("obj").alias("court")).distinct())
+    l = (tri.filter(F.col("pred") == "has_lawyer")
+         .select("doc_id", F.col("obj").alias("lawyer")).distinct())
+    return (j.join(c, "doc_id", "left").join(l, "doc_id", "left")
+            .groupBy("judge")
+            .agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+                 F.countDistinct("court").cast("bigint").alias("n_courts"),
+                 F.countDistinct("lawyer").cast("bigint")
+                 .alias("n_lawyers")))
+
+
+def o_kg_judge_profiles():
+    return f"""
+WITH j AS (SELECT DISTINCT doc_id, obj AS judge FROM {_KG_SQL_SRC}
+           WHERE rec_type = 'triple' AND pred = 'has_judge'),
+c AS (SELECT DISTINCT doc_id, obj AS court FROM {_KG_SQL_SRC}
+      WHERE rec_type = 'triple' AND pred = 'decided_by'),
+l AS (SELECT DISTINCT doc_id, obj AS lawyer FROM {_KG_SQL_SRC}
+      WHERE rec_type = 'triple' AND pred = 'has_lawyer')
+SELECT j.judge, count(DISTINCT j.doc_id)::BIGINT AS n_docs,
+       count(DISTINCT c.court)::BIGINT AS n_courts,
+       count(DISTINCT l.lawyer)::BIGINT AS n_lawyers
+FROM j LEFT JOIN c ON j.doc_id = c.doc_id
+       LEFT JOIN l ON j.doc_id = l.doc_id
+GROUP BY j.judge"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5313,6 +5349,7 @@ QUERIES = {
     "hybrid_rrf": q_hybrid_rrf,
     "kg_court_profiles": q_kg_court_profiles,
     "kg_canonical_citations": q_kg_canonical_citations,
+    "kg_judge_profiles": q_kg_judge_profiles,
     "kg_media_stats": q_kg_media_stats,
     "salted_join_agg": q_salted_join_agg,
     "digest_prune_agg": q_digest_prune_agg,
@@ -5446,6 +5483,7 @@ ORACLES = {
     "hybrid_rrf": o_hybrid_rrf(),
     "kg_court_profiles": o_kg_court_profiles(),
     "kg_canonical_citations": o_kg_canonical_citations(),
+    "kg_judge_profiles": o_kg_judge_profiles(),
     "kg_media_stats": o_kg_media_stats(),
     "salted_join_agg": o_salted_join_agg(),
     "digest_prune_agg": o_digest_prune_agg(),

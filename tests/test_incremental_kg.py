@@ -91,3 +91,33 @@ def test_fold_degrees_is_semigroup(spark):
     got = {r.node: (r.out_degree, r.in_degree)
            for r in fold_degrees(a, b).collect()}
     assert got == {"x": (2, 1), "y": (5, 4), "z": (1, 0)}
+
+
+def test_compaction_preserves_reader_view(spark, tmp_path, corpora):
+    """Compacting N batch tables into one must not change any answer:
+    identical triple set, identical degrees (carried by reference —
+    same path), one batch table afterwards, and a following ingest
+    numbers itself after the compacted table."""
+    from jobs.incremental_kg import compact
+    full, b1, b2 = corpora
+    root = str(tmp_path / "kg")
+    ingest_batch(spark, root, b1, "day1")
+    ingest_batch(spark, root, b2, "day2")
+    before_tri = _sorted_rows(read_triples(spark, root))
+    deg_path_before = publish.current_manifest(root)["tables"]["kg_degrees"]
+    man = compact(spark, root, "day3-compact")
+    batch_tables = [t for t in man["tables"] if t.startswith("triples_b")]
+    assert batch_tables == ["triples_b00000"]
+    assert "snap=day3-compact" in man["tables"]["triples_b00000"]
+    assert man["tables"]["kg_degrees"] == deg_path_before   # by reference
+    assert _sorted_rows(read_triples(spark, root)) == before_tri
+    # vacuum drops the old per-batch snapshots but keeps the carried
+    # degrees snapshot
+    publish.vacuum(root)
+    assert os.path.isdir(deg_path_before)
+    assert _sorted_rows(read_triples(spark, root)) == before_tri
+    # next ingest appends after the compacted table
+    man2 = ingest_batch(spark, root, b1, "day4")
+    assert sorted(t for t in man2["tables"]
+                  if t.startswith("triples_b")) == \
+        ["triples_b00000", "triples_b00001"]
