@@ -242,3 +242,29 @@ def conversion_join(clicks: DataFrame, purchases: DataFrame,
             .select("user_id", "click_id", "purchase_id",
                     "click_ts", "purchase_ts",
                     F.round("purchase_value", 2).alias("purchase_value")))
+
+
+def stream_kg_ingest(spark: SparkSession, corpus_dir: str, root: str,
+                     checkpoint_dir: str):
+    """Streaming twin of jobs/incremental_kg.py: each micro-batch of
+    arriving corpus files is extracted and published as its own atomic
+    snapshot (append-only batch table carried forward, degrees folded).
+    Snapshot id = the micro-batch id, which Structured Streaming keeps
+    STABLE across crash/replay — so a batch replayed before its
+    checkpoint commit lands in ingest_batch's same-snapshot-id replay
+    path and rewrites its own snapshot instead of double-appending:
+    exactly-once publication from at-least-once batch delivery."""
+    schema = spark.read.parquet(corpus_dir).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(corpus_dir))
+
+    def process(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from jobs.incremental_kg import ingest_batch
+        ingest_batch(batch_df.sparkSession, root, batch_df,
+                     f"stream-{batch_id:06d}")
+
+    return (stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())

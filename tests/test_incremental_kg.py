@@ -121,3 +121,31 @@ def test_compaction_preserves_reader_view(spark, tmp_path, corpora):
     assert sorted(t for t in man2["tables"]
                   if t.startswith("triples_b")) == \
         ["triples_b00000", "triples_b00001"]
+
+
+def test_stream_kg_ingest_matches_batch_and_restart_noop(spark, tmp_path,
+                                                         corpora):
+    """File-stream ingestion (one snapshot per micro-batch) produces the
+    same reader view as batch extraction over the whole corpus; re-running
+    the availableNow stream on the same checkpoint publishes nothing new."""
+    from legal_ner_spark.streaming.stream import stream_kg_ingest
+    full, b1, b2 = corpora
+    in_dir = str(tmp_path / "arrivals")
+    b1.coalesce(1).write.mode("append").parquet(in_dir)
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+    root = str(tmp_path / "kg")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_kg_ingest(spark, in_dir, root, ckpt)
+    assert q.awaitTermination(180)
+    got = _sorted_rows(read_triples(spark, root))
+    want = _sorted_rows(ops.triples(pipeline.extract_records(full)))
+    assert got == want
+    man1 = publish.current_manifest(root)
+    deg1 = sorted(map(tuple, publish.read_published(
+        spark, root, "kg_degrees").collect()))
+    # restart over the same checkpoint: nothing new arrives, no flip
+    q2 = stream_kg_ingest(spark, in_dir, root, ckpt)
+    assert q2.awaitTermination(120)
+    assert publish.current_manifest(root) == man1
+    assert sorted(map(tuple, publish.read_published(
+        spark, root, "kg_degrees").collect())) == deg1
