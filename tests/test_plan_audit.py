@@ -380,3 +380,12 @@ def test_prefix_filter_join_is_equi_only(spark):
     p = physical(queries.QUERIES["dedup_prefix_filter"](spark, SF))
     assert "CartesianProduct" not in p, p[:2000]
     assert "BroadcastNestedLoopJoin" not in p, p[:2000]
+
+
+def test_hybrid_rrf_fuses_without_cartesian(spark):
+    """Both retrieval legs keep their scale shapes (broadcasts +
+    TakeOrdered); the only cross product is the 1-row query-vector
+    broadcast; fusion is a tiny full-outer join."""
+    p = physical(queries.QUERIES["hybrid_rrf"](spark, SF))
+    assert "CartesianProduct" not in p, p[:2000]
+    assert "TakeOrderedAndProject" in p, p[:2000]
