@@ -5219,6 +5219,125 @@ FROM j LEFT JOIN c ON j.doc_id = c.doc_id
 GROUP BY j.judge"""
 
 
+def q_kg_node_similarity(spark, sf_dir):
+    """Neighbor-set Jaccard between statutes (neighbors = citing docs):
+    the graph-native near-duplicate detector for KG nodes — candidates
+    for same_as merging surface as pairs with high overlap.  Reuses the
+    co-citation counts (bounded per-doc self-join) + broadcast
+    marginals; |union| = c_a + c_b − co."""
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    ds = (tri.filter(F.col("pred") == "part_of")
+          .select("doc_id", F.col("obj").alias("statute")).distinct())
+    marg = ds.groupBy("statute").agg(F.count(F.lit(1)).alias("c"))
+    b = ds.select(F.col("doc_id").alias("bdoc"),
+                  F.col("statute").alias("sb"))
+    co = (ds.join(b, (F.col("doc_id") == F.col("bdoc"))
+                  & (F.col("statute") < F.col("sb")))
+          .groupBy(F.col("statute").alias("statute_a"),
+                   F.col("sb").alias("statute_b"))
+          .agg(F.count(F.lit(1)).alias("co")))
+    return (co
+            .join(F.broadcast(marg.select(
+                F.col("statute").alias("statute_a"),
+                F.col("c").alias("c_a"))), "statute_a")
+            .join(F.broadcast(marg.select(
+                F.col("statute").alias("statute_b"),
+                F.col("c").alias("c_b"))), "statute_b")
+            .select("statute_a", "statute_b",
+                    F.round(F.col("co")
+                            / (F.col("c_a") + F.col("c_b") - F.col("co")),
+                            4).alias("neighbor_jaccard")))
+
+
+def o_kg_node_similarity():
+    return f"""
+WITH ds AS (
+  SELECT DISTINCT doc_id, obj AS statute FROM {_KG_SQL_SRC}
+  WHERE rec_type = 'triple' AND pred = 'part_of'
+),
+marg AS (SELECT statute, count(*) AS c FROM ds GROUP BY statute),
+co AS (
+  SELECT a.statute AS statute_a, b.statute AS statute_b,
+         count(*) AS co
+  FROM ds a JOIN ds b ON a.doc_id = b.doc_id AND a.statute < b.statute
+  GROUP BY a.statute, b.statute
+)
+SELECT co.statute_a, co.statute_b,
+       round(co.co * 1.0 / (ma.c + mb.c - co.co), 4) AS neighbor_jaccard
+FROM co JOIN marg ma ON co.statute_a = ma.statute
+        JOIN marg mb ON co.statute_b = mb.statute"""
+
+
+def q_dedup_stats(spark, sf_dir):
+    """Corpus-reduction summary off the composed near-dedup assignment:
+    docs, surviving keepers, reduction fraction, largest duplicate
+    cluster — the one-row report a training-data run logs per shard."""
+    from .operators import dedup
+    docs = (spark.read.parquet(_t(sf_dir, "documents"))
+            .repartition(spark.sparkContext.defaultParallelism, "doc_id"))
+    nd = dedup.near_dedup(docs, threshold=0.5)
+    per = nd.groupBy("keeper_doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    return (nd.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                   F.countDistinct("keeper_doc_id").cast("bigint")
+                   .alias("n_keepers"))
+            .crossJoin(F.broadcast(
+                per.agg(F.max("sz").cast("bigint")
+                        .alias("max_cluster"))))
+            .select("n_docs", "n_keepers",
+                    F.round(1.0 - F.col("n_keepers") / F.col("n_docs"), 4)
+                    .alias("reduction"),
+                    "max_cluster"))
+
+
+def o_dedup_stats():
+    return f"""
+SELECT n_docs, n_keepers,
+       round(1.0 - n_keepers * 1.0 / n_docs, 4) AS reduction,
+       (SELECT max(sz) FROM (
+          SELECT count(*) AS sz FROM ({o_near_dedup()}) g
+          GROUP BY keeper_doc_id) m)::BIGINT AS max_cluster
+FROM (
+  SELECT count(*)::BIGINT AS n_docs,
+         count(DISTINCT keeper_doc_id)::BIGINT AS n_keepers
+  FROM ({o_near_dedup()}) t) s"""
+
+
+def q_kg_skew_report(spark, sf_dir):
+    """Hot-key diagnosis over the part_of edges: per statute, share of
+    all citations and the running cumulative share in popularity order —
+    the report that tells a planner which keys need salting (IPC/CrPC
+    dominate exactly as the reference corpus predicts).  The cumulative
+    window runs over the tiny aggregated statute table."""
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    cnt = (tri.filter(F.col("pred") == "part_of")
+           .groupBy(F.col("obj").alias("statute"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    tot = cnt.agg(F.sum("n").alias("tot"))
+    w = (Window.orderBy(F.desc("n"), F.asc("statute"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (cnt.crossJoin(F.broadcast(tot))
+            .withColumn("cum", F.sum("n").over(w))
+            .select("statute", F.col("n").cast("bigint").alias("n_edges"),
+                    F.round(F.col("n") / F.col("tot"), 4).alias("share"),
+                    F.round(F.col("cum") / F.col("tot"), 4)
+                    .alias("cum_share")))
+
+
+def o_kg_skew_report():
+    return f"""
+WITH cnt AS (
+  SELECT obj AS statute, count(*) AS n FROM {_KG_SQL_SRC}
+  WHERE rec_type = 'triple' AND pred = 'part_of' GROUP BY obj
+),
+tot AS (SELECT sum(n) AS tot FROM cnt)
+SELECT statute, n::BIGINT AS n_edges,
+       round(n / tot, 4) AS share,
+       round(sum(n) OVER (ORDER BY n DESC, statute
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) / tot, 4) AS cum_share
+FROM cnt CROSS JOIN tot"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5350,6 +5469,9 @@ QUERIES = {
     "kg_court_profiles": q_kg_court_profiles,
     "kg_canonical_citations": q_kg_canonical_citations,
     "kg_judge_profiles": q_kg_judge_profiles,
+    "kg_node_similarity": q_kg_node_similarity,
+    "dedup_stats": q_dedup_stats,
+    "kg_skew_report": q_kg_skew_report,
     "kg_media_stats": q_kg_media_stats,
     "salted_join_agg": q_salted_join_agg,
     "digest_prune_agg": q_digest_prune_agg,
@@ -5484,6 +5606,9 @@ ORACLES = {
     "kg_court_profiles": o_kg_court_profiles(),
     "kg_canonical_citations": o_kg_canonical_citations(),
     "kg_judge_profiles": o_kg_judge_profiles(),
+    "kg_node_similarity": o_kg_node_similarity(),
+    "dedup_stats": o_dedup_stats(),
+    "kg_skew_report": o_kg_skew_report(),
     "kg_media_stats": o_kg_media_stats(),
     "salted_join_agg": o_salted_join_agg(),
     "digest_prune_agg": o_digest_prune_agg(),
