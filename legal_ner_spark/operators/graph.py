@@ -417,3 +417,35 @@ def negative_samples(triples: DataFrame, ids: DataFrame, k: int = 2,
     return neg.join(
         pos.select("subj", "pred", F.col("obj").alias("neg_obj")),
         ["subj", "pred", "neg_obj"], "left_anti")
+
+
+def lpa_communities(edges: DataFrame, n_iter: int = 3,
+                    checkpoint_dir: str | None = None) -> DataFrame:
+    """Synchronous label propagation communities over an undirected
+    (src, dst) edge table: each round every node adopts the most common
+    label among its neighbours, ties broken by smallest label — fully
+    deterministic (unlike classic asynchronous LPA), so a fixed
+    iteration count unrolls into an exact SQL oracle.  Complementary to
+    connected components: LPA splits a connected graph into dense
+    communities instead of reachability classes.
+
+    Per round: one neighbour-label count aggregation + one per-node
+    argmax window over the aggregated (node, label) table — both keyed
+    shuffles over small rows, truncation per round as in pagerank."""
+    from ..plans.checkpoint import Truncator
+    trunc = Truncator(checkpoint_dir)
+    sym = trunc(edges.select("src", "dst")
+                .union(edges.select(F.col("dst").alias("src"),
+                                    F.col("src").alias("dst"))).distinct(),
+                "lpa_edges")
+    labels = trunc(sym.select(F.col("src").alias("node")).distinct()
+                   .withColumn("lab", F.col("node")), "lpa_l0")
+    for _ in range(n_iter):
+        cnt = (sym.join(labels.select(F.col("node").alias("dst"),
+                                      "lab"), "dst")
+               .groupBy(F.col("src").alias("node"), "lab")
+               .agg(F.count(F.lit(1)).alias("c")))
+        w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lab"))
+        labels = trunc(cnt.withColumn("_rn", F.row_number().over(w))
+                       .filter("_rn = 1").select("node", "lab"), "lpa_l")
+    return labels.select("node", F.col("lab").alias("community"))

@@ -5338,6 +5338,38 @@ SELECT statute, n::BIGINT AS n_edges,
 FROM cnt CROSS JOIN tot"""
 
 
+def q_kg_lpa_communities(spark, sf_dir):
+    """Deterministic synchronous label propagation (3 rounds, most-common
+    neighbour label, min-label tie-break) over the statute co-citation
+    graph — dense communities rather than reachability classes.  The
+    fixed round count unrolls into the exact oracle."""
+    from .operators import graph
+    e = _cocitation_edges(spark, sf_dir)
+    return graph.lpa_communities(
+        e.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        n_iter=3)
+
+
+def o_kg_lpa_communities(n_iter: int = 3):
+    it = """
+l{i} AS MATERIALIZED (
+  SELECT node, lab FROM (
+    SELECT e.a AS node, l.lab,
+           row_number() OVER (PARTITION BY e.a
+                              ORDER BY count(*) DESC, l.lab) AS rn
+    FROM sym e JOIN l{p} l ON l.node = e.b
+    GROUP BY e.a, l.lab) t
+  WHERE rn = 1
+)"""
+    iters = ",".join(it.format(i=i, p=i - 1) for i in range(1, n_iter + 1))
+    return f"""
+WITH e0 AS ({_COCITE_EDGES_SQL}),
+sym AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+l0 AS (SELECT DISTINCT a AS node, a AS lab FROM sym),
+{iters}
+SELECT node, lab AS community FROM l{n_iter}"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5472,6 +5504,7 @@ QUERIES = {
     "kg_node_similarity": q_kg_node_similarity,
     "dedup_stats": q_dedup_stats,
     "kg_skew_report": q_kg_skew_report,
+    "kg_lpa_communities": q_kg_lpa_communities,
     "kg_media_stats": q_kg_media_stats,
     "salted_join_agg": q_salted_join_agg,
     "digest_prune_agg": q_digest_prune_agg,
@@ -5609,6 +5642,7 @@ ORACLES = {
     "kg_node_similarity": o_kg_node_similarity(),
     "dedup_stats": o_dedup_stats(),
     "kg_skew_report": o_kg_skew_report(),
+    "kg_lpa_communities": o_kg_lpa_communities(),
     "kg_media_stats": o_kg_media_stats(),
     "salted_join_agg": o_salted_join_agg(),
     "digest_prune_agg": o_digest_prune_agg(),

@@ -286,3 +286,24 @@ def test_clustering_coeff_known_graphs(spark):
     coeff = {n: 2 * tv.get(n, 0) / (d * (d - 1)) for n, d in deg.items()}
     assert coeff["a"] == 1.0 and coeff["e"] == 0.0
     assert abs(coeff["d"] - 0.5) < 1e-12      # 3 triangles of C(4,2)=6
+
+
+def test_lpa_splits_two_cliques_joined_by_bridge(spark):
+    """Two 4-cliques joined by one bridge edge: WCC sees one component,
+    LPA (3 rounds) assigns two communities split at the bridge."""
+    from itertools import combinations
+    cl1 = list(combinations(["a1", "a2", "a3", "a4"], 2))
+    cl2 = list(combinations(["b1", "b2", "b3", "b4"], 2))
+    edges = cl1 + cl2 + [("a1", "b1")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    res = {r.node: r.community
+           for r in graph.lpa_communities(e, n_iter=3).collect()}
+    a_comms = {res[n] for n in ["a1", "a2", "a3", "a4"]}
+    b_comms = {res[n] for n in ["b1", "b2", "b3", "b4"]}
+    assert len(a_comms) == 1 and len(b_comms) == 1
+    assert a_comms != b_comms
+    # deterministic under parallelism
+    res2 = {r.node: r.community
+            for r in graph.lpa_communities(e.repartition(7),
+                                           n_iter=3).collect()}
+    assert res == res2
