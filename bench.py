@@ -119,7 +119,8 @@ def main() -> None:
                      "kg_related_cases", "kg_media_density", "hybrid_rrf",
                      "kg_court_profiles", "kg_canonical_citations",
                      "kg_judge_profiles", "kg_node_similarity",
-                     "dedup_stats", "kg_skew_report", "kg_lpa_communities"]
+                     "dedup_stats", "kg_skew_report", "kg_lpa_communities",
+                     "kg_citation_years"]
     for name in bench_queries:
         timings[name] = round(best_of(
             lambda: queries.QUERIES[name](spark, sf_dir).count()), 3)

@@ -5370,6 +5370,36 @@ l0 AS (SELECT DISTINCT a AS node, a AS lab FROM sym),
 SELECT node, lab AS community FROM l{n_iter}"""
 
 
+def q_kg_citation_years(spark, sf_dir):
+    """Temporal profile of the citation graph: decade histogram of the
+    years embedded in cited-precedent names (the recency skew the
+    retrieval tier should know about).  Pure projection + one tiny
+    aggregate; precedents without a parseable year are excluded on both
+    engines identically (empty-match normalize)."""
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    yr = (tri.filter(F.col("pred") == "cites_precedent")
+          .select(F.regexp_extract("obj", r"\b(19|20)[0-9]{2}\b", 0)
+                  .alias("y"))
+          .filter(F.col("y") != "")
+          .select(F.col("y").cast("int").alias("year")))
+    return (yr.groupBy((F.floor(F.col("year") / 10) * 10)
+                       .cast("int").alias("decade"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_citations")))
+
+
+def o_kg_citation_years():
+    return f"""
+WITH yr AS (
+  SELECT coalesce(regexp_extract(obj, '\\b(19|20)[0-9]{{2}}\\b', 0), '')
+           AS y
+  FROM {_KG_SQL_SRC}
+  WHERE rec_type = 'triple' AND pred = 'cites_precedent'
+)
+SELECT ((y::INT // 10) * 10)::INT AS decade,
+       count(*)::BIGINT AS n_citations
+FROM yr WHERE y <> '' GROUP BY 1"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5505,6 +5535,7 @@ QUERIES = {
     "dedup_stats": q_dedup_stats,
     "kg_skew_report": q_kg_skew_report,
     "kg_lpa_communities": q_kg_lpa_communities,
+    "kg_citation_years": q_kg_citation_years,
     "kg_media_stats": q_kg_media_stats,
     "salted_join_agg": q_salted_join_agg,
     "digest_prune_agg": q_digest_prune_agg,
@@ -5643,6 +5674,7 @@ ORACLES = {
     "dedup_stats": o_dedup_stats(),
     "kg_skew_report": o_kg_skew_report(),
     "kg_lpa_communities": o_kg_lpa_communities(),
+    "kg_citation_years": o_kg_citation_years(),
     "kg_media_stats": o_kg_media_stats(),
     "salted_join_agg": o_salted_join_agg(),
     "digest_prune_agg": o_digest_prune_agg(),
