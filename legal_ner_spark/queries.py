@@ -5400,6 +5400,41 @@ SELECT ((y::INT // 10) * 10)::INT AS decade,
 FROM yr WHERE y <> '' GROUP BY 1"""
 
 
+def q_sliding_window_counts(spark, sf_dir):
+    """OVERLAPPING window counts (10-minute windows sliding every 5):
+    Spark's `window(ts, dur, slide)` emits each event into dur/slide
+    windows — the smoothing variant the tumbling `windowed_counts`
+    doesn't cover, and the same definition Structured Streaming runs
+    incrementally.  The oracle reproduces Spark's epoch-aligned window
+    assignment by generating both member windows per event."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return (ev.groupBy(F.window("ts", "10 minutes", "5 minutes"),
+                       "event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+            .select(F.col("window.start").cast("timestamp_ntz")
+                    .alias("window_start"),
+                    F.col("window.end").cast("timestamp_ntz")
+                    .alias("window_end"),
+                    "event_type", "n_events"))
+
+
+def o_sliding_window_counts():
+    # each event belongs to exactly 2 epoch-aligned windows: the ones
+    # starting at bucket(ts, 5m) and bucket(ts, 5m) - 5m
+    return """
+WITH w AS (
+  SELECT event_type,
+         unnest([time_bucket(INTERVAL '5 minutes', ts),
+                 time_bucket(INTERVAL '5 minutes', ts)
+                   - INTERVAL '5 minutes']) AS window_start
+  FROM events
+)
+SELECT window_start,
+       window_start + INTERVAL '10 minutes' AS window_end,
+       event_type, count(*)::BIGINT AS n_events
+FROM w GROUP BY window_start, event_type"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5536,6 +5571,7 @@ QUERIES = {
     "kg_skew_report": q_kg_skew_report,
     "kg_lpa_communities": q_kg_lpa_communities,
     "kg_citation_years": q_kg_citation_years,
+    "sliding_window_counts": q_sliding_window_counts,
     "kg_media_stats": q_kg_media_stats,
     "salted_join_agg": q_salted_join_agg,
     "digest_prune_agg": q_digest_prune_agg,
@@ -5675,6 +5711,7 @@ ORACLES = {
     "kg_skew_report": o_kg_skew_report(),
     "kg_lpa_communities": o_kg_lpa_communities(),
     "kg_citation_years": o_kg_citation_years(),
+    "sliding_window_counts": o_sliding_window_counts(),
     "kg_media_stats": o_kg_media_stats(),
     "salted_join_agg": o_salted_join_agg(),
     "digest_prune_agg": o_digest_prune_agg(),
