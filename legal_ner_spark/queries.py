@@ -5435,6 +5435,27 @@ SELECT window_start,
 FROM w GROUP BY window_start, event_type"""
 
 
+def q_corpus_cube(spark, sf_dir):
+    """CUBE over (lang, source): all four granularities — (l,s), per-l,
+    per-s, grand total — in one Expand-based pass (the rollup's sibling;
+    rollup omits the per-source slice).  Same 'ALL' sentinel so the
+    cross-engine hash is unambiguous."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return (docs.cube("lang", "source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_chars").cast("bigint").alias("total_chars"))
+            .select(F.coalesce("lang", F.lit("ALL")).alias("lang"),
+                    F.coalesce("source", F.lit("ALL")).alias("source"),
+                    "n_docs", "total_chars"))
+
+
+def o_corpus_cube():
+    return """
+SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+       count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
+FROM documents GROUP BY CUBE (lang, source)"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5572,6 +5593,7 @@ QUERIES = {
     "kg_lpa_communities": q_kg_lpa_communities,
     "kg_citation_years": q_kg_citation_years,
     "sliding_window_counts": q_sliding_window_counts,
+    "corpus_cube": q_corpus_cube,
     "kg_media_stats": q_kg_media_stats,
     "salted_join_agg": q_salted_join_agg,
     "digest_prune_agg": q_digest_prune_agg,
@@ -5712,6 +5734,7 @@ ORACLES = {
     "kg_lpa_communities": o_kg_lpa_communities(),
     "kg_citation_years": o_kg_citation_years(),
     "sliding_window_counts": o_sliding_window_counts(),
+    "corpus_cube": o_corpus_cube(),
     "kg_media_stats": o_kg_media_stats(),
     "salted_join_agg": o_salted_join_agg(),
     "digest_prune_agg": o_digest_prune_agg(),
