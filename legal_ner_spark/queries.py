@@ -5456,6 +5456,45 @@ SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
 FROM documents GROUP BY CUBE (lang, source)"""
 
 
+def q_daily_anomalies(spark, sf_dir):
+    """Volume-anomaly detection on the event stream: per (event_type,
+    day) counts z-scored against that type's own daily distribution —
+    the monitoring query a pipeline runs over its ingest ledger.  One
+    (type, day) aggregation; the per-type moments table is tiny and
+    broadcast back; |z| ≥ 2 flags."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    mom = (daily.groupBy("event_type")
+           .agg(F.avg("n").alias("mu"),
+                F.stddev_pop("n").alias("sd")))
+    return (daily.join(F.broadcast(mom), "event_type")
+            .filter(F.col("sd") > 0)
+            .select("event_type", "day",
+                    F.col("n").cast("bigint").alias("n_events"),
+                    F.round((F.col("n") - F.col("mu")) / F.col("sd"), 4)
+                    .alias("z"),
+                    (F.abs((F.col("n") - F.col("mu")) / F.col("sd"))
+                     >= 2).alias("is_anomaly")))
+
+
+def o_daily_anomalies():
+    return """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS day, count(*) AS n
+  FROM events GROUP BY event_type, ts::DATE
+),
+mom AS (
+  SELECT event_type, avg(n) AS mu, stddev_pop(n) AS sd
+  FROM daily GROUP BY event_type
+)
+SELECT d.event_type, d.day, d.n::BIGINT AS n_events,
+       round((d.n - m.mu) / m.sd, 4) AS z,
+       abs((d.n - m.mu) / m.sd) >= 2 AS is_anomaly
+FROM daily d JOIN mom m USING (event_type)
+WHERE m.sd > 0"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5594,6 +5633,7 @@ QUERIES = {
     "kg_citation_years": q_kg_citation_years,
     "sliding_window_counts": q_sliding_window_counts,
     "corpus_cube": q_corpus_cube,
+    "daily_anomalies": q_daily_anomalies,
     "kg_media_stats": q_kg_media_stats,
     "salted_join_agg": q_salted_join_agg,
     "digest_prune_agg": q_digest_prune_agg,
@@ -5735,6 +5775,7 @@ ORACLES = {
     "kg_citation_years": o_kg_citation_years(),
     "sliding_window_counts": o_sliding_window_counts(),
     "corpus_cube": o_corpus_cube(),
+    "daily_anomalies": o_daily_anomalies(),
     "kg_media_stats": o_kg_media_stats(),
     "salted_join_agg": o_salted_join_agg(),
     "digest_prune_agg": o_digest_prune_agg(),
