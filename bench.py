@@ -120,7 +120,8 @@ def main() -> None:
                      "kg_court_profiles", "kg_canonical_citations",
                      "kg_judge_profiles", "kg_node_similarity",
                      "dedup_stats", "kg_skew_report", "kg_lpa_communities",
-                     "kg_citation_years", "sliding_window_counts", "corpus_cube", "daily_anomalies"]
+                     "kg_citation_years", "sliding_window_counts", "corpus_cube", "daily_anomalies",
+                     "embedding_class_stats"]
     for name in bench_queries:
         timings[name] = round(best_of(
             lambda: queries.QUERIES[name](spark, sf_dir).count()), 3)

@@ -5495,6 +5495,52 @@ FROM daily d JOIN mom m USING (event_type)
 WHERE m.sd > 0"""
 
 
+def q_embedding_class_stats(spark, sf_dir):
+    """Per-class embedding geometry: class centroid (element-wise mean
+    via posexplode → (label, dim) aggregate → re-assembled ordered
+    array) and mean cosine of members to their centroid — the
+    cluster-cohesion report for a labeled vector store.  Centroids are
+    tiny and broadcast back over the scan; no pairwise work."""
+    from .operators.similarity import prepare_vectors, cosine_expr
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    v = prepare_vectors(emb).join(emb.select("vec_id", "label"), "vec_id")
+    pos = v.select("label", F.posexplode("v").alias("i", "x"))
+    cent = (pos.groupBy("label", "i").agg(F.avg("x").alias("c"))
+            .groupBy("label")
+            .agg(F.expr("transform(array_sort(collect_list(struct(i, c))),"
+                        " s -> s.c)").alias("cv")))
+    j = v.join(F.broadcast(cent), "label")
+    return (j.select("label", cosine_expr("v", "cv").alias("cos"))
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+                 F.round(F.avg("cos"), 4).alias("mean_cos_to_centroid")))
+
+
+def o_embedding_class_stats():
+    return """
+WITH pos AS (
+  SELECT label, s.i, embedding[s.i]::DOUBLE AS x
+  FROM embeddings,
+       unnest(generate_series(1, len(embedding))) AS s(i)
+),
+cent AS (
+  SELECT label, list(c ORDER BY i) AS cv FROM (
+    SELECT label, i, avg(x) AS c FROM pos GROUP BY label, i) t
+  GROUP BY label
+),
+cos AS (
+  SELECT e.label,
+         list_dot_product(e.embedding::DOUBLE[], c.cv)
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                    e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(c.cv, c.cv))) AS cs
+  FROM embeddings e JOIN cent c USING (label)
+)
+SELECT label, count(*)::BIGINT AS n_vectors,
+       round(avg(cs), 4) AS mean_cos_to_centroid
+FROM cos GROUP BY label"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5634,6 +5680,7 @@ QUERIES = {
     "sliding_window_counts": q_sliding_window_counts,
     "corpus_cube": q_corpus_cube,
     "daily_anomalies": q_daily_anomalies,
+    "embedding_class_stats": q_embedding_class_stats,
     "kg_media_stats": q_kg_media_stats,
     "salted_join_agg": q_salted_join_agg,
     "digest_prune_agg": q_digest_prune_agg,
@@ -5776,6 +5823,7 @@ ORACLES = {
     "sliding_window_counts": o_sliding_window_counts(),
     "corpus_cube": o_corpus_cube(),
     "daily_anomalies": o_daily_anomalies(),
+    "embedding_class_stats": o_embedding_class_stats(),
     "kg_media_stats": o_kg_media_stats(),
     "salted_join_agg": o_salted_join_agg(),
     "digest_prune_agg": o_digest_prune_agg(),
