@@ -121,7 +121,7 @@ def main() -> None:
                      "kg_judge_profiles", "kg_node_similarity",
                      "dedup_stats", "kg_skew_report", "kg_lpa_communities",
                      "kg_citation_years", "sliding_window_counts", "corpus_cube", "daily_anomalies",
-                     "embedding_class_stats"]
+                     "embedding_class_stats", "kg_label_cooccurrence"]
     for name in bench_queries:
         timings[name] = round(best_of(
             lambda: queries.QUERIES[name](spark, sf_dir).count()), 3)

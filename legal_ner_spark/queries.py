@@ -5541,6 +5541,37 @@ SELECT label, count(*)::BIGINT AS n_vectors,
 FROM cos GROUP BY label"""
 
 
+def q_kg_label_cooccurrence(spark, sf_dir):
+    """Sentence-level label co-occurrence matrix over the mentions table
+    (which entity types appear together in one sentence — the signal the
+    reference's sentence-window statute↔provision linker exploits,
+    measured corpus-wide).  Distinct (doc, sent, label) self-join
+    bounded by labels-per-sentence (≤ 14 types), never mention pairs."""
+    recs = _kg_records_parquet(spark, sf_dir)
+    m = (recs.filter("rec_type = 'mention'")
+         .select("doc_id", "sent_id", "label").distinct())
+    b = m.select(F.col("doc_id").alias("bd"), F.col("sent_id").alias("bs"),
+                 F.col("label").alias("label_b"))
+    return (m.join(b, (F.col("doc_id") == F.col("bd"))
+                   & (F.col("sent_id") == F.col("bs"))
+                   & (F.col("label") < F.col("label_b")))
+            .groupBy(F.col("label").alias("label_a"), "label_b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_sentences")))
+
+
+def o_kg_label_cooccurrence():
+    return f"""
+WITH m AS (
+  SELECT DISTINCT doc_id, sent_id, label FROM {_KG_SQL_SRC}
+  WHERE rec_type = 'mention'
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       count(*)::BIGINT AS n_sentences
+FROM m a JOIN m b
+  ON a.doc_id = b.doc_id AND a.sent_id = b.sent_id AND a.label < b.label
+GROUP BY a.label, b.label"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5681,6 +5712,7 @@ QUERIES = {
     "corpus_cube": q_corpus_cube,
     "daily_anomalies": q_daily_anomalies,
     "embedding_class_stats": q_embedding_class_stats,
+    "kg_label_cooccurrence": q_kg_label_cooccurrence,
     "kg_media_stats": q_kg_media_stats,
     "salted_join_agg": q_salted_join_agg,
     "digest_prune_agg": q_digest_prune_agg,
@@ -5824,6 +5856,7 @@ ORACLES = {
     "corpus_cube": o_corpus_cube(),
     "daily_anomalies": o_daily_anomalies(),
     "embedding_class_stats": o_embedding_class_stats(),
+    "kg_label_cooccurrence": o_kg_label_cooccurrence(),
     "kg_media_stats": o_kg_media_stats(),
     "salted_join_agg": o_salted_join_agg(),
     "digest_prune_agg": o_digest_prune_agg(),
