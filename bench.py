@@ -121,7 +121,8 @@ def main() -> None:
                      "kg_judge_profiles", "kg_node_similarity",
                      "dedup_stats", "kg_skew_report", "kg_lpa_communities",
                      "kg_citation_years", "sliding_window_counts", "corpus_cube", "daily_anomalies",
-                     "embedding_class_stats", "kg_label_cooccurrence"]
+                     "embedding_class_stats", "kg_label_cooccurrence",
+                     "kg_bridge_edges", "kg_ambiguous_provisions"]
     for name in bench_queries:
         timings[name] = round(best_of(
             lambda: queries.QUERIES[name](spark, sf_dir).count()), 3)

@@ -5572,6 +5572,79 @@ FROM m a JOIN m b
 GROUP BY a.label, b.label"""
 
 
+def q_kg_bridge_edges(spark, sf_dir):
+    """Bridge edges of the co-citation graph: edges whose endpoints land
+    in DIFFERENT label-propagation communities — the inter-community
+    backbone (what a partitioner would cut).  Two label joins over the
+    canonical edge list; communities come from ONE deterministic LPA
+    round — converged LPA on a dense co-citation graph collapses to a
+    single community (kg_lpa_communities shows that), while the
+    one-round majority labelling keeps the local structure whose cut
+    edges are the interesting ones."""
+    from .operators import graph
+    e = _cocitation_edges(spark, sf_dir)
+    comm = graph.lpa_communities(
+        e.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        n_iter=1)
+    return (e.join(comm.select(F.col("node").alias("a"),
+                               F.col("community").alias("ca")), "a")
+            .join(comm.select(F.col("node").alias("b"),
+                              F.col("community").alias("cb")), "b")
+            .filter(F.col("ca") != F.col("cb"))
+            .select("a", "b", "ca", "cb"))
+
+
+def o_kg_bridge_edges(n_iter: int = 3):
+    it = """
+l{i} AS MATERIALIZED (
+  SELECT node, lab FROM (
+    SELECT e.a AS node, l.lab,
+           row_number() OVER (PARTITION BY e.a
+                              ORDER BY count(*) DESC, l.lab) AS rn
+    FROM sym e JOIN l{p} l ON l.node = e.b
+    GROUP BY e.a, l.lab) t
+  WHERE rn = 1
+)"""
+    iters = ",".join(it.format(i=i, p=i - 1) for i in range(1, n_iter + 1))
+    return f"""
+WITH e0 AS ({_COCITE_EDGES_SQL}),
+sym AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+l0 AS (SELECT DISTINCT a AS node, a AS lab FROM sym),
+{iters}
+SELECT e0.a, e0.b, la.lab AS ca, lb.lab AS cb
+FROM e0 JOIN l{n_iter} la ON e0.a = la.node
+        JOIN l{n_iter} lb ON e0.b = lb.node
+WHERE la.lab <> lb.lab"""
+
+
+def q_kg_ambiguous_provisions(spark, sf_dir):
+    """KG-quality gate: provision surface forms linked to MORE than one
+    statute across the corpus — the ambiguity the reference's
+    sentence-window heuristic can only resolve locally, surfaced
+    globally for review.  One aggregate + sorted alias list for an
+    unambiguous cross-engine hash."""
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    return (tri.filter(F.col("pred") == "part_of")
+            .groupBy(F.col("subj").alias("provision"))
+            .agg(F.countDistinct("obj").alias("n_statutes"),
+                 F.concat_ws("|", F.sort_array(F.collect_set("obj")))
+                 .alias("statutes"))
+            .filter(F.col("n_statutes") >= 2)
+            .select("provision",
+                    F.col("n_statutes").cast("bigint").alias("n_statutes"),
+                    "statutes"))
+
+
+def o_kg_ambiguous_provisions():
+    return f"""
+SELECT subj AS provision,
+       count(DISTINCT obj)::BIGINT AS n_statutes,
+       array_to_string(list(DISTINCT obj ORDER BY obj), '|') AS statutes
+FROM {_KG_SQL_SRC}
+WHERE rec_type = 'triple' AND pred = 'part_of'
+GROUP BY subj HAVING count(DISTINCT obj) >= 2"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5713,6 +5786,8 @@ QUERIES = {
     "daily_anomalies": q_daily_anomalies,
     "embedding_class_stats": q_embedding_class_stats,
     "kg_label_cooccurrence": q_kg_label_cooccurrence,
+    "kg_bridge_edges": q_kg_bridge_edges,
+    "kg_ambiguous_provisions": q_kg_ambiguous_provisions,
     "kg_media_stats": q_kg_media_stats,
     "salted_join_agg": q_salted_join_agg,
     "digest_prune_agg": q_digest_prune_agg,
@@ -5857,6 +5932,8 @@ ORACLES = {
     "daily_anomalies": o_daily_anomalies(),
     "embedding_class_stats": o_embedding_class_stats(),
     "kg_label_cooccurrence": o_kg_label_cooccurrence(),
+    "kg_bridge_edges": o_kg_bridge_edges(1),
+    "kg_ambiguous_provisions": o_kg_ambiguous_provisions(),
     "kg_media_stats": o_kg_media_stats(),
     "salted_join_agg": o_salted_join_agg(),
     "digest_prune_agg": o_digest_prune_agg(),
