@@ -751,3 +751,22 @@ def test_prefix_filter_no_false_negatives_random(spark):
         if u and 2 * i >= u:
             want[(a, b)] = round(i / u, 4)
     assert got == want and want      # non-vacuous
+
+
+def test_prefix_filter_degenerate_inputs(spark):
+    from legal_ner_spark.operators.dedup import prefix_filter_pairs
+    # docs shorter than the shingle width produce no shingles → no pairs
+    short = spark.createDataFrame([(1, "a b"), (2, "a b")],
+                                  "doc_id bigint, text string")
+    assert prefix_filter_pairs(short, n=5).count() == 0
+    # empty corpus
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    assert prefix_filter_pairs(empty, n=5).count() == 0
+    # threshold 1/1: only exact shingle-set matches survive
+    t = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame([(1, t), (2, t), (3, t + " zz")],
+                                 "doc_id bigint, text string")
+    got = {(r.doc_a, r.doc_b): r.jaccard
+           for r in prefix_filter_pairs(docs, t_num=1, t_den=1,
+                                        n=3).collect()}
+    assert got == {(1, 2): 1.0}

@@ -113,3 +113,28 @@ def test_sorted_neighborhood_window_and_verify(spark):
         window=2, max_edit=4)
     assert sorted(map(tuple, out.collect())) == \
         sorted(map(tuple, out2.collect()))
+
+
+def test_sorted_neighborhood_empty_and_singleton(spark):
+    from legal_ner_spark.operators import linking
+    empty = spark.createDataFrame([], "rid string, name string")
+    assert linking.sorted_neighborhood_pairs(
+        empty, key_col="name", id_col="rid").count() == 0
+    one = spark.createDataFrame([("r1", "Solo Case")], "rid string, name string")
+    assert linking.sorted_neighborhood_pairs(
+        one, key_col="name", id_col="rid").count() == 0
+    # keys that normalize to empty are dropped, not paired
+    junk = spark.createDataFrame([("r1", "!!!"), ("r2", "???")],
+                                 "rid string, name string")
+    assert linking.sorted_neighborhood_pairs(
+        junk, key_col="name", id_col="rid").count() == 0
+
+
+def test_mixture_sample_single_stratum_and_empty(spark):
+    from legal_ner_spark.operators import textprep
+    one = spark.createDataFrame([(i, "en") for i in range(30)],
+                                "doc_id bigint, lang string")
+    s = textprep.mixture_sample(one, "lang", "doc_id", 10)
+    assert s.count() == 10                      # whole quota to one stratum
+    empty = spark.createDataFrame([], "doc_id bigint, lang string")
+    assert textprep.mixture_sample(empty, "lang", "doc_id", 10).count() == 0
