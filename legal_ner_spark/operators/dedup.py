@@ -720,29 +720,15 @@ def duplicate_passages(docs: DataFrame, n: int = 8, min_docs: int = 2,
             .select("doc_id", "span_start", "span_end", "n_dup_shingles"))
 
 
-def prefix_filter_pairs(docs: DataFrame, t_num: int = 4, t_den: int = 5,
-                        n: int = 5, id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
-    """EXACT set-similarity join via prefix filtering (AllPairs/PPJoin,
-    Bayardo et al. WWW'07): all pairs with shingle-set Jaccard ≥
-    t_num/t_den — no false negatives, unlike the MinHash/SimHash tiers,
-    which trade recall for fewer candidates.
-
-    The threshold is a RATIONAL (t_num/t_den) and every pruning bound is
-    integer arithmetic — ``ceil(0.8·s)`` in binary floating point is
-    off-by-one for some sizes, and a too-short prefix silently DROPS
-    pairs; ceil_div(t_num·s, t_den) cannot.
-
-    Shape: shingles are ordered by global rarity (document frequency
-    asc — the rank uses the freq-partitioned window + tiny cumulative
-    offset table, no global window); each doc emits only its first
-    s − ⌈t·s⌉ + 1 rarest shingles (pigeonhole: two sets with J ≥ t must
-    share a prefix token), candidates come from the prefix equi-join +
-    length filter, and one count-join verifies exact Jaccard.  Shuffle
-    volume ∝ prefix postings, not the corpus; the residual hazard is a
-    hot prefix shingle (bounded by how many docs share a RAREST-tier
-    shingle — at 100 TB cap posting width like lsh max_bucket and route
-    overflow to the MinHash tier)."""
+def _prefix_tokens(docs: DataFrame, t_num: int, t_den: int, n: int,
+                   id_col: str, text_col: str):
+    """Shared prefix-stage plumbing for ``prefix_filter_pairs`` and
+    ``prefix_posting_stats``: returns (sh, pfx) where ``sh`` is the full
+    shingle relation and ``pfx`` is (doc, shingle, s, pos) — each doc's
+    first s − ⌈t·s⌉ + 1 rarest shingles with ``pos`` the shingle's
+    1-based position in the doc's full rarity-sorted token list (the
+    PPJoin positional filter needs the position, so it is computed
+    before the prefix cut, not after)."""
     sh = shingle_rows(docs, id_col=id_col, text_col=text_col, n=n)
     dfq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # global order = (df, md5-bucket, shingle).  Prefix filtering needs
@@ -776,18 +762,128 @@ def prefix_filter_pairs(docs: DataFrame, t_num: int = 4, t_den: int = 5,
     pfx = (tok.join(sz, "doc")
            .withColumn("pos", F.row_number().over(wdoc))
            .filter(F.col("pos") <= plen)
-           .select("doc", "shingle", "s"))
-    a = pfx.select(F.col("doc").alias("da"), "shingle",
-                   F.col("s").alias("sa"))
-    b = pfx.select(F.col("doc").alias("db"), "shingle",
-                   F.col("s").alias("sb"))
-    cand = (a.join(b, "shingle")
-            .filter(F.col("da") < F.col("db"))
-            .select("da", "db", "sa", "sb").distinct()
-            # length filter: J ≥ t needs t·max(sa,sb) ≤ min(sa,sb)
+           .select("doc", "shingle", "s", "pos"))
+    return sh, pfx
+
+
+def prefix_filter_pairs(docs: DataFrame, t_num: int = 4, t_den: int = 5,
+                        n: int = 5, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        max_posting: int | None = 4096) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (AllPairs/PPJoin,
+    Bayardo et al. WWW'07; Xiao et al. WWW'08): all pairs with
+    shingle-set Jaccard ≥ t_num/t_den — no false negatives, unlike the
+    MinHash/SimHash tiers, which trade recall for fewer candidates.
+
+    The threshold is a RATIONAL (t_num/t_den) and every pruning bound is
+    integer arithmetic — ``ceil(0.8·s)`` in binary floating point is
+    off-by-one for some sizes, and a too-short prefix silently DROPS
+    pairs; ceil_div(t_num·s, t_den) cannot.
+
+    Shape: shingles are ordered by global rarity (document frequency
+    asc — the rank uses the freq-partitioned window + tiny cumulative
+    offset table, no global window); each doc emits only its first
+    s − ⌈t·s⌉ + 1 rarest shingles (pigeonhole: two sets with J ≥ t must
+    share a prefix token), candidates come from the prefix equi-join +
+    length filter + positional filter, and one count-join verifies
+    exact Jaccard.  Shuffle volume ∝ prefix postings, not the corpus.
+
+    Two EXACT hot-posting defenses (both preserve zero false
+    negatives — the brute-force oracle proves it):
+
+    1. PPJoin POSITIONAL filter: a candidate occurrence at prefix
+       positions (pa, pb) can reach overlap at most
+       1 + min(sa − pa, sb − pb); J ≥ t needs overlap ≥
+       ⌈t·(sa+sb)/(1+t)⌉.  Soundness per pair: the pair's FIRST common
+       token in the global order has no common token before it, so its
+       occurrence meets the bound whenever the pair truly qualifies
+       (and that token is provably inside both prefixes: all i common
+       tokens sit at positions ≥ pos(g), so pos(g) ≤ s − i + 1 ≤
+       s − ⌈t·s⌉ + 1).  This prunes exactly the hot-COMMON-token case:
+       a token hot because it is frequent sits at the END of prefixes,
+       where min(sa − pa, sb − pb) ≈ ⌈t·s⌉ − 1 < ⌈2t/(1+t)·s⌉ fails
+       the bound unless the docs are genuinely similar elsewhere.
+
+    2. BLOCKED posting decomposition (``max_posting``): a posting wider
+       than ``max_posting`` is split into ⌈W/max_posting⌉ hash-assigned
+       blocks and the self-join key becomes (shingle, block_a,
+       block_b) with each side exploded to its block-pair range — every
+       unordered pair still lands in exactly one cell (EXACT; nothing
+       is dropped, unlike ``lsh_candidates(max_bucket=)`` whose tier is
+       already approximate), but no single join cell holds more than
+       ~max_posting² pairs (expectation — blocks are hash-balanced, not
+       counted), so one template-heavy shingle becomes
+       O((W/max_posting)²) normal-size tasks instead of one quadratic
+       straggler that spills or OOMs a reducer.  Explode overhead is
+       O(W·nb) rows per hot posting — nothing when nb = 1; the cold-
+       path cost of the guard is the width groupBy + join (measured
+       +0.9 s on the 3.45 s sf0.1 query, and the new positional filter
+       gives 0.6 s of that back).  Use ``prefix_posting_stats`` to see
+       posting widths and how many postings the decomposition touched."""
+    sh, pfx = _prefix_tokens(docs, t_num, t_den, n, id_col, text_col)
+    acols = [F.col("doc").alias("da"), "shingle", F.col("s").alias("sa"),
+             F.col("pos").alias("pa")]
+    bcols = [F.col("doc").alias("db"), "shingle", F.col("s").alias("sb"),
+             F.col("pos").alias("pb")]
+    if max_posting is not None:
+        # blocked decomposition: posting widths come from one map-side-
+        # combinable groupBy (NOT a window — the sort by (shingle, doc)
+        # costs 0.6 s of the query's 4.3 s at sf0.1), and blocks are
+        # HASH-assigned (pmod(xxhash64(doc), nb)) so no ordering pass is
+        # needed; blocks are balanced in expectation, so the per-cell
+        # bound is ~max_posting², not exact — the guarantee that matters
+        # (no quadratic cell) survives.  _nbm = LAST block index
+        # = ⌈W/max_posting⌉ − 1 (F.sequence is inclusive).  The a-side
+        # row in block b_a serves cells (b_a, b_a.._nbm) and the b-side
+        # row in block b_b serves cells (0..b_b, b_b) — every unordered
+        # pair lands in exactly the cell (min_blk, max_blk), possibly
+        # with da > db (hash blocks carry no doc-order relation), so the
+        # pair is canonicalized AFTER the join instead of filtered.
+        widths = pfx.groupBy("shingle").agg(F.count(F.lit(1)).alias("_w"))
+        blk = (pfx.join(widths, "shingle")
+               .withColumn("_nbm", F.floor((F.col("_w") - 1) / max_posting))
+               .withColumn("_blk", F.pmod(F.xxhash64("doc"),
+                                          F.col("_nbm") + 1)))
+        a = blk.select(
+            *acols,
+            F.col("_blk").alias("_ba"),
+            F.explode(F.sequence("_blk", "_nbm")).alias("_bb"))
+        b = blk.select(
+            *bcols,
+            F.explode(F.sequence(F.lit(0), F.col("_blk"))).alias("_ba"),
+            F.col("_blk").alias("_bb"))
+        swap = F.col("da") < F.col("db")
+        cand0 = (a.join(b, ["shingle", "_ba", "_bb"])
+                 .filter(F.col("da") != F.col("db"))
+                 .select(
+                     F.least("da", "db").alias("da"),
+                     F.greatest("da", "db").alias("db"),
+                     F.when(swap, F.col("sa")).otherwise(F.col("sb"))
+                     .alias("sa"),
+                     F.when(swap, F.col("sb")).otherwise(F.col("sa"))
+                     .alias("sb"),
+                     F.when(swap, F.col("pa")).otherwise(F.col("pb"))
+                     .alias("pa"),
+                     F.when(swap, F.col("pb")).otherwise(F.col("pa"))
+                     .alias("pb")))
+    else:
+        cand0 = (pfx.select(*acols).join(pfx.select(*bcols), "shingle")
+                 .filter(F.col("da") < F.col("db")))
+    # positional filter BEFORE the distinct: a pair may be pruned at one
+    # shared occurrence and survive at an earlier (rarer) one — its
+    # first common token always survives, so no qualifying pair is lost.
+    # Integer form: (t_num+t_den)·(1+min(sa−pa, sb−pb)) ≥ t_num·(sa+sb)
+    # ⇔ 1+min(...) ≥ ⌈t_num·(sa+sb)/(t_num+t_den)⌉ for integer LHS.
+    cand = (cand0
+            .filter(F.lit(t_num + t_den)
+                    * (F.lit(1) + F.least(F.col("sa") - F.col("pa"),
+                                          F.col("sb") - F.col("pb")))
+                    >= F.lit(t_num) * (F.col("sa") + F.col("sb")))
+            # length filter pre-distinct: shrink the dedup input too
             .filter((F.lit(t_den) * F.col("sb") >= t_num * F.col("sa"))
                     & (F.lit(t_den) * F.col("sa")
-                       >= t_num * F.col("sb"))))
+                       >= t_num * F.col("sb")))
+            .select("da", "db", "sa", "sb").distinct())
     ta = sh.select(F.col("doc_id").alias("da"), "shingle")
     tb = sh.select(F.col("doc_id").alias("db"), "shingle")
     inter = (cand.join(ta, "da").join(tb, ["db", "shingle"])
@@ -800,3 +896,31 @@ def prefix_filter_pairs(docs: DataFrame, t_num: int = 4, t_den: int = 5,
                     F.round(F.col("i") / (F.col("sa") + F.col("sb")
                                           - F.col("i")), 4)
                     .alias("jaccard")))
+
+
+def prefix_posting_stats(docs: DataFrame, t_num: int = 4, t_den: int = 5,
+                         n: int = 5, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         max_posting: int = 4096) -> DataFrame:
+    """Observability for the prefix-filter hot-posting decomposition
+    (mirrors ``lsh_bucket_stats``): one row (n_postings, n_oversize,
+    max_width, cand_pairs, blocked_cells) where ``cand_pairs`` is the
+    total candidate-pair volume Σ w·(w−1)/2 the prefix join will emit
+    (unchanged by blocking — the decomposition is EXACT, nothing is
+    dropped) and ``blocked_cells`` is how many extra join cells the
+    oversize postings are spread over (Σ nb·(nb+1)/2 with
+    nb = ⌈w/max_posting⌉), i.e. the straggler-to-tasks fan-out a
+    pipeline should log before committing to a run."""
+    _, pfx = _prefix_tokens(docs, t_num, t_den, n, id_col, text_col)
+    w = pfx.groupBy("shingle").agg(F.count(F.lit(1)).alias("w"))
+    nb = F.floor((F.col("w") - 1) / max_posting) + 1
+    over = F.col("w") > max_posting
+    return w.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_postings"),
+        F.coalesce(F.sum(over.cast("bigint")), F.lit(0))
+        .cast("bigint").alias("n_oversize"),
+        F.coalesce(F.max("w"), F.lit(0)).cast("bigint").alias("max_width"),
+        F.coalesce(F.sum(F.col("w") * (F.col("w") - 1) / 2), F.lit(0))
+        .cast("bigint").alias("cand_pairs"),
+        F.coalesce(F.sum(F.when(over, nb * (nb + 1) / 2).otherwise(1)),
+                   F.lit(0)).cast("bigint").alias("blocked_cells"))

@@ -753,6 +753,73 @@ def test_prefix_filter_no_false_negatives_random(spark):
     assert got == want and want      # non-vacuous
 
 
+def test_prefix_filter_hot_posting_cap_exact(spark):
+    """Planted TEMPLATE corpus: 60 docs sharing a 30-token boilerplate
+    block, so the 60-wide common shingles land in every doc's prefix —
+    the hot-posting shape that melts a single reducer at scale.  The
+    blocked decomposition (max_posting) must (a) return EXACTLY the
+    brute-force pair set — it is a repartitioning of the self-join, not
+    a truncation — and (b) report the fan-out in prefix_posting_stats."""
+    from itertools import combinations
+    from legal_ner_spark.operators.dedup import (prefix_filter_pairs,
+                                                 prefix_posting_stats)
+    boiler = " ".join(f"b{i}" for i in range(30))
+    texts = {d: f"{boiler} x{d}a x{d}b" for d in range(60)}
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id bigint, text string")
+
+    def shingles(t):
+        ts = t.lower().split()
+        return {" ".join(ts[i:i + 3]) for i in range(len(ts) - 2)}
+
+    want = {}
+    for a, b in combinations(sorted(texts), 2):
+        sa, sb = shingles(texts[a]), shingles(texts[b])
+        i, u = len(sa & sb), len(sa | sb)
+        if 2 * i >= u:
+            want[(a, b)] = round(i / u, 4)
+    assert len(want) == 60 * 59 // 2  # every pair qualifies (J = 28/32)
+
+    got_capped = {(r.doc_a, r.doc_b): r.jaccard
+                  for r in prefix_filter_pairs(
+                      df, t_num=1, t_den=2, n=3, max_posting=7).collect()}
+    got_plain = {(r.doc_a, r.doc_b): r.jaccard
+                 for r in prefix_filter_pairs(
+                     df, t_num=1, t_den=2, n=3, max_posting=None).collect()}
+    assert got_capped == want == got_plain
+
+    stats = prefix_posting_stats(df, t_num=1, t_den=2, n=3,
+                                 max_posting=7).collect()[0]
+    assert stats.max_width == 60          # the planted hot postings
+    assert stats.n_oversize >= 1
+    # 60-wide posting → 9 blocks → 45 cells instead of 1 straggler
+    assert stats.blocked_cells > stats.n_postings
+    # per-cell side width is bounded by construction: ⌈60/7⌉ = 9 blocks,
+    # no block holds more than max_posting docs
+    assert -(-60 // 7) == 9 and stats.cand_pairs >= len(want)
+
+
+def test_prefix_filter_cap_with_nonqualifying_hot_postings(spark):
+    """Same template shape but with tails long enough that NO pair
+    reaches the threshold: the hot postings still exist (the positional
+    filter + verify must discard every candidate), and the capped and
+    plain paths must both return the empty set."""
+    from legal_ner_spark.operators.dedup import prefix_filter_pairs
+    boiler = " ".join(f"b{i}" for i in range(30))
+    texts = {d: boiler + " " + " ".join(f"x{d}w{j}" for j in range(10))
+             for d in range(40)}
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id bigint, text string")
+    # J = 28/48 ≈ 0.583 for every pair, below 7/10
+    assert prefix_filter_pairs(df, t_num=7, t_den=10, n=3,
+                               max_posting=5).count() == 0
+    assert prefix_filter_pairs(df, t_num=7, t_den=10, n=3,
+                               max_posting=None).count() == 0
+    # ... and above 1/2 every pair qualifies, capped or not
+    assert prefix_filter_pairs(df, t_num=1, t_den=2, n=3,
+                               max_posting=5).count() == 40 * 39 // 2
+
+
 def test_prefix_filter_degenerate_inputs(spark):
     from legal_ner_spark.operators.dedup import prefix_filter_pairs
     # docs shorter than the shingle width produce no shingles → no pairs
