@@ -183,10 +183,32 @@ def compact(spark: SparkSession, root: str, snapshot_id: str) -> dict:
     man = publish.current_manifest(root)
     if man is None:
         raise FileNotFoundError(f"no published snapshot under {root}")
+    if snapshot_id == man.get("snapshot"):
+        # mirror the ingest replay guard, but for the OPPOSITE reason:
+        # the compacted table writes to triples_b00000/snap=<id> while
+        # LAZILY reading the published batch dirs — if <id> is the
+        # current snapshot (e.g. b00000 was written under it), the
+        # overwrite target equals a read source and Spark would
+        # self-overwrite its input mid-scan.  Compaction must mint a
+        # fresh snapshot id.
+        raise ValueError(
+            f"snapshot_id {snapshot_id!r} is the currently published "
+            "snapshot — compact() needs a fresh id, or the rewrite of "
+            "triples_b00000 could overwrite a table it is reading")
     batches = sorted(t for t in man["tables"]
                      if t.startswith(_BATCH_PREFIX))
     if len(batches) <= 1:
         return man
+    target = os.path.normpath(os.path.join(
+        root, f"{_BATCH_PREFIX}00000", f"snap={snapshot_id}"))
+    sources = {os.path.normpath(man["tables"][t]) for t in batches}
+    if target in sources:
+        # same hazard via a CARRIED dir: b00000 may sit at an older
+        # snapshot than the manifest's — the current-snapshot check
+        # above cannot see that collision
+        raise ValueError(
+            f"compact target {target} is one of the batch dirs being "
+            "read — pick a snapshot id no batch table was written under")
     all_tri = _union([spark.read.parquet(man["tables"][t])
                       for t in batches])
     # publish_tables builds the manifest from carry + written tables

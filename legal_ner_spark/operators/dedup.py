@@ -28,7 +28,7 @@ Four tiers, all pure DataFrame (JVM-side, no Python UDFs):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 _HEX = "0123456789abcdef"
@@ -367,6 +367,18 @@ def dedup_index_build(docs: DataFrame, path: str, threshold: float = 0.5,
     ``dedup_index_append`` without ever rescanning the old corpus —
     only the keeper-rep surface (one row per CLUSTER, not per doc) is
     ever joined again."""
+    import os
+    import shutil
+    # a (re)build starts a FRESH index: drop any manifest/snapshots a
+    # previous compacted index left at this path, or the stale manifest
+    # would shadow the new flat tables
+    if os.path.isdir(path):
+        for d in os.listdir(path):
+            full = os.path.join(path, d)
+            if d == _INDEX_MANIFEST or d.startswith(f".{_INDEX_MANIFEST}"):
+                os.remove(full)
+            elif d.startswith("snap=") and os.path.isdir(full):
+                shutil.rmtree(full)
     keepers = near_dedup(docs, threshold=threshold, n_bands=n_bands,
                          rows_per_band=rows_per_band, n=n, id_col=id_col,
                          text_col=text_col, mode=mode,
@@ -434,9 +446,10 @@ def dedup_index_append(new_docs: DataFrame, path: str,
     sizes_new = sh_new.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sigs_new = minhash_signatures(sh_new, n_bands=n_bands,
                                   rows_per_band=rows_per_band)
-    k_sigs = spark.read.parquet(f"{path}/sigs")
-    k_sh = spark.read.parquet(f"{path}/shingles")
-    k_sizes = spark.read.parquet(f"{path}/sizes")
+    idx = _index_dirs(path)
+    k_sigs = spark.read.parquet(idx["sigs"])
+    k_sh = spark.read.parquet(idx["shingles"])
+    k_sizes = spark.read.parquet(idx["sizes"])
     if mode == "scale":
         hub_n = (sigs_new.groupBy("band", "sig")
                  .agg(F.min("doc_id").alias("doc_a")))
@@ -477,7 +490,7 @@ def dedup_index_append(new_docs: DataFrame, path: str,
         pairs.select(F.col("doc_a").alias("src"),
                      F.col("doc_b").alias("dst")),
         checkpoint_dir=checkpoint_dir)
-    reps = (spark.read.parquet(f"{path}/keepers")
+    reps = (spark.read.parquet(idx["keepers"])
             .filter("doc_id = keeper_doc_id")
             .select(F.col("doc_id").alias("node")))
     comp_keeper = (comp.join(reps, "node")
@@ -496,16 +509,118 @@ def dedup_index_append(new_docs: DataFrame, path: str,
     # (shingles/sizes/sigs) of its NEW keepers only.  `out` is
     # materialized above, so these appends cannot feed back into the
     # plan that computed it.
-    out.write.mode("append").parquet(f"{path}/keepers")
+    out.write.mode("append").parquet(idx["keepers"])
     new_reps = out.filter("doc_id = keeper_doc_id").select("doc_id")
     sh_reps = sh_new.join(new_reps, "doc_id")
-    sh_reps.write.mode("append").parquet(f"{path}/shingles")
+    sh_reps.write.mode("append").parquet(idx["shingles"])
     (sizes_new.join(new_reps, "doc_id")
-     .write.mode("append").parquet(f"{path}/sizes"))
+     .write.mode("append").parquet(idx["sizes"]))
     (minhash_signatures(sh_reps, n_bands=n_bands,
                         rows_per_band=rows_per_band)
-     .write.mode("append").parquet(f"{path}/sigs"))
+     .write.mode("append").parquet(idx["sigs"]))
     return out
+
+
+_INDEX_TABLES = ("keepers", "shingles", "sizes", "sigs")
+_INDEX_MANIFEST = "_current.json"
+
+
+def _index_dirs(path: str) -> dict[str, str]:
+    """Resolve the dedup index's four table directories.  A compacted
+    index carries a ``_current.json`` manifest (atomic-flip commit
+    point, same shape as ``plans/publish.py``); an index that has never
+    been compacted uses the legacy flat layout ``<path>/<table>``."""
+    import json
+    import os
+    man = os.path.join(path, _INDEX_MANIFEST)
+    if os.path.exists(man):
+        with open(man) as fh:
+            return json.load(fh)["tables"]
+    return {t: f"{path}/{t}" for t in _INDEX_TABLES}
+
+
+def dedup_index_read(spark: SparkSession | None, path: str,
+                     name: str) -> DataFrame:
+    """Read one dedup-index table (keepers/shingles/sizes/sigs) AT THE
+    CURRENT SNAPSHOT.  Always resolve through this instead of raw
+    ``<path>/<table>`` paths — after a ``dedup_index_compact`` the
+    tables live under ``<path>/snap=<id>/<table>`` and only the
+    manifest knows which snapshot is current."""
+    return spark.read.parquet(_index_dirs(path)[name])
+
+
+def dedup_index_compact(spark: SparkSession, path: str,
+                        snapshot_id: str | None = None,
+                        vacuum: bool = True,
+                        num_files: int | None = None) -> dict:
+    """Compact the dedup index — the maintenance move
+    ``dedup_index_append`` needs at scale: every append adds one more
+    parquet file set to each of the four tables, so a rolling 10^12-doc
+    ingest turns the sig table into millions of small files whose
+    listing dominates read time.  Mirrors ``jobs/incremental_kg.compact``:
+
+    1. read all four tables at the current snapshot (manifest or legacy
+       flat layout) and rewrite each ONCE into an immutable
+       ``<path>/snap=<id>/<table>`` directory — output file count is
+       governed by ``spark.sql.files.maxPartitionBytes`` (small input
+       files pack into full-size splits, so the rewrite IS the
+       small-file fix; pass ``num_files`` to coalesce each table to an
+       explicit count instead — the right setting for a SMALL index,
+       wrong at 100 TB where split packing should decide);
+    2. one atomic manifest rename flips all four tables at once — a
+       reader (or a crash) sees the old index until the instant the new
+       one is complete;
+    3. ``vacuum`` removes the now-unreferenced previous snapshot (and
+       the legacy flat directories after the first compaction).
+
+    ``snapshot_id`` must be FRESH: compacting under the currently
+    published id would make the overwrite target of the write equal a
+    read source and Spark would self-overwrite its input mid-scan (the
+    same guard ``jobs/incremental_kg.compact`` applies).  When omitted,
+    the next ``c%06d`` counter after every existing snapshot is used.
+    Answers are unchanged by construction — the rewrite is a byte-level
+    repack; ``tests/test_dedup_similarity.py`` pins append-after-compact
+    equality against a never-compacted twin."""
+    import json
+    import os
+    import re
+    import shutil
+    existing = [d for d in os.listdir(path)
+                if d.startswith("snap=") and os.path.isdir(
+                    os.path.join(path, d))]
+    if snapshot_id is None:
+        nums = [int(m.group(1)) for d in existing
+                if (m := re.fullmatch(r"snap=c(\d+)", d))]
+        snapshot_id = f"c{(max(nums) + 1 if nums else 0):06d}"
+    cur = _index_dirs(path)
+    new_dirs = {t: os.path.join(path, f"snap={snapshot_id}", t)
+                for t in _INDEX_TABLES}
+    clash = [t for t in _INDEX_TABLES
+             if os.path.normpath(new_dirs[t]) == os.path.normpath(cur[t])]
+    if clash:
+        raise ValueError(
+            f"snapshot_id {snapshot_id!r} is the currently published "
+            f"snapshot of {clash} — compaction must mint a fresh id, or "
+            "the rewrite would overwrite its own input mid-scan")
+    for t in _INDEX_TABLES:
+        df = spark.read.parquet(cur[t])
+        if num_files is not None:
+            df = df.coalesce(num_files)
+        df.write.mode("overwrite").parquet(new_dirs[t])
+    manifest = {"snapshot": snapshot_id, "tables": new_dirs}
+    tmp = os.path.join(path, f".{_INDEX_MANIFEST}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.rename(tmp, os.path.join(path, _INDEX_MANIFEST))  # commit point
+    if vacuum:
+        keep = f"snap={snapshot_id}"
+        for d in os.listdir(path):
+            full = os.path.join(path, d)
+            if d == keep or not os.path.isdir(full):
+                continue
+            if d.startswith("snap=") or d in _INDEX_TABLES:
+                shutil.rmtree(full)
+    return manifest
 
 
 def shingle_fingerprints(sh: DataFrame) -> DataFrame:

@@ -1383,7 +1383,10 @@ def q_near_dedup_incremental(spark, sf_dir):
     pairs, exact verification, WCC, min-keeper resolution) without
     rescanning batch 1.  Returns the combined corpus-wide assignment;
     batch-1 rows are byte-identical to a plain near_dedup of batch 1
-    (frozen)."""
+    (frozen).  The index is COMPACTED between build and append (all four
+    tables rewritten under an atomic manifest flip), so this oracle row
+    also proves compaction changes no answer — the append resolves the
+    keeper surface through the manifest."""
     import tempfile
     from .operators import dedup
     docs = (spark.read.parquet(_t(sf_dir, "documents"))
@@ -1391,9 +1394,10 @@ def q_near_dedup_incremental(spark, sf_dir):
     path = tempfile.mkdtemp(prefix="dedup_idx_")
     dedup.dedup_index_build(docs.filter("doc_id % 2 = 0"), path,
                             threshold=0.12)
+    dedup.dedup_index_compact(spark, path)
     dedup.dedup_index_append(docs.filter("doc_id % 2 = 1"), path,
                              threshold=0.12)
-    return (spark.read.parquet(f"{path}/keepers")
+    return (dedup.dedup_index_read(spark, path, "keepers")
             .select(F.col("doc_id").cast("bigint").alias("doc_id"),
                     F.col("keeper_doc_id").cast("bigint")
                     .alias("keeper_doc_id")))

@@ -513,6 +513,71 @@ def test_incremental_dedup_frozen_keeper_semantics(spark, tmp_path):
     assert out3 == {20: 11}
 
 
+def test_dedup_index_compact_answers_unchanged(spark, tmp_path):
+    """Compaction is a byte-level repack under an atomic manifest flip:
+    build → append → COMPACT → append must produce exactly the keeper
+    table of the never-compacted twin, the four tables must hold fewer
+    files afterwards, a re-compact under the published id must be
+    rejected (self-overwrite guard), and vacuum must remove the legacy
+    flat directories."""
+    import os
+
+    w = [f"w{i}" for i in range(40)]
+    batch1 = spark.createDataFrame(
+        [(0, " ".join(w[0:30])), (1, " ".join(w[2:32])),
+         (4, " ".join(f"q{i}" for i in range(30)))], ["doc_id", "text"])
+    batch2 = spark.createDataFrame(
+        [(10, " ".join(w[0:30])), (11, " ".join(f"z{i}" for i in range(30))),
+         (12, " ".join(f"z{i}" for i in range(30)))], ["doc_id", "text"])
+    batch3 = spark.createDataFrame(
+        [(20, " ".join(f"z{i}" for i in range(30))),
+         (21, " ".join(w[1:31]))], ["doc_id", "text"])
+
+    def run(path, compact_after_b2):
+        dedup.dedup_index_build(batch1, path, threshold=0.5)
+        dedup.dedup_index_append(batch2, path, threshold=0.5)
+        if compact_after_b2:
+            man = dedup.dedup_index_compact(spark, path, num_files=1)
+            assert man["snapshot"] == "c000000"
+        dedup.dedup_index_append(batch3, path, threshold=0.5)
+        return {r.doc_id: r.keeper_doc_id
+                for r in dedup.dedup_index_read(
+                    spark, path, "keepers").collect()}
+
+    plain = run(str(tmp_path / "plain"), False)
+    cpath = str(tmp_path / "compacted")
+    compacted = run(cpath, True)
+    assert compacted == plain and compacted[20] == 11 and compacted[21] == 0
+
+    # fewer files: the twin accumulated 3 appends of part-files per
+    # table; the compacted index rewrote each table once (appends after
+    # the compact land inside the current snapshot dir)
+    def n_files(root):
+        return sum(1 for _, _, fs in os.walk(root) for f in fs
+                   if f.endswith(".parquet"))
+    sig_dir_plain = str(tmp_path / "plain" / "sigs")
+    sig_dir_comp = dedup._index_dirs(cpath)["sigs"]
+    assert n_files(sig_dir_comp) < n_files(sig_dir_plain)
+    # legacy flat dirs vacuumed after the flip
+    assert not os.path.exists(os.path.join(cpath, "keepers"))
+    # re-compacting under the published id = self-overwrite; rejected
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="fresh id"):
+        dedup.dedup_index_compact(spark, cpath, snapshot_id="c000000")
+    # a second compaction under a fresh id still answers identically
+    dedup.dedup_index_compact(spark, cpath)
+    again = {r.doc_id: r.keeper_doc_id
+             for r in dedup.dedup_index_read(spark, cpath,
+                                             "keepers").collect()}
+    assert again == plain
+    # rebuild on the same path must shed the stale manifest
+    dedup.dedup_index_build(batch1, cpath, threshold=0.5)
+    rebuilt = {r.doc_id: r.keeper_doc_id
+               for r in dedup.dedup_index_read(spark, cpath,
+                                               "keepers").collect()}
+    assert rebuilt == {0: 0, 1: 0, 4: 4}
+
+
 def test_duplicate_passages_spans_and_merge(spark):
     """Hand-built corpus with a known shared passage: the duplicated
     region must come back as ONE merged span per doc (consecutive n-gram

@@ -121,6 +121,18 @@ def test_compaction_preserves_reader_view(spark, tmp_path, corpora):
     assert sorted(t for t in man2["tables"]
                   if t.startswith("triples_b")) == \
         ["triples_b00000", "triples_b00001"]
+    # self-overwrite guards: re-compacting under the CURRENT snapshot id
+    # (write target could equal a read source) is rejected, as is any id
+    # under which a carried batch dir was written
+    import pytest
+    with pytest.raises(ValueError, match="fresh id"):
+        compact(spark, root, "day4")
+    with pytest.raises(ValueError, match="batch dirs being read"):
+        compact(spark, root, "day3-compact")  # b00000 lives at this snap
+    # a genuinely fresh id still works and answers are unchanged
+    compact(spark, root, "day5-compact")
+    after = _sorted_rows(read_triples(spark, root))
+    assert {tuple(r) for r in after} >= {tuple(r) for r in before_tri}
 
 
 def test_stream_kg_ingest_matches_batch_and_restart_noop(spark, tmp_path,
