@@ -404,10 +404,19 @@ def dedup_index_append(new_docs: DataFrame, path: str,
                        id_col: str = "doc_id", text_col: str = "text",
                        checkpoint_dir: str | None = None,
                        max_bucket: int | None = None,
-                       mode: str = "exact") -> DataFrame:
+                       mode: str = "exact",
+                       batch_tag: str | None = None) -> DataFrame:
     """Dedup a NEW batch against a frozen index (see
     ``dedup_index_build``) and grow the index.  Returns one row per new
     doc (doc_id, keeper_doc_id).
+
+    ``batch_tag`` scopes the four index writes to an overwrite-mode
+    SUBDIRECTORY ``<table>/<batch_tag>`` instead of appending files into
+    the shared directory — the replay-idempotence hook the streaming
+    twin (``streaming.stream_dedup_ingest``) needs: a micro-batch
+    replayed after a crash rewrites its own subdirs instead of
+    double-appending.  Readers see subdirs via recursiveFileLookup;
+    batch-mode callers can ignore the parameter.
 
     FROZEN-KEEPER SEMANTICS (the standard incremental trade): existing
     assignments never change.  A new doc joins an existing cluster only
@@ -447,9 +456,9 @@ def dedup_index_append(new_docs: DataFrame, path: str,
     sigs_new = minhash_signatures(sh_new, n_bands=n_bands,
                                   rows_per_band=rows_per_band)
     idx = _index_dirs(path)
-    k_sigs = spark.read.parquet(idx["sigs"])
-    k_sh = spark.read.parquet(idx["shingles"])
-    k_sizes = spark.read.parquet(idx["sizes"])
+    k_sigs = _read_idx_dir(spark, idx["sigs"])
+    k_sh = _read_idx_dir(spark, idx["shingles"])
+    k_sizes = _read_idx_dir(spark, idx["sizes"])
     if mode == "scale":
         hub_n = (sigs_new.groupBy("band", "sig")
                  .agg(F.min("doc_id").alias("doc_a")))
@@ -490,7 +499,7 @@ def dedup_index_append(new_docs: DataFrame, path: str,
         pairs.select(F.col("doc_a").alias("src"),
                      F.col("doc_b").alias("dst")),
         checkpoint_dir=checkpoint_dir)
-    reps = (spark.read.parquet(idx["keepers"])
+    reps = (_read_idx_dir(spark, idx["keepers"])
             .filter("doc_id = keeper_doc_id")
             .select(F.col("doc_id").alias("node")))
     comp_keeper = (comp.join(reps, "node")
@@ -509,15 +518,19 @@ def dedup_index_append(new_docs: DataFrame, path: str,
     # (shingles/sizes/sigs) of its NEW keepers only.  `out` is
     # materialized above, so these appends cannot feed back into the
     # plan that computed it.
-    out.write.mode("append").parquet(idx["keepers"])
+    def _grow(df: DataFrame, name: str) -> None:
+        if batch_tag is None:
+            df.write.mode("append").parquet(idx[name])
+        else:
+            df.write.mode("overwrite").parquet(f"{idx[name]}/{batch_tag}")
+
+    _grow(out, "keepers")
     new_reps = out.filter("doc_id = keeper_doc_id").select("doc_id")
     sh_reps = sh_new.join(new_reps, "doc_id")
-    sh_reps.write.mode("append").parquet(idx["shingles"])
-    (sizes_new.join(new_reps, "doc_id")
-     .write.mode("append").parquet(idx["sizes"]))
-    (minhash_signatures(sh_reps, n_bands=n_bands,
-                        rows_per_band=rows_per_band)
-     .write.mode("append").parquet(idx["sigs"]))
+    _grow(sh_reps, "shingles")
+    _grow(sizes_new.join(new_reps, "doc_id"), "sizes")
+    _grow(minhash_signatures(sh_reps, n_bands=n_bands,
+                             rows_per_band=rows_per_band), "sigs")
     return out
 
 
@@ -539,6 +552,16 @@ def _index_dirs(path: str) -> dict[str, str]:
     return {t: f"{path}/{t}" for t in _INDEX_TABLES}
 
 
+def _read_idx_dir(spark: SparkSession, dir_: str) -> DataFrame:
+    """Read one index table directory.  ``recursiveFileLookup`` because
+    streaming appends land in per-batch SUBDIRS (``<dir>/batch-<id>``,
+    overwrite-idempotent on replay) next to the flat part-files of
+    batch-mode appends; plain ``read.parquet`` would silently skip
+    them."""
+    return (spark.read.option("recursiveFileLookup", "true")
+            .parquet(dir_))
+
+
 def dedup_index_read(spark: SparkSession | None, path: str,
                      name: str) -> DataFrame:
     """Read one dedup-index table (keepers/shingles/sizes/sigs) AT THE
@@ -546,7 +569,7 @@ def dedup_index_read(spark: SparkSession | None, path: str,
     ``<path>/<table>`` paths — after a ``dedup_index_compact`` the
     tables live under ``<path>/snap=<id>/<table>`` and only the
     manifest knows which snapshot is current."""
-    return spark.read.parquet(_index_dirs(path)[name])
+    return _read_idx_dir(spark, _index_dirs(path)[name])
 
 
 def dedup_index_compact(spark: SparkSession, path: str,
@@ -603,7 +626,7 @@ def dedup_index_compact(spark: SparkSession, path: str,
             f"snapshot of {clash} — compaction must mint a fresh id, or "
             "the rewrite would overwrite its own input mid-scan")
     for t in _INDEX_TABLES:
-        df = spark.read.parquet(cur[t])
+        df = _read_idx_dir(spark, cur[t])
         if num_files is not None:
             df = df.coalesce(num_files)
         df.write.mode("overwrite").parquet(new_dirs[t])

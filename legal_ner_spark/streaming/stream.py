@@ -268,3 +268,62 @@ def stream_kg_ingest(spark: SparkSession, corpus_dir: str, root: str,
     return (stream.writeStream.foreachBatch(process)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True).start())
+
+
+def stream_dedup_ingest(spark: SparkSession, corpus_dir: str,
+                        index_path: str, checkpoint_dir: str,
+                        threshold: float = 0.5,
+                        **dedup_kwargs) -> StreamingQuery:
+    """Streaming twin of the incremental dedup index
+    (``operators.dedup.dedup_index_build``/``_append``): each
+    micro-batch of arriving documents is deduped against the frozen
+    index and grows it, without ever rescanning earlier batches.
+
+    Exactly-once from at-least-once batch delivery, the
+    ``stream_kg_ingest`` pattern: the batch id is REPLAY-STABLE, so
+
+    - the FIRST batch bootstraps the index via ``dedup_index_build``,
+      whose writes are mode('overwrite') — a replayed bootstrap
+      rewrites itself (a partially-built index is detected by the
+      missing table directories and rebuilt);
+    - every later batch appends under ``batch_tag='batch-<id>'``:
+      its four index writes land in overwrite-mode SUBDIRS, and the
+      processor first DELETES any subdirs a crashed attempt of the
+      same batch left behind, so the recomputation reads exactly the
+      pre-batch index state (a partial attempt's keeper sigs must not
+      feed candidate generation) and its writes replace, not double.
+
+    Frozen-keeper semantics are identical to the batch path —
+    ``tests/test_dedup_similarity.py`` pins stream ≡ sequential
+    build+append over ≥3 micro-batches and restart-no-op."""
+    import os
+    import shutil
+    from ..operators import dedup
+    schema = spark.read.parquet(corpus_dir).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(corpus_dir))
+
+    def process(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        has_manifest = os.path.exists(
+            os.path.join(index_path, dedup._INDEX_MANIFEST))
+        flat_complete = all(
+            os.path.isdir(os.path.join(index_path, t))
+            for t in dedup._INDEX_TABLES)
+        if not (has_manifest or flat_complete):
+            dedup.dedup_index_build(batch_df, index_path,
+                                    threshold=threshold, **dedup_kwargs)
+            return
+        tag = f"batch-{batch_id:06d}"
+        for d in dedup._index_dirs(index_path).values():
+            bdir = os.path.join(d, tag)
+            if os.path.exists(bdir):
+                shutil.rmtree(bdir)
+        dedup.dedup_index_append(batch_df, index_path,
+                                 threshold=threshold, batch_tag=tag,
+                                 **dedup_kwargs)
+
+    return (stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())

@@ -578,6 +578,87 @@ def test_dedup_index_compact_answers_unchanged(spark, tmp_path):
     assert rebuilt == {0: 0, 1: 0, 4: 4}
 
 
+def test_stream_dedup_ingest_matches_batch_and_restart_noop(spark,
+                                                            tmp_path):
+    """The streaming twin (one micro-batch per arriving file) must
+    produce EXACTLY the sequential build+append+append keeper table,
+    a restart over the same checkpoint must change nothing, and a
+    replayed batch tag must overwrite its own subdirs instead of
+    double-appending."""
+    import os
+    import shutil
+    import time
+    from legal_ner_spark.streaming.stream import stream_dedup_ingest
+
+    w = [f"w{i}" for i in range(40)]
+    b1 = spark.createDataFrame(
+        [(0, " ".join(w[0:30])), (1, " ".join(w[2:32])),
+         (4, " ".join(f"q{i}" for i in range(30)))], ["doc_id", "text"])
+    b2 = spark.createDataFrame(
+        [(10, " ".join(w[0:30])), (11, " ".join(f"z{i}" for i in range(30))),
+         (12, " ".join(f"z{i}" for i in range(30)))], ["doc_id", "text"])
+    b3 = spark.createDataFrame(
+        [(20, " ".join(f"z{i}" for i in range(30))),
+         (21, " ".join(w[1:31]))], ["doc_id", "text"])
+
+    # one file per batch, mtimes strictly ordered so the file source
+    # triggers them in build order (frozen-keeper results are
+    # order-sensitive by design)
+    in_dir = str(tmp_path / "arrivals")
+    now = time.time()
+    seen: set = set()
+    for i, b in enumerate((b1, b2, b3)):
+        b.coalesce(1).write.mode("append").parquet(in_dir)
+        for f in os.listdir(in_dir):
+            p = os.path.join(in_dir, f)
+            if f not in seen:
+                seen.add(f)
+                t = now + 100 * (i + 1)
+                os.utime(p, (t, t))
+
+    idx_stream = str(tmp_path / "idx_stream")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_dedup_ingest(spark, in_dir, idx_stream, ckpt, threshold=0.5)
+    assert q.awaitTermination(180)
+
+    idx_batch = str(tmp_path / "idx_batch")
+    dedup.dedup_index_build(b1, idx_batch, threshold=0.5)
+    dedup.dedup_index_append(b2, idx_batch, threshold=0.5)
+    dedup.dedup_index_append(b3, idx_batch, threshold=0.5)
+
+    def keepers(path):
+        return {r.doc_id: r.keeper_doc_id
+                for r in dedup.dedup_index_read(spark, path,
+                                                "keepers").collect()}
+
+    got, want = keepers(idx_stream), keepers(idx_batch)
+    assert got == want
+    assert want == {0: 0, 1: 0, 4: 4, 10: 0, 11: 11, 12: 11, 20: 11, 21: 0}
+
+    # restart on the same checkpoint: nothing new arrives, index unchanged
+    q2 = stream_dedup_ingest(spark, in_dir, idx_stream, ckpt,
+                             threshold=0.5)
+    assert q2.awaitTermination(120)
+    assert keepers(idx_stream) == want
+
+    # replay simulation: re-running a batch under its tag (after the
+    # processor's subdir hygiene) REPLACES its writes — no duplicates
+    tag = "batch-000099"
+    b4 = spark.createDataFrame(
+        [(30, " ".join(f"r{i}" for i in range(30)))], ["doc_id", "text"])
+    for attempt in range(2):
+        for d in dedup._index_dirs(idx_stream).values():
+            bdir = os.path.join(d, tag)
+            if os.path.exists(bdir):
+                shutil.rmtree(bdir)
+        dedup.dedup_index_append(b4, idx_stream, threshold=0.5,
+                                 batch_tag=tag)
+    final = keepers(idx_stream)
+    assert final == {**want, 30: 30}
+    ks = dedup.dedup_index_read(spark, idx_stream, "keepers")
+    assert ks.count() == ks.select("doc_id").distinct().count()
+
+
 def test_duplicate_passages_spans_and_merge(spark):
     """Hand-built corpus with a known shared passage: the duplicated
     region must come back as ONE merged span per doc (consecutive n-gram
