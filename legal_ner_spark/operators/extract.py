@@ -103,7 +103,8 @@ TEXT_ASSEMBLY_EXPR = (
 
 def _records_for_doc(doc_id: str, spans, buf: _ColumnBuffer,
                      text_type: str = "doc",
-                     strict_compat: bool = True) -> None:
+                     strict_compat: bool = True,
+                     tagger=None) -> None:
     # null-tolerant: NULL spans array / NULL struct elements degrade to an
     # empty doc instead of failing the partition (same as the JVM-side
     # assembly path, where Catalyst filter/array_join skip nulls).
@@ -116,7 +117,8 @@ def _records_for_doc(doc_id: str, spans, buf: _ColumnBuffer,
                   if s is not None]
     text = assemble_text(spans_list)
     r = extract_document(doc_id, text, text_type=text_type,
-                         strict_compat=strict_compat)
+                         strict_compat=strict_compat,
+                         **({"tagger": tagger} if tagger else {}))
     # span passthrough — the original spans array travels through the Arrow
     # boundary untouched (span-sequence invariant: kind, text, media_ref,
     # offset, order)
@@ -145,7 +147,8 @@ def _emit_records(doc_id: str, r, spans_list, buf: _ColumnBuffer) -> None:
 
 def extract_records(corpus: DataFrame, carry_spans: bool = True,
                     text_type: str = "doc",
-                    strict_compat: bool = True) -> DataFrame:
+                    strict_compat: bool = True,
+                    tagger=None) -> DataFrame:
     """corpus(doc_id, spans) → long records table (RECORDS_SCHEMA).
     Narrow: no shuffle is introduced by this operator.
 
@@ -169,7 +172,15 @@ def extract_records(corpus: DataFrame, carry_spans: bool = True,
     ``strict_compat=False`` switches the per-doc postprocessing to the
     FIXED-quirk semantics (core.postprocess.postprocess_doc) — correct
     rather than byte-faithful triples; the parity/P-R gates always run
-    the default strict mode."""
+    the default strict mode.
+
+    ``tagger`` swaps the mention detector inside the fused stage — pass
+    ``core.model_tagger.load_spacy_tagger(TaggerConfig(...))`` for the
+    production transformer (the callable is cloudpickled into the Arrow
+    UDF; each executor worker lazy-loads the model once).  ``None`` uses
+    the deterministic closed-vocabulary tagger.
+    ``tests/test_model_tagger_integration.py`` drives this path with a
+    real spaCy pipeline when one is installed (auto-skips here)."""
     if text_type not in ("doc", "sent"):
         raise ValueError(f"text_type must be 'doc' or 'sent', got {text_type!r}")
 
@@ -180,7 +191,8 @@ def extract_records(corpus: DataFrame, carry_spans: bool = True,
                 for doc_id, spans in zip(b.column("doc_id").to_pylist(),
                                          b.column("spans").to_pylist()):
                     _records_for_doc(doc_id, spans, buf, text_type=text_type,
-                                     strict_compat=strict_compat)
+                                     strict_compat=strict_compat,
+                                     tagger=tagger)
                 yield buf.record_batch()
 
         # explicit projection: extra corpus columns must not cross Arrow
@@ -197,7 +209,9 @@ def extract_records(corpus: DataFrame, carry_spans: bool = True,
                                     b.column("text").to_pylist()):
                 r = extract_document(doc_id, text if text is not None else "",
                                      text_type=text_type,
-                                     strict_compat=strict_compat)
+                                     strict_compat=strict_compat,
+                                     **({"tagger": tagger} if tagger
+                                        else {}))
                 _emit_records(doc_id, r, None, buf)
             yield buf.record_batch()
 
