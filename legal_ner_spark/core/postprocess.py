@@ -27,6 +27,7 @@ Deliberately preserved reference quirks (SURVEY.md §7.3) — each is marked
 from __future__ import annotations
 
 import re
+from bisect import bisect_right
 from collections import namedtuple
 from dataclasses import dataclass, field
 
@@ -379,26 +380,42 @@ def create_unidentified_statutes(doc: Doc, strict_compat: bool = True):
     statutes = [e for e in doc.ents if e.label == 'STATUTE']
     statutes_start_end = [(s.start, s.end) for s in statutes]
 
+    # anchored probe instead of the reference's search over the whole
+    # remaining text: the condition `search(after).span()[0] == 1` is
+    # exactly "no complete paren opens at offset 0 and one opens at
+    # offset 1" (a match of \((.*?)\) starts at every '(' that has a
+    # later ')'), so two anchored .match calls decide it without the
+    # O(len) text copy + scan per statute — the naive form is
+    # O(statutes × doc_len) and dominated mega-judgment wall.
+    text = doc.text
     alias_texts: dict[Span, list[str]] = {}
     for statute in statutes:
-        after = doc.text[statute.end_char:]
-        m = _PAREN_RE.search(after)
-        if m and m.span()[0] == 1:
+        p = statute.end_char
+        if _PAREN_RE.match(text, p):
+            continue
+        m = _PAREN_RE.match(text, p + 1)
+        if m:
             m1 = _ACT_RE.search(m.group())
             if m1:
                 alias_texts.setdefault(statute, []).append(m1.group().strip())
 
     new_statutes: list[Span] = []
     new_clusters: dict[Span, list[Span]] = {}
+    span_cache: dict[str, list[Span]] = {}   # alias string → its hits
     for statute, aliases in alias_texts.items():
         for alias in aliases:
-            try:
-                hits = list(re.finditer(alias, doc.text))
-            except re.error:
-                hits = []
-            spans = [doc.char_span(h.start(), h.end(), label='STATUTE',
-                                   alignment_mode='expand') for h in hits]
-            spans = [s for s in spans if s is not None]
+            if alias in span_cache:
+                spans = span_cache[alias]
+            else:
+                try:
+                    hits = list(re.finditer(alias, text))
+                except re.error:
+                    hits = []
+                spans = [doc.char_span(h.start(), h.end(), label='STATUTE',
+                                       alignment_mode='expand')
+                         for h in hits]
+                spans = [s for s in spans if s is not None]
+                span_cache[alias] = spans
             new_statutes.extend(spans)
             # QUIRK (:681-685): the reference's membership test compares the
             # alias *string* against Span dict keys, so it is always true and
@@ -411,13 +428,26 @@ def create_unidentified_statutes(doc: Doc, strict_compat: bool = True):
             else:
                 new_clusters.setdefault(statute, []).extend(spans)
 
-    discarded = [s for s in new_statutes
-                 for (os_, oe) in statutes_start_end
-                 if s.start >= os_ and s.end <= oe]
+    # containment via sorted ranges + prefix-max end (O((n+m) log n))
+    # instead of the reference's all-pairs comprehension.  The original
+    # discard loop (`for s in discarded: if s in new_statutes:
+    # new_statutes.remove(s)`) nets out to "drop EVERY occurrence whose
+    # value is contained in ≥1 statute range": each occurrence of a
+    # value x lands in `discarded` once per containing range, so the
+    # removals (min(count, count × ranges)) always exhaust the equal
+    # occurrences — a filtered rebuild is value-identical.
+    ranges = sorted(statutes_start_end)
+    r_starts = [a for a, _ in ranges]
+    pmax: list[int] = []
+    for _, oe in ranges:
+        pmax.append(max(pmax[-1], oe) if pmax else oe)
 
-    for s in discarded:
-        if s in new_statutes:
-            new_statutes.remove(s)
+    def _contained(s: Span) -> bool:
+        i = bisect_right(r_starts, s.start) - 1
+        return i >= 0 and pmax[i] >= s.end
+
+    discarded = {s for s in new_statutes if _contained(s)}
+    new_statutes = [s for s in new_statutes if s not in discarded]
 
     old_clusters: dict[Span, list[Span]] = {}
     for sta, members in new_clusters.items():
@@ -663,16 +693,26 @@ ProvisionStatute = namedtuple(
 
 
 def add_statute_head(clusters, stat_clusters):
-    """postprocessing_utils.py:716-737 — normalised statute = cluster head."""
-    new_clusters, done = [], []
+    """postprocessing_utils.py:716-737 — normalised statute = cluster head.
+
+    Set-based membership replaces the reference's two list scans (which
+    are O(heads × clusters × acts) + O(clusters²) and dominated a
+    mega-judgment's wall via millions of Span.__eq__ calls).  Same
+    answers: ``cluster[1] in set(acts)`` is the identical predicate
+    (Span hash is consistent with __eq__), and index-identity for
+    ``done`` equals the reference's equality test — a cluster EQUAL to
+    a done cluster has an equal statute span, so it matched the same
+    head itself and is in ``done`` in both versions."""
+    new_clusters, done = [], set()
     for head, acts in stat_clusters.items():
-        for cluster in clusters:
-            if cluster[1] in acts:
+        acts_set = set(acts)
+        for i, cluster in enumerate(clusters):
+            if cluster[1] in acts_set:
                 new_clusters.append(ProvisionStatute(cluster[0], cluster[1],
                                                      cluster[2], head))
-                done.append(cluster)
-    for cluster in clusters:
-        if cluster not in done:
+                done.add(i)
+    for i, cluster in enumerate(clusters):
+        if i not in done:
             new_clusters.append(ProvisionStatute(cluster[0], cluster[1],
                                                  cluster[2], cluster[1].text))
     return new_clusters

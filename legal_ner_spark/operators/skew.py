@@ -72,8 +72,16 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     threshold and the big side has IPC/CrPC-grade hot keys.  Prefer
     ``F.broadcast(small)`` when small fits the driver/executors; prefer
     AQE skew-join when the skew is runtime-discovered rather than known.
-    Salting is deterministic (see module docstring) so a recomputed map
-    task re-sends identical rows — no SPARK-23207-class loss."""
+    PRECONDITION (same as ``salted_repartition``): the BIG side must be
+    retry-deterministic per partition — a file/Iceberg scan, not the
+    output of a shuffle or an AQE-coalesced stage.  The salt includes
+    spark_partition_id() so byte-identical hot rows still spread;
+    downstream of a shuffle a recomputed map task may observe a
+    different partition id, assign different salts, and reintroduce the
+    SPARK-23207-class drop/duplicate risk.  Fed a scan, salting is
+    deterministic (see module docstring) so a recomputed map task
+    re-sends identical rows — no loss.  Salt a scan, then join — not
+    the reverse."""
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     salts = big.sparkSession.range(n_salts).select(
