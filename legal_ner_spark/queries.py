@@ -4747,6 +4747,62 @@ FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
 WHERE {t_den} * i >= {t_num} * (sa.s + sb.s - i)"""
 
 
+def q_dedup_posting_stats(spark, sf_dir):
+    """Observability row for the prefix-filter hot-posting guard
+    (operators/dedup.prefix_posting_stats): posting-width census of the
+    rarity-ordered prefix index — total postings, how many exceed the
+    cap, the widest, the candidate-pair volume the prefix join will
+    emit, and the blocked-cell fan-out the decomposition will use.  The
+    oracle replays the IDENTICAL global order (df asc, md5 sub-bucket,
+    shingle) and integer prefix length, so a value-exact match proves
+    the stats describe the same postings the join actually builds.
+    max_posting=2 here so the oversize branch is exercised at sf0.01."""
+    from .operators import dedup
+    docs = (spark.read.parquet(_t(sf_dir, "documents"))
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    "text"))
+    return dedup.prefix_posting_stats(docs, t_num=4, t_den=5, n=5,
+                                      max_posting=2)
+
+
+def o_dedup_posting_stats(t_num: int = 4, t_den: int = 5, n: int = 5,
+                          mp: int = 2):
+    return f"""
+WITH toks AS (
+  SELECT doc_id::BIGINT AS doc_id, string_split(lower(text), ' ') AS t
+  FROM documents
+),
+tok AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(t, i, i + {n} - 1), ' ') AS shingle
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, len(t) - {n} + 1)) AS i) s
+  WHERE len(t) >= {n}
+),
+dfq AS (SELECT shingle, count(*) AS df FROM tok GROUP BY shingle),
+ranked AS (
+  SELECT shingle, row_number() OVER (
+    ORDER BY df, substr(md5(shingle), 1, 2), shingle) AS rk
+  FROM dfq
+),
+sz AS (SELECT doc_id, count(*) AS s FROM tok GROUP BY doc_id),
+pfx AS (
+  SELECT t.doc_id, t.shingle
+  FROM tok t JOIN ranked r USING (shingle) JOIN sz USING (doc_id)
+  QUALIFY row_number() OVER (PARTITION BY t.doc_id ORDER BY r.rk)
+          <= s - (({t_num} * s + {t_den} - 1) // {t_den}) + 1
+),
+w AS (SELECT shingle, count(*) AS w FROM pfx GROUP BY shingle)
+SELECT count(*)::BIGINT AS n_postings,
+       coalesce(sum((w > {mp})::INT), 0)::BIGINT AS n_oversize,
+       coalesce(max(w), 0)::BIGINT AS max_width,
+       coalesce(sum(w * (w - 1) / 2), 0)::BIGINT AS cand_pairs,
+       coalesce(sum(CASE WHEN w > {mp}
+                    THEN ((w - 1) // {mp} + 1) * ((w - 1) // {mp} + 2) / 2
+                    ELSE 1 END), 0)::BIGINT AS blocked_cells
+FROM w"""
+
+
 def _cocitation_edges(spark, sf_dir):
     """Canonical (a < b) undirected statute co-citation edges — shared
     base for the triangle/coefficient/assortativity analytics."""
@@ -5770,6 +5826,7 @@ QUERIES = {
     "chunk_windows": q_chunk_windows,
     "oov_rate": q_oov_rate,
     "dedup_prefix_filter": q_dedup_prefix_filter,
+    "dedup_posting_stats": q_dedup_posting_stats,
     "kg_clustering_coeff": q_kg_clustering_coeff,
     "kg_assortativity": q_kg_assortativity,
     "kg_component_sizes": q_kg_component_sizes,
@@ -5916,6 +5973,7 @@ ORACLES = {
     "chunk_windows": o_chunk_windows(),
     "oov_rate": o_oov_rate(),
     "dedup_prefix_filter": o_dedup_prefix_filter(),
+    "dedup_posting_stats": o_dedup_posting_stats(),
     "kg_clustering_coeff": o_kg_clustering_coeff(),
     "kg_assortativity": o_kg_assortativity(),
     "kg_component_sizes": o_kg_component_sizes(),
