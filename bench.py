@@ -123,7 +123,8 @@ def main() -> None:
                      "kg_citation_years", "sliding_window_counts", "corpus_cube", "daily_anomalies",
                      "embedding_class_stats", "kg_label_cooccurrence",
                      "kg_bridge_edges", "kg_ambiguous_provisions",
-                     "dedup_posting_stats"]
+                     "dedup_posting_stats", "kg_ktruss",
+                     "kg_random_walks"]
     for name in bench_queries:
         timings[name] = round(best_of(
             lambda: queries.QUERIES[name](spark, sf_dir).count()), 3)

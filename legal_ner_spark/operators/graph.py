@@ -192,6 +192,120 @@ def kcore(edges: DataFrame, k: int = 2, max_iter: int = 30,
         f"kcore did not converge in {max_iter} rounds — raise max_iter")
 
 
+def ktruss(edges: DataFrame, k: int = 3, max_iter: int = 30,
+           checkpoint_dir: str | None = None) -> DataFrame:
+    """k-truss decomposition membership: the maximal subgraph in which
+    every EDGE sits in ≥ k−2 triangles after weaker edges are
+    recursively peeled — a stronger cohesion filter than k-core (an
+    edge must be mutually supported, not just its endpoints), the
+    standard device for extracting the genuinely interlocking core of
+    a co-citation graph.
+
+    Iterative peel over rows that only SHRINK: each round enumerates
+    triangles of the CURRENT edge set (three equi-joins, the
+    ``triangles`` shape), folds each triangle into +1 support on its
+    three edges, keeps edges with support ≥ k−2, and converges when
+    the edge count stops changing (one job per round via the truncated
+    round result — same loop contract as ``kcore``).  Returns the
+    surviving canonical edges (a < b) with their support IN THE FINAL
+    subgraph."""
+    from ..plans.checkpoint import Truncator
+    trunc = Truncator(checkpoint_dir)
+    e = trunc((edges.select(F.least("src", "dst").alias("a"),
+                            F.greatest("src", "dst").alias("b"))
+               .filter(F.col("a") != F.col("b")).distinct()),
+              "ktruss_edges")
+    n_prev = e.count()
+    if k <= 2:
+        # support ≥ k−2 ≤ 0 holds vacuously: the k-truss is the whole
+        # graph, including triangle-free edges (which have no support
+        # row inside the loop — the loop would silently drop them)
+        return (e.join(_ktruss_support(e), ["a", "b"], "left")
+                .select("a", "b", F.coalesce("support", F.lit(0))
+                        .cast("bigint").alias("support")))
+
+    for _ in range(max_iter):
+        supp = _ktruss_support(e)
+        nxt = trunc(supp.filter(F.col("support") >= k - 2)
+                    .select("a", "b"), "ktruss_round")
+        n_now = nxt.count()
+        e = nxt
+        if n_now == n_prev:
+            return _ktruss_support(e)
+        n_prev = n_now
+    raise RuntimeError(
+        f"ktruss did not converge in {max_iter} rounds — raise max_iter")
+
+
+def _ktruss_support(cur: DataFrame) -> DataFrame:
+    """(a, b, support): per-edge triangle count over canonical edges —
+    the three-equi-join enumeration folded into +1 per triangle side."""
+    ab = cur.select(F.col("a").alias("node_a"), F.col("b").alias("node_b"))
+    bc = cur.select(F.col("a").alias("node_b"), F.col("b").alias("node_c"))
+    ac = cur.select(F.col("a").alias("node_a"), F.col("b").alias("node_c"))
+    tri = ab.join(bc, "node_b").join(ac, ["node_a", "node_c"])
+    sides = tri.selectExpr(
+        "stack(3, node_a, node_b, node_a, node_c, node_b, node_c) "
+        "AS (a, b)")
+    return sides.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("support"))
+
+
+def random_walks(edges: DataFrame, n_walks: int = 2, walk_len: int = 3,
+                 salt: str = "w") -> DataFrame:
+    """DeepWalk-style random-walk corpus over an undirected graph — the
+    sampling pass a node-embedding trainer (word2vec over walks)
+    consumes.  DETERMINISTIC: step t of walk w from node v moves to
+    neighbor rank md5(salt, start, w, t, v) mod degree(v), so the
+    corpus is reproducible run-to-run and partition-layout-independent
+    (no Spark RNG), and the DuckDB oracle can replay it byte-for-byte.
+
+    Scale shape: the neighbor table is ranked once (row_number within
+    the src partition — a per-node-degree window, never global); each
+    step is ONE equi-join of the frontier against (src, rank), so a
+    length-L walk is L narrow joins with frontier size |nodes|·n_walks,
+    constant across steps (the symmetrized graph has no dead ends:
+    every visited node arrived over an edge).  Returns
+    (start_node, walk_id, step, node) rows — step 0 is the start
+    itself; group by (start_node, walk_id) and sort by step to
+    assemble sentences."""
+    und0 = (edges.select("src", "dst")
+            .filter(F.col("src") != F.col("dst")).distinct())
+    und = und0.union(und0.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst"))).distinct()
+    # distinct column names on the two helper relations — the per-step
+    # loop joins them against frames derived from themselves (self-join
+    # ambiguity otherwise)
+    nbr = (und.select(F.col("src").alias("nsrc"),
+                      F.col("dst").alias("ndst"))
+           .withColumn("r", F.row_number().over(
+               Window.partitionBy("nsrc").orderBy("ndst")) - 1))
+    deg = und.groupBy(F.col("src").alias("dnode")).agg(
+        F.count(F.lit(1)).alias("deg"))
+    frontier = (deg.select(F.col("dnode").alias("start_node"))
+                .withColumn("walk_id", F.explode(
+                    F.sequence(F.lit(0), F.lit(n_walks - 1))))
+                .withColumn("node", F.col("start_node")))
+    out = frontier.select("start_node", "walk_id",
+                          F.lit(0).cast("int").alias("step"), "node")
+    cur = frontier.select("start_node", "walk_id", "node")
+    for step in range(1, walk_len + 1):
+        choice = (F.conv(F.substring(F.md5(F.concat_ws(
+            "-", F.lit(salt), F.col("start_node"), F.col("walk_id"),
+            F.lit(step), F.col("node"))), 1, 8), 16, 10).cast("bigint")
+            % F.col("deg"))
+        cur = (cur.join(deg, F.col("node") == F.col("dnode"))
+               .withColumn("_c", choice)
+               .join(nbr, (F.col("node") == F.col("nsrc"))
+                     & (F.col("_c") == F.col("r")))
+               .select("start_node", "walk_id",
+                       F.col("ndst").alias("node")))
+        out = out.unionByName(
+            cur.select("start_node", "walk_id",
+                       F.lit(step).cast("int").alias("step"), "node"))
+    return out
+
+
 def node_degrees(triples: DataFrame, pred: str | None = None) -> DataFrame:
     t = triples if pred is None else triples.filter(F.col("pred") == pred)
     out_d = t.groupBy(F.col("subj").alias("node")).agg(

@@ -4826,6 +4826,97 @@ _COCITE_EDGES_SQL = f"""
     ON x.doc_id = y.doc_id AND x.statute < y.statute"""
 
 
+def q_kg_ktruss(spark, sf_dir):
+    """3-truss of the statute co-citation graph: the maximal subgraph
+    where every EDGE sits in ≥1 triangle after recursive peeling —
+    stronger cohesion than k-core (mutually supported edges, not just
+    endpoints), the trimming pass before computing clique-ish statute
+    families.  Spark peels to the fixpoint; the oracle unrolls enough
+    MATERIALIZED rounds that the fixpoint is reached at this SF, then
+    reads the final per-edge support."""
+    from .operators import graph
+    e = _cocitation_edges(spark, sf_dir)
+    return graph.ktruss(e.select(F.col("a").alias("src"),
+                                 F.col("b").alias("dst")), k=3)
+
+
+def o_kg_ktruss(k: int = 3, rounds: int = 6):
+    sql = f"""
+WITH e0 AS MATERIALIZED ({_COCITE_EDGES_SQL}
+)"""
+    for i in range(1, rounds + 1):
+        sql += f""", s{i} AS MATERIALIZED (
+  SELECT a, b, count(*) AS support FROM (
+    SELECT x.a AS a, x.b AS b
+    FROM e{i-1} x JOIN e{i-1} y ON x.b = y.a
+    JOIN e{i-1} z ON z.a = x.a AND z.b = y.b
+    UNION ALL
+    SELECT x.b AS a, y.b AS b
+    FROM e{i-1} x JOIN e{i-1} y ON x.b = y.a
+    JOIN e{i-1} z ON z.a = x.a AND z.b = y.b
+    UNION ALL
+    SELECT x.a AS a, y.b AS b
+    FROM e{i-1} x JOIN e{i-1} y ON x.b = y.a
+    JOIN e{i-1} z ON z.a = x.a AND z.b = y.b
+  ) sides GROUP BY a, b
+), e{i} AS MATERIALIZED (
+  SELECT a, b FROM s{i} WHERE support >= {k - 2}
+)"""
+    return sql + f"""
+SELECT a, b, support::BIGINT AS support FROM s{rounds}
+WHERE support >= {k - 2}
+  AND EXISTS (SELECT 1 FROM e{rounds} e WHERE e.a = s{rounds}.a
+              AND e.b = s{rounds}.b)"""
+
+
+def q_kg_random_walks(spark, sf_dir):
+    """DeepWalk corpus over the statute co-citation graph: 2
+    deterministic walks of length 3 from every node — the sampling pass
+    a node-embedding trainer consumes.  Every step is md5-seeded
+    (salt, start, walk, step, node) mod degree, so the oracle replays
+    the identical corpus byte-for-byte: a value-exact match proves the
+    walk transition function, the neighbor ranking, and the degree
+    table all agree across engines."""
+    from .operators import graph
+    e = _cocitation_edges(spark, sf_dir)
+    return graph.random_walks(e.select(F.col("a").alias("src"),
+                                       F.col("b").alias("dst")),
+                              n_walks=2, walk_len=3)
+
+
+def o_kg_random_walks(n_walks: int = 2, walk_len: int = 3):
+    sql = f"""
+WITH ds AS MATERIALIZED ({_COCITE_EDGES_SQL}
+), sym AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM ds UNION
+  SELECT b AS src, a AS dst FROM ds
+), nbr AS MATERIALIZED (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS r
+  FROM sym
+), deg AS MATERIALIZED (
+  SELECT src, count(*) AS deg FROM sym GROUP BY src
+), w0 AS MATERIALIZED (
+  SELECT src AS start_node, w AS walk_id, src AS node
+  FROM deg, (SELECT unnest(generate_series(0, {n_walks - 1})) AS w)
+)"""
+    for t in range(1, walk_len + 1):
+        sql += f""", w{t} AS MATERIALIZED (
+  SELECT c.start_node, c.walk_id, n.dst AS node
+  FROM w{t-1} c
+  JOIN deg d ON c.node = d.src
+  JOIN nbr n ON n.src = c.node
+   AND n.r = (('0x' || substr(md5(
+         'w-' || c.start_node || '-' || c.walk_id::VARCHAR
+         || '-' || '{t}' || '-' || c.node), 1, 8))::UBIGINT
+       % d.deg::UBIGINT)::BIGINT
+)"""
+    parts = [f"SELECT start_node, walk_id::INT AS walk_id, "
+             f"{t}::INT AS step, node FROM w{t}"
+             for t in range(walk_len + 1)]
+    return sql + "\n" + "\nUNION ALL\n".join(parts)
+
+
 def q_kg_clustering_coeff(spark, sf_dir):
     """Local clustering coefficient per statute in the co-citation
     graph: 2·T(v) / (d(v)·(d(v)−1)) — how interlinked a statute's
@@ -5827,6 +5918,8 @@ QUERIES = {
     "oov_rate": q_oov_rate,
     "dedup_prefix_filter": q_dedup_prefix_filter,
     "dedup_posting_stats": q_dedup_posting_stats,
+    "kg_ktruss": q_kg_ktruss,
+    "kg_random_walks": q_kg_random_walks,
     "kg_clustering_coeff": q_kg_clustering_coeff,
     "kg_assortativity": q_kg_assortativity,
     "kg_component_sizes": q_kg_component_sizes,
@@ -5974,6 +6067,8 @@ ORACLES = {
     "oov_rate": o_oov_rate(),
     "dedup_prefix_filter": o_dedup_prefix_filter(),
     "dedup_posting_stats": o_dedup_posting_stats(),
+    "kg_ktruss": o_kg_ktruss(),
+    "kg_random_walks": o_kg_random_walks(),
     "kg_clustering_coeff": o_kg_clustering_coeff(),
     "kg_assortativity": o_kg_assortativity(),
     "kg_component_sizes": o_kg_component_sizes(),

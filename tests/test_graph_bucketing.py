@@ -307,3 +307,68 @@ def test_lpa_splits_two_cliques_joined_by_bridge(spark):
             for r in graph.lpa_communities(e.repartition(7),
                                            n_iter=3).collect()}
     assert res == res2
+
+
+def test_ktruss_peeling(spark):
+    """K4 ∪ pendant triangle ∪ chain: k=3 keeps both cliques and drops
+    the bridge/chain; k=4 keeps only the K4 (each edge in 2 triangles);
+    k=5 empties; k=2 keeps even triangle-free edges with support 0."""
+    edges = spark.createDataFrame(
+        [("n1", "n2"), ("n1", "n3"), ("n1", "n4"), ("n2", "n3"),
+         ("n2", "n4"), ("n3", "n4"),                    # K4
+         ("n5", "n6"), ("n6", "n7"), ("n5", "n7"),      # triangle
+         ("n4", "n5"),                                  # bridge
+         ("n7", "n8")],                                 # chain tail
+        ["src", "dst"])
+    t3 = {(r.a, r.b): r.support for r in graph.ktruss(edges, k=3).collect()}
+    assert len(t3) == 9 and ("n4", "n5") not in t3 and ("n7", "n8") not in t3
+    assert t3[("n5", "n6")] == 1 and t3[("n1", "n2")] == 2
+    t4 = {(r.a, r.b): r.support for r in graph.ktruss(edges, k=4).collect()}
+    assert set(t4) == {("n1", "n2"), ("n1", "n3"), ("n1", "n4"),
+                       ("n2", "n3"), ("n2", "n4"), ("n3", "n4")}
+    assert set(t4.values()) == {2}
+    assert graph.ktruss(edges, k=5).count() == 0
+    t2 = {(r.a, r.b): r.support for r in graph.ktruss(edges, k=2).collect()}
+    assert len(t2) == 11 and t2[("n7", "n8")] == 0
+
+
+def test_random_walks_deterministic_and_valid(spark):
+    """Walk rows must (a) be exactly reproducible across runs and input
+    partitionings, (b) follow real edges at every step, (c) match a pure
+    Python md5 replay — the cross-engine determinism contract the DuckDB
+    oracle relies on."""
+    import hashlib
+    rows = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")]
+    edges = spark.createDataFrame(rows, ["src", "dst"])
+    out1 = sorted(map(tuple, graph.random_walks(
+        edges, n_walks=2, walk_len=3).collect()))
+    out2 = sorted(map(tuple, graph.random_walks(
+        edges.repartition(7), n_walks=2, walk_len=3).collect()))
+    assert out1 == out2
+    # shape: 4 nodes x 2 walks x 4 steps (0..3)
+    assert len(out1) == 4 * 2 * 4
+    # python replay
+    und = set()
+    for s, d in rows:
+        und.add((s, d)); und.add((d, s))
+    nbrs = {}
+    for s, d in sorted(und):
+        nbrs.setdefault(s, []).append(d)
+    expect = []
+    for start in sorted(nbrs):
+        for w in range(2):
+            node = start
+            expect.append((start, w, 0, node))
+            for step in range(1, 4):
+                key = f"w-{start}-{w}-{step}-{node}".encode()
+                c = int(hashlib.md5(key).hexdigest()[:8], 16) % len(nbrs[node])
+                node = nbrs[node][c]
+                expect.append((start, w, step, node))
+    assert out1 == sorted(expect)
+    # every transition is an edge
+    by_walk = {}
+    for start, w, step, node in out1:
+        by_walk.setdefault((start, w), {})[step] = node
+    for seq in by_walk.values():
+        for t in range(3):
+            assert (seq[t], seq[t + 1]) in und
