@@ -389,3 +389,25 @@ def test_hybrid_rrf_fuses_without_cartesian(spark):
     p = physical(queries.QUERIES["hybrid_rrf"](spark, SF))
     assert "CartesianProduct" not in p, p[:2000]
     assert "TakeOrderedAndProject" in p, p[:2000]
+
+
+def test_ktruss_and_walks_are_equi_only(spark):
+    """The per-round triangle enumeration and the per-step walk
+    transition must stay equi-join shaped — a theta/cartesian join in
+    either loop body is quadratic at scale."""
+    for name in ("kg_ktruss", "kg_random_walks"):
+        p = physical(queries.QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in p, (name, p[:2000])
+        assert "BroadcastNestedLoopJoin" not in p, (name, p[:2000])
+
+
+def test_random_walks_window_is_src_partitioned(spark):
+    """The neighbor-ranking window must partition by the source node —
+    an unpartitioned (global) window would serialize the whole edge
+    table through one task."""
+    import re
+    from legal_ner_spark.operators import graph
+    e = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    p = physical(graph.random_walks(e, n_walks=1, walk_len=1))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert specs and all("nsrc#" in s for s in specs), specs
