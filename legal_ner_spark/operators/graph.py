@@ -306,6 +306,31 @@ def random_walks(edges: DataFrame, n_walks: int = 2, walk_len: int = 3,
     return out
 
 
+def walk_skipgrams(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Skip-gram co-occurrence pairs from a random-walk corpus — the
+    (center, context) training pairs a word2vec-style node-embedding
+    trainer consumes (DeepWalk/node2vec's second half; pair counts are
+    also the sufficient statistic for PMI-matrix factorization).
+
+    One equi-join of the walk table with itself on (start_node,
+    walk_id) — per-key width is walk_len+1 rows, so the join is bounded
+    per walk no matter how large the corpus — with the |Δstep| ≤ window
+    band applied as a post-join filter, then a count aggregate.  Every
+    ordered pair with 1 ≤ |Δstep| ≤ window counts, including revisits
+    of the same node (they are real co-occurrences)."""
+    a = walks.select("start_node", "walk_id",
+                     F.col("step").alias("sa"),
+                     F.col("node").alias("center"))
+    b = walks.select("start_node", "walk_id",
+                     F.col("step").alias("sb"),
+                     F.col("node").alias("context"))
+    return (a.join(b, ["start_node", "walk_id"])
+            .filter((F.col("sa") != F.col("sb"))
+                    & (F.abs(F.col("sa") - F.col("sb")) <= window))
+            .groupBy("center", "context")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+
+
 def node_degrees(triples: DataFrame, pred: str | None = None) -> DataFrame:
     t = triples if pred is None else triples.filter(F.col("pred") == pred)
     out_d = t.groupBy(F.col("subj").alias("node")).agg(

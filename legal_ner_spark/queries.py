@@ -4884,9 +4884,10 @@ def q_kg_random_walks(spark, sf_dir):
                               n_walks=2, walk_len=3)
 
 
-def o_kg_random_walks(n_walks: int = 2, walk_len: int = 3):
-    sql = f"""
-WITH ds AS MATERIALIZED ({_COCITE_EDGES_SQL}
+def _walk_sql_parts(n_walks: int = 2, walk_len: int = 3):
+    """(cte_body, union_select) for the deterministic-walk replay —
+    shared by the walk-corpus oracle and the skip-gram oracle."""
+    ctes = f"""ds AS MATERIALIZED ({_COCITE_EDGES_SQL}
 ), sym AS MATERIALIZED (
   SELECT a AS src, b AS dst FROM ds UNION
   SELECT b AS src, a AS dst FROM ds
@@ -4901,7 +4902,7 @@ WITH ds AS MATERIALIZED ({_COCITE_EDGES_SQL}
   FROM deg, (SELECT unnest(generate_series(0, {n_walks - 1})) AS w)
 )"""
     for t in range(1, walk_len + 1):
-        sql += f""", w{t} AS MATERIALIZED (
+        ctes += f""", w{t} AS MATERIALIZED (
   SELECT c.start_node, c.walk_id, n.dst AS node
   FROM w{t-1} c
   JOIN deg d ON c.node = d.src
@@ -4914,7 +4915,39 @@ WITH ds AS MATERIALIZED ({_COCITE_EDGES_SQL}
     parts = [f"SELECT start_node, walk_id::INT AS walk_id, "
              f"{t}::INT AS step, node FROM w{t}"
              for t in range(walk_len + 1)]
-    return sql + "\n" + "\nUNION ALL\n".join(parts)
+    return ctes, "\nUNION ALL\n".join(parts)
+
+
+def o_kg_random_walks(n_walks: int = 2, walk_len: int = 3):
+    ctes, union = _walk_sql_parts(n_walks, walk_len)
+    return f"WITH {ctes}\n{union}"
+
+
+def q_kg_walk_skipgrams(spark, sf_dir):
+    """Skip-gram (center, context) pair counts from the deterministic
+    walk corpus — the word2vec training pairs / PMI sufficient
+    statistic that completes the DeepWalk export: edges → walks →
+    pairs.  One self-equi-join on (start_node, walk_id), bounded at
+    walk_len+1 rows per key, |Δstep| ≤ window band as a post-join
+    filter."""
+    from .operators import graph
+    e = _cocitation_edges(spark, sf_dir)
+    walks = graph.random_walks(e.select(F.col("a").alias("src"),
+                                        F.col("b").alias("dst")),
+                               n_walks=2, walk_len=3)
+    return graph.walk_skipgrams(walks, window=2)
+
+
+def o_kg_walk_skipgrams(window: int = 2):
+    ctes, union = _walk_sql_parts()
+    return f"""WITH {ctes}, walks AS MATERIALIZED (
+{union}
+)
+SELECT a.node AS center, b.node AS context, count(*)::BIGINT AS n
+FROM walks a JOIN walks b
+  ON a.start_node = b.start_node AND a.walk_id = b.walk_id
+WHERE a.step <> b.step AND abs(a.step - b.step) <= {window}
+GROUP BY a.node, b.node"""
 
 
 def q_kg_clustering_coeff(spark, sf_dir):
@@ -5920,6 +5953,7 @@ QUERIES = {
     "dedup_posting_stats": q_dedup_posting_stats,
     "kg_ktruss": q_kg_ktruss,
     "kg_random_walks": q_kg_random_walks,
+    "kg_walk_skipgrams": q_kg_walk_skipgrams,
     "kg_clustering_coeff": q_kg_clustering_coeff,
     "kg_assortativity": q_kg_assortativity,
     "kg_component_sizes": q_kg_component_sizes,
@@ -6069,6 +6103,7 @@ ORACLES = {
     "dedup_posting_stats": o_dedup_posting_stats(),
     "kg_ktruss": o_kg_ktruss(),
     "kg_random_walks": o_kg_random_walks(),
+    "kg_walk_skipgrams": o_kg_walk_skipgrams(),
     "kg_clustering_coeff": o_kg_clustering_coeff(),
     "kg_assortativity": o_kg_assortativity(),
     "kg_component_sizes": o_kg_component_sizes(),

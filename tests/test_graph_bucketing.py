@@ -372,3 +372,23 @@ def test_random_walks_deterministic_and_valid(spark):
     for seq in by_walk.values():
         for t in range(3):
             assert (seq[t], seq[t + 1]) in und
+
+
+def test_walk_skipgrams_window_and_counts(spark):
+    """Hand-checkable walk table: pair counts must enumerate exactly the
+    |Δstep| ≤ window ordered pairs, including revisited-node pairs."""
+    walks = spark.createDataFrame(
+        [("s", 0, 0, "a"), ("s", 0, 1, "b"), ("s", 0, 2, "a"),
+         ("s", 0, 3, "c"),
+         ("s", 1, 0, "a"), ("s", 1, 1, "c")],
+        ["start_node", "walk_id", "step", "node"])
+    got = {(r.center, r.context): r.n
+           for r in graph.walk_skipgrams(walks, window=2).collect()}
+    # walk 0 (a,b,a,c): step pairs with |Δ|<=2 are
+    #   (0,1)(0,2)(1,2)(1,3)(2,3) + reverses; walk 1 (a,c): (0,1)+rev.
+    # (a,b): a@0->b@1, a@2->b@1 = 2; (a,a): a@0<->a@2 = 2 each way;
+    # (b,c): b@1->c@3 = 1; (a,c): a@2->c@3 + walk-1 a@0->c@1 = 2
+    # (a@0->c@3 is Δ=3, outside the window)
+    want = {("a", "b"): 2, ("b", "a"): 2, ("a", "a"): 2, ("b", "c"): 1,
+            ("c", "b"): 1, ("a", "c"): 2, ("c", "a"): 2}
+    assert got == want
