@@ -159,8 +159,11 @@ def main() -> None:
                 "efficiency": s["scaling_efficiency"], "n_docs": s["n_docs"],
             }
     # the north_rule's own formulation — N vs 4N separate-JVM executors
-    # (bench_scaling_cluster.py, local-cluster mode)
-    p = os.path.join(here, "BENCH_SCALING_CLUSTER_1_4.json")
+    # (bench_scaling_cluster.py, local-cluster mode); prefer the
+    # freshest round's artifact
+    p = os.path.join(here, "BENCH_SCALING_CLUSTER_R4.json")
+    if not os.path.exists(p):
+        p = os.path.join(here, "BENCH_SCALING_CLUSTER_1_4.json")
     if os.path.exists(p):
         with open(p) as fh:
             s = json.load(fh)
