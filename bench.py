@@ -124,7 +124,8 @@ def main() -> None:
                      "embedding_class_stats", "kg_label_cooccurrence",
                      "kg_bridge_edges", "kg_ambiguous_provisions",
                      "dedup_posting_stats", "kg_ktruss",
-                     "kg_random_walks", "kg_walk_skipgrams"]
+                     "kg_random_walks", "kg_walk_skipgrams",
+                     "kg_neighbor_sample"]
     for name in bench_queries:
         timings[name] = round(best_of(
             lambda: queries.QUERIES[name](spark, sf_dir).count()), 3)

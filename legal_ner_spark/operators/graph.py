@@ -331,6 +331,42 @@ def walk_skipgrams(walks: DataFrame, window: int = 2) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
 
 
+def sampled_adjacency(edges: DataFrame, k: int = 2,
+                      salt: str = "ns") -> DataFrame:
+    """Deterministic fanout-sampled adjacency — the GNN-minibatch prep
+    primitive (GraphSAGE's neighbor sampling): every node keeps at most
+    ``k`` neighbors, ranked by md5(salt, src, dst), so the sample is
+    reproducible, partition-layout-independent, and replayable by the
+    SQL oracle.  One src-partitioned window over the symmetrized edge
+    table; output ≤ k rows per node regardless of hub degree — THE
+    bound that makes hop joins safe on a graph with 10⁶-degree hubs."""
+    und0 = (edges.select("src", "dst")
+            .filter(F.col("src") != F.col("dst")).distinct())
+    und = und0.union(und0.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst"))).distinct()
+    w = Window.partitionBy("src").orderBy(
+        F.md5(F.concat_ws("-", F.lit(salt), "src", "dst")), "dst")
+    return (und.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= k).drop("_r"))
+
+
+def two_hop_sample(edges: DataFrame, k1: int = 2, k2: int = 2,
+                   salt: str = "ns") -> DataFrame:
+    """Two-hop sampled neighborhoods: for every node, ≤ k1 sampled
+    neighbors, and for each of those ≤ k2 sampled second-hop neighbors
+    (layer-shared sampling — each hop draws its own md5 salt, so the
+    two layers are independent, but a node's sample is shared across
+    all roots that reach it, the standard trade that keeps the join
+    fan-out at k1·k2 per root instead of re-sampling per root).
+    Returns (root, n1, n2) — hop joins are two bounded equi-joins."""
+    h1 = sampled_adjacency(edges, k=k1, salt=f"{salt}1")
+    h2 = sampled_adjacency(edges, k=k2, salt=f"{salt}2")
+    return (h1.select(F.col("src").alias("root"), F.col("dst").alias("n1"))
+            .join(h2.select(F.col("src").alias("n1"),
+                            F.col("dst").alias("n2")), "n1")
+            .select("root", "n1", "n2"))
+
+
 def node_degrees(triples: DataFrame, pred: str | None = None) -> DataFrame:
     t = triples if pred is None else triples.filter(F.col("pred") == pred)
     out_d = t.groupBy(F.col("subj").alias("node")).agg(

@@ -4950,6 +4950,38 @@ WHERE a.step <> b.step AND abs(a.step - b.step) <= {window}
 GROUP BY a.node, b.node"""
 
 
+def q_kg_neighbor_sample(spark, sf_dir):
+    """GraphSAGE-style two-hop sampled neighborhoods over the statute
+    co-citation graph: ≤2 md5-ranked neighbors per node per hop, hop
+    joins bounded at k1·k2 rows per root no matter how hot the hubs.
+    The oracle replays the identical md5 ranking, so value-exactness
+    proves the sampling is deterministic and engine-independent."""
+    from .operators import graph
+    e = _cocitation_edges(spark, sf_dir)
+    return graph.two_hop_sample(e.select(F.col("a").alias("src"),
+                                         F.col("b").alias("dst")),
+                                k1=2, k2=2)
+
+
+def o_kg_neighbor_sample(k1: int = 2, k2: int = 2, salt: str = "ns"):
+    hop = """
+  SELECT src, dst FROM (
+    SELECT src, dst, row_number() OVER (
+      PARTITION BY src ORDER BY md5('{salt}' || '-' || src || '-' || dst),
+      dst) AS r
+    FROM sym) WHERE r <= {k}"""
+    return f"""
+WITH ds AS MATERIALIZED ({_COCITE_EDGES_SQL}
+), sym AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM ds UNION
+  SELECT b AS src, a AS dst FROM ds
+), h1 AS MATERIALIZED ({hop.format(salt=salt + '1', k=k1)}
+), h2 AS MATERIALIZED ({hop.format(salt=salt + '2', k=k2)}
+)
+SELECT h1.src AS root, h1.dst AS n1, h2.dst AS n2
+FROM h1 JOIN h2 ON h1.dst = h2.src"""
+
+
 def q_kg_clustering_coeff(spark, sf_dir):
     """Local clustering coefficient per statute in the co-citation
     graph: 2·T(v) / (d(v)·(d(v)−1)) — how interlinked a statute's
@@ -5954,6 +5986,7 @@ QUERIES = {
     "kg_ktruss": q_kg_ktruss,
     "kg_random_walks": q_kg_random_walks,
     "kg_walk_skipgrams": q_kg_walk_skipgrams,
+    "kg_neighbor_sample": q_kg_neighbor_sample,
     "kg_clustering_coeff": q_kg_clustering_coeff,
     "kg_assortativity": q_kg_assortativity,
     "kg_component_sizes": q_kg_component_sizes,
@@ -6104,6 +6137,7 @@ ORACLES = {
     "kg_ktruss": o_kg_ktruss(),
     "kg_random_walks": o_kg_random_walks(),
     "kg_walk_skipgrams": o_kg_walk_skipgrams(),
+    "kg_neighbor_sample": o_kg_neighbor_sample(),
     "kg_clustering_coeff": o_kg_clustering_coeff(),
     "kg_assortativity": o_kg_assortativity(),
     "kg_component_sizes": o_kg_component_sizes(),

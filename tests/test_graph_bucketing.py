@@ -392,3 +392,35 @@ def test_walk_skipgrams_window_and_counts(spark):
     want = {("a", "b"): 2, ("b", "a"): 2, ("a", "a"): 2, ("b", "c"): 1,
             ("c", "b"): 1, ("a", "c"): 2, ("c", "a"): 2}
     assert got == want
+
+
+def test_sampled_adjacency_bounds_hubs_deterministically(spark):
+    """A 50-leaf hub keeps exactly k md5-ranked neighbors; the sample is
+    identical across input partitionings; two-hop fan-out is bounded at
+    k1*k2 per root and every hop follows a real (symmetrized) edge."""
+    rows = [("hub", f"leaf{i}") for i in range(50)] + [("a", "b")]
+    edges = spark.createDataFrame(rows, ["src", "dst"])
+    s1 = sorted(map(tuple, graph.sampled_adjacency(edges, k=3).collect()))
+    s2 = sorted(map(tuple, graph.sampled_adjacency(
+        edges.repartition(5), k=3).collect()))
+    assert s1 == s2
+    per_src = {}
+    for src, dst in s1:
+        per_src.setdefault(src, []).append(dst)
+    assert len(per_src["hub"]) == 3          # capped
+    assert per_src["a"] == ["b"] and per_src["b"] == ["a"]   # deg < k kept
+    for src in (f"leaf{i}" for i in range(50)):
+        assert per_src[src] == ["hub"]
+    # python replay of the md5 ranking on the hub
+    import hashlib
+    want = sorted((hashlib.md5(f"ns-hub-leaf{i}".encode()).hexdigest(),
+                   f"leaf{i}") for i in range(50))[:3]
+    assert sorted(per_src["hub"]) == sorted(d for _, d in want)
+    # two-hop: bounded and edge-valid
+    th = graph.two_hop_sample(edges, k1=2, k2=2).collect()
+    und = {(s, d) for s, d in rows} | {(d, s) for s, d in rows}
+    per_root = {}
+    for r in th:
+        per_root.setdefault(r.root, []).append((r.n1, r.n2))
+        assert (r.root, r.n1) in und and (r.n1, r.n2) in und
+    assert all(len(v) <= 4 for v in per_root.values())
