@@ -966,6 +966,44 @@ def test_prefix_filter_cap_with_nonqualifying_hot_postings(spark):
                                max_posting=5).count() == 40 * 39 // 2
 
 
+def test_prefix_filter_max_posting_one_fuzz(spark):
+    """max_posting=1 forces MAXIMUM decomposition (every posting row its
+    own block — the worst case for the pair-coverage argument: every
+    pair must arrive through exactly one (block_a, block_b) cell, many
+    in the canonicalized reversed orientation).  Random corpus with
+    planted near-dups must still equal brute force exactly."""
+    import random
+    from itertools import combinations
+    from legal_ner_spark.operators.dedup import prefix_filter_pairs
+    rng = random.Random(23)
+    vocab = [f"v{i}" for i in range(30)]
+    texts = {}
+    for d in range(24):
+        if d % 4 == 1:
+            src = texts[d - 1].split()
+            src[rng.randrange(len(src))] = rng.choice(vocab)
+            texts[d] = " ".join(src)
+        else:
+            texts[d] = " ".join(rng.choice(vocab) for _ in range(20))
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id bigint, text string")
+    got = {(r.doc_a, r.doc_b): r.jaccard
+           for r in prefix_filter_pairs(df, t_num=2, t_den=5, n=3,
+                                        max_posting=1).collect()}
+
+    def shingles(t):
+        ts = t.lower().split()
+        return {" ".join(ts[i:i + 3]) for i in range(len(ts) - 2)}
+
+    want = {}
+    for a, b in combinations(sorted(texts), 2):
+        sa, sb = shingles(texts[a]), shingles(texts[b])
+        i, u = len(sa & sb), len(sa | sb)
+        if u and 5 * i >= 2 * u:
+            want[(a, b)] = round(i / u, 4)
+    assert got == want and want
+
+
 def test_prefix_filter_degenerate_inputs(spark):
     from legal_ner_spark.operators.dedup import prefix_filter_pairs
     # docs shorter than the shingle width produce no shingles → no pairs
