@@ -131,19 +131,46 @@ def bfs_distances(edges: DataFrame, sources: DataFrame,
 def triangles(edges: DataFrame) -> DataFrame:
     """Triangle enumeration over an undirected edge table: rows
     (node_a, node_b, node_c) with a < b < c and all three edges present.
-    The classic compact-forward shape as THREE equi-joins on canonical
-    (min, max) edges — no cross product anywhere; at web scale add a
-    degree-ordering step so high-degree hubs sit on the probe side.
-    Input may list either direction / duplicates; it is canonicalized
-    and deduped first."""
+
+    DEGREE-ORIENTED compact-forward (the web-scale shape, r4): every
+    canonical edge is oriented from its lower-(degree, id) endpoint to
+    the higher one, wedges are built at each triangle's LOWEST-degree
+    corner, and one equi-join closes them.  Every triangle is counted
+    exactly once (its corners are totally ordered by (degree, id)), and
+    the wedge join's per-key fan-out is the ORIENTED out-degree, which
+    is O(√m) on any graph — a 10⁶-degree citation hub contributes
+    almost no wedges because nearly all its edges point INTO it.  The
+    naive 3-join on unoriented edges makes the hub a quadratic wedge
+    factory.  Input may list either direction / duplicates; it is
+    canonicalized and deduped first."""
     e = (edges.select(F.least("src", "dst").alias("a"),
                       F.greatest("src", "dst").alias("b"))
          .filter(F.col("a") != F.col("b")).distinct())
-    ab = e.select(F.col("a").alias("node_a"), F.col("b").alias("node_b"))
-    bc = e.select(F.col("a").alias("node_b"), F.col("b").alias("node_c"))
-    ac = e.select(F.col("a").alias("node_a"), F.col("b").alias("node_c"))
-    return (ab.join(bc, "node_b").join(ac, ["node_a", "node_c"])
-            .select("node_a", "node_b", "node_c"))
+    deg = (e.select(F.col("a").alias("n"))
+           .union(e.select(F.col("b").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
+    ed = (e.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")),
+                 "a")
+          .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")),
+                "b"))
+    a_first = (F.col("da") < F.col("db")) | \
+        ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    o = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("kv"))
+    w2 = o.select(F.col("u"), F.col("v").alias("w"),
+                  F.col("kv").alias("kw"))
+    wedges = (o.join(w2, "u")
+              .filter((F.col("kv") < F.col("kw"))
+                      | ((F.col("kv") == F.col("kw"))
+                         & (F.col("v") < F.col("w")))))
+    closed = wedges.join(o.select(F.col("u").alias("v"),
+                                  F.col("v").alias("w")), ["v", "w"])
+    arr = F.array_sort(F.array("u", "v", "w"))
+    return closed.select(F.element_at(arr, 1).alias("node_a"),
+                         F.element_at(arr, 2).alias("node_b"),
+                         F.element_at(arr, 3).alias("node_c"))
 
 
 def kcore(edges: DataFrame, k: int = 2, max_iter: int = 30,
@@ -239,11 +266,11 @@ def ktruss(edges: DataFrame, k: int = 3, max_iter: int = 30,
 
 def _ktruss_support(cur: DataFrame) -> DataFrame:
     """(a, b, support): per-edge triangle count over canonical edges —
-    the three-equi-join enumeration folded into +1 per triangle side."""
-    ab = cur.select(F.col("a").alias("node_a"), F.col("b").alias("node_b"))
-    bc = cur.select(F.col("a").alias("node_b"), F.col("b").alias("node_c"))
-    ac = cur.select(F.col("a").alias("node_a"), F.col("b").alias("node_c"))
-    tri = ab.join(bc, "node_b").join(ac, ["node_a", "node_c"])
+    the degree-oriented enumeration (see ``triangles``) folded into +1
+    per triangle side, so the peel loop inherits the hub-bounded wedge
+    join each round."""
+    tri = triangles(cur.select(F.col("a").alias("src"),
+                               F.col("b").alias("dst")))
     sides = tri.selectExpr(
         "stack(3, node_a, node_b, node_a, node_c, node_b, node_c) "
         "AS (a, b)")
