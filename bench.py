@@ -125,7 +125,8 @@ def main() -> None:
                      "kg_bridge_edges", "kg_ambiguous_provisions",
                      "dedup_posting_stats", "kg_ktruss",
                      "kg_random_walks", "kg_walk_skipgrams",
-                     "kg_neighbor_sample"]
+                     "kg_neighbor_sample", "kg_walk_ppmi",
+                     "kg_truss_communities"]
     for name in bench_queries:
         timings[name] = round(best_of(
             lambda: queries.QUERIES[name](spark, sf_dir).count()), 3)

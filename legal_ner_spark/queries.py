@@ -4950,6 +4950,90 @@ WHERE a.step <> b.step AND abs(a.step - b.step) <= {window}
 GROUP BY a.node, b.node"""
 
 
+def q_kg_walk_ppmi(spark, sf_dir):
+    """PPMI scores over the walk skip-gram counts — the matrix whose
+    factorization IS word2vec/DeepWalk embeddings (Levy & Goldberg
+    2014): ppmi(c, x) = max(0, log(n(c,x)·N / (n(c)·n(x)))).  Marginals
+    ride tiny aggregates joined back (the N total is a 1-row broadcast
+    via crossJoin — the scalar-subquery idiom); zero rows are dropped so
+    the matrix stays sparse."""
+    from .operators import graph
+    e = _cocitation_edges(spark, sf_dir)
+    walks = graph.random_walks(e.select(F.col("a").alias("src"),
+                                        F.col("b").alias("dst")),
+                               n_walks=2, walk_len=3)
+    pairs = graph.walk_skipgrams(walks, window=2)
+    nc = pairs.groupBy("center").agg(F.sum("n").alias("n_c"))
+    nx = pairs.groupBy("context").agg(F.sum("n").alias("n_x"))
+    tot = pairs.agg(F.sum("n").alias("n_tot"))
+    return (pairs.join(nc, "center").join(nx, "context")
+            .crossJoin(F.broadcast(tot))
+            .withColumn("ppmi", F.round(F.greatest(F.lit(0.0), F.log(
+                F.col("n") * F.col("n_tot")
+                / (F.col("n_c") * F.col("n_x")))), 4))
+            .filter(F.col("ppmi") > 0)
+            .select("center", "context",
+                    F.col("n").cast("bigint").alias("n"), "ppmi"))
+
+
+def o_kg_walk_ppmi(window: int = 2):
+    ctes, union = _walk_sql_parts()
+    return f"""WITH {ctes}, walks AS MATERIALIZED (
+{union}
+), pairs AS MATERIALIZED (
+  SELECT a.node AS center, b.node AS context, count(*) AS n
+  FROM walks a JOIN walks b
+    ON a.start_node = b.start_node AND a.walk_id = b.walk_id
+  WHERE a.step <> b.step AND abs(a.step - b.step) <= {window}
+  GROUP BY a.node, b.node
+)
+SELECT center, context, n::BIGINT AS n,
+       round(greatest(0.0, ln(n * (SELECT sum(n) FROM pairs)
+             / (nc.n_c * nx.n_x))), 4) AS ppmi
+FROM pairs
+JOIN (SELECT center AS c2, sum(n) AS n_c FROM pairs GROUP BY center) nc
+  ON center = nc.c2
+JOIN (SELECT context AS x2, sum(n) AS n_x FROM pairs GROUP BY context) nx
+  ON context = nx.x2
+WHERE round(greatest(0.0, ln(n * (SELECT sum(n) FROM pairs)
+       / (nc.n_c * nx.n_x))), 4) > 0"""
+
+
+def q_kg_truss_communities(spark, sf_dir):
+    """Connected components of the 3-truss — statute FAMILIES whose
+    every membership edge is triangle-supported: the truss peel removes
+    weak bridges first, so the surviving components are the genuinely
+    interlocking co-citation cores (a cleaner community signal than raw
+    WCC, which one noisy edge can merge).  Composition: ktruss →
+    weakly_connected_components, both already oracled standalone."""
+    from .operators import graph
+    e = _cocitation_edges(spark, sf_dir)
+    truss = graph.ktruss(e.select(F.col("a").alias("src"),
+                                  F.col("b").alias("dst")), k=3)
+    comp = graph.weakly_connected_components(
+        truss.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+    return (comp.groupBy("component")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+            .select(F.col("component").alias("family_head"), "n_nodes"))
+
+
+def o_kg_truss_communities(k: int = 3, rounds: int = 6):
+    truss = o_kg_ktruss(k=k, rounds=rounds)
+    return f"""
+WITH RECURSIVE truss AS MATERIALIZED ({truss}
+), reach(node, label) AS (
+  SELECT a AS node, least(a, b) AS label FROM truss
+  UNION
+  SELECT b AS node, least(a, b) AS label FROM truss
+  UNION
+  SELECT CASE WHEN t.a = r.node THEN t.b ELSE t.a END AS node, r.label
+  FROM reach r JOIN truss t ON r.node IN (t.a, t.b)
+)
+SELECT label AS family_head, count(*)::BIGINT AS n_nodes FROM (
+  SELECT node, min(label) AS label FROM reach GROUP BY node
+) GROUP BY label"""
+
+
 def q_kg_neighbor_sample(spark, sf_dir):
     """GraphSAGE-style two-hop sampled neighborhoods over the statute
     co-citation graph: ≤2 md5-ranked neighbors per node per hop, hop
@@ -5987,6 +6071,8 @@ QUERIES = {
     "kg_random_walks": q_kg_random_walks,
     "kg_walk_skipgrams": q_kg_walk_skipgrams,
     "kg_neighbor_sample": q_kg_neighbor_sample,
+    "kg_walk_ppmi": q_kg_walk_ppmi,
+    "kg_truss_communities": q_kg_truss_communities,
     "kg_clustering_coeff": q_kg_clustering_coeff,
     "kg_assortativity": q_kg_assortativity,
     "kg_component_sizes": q_kg_component_sizes,
@@ -6138,6 +6224,8 @@ ORACLES = {
     "kg_random_walks": o_kg_random_walks(),
     "kg_walk_skipgrams": o_kg_walk_skipgrams(),
     "kg_neighbor_sample": o_kg_neighbor_sample(),
+    "kg_walk_ppmi": o_kg_walk_ppmi(),
+    "kg_truss_communities": o_kg_truss_communities(),
     "kg_clustering_coeff": o_kg_clustering_coeff(),
     "kg_assortativity": o_kg_assortativity(),
     "kg_component_sizes": o_kg_component_sizes(),
