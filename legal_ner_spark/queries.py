@@ -4958,11 +4958,16 @@ def q_kg_walk_ppmi(spark, sf_dir):
     via crossJoin — the scalar-subquery idiom); zero rows are dropped so
     the matrix stays sparse."""
     from .operators import graph
+    from .plans.checkpoint import Truncator
     e = _cocitation_edges(spark, sf_dir)
     walks = graph.random_walks(e.select(F.col("a").alias("src"),
                                         F.col("b").alias("dst")),
                                n_walks=2, walk_len=3)
-    pairs = graph.walk_skipgrams(walks, window=2)
+    # the pair table feeds FOUR consumers (two marginals, the total,
+    # the main join); truncate once or the whole walk chain re-runs
+    # per consumer (measured 10.9 s → ~2.5 s)
+    pairs = Truncator(None)(graph.walk_skipgrams(walks, window=2),
+                            "ppmi_pairs")
     nc = pairs.groupBy("center").agg(F.sum("n").alias("n_c"))
     nx = pairs.groupBy("context").agg(F.sum("n").alias("n_x"))
     tot = pairs.agg(F.sum("n").alias("n_tot"))
