@@ -594,7 +594,16 @@ def dedup_index_compact(spark: SparkSession, path: str,
        reader (or a crash) sees the old index until the instant the new
        one is complete;
     3. ``vacuum`` removes the now-unreferenced previous snapshot (and
-       the legacy flat directories after the first compaction).
+       the legacy flat directories after the first compaction)
+       IMMEDIATELY after the flip.  That atomicity guarantee therefore
+       holds only for readers that re-resolve through the manifest
+       (``dedup_index_read``) AFTER the flip: a DataFrame handle
+       created BEFORE the compact is a lazy plan still pointing at the
+       old directories and will fail mid-scan once they are vacuumed —
+       the same commit-vs-file-expiry split table formats make
+       (Iceberg's ``expire_snapshots``).  Pass ``vacuum=False`` when
+       long-lived reader plans may be in flight and expire old
+       snapshots on your own retention schedule.
 
     ``snapshot_id`` must be FRESH: compacting under the currently
     published id would make the overwrite target of the write equal a
@@ -1051,17 +1060,24 @@ def prefix_posting_stats(docs: DataFrame, t_num: int = 4, t_den: int = 5,
                          max_posting: int = 4096) -> DataFrame:
     """Observability for the prefix-filter hot-posting decomposition
     (mirrors ``lsh_bucket_stats``): one row (n_postings, n_oversize,
-    max_width, cand_pairs, blocked_cells) where ``cand_pairs`` is the
-    total candidate-pair volume Σ w·(w−1)/2 the prefix join will emit
-    (unchanged by blocking — the decomposition is EXACT, nothing is
-    dropped) and ``blocked_cells`` is how many extra join cells the
-    oversize postings are spread over (Σ nb·(nb+1)/2 with
-    nb = ⌈w/max_posting⌉), i.e. the straggler-to-tasks fan-out a
-    pipeline should log before committing to a run."""
+    max_width, cand_pairs, blocked_cells).  ``max_width`` and
+    ``cand_pairs`` describe the TRUE prefix-posting widths w —
+    Σ w·(w−1)/2 is the candidate-pair volume the prefix join will emit
+    (unchanged by blocking: the decomposition is EXACT, nothing is
+    dropped).  ``n_oversize`` and ``blocked_cells`` are computed from
+    the shingle's DOCUMENT FREQUENCY df, because that is what
+    ``prefix_filter_pairs`` actually blocks by (df upper-bounds w and
+    rides the prefix rows for free): blocked_cells = Σ nb·(nb+1)/2 with
+    nb = ⌈df/max_posting⌉ is exactly the join-cell fan-out the
+    decomposition will create, including shingles decomposed because
+    df > max_posting even though their true prefix width fits — the
+    straggler-to-tasks fan-out a pipeline should log before committing
+    to a run."""
     _, pfx = _prefix_tokens(docs, t_num, t_den, n, id_col, text_col)
-    w = pfx.groupBy("shingle").agg(F.count(F.lit(1)).alias("w"))
-    nb = F.floor((F.col("w") - 1) / max_posting) + 1
-    over = F.col("w") > max_posting
+    w = pfx.groupBy("shingle").agg(F.count(F.lit(1)).alias("w"),
+                                   F.first("df").alias("df"))
+    nb = F.floor((F.col("df") - 1) / max_posting) + 1
+    over = F.col("df") > max_posting
     return w.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_postings"),
         F.coalesce(F.sum(over.cast("bigint")), F.lit(0))

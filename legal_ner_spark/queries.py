@@ -4750,13 +4750,16 @@ WHERE {t_den} * i >= {t_num} * (sa.s + sb.s - i)"""
 def q_dedup_posting_stats(spark, sf_dir):
     """Observability row for the prefix-filter hot-posting guard
     (operators/dedup.prefix_posting_stats): posting-width census of the
-    rarity-ordered prefix index — total postings, how many exceed the
-    cap, the widest, the candidate-pair volume the prefix join will
-    emit, and the blocked-cell fan-out the decomposition will use.  The
+    rarity-ordered prefix index — total postings, how many the join's
+    df-bound decomposes (df, not true width: exactly what
+    prefix_filter_pairs blocks by), the widest true posting, the
+    candidate-pair volume the prefix join will emit, and the
+    blocked-cell fan-out the df-based decomposition will create.  The
     oracle replays the IDENTICAL global order (df asc, md5 sub-bucket,
-    shingle) and integer prefix length, so a value-exact match proves
-    the stats describe the same postings the join actually builds.
-    max_posting=2 here so the oversize branch is exercised at sf0.01."""
+    shingle), integer prefix length, and df-based blocking, so a
+    value-exact match proves the stats describe the same cells the join
+    actually builds.  max_posting=2 here so the oversize branch is
+    exercised at sf0.01."""
     from .operators import dedup
     docs = (spark.read.parquet(_t(sf_dir, "documents"))
             .select(F.col("doc_id").cast("bigint").alias("doc_id"),
@@ -4792,13 +4795,14 @@ pfx AS (
   QUALIFY row_number() OVER (PARTITION BY t.doc_id ORDER BY r.rk)
           <= s - (({t_num} * s + {t_den} - 1) // {t_den}) + 1
 ),
-w AS (SELECT shingle, count(*) AS w FROM pfx GROUP BY shingle)
+w AS (SELECT p.shingle, count(*) AS w, max(df) AS df
+      FROM pfx p JOIN dfq USING (shingle) GROUP BY p.shingle)
 SELECT count(*)::BIGINT AS n_postings,
-       coalesce(sum((w > {mp})::INT), 0)::BIGINT AS n_oversize,
+       coalesce(sum((df > {mp})::INT), 0)::BIGINT AS n_oversize,
        coalesce(max(w), 0)::BIGINT AS max_width,
        coalesce(sum(w * (w - 1) / 2), 0)::BIGINT AS cand_pairs,
-       coalesce(sum(CASE WHEN w > {mp}
-                    THEN ((w - 1) // {mp} + 1) * ((w - 1) // {mp} + 2) / 2
+       coalesce(sum(CASE WHEN df > {mp}
+                    THEN ((df - 1) // {mp} + 1) * ((df - 1) // {mp} + 2) / 2
                     ELSE 1 END), 0)::BIGINT AS blocked_cells
 FROM w"""
 

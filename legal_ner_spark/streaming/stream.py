@@ -308,8 +308,18 @@ def stream_dedup_ingest(spark: SparkSession, corpus_dir: str,
             return
         has_manifest = os.path.exists(
             os.path.join(index_path, dedup._INDEX_MANIFEST))
+        # completion = the _SUCCESS commit marker in every table dir,
+        # not directory existence: Spark creates the output dir at job
+        # START, so a build that crashed mid-write of its last table
+        # leaves all four dirs present but (at least) one of them
+        # partial (_temporary or a committed-file subset).  Routing the
+        # replayed batch 0 down the append path against that partial
+        # index would either wedge the stream ('unable to infer
+        # schema') or silently double-append batch-0 keepers — the
+        # marker is written only by the job commit, so it is the
+        # correct "bootstrap finished" signal.
         flat_complete = all(
-            os.path.isdir(os.path.join(index_path, t))
+            os.path.exists(os.path.join(index_path, t, "_SUCCESS"))
             for t in dedup._INDEX_TABLES)
         if not (has_manifest or flat_complete):
             dedup.dedup_index_build(batch_df, index_path,

@@ -659,6 +659,45 @@ def test_stream_dedup_ingest_matches_batch_and_restart_noop(spark,
     assert ks.count() == ks.select("doc_id").distinct().count()
 
 
+def test_stream_dedup_ingest_rebuilds_over_crashed_bootstrap(spark,
+                                                             tmp_path):
+    """A bootstrap build that crashed mid-write leaves all four table
+    DIRECTORIES present (Spark creates them at job start) but at least
+    one without the _SUCCESS commit marker.  The restarted stream must
+    treat that as "bootstrap never finished" and rebuild — routing the
+    replayed batch 0 down the append path against a partial sigs table
+    would wedge the stream or double-append batch-0 keepers."""
+    import os
+    import shutil
+    from legal_ner_spark.streaming.stream import stream_dedup_ingest
+
+    w = [f"w{i}" for i in range(40)]
+    b1 = spark.createDataFrame(
+        [(0, " ".join(w[0:30])), (1, " ".join(w[2:32]))],
+        ["doc_id", "text"])
+    in_dir = str(tmp_path / "arrivals")
+    b1.coalesce(1).write.mode("append").parquet(in_dir)
+
+    # simulate the crash: all four dirs exist, three committed, but
+    # sigs holds only an uncommitted partial attempt (no _SUCCESS)
+    idx = str(tmp_path / "idx")
+    dedup.dedup_index_build(b1.limit(1), idx, threshold=0.5)
+    sigs = os.path.join(idx, "sigs")
+    shutil.rmtree(sigs)
+    os.makedirs(os.path.join(sigs, "_temporary"))
+
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_dedup_ingest(spark, in_dir, idx, ckpt, threshold=0.5)
+    assert q.awaitTermination(120)
+    got = {r.doc_id: r.keeper_doc_id
+           for r in dedup.dedup_index_read(spark, idx,
+                                           "keepers").collect()}
+    assert got == {0: 0, 1: 0}
+    # the rebuild recommitted every table
+    for t in dedup._INDEX_TABLES:
+        assert os.path.exists(os.path.join(idx, t, "_SUCCESS"))
+
+
 def test_duplicate_passages_spans_and_merge(spark):
     """Hand-built corpus with a known shared passage: the duplicated
     region must come back as ONE merged span per doc (consecutive n-gram
