@@ -613,6 +613,23 @@ def dedup_index_compact(spark: SparkSession, path: str,
     Answers are unchanged by construction — the rewrite is a byte-level
     repack; ``tests/test_dedup_similarity.py`` pins append-after-compact
     equality against a never-compacted twin."""
+    cur = _index_dirs(path)
+    tables = {t: _read_idx_dir(spark, cur[t]) for t in _INDEX_TABLES}
+    return _publish_index_snapshot(path, tables, snapshot_id=snapshot_id,
+                                   vacuum=vacuum, num_files=num_files)
+
+
+def _publish_index_snapshot(path: str, tables: dict[str, DataFrame],
+                            snapshot_id: str | None = None,
+                            vacuum: bool = True,
+                            num_files: int | None = None) -> dict:
+    """Write the four index tables into an immutable ``snap=<id>``
+    directory set and flip the manifest atomically — the shared commit
+    machinery of ``dedup_index_compact`` (tables = a repack of the
+    current snapshot) and ``dedup_index_reconcile`` (tables = the
+    rebased index).  Table plans may READ the current snapshot: the
+    fresh-id guard keeps every write target disjoint from every read
+    source, and vacuum runs only after all four writes committed."""
     import json
     import os
     import re
@@ -632,10 +649,10 @@ def dedup_index_compact(spark: SparkSession, path: str,
     if clash:
         raise ValueError(
             f"snapshot_id {snapshot_id!r} is the currently published "
-            f"snapshot of {clash} — compaction must mint a fresh id, or "
-            "the rewrite would overwrite its own input mid-scan")
+            f"snapshot of {clash} — a snapshot write must mint a fresh "
+            "id, or the rewrite would overwrite its own input mid-scan")
     for t in _INDEX_TABLES:
-        df = _read_idx_dir(spark, cur[t])
+        df = tables[t]
         if num_files is not None:
             df = df.coalesce(num_files)
         df.write.mode("overwrite").parquet(new_dirs[t])
@@ -653,6 +670,121 @@ def dedup_index_compact(spark: SparkSession, path: str,
             if d.startswith("snap=") or d in _INDEX_TABLES:
                 shutil.rmtree(full)
     return manifest
+
+
+def dedup_index_reconcile(window_docs: DataFrame, path: str,
+                          threshold: float = 0.5, n_bands: int = 8,
+                          rows_per_band: int = 4, n: int = 3,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          max_iter: int = 20, mode: str = "exact",
+                          checkpoint_dir: str | None = None,
+                          max_bucket: int | None = None,
+                          snapshot_id: str | None = None,
+                          vacuum: bool = True,
+                          num_files: int | None = None) -> dict:
+    """Keeper-drift reconciliation for the frozen-keeper index — the
+    mitigation the measured trade demands
+    (``tools/measure_incremental_recall.py``: drift recall 0.0000
+    incremental vs 0.8555 full): re-run near-dedup over ``window_docs``
+    ∪ the frozen KEEPER surface and REBASE every stored assignment,
+    publishing the rebased index under the same atomic manifest flip
+    compaction uses.
+
+    Why drift happens: ``dedup_index_append`` keeps only keeper
+    surfaces, so a new doc whose sole above-threshold match is a
+    non-keeper MEMBER can never link — template evolution (crawl
+    refreshes) accumulates such drift docs forever.  Reconcile closes
+    exactly the drift whose missing link is inside the window: pass the
+    recent batches a rolling schedule wants re-examined (members'
+    raw text included — their surfaces are what the index forgot), or
+    the full corpus for a rebase-preserving rebuild (output then equals
+    a fresh ``near_dedup`` of the corpus — pinned by the
+    ``near_dedup_reconciled`` oracle).
+
+    Rebase semantics: the re-run assigns every window doc and every old
+    keeper a new component (components may MERGE old clusters — via a
+    window bridge doc or a keeper-keeper pair the batch sequencing
+    never compared; they never split, because minhash/verify are
+    deterministic, so re-running over a superset rediscovers every
+    pair).  Old assignments OUTSIDE the window are rewritten through
+    the keeper remap (member → old keeper → new keeper), window rows
+    replace their stored rows, and the new keeper set's surface tables
+    are rebuilt from window shingles ∪ old keeper surface (every new
+    keeper is an old keeper or a window doc, since an old member's id
+    is never below its keeper's).
+
+    Cost shape: the expensive tiers (shingle, band, verify, WCC) are
+    O(|window| + |keepers|), NOT O(corpus) — the corpus-sized work is
+    only the keepers-table metadata rewrite (one map-side join, no
+    surface recompute); ``tools/measure_reconcile_cost.py`` measures
+    the window scaling.  Readers that resolved table paths BEFORE the
+    flip: see ``dedup_index_compact`` note 3 (vacuum invalidates them).
+
+    Returns the published manifest dict."""
+    if mode not in ("exact", "scale"):
+        raise ValueError(f"mode must be 'exact' or 'scale', got {mode!r}")
+    from ..plans.checkpoint import Truncator
+    spark = window_docs.sparkSession
+    trunc = Truncator(checkpoint_dir)
+    idx = _index_dirs(path)
+    old_assign = _read_idx_dir(spark, idx["keepers"])
+    w_ids = (window_docs.select(F.col(id_col).alias("doc_id"))
+             .distinct())
+    sh_w = shingle_rows(window_docs, id_col=id_col, text_col=text_col,
+                        n=n)
+    # keeper surface NOT in the window (a window doc that is also a
+    # keeper contributes its window shingles, not two copies)
+    k_sh = (_read_idx_dir(spark, idx["shingles"])
+            .join(w_ids, "doc_id", "left_anti"))
+    old_keepers = (old_assign.filter("doc_id = keeper_doc_id")
+                   .select("doc_id"))
+    all_ids = w_ids.unionByName(old_keepers).distinct()
+    assign_new = trunc(
+        _near_dedup_core(sh_w.unionByName(k_sh), all_ids,
+                         threshold=threshold, n_bands=n_bands,
+                         rows_per_band=rows_per_band, max_iter=max_iter,
+                         mode=mode, checkpoint_dir=checkpoint_dir,
+                         max_bucket=max_bucket), "reconcile_assign")
+    # rebase: window rows replace; everything else maps its old keeper
+    # through the re-run (old keepers all sit in all_ids, so the remap
+    # is total; coalesce covers a zero-shingle keeper edge case only)
+    remap = (assign_new.join(old_keepers, "doc_id")
+             .select(F.col("doc_id").alias("keeper_doc_id"),
+                     F.col("keeper_doc_id").alias("_nk")))
+    kept = (old_assign.join(w_ids, "doc_id", "left_anti")
+            .join(remap, "keeper_doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("_nk", F.col("keeper_doc_id"))
+                    .alias("keeper_doc_id")))
+    new_keepers_tbl = trunc(
+        assign_new.join(w_ids, "doc_id").unionByName(kept),
+        "reconcile_keepers")
+    reps = (new_keepers_tbl.filter("doc_id = keeper_doc_id")
+            .select("doc_id"))
+    # surface split: keepers that survive OUTSIDE the window keep their
+    # frozen surface byte-for-byte (a repack read, no minhash
+    # recompute — the signature depends only on the shingle set);
+    # keepers minted from (or re-seen in) the window get theirs from
+    # the window shingles.  The surface compute is therefore O(window),
+    # and the surface I/O O(keepers) — never O(corpus raw text).
+    reps_old = reps.join(w_ids, "doc_id", "left_anti")
+    sh_w_reps = trunc(sh_w.join(reps.join(w_ids, "doc_id"), "doc_id"),
+                      "reconcile_sh")
+    tables = {
+        "keepers": new_keepers_tbl,
+        "shingles": k_sh.join(reps_old, "doc_id")
+        .unionByName(sh_w_reps),
+        "sizes": _read_idx_dir(spark, idx["sizes"])
+        .join(reps_old, "doc_id")
+        .unionByName(sh_w_reps.groupBy("doc_id")
+                     .agg(F.count("*").alias("n_sh"))),
+        "sigs": _read_idx_dir(spark, idx["sigs"])
+        .join(reps_old, "doc_id")
+        .unionByName(minhash_signatures(sh_w_reps, n_bands=n_bands,
+                                        rows_per_band=rows_per_band)),
+    }
+    return _publish_index_snapshot(path, tables, snapshot_id=snapshot_id,
+                                   vacuum=vacuum, num_files=num_files)
 
 
 def shingle_fingerprints(sh: DataFrame) -> DataFrame:
@@ -714,9 +846,28 @@ def near_dedup(docs: DataFrame, threshold: float = 0.5,
     are already O(width) per bucket)."""
     if mode not in ("exact", "scale"):
         raise ValueError(f"mode must be 'exact' or 'scale', got {mode!r}")
+    sh_all = shingle_rows(docs, id_col=id_col, text_col=text_col, n=n)
+    return _near_dedup_core(sh_all,
+                            docs.select(F.col(id_col).alias("doc_id")),
+                            threshold=threshold, n_bands=n_bands,
+                            rows_per_band=rows_per_band, max_iter=max_iter,
+                            mode=mode, checkpoint_dir=checkpoint_dir,
+                            max_bucket=max_bucket)
+
+
+def _near_dedup_core(sh_all: DataFrame, all_ids: DataFrame,
+                     threshold: float, n_bands: int, rows_per_band: int,
+                     max_iter: int, mode: str,
+                     checkpoint_dir: str | None,
+                     max_bucket: int | None) -> DataFrame:
+    """The near-dedup engine over an EXPLICIT shingle relation and id
+    universe — shared by ``near_dedup`` (shingles of one corpus) and
+    ``dedup_index_reconcile`` (window shingles ∪ the frozen keeper
+    surface read back from the index, where no single raw-docs frame
+    exists).  ``all_ids`` must be unique; ids absent from ``sh_all``
+    (zero-shingle docs) fall through to keeper = self."""
     from ..plans.checkpoint import Truncator
     trunc = Truncator(checkpoint_dir)
-    sh_all = shingle_rows(docs, id_col=id_col, text_col=text_col, n=n)
     # ONE aggregation pass over the shingles computes everything per-doc:
     # the shingle-set fingerprint (stage-0 collapse key), the shingle
     # count (Jaccard denominator), and all b·r minhash minima — the
@@ -779,8 +930,7 @@ def near_dedup(docs: DataFrame, threshold: float = 0.5,
                 .select("doc_id",
                         F.coalesce("comp", F.col("rep"))
                         .alias("keeper_doc_id")))
-    return (docs.select(F.col(id_col).alias("doc_id"))
-            .join(assigned, "doc_id", "left")
+    return (all_ids.join(assigned, "doc_id", "left")
             .select("doc_id",
                     F.coalesce("keeper_doc_id", F.col("doc_id"))
                     .alias("keeper_doc_id")))

@@ -128,27 +128,60 @@ def bfs_distances(edges: DataFrame, sources: DataFrame,
     return visited
 
 
-def triangles(edges: DataFrame) -> DataFrame:
+def triangles(edges: DataFrame, hub_threshold: int = 4096) -> DataFrame:
     """Triangle enumeration over an undirected edge table: rows
     (node_a, node_b, node_c) with a < b < c and all three edges present.
 
-    DEGREE-ORIENTED compact-forward (the web-scale shape, r4): every
-    canonical edge is oriented from its lower-(degree, id) endpoint to
-    the higher one, wedges are built at each triangle's LOWEST-degree
-    corner, and one equi-join closes them.  Every triangle is counted
-    exactly once (its corners are totally ordered by (degree, id)), and
-    the wedge join's per-key fan-out is the ORIENTED out-degree, which
-    is O(√m) on any graph — a 10⁶-degree citation hub contributes
-    almost no wedges because nearly all its edges point INTO it.  The
-    naive 3-join on unoriented edges makes the hub a quadratic wedge
-    factory.  Input may list either direction / duplicates; it is
+    ADAPTIVE orientation (r5): a one-row max-degree probe on the
+    already-computed degree table picks the physical strategy — both
+    paths enumerate the identical triangle set, only the wedge-corner
+    choice differs:
+
+    - max degree ≤ ``hub_threshold``: ID-oriented compact-forward —
+      wedges at each triangle's min-id corner, two equi-joins, NO
+      degree joins.  Per-key wedge fan-out is bounded by the probe
+      (≤ C(hub_threshold, 2) rows per key — a normal task at the 4096
+      default), and skipping the two degree joins + conditional
+      orientation is ~2× on hub-free graphs (the r4 regression:
+      kg_statute_triangles 0.42→0.88 s bought hub-proofing a small
+      co-citation graph never needed).
+    - otherwise: DEGREE-ORIENTED compact-forward (the web-scale shape,
+      r4) — every canonical edge points from its lower-(degree, id)
+      endpoint to the higher one, wedges are built at each triangle's
+      LOWEST-degree corner, and one equi-join closes them.  The wedge
+      join's per-key fan-out is the ORIENTED out-degree, O(√m) on any
+      graph — a 10⁶-degree citation hub contributes almost no wedges
+      because nearly all its edges point INTO it.
+
+    The probe costs one tiny aggregate job (and re-decides per peel
+    round inside ``ktruss``, tracking the shrinking graph).  The
+    canonical edge table is lineage-truncated first, so the probe's
+    pass does NOT re-execute the caller's upstream derivation (e.g. the
+    records→triples→co-citation chain) — upstream runs once, probe and
+    wedge joins read the materialized edges.  Every triangle is counted
+    exactly once either way (corners totally ordered by id, resp.
+    (degree, id)).  Input may list either direction / duplicates; it is
     canonicalized and deduped first."""
-    e = (edges.select(F.least("src", "dst").alias("a"),
-                      F.greatest("src", "dst").alias("b"))
-         .filter(F.col("a") != F.col("b")).distinct())
+    from ..plans.checkpoint import Truncator
+    e = Truncator(None)(
+        edges.select(F.least("src", "dst").alias("a"),
+                     F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b")).distinct(), "tri_edges")
     deg = (e.select(F.col("a").alias("n"))
            .union(e.select(F.col("b").alias("n")))
            .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
+    max_d = deg.agg(F.max("d")).collect()[0][0] or 0
+    if max_d <= hub_threshold:
+        w1 = e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        w2 = e.select(F.col("a").alias("u"), F.col("b").alias("w"))
+        wedges = w1.join(w2, "u").filter(F.col("v") < F.col("w"))
+        closed = wedges.join(e.select(F.col("a").alias("v"),
+                                      F.col("b").alias("w")),
+                             ["v", "w"])
+        # id orientation already yields u < v < w
+        return closed.select(F.col("u").alias("node_a"),
+                             F.col("v").alias("node_b"),
+                             F.col("w").alias("node_c"))
     ed = (e.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")),
                  "a")
           .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")),
@@ -279,7 +312,7 @@ def _ktruss_support(cur: DataFrame) -> DataFrame:
 
 
 def random_walks(edges: DataFrame, n_walks: int = 2, walk_len: int = 3,
-                 salt: str = "w") -> DataFrame:
+                 salt: str = "w", hub_threshold: int = 65536) -> DataFrame:
     """DeepWalk-style random-walk corpus over an undirected graph — the
     sampling pass a node-embedding trainer (word2vec over walks)
     consumes.  DETERMINISTIC: step t of walk w from node v moves to
@@ -287,28 +320,65 @@ def random_walks(edges: DataFrame, n_walks: int = 2, walk_len: int = 3,
     corpus is reproducible run-to-run and partition-layout-independent
     (no Spark RNG), and the DuckDB oracle can replay it byte-for-byte.
 
-    Scale shape: the neighbor table is ranked once (row_number within
-    the src partition — a per-node-degree window, never global); each
-    step is ONE equi-join of the frontier against (src, rank), so a
-    length-L walk is L narrow joins with frontier size |nodes|·n_walks,
-    constant across steps (the symmetrized graph has no dead ends:
-    every visited node arrived over an edge).  Returns
-    (start_node, walk_id, step, node) rows — step 0 is the start
-    itself; group by (start_node, walk_id) and sort by step to
+    Scale shape: the per-node neighbor ORDER is (md5-bucket(dst), dst)
+    regardless of graph shape — what changes adaptively (a one-row
+    max-degree probe, same device as ``triangles``) is the PHYSICAL
+    rank plan, and both plans realize the identical rank function the
+    oracle replays:
+
+    - max degree ≤ ``hub_threshold``: one window per node ordered by
+      (bucket, dst) — cheapest on ordinary graphs (no extra stages);
+    - hubbier: the HUB-BOUNDED two-level form — rank windows partition
+      by (node, bucket) with ~deg/256 rows per task, and bucket offsets
+      come from a per-node window over ≤256 count rows, so a
+      10⁷-degree hub is 256 normal tasks instead of one straggler
+      sorting 10⁷ rows (measured: 30.6 s → 16.0 s at a 16M-degree
+      star, tools/stress_walks.py).
+
+    Each step is then ONE equi-join of the frontier against
+    (src, rank), so a length-L walk is L narrow joins with frontier
+    size |nodes|·n_walks, constant across steps (the symmetrized graph
+    has no dead ends: every visited node arrived over an edge).
+    Returns (start_node, walk_id, step, node) rows — step 0 is the
+    start itself; group by (start_node, walk_id) and sort by step to
     assemble sentences."""
+    from ..plans.checkpoint import Truncator
     und0 = (edges.select("src", "dst")
             .filter(F.col("src") != F.col("dst")).distinct())
-    und = und0.union(und0.select(F.col("dst").alias("src"),
-                                 F.col("src").alias("dst"))).distinct()
+    # truncated: the probe, the rank, the degree table, and every one
+    # of the L step joins read the materialized symmetric adjacency —
+    # without this the caller's upstream chain re-executes per consumer
+    und = Truncator(None)(
+        und0.union(und0.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst"))).distinct(),
+        "walk_edges")
     # distinct column names on the two helper relations — the per-step
     # loop joins them against frames derived from themselves (self-join
     # ambiguity otherwise)
-    nbr = (und.select(F.col("src").alias("nsrc"),
-                      F.col("dst").alias("ndst"))
-           .withColumn("r", F.row_number().over(
-               Window.partitionBy("nsrc").orderBy("ndst")) - 1))
+    nbr0 = (und.select(F.col("src").alias("nsrc"),
+                       F.col("dst").alias("ndst"))
+            .withColumn("_bk", F.substring(
+                F.md5(F.col("ndst").cast("string")), 1, 2)))
     deg = und.groupBy(F.col("src").alias("dnode")).agg(
         F.count(F.lit(1)).alias("deg"))
+    max_d = deg.agg(F.max("deg")).collect()[0][0] or 0
+    if max_d <= hub_threshold:
+        nbr = (nbr0.withColumn("r", F.row_number().over(
+            Window.partitionBy("nsrc").orderBy("_bk", "ndst")) - 1)
+            .select("nsrc", "ndst", "r"))
+    else:
+        cnt = (nbr0.groupBy("nsrc", "_bk")
+               .agg(F.count(F.lit(1)).alias("_n")))
+        woff = (Window.partitionBy("nsrc").orderBy("_bk")
+                .rowsBetween(Window.unboundedPreceding, -1))
+        off = cnt.select("nsrc", "_bk",
+                         F.coalesce(F.sum("_n").over(woff), F.lit(0))
+                         .alias("_off"))
+        nbr = (nbr0.withColumn("_r0", F.row_number().over(
+                   Window.partitionBy("nsrc", "_bk").orderBy("ndst")) - 1)
+               .join(off, ["nsrc", "_bk"])
+               .select("nsrc", "ndst",
+                       (F.col("_r0") + F.col("_off")).alias("r")))
     frontier = (deg.select(F.col("dnode").alias("start_node"))
                 .withColumn("walk_id", F.explode(
                     F.sequence(F.lit(0), F.lit(n_walks - 1))))

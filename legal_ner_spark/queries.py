@@ -1403,6 +1403,35 @@ def q_near_dedup_incremental(spark, sf_dir):
                     .alias("keeper_doc_id")))
 
 
+def q_near_dedup_reconciled(spark, sf_dir):
+    """Keeper-drift reconciliation for the frozen-keeper index
+    (operators/dedup.dedup_index_reconcile): build over even doc_ids,
+    append odds (frozen-keeper assignments — drift docs whose only
+    match is a forgotten non-keeper member are missed), then reconcile
+    with the FULL corpus as the window: near-dedup re-runs over window
+    ∪ keeper surface and every stored assignment is REBASED under the
+    atomic manifest flip.  With a full-corpus window the rebased index
+    must equal a fresh near_dedup of the corpus exactly — so the oracle
+    is the plain near_dedup SQL, and a value-exact match proves the
+    reconcile rebase (remap of out-of-window members through their old
+    keepers + window-row replacement + keeper-surface rebuild) loses
+    and invents nothing."""
+    import tempfile
+    from .operators import dedup
+    docs = (spark.read.parquet(_t(sf_dir, "documents"))
+            .repartition(spark.sparkContext.defaultParallelism, "doc_id"))
+    path = tempfile.mkdtemp(prefix="dedup_idx_rec_")
+    dedup.dedup_index_build(docs.filter("doc_id % 2 = 0"), path,
+                            threshold=0.12)
+    dedup.dedup_index_append(docs.filter("doc_id % 2 = 1"), path,
+                             threshold=0.12)
+    dedup.dedup_index_reconcile(docs, path, threshold=0.12)
+    return (dedup.dedup_index_read(spark, path, "keepers")
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    F.col("keeper_doc_id").cast("bigint")
+                    .alias("keeper_doc_id")))
+
+
 def o_near_dedup_incremental():
     from .operators.dedup import _MINHASH_PRIME  # noqa: F401 (via helper)
     j = "round(i.inter / (sa.n_sh + sb.n_sh - i.inter), 4) >= 0.12"
@@ -4896,8 +4925,13 @@ def _walk_sql_parts(n_walks: int = 2, walk_len: int = 3):
   SELECT a AS src, b AS dst FROM ds UNION
   SELECT b AS src, a AS dst FROM ds
 ), nbr AS MATERIALIZED (
+  -- per-node neighbor order is (md5-bucket, dst) — the hub-bounded
+  -- two-level rank the Spark side uses; any deterministic bijection
+  -- works, both engines must just agree on it
   SELECT src, dst,
-         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS r
+         row_number() OVER (PARTITION BY src
+                            ORDER BY substr(md5(dst::VARCHAR), 1, 2),
+                                     dst) - 1 AS r
   FROM sym
 ), deg AS MATERIALIZED (
   SELECT src, count(*) AS deg FROM sym GROUP BY src
@@ -6013,6 +6047,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "near_dedup": q_near_dedup,
     "near_dedup_incremental": q_near_dedup_incremental,
+    "near_dedup_reconciled": q_near_dedup_reconciled,
     "duplicate_passages": q_duplicate_passages,
     "bm25_topk": q_bm25_topk,
     "bm25_index_topk": q_bm25_index_topk,
@@ -6166,6 +6201,7 @@ ORACLES = {
     "dedup_minhash_lsh": o_dedup_minhash_lsh(),
     "near_dedup": o_near_dedup(),
     "near_dedup_incremental": o_near_dedup_incremental(),
+    "near_dedup_reconciled": o_near_dedup(),
     "duplicate_passages": o_duplicate_passages(),
     "bm25_topk": o_bm25_topk(),
     "bm25_index_topk": o_bm25_topk(),

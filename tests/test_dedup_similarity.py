@@ -659,6 +659,124 @@ def test_stream_dedup_ingest_matches_batch_and_restart_noop(spark,
     assert ks.count() == ks.select("doc_id").distinct().count()
 
 
+def _chain_doc(base: list[str], positions: tuple[int, ...],
+               salt: str) -> list[str]:
+    """Mutate 2 of 40 tokens → J = 32/44 = 0.727 vs the original and
+    26/50 = 0.52 vs the original's other 2-token mutants — the drift
+    chain from tools/measure_incremental_recall.py."""
+    out = list(base)
+    for p in positions:
+        out[p] = f"mut{salt}p{p}"
+    return out
+
+
+def test_dedup_index_reconcile_recovers_drift(spark, tmp_path):
+    """The frozen-keeper miss: drift doc D's only above-threshold match
+    is non-keeper member M, whose surface the index forgot.  Reconcile
+    over a window containing M's raw text must link D into K's cluster,
+    flip the manifest atomically, and leave the index appendable."""
+    base = [f"t{i}" for i in range(40)]
+    m = _chain_doc(base, (5, 20), "a")
+    d = _chain_doc(m, (10, 30), "c")
+    b1 = spark.createDataFrame(
+        [(0, " ".join(base)), (1, " ".join(m)),
+         (100, " ".join(f"bg{i}" for i in range(40)))],
+        ["doc_id", "text"])
+    b2 = spark.createDataFrame([(3, " ".join(d))], ["doc_id", "text"])
+    idx = str(tmp_path / "idx")
+    dedup.dedup_index_build(b1, idx, threshold=0.6)
+    dedup.dedup_index_append(b2, idx, threshold=0.6)
+
+    def keepers():
+        return {r.doc_id: r.keeper_doc_id
+                for r in dedup.dedup_index_read(spark, idx,
+                                                "keepers").collect()}
+
+    # the documented miss: J(K,D)=0.52 < 0.6, M not in the index
+    assert keepers() == {0: 0, 1: 0, 100: 100, 3: 3}
+
+    man = dedup.dedup_index_reconcile(b1.unionByName(b2), idx,
+                                      threshold=0.6)
+    assert man["snapshot"] and "snap=" in man["tables"]["keepers"]
+    assert keepers() == {0: 0, 1: 0, 100: 100, 3: 0}
+
+    # index still live after the flip: an exact-dup append (J=1, every
+    # band collides — deterministic, unlike a 0.727 pair) links
+    dedup.dedup_index_append(
+        spark.createDataFrame([(7, " ".join(base))], ["doc_id", "text"]),
+        idx, threshold=0.6)
+    assert keepers()[7] == 0
+
+
+def test_dedup_index_reconcile_partial_window_rebases_members(spark,
+                                                              tmp_path):
+    """A PARTIAL window (the rolling-schedule case): a window doc
+    bridging two frozen clusters merges them, and members OUTSIDE the
+    window follow their old keeper through the remap."""
+    base = [f"t{i}" for i in range(40)]
+    m = _chain_doc(base, (5, 20), "a")       # member of K=10's cluster
+    d = _chain_doc(m, (10, 30), "c")         # J(m,d)=0.727, J(base,d)=0.52
+    dd = _chain_doc(d, (2, 25), "e")         # member of d's cluster
+    b1 = spark.createDataFrame(
+        [(10, " ".join(base)), (11, " ".join(m))], ["doc_id", "text"])
+    idx = str(tmp_path / "idx")
+    dedup.dedup_index_build(b1, idx, threshold=0.6)
+    dedup.dedup_index_append(
+        spark.createDataFrame([(50, " ".join(d))], ["doc_id", "text"]),
+        idx, threshold=0.6)
+    dedup.dedup_index_append(
+        spark.createDataFrame([(52, " ".join(dd))], ["doc_id", "text"]),
+        idx, threshold=0.6)
+    before = {r.doc_id: r.keeper_doc_id
+              for r in dedup.dedup_index_read(spark, idx,
+                                              "keepers").collect()}
+    assert before == {10: 10, 11: 10, 50: 50, 52: 50}
+
+    # window = M's raw text only: the re-run sees pairs (10,11) and
+    # (11,50) → old keepers 10 and 50 merge; 52 (outside the window)
+    # must follow 50 → 10 via the remap
+    dedup.dedup_index_reconcile(b1.filter("doc_id = 11"), idx,
+                                threshold=0.6)
+    after = {r.doc_id: r.keeper_doc_id
+             for r in dedup.dedup_index_read(spark, idx,
+                                             "keepers").collect()}
+    assert after == {10: 10, 11: 10, 50: 10, 52: 10}
+    # surface tables describe exactly the new keeper set
+    reps = {r.doc_id for r in dedup.dedup_index_read(
+        spark, idx, "sizes").select("doc_id").distinct().collect()}
+    assert reps == {10}
+
+
+def test_dedup_index_reconcile_full_window_equals_near_dedup(spark,
+                                                             tmp_path):
+    """Full-corpus window ≡ a fresh near_dedup of the corpus (the
+    rebase-preserving rebuild) — the pytest twin of the
+    near_dedup_reconciled oracle."""
+    base = [f"w{i}" for i in range(40)]
+    rows = []
+    for c in range(6):
+        b = [f"c{c}{t}" for t in base]
+        rows += [(c * 10, " ".join(b)),
+                 (c * 10 + 1, " ".join(_chain_doc(b, (5, 20), "a"))),
+                 (c * 10 + 3, " ".join(_chain_doc(
+                     _chain_doc(b, (5, 20), "a"), (10, 30), "c")))]
+    for s in range(8):
+        rows.append((1000 + s, " ".join(f"s{s}u{i}" for i in range(40))))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    idx = str(tmp_path / "idx")
+    dedup.dedup_index_build(docs.filter("doc_id % 2 = 0"), idx,
+                            threshold=0.6)
+    dedup.dedup_index_append(docs.filter("doc_id % 2 = 1"), idx,
+                             threshold=0.6)
+    dedup.dedup_index_reconcile(docs, idx, threshold=0.6)
+    got = {r.doc_id: r.keeper_doc_id
+           for r in dedup.dedup_index_read(spark, idx,
+                                           "keepers").collect()}
+    want = {r.doc_id: r.keeper_doc_id
+            for r in dedup.near_dedup(docs, threshold=0.6).collect()}
+    assert got == want
+
+
 def test_stream_dedup_ingest_rebuilds_over_crashed_bootstrap(spark,
                                                              tmp_path):
     """A bootstrap build that crashed mid-write leaves all four table

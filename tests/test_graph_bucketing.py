@@ -100,6 +100,23 @@ def test_triangles_enumeration(spark):
     assert tri == [(0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)]
 
 
+def test_triangles_both_orientations_agree(spark):
+    """The adaptive probe picks id-oriented (small graphs) or
+    degree-oriented (hubby graphs) wedges — both must enumerate the
+    IDENTICAL triangle set.  hub_threshold=0 forces the degree path on
+    the same input the default resolves to the id path."""
+    edges = [(a, b) for a in range(5) for b in range(5) if a < b]  # K5
+    edges += [(0, 9), (9, 10), (10, 0), (7, 8)]  # extra tri + tail
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    fast = sorted((r.node_a, r.node_b, r.node_c)
+                  for r in graph.triangles(df).collect())
+    hubproof = sorted((r.node_a, r.node_b, r.node_c)
+                      for r in graph.triangles(
+                          df, hub_threshold=0).collect())
+    assert fast == hubproof
+    assert len(fast) == 10 + 1  # C(5,3) in the K5 plus (0,9,10)
+
+
 def test_bfs_distances_frontier_semantics(spark, tmp_path):
     """Min-hop distances from multiple sources; nodes beyond max_depth
     are absent; durable-checkpoint mode returns the identical frontier
@@ -354,6 +371,11 @@ def test_random_walks_deterministic_and_valid(spark):
     nbrs = {}
     for s, d in sorted(und):
         nbrs.setdefault(s, []).append(d)
+    # per-node neighbor order is (md5-bucket, dst) — the hub-bounded
+    # two-level rank
+    for s in nbrs:
+        nbrs[s].sort(key=lambda d: (hashlib.md5(d.encode())
+                                    .hexdigest()[:2], d))
     expect = []
     for start in sorted(nbrs):
         for w in range(2):
@@ -365,6 +387,11 @@ def test_random_walks_deterministic_and_valid(spark):
                 node = nbrs[node][c]
                 expect.append((start, w, step, node))
     assert out1 == sorted(expect)
+    # the hub-bounded two-level rank plan (forced via hub_threshold=0)
+    # realizes the identical rank function — same walks byte-for-byte
+    out3 = sorted(map(tuple, graph.random_walks(
+        edges, n_walks=2, walk_len=3, hub_threshold=0).collect()))
+    assert out3 == out1
     # every transition is an edge
     by_walk = {}
     for start, w, step, node in out1:

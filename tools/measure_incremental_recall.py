@@ -22,6 +22,13 @@ banding's candidate probability is 1-(1-0.727^4)^8 = 0.93, so LSH
 recall affects both paths equally and the measured GAP isolates the
 frozen-keeper trade.
 
+The tool also runs ``dedup_index_reconcile`` over the same index with
+the full corpus as the window — the drift MITIGATION: with the window
+covering the forgotten members, drift recall must return to the full
+figure while the keeper-dup control stays put (full-window reconcile is
+provably ≡ near_dedup of the corpus; the gap it closes at O(window)
+cost on a rolling schedule is measured by measure_reconcile_cost.py).
+
 Usage: python tools/measure_incremental_recall.py [n_clusters] [n_background]
 Prints one JSON line; the committed figure lives in BENCH.md.
 """
@@ -97,6 +104,16 @@ def main() -> None:
            for r in dedup.dedup_index_read(spark, path,
                                            "keepers").collect()}
 
+    # reconcile the SAME index with the full corpus as the window (the
+    # r5 drift mitigation: near-dedup re-runs over window ∪ keeper
+    # surface, every stored assignment rebased under the manifest flip)
+    t0 = time.time()
+    dedup.dedup_index_reconcile(docs, path, threshold=THRESHOLD)
+    t_rec = time.time() - t0
+    rec = {r.doc_id: r.keeper_doc_id
+           for r in dedup.dedup_index_read(spark, path,
+                                           "keepers").collect()}
+
     # full recompute over the whole corpus
     t0 = time.time()
     full = {r.doc_id: r.keeper_doc_id
@@ -119,12 +136,19 @@ def main() -> None:
         "drift_recall_full": round(linked(full, drift) / len(drift), 4),
         "drift_recall_incremental": round(linked(inc, drift) / len(drift),
                                           4),
+        "drift_recall_reconciled": round(linked(rec, drift) / len(drift),
+                                         4),
         "keeperdup_recall_full": round(
             linked(full, keeperdup) / len(keeperdup), 4),
         "keeperdup_recall_incremental": round(
             linked(inc, keeperdup) / len(keeperdup), 4),
+        "keeperdup_recall_reconciled": round(
+            linked(rec, keeperdup) / len(keeperdup), 4),
         "batch2_agreement": round(agree / len(batch2), 4),
+        "reconciled_full_agreement": round(
+            sum(1 for i in rec if rec[i] == full[i]) / len(rec), 4),
         "wall_incremental_s": round(t_inc, 1),
+        "wall_reconcile_s": round(t_rec, 1),
         "wall_full_s": round(t_full, 1),
     }
     print(json.dumps(out))
