@@ -58,27 +58,46 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 20,
             .limit(k))
 
 
-def build_text_index(docs: DataFrame, path: str, n_buckets: int = 64,
-                     id_col: str = "doc_id",
-                     text_col: str = "text") -> None:
-    """Materialize an inverted index for BM25 serving: posting lists
-    (term, doc_id, tf, dl) written ONCE as parquet partitioned by a
-    term-hash bucket (Iceberg: identity-partition on the bucket), corpus
-    stats (n_docs, avgdl) alongside.  The 100 TB pattern mirrors the IVF
-    index: the corpus-side tokenize/aggregate pass runs once; every
-    subsequent query reads only its terms' buckets via partition pruning
-    + a pushed term filter — posting-list I/O instead of a corpus scan.
+_IDX_MANIFEST = "_current.json"
 
-    Bucketing by ``xxhash64(term) % n_buckets`` keeps any single
-    partition ~1/n_buckets of the posting volume regardless of term skew
-    ACROSS terms; a single degenerate term ("the") still concentrates in
-    one bucket, which is why serving filters on term before scoring —
-    the scan cost is bounded by the bucket, the compute by the term."""
+
+def _read_text_manifest(path: str) -> dict:
+    """Resolve the index layout.  A segmented index (one that has seen
+    ``append_text_index`` or ``compact_text_index``) carries a
+    ``_current.json`` manifest listing its segment roots; a build-once
+    index is the legacy single segment rooted at ``path`` itself."""
+    import json
+    import os
+    man = os.path.join(path, _IDX_MANIFEST)
+    if os.path.exists(man):
+        with open(man) as fh:
+            return json.load(fh)
+    return {"snapshot": None, "segments": [path], "n_buckets": None}
+
+
+def _write_text_manifest(path: str, manifest: dict) -> None:
+    import json
+    import os
+    tmp = os.path.join(path, f".{_IDX_MANIFEST}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.rename(tmp, os.path.join(path, _IDX_MANIFEST))  # commit point
+
+
+def _write_text_segment(docs: DataFrame, seg: str, n_buckets: int,
+                        id_col: str, text_col: str) -> None:
+    """One self-contained index segment: bucketed posting lists + its
+    own (n_docs, avgdl) stats + a 0-row unpartitioned schema pin (an
+    empty corpus, or a bucket layout with no matching partitions,
+    leaves the partitioned dir without inferable schema, and the reader
+    must not depend on data being present).  All three writes are
+    overwrite-mode, so rewriting a segment under the same name (a
+    replayed batch) REPLACES it instead of double-appending."""
     toks = F.split(F.lower(text_col), " ")
     base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
     (base.agg(F.count("*").alias("n_docs"),
               F.avg(F.size("toks")).alias("avgdl"))
-     .write.mode("overwrite").parquet(f"{path}/stats"))
+     .write.mode("overwrite").parquet(f"{seg}/stats"))
     postings = (base.select("doc_id", F.size("toks").alias("dl"),
                             F.explode("toks").alias("term"))
                 .groupBy("doc_id", "dl", "term")
@@ -86,22 +105,191 @@ def build_text_index(docs: DataFrame, path: str, n_buckets: int = 64,
                 .withColumn("bucket",
                             F.pmod(F.xxhash64("term"), F.lit(n_buckets))))
     (postings.write.mode("overwrite").partitionBy("bucket")
-     .parquet(f"{path}/postings"))
-    # a 0-row, UNpartitioned twin pins the schema: an empty corpus (or a
-    # bucket layout with no matching partitions) leaves the partitioned
-    # dir without inferable schema, and the reader must not depend on
-    # data being present (works on any filesystem, unlike a sidecar file)
+     .parquet(f"{seg}/postings"))
     (postings.limit(0).write.mode("overwrite")
-     .parquet(f"{path}/postings_schema"))
+     .parquet(f"{seg}/postings_schema"))
+
+
+def build_text_index(docs: DataFrame, path: str, n_buckets: int = 64,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> None:
+    """Materialize an inverted index for BM25 serving: posting lists
+    (term, doc_id, tf, dl) written as parquet partitioned by a
+    term-hash bucket (Iceberg: identity-partition on the bucket), corpus
+    stats (n_docs, avgdl) alongside.  The 100 TB pattern mirrors the IVF
+    index: the corpus-side tokenize/aggregate pass runs once; every
+    subsequent query reads only its terms' buckets via partition pruning
+    + a pushed term filter — posting-list I/O instead of a corpus scan.
+    Rolling ingest does NOT force rebuilds: ``append_text_index`` adds
+    per-batch segments and ``compact_text_index`` merges them back to
+    one under an atomic manifest flip (BM25 is order-independent, so a
+    segmented index answers every query exactly — document frequencies
+    and corpus stats are aggregated across segments at query time).
+
+    Bucketing by ``xxhash64(term) % n_buckets`` keeps any single
+    partition ~1/n_buckets of the posting volume regardless of term skew
+    ACROSS terms; a single degenerate term ("the") still concentrates in
+    one bucket, which is why serving filters on term before scoring —
+    the scan cost is bounded by the bucket, the compute by the term."""
+    import os
+    import shutil
+    # a (re)build starts a FRESH index: drop any manifest/segments a
+    # previous segmented index left at this path, or the stale manifest
+    # would shadow the new flat tables (same guard as dedup_index_build)
+    if os.path.isdir(path):
+        for d in os.listdir(path):
+            full = os.path.join(path, d)
+            if d == _IDX_MANIFEST or d.startswith(f".{_IDX_MANIFEST}"):
+                os.remove(full)
+            elif ((d.startswith("seg-") or d.startswith("snap="))
+                  and os.path.isdir(full)):
+                shutil.rmtree(full)
+    _write_text_segment(docs, path, n_buckets, id_col, text_col)
+    # record the bucketing modulus: the max(bucket)+1 probe is NOT a
+    # reliable recovery (a small corpus can leave the top bucket empty —
+    # measured at sf0.01: max=62 under n_buckets=64, which would make
+    # every subsequent query compute wrong bucket literals and prune
+    # away its own terms)
+    _write_text_manifest(path, {"snapshot": None, "segments": [path],
+                                "n_buckets": n_buckets})
+
+
+def append_text_index(new_docs: DataFrame, path: str,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      batch_tag: str | None = None,
+                      n_buckets: int | None = None) -> dict:
+    """Add a batch to an existing text index WITHOUT rebuilding: the
+    batch becomes one new self-contained segment (its own postings /
+    stats / schema pin, written overwrite-mode so a replayed
+    ``batch_tag`` replaces itself), then one atomic manifest rename
+    publishes the grown segment list.  Queries over the segmented index
+    are EXACT — BM25's sufficient statistics (tf, dl per doc; df and
+    (n_docs, avgdl) per corpus) are all unions/sums over segments, so
+    append-then-query ≡ rebuilt-index-query (pinned in pytest).  Batches
+    must be disjoint doc sets (same contract as ``dedup_index_append``);
+    the bucketing modulus is inherited from the manifest so every
+    segment prunes identically (first append over a legacy build-once
+    index: pass ``n_buckets`` if the build used a non-default modulus —
+    the fallback probe of max(bucket)+1 can under-read an unlucky
+    layout).  Returns the published manifest."""
+    import os
+    import re
+    man = _read_text_manifest(path)
+    if man.get("n_buckets") is not None:
+        n_buckets = man["n_buckets"]
+    elif n_buckets is None:  # legacy flat index: probe the modulus
+        spark = new_docs.sparkSession
+        n_buckets = int(spark.read.parquet(f"{path}/postings")
+                        .agg(F.max("bucket")).collect()[0][0] or 63) + 1
+    if batch_tag is None:
+        nums = [int(m.group(1)) for d in os.listdir(path)
+                if (m := re.fullmatch(r"seg-a(\d+)", d))]
+        batch_tag = f"a{(max(nums) + 1 if nums else 0):06d}"
+    seg = os.path.join(path, f"seg-{batch_tag}")
+    _write_text_segment(new_docs, seg, n_buckets, id_col, text_col)
+    segments = [s for s in man["segments"] if s != seg] + [seg]
+    manifest = {"snapshot": man.get("snapshot"), "segments": segments,
+                "n_buckets": n_buckets}
+    _write_text_manifest(path, manifest)
+    return manifest
+
+
+def compact_text_index(spark, path: str, snapshot_id: str | None = None,
+                       vacuum: bool = True,
+                       num_files: int | None = None) -> dict:
+    """Merge all segments back into ONE under ``<path>/snap=<id>`` and
+    flip the manifest atomically — the maintenance move a rolling
+    ingest needs (every append adds a segment whose listing cost
+    accumulates; the merge also re-packs small files, exactly like
+    ``dedup_index_compact``).  Combined stats are the weighted fold of
+    the per-segment stats (n = Σnᵢ, avgdl = Σnᵢ·avgdlᵢ / n) — the same
+    fold the query path applies, so answers are unchanged.  ``vacuum``
+    removes the now-unreferenced segment dirs immediately after the
+    flip; as with the dedup index, that invalidates DataFrame handles
+    resolved BEFORE the compact — pass ``vacuum=False`` when long-lived
+    reader plans may be in flight."""
+    import os
+    import re
+    import shutil
+    man = _read_text_manifest(path)
+    if snapshot_id is None:
+        nums = [int(m.group(1)) for d in os.listdir(path)
+                if (m := re.fullmatch(r"snap=c(\d+)", d))]
+        snapshot_id = f"c{(max(nums) + 1 if nums else 0):06d}"
+    snap = os.path.join(path, f"snap={snapshot_id}")
+    if any(os.path.normpath(snap) == os.path.normpath(s)
+           for s in man["segments"]):
+        raise ValueError(
+            f"snapshot_id {snapshot_id!r} is a currently published "
+            "segment — compaction must mint a fresh id, or the rewrite "
+            "would overwrite its own input mid-scan")
+    tf, stats = _read_text_segments(spark, man["segments"])
+    postings = tf if num_files is None else tf.coalesce(num_files)
+    (postings.write.mode("overwrite").partitionBy("bucket")
+     .parquet(f"{snap}/postings"))
+    stats.write.mode("overwrite").parquet(f"{snap}/stats")
+    (postings.limit(0).write.mode("overwrite")
+     .parquet(f"{snap}/postings_schema"))
+    n_buckets = man.get("n_buckets")
+    if n_buckets is None:  # compacting a legacy build-once index
+        n_buckets = int(spark.read.parquet(f"{path}/postings")
+                        .agg(F.max("bucket")).collect()[0][0] or 63) + 1
+    manifest = {"snapshot": snapshot_id, "segments": [snap],
+                "n_buckets": n_buckets}
+    _write_text_manifest(path, manifest)
+    if vacuum:
+        for d in os.listdir(path):
+            full = os.path.join(path, d)
+            if full == snap or not os.path.isdir(full):
+                continue
+            if (d.startswith("seg-") or d.startswith("snap=")
+                    or d in ("postings", "stats", "postings_schema")):
+                shutil.rmtree(full)
+    return manifest
+
+
+def _read_text_segments(spark, segments: list[str],
+                        buckets: list | None = None,
+                        terms: list[str] | None = None):
+    """(tf, stats) across segments: per-segment pruned posting scans
+    unioned, per-segment stats folded with document-count weights.
+    With ONE segment the stats pass through unfolded — byte-identical
+    to the build-once read."""
+    tfs, sts = [], []
+    for seg in segments:
+        schema = spark.read.parquet(f"{seg}/postings_schema").schema
+        t = spark.read.schema(schema).parquet(f"{seg}/postings")
+        if buckets is not None:
+            t = t.filter(F.col("bucket").isin(buckets))
+        if terms is not None:
+            t = t.filter(F.col("term").isin(list(terms)))
+        tfs.append(t)
+        sts.append(spark.read.parquet(f"{seg}/stats"))
+    tf = tfs[0]
+    for t in tfs[1:]:
+        tf = tf.unionByName(t)
+    if len(sts) == 1:
+        return tf, sts[0]
+    stats_all = sts[0]
+    for s in sts[1:]:
+        stats_all = stats_all.unionByName(s)
+    return tf, stats_all.agg(
+        F.sum("n_docs").alias("n_docs"),
+        (F.sum(F.col("n_docs") * F.col("avgdl")) / F.sum("n_docs"))
+        .alias("avgdl"))
 
 
 def query_text_index(spark, path: str, terms: list[str], k: int = 20,
                      k1: float = 1.2, b: float = 0.75,
                      n_buckets: int = 64) -> DataFrame:
     """BM25 top-k served from a materialized index: the query terms'
-    bucket ids are LITERALS, so they reach the postings scan as
-    PartitionFilters (pruned directories, not filtered rows) with the
-    term filter pushed beneath; scoring is identical to ``bm25_topk``."""
+    bucket ids are LITERALS, so they reach every segment's postings
+    scan as PartitionFilters (pruned directories, not filtered rows)
+    with the term filter pushed beneath; scoring is identical to
+    ``bm25_topk`` (df and corpus stats fold across segments)."""
+    man = _read_text_manifest(path)
+    if man.get("n_buckets") is not None:
+        n_buckets = man["n_buckets"]
     # no driver-side xxhash64 exists; compute the buckets with a tiny
     # Spark job (once per query batch) so the hash definition stays
     # single-sourced with the writer
@@ -110,11 +298,8 @@ def query_text_index(spark, path: str, terms: list[str], k: int = 20,
                                   F.lit(n_buckets)).alias("b"))
                    .distinct().collect())
     buckets = sorted({r.b for r in bucket_rows})
-    stats = spark.read.parquet(f"{path}/stats")
-    schema = spark.read.parquet(f"{path}/postings_schema").schema
-    tf = (spark.read.schema(schema).parquet(f"{path}/postings")
-          .filter(F.col("bucket").isin(buckets))
-          .filter(F.col("term").isin(list(terms))))
+    tf, stats = _read_text_segments(spark, man["segments"],
+                                    buckets=buckets, terms=terms)
     df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
     contrib = (F.log((F.col("n_docs") - F.col("df") + 0.5)
                      / (F.col("df") + 0.5) + 1.0)

@@ -245,46 +245,195 @@ def ivf_ann_topk(queries: DataFrame, candidates: DataFrame, k: int = 5,
     return _rerank_topk(cand, k)
 
 
+_IVF_MANIFEST = "_current.json"
+
+
+def _read_ivf_manifest(path: str) -> dict:
+    """Resolve the IVF index layout: manifest (segmented) or the legacy
+    build-once flat layout (centroids + one lists dir at ``path``)."""
+    import json
+    import os
+    man = os.path.join(path, _IVF_MANIFEST)
+    if os.path.exists(man):
+        with open(man) as fh:
+            return json.load(fh)
+    return {"snapshot": None, "centroids": f"{path}/centroids",
+            "segments": [f"{path}/lists"]}
+
+
+def _write_ivf_manifest(path: str, manifest: dict) -> None:
+    import json
+    import os
+    tmp = os.path.join(path, f".{_IVF_MANIFEST}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.rename(tmp, os.path.join(path, _IVF_MANIFEST))  # commit point
+
+
+def _ivf_lists(vecs: DataFrame, cents: DataFrame,
+               quantized: bool) -> DataFrame:
+    """Inverted-list rows for a vector batch under FIXED centroids —
+    shared by build and append so both write the identical layout."""
+    asn = ivf_assign(vecs, cents, n_probe=1)
+    if quantized:
+        return (asn.select("vec_id", "centroid_id")
+                .join(quantize_embeddings(vecs, id_col="vec_id",
+                                          vec_col="v"), "vec_id")
+                .select(F.col("vec_id").alias("neighbor_id"), "scale",
+                        "q", "centroid_id"))
+    return asn.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("v").alias("cv"), "centroid_id")
+
+
 def build_ivf_index(candidates: DataFrame, path: str, n_centroids: int = 8,
-                    refine_iters: int = 0, quantized: bool = False) -> None:
-    """Materialize an IVF index: inverted lists written once as parquet
+                    refine_iters: int = 0, quantized: bool = False,
+                    centroids: DataFrame | None = None) -> None:
+    """Materialize an IVF index: inverted lists written as parquet
     partitioned by ``centroid_id`` (Iceberg equivalent: identity-partition
     on centroid_id), centroids alongside.  The 100 TB pattern: the
     corpus-side assignment pass runs ONCE; every subsequent query batch
     reads only its probed lists via partition pruning instead of
-    re-scanning (or re-quantizing) the corpus.
+    re-scanning (or re-quantizing) the corpus.  Rolling ingest does NOT
+    force rebuilds: ``append_ivf_index`` assigns new batches to the
+    FROZEN centroids as per-batch list segments, and
+    ``compact_ivf_index`` merges segments under an atomic manifest flip.
 
     ``quantized=True`` writes the lists in int8 form — (neighbor_id,
     scale:double, q:array<tinyint>, centroid_id) — 4× smaller on disk;
     ``query_ivf_index`` dequantizes on read.  Centroids stay float (they
     are ``n_centroids`` rows — size is irrelevant, assignment accuracy
-    is not)."""
-    cents = ivf_centroids(candidates, n_centroids, refine_iters)
+    is not).  Pass ``centroids`` to pin an externally trained quantizer
+    (also what makes build-vs-append equality testable)."""
+    import os
+    import shutil
+    if os.path.isdir(path):  # fresh build: clear stale manifest/segments
+        for d in os.listdir(path):
+            full = os.path.join(path, d)
+            if d == _IVF_MANIFEST or d.startswith(f".{_IVF_MANIFEST}"):
+                os.remove(full)
+            elif ((d.startswith("seg-") or d.startswith("snap="))
+                  and os.path.isdir(full)):
+                shutil.rmtree(full)
+    cents = (centroids if centroids is not None
+             else ivf_centroids(candidates, n_centroids, refine_iters))
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
-    asn = ivf_assign(candidates, cents, n_probe=1)
-    if quantized:
-        lists = (asn.select("vec_id", "centroid_id")
-                 .join(quantize_embeddings(candidates, id_col="vec_id",
-                                           vec_col="v"), "vec_id")
-                 .select(F.col("vec_id").alias("neighbor_id"), "scale", "q",
-                         "centroid_id"))
-    else:
-        lists = asn.select(F.col("vec_id").alias("neighbor_id"),
-                           F.col("v").alias("cv"), "centroid_id")
-    (lists.write.mode("overwrite").partitionBy("centroid_id")
+    spark = candidates.sparkSession
+    cents_r = spark.read.parquet(f"{path}/centroids")
+    (_ivf_lists(candidates, cents_r, quantized)
+     .write.mode("overwrite").partitionBy("centroid_id")
      .parquet(f"{path}/lists"))
+
+
+def append_ivf_index(new_vecs: DataFrame, path: str,
+                     batch_tag: str | None = None) -> dict:
+    """Add a vector batch to an existing IVF index WITHOUT rebuilding:
+    assign the batch to the index's FROZEN centroids, write it as one
+    new list segment (overwrite-mode — a replayed ``batch_tag``
+    replaces itself), and publish the grown segment list with one
+    atomic manifest rename.  Under fixed centroids this is EXACT:
+    append-then-query ≡ an index built over the union with the same
+    centroids (pinned in pytest), because list membership depends only
+    on (vector, centroids).  The quantized/float layout is inherited
+    from the existing lists' schema.
+
+    THE FROZEN-QUANTIZER TRADE (documented-stale, the IVF analogue of
+    the dedup index's frozen keepers): centroids are never retrained,
+    so if the appended distribution DRIFTS away from the build-time
+    corpus, new vectors crowd into few lists and probe recall degrades.
+    Mitigation is a periodic REBUILD (the ``dedup_index_reconcile``
+    analogue would retrain + reassign everything — for IVF that IS a
+    rebuild); ``compact_ivf_index`` repacks segments but deliberately
+    keeps the quantizer frozen so compaction never changes answers."""
+    import os
+    import re
+    spark = new_vecs.sparkSession
+    man = _read_ivf_manifest(path)
+    if new_vecs.isEmpty():
+        # a 0-row partitioned segment has no inferable schema; an empty
+        # batch is a no-op (same contract as the streaming processors'
+        # empty-micro-batch skip)
+        return man
+    cents = spark.read.parquet(man["centroids"])
+    quantized = "q" in spark.read.parquet(man["segments"][0]).columns
+    if batch_tag is None:
+        nums = [int(m.group(1)) for d in os.listdir(path)
+                if (m := re.fullmatch(r"seg-a(\d+)", d))]
+        batch_tag = f"a{(max(nums) + 1 if nums else 0):06d}"
+    seg = os.path.join(path, f"seg-{batch_tag}")
+    (_ivf_lists(new_vecs, cents, quantized)
+     .write.mode("overwrite").partitionBy("centroid_id").parquet(seg))
+    segments = [s for s in man["segments"] if s != seg] + [seg]
+    manifest = {"snapshot": man.get("snapshot"),
+                "centroids": man["centroids"], "segments": segments}
+    _write_ivf_manifest(path, manifest)
+    return manifest
+
+
+def compact_ivf_index(spark, path: str, snapshot_id: str | None = None,
+                      vacuum: bool = True,
+                      num_files: int | None = None) -> dict:
+    """Merge all list segments into ONE under ``<path>/snap=<id>``
+    (centroids copied alongside so the snapshot is self-contained) and
+    flip the manifest atomically.  The quantizer stays FROZEN — the
+    rewrite is a byte-level repack, so answers are unchanged by
+    construction.  ``vacuum`` removes the unreferenced segment dirs
+    right after the flip; as elsewhere, that invalidates DataFrame
+    handles resolved BEFORE the compact."""
+    import os
+    import re
+    import shutil
+    man = _read_ivf_manifest(path)
+    if snapshot_id is None:
+        nums = [int(m.group(1)) for d in os.listdir(path)
+                if (m := re.fullmatch(r"snap=c(\d+)", d))]
+        snapshot_id = f"c{(max(nums) + 1 if nums else 0):06d}"
+    snap = os.path.join(path, f"snap={snapshot_id}")
+    if any(os.path.normpath(f"{snap}/lists") == os.path.normpath(s)
+           for s in man["segments"]):
+        raise ValueError(
+            f"snapshot_id {snapshot_id!r} is a currently published "
+            "segment — compaction must mint a fresh id, or the rewrite "
+            "would overwrite its own input mid-scan")
+    lists = spark.read.parquet(man["segments"][0])
+    for s in man["segments"][1:]:
+        lists = lists.unionByName(spark.read.parquet(s))
+    if num_files is not None:
+        lists = lists.coalesce(num_files)
+    (lists.write.mode("overwrite").partitionBy("centroid_id")
+     .parquet(f"{snap}/lists"))
+    (spark.read.parquet(man["centroids"])
+     .write.mode("overwrite").parquet(f"{snap}/centroids"))
+    manifest = {"snapshot": snapshot_id,
+                "centroids": f"{snap}/centroids",
+                "segments": [f"{snap}/lists"]}
+    _write_ivf_manifest(path, manifest)
+    if vacuum:
+        for d in os.listdir(path):
+            full = os.path.join(path, d)
+            if full == snap or not os.path.isdir(full):
+                continue
+            if (d.startswith("seg-") or d.startswith("snap=")
+                    or d in ("lists", "centroids")):
+                shutil.rmtree(full)
+    return manifest
 
 
 def query_ivf_index(spark, path: str, queries: DataFrame, k: int = 5,
                     n_probe: int = 2) -> DataFrame:
-    """Query a materialized IVF index.  The probed centroid_ids reach the
-    lists scan as a partition filter (visible as PartitionFilters in the
-    plan when probes are literal); rerank is exact within probed lists —
-    identical ranking contract to the other ANN paths (_rerank_topk).
-    A quantized index (int8 lists, see ``build_ivf_index``) is detected
-    by schema and dequantized inside the rerank projection."""
-    cents = spark.read.parquet(f"{path}/centroids")
-    lists = spark.read.parquet(f"{path}/lists")
+    """Query a materialized IVF index.  The probed centroid_ids reach
+    every list segment's scan as a partition filter (visible as
+    PartitionFilters in the plan when probes are literal); rerank is
+    exact within probed lists — identical ranking contract to the other
+    ANN paths (_rerank_topk).  A quantized index (int8 lists, see
+    ``build_ivf_index``) is detected by schema and dequantized inside
+    the rerank projection.  Segments (appended batches) union before
+    the probe join — list membership is per-vector, so segmentation
+    never changes the candidate set."""
+    man = _read_ivf_manifest(path)
+    cents = spark.read.parquet(man["centroids"])
+    lists = spark.read.parquet(man["segments"][0])
+    for s in man["segments"][1:]:
+        lists = lists.unionByName(spark.read.parquet(s))
     if "q" in lists.columns:
         lists = lists.select(
             "neighbor_id",

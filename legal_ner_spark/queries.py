@@ -2103,6 +2103,28 @@ def q_bm25_index_topk(spark, sf_dir):
             .withColumn("doc_id", F.col("doc_id").cast("bigint")))
 
 
+def q_bm25_index_incremental(spark, sf_dir):
+    """BM25 served from an INCREMENTALLY grown inverted index
+    (operators/search.append_text_index + compact_text_index): build
+    over even doc_ids, append the odd batch as a second segment,
+    COMPACT the segments back to one under the atomic manifest flip,
+    then query.  BM25's sufficient statistics (tf/dl per doc, df and
+    (n_docs, avgdl) per corpus) all fold across segments, so the oracle
+    is the plain full-corpus BM25 — a value-exact match proves both the
+    append and the compaction are lossless."""
+    from pathlib import Path
+    from .operators import search
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    sf_tag = Path(sf_dir.rstrip("/")).name
+    path = str(Path(__file__).resolve().parent.parent / ".artifacts"
+               / f"text_index_inc_{sf_tag}_{os.getpid()}")
+    search.build_text_index(docs.filter("doc_id % 2 = 0"), path)
+    search.append_text_index(docs.filter("doc_id % 2 = 1"), path)
+    search.compact_text_index(spark, path)
+    return (search.query_text_index(spark, path, BM25_TERMS, k=20)
+            .withColumn("doc_id", F.col("doc_id").cast("bigint")))
+
+
 def q_similarity_topk(spark, sf_dir):
     """Brute-force cosine top-5 per query vector (queries = vec_id < 5).
     Baseline ANN path; ranks on the rounded score for cross-engine
@@ -3258,6 +3280,77 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cents AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, v AS cv
   FROM (SELECT * FROM e WHERE vec_id >= 5 ORDER BY vec_id LIMIT 8)
+),
+lists AS (
+  SELECT vec_id AS neighbor_id, centroid_id FROM (
+    SELECT c.vec_id, ct.centroid_id,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY {cos.format(a='c.v', b='ct.cv')} DESC,
+                      ct.centroid_id ASC) AS crn
+    FROM e c CROSS JOIN cents ct WHERE c.vec_id >= 5)
+  WHERE crn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, centroid_id FROM (
+    SELECT q.vec_id, ct.centroid_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY {cos.format(a='q.v', b='ct.cv')} DESC,
+                      ct.centroid_id ASC) AS crn
+    FROM e q CROSS JOIN cents ct WHERE q.vec_id < 5)
+  WHERE crn <= 2
+),
+cand AS (
+  SELECT DISTINCT p.query_id, l.neighbor_id
+  FROM probes p JOIN lists l USING (centroid_id)
+)
+SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+  SELECT c.query_id::BIGINT AS query_id, c.neighbor_id::BIGINT AS neighbor_id,
+         {cos.format(a='qe.v', b='ne.v')} AS cos_sim,
+         row_number() OVER (PARTITION BY c.query_id
+           ORDER BY {cos.format(a='qe.v', b='ne.v')} DESC,
+                    c.neighbor_id ASC) AS rnk
+  FROM cand c JOIN e qe ON qe.vec_id = c.query_id
+              JOIN e ne ON ne.vec_id = c.neighbor_id
+) WHERE rnk <= 5"""
+
+
+def q_ann_ivf_incremental(spark, sf_dir):
+    """IVF ANN served from an INCREMENTALLY grown materialized index
+    (operators/similarity.append_ivf_index + compact_ivf_index): build
+    over the even-id half of the candidates (centroids trained on that
+    batch and then FROZEN), append the odd half as a second list
+    segment, COMPACT under the atomic manifest flip, then query.  Under
+    fixed centroids list membership is per-vector, so the oracle is the
+    same IVF SQL with centroids seeded from the even batch — value-
+    exact proves append + compaction change no answer."""
+    from pathlib import Path
+    from .operators import similarity
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    qs = similarity.prepare_vectors(emb.filter(F.col("vec_id") < 5))
+    cs = similarity.prepare_vectors(emb.filter(F.col("vec_id") >= 5))
+    sf_tag = Path(sf_dir.rstrip("/")).name
+    path = str(Path(__file__).resolve().parent.parent / ".artifacts"
+               / f"ivf_index_inc_{sf_tag}_{os.getpid()}")
+    similarity.build_ivf_index(cs.filter(F.col("vec_id") % 2 == 0), path,
+                               n_centroids=8)
+    similarity.append_ivf_index(cs.filter(F.col("vec_id") % 2 == 1), path)
+    similarity.compact_ivf_index(spark, path)
+    return (similarity.query_ivf_index(spark, path, qs, k=5, n_probe=2)
+            .select(F.col("query_id").cast("bigint").alias("query_id"),
+                    F.col("neighbor_id").cast("bigint")
+                    .alias("neighbor_id"), "cos_sim", "rnk"))
+
+
+def o_ann_ivf_incremental():
+    cos = ("round(list_dot_product({a}, {b}) / "
+           "(sqrt(list_dot_product({a}, {a})) * "
+           "sqrt(list_dot_product({b}, {b}))), 4)")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, v AS cv
+  FROM (SELECT * FROM e WHERE vec_id >= 5 AND vec_id % 2 = 0
+        ORDER BY vec_id LIMIT 8)
 ),
 lists AS (
   SELECT vec_id AS neighbor_id, centroid_id FROM (
@@ -6051,6 +6144,7 @@ QUERIES = {
     "duplicate_passages": q_duplicate_passages,
     "bm25_topk": q_bm25_topk,
     "bm25_index_topk": q_bm25_index_topk,
+    "bm25_index_incremental": q_bm25_index_incremental,
     "kmv_distinct": q_kmv_distinct,
     "cms_freq": q_cms_freq,
     "cms_join_size": q_cms_join_size,
@@ -6074,6 +6168,7 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "quantize_embeddings": q_quantize_embeddings,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_incremental": q_ann_ivf_incremental,
     "ann_ivf_q_topk": q_ann_ivf_q_topk,
     "ann_pq_topk": q_ann_pq_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
@@ -6205,6 +6300,7 @@ ORACLES = {
     "duplicate_passages": o_duplicate_passages(),
     "bm25_topk": o_bm25_topk(),
     "bm25_index_topk": o_bm25_topk(),
+    "bm25_index_incremental": o_bm25_topk(),
     "kmv_distinct": o_kmv_distinct(),
     "cms_freq": o_cms_freq(),
     "cms_join_size": o_cms_join_size(),
@@ -6228,6 +6324,7 @@ ORACLES = {
     "ann_lsh_topk": o_ann_lsh_topk(),
     "quantize_embeddings": o_quantize_embeddings(),
     "ann_ivf_topk": o_ann_ivf_topk(),
+    "ann_ivf_incremental": o_ann_ivf_incremental(),
     "ann_ivf_q_topk": o_ann_ivf_q_topk(),
     "ann_pq_topk": o_ann_pq_topk(),
     "ann_ivfpq_topk": o_ann_ivfpq_topk(),

@@ -185,6 +185,80 @@ def test_materialized_ivf_index_matches_inline(spark, tmp_path):
     assert via_index == inline
 
 
+def test_ivf_index_append_compact_equals_rebuild(spark, tmp_path):
+    """Incremental IVF: build over batch 1, append batches 2 and 3 —
+    queries must equal an index built over the union with the SAME
+    (frozen) centroids; a replayed batch_tag replaces its segment;
+    compaction changes nothing; appends keep working after compaction."""
+    import random
+    rng = random.Random(7)
+    dim = 8
+    rows = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(120)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qs = similarity.prepare_vectors(emb.filter(F.col("vec_id") < 4))
+    cs = similarity.prepare_vectors(emb.filter(F.col("vec_id") >= 4))
+    b1 = cs.filter(F.col("vec_id") < 50)
+    b2 = cs.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 90))
+    b3 = cs.filter(F.col("vec_id") >= 90)
+
+    cents = similarity.ivf_centroids(b1, n_centroids=4)
+    full = str(tmp_path / "full")
+    similarity.build_ivf_index(cs, full, centroids=cents)
+    want = {(r.query_id, r.rnk): r.neighbor_id
+            for r in similarity.query_ivf_index(
+                spark, full, qs, k=3, n_probe=2).collect()}
+
+    inc = str(tmp_path / "inc")
+    similarity.build_ivf_index(b1, inc, centroids=cents)
+    similarity.append_ivf_index(b2, inc)
+    for _ in range(2):  # replay: same tag overwrites, not doubles
+        similarity.append_ivf_index(b3, inc, batch_tag="b3")
+
+    def served():
+        return {(r.query_id, r.rnk): r.neighbor_id
+                for r in similarity.query_ivf_index(
+                    spark, inc, qs, k=3, n_probe=2).collect()}
+
+    assert served() == want
+    man = similarity.compact_ivf_index(spark, inc)
+    assert man["snapshot"] and len(man["segments"]) == 1
+    assert served() == want
+    # index still appendable after the flip
+    similarity.append_ivf_index(b3.limit(0), inc)
+    assert served() == want
+
+
+def test_ivf_index_append_quantized_layout_inherited(spark, tmp_path):
+    """An int8 index must stay int8 through appends (layout inherited
+    from the existing lists' schema) and keep serving identically to a
+    quantized index built over the union with the same centroids."""
+    import random
+    rng = random.Random(9)
+    dim = 8
+    rows = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qs = similarity.prepare_vectors(emb.filter(F.col("vec_id") < 3))
+    cs = similarity.prepare_vectors(emb.filter(F.col("vec_id") >= 3))
+    b1 = cs.filter(F.col("vec_id") < 40)
+    b2 = cs.filter(F.col("vec_id") >= 40)
+    cents = similarity.ivf_centroids(b1, n_centroids=4)
+
+    full = str(tmp_path / "fullq")
+    similarity.build_ivf_index(cs, full, centroids=cents, quantized=True)
+    want = {(r.query_id, r.rnk): r.neighbor_id
+            for r in similarity.query_ivf_index(
+                spark, full, qs, k=3, n_probe=2).collect()}
+    inc = str(tmp_path / "incq")
+    similarity.build_ivf_index(b1, inc, centroids=cents, quantized=True)
+    man = similarity.append_ivf_index(b2, inc)
+    seg = spark.read.parquet(man["segments"][-1])
+    assert "q" in seg.columns  # int8 layout inherited
+    got = {(r.query_id, r.rnk): r.neighbor_id
+           for r in similarity.query_ivf_index(
+               spark, inc, qs, k=3, n_probe=2).collect()}
+    assert got == want
+
+
 def test_sent_mode_close_to_doc_mode(spark):
     """run_type='sent' trades accuracy for batchability (README.md:159-165):
     entities spanning a naive sentence boundary (e.g. 'Petition No. 70')

@@ -263,6 +263,49 @@ def test_text_index_serves_identically_and_prunes_partitions(spark,
     assert "bucket" in pf, pf
 
 
+def test_text_index_append_compact_equals_rebuild(spark, tmp_path):
+    """Incremental BM25: build over batch 1, append batches 2 and 3 —
+    the segmented index must serve EXACTLY what a rebuilt index (and
+    the inline scorer) serve, because tf/dl/df/(n_docs, avgdl) all fold
+    across segments; a replayed batch_tag replaces its segment;
+    compaction changes no answer and keeps partition pruning; appends
+    keep working after the flip."""
+    from legal_ner_spark.operators import search
+    rows = [(i, f"join merge alpha{i % 7} beta{i % 5} gamma pad pad")
+            for i in range(200)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    b1 = docs.filter("doc_id < 80")
+    b2 = docs.filter("doc_id >= 80 and doc_id < 140")
+    b3 = docs.filter("doc_id >= 140")
+    want = [(r.doc_id, r.bm25)
+            for r in search.bm25_topk(docs, ["join", "gamma"], k=15)
+            .collect()]
+
+    path = str(tmp_path / "tidx")
+    search.build_text_index(b1, path, n_buckets=16)
+    search.append_text_index(b2, path, n_buckets=16)
+    for _ in range(2):  # replay: same tag overwrites, not doubles
+        search.append_text_index(b3, path, batch_tag="b3")
+
+    def served():
+        return [(r.doc_id, r.bm25)
+                for r in search.query_text_index(
+                    spark, path, ["join", "gamma"], k=15).collect()]
+
+    assert served() == want
+    man = search.compact_text_index(spark, path)
+    assert man["snapshot"] and len(man["segments"]) == 1
+    assert served() == want
+    # pruning still reaches the compacted postings scan
+    df = search.query_text_index(spark, path, ["join", "gamma"], k=15)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in \
+        plan.split("PartitionFilters")[1].splitlines()[0]
+    # still appendable after the flip: re-adding nothing changes nothing
+    search.append_text_index(b3.limit(0), path)
+    assert served() == want
+
+
 def test_profile_table_counts_nulls_distincts_and_types(spark):
     """Planted nulls and duplicates must show up exactly; min/max render
     for string and integral columns, NULL for doubles (float formatting
