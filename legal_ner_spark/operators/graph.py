@@ -128,7 +128,8 @@ def bfs_distances(edges: DataFrame, sources: DataFrame,
     return visited
 
 
-def triangles(edges: DataFrame, hub_threshold: int = 4096) -> DataFrame:
+def triangles(edges: DataFrame, hub_threshold: int = 4096,
+              checkpoint_dir: str | None = None) -> DataFrame:
     """Triangle enumeration over an undirected edge table: rows
     (node_a, node_b, node_c) with a < b < c and all three edges present.
 
@@ -163,7 +164,7 @@ def triangles(edges: DataFrame, hub_threshold: int = 4096) -> DataFrame:
     (degree, id)).  Input may list either direction / duplicates; it is
     canonicalized and deduped first."""
     from ..plans.checkpoint import Truncator
-    e = Truncator(None)(
+    e = Truncator(checkpoint_dir)(
         edges.select(F.least("src", "dst").alias("a"),
                      F.greatest("src", "dst").alias("b"))
         .filter(F.col("a") != F.col("b")).distinct(), "tri_edges")
@@ -285,25 +286,27 @@ def ktruss(edges: DataFrame, k: int = 3, max_iter: int = 30,
                         .cast("bigint").alias("support")))
 
     for _ in range(max_iter):
-        supp = _ktruss_support(e)
+        supp = _ktruss_support(e, checkpoint_dir=checkpoint_dir)
         nxt = trunc(supp.filter(F.col("support") >= k - 2)
                     .select("a", "b"), "ktruss_round")
         n_now = nxt.count()
         e = nxt
         if n_now == n_prev:
-            return _ktruss_support(e)
+            return _ktruss_support(e, checkpoint_dir=checkpoint_dir)
         n_prev = n_now
     raise RuntimeError(
         f"ktruss did not converge in {max_iter} rounds — raise max_iter")
 
 
-def _ktruss_support(cur: DataFrame) -> DataFrame:
+def _ktruss_support(cur: DataFrame,
+                    checkpoint_dir: str | None = None) -> DataFrame:
     """(a, b, support): per-edge triangle count over canonical edges —
     the degree-oriented enumeration (see ``triangles``) folded into +1
     per triangle side, so the peel loop inherits the hub-bounded wedge
     join each round."""
     tri = triangles(cur.select(F.col("a").alias("src"),
-                               F.col("b").alias("dst")))
+                               F.col("b").alias("dst")),
+                    checkpoint_dir=checkpoint_dir)
     sides = tri.selectExpr(
         "stack(3, node_a, node_b, node_a, node_c, node_b, node_c) "
         "AS (a, b)")
@@ -312,7 +315,8 @@ def _ktruss_support(cur: DataFrame) -> DataFrame:
 
 
 def random_walks(edges: DataFrame, n_walks: int = 2, walk_len: int = 3,
-                 salt: str = "w", hub_threshold: int = 65536) -> DataFrame:
+                 salt: str = "w", hub_threshold: int = 65536,
+                 checkpoint_dir: str | None = None) -> DataFrame:
     """DeepWalk-style random-walk corpus over an undirected graph — the
     sampling pass a node-embedding trainer (word2vec over walks)
     consumes.  DETERMINISTIC: step t of walk w from node v moves to
@@ -348,7 +352,7 @@ def random_walks(edges: DataFrame, n_walks: int = 2, walk_len: int = 3,
     # truncated: the probe, the rank, the degree table, and every one
     # of the L step joins read the materialized symmetric adjacency —
     # without this the caller's upstream chain re-executes per consumer
-    und = Truncator(None)(
+    und = Truncator(checkpoint_dir)(
         und0.union(und0.select(F.col("dst").alias("src"),
                                F.col("src").alias("dst"))).distinct(),
         "walk_edges")

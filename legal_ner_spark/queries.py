@@ -100,6 +100,32 @@ def _t(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+def _ckpt_dir(spark: SparkSession) -> str | None:
+    """Durable lineage-truncation directory for the ITERATIVE query
+    wrappers (WCC/PageRank/HITS/k-truss/LPA/walk chains).  Unset
+    (default), the operators truncate via ``localCheckpoint`` — fine
+    single-node, but blocks die with their executor on a real cluster,
+    re-running the whole iteration chain on executor loss.  Set
+
+        spark.conf.set("spark.legal_ner.checkpointDir", "hdfs://...")
+
+    (or pass it at session build / spark-submit --conf) and every
+    iterative wrapper round-trips its per-round state through durable
+    parquet under a per-invocation subdirectory instead — the
+    cluster-safe mode the operators have always exposed as
+    ``checkpoint_dir``; this config is how the QUERY layer reaches it.
+    Results are identical either way (pinned by the operators' durable
+    -equality tests)."""
+    base = spark.conf.get("spark.legal_ner.checkpointDir", None)
+    if not base:
+        return None
+    import uuid
+    # unique per invocation: Truncator numbers its round-trips within
+    # one instance, so two queries sharing a literal dir would
+    # overwrite each other's rounds
+    return f"{base.rstrip('/')}/{uuid.uuid4().hex}"
+
+
 # --------------------------------------------------------------------------
 # §2.2 scalar operators over fixtures
 # --------------------------------------------------------------------------
@@ -1305,7 +1331,8 @@ def q_near_dedup(spark, sf_dir):
     from .operators import dedup
     docs = (spark.read.parquet(_t(sf_dir, "documents"))
             .repartition(spark.sparkContext.defaultParallelism, "doc_id"))
-    return (dedup.near_dedup(docs, threshold=0.12)
+    return (dedup.near_dedup(docs, threshold=0.12,
+                             checkpoint_dir=_ckpt_dir(spark))
             .select(F.col("doc_id").cast("bigint").alias("doc_id"),
                     F.col("keeper_doc_id").cast("bigint")
                     .alias("keeper_doc_id")))
@@ -3871,7 +3898,8 @@ def q_kg_pagerank(spark, sf_dir):
     non-SQL' query turns out to be exactly checkable."""
     from .operators import graph
     tri = ops.triples(_kg_records_parquet(spark, sf_dir))
-    return graph.pagerank(tri, pred="part_of", n_iter=4)
+    return graph.pagerank(tri, pred="part_of", n_iter=4,
+                          checkpoint_dir=_ckpt_dir(spark))
 
 
 def o_kg_pagerank(n_iter: int = 4, damping: float = 0.85):
@@ -3920,7 +3948,8 @@ def q_kg_ppr(spark, sf_dir):
            .groupBy(F.col("obj").alias("node"))
            .agg(F.count("*").alias("cnt"))
            .orderBy(F.desc("cnt"), F.asc("node")).limit(1).select("node"))
-    return graph.pagerank(tri, pred="part_of", n_iter=4, sources=src)
+    return graph.pagerank(tri, pred="part_of", n_iter=4, sources=src,
+                          checkpoint_dir=_ckpt_dir(spark))
 
 
 def o_kg_ppr(n_iter: int = 4, damping: float = 0.85):
@@ -4026,7 +4055,8 @@ def q_kg_precedent_components(spark, sf_dir):
              .select(F.concat(F.lit("d:"), "doc_id").alias("src"),
                      F.concat(F.lit("p:"), "obj").alias("dst"))
              .distinct())
-    return weakly_connected_components(edges)
+    return weakly_connected_components(edges,
+                                       checkpoint_dir=_ckpt_dir(spark))
 
 
 def o_kg_precedent_components():
@@ -4062,7 +4092,7 @@ def q_kg_statute_triangles(spark, sf_dir):
                      & (F.col("statute") < F.col("statute_b")))
              .select(F.col("statute").alias("src"),
                      F.col("statute_b").alias("dst")).distinct())
-    return triangles(edges)
+    return triangles(edges, checkpoint_dir=_ckpt_dir(spark))
 
 
 def o_kg_statute_triangles():
@@ -4127,7 +4157,7 @@ def q_kg_kcore(spark, sf_dir):
     ds = (tri.filter(F.col("pred") == "part_of")
           .select(F.concat(F.lit("d:"), "doc_id").alias("src"),
                   F.concat(F.lit("s:"), "obj").alias("dst")).distinct())
-    return kcore(ds, k=4, max_iter=8)
+    return kcore(ds, k=4, max_iter=8, checkpoint_dir=_ckpt_dir(spark))
 
 
 def o_kg_kcore(k: int = 4, rounds: int = 8):
@@ -4193,7 +4223,8 @@ def q_kg_citation_distance(spark, sf_dir):
          .distinct())
     sources = (e.groupBy("dst").agg(F.countDistinct("src").alias("n"))
                .filter("n >= 2").select(F.col("dst").alias("node")))
-    return bfs_distances(e, sources, max_depth=6)
+    return bfs_distances(e, sources, max_depth=6,
+                         checkpoint_dir=_ckpt_dir(spark))
 
 
 def o_kg_citation_distance():
@@ -4253,7 +4284,8 @@ def q_kg_hits(spark, sf_dir):
     pagerank playbook)."""
     from .operators import graph
     tri = ops.triples(_kg_records_parquet(spark, sf_dir))
-    return graph.hits(tri, pred="cites_precedent", n_iter=4)
+    return graph.hits(tri, pred="cites_precedent", n_iter=4,
+                      checkpoint_dir=_ckpt_dir(spark))
 
 
 def o_kg_hits(n_iter: int = 4):
@@ -4963,7 +4995,8 @@ def q_kg_ktruss(spark, sf_dir):
     from .operators import graph
     e = _cocitation_edges(spark, sf_dir)
     return graph.ktruss(e.select(F.col("a").alias("src"),
-                                 F.col("b").alias("dst")), k=3)
+                                 F.col("b").alias("dst")), k=3,
+                        checkpoint_dir=_ckpt_dir(spark))
 
 
 def o_kg_ktruss(k: int = 3, rounds: int = 6):
@@ -5007,7 +5040,8 @@ def q_kg_random_walks(spark, sf_dir):
     e = _cocitation_edges(spark, sf_dir)
     return graph.random_walks(e.select(F.col("a").alias("src"),
                                        F.col("b").alias("dst")),
-                              n_walks=2, walk_len=3)
+                              n_walks=2, walk_len=3,
+                              checkpoint_dir=_ckpt_dir(spark))
 
 
 def _walk_sql_parts(n_walks: int = 2, walk_len: int = 3):
@@ -5065,7 +5099,8 @@ def q_kg_walk_skipgrams(spark, sf_dir):
     e = _cocitation_edges(spark, sf_dir)
     walks = graph.random_walks(e.select(F.col("a").alias("src"),
                                         F.col("b").alias("dst")),
-                               n_walks=2, walk_len=3)
+                               n_walks=2, walk_len=3,
+                               checkpoint_dir=_ckpt_dir(spark))
     return graph.walk_skipgrams(walks, window=2)
 
 
@@ -5093,12 +5128,13 @@ def q_kg_walk_ppmi(spark, sf_dir):
     e = _cocitation_edges(spark, sf_dir)
     walks = graph.random_walks(e.select(F.col("a").alias("src"),
                                         F.col("b").alias("dst")),
-                               n_walks=2, walk_len=3)
+                               n_walks=2, walk_len=3,
+                               checkpoint_dir=_ckpt_dir(spark))
     # the pair table feeds FOUR consumers (two marginals, the total,
     # the main join); truncate once or the whole walk chain re-runs
     # per consumer (measured 10.9 s → ~2.5 s)
-    pairs = Truncator(None)(graph.walk_skipgrams(walks, window=2),
-                            "ppmi_pairs")
+    pairs = Truncator(_ckpt_dir(spark))(
+        graph.walk_skipgrams(walks, window=2), "ppmi_pairs")
     nc = pairs.groupBy("center").agg(F.sum("n").alias("n_c"))
     nx = pairs.groupBy("context").agg(F.sum("n").alias("n_x"))
     tot = pairs.agg(F.sum("n").alias("n_tot"))
@@ -5144,10 +5180,13 @@ def q_kg_truss_communities(spark, sf_dir):
     weakly_connected_components, both already oracled standalone."""
     from .operators import graph
     e = _cocitation_edges(spark, sf_dir)
+    ck = _ckpt_dir(spark)
     truss = graph.ktruss(e.select(F.col("a").alias("src"),
-                                  F.col("b").alias("dst")), k=3)
+                                  F.col("b").alias("dst")), k=3,
+                         checkpoint_dir=ck)
     comp = graph.weakly_connected_components(
-        truss.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+        truss.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        checkpoint_dir=ck)
     return (comp.groupBy("component")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
             .select(F.col("component").alias("family_head"), "n_nodes"))
@@ -5292,7 +5331,8 @@ def q_kg_component_sizes(spark, sf_dir):
              .select(F.concat(F.lit("d:"), "doc_id").alias("src"),
                      F.concat(F.lit("p:"), "obj").alias("dst"))
              .distinct())
-    comp = weakly_connected_components(edges)
+    comp = weakly_connected_components(edges,
+                                       checkpoint_dir=_ckpt_dir(spark))
     return (comp.groupBy("component")
             .agg(F.count(F.lit(1)).alias("size"))
             .groupBy("size")
@@ -5711,7 +5751,8 @@ def q_dedup_stats(spark, sf_dir):
     from .operators import dedup
     docs = (spark.read.parquet(_t(sf_dir, "documents"))
             .repartition(spark.sparkContext.defaultParallelism, "doc_id"))
-    nd = dedup.near_dedup(docs, threshold=0.5)
+    nd = dedup.near_dedup(docs, threshold=0.5,
+                          checkpoint_dir=_ckpt_dir(spark))
     per = nd.groupBy("keeper_doc_id").agg(F.count(F.lit(1)).alias("sz"))
     return (nd.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
                    F.countDistinct("keeper_doc_id").cast("bigint")
@@ -5783,7 +5824,7 @@ def q_kg_lpa_communities(spark, sf_dir):
     e = _cocitation_edges(spark, sf_dir)
     return graph.lpa_communities(
         e.select(F.col("a").alias("src"), F.col("b").alias("dst")),
-        n_iter=3)
+        n_iter=3, checkpoint_dir=_ckpt_dir(spark))
 
 
 def o_kg_lpa_communities(n_iter: int = 3):
@@ -6021,7 +6062,7 @@ def q_kg_bridge_edges(spark, sf_dir):
     e = _cocitation_edges(spark, sf_dir)
     comm = graph.lpa_communities(
         e.select(F.col("a").alias("src"), F.col("b").alias("dst")),
-        n_iter=1)
+        n_iter=1, checkpoint_dir=_ckpt_dir(spark))
     return (e.join(comm.select(F.col("node").alias("a"),
                                F.col("community").alias("ca")), "a")
             .join(comm.select(F.col("node").alias("b"),

@@ -58,9 +58,19 @@ def running_statute_counts(statute_mentions_stream: DataFrame) -> DataFrame:
 #
 # RUNTIME REQUIREMENTS (like the spaCy swap point in core/model_tagger.py):
 # the RocksDB state store provider AND the google.protobuf package (the
-# TWS state-server protocol is protobuf-encoded).  This sandbox ships no
-# protobuf, so the parity test auto-skips there; the
-# applyInPandasWithState form is the one exercised end-to-end.
+# TWS state-server protocol is protobuf-encoded).  The sandbox verdict,
+# final (r5): the JVM side is COMPLETE here (rocksdbjni-9.8.4.jar ships
+# in pyspark/jars; spark-sql contains all 15 RocksDBStateStoreProvider
+# classes) and pyspark bundles the generated StateMessage_pb2 — the one
+# missing piece is the google.protobuf PYTHON RUNTIME, which cannot be
+# installed in this sandbox, and a hand-written shim is not viable: the
+# generated module needs the runtime's descriptor/builder machinery and
+# its byte-exact wire serialization is parsed by the JVM state server,
+# so an unfaithful re-implementation would silently corrupt state
+# rather than fail.  On any machine with `pip install protobuf` (it is
+# in requirements.txt) the parity test below runs as-is; here it
+# auto-skips and the applyInPandasWithState twin is the leg exercised
+# end-to-end.
 
 try:
     from pyspark.sql.streaming.stateful_processor import (

@@ -41,6 +41,44 @@ def test_truncator_keeps_stats_bounded_across_rounds(spark):
     assert labels.count() == 50
 
 
+def test_query_layer_threads_durable_checkpoint_config(spark, tmp_path):
+    """The session config ``spark.legal_ner.checkpointDir`` must reach
+    the iterative q_* wrappers: with it set, an iterative query's
+    per-round state round-trips through durable parquet under the dir
+    (the executor-loss-safe mode — localCheckpoint blocks die with
+    their executor), per-invocation-isolated, with answers identical to
+    the localCheckpoint run.  The resume property itself: rounds live
+    as plain parquet, so a restarted driver can re-read any round — the
+    same contract test_truncator_durable_rounds_write_distinct_paths
+    pins at the Truncator layer."""
+    import os
+    from legal_ner_spark import queries
+    SF = "/root/testdata/sf0.001"
+    base = {r.family_head: r.n_nodes
+            for r in queries.QUERIES["kg_truss_communities"](
+                spark, SF).collect()}
+    ck = str(tmp_path / "ck")
+    spark.conf.set("spark.legal_ner.checkpointDir", ck)
+    try:
+        durable = {r.family_head: r.n_nodes
+                   for r in queries.QUERIES["kg_truss_communities"](
+                       spark, SF).collect()}
+        walks = queries.QUERIES["kg_random_walks"](spark, SF).count()
+    finally:
+        spark.conf.unset("spark.legal_ner.checkpointDir")
+    assert durable == base and walks > 0
+    # per-invocation subdirs, each holding numbered parquet round-trips
+    invocations = os.listdir(ck)
+    assert len(invocations) >= 2  # truss-communities + walks at least
+    rounds = [d for inv in invocations
+              for d in os.listdir(os.path.join(ck, inv))]
+    assert rounds and all(r.split("_", 1)[0].isdigit() for r in rounds)
+    # the rounds ARE restartable state: plain parquet, re-readable
+    some = os.path.join(ck, invocations[0], sorted(
+        os.listdir(os.path.join(ck, invocations[0])))[0])
+    assert spark.read.parquet(some).count() >= 0
+
+
 def test_truncator_durable_rounds_write_distinct_paths(spark, tmp_path):
     """The durable branch must never overwrite the path the incoming plan
     still reads from — every call gets a fresh numbered directory."""
