@@ -126,7 +126,12 @@ def main() -> None:
                      "dedup_posting_stats", "kg_ktruss",
                      "kg_random_walks", "kg_walk_skipgrams",
                      "kg_neighbor_sample", "kg_walk_ppmi",
-                     "kg_truss_communities"]
+                     "kg_truss_communities",
+                     # index-lifecycle rows (build+append+compact per run);
+                     # near_dedup_reconciled (~22 s: three near-dedup-scale
+                     # jobs) stays out like near_dedup_incremental — both
+                     # are oracle-gated with costs documented in BENCH.md
+                     "bm25_index_incremental", "ann_ivf_incremental"]
     for name in bench_queries:
         timings[name] = round(best_of(
             lambda: queries.QUERIES[name](spark, sf_dir).count()), 3)
@@ -163,9 +168,12 @@ def main() -> None:
     # the north_rule's own formulation — N vs 4N separate-JVM executors
     # (bench_scaling_cluster.py, local-cluster mode); prefer the
     # freshest round's artifact
-    p = os.path.join(here, "BENCH_SCALING_CLUSTER_R4.json")
-    if not os.path.exists(p):
-        p = os.path.join(here, "BENCH_SCALING_CLUSTER_1_4.json")
+    for fname in ("BENCH_SCALING_CLUSTER_R5.json",
+                  "BENCH_SCALING_CLUSTER_R4.json",
+                  "BENCH_SCALING_CLUSTER_1_4.json"):
+        p = os.path.join(here, fname)
+        if os.path.exists(p):
+            break
     if os.path.exists(p):
         with open(p) as fh:
             s = json.load(fh)

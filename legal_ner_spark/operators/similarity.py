@@ -270,6 +270,20 @@ def _write_ivf_manifest(path: str, manifest: dict) -> None:
     os.rename(tmp, os.path.join(path, _IVF_MANIFEST))  # commit point
 
 
+def _read_lists_dir(spark, d: str) -> DataFrame:
+    """Read one lists directory, via the sibling ``<dir>_schema`` 0-row
+    unpartitioned pin when present — an EMPTY corpus leaves a
+    partitioned dir with no inferable schema (same device as the BM25
+    index's postings_schema).  Build and compact write the pin;
+    appended segments are never empty (empty batches are no-ops)."""
+    import os
+    pin = f"{d}_schema"
+    if os.path.isdir(pin):
+        return (spark.read.schema(spark.read.parquet(pin).schema)
+                .parquet(d))
+    return spark.read.parquet(d)
+
+
 def _ivf_lists(vecs: DataFrame, cents: DataFrame,
                quantized: bool) -> DataFrame:
     """Inverted-list rows for a vector batch under FIXED centroids —
@@ -319,9 +333,11 @@ def build_ivf_index(candidates: DataFrame, path: str, n_centroids: int = 8,
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
     spark = candidates.sparkSession
     cents_r = spark.read.parquet(f"{path}/centroids")
-    (_ivf_lists(candidates, cents_r, quantized)
-     .write.mode("overwrite").partitionBy("centroid_id")
+    lists = _ivf_lists(candidates, cents_r, quantized)
+    (lists.write.mode("overwrite").partitionBy("centroid_id")
      .parquet(f"{path}/lists"))
+    (lists.limit(0).write.mode("overwrite")
+     .parquet(f"{path}/lists_schema"))
 
 
 def append_ivf_index(new_vecs: DataFrame, path: str,
@@ -354,7 +370,7 @@ def append_ivf_index(new_vecs: DataFrame, path: str,
         # empty-micro-batch skip)
         return man
     cents = spark.read.parquet(man["centroids"])
-    quantized = "q" in spark.read.parquet(man["segments"][0]).columns
+    quantized = "q" in _read_lists_dir(spark, man["segments"][0]).columns
     if batch_tag is None:
         nums = [int(m.group(1)) for d in os.listdir(path)
                 if (m := re.fullmatch(r"seg-a(\d+)", d))]
@@ -394,13 +410,15 @@ def compact_ivf_index(spark, path: str, snapshot_id: str | None = None,
             f"snapshot_id {snapshot_id!r} is a currently published "
             "segment — compaction must mint a fresh id, or the rewrite "
             "would overwrite its own input mid-scan")
-    lists = spark.read.parquet(man["segments"][0])
+    lists = _read_lists_dir(spark, man["segments"][0])
     for s in man["segments"][1:]:
-        lists = lists.unionByName(spark.read.parquet(s))
+        lists = lists.unionByName(_read_lists_dir(spark, s))
     if num_files is not None:
         lists = lists.coalesce(num_files)
     (lists.write.mode("overwrite").partitionBy("centroid_id")
      .parquet(f"{snap}/lists"))
+    (lists.limit(0).write.mode("overwrite")
+     .parquet(f"{snap}/lists_schema"))
     (spark.read.parquet(man["centroids"])
      .write.mode("overwrite").parquet(f"{snap}/centroids"))
     manifest = {"snapshot": snapshot_id,
@@ -431,9 +449,9 @@ def query_ivf_index(spark, path: str, queries: DataFrame, k: int = 5,
     never changes the candidate set."""
     man = _read_ivf_manifest(path)
     cents = spark.read.parquet(man["centroids"])
-    lists = spark.read.parquet(man["segments"][0])
+    lists = _read_lists_dir(spark, man["segments"][0])
     for s in man["segments"][1:]:
-        lists = lists.unionByName(spark.read.parquet(s))
+        lists = lists.unionByName(_read_lists_dir(spark, s))
     if "q" in lists.columns:
         lists = lists.select(
             "neighbor_id",
