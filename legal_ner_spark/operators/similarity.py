@@ -338,6 +338,13 @@ def build_ivf_index(candidates: DataFrame, path: str, n_centroids: int = 8,
      .parquet(f"{path}/lists"))
     (lists.limit(0).write.mode("overwrite")
      .parquet(f"{path}/lists_schema"))
+    # the manifest is written LAST — its presence is the build's commit
+    # marker (the streaming twin keys bootstrap-complete detection on
+    # it: directories exist from job start, so they cannot signal
+    # completion — the stream_dedup_ingest _SUCCESS lesson)
+    _write_ivf_manifest(path, {"snapshot": None,
+                               "centroids": f"{path}/centroids",
+                               "segments": [f"{path}/lists"]})
 
 
 def append_ivf_index(new_vecs: DataFrame, path: str,

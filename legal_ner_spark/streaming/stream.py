@@ -337,3 +337,85 @@ def stream_dedup_ingest(spark: SparkSession, corpus_dir: str,
     return (stream.writeStream.foreachBatch(process)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True).start())
+
+
+def stream_text_index_ingest(spark: SparkSession, corpus_dir: str,
+                             index_path: str, checkpoint_dir: str,
+                             n_buckets: int = 64,
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> StreamingQuery:
+    """Streaming twin of the incremental BM25 index: each arriving
+    corpus file is one micro-batch — the FIRST builds the index, later
+    ones land as per-batch segments via ``append_text_index``.  BM25 is
+    exact under segmentation, so the streamed index answers every query
+    exactly as a batch rebuild would (pinned in pytest against the
+    inline scorer).
+
+    Exactly-once under replays, simpler than the dedup twin because the
+    segment design is already idempotent end-to-end: a replayed batch's
+    tag maps to the SAME segment directory, whose overwrite-mode writes
+    replace any partial or complete earlier attempt, and the manifest's
+    segment list deduplicates the re-add under an atomic rename.
+    Bootstrap-complete detection keys on the MANIFEST (written last by
+    ``build_text_index`` — the commit marker), never on directory
+    existence (Spark creates output dirs at job start)."""
+    import os
+    from ..operators import search
+    schema = spark.read.parquet(corpus_dir).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(corpus_dir))
+
+    def process(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if not os.path.exists(os.path.join(index_path,
+                                           search._IDX_MANIFEST)):
+            search.build_text_index(batch_df, index_path,
+                                    n_buckets=n_buckets, id_col=id_col,
+                                    text_col=text_col)
+            return
+        search.append_text_index(batch_df, index_path, id_col=id_col,
+                                 text_col=text_col,
+                                 batch_tag=f"batch-{batch_id:06d}")
+
+    return (stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())
+
+
+def stream_ivf_ingest(spark: SparkSession, vectors_dir: str,
+                      index_path: str, checkpoint_dir: str,
+                      n_centroids: int = 8,
+                      quantized: bool = False) -> StreamingQuery:
+    """Streaming twin of the incremental IVF index: the first
+    micro-batch bootstraps the index (trains the coarse quantizer on
+    that batch — the FROZEN-quantizer contract starts there), later
+    batches are assigned to the frozen centroids as per-batch list
+    segments.  Input files must carry prepared (vec_id, v) rows
+    (``similarity.prepare_vectors`` output shape).
+
+    Same exactly-once story as the text twin: replayed tags overwrite
+    their own segment, the manifest add deduplicates, and
+    bootstrap-complete detection keys on the manifest
+    ``build_ivf_index`` writes last."""
+    import os
+    from ..operators import similarity
+    schema = spark.read.parquet(vectors_dir).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(vectors_dir))
+
+    def process(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if not os.path.exists(os.path.join(index_path,
+                                           similarity._IVF_MANIFEST)):
+            similarity.build_ivf_index(batch_df, index_path,
+                                       n_centroids=n_centroids,
+                                       quantized=quantized)
+            return
+        similarity.append_ivf_index(batch_df, index_path,
+                                    batch_tag=f"batch-{batch_id:06d}")
+
+    return (stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())

@@ -603,3 +603,93 @@ def test_stream_stream_conversion_join_matches_batch(spark, tmp_path):
                    (7, 7, 3, 1.0),   # 2nd click catches the late purchase
                    (8, 4, 5, 2.25)}  # and nothing else: no (1->3) pair
                                      # (90m gap) and no user-9 orphan
+
+
+def _drop_ordered(dfs, in_dir):
+    """Write each frame as one parquet file with strictly increasing
+    mtimes so the file source triggers them in order (new files tracked
+    via a seen-set — Spark may leave multiple part files)."""
+    import time
+    now = time.time()
+    seen: set = set()
+    for i, df in enumerate(dfs):
+        df.coalesce(1).write.mode("append").parquet(in_dir)
+        for f in os.listdir(in_dir):
+            p = os.path.join(in_dir, f)
+            if f not in seen:
+                seen.add(f)
+                t = now + 100 * (i + 1)
+                os.utime(p, (t, t))
+
+
+def test_stream_text_index_ingest_matches_inline_and_restarts(spark,
+                                                              tmp_path):
+    """Streaming BM25 ingest: batch 1 bootstraps (manifest = commit
+    marker), later batches land as segments — the streamed index must
+    serve EXACTLY the inline scorer over the union (BM25 is exact under
+    segmentation), and a restart over the same checkpoint must change
+    nothing."""
+    from legal_ner_spark.operators import search
+    from legal_ner_spark.streaming.stream import stream_text_index_ingest
+    rows = [(i, f"join merge alpha{i % 7} beta{i % 5} gamma pad pad")
+            for i in range(120)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    in_dir = str(tmp_path / "arrivals")
+    _drop_ordered([docs.filter("doc_id < 40"),
+                   docs.filter("doc_id >= 40 and doc_id < 80"),
+                   docs.filter("doc_id >= 80")], in_dir)
+    idx, ckpt = str(tmp_path / "tidx"), str(tmp_path / "ck")
+    q = stream_text_index_ingest(spark, in_dir, idx, ckpt, n_buckets=16)
+    assert q.awaitTermination(180)
+    want = [(r.doc_id, r.bm25)
+            for r in search.bm25_topk(docs, ["join", "gamma"], k=15)
+            .collect()]
+    got = [(r.doc_id, r.bm25)
+           for r in search.query_text_index(spark, idx,
+                                            ["join", "gamma"],
+                                            k=15).collect()]
+    assert got == want
+    # restart: nothing new arrives, index unchanged
+    q2 = stream_text_index_ingest(spark, in_dir, idx, ckpt, n_buckets=16)
+    assert q2.awaitTermination(120)
+    got2 = [(r.doc_id, r.bm25)
+            for r in search.query_text_index(spark, idx,
+                                             ["join", "gamma"],
+                                             k=15).collect()]
+    assert got2 == want
+
+
+def test_stream_ivf_ingest_matches_batch_under_frozen_centroids(spark,
+                                                                tmp_path):
+    """Streaming IVF ingest: batch 1 trains the quantizer (frozen from
+    then on), later batches append list segments — queries must equal
+    an index built over the union with batch 1's centroids."""
+    import random
+    from legal_ner_spark.operators import similarity
+    from legal_ner_spark.streaming.stream import stream_ivf_ingest
+    rng = random.Random(13)
+    dim = 8
+    rows = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(90)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qs = similarity.prepare_vectors(emb.filter("vec_id < 4"))
+    cs = similarity.prepare_vectors(emb.filter("vec_id >= 4"))
+    b1 = cs.filter("vec_id < 40")
+    b2 = cs.filter("vec_id >= 40")
+
+    in_dir = str(tmp_path / "vec_arrivals")
+    _drop_ordered([b1, b2], in_dir)
+    idx, ckpt = str(tmp_path / "ivf"), str(tmp_path / "ckv")
+    q = stream_ivf_ingest(spark, in_dir, idx, ckpt, n_centroids=4)
+    assert q.awaitTermination(180)
+
+    full = str(tmp_path / "full")
+    similarity.build_ivf_index(cs, full,
+                               centroids=similarity.ivf_centroids(
+                                   b1, n_centroids=4))
+    want = {(r.query_id, r.rnk): r.neighbor_id
+            for r in similarity.query_ivf_index(spark, full, qs, k=3,
+                                                n_probe=2).collect()}
+    got = {(r.query_id, r.rnk): r.neighbor_id
+           for r in similarity.query_ivf_index(spark, idx, qs, k=3,
+                                               n_probe=2).collect()}
+    assert got == want
