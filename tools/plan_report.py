@@ -78,6 +78,15 @@ SHOW = [
                             "block equi-join + edit-distance verify"),
     ("zipf_slope", "distributed rank: freq-partitioned tie windows + tiny "
                    "cumulative offsets"),
+    ("bm25_index_incremental", "segmented BM25 serve after append+compact — "
+                               "PartitionFilters on the compacted segment, "
+                               "stats/df fold broadcast"),
+    ("ann_ivf_incremental", "segmented IVF serve after append+compact — "
+                            "centroid partition filter, broadcast probes, "
+                            "exact rerank window"),
+    ("kg_statute_triangles", "adaptive orientation: id-oriented 2-join "
+                             "wedges off the truncated edge leaf (probe "
+                             "chose the hub-free path)"),
 ]
 
 
