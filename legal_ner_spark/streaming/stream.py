@@ -273,6 +273,8 @@ def stream_kg_ingest(spark: SparkSession, corpus_dir: str, root: str,
 def stream_dedup_ingest(spark: SparkSession, corpus_dir: str,
                         index_path: str, checkpoint_dir: str,
                         threshold: float = 0.5,
+                        reconcile_every: int | None = None,
+                        window_batches: int | None = None,
                         **dedup_kwargs) -> StreamingQuery:
     """Streaming twin of the incremental dedup index
     (``operators.dedup.dedup_index_build``/``_append``): each
@@ -293,15 +295,54 @@ def stream_dedup_ingest(spark: SparkSession, corpus_dir: str,
       pre-batch index state (a partial attempt's keeper sigs must not
       feed candidate generation) and its writes replace, not double.
 
+    ROLLING RECONCILE (``reconcile_every``): the frozen-keeper path
+    misses a doc whose only match is a forgotten non-keeper member —
+    the measured drift-recall-0 trade.  With ``reconcile_every=k``,
+    every batch's RAW docs are also stashed under
+    ``<index_path>/_window/batch-<id>`` (overwrite-mode — replay-safe;
+    the underscore keeps every index reader blind to it), and after
+    each k-th batch the processor runs
+    ``dedup.dedup_index_reconcile`` over the retained window — drift
+    whose missing link arrived within the window is repaired on
+    schedule, no operator intervention.  ``window_batches`` bounds the
+    retained window (older stashes are pruned AFTER a successful
+    reconcile; ``None`` retains everything — full-rebase behavior).
+    A reconcile replayed after a crash re-runs on the post-append
+    state and rebases to the same assignments (determinism), under a
+    fresh snapshot id.
+
     Frozen-keeper semantics are identical to the batch path —
     ``tests/test_dedup_similarity.py`` pins stream ≡ sequential
-    build+append over ≥3 micro-batches and restart-no-op."""
+    build+append over ≥3 micro-batches, restart-no-op, and the
+    rolling-reconcile drift repair."""
     import os
     import shutil
     from ..operators import dedup
     schema = spark.read.parquet(corpus_dir).schema
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1).parquet(corpus_dir))
+
+    def _stash(batch_df, batch_id: int) -> None:
+        (batch_df.write.mode("overwrite")
+         .parquet(os.path.join(index_path, "_window",
+                               f"batch-{batch_id:06d}")))
+
+    def _maybe_reconcile(batch_id: int) -> None:
+        if not reconcile_every or \
+                batch_id % reconcile_every != reconcile_every - 1:
+            return
+        wdir = os.path.join(index_path, "_window")
+        stashes = sorted(d for d in os.listdir(wdir)
+                         if d.startswith("batch-"))
+        if not stashes:
+            return
+        win = spark.read.parquet(*(os.path.join(wdir, d)
+                                   for d in stashes))
+        dedup.dedup_index_reconcile(win, index_path,
+                                    threshold=threshold, **dedup_kwargs)
+        if window_batches:
+            for d in stashes[:-window_batches]:
+                shutil.rmtree(os.path.join(wdir, d))
 
     def process(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -324,6 +365,9 @@ def stream_dedup_ingest(spark: SparkSession, corpus_dir: str,
         if not (has_manifest or flat_complete):
             dedup.dedup_index_build(batch_df, index_path,
                                     threshold=threshold, **dedup_kwargs)
+            if reconcile_every:
+                _stash(batch_df, batch_id)
+                _maybe_reconcile(batch_id)
             return
         tag = f"batch-{batch_id:06d}"
         for d in dedup._index_dirs(index_path).values():
@@ -333,6 +377,9 @@ def stream_dedup_ingest(spark: SparkSession, corpus_dir: str,
         dedup.dedup_index_append(batch_df, index_path,
                                  threshold=threshold, batch_tag=tag,
                                  **dedup_kwargs)
+        if reconcile_every:
+            _stash(batch_df, batch_id)
+            _maybe_reconcile(batch_id)
 
     return (stream.writeStream.foreachBatch(process)
             .option("checkpointLocation", checkpoint_dir)

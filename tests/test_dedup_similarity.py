@@ -851,6 +851,53 @@ def test_dedup_index_reconcile_full_window_equals_near_dedup(spark,
     assert got == want
 
 
+def test_stream_dedup_ingest_rolling_reconcile_repairs_drift(spark,
+                                                             tmp_path):
+    """reconcile_every: the stream stashes each batch's raw docs and
+    periodically rebases the index over the retained window — the
+    drift doc (only match = forgotten non-keeper member M from the
+    bootstrap batch) must end up in K's cluster, where the plain
+    frozen-keeper stream leaves it a singleton."""
+    import os
+    import time
+    from legal_ner_spark.streaming.stream import stream_dedup_ingest
+    base = [f"t{i}" for i in range(40)]
+    m = _chain_doc(base, (5, 20), "a")
+    d = _chain_doc(m, (10, 30), "c")      # J(m,d)=0.727, J(base,d)=0.52
+    b1 = spark.createDataFrame(
+        [(0, " ".join(base)), (1, " ".join(m))], ["doc_id", "text"])
+    b2 = spark.createDataFrame([(3, " ".join(d))], ["doc_id", "text"])
+
+    def run(idx_name, ck_name, **kw):
+        in_dir = str(tmp_path / f"in_{idx_name}")
+        now = time.time()
+        seen: set = set()
+        for i, b in enumerate((b1, b2)):
+            b.coalesce(1).write.mode("append").parquet(in_dir)
+            for f in os.listdir(in_dir):
+                if f not in seen:
+                    seen.add(f)
+                    t = now + 100 * (i + 1)
+                    os.utime(os.path.join(in_dir, f), (t, t))
+        idx = str(tmp_path / idx_name)
+        q = stream_dedup_ingest(spark, in_dir, idx,
+                                str(tmp_path / ck_name),
+                                threshold=0.6, **kw)
+        assert q.awaitTermination(180)
+        return idx, {r.doc_id: r.keeper_doc_id
+                     for r in dedup.dedup_index_read(
+                         spark, idx, "keepers").collect()}
+
+    _, plain = run("idx_plain", "ck_plain")
+    assert plain == {0: 0, 1: 0, 3: 3}    # the documented miss
+    idx_r, rec = run("idx_rec", "ck_rec", reconcile_every=2,
+                     window_batches=2)
+    assert rec == {0: 0, 1: 0, 3: 0}      # drift repaired on schedule
+    # the stash window is invisible to index readers and bounded
+    wdir = os.path.join(idx_r, "_window")
+    assert len(os.listdir(wdir)) <= 2
+
+
 def test_stream_dedup_ingest_rebuilds_over_crashed_bootstrap(spark,
                                                              tmp_path):
     """A bootstrap build that crashed mid-write leaves all four table
