@@ -300,16 +300,25 @@ def stream_dedup_ingest(spark: SparkSession, corpus_dir: str,
     the measured drift-recall-0 trade.  With ``reconcile_every=k``,
     every batch's RAW docs are also stashed under
     ``<index_path>/_window/batch-<id>`` (overwrite-mode — replay-safe;
-    the underscore keeps every index reader blind to it), and after
-    each k-th batch the processor runs
-    ``dedup.dedup_index_reconcile`` over the retained window — drift
-    whose missing link arrived within the window is repaired on
+    the underscore keeps every index reader blind to it), and every
+    k-th batch runs ``dedup.dedup_index_reconcile`` over the retained
+    window AT THE START of its processing, BEFORE its own append —
+    drift whose missing link arrived within the window is repaired on
     schedule, no operator intervention.  ``window_batches`` bounds the
     retained window (older stashes are pruned AFTER a successful
     reconcile; ``None`` retains everything — full-rebase behavior).
-    A reconcile replayed after a crash re-runs on the post-append
-    state and rebases to the same assignments (determinism), under a
-    fresh snapshot id.
+
+    The before-the-append ordering is what keeps exactly-once: a
+    reconcile consolidates previously-appended rows into a fresh
+    snapshot, so it must only ever cover COMMITTED batches — if it ran
+    after the in-flight batch's append, a crash before the offset
+    commit would replay the batch and re-append rows the reconcile
+    already consolidated, duplicating them (the tag-subdir hygiene
+    cannot remove rows from consolidated snapshot files).  At the
+    start of the batch, the replayed attempt's own rows are deleted by
+    the hygiene first, the re-run reconcile rebases the same committed
+    window to the same assignments (determinism) under a fresh
+    snapshot id, and the append then lands exactly once.
 
     Frozen-keeper semantics are identical to the batch path —
     ``tests/test_dedup_similarity.py`` pins stream ≡ sequential
@@ -328,8 +337,9 @@ def stream_dedup_ingest(spark: SparkSession, corpus_dir: str,
                                f"batch-{batch_id:06d}")))
 
     def _maybe_reconcile(batch_id: int) -> None:
-        if not reconcile_every or \
-                batch_id % reconcile_every != reconcile_every - 1:
+        # due at the START of every k-th batch — covering only
+        # COMMITTED batches' stashes (see the exactly-once note above)
+        if not reconcile_every or batch_id % reconcile_every != 0:
             return
         wdir = os.path.join(index_path, "_window")
         stashes = sorted(d for d in os.listdir(wdir)
@@ -367,19 +377,20 @@ def stream_dedup_ingest(spark: SparkSession, corpus_dir: str,
                                     threshold=threshold, **dedup_kwargs)
             if reconcile_every:
                 _stash(batch_df, batch_id)
-                _maybe_reconcile(batch_id)
             return
         tag = f"batch-{batch_id:06d}"
         for d in dedup._index_dirs(index_path).values():
             bdir = os.path.join(d, tag)
             if os.path.exists(bdir):
                 shutil.rmtree(bdir)
+        # reconcile BEFORE this batch's append (and after the hygiene
+        # deleted any crashed attempt's rows) — never after it
+        _maybe_reconcile(batch_id)
         dedup.dedup_index_append(batch_df, index_path,
                                  threshold=threshold, batch_tag=tag,
                                  **dedup_kwargs)
         if reconcile_every:
             _stash(batch_df, batch_id)
-            _maybe_reconcile(batch_id)
 
     return (stream.writeStream.foreachBatch(process)
             .option("checkpointLocation", checkpoint_dir)

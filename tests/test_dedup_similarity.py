@@ -853,11 +853,13 @@ def test_dedup_index_reconcile_full_window_equals_near_dedup(spark,
 
 def test_stream_dedup_ingest_rolling_reconcile_repairs_drift(spark,
                                                              tmp_path):
-    """reconcile_every: the stream stashes each batch's raw docs and
-    periodically rebases the index over the retained window — the
-    drift doc (only match = forgotten non-keeper member M from the
-    bootstrap batch) must end up in K's cluster, where the plain
-    frozen-keeper stream leaves it a singleton."""
+    """reconcile_every: the stream stashes each batch's raw docs and,
+    at the START of every k-th batch (before that batch's append — the
+    exactly-once ordering), rebases the index over the retained
+    window — the drift doc (only match = forgotten non-keeper member M
+    from the bootstrap batch) must end up in K's cluster, where the
+    plain frozen-keeper stream leaves it a singleton.  Keeper rows
+    stay unique through the reconcile+append interleave."""
     import os
     import time
     from legal_ner_spark.streaming.stream import stream_dedup_ingest
@@ -867,12 +869,14 @@ def test_stream_dedup_ingest_rolling_reconcile_repairs_drift(spark,
     b1 = spark.createDataFrame(
         [(0, " ".join(base)), (1, " ".join(m))], ["doc_id", "text"])
     b2 = spark.createDataFrame([(3, " ".join(d))], ["doc_id", "text"])
+    b3 = spark.createDataFrame(
+        [(50, " ".join(f"z{i}" for i in range(40)))], ["doc_id", "text"])
 
     def run(idx_name, ck_name, **kw):
         in_dir = str(tmp_path / f"in_{idx_name}")
         now = time.time()
         seen: set = set()
-        for i, b in enumerate((b1, b2)):
+        for i, b in enumerate((b1, b2, b3)):
             b.coalesce(1).write.mode("append").parquet(in_dir)
             for f in os.listdir(in_dir):
                 if f not in seen:
@@ -889,13 +893,17 @@ def test_stream_dedup_ingest_rolling_reconcile_repairs_drift(spark,
                          spark, idx, "keepers").collect()}
 
     _, plain = run("idx_plain", "ck_plain")
-    assert plain == {0: 0, 1: 0, 3: 3}    # the documented miss
+    assert plain == {0: 0, 1: 0, 3: 3, 50: 50}   # the documented miss
+    # reconcile due at the start of batch 2, covering batches 0-1
     idx_r, rec = run("idx_rec", "ck_rec", reconcile_every=2,
                      window_batches=2)
-    assert rec == {0: 0, 1: 0, 3: 0}      # drift repaired on schedule
-    # the stash window is invisible to index readers and bounded
+    assert rec == {0: 0, 1: 0, 3: 0, 50: 50}     # drift repaired
+    ks = dedup.dedup_index_read(spark, idx_r, "keepers")
+    assert ks.count() == ks.select("doc_id").distinct().count()
+    # the stash window is invisible to index readers and bounded:
+    # prune-to-2 at the reconcile, then batch 2's own stash lands
     wdir = os.path.join(idx_r, "_window")
-    assert len(os.listdir(wdir)) <= 2
+    assert len(os.listdir(wdir)) <= 3
 
 
 def test_stream_dedup_ingest_rebuilds_over_crashed_bootstrap(spark,
