@@ -831,6 +831,218 @@ WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
 GROUP BY c_nationkey"""
 
 
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 shape (min-cost supplier per part in a region) adapted
+    to this schema (no partsupp table — lineitem is the part↔supplier
+    offer relation, l_extendedprice the offer price): the correlated
+    `price = min(price per part)` subquery decorrelated into a per-part
+    min aggregate joined back, every dimension broadcast, lineitem the
+    only shuffled side.  DISTINCT because a supplier can hit the min on
+    several line items of the same part."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    part = spark.read.parquet(_t(sf_dir, "part"))
+    supp = spark.read.parquet(_t(sf_dir, "supplier"))
+    nat = spark.read.parquet(_t(sf_dir, "nation"))
+    reg = spark.read.parquet(_t(sf_dir, "region"))
+    eu = (supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+          .join(F.broadcast(reg.filter(F.col("r_name") == "EUROPE")),
+                F.col("n_regionkey") == F.col("r_regionkey"))
+          .select("s_suppkey", "s_acctbal", "s_name", "n_name"))
+    p5 = part.filter(F.col("p_size") == 5).select("p_partkey")
+    offers = (li.join(F.broadcast(p5), li.l_partkey == p5.p_partkey)
+              .join(F.broadcast(eu), li.l_suppkey == F.col("s_suppkey"))
+              .select("p_partkey", "s_acctbal", "s_name", "n_name",
+                      F.col("l_extendedprice").alias("price")))
+    minc = offers.groupBy("p_partkey").agg(F.min("price").alias("min_price"))
+    return (offers.join(F.broadcast(minc), "p_partkey")
+            .filter(F.col("price") == F.col("min_price"))
+            .select(F.round("s_acctbal", 2).alias("s_acctbal"), "s_name",
+                    "n_name", F.col("p_partkey").cast("bigint")
+                    .alias("p_partkey"),
+                    F.round("min_price", 2).alias("min_price"))
+            .distinct()
+            .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+            .limit(25))
+
+
+def o_tpch_q2():
+    return """
+SELECT * FROM (
+  SELECT DISTINCT round(s.s_acctbal, 2) AS s_acctbal, s.s_name, n.n_name,
+         l.l_partkey::BIGINT AS p_partkey,
+         round(l.l_extendedprice, 2) AS min_price
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_size = 5
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+  WHERE l.l_extendedprice = (
+    SELECT min(l2.l_extendedprice) FROM lineitem l2
+    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+      AND r2.r_name = 'EUROPE'
+    WHERE l2.l_partkey = l.l_partkey)
+) ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 25"""
+
+
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 shape (product-line profit by nation and year) adapted
+    (no partsupp: profit = revenue, the supplycost·qty term has no
+    source column — documented drop): part-name filter broadcast,
+    supplier→nation broadcast, the one big-big shuffle is
+    lineitem ⋈ orders on the order key for the year."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    part = spark.read.parquet(_t(sf_dir, "part"))
+    supp = spark.read.parquet(_t(sf_dir, "supplier"))
+    nat = spark.read.parquet(_t(sf_dir, "nation"))
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    red = part.filter(F.col("p_name").contains("red")).select("p_partkey")
+    sn = (supp.join(F.broadcast(nat),
+                    supp.s_nationkey == nat.n_nationkey)
+          .select("s_suppkey", "n_name"))
+    return (li.join(F.broadcast(red), li.l_partkey == red.p_partkey)
+            .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").alias("o_year"))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("profit"))
+            .orderBy("nation", F.desc("o_year")))
+
+
+def o_tpch_q9():
+    return """
+SELECT n.n_name AS nation, year(o.o_orderdate)::INT AS o_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY n.n_name, year(o.o_orderdate)
+ORDER BY nation, o_year DESC"""
+
+
+def q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 shape (important part values for one nation's
+    suppliers) adapted (no partsupp: value = Σ l_extendedprice of the
+    nation's line items per part): the global-total threshold is a
+    1-row aggregate broadcast via crossJoin — the scalar-subquery
+    idiom — so the HAVING > fraction·total costs no second scan."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    supp = spark.read.parquet(_t(sf_dir, "supplier"))
+    nat = spark.read.parquet(_t(sf_dir, "nation"))
+    s7 = (supp.join(F.broadcast(nat.filter(F.col("n_name") == "NATION_7")),
+                    supp.s_nationkey == F.col("n_nationkey"))
+          .select("s_suppkey"))
+    val = (li.join(F.broadcast(s7), li.l_suppkey == s7.s_suppkey)
+           .groupBy("l_partkey")
+           .agg(F.sum("l_extendedprice").alias("value")))
+    thr = val.agg((F.sum("value") * 0.001).alias("thresh"))
+    return (val.crossJoin(F.broadcast(thr))
+            .filter(F.col("value") > F.col("thresh"))
+            .select(F.col("l_partkey").cast("bigint").alias("p_partkey"),
+                    F.round("value", 2).alias("value"))
+            .orderBy(F.desc("value"), "p_partkey"))
+
+
+def o_tpch_q11():
+    return """
+WITH v AS (
+  SELECT l.l_partkey, sum(l.l_extendedprice) AS value
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+    AND n.n_name = 'NATION_7'
+  GROUP BY l.l_partkey
+)
+SELECT l_partkey::BIGINT AS p_partkey, round(value, 2) AS value
+FROM v WHERE value > (SELECT sum(value) * 0.001 FROM v)
+ORDER BY value DESC, p_partkey"""
+
+
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 shape (supplier diversity per part profile) adapted
+    (lineitem is the part↔supplier relation): count-DISTINCT suppliers
+    per (brand, type, size) over the filtered part set, excluding a
+    complaint-supplier list via broadcast LEFT ANTI — the NOT IN
+    (subquery) rewrite that never builds a null-aware nested loop."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    part = spark.read.parquet(_t(sf_dir, "part"))
+    supp = spark.read.parquet(_t(sf_dir, "supplier"))
+    keep = part.filter((F.col("p_brand") != "Brand#5")
+                       & (F.col("p_type") != "PROMO")
+                       & F.col("p_size").isin(1, 4, 7))         .select("p_partkey", "p_brand", "p_type", "p_size")
+    excl = supp.filter(F.col("s_name").endswith("7")).select("s_suppkey")
+    return (li.join(F.broadcast(keep), li.l_partkey == keep.p_partkey)
+            .join(F.broadcast(excl), li.l_suppkey == excl.s_suppkey,
+                  "left_anti")
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.count_distinct("l_suppkey").cast("bigint")
+                 .alias("supplier_cnt"))
+            .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type",
+                     "p_size"))
+
+
+def o_tpch_q16():
+    return """
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#5' AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 7)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                          WHERE s_name LIKE '%7')
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 shape (suppliers with excess supply of a part family)
+    adapted (no ps_availqty: a supplier qualifies when its 1997 shipped
+    quantity of 'small %' parts exceeds half the average over
+    qualifying suppliers): nested aggregate — per-supplier sums, then a
+    1-row avg broadcast back — followed by a broadcast semi-join into
+    the supplier dimension."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    part = spark.read.parquet(_t(sf_dir, "part"))
+    supp = spark.read.parquet(_t(sf_dir, "supplier"))
+    nat = spark.read.parquet(_t(sf_dir, "nation"))
+    small = part.filter(F.col("p_name").startswith("small"))         .select("p_partkey")
+    qty = (li.filter((F.col("l_shipdate") >= "1997-01-01")
+                     & (F.col("l_shipdate") < "1998-01-01"))
+           .join(F.broadcast(small), li.l_partkey == small.p_partkey)
+           .groupBy("l_suppkey").agg(F.sum("l_quantity").alias("q")))
+    thr = qty.agg((F.avg("q") * 0.5).alias("t"))
+    keep = (qty.crossJoin(F.broadcast(thr)).filter(F.col("q") > F.col("t"))
+            .select("l_suppkey"))
+    return (supp.join(F.broadcast(keep),
+                      supp.s_suppkey == keep.l_suppkey, "left_semi")
+            .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+            .select("s_name", "n_name")
+            .orderBy("s_name"))
+
+
+def o_tpch_q20():
+    return """
+WITH q AS (
+  SELECT l.l_suppkey, sum(l.l_quantity) AS q
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE 'small%'
+  WHERE l.l_shipdate >= '1997-01-01' AND l.l_shipdate < '1998-01-01'
+  GROUP BY l.l_suppkey
+)
+SELECT s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM q
+                      WHERE q > (SELECT avg(q) * 0.5 FROM q))
+ORDER BY s.s_name"""
+
+
 def q_windowed_counts(spark, sf_dir):
     """The streaming windowed-agg operator on its batch leg (watermark is
     a no-op on batch): tumbling 10-minute counts per event_type — one
@@ -6145,6 +6357,11 @@ QUERIES = {
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
     "tpch_q4": q_tpch_q4,
+    "tpch_q2": q_tpch_q2,
+    "tpch_q9": q_tpch_q9,
+    "tpch_q11": q_tpch_q11,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q20": q_tpch_q20,
     "tpch_q17": q_tpch_q17,
     "tpch_q7": q_tpch_q7,
     "tpch_q13": q_tpch_q13,
@@ -6301,6 +6518,11 @@ ORACLES = {
     "tpch_q5": o_tpch_q5(),
     "tpch_q6": o_tpch_q6(),
     "tpch_q4": o_tpch_q4(),
+    "tpch_q2": o_tpch_q2(),
+    "tpch_q9": o_tpch_q9(),
+    "tpch_q11": o_tpch_q11(),
+    "tpch_q16": o_tpch_q16(),
+    "tpch_q20": o_tpch_q20(),
     "tpch_q17": o_tpch_q17(),
     "tpch_q7": o_tpch_q7(),
     "tpch_q13": o_tpch_q13(),
