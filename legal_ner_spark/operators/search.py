@@ -312,3 +312,27 @@ def query_text_index(spark, path: str, terms: list[str], k: int = 20,
             .agg(F.round(F.sum(contrib), 4).alias("bm25"))
             .orderBy(F.col("bm25").desc(), "doc_id")
             .limit(k))
+
+
+def text_index_stats(spark, path: str) -> DataFrame:
+    """Observability census for the (possibly segmented) BM25 index —
+    the pre-query go/no-go row, mirroring ``prefix_posting_stats`` /
+    ``lsh_bucket_stats``: one row (n_postings, n_terms, max_df, n_docs,
+    avgdl, n_segments).  ``max_df`` is the widest posting list — the
+    term whose bucket a degenerate query ("the") would scan; a pipeline
+    should log it before committing to serve.  Folds across segments
+    exactly like the query path, so the census describes what queries
+    will actually read."""
+    man = _read_text_manifest(path)
+    tf, stats = _read_text_segments(spark, man["segments"])
+    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    core = tf.agg(F.count(F.lit(1)).cast("bigint").alias("n_postings"))
+    terms = dfs.agg(F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+                    F.max("df").cast("bigint").alias("max_df"))
+    return (core.crossJoin(F.broadcast(terms))
+            .crossJoin(F.broadcast(stats))
+            .select("n_postings", "n_terms", "max_df",
+                    F.col("n_docs").cast("bigint").alias("n_docs"),
+                    F.round("avgdl", 4).alias("avgdl"),
+                    F.lit(len(man["segments"])).cast("int")
+                    .alias("n_segments")))

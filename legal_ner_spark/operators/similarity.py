@@ -678,3 +678,25 @@ def ivfpq_topk(queries: DataFrame, cands: DataFrame, k: int = 5,
             .filter(f"rnk <= {k}")
             .select("query_id", "neighbor_id", "pq_dist",
                     F.col("rnk").cast("int").alias("rnk")))
+
+
+def ivf_index_stats(spark, path: str) -> DataFrame:
+    """Observability census for the (possibly segmented) IVF index —
+    the frozen-quantizer DRIFT detector: one row (n_vectors, n_lists,
+    max_list, imbalance, n_segments) where ``imbalance`` =
+    max list size / mean list size.  Appending a drifted distribution
+    crowds new vectors into few lists, so a rising imbalance is the
+    scheduled-rebuild trigger the append docstring prescribes — this
+    row is how a pipeline watches for it without scanning vectors."""
+    man = _read_ivf_manifest(path)
+    lists = _read_lists_dir(spark, man["segments"][0])
+    for s in man["segments"][1:]:
+        lists = lists.unionByName(_read_lists_dir(spark, s))
+    per = lists.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n"))
+    return per.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_vectors"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+        F.coalesce(F.max("n"), F.lit(0)).cast("bigint").alias("max_list"),
+        F.round(F.max("n") / F.avg("n"), 4).alias("imbalance")) \
+        .withColumn("n_segments",
+                    F.lit(len(man["segments"])).cast("int"))

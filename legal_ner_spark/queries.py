@@ -2364,6 +2364,44 @@ def q_bm25_index_incremental(spark, sf_dir):
             .withColumn("doc_id", F.col("doc_id").cast("bigint")))
 
 
+def q_bm25_index_stats(spark, sf_dir):
+    """Observability census of a SEGMENTED BM25 index
+    (operators/search.text_index_stats) — the pre-serve go/no-go row:
+    posting volume, vocabulary size, the widest posting list (the
+    degenerate-term scan bound), corpus stats, segment count.  Built as
+    build(evens) + append(odds) so the census provably folds across
+    segments; the oracle recomputes every figure from the raw
+    documents, so a value-exact match proves the segmented index holds
+    exactly the corpus's posting statistics."""
+    from pathlib import Path
+    from .operators import search
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    sf_tag = Path(sf_dir.rstrip("/")).name
+    path = str(Path(__file__).resolve().parent.parent / ".artifacts"
+               / f"text_index_stats_{sf_tag}_{os.getpid()}")
+    search.build_text_index(docs.filter("doc_id % 2 = 0"), path)
+    search.append_text_index(docs.filter("doc_id % 2 = 1"), path)
+    return search.text_index_stats(spark, path)
+
+
+def o_bm25_index_stats():
+    return """
+WITH base AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+tf AS (
+  SELECT doc_id, unnest(toks) AS term FROM base
+),
+posting AS (SELECT DISTINCT doc_id, term FROM tf),
+dfs AS (SELECT term, count(*) AS df FROM posting GROUP BY term)
+SELECT (SELECT count(*) FROM posting)::BIGINT AS n_postings,
+       (SELECT count(*) FROM dfs)::BIGINT AS n_terms,
+       (SELECT max(df) FROM dfs)::BIGINT AS max_df,
+       (SELECT count(*) FROM base)::BIGINT AS n_docs,
+       (SELECT round(avg(len(toks)), 4) FROM base) AS avgdl,
+       2::INT AS n_segments"""
+
+
 def q_similarity_topk(spark, sf_dir):
     """Brute-force cosine top-5 per query vector (queries = vec_id < 5).
     Baseline ANN path; ranks on the rounded score for cross-engine
@@ -3622,6 +3660,55 @@ SELECT query_id, neighbor_id, cos_sim, rnk FROM (
   FROM cand c JOIN e qe ON qe.vec_id = c.query_id
               JOIN e ne ON ne.vec_id = c.neighbor_id
 ) WHERE rnk <= 5"""
+
+
+def q_ann_ivf_stats(spark, sf_dir):
+    """Observability census of a SEGMENTED IVF index
+    (operators/similarity.ivf_index_stats) — the frozen-quantizer
+    DRIFT detector: list-size distribution + imbalance ratio, the row
+    a pipeline watches to schedule the rebuild the append docstring
+    prescribes.  Built as build(evens, centroids frozen from evens) +
+    append(odds); the oracle recomputes the assignment counts from raw
+    vectors, so value-exact proves the segmented lists hold exactly
+    the corpus's assignment distribution."""
+    from pathlib import Path
+    from .operators import similarity
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    cs = similarity.prepare_vectors(emb.filter(F.col("vec_id") >= 5))
+    sf_tag = Path(sf_dir.rstrip("/")).name
+    path = str(Path(__file__).resolve().parent.parent / ".artifacts"
+               / f"ivf_index_stats_{sf_tag}_{os.getpid()}")
+    similarity.build_ivf_index(cs.filter(F.col("vec_id") % 2 == 0), path,
+                               n_centroids=8)
+    similarity.append_ivf_index(cs.filter(F.col("vec_id") % 2 == 1), path)
+    return similarity.ivf_index_stats(spark, path)
+
+
+def o_ann_ivf_stats():
+    cos = ("round(list_dot_product({a}, {b}) / "
+           "(sqrt(list_dot_product({a}, {a})) * "
+           "sqrt(list_dot_product({b}, {b}))), 4)")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, v AS cv
+  FROM (SELECT * FROM e WHERE vec_id >= 5 AND vec_id % 2 = 0
+        ORDER BY vec_id LIMIT 8)
+),
+lists AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT c.vec_id, ct.centroid_id,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY {cos.format(a='c.v', b='ct.cv')} DESC,
+                      ct.centroid_id ASC) AS crn
+    FROM e c CROSS JOIN cents ct WHERE c.vec_id >= 5)
+  WHERE crn = 1
+),
+per AS (SELECT centroid_id, count(*) AS n FROM lists GROUP BY centroid_id)
+SELECT sum(n)::BIGINT AS n_vectors, count(*)::BIGINT AS n_lists,
+       max(n)::BIGINT AS max_list,
+       round(max(n) / avg(n), 4) AS imbalance, 2::INT AS n_segments
+FROM per"""
 
 
 def q_ann_ivf_q_topk(spark, sf_dir):
@@ -6403,6 +6490,7 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "bm25_index_topk": q_bm25_index_topk,
     "bm25_index_incremental": q_bm25_index_incremental,
+    "bm25_index_stats": q_bm25_index_stats,
     "kmv_distinct": q_kmv_distinct,
     "cms_freq": q_cms_freq,
     "cms_join_size": q_cms_join_size,
@@ -6427,6 +6515,7 @@ QUERIES = {
     "quantize_embeddings": q_quantize_embeddings,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_incremental": q_ann_ivf_incremental,
+    "ann_ivf_stats": q_ann_ivf_stats,
     "ann_ivf_q_topk": q_ann_ivf_q_topk,
     "ann_pq_topk": q_ann_pq_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
@@ -6564,6 +6653,7 @@ ORACLES = {
     "bm25_topk": o_bm25_topk(),
     "bm25_index_topk": o_bm25_topk(),
     "bm25_index_incremental": o_bm25_topk(),
+    "bm25_index_stats": o_bm25_index_stats(),
     "kmv_distinct": o_kmv_distinct(),
     "cms_freq": o_cms_freq(),
     "cms_join_size": o_cms_join_size(),
@@ -6588,6 +6678,7 @@ ORACLES = {
     "quantize_embeddings": o_quantize_embeddings(),
     "ann_ivf_topk": o_ann_ivf_topk(),
     "ann_ivf_incremental": o_ann_ivf_incremental(),
+    "ann_ivf_stats": o_ann_ivf_stats(),
     "ann_ivf_q_topk": o_ann_ivf_q_topk(),
     "ann_pq_topk": o_ann_pq_topk(),
     "ann_ivfpq_topk": o_ann_ivfpq_topk(),

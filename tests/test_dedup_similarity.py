@@ -815,6 +815,14 @@ def test_dedup_index_reconcile_partial_window_rebases_members(spark,
              for r in dedup.dedup_index_read(spark, idx,
                                              "keepers").collect()}
     assert after == {10: 10, 11: 10, 50: 10, 52: 10}
+    # idempotent: re-running the same reconcile (the crash-replay case)
+    # rebases to the identical assignments under a fresh snapshot
+    man2 = dedup.dedup_index_reconcile(b1.filter("doc_id = 11"), idx,
+                                       threshold=0.6)
+    again = {r.doc_id: r.keeper_doc_id
+             for r in dedup.dedup_index_read(spark, idx,
+                                             "keepers").collect()}
+    assert again == after and man2["snapshot"]
     # surface tables describe exactly the new keeper set
     reps = {r.doc_id for r in dedup.dedup_index_read(
         spark, idx, "sizes").select("doc_id").distinct().collect()}
