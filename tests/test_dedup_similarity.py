@@ -829,6 +829,51 @@ def test_dedup_index_reconcile_partial_window_rebases_members(spark,
     assert reps == {10}
 
 
+def test_dedup_index_reconcile_fuzz_random_corpora(spark, tmp_path):
+    """Seeded fuzz of the rebase logic beyond the planted
+    constructions: random near-dup structure (random cluster sizes,
+    random mutation chains, random singletons), random 3-way batch
+    split — build + append + append + full-window reconcile must equal
+    a fresh near_dedup of the corpus exactly, every seed."""
+    import random
+    for seed in (3, 17):
+        rng = random.Random(seed)
+        rows = []
+        did = 0
+        for c in range(rng.randint(4, 8)):
+            base = [f"s{seed}c{c}t{i}" for i in range(40)]
+            chain = [base]
+            for _ in range(rng.randint(0, 3)):
+                prev = chain[-1]
+                mut = list(prev)
+                for p in rng.sample(range(40), rng.choice((1, 2, 3))):
+                    mut[p] = f"m{rng.randint(0, 999)}p{p}"
+                chain.append(mut)
+            for doc in chain:
+                rows.append((did, " ".join(doc)))
+                did += 1
+        for _ in range(rng.randint(3, 8)):
+            rows.append((did, " ".join(
+                f"bg{seed}d{did}w{i}" for i in range(40))))
+            did += 1
+        rng.shuffle(rows)
+        batch = {r[0]: rng.randint(0, 2) for r in rows}
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        idx = str(tmp_path / f"idx{seed}")
+        b = [docs.filter(F.col("doc_id").isin(
+            [i for i, v in batch.items() if v == k])) for k in range(3)]
+        dedup.dedup_index_build(b[0], idx, threshold=0.6)
+        dedup.dedup_index_append(b[1], idx, threshold=0.6)
+        dedup.dedup_index_append(b[2], idx, threshold=0.6)
+        dedup.dedup_index_reconcile(docs, idx, threshold=0.6)
+        got = {r.doc_id: r.keeper_doc_id
+               for r in dedup.dedup_index_read(spark, idx,
+                                               "keepers").collect()}
+        want = {r.doc_id: r.keeper_doc_id
+                for r in dedup.near_dedup(docs, threshold=0.6).collect()}
+        assert got == want, (seed, got, want)
+
+
 def test_dedup_index_reconcile_full_window_equals_near_dedup(spark,
                                                              tmp_path):
     """Full-corpus window ≡ a fresh near_dedup of the corpus (the
