@@ -704,12 +704,18 @@ def dedup_index_reconcile(window_docs: DataFrame, path: str,
     Rebase semantics: the re-run assigns every window doc and every old
     keeper a new component (components may MERGE old clusters — via a
     window bridge doc or a keeper-keeper pair the batch sequencing
-    never compared; they never split, because minhash/verify are
-    deterministic, so re-running over a superset rediscovers every
-    pair).  Old assignments OUTSIDE the window are rewritten through
-    the keeper remap (member → old keeper → new keeper), window rows
-    replace their stored rows, and the new keeper set's surface tables
-    are rebuilt from window shingles ∪ old keeper surface (every new
+    never compared; they never SPLIT: rediscovery alone would not
+    guarantee that — a window doc whose only link was a since-demoted
+    keeper has no surviving surface to re-verify against — so every
+    window doc's STORED assignment is carried into the component
+    computation as an explicit edge, and prior merges are preserved by
+    construction.  With a full-corpus window those edges are redundant
+    — deterministic minhash rediscovers every pair — which is why the
+    full-window result still equals a fresh near_dedup exactly).  Old
+    assignments OUTSIDE the window are rewritten through the keeper
+    remap (member → old keeper → new keeper), window rows replace
+    their stored rows, and the new keeper set's surface tables are
+    rebuilt from window shingles ∪ old keeper surface (every new
     keeper is an old keeper or a window doc, since an old member's id
     is never below its keeper's).
 
@@ -739,12 +745,19 @@ def dedup_index_reconcile(window_docs: DataFrame, path: str,
     old_keepers = (old_assign.filter("doc_id = keeper_doc_id")
                    .select("doc_id"))
     all_ids = w_ids.unionByName(old_keepers).distinct()
+    # window docs' stored links ride into the component computation as
+    # explicit edges — the no-split guarantee (see docstring)
+    old_links = (old_assign.join(w_ids, "doc_id")
+                 .filter("doc_id != keeper_doc_id")
+                 .select(F.col("doc_id").alias("src"),
+                         F.col("keeper_doc_id").alias("dst")))
     assign_new = trunc(
         _near_dedup_core(sh_w.unionByName(k_sh), all_ids,
                          threshold=threshold, n_bands=n_bands,
                          rows_per_band=rows_per_band, max_iter=max_iter,
                          mode=mode, checkpoint_dir=checkpoint_dir,
-                         max_bucket=max_bucket), "reconcile_assign")
+                         max_bucket=max_bucket,
+                         extra_edges=old_links), "reconcile_assign")
     # rebase: window rows replace; everything else maps its old keeper
     # through the re-run (old keepers all sit in all_ids, so the remap
     # is total; coalesce covers a zero-shingle keeper edge case only)
@@ -859,13 +872,22 @@ def _near_dedup_core(sh_all: DataFrame, all_ids: DataFrame,
                      threshold: float, n_bands: int, rows_per_band: int,
                      max_iter: int, mode: str,
                      checkpoint_dir: str | None,
-                     max_bucket: int | None) -> DataFrame:
+                     max_bucket: int | None,
+                     extra_edges: DataFrame | None = None) -> DataFrame:
     """The near-dedup engine over an EXPLICIT shingle relation and id
     universe — shared by ``near_dedup`` (shingles of one corpus) and
     ``dedup_index_reconcile`` (window shingles ∪ the frozen keeper
     surface read back from the index, where no single raw-docs frame
     exists).  ``all_ids`` must be unique; ids absent from ``sh_all``
-    (zero-shingle docs) fall through to keeper = self."""
+    (zero-shingle docs) fall through to keeper = self.
+
+    ``extra_edges`` (src, dst doc ids): additional component edges
+    unioned in BEFORE connected components — reconcile passes window
+    docs' stored assignments so links whose chain evidence is no
+    longer on hand (a since-demoted keeper's pruned surface) survive
+    the re-run.  Endpoints are mapped through the fingerprint
+    representatives; an endpoint with no shingles is dropped (it can
+    never have linked in the first place)."""
     from ..plans.checkpoint import Truncator
     trunc = Truncator(checkpoint_dir)
     # ONE aggregation pass over the shingles computes everything per-doc:
@@ -905,6 +927,15 @@ def _near_dedup_core(sh_all: DataFrame, all_ids: DataFrame,
     sizes = rep_wide.select("doc_id", "n_sh")
     pairs = _verify_pairs(sh, cand, threshold,
                           sizes=sizes).select("doc_a", "doc_b")
+    if extra_edges is not None:
+        ra = doc_rep.select(F.col("doc_id").alias("src"),
+                            F.col("rep").alias("_ra"))
+        rb = doc_rep.select(F.col("doc_id").alias("dst"),
+                            F.col("rep").alias("_rb"))
+        pairs = pairs.unionByName(
+            extra_edges.join(ra, "src").join(rb, "dst")
+            .select(F.col("_ra").alias("doc_a"),
+                    F.col("_rb").alias("doc_b")))
     # components over TOUCHED vertices only: a label can change only
     # along an edge, and the dup graph is orders of magnitude smaller
     # than the corpus — iterating over every doc would shuffle the whole

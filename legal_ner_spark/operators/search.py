@@ -179,8 +179,12 @@ def append_text_index(new_docs: DataFrame, path: str,
         n_buckets = man["n_buckets"]
     elif n_buckets is None:  # legacy flat index: probe the modulus
         spark = new_docs.sparkSession
-        n_buckets = int(spark.read.parquet(f"{path}/postings")
-                        .agg(F.max("bucket")).collect()[0][0] or 63) + 1
+        mx = (spark.read.parquet(f"{path}/postings")
+              .agg(F.max("bucket")).collect()[0][0])
+        # explicit None check: `or` would turn a genuine max of 0 (a
+        # single-bucket index) into the 64-bucket default and mis-hash
+        # every later query's bucket literals
+        n_buckets = int(mx) + 1 if mx is not None else 64
     if batch_tag is None:
         nums = [int(m.group(1)) for d in os.listdir(path)
                 if (m := re.fullmatch(r"seg-a(\d+)", d))]
@@ -232,8 +236,9 @@ def compact_text_index(spark, path: str, snapshot_id: str | None = None,
      .parquet(f"{snap}/postings_schema"))
     n_buckets = man.get("n_buckets")
     if n_buckets is None:  # compacting a legacy build-once index
-        n_buckets = int(spark.read.parquet(f"{path}/postings")
-                        .agg(F.max("bucket")).collect()[0][0] or 63) + 1
+        mx = (spark.read.parquet(f"{path}/postings")
+              .agg(F.max("bucket")).collect()[0][0])
+        n_buckets = int(mx) + 1 if mx is not None else 64
     manifest = {"snapshot": snapshot_id, "segments": [snap],
                 "n_buckets": n_buckets}
     _write_text_manifest(path, manifest)

@@ -438,7 +438,7 @@ def compact_ivf_index(spark, path: str, snapshot_id: str | None = None,
             if full == snap or not os.path.isdir(full):
                 continue
             if (d.startswith("seg-") or d.startswith("snap=")
-                    or d in ("lists", "centroids")):
+                    or d in ("lists", "lists_schema", "centroids")):
                 shutil.rmtree(full)
     return manifest
 

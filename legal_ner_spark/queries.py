@@ -115,7 +115,14 @@ def _ckpt_dir(spark: SparkSession) -> str | None:
     cluster-safe mode the operators have always exposed as
     ``checkpoint_dir``; this config is how the QUERY layer reaches it.
     Results are identical either way (pinned by the operators' durable
-    -equality tests)."""
+    -equality tests).
+
+    RETENTION: each invocation's uuid subdirectory is disposable the
+    moment its query result is materialized — nothing here deletes
+    them (the parquet round-trips must outlive the returned lazy
+    DataFrame, so the query layer cannot know when).  Point the config
+    at a scratch location with a TTL/lifecycle policy (the standard
+    checkpoint-dir practice), or sweep <base>/* on a schedule."""
     base = spark.conf.get("spark.legal_ner.checkpointDir", None)
     if not base:
         return None

@@ -24,6 +24,34 @@ from ..schema import CORPUS_SCHEMA
 from ..operators import extract as ops
 
 
+def _claim_bootstrap(index_path: str, batch_id: int) -> None:
+    """Record WHICH micro-batch is running the index bootstrap, before
+    the build starts (atomic tmp+rename).  Closes the one replay window
+    segment-tag idempotence does not cover: a bootstrap that COMPLETES
+    (its commit marker lands) but whose streaming offset never commits
+    replays as batch 0 — without this marker the replay would see a
+    complete index and APPEND the same docs a second time.  With it,
+    a replayed batch whose id equals the claim re-runs the build
+    (overwrite-mode — idempotent) instead."""
+    import json
+    import os
+    os.makedirs(index_path, exist_ok=True)
+    tmp = os.path.join(index_path, "._bootstrap_batch.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"batch_id": batch_id}, fh)
+    os.rename(tmp, os.path.join(index_path, "_bootstrap_batch"))
+
+
+def _bootstrap_claimed_by(index_path: str) -> int | None:
+    import json
+    import os
+    p = os.path.join(index_path, "_bootstrap_batch")
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)["batch_id"]
+
+
 def stream_extract(spark: SparkSession, corpus_dir: str, out_dir: str,
                    checkpoint_dir: str,
                    max_files_per_trigger: int = 4) -> StreamingQuery:
@@ -342,8 +370,17 @@ def stream_dedup_ingest(spark: SparkSession, corpus_dir: str,
         if not reconcile_every or batch_id % reconcile_every != 0:
             return
         wdir = os.path.join(index_path, "_window")
+        if not os.path.isdir(wdir):
+            # pre-existing batch-built index + fresh stream: nothing
+            # stashed yet, nothing to reconcile
+            return
+        # STRICTLY EARLIER batches only: a crashed attempt of THIS
+        # batch may have stashed (possibly partially) before dying —
+        # consuming it here would consolidate the in-flight batch's
+        # rows and the re-append after us would duplicate them
         stashes = sorted(d for d in os.listdir(wdir)
-                         if d.startswith("batch-"))
+                         if d.startswith("batch-")
+                         and int(d.split("-")[1]) < batch_id)
         if not stashes:
             return
         win = spark.read.parquet(*(os.path.join(wdir, d)
@@ -372,7 +409,12 @@ def stream_dedup_ingest(spark: SparkSession, corpus_dir: str,
         flat_complete = all(
             os.path.exists(os.path.join(index_path, t, "_SUCCESS"))
             for t in dedup._INDEX_TABLES)
-        if not (has_manifest or flat_complete):
+        if not (has_manifest or flat_complete) \
+                or _bootstrap_claimed_by(index_path) == batch_id:
+            # second disjunct: a COMPLETED bootstrap whose offset never
+            # committed replays here — rebuild (idempotent overwrite)
+            # instead of double-appending batch 0's docs
+            _claim_bootstrap(index_path, batch_id)
             dedup.dedup_index_build(batch_df, index_path,
                                     threshold=threshold, **dedup_kwargs)
             if reconcile_every:
@@ -427,7 +469,11 @@ def stream_text_index_ingest(spark: SparkSession, corpus_dir: str,
         if batch_df.isEmpty():
             return
         if not os.path.exists(os.path.join(index_path,
-                                           search._IDX_MANIFEST)):
+                                           search._IDX_MANIFEST)) \
+                or _bootstrap_claimed_by(index_path) == batch_id:
+            # replayed bootstrap (offset never committed) rebuilds —
+            # appending would double batch 0's tf/df/n_docs
+            _claim_bootstrap(index_path, batch_id)
             search.build_text_index(batch_df, index_path,
                                     n_buckets=n_buckets, id_col=id_col,
                                     text_col=text_col)
@@ -466,7 +512,11 @@ def stream_ivf_ingest(spark: SparkSession, vectors_dir: str,
         if batch_df.isEmpty():
             return
         if not os.path.exists(os.path.join(index_path,
-                                           similarity._IVF_MANIFEST)):
+                                           similarity._IVF_MANIFEST)) \
+                or _bootstrap_claimed_by(index_path) == batch_id:
+            # replayed bootstrap rebuilds (duplicate neighbor rows
+            # would otherwise corrupt top-k ranks)
+            _claim_bootstrap(index_path, batch_id)
             similarity.build_ivf_index(batch_df, index_path,
                                        n_centroids=n_centroids,
                                        quantized=quantized)

@@ -829,6 +829,50 @@ def test_dedup_index_reconcile_partial_window_rebases_members(spark,
     assert reps == {10}
 
 
+def test_dedup_index_reconcile_no_split_after_keeper_demotion(spark,
+                                                              tmp_path):
+    """Successive PARTIAL-window reconciles must never split a cluster:
+    doc 50's only above-threshold match is keeper 20; reconcile #1
+    (bridge window) merges clusters 10 and 20, DEMOTING 20 — its
+    surface is dropped from the index.  Reconcile #2 re-examines 50's
+    batch with 20's evidence gone (and the bridge's batch pruned):
+    rediscovery alone cannot re-link 50, so its stored assignment must
+    ride into the component computation as an explicit edge.  Without
+    that edge 50 silently detaches as a singleton."""
+    base = [f"t{i}" for i in range(40)]
+    b20 = list(base)
+    for p in (5, 10, 15, 20, 25, 30):
+        b20[p] = f"mB{p}"                 # J(10,20) = 20/56 < 0.5
+    bridge = list(base)
+    for p in (15, 25, 30):
+        bridge[p] = f"mB{p}"              # J≈0.617 to BOTH (collides)
+    idx = str(tmp_path / "idx")
+    dedup.dedup_index_build(
+        spark.createDataFrame([(10, " ".join(base)), (20, " ".join(b20))],
+                              ["doc_id", "text"]), idx, threshold=0.5)
+    dedup.dedup_index_append(
+        spark.createDataFrame([(50, " ".join(b20))], ["doc_id", "text"]),
+        idx, threshold=0.5)               # exact dup of 20 → 50→20
+
+    def keepers():
+        return {r.doc_id: r.keeper_doc_id
+                for r in dedup.dedup_index_read(spark, idx,
+                                                "keepers").collect()}
+
+    assert keepers() == {10: 10, 20: 20, 50: 20}
+    # reconcile #1: the bridge merges 10 and 20; 20 is demoted
+    dedup.dedup_index_reconcile(
+        spark.createDataFrame([(30, " ".join(bridge))],
+                              ["doc_id", "text"]), idx, threshold=0.5)
+    assert keepers() == {10: 10, 20: 10, 30: 10, 50: 10}
+    # reconcile #2 over 50's batch only: J(50, keeper 10) < 0.5 and
+    # 20's surface is gone — the stored-link edge must keep 50 in
+    dedup.dedup_index_reconcile(
+        spark.createDataFrame([(50, " ".join(b20))], ["doc_id", "text"]),
+        idx, threshold=0.5)
+    assert keepers() == {10: 10, 20: 10, 30: 10, 50: 10}
+
+
 def test_dedup_index_reconcile_fuzz_random_corpora(spark, tmp_path):
     """Seeded fuzz of the rebase logic beyond the planted
     constructions: random near-dup structure (random cluster sizes,

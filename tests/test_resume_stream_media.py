@@ -659,6 +659,43 @@ def test_stream_text_index_ingest_matches_inline_and_restarts(spark,
     assert got2 == want
 
 
+def test_stream_text_index_ingest_bootstrap_replay_rebuilds(spark,
+                                                            tmp_path):
+    """The replay window segment tags don't cover: a bootstrap that
+    COMPLETES (manifest landed) but whose streaming offset never
+    commits replays as batch 0.  Simulated by re-running the stream
+    with a FRESH checkpoint over the bootstrapped index: the claim
+    marker must route the replay down the rebuild (idempotent
+    overwrite) — appending would double batch 0's tf/df/n_docs and
+    corrupt every BM25 score."""
+    from legal_ner_spark.operators import search
+    from legal_ner_spark.streaming.stream import stream_text_index_ingest
+    rows = [(i, f"join merge alpha{i % 7} gamma pad") for i in range(60)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    in_dir = str(tmp_path / "arrivals")
+    docs.coalesce(1).write.mode("append").parquet(in_dir)
+    idx = str(tmp_path / "tidx")
+    q = stream_text_index_ingest(spark, in_dir, idx,
+                                 str(tmp_path / "ck1"), n_buckets=16)
+    assert q.awaitTermination(120)
+    want = [(r.doc_id, r.bm25)
+            for r in search.query_text_index(spark, idx,
+                                             ["join", "gamma"],
+                                             k=10).collect()]
+    # offset-never-committed replay: same file, batch 0 again
+    q2 = stream_text_index_ingest(spark, in_dir, idx,
+                                  str(tmp_path / "ck2"), n_buckets=16)
+    assert q2.awaitTermination(120)
+    got = [(r.doc_id, r.bm25)
+           for r in search.query_text_index(spark, idx,
+                                            ["join", "gamma"],
+                                            k=10).collect()]
+    assert got == want
+    # exactly one corpus-worth of postings — not two
+    n = search.text_index_stats(spark, idx).collect()[0]
+    assert n.n_docs == 60 and n.n_segments == 1
+
+
 def test_stream_ivf_ingest_matches_batch_under_frozen_centroids(spark,
                                                                 tmp_path):
     """Streaming IVF ingest: batch 1 trains the quantizer (frozen from
