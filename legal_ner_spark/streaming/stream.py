@@ -24,32 +24,40 @@ from ..schema import CORPUS_SCHEMA
 from ..operators import extract as ops
 
 
-def _claim_bootstrap(index_path: str, batch_id: int) -> None:
-    """Record WHICH micro-batch is running the index bootstrap, before
-    the build starts (atomic tmp+rename).  Closes the one replay window
-    segment-tag idempotence does not cover: a bootstrap that COMPLETES
-    (its commit marker lands) but whose streaming offset never commits
-    replays as batch 0 — without this marker the replay would see a
-    complete index and APPEND the same docs a second time.  With it,
-    a replayed batch whose id equals the claim re-runs the build
-    (overwrite-mode — idempotent) instead."""
+def _claim_bootstrap(index_path: str, batch_id: int,
+                     checkpoint_dir: str) -> None:
+    """Record WHICH stream run's micro-batch is bootstrapping the
+    index, before the build starts (atomic tmp+rename).  Closes the one
+    replay window segment-tag idempotence does not cover: a bootstrap
+    that COMPLETES (its commit marker lands) but whose streaming offset
+    never commits replays as batch 0 — without this marker the replay
+    would see a complete index and APPEND the same docs a second time.
+    The claim is (batch_id, checkpoint_dir): a replay shares BOTH (the
+    restarted query reuses its checkpoint), while a NEW stream pointed
+    at an existing index has a fresh checkpoint and must APPEND — a
+    bare batch-id claim would make its batch 0 rebuild the index and
+    destroy the previous corpus's entries."""
     import json
     import os
     os.makedirs(index_path, exist_ok=True)
     tmp = os.path.join(index_path, "._bootstrap_batch.tmp")
     with open(tmp, "w") as fh:
-        json.dump({"batch_id": batch_id}, fh)
+        json.dump({"batch_id": batch_id,
+                   "checkpoint": os.path.abspath(checkpoint_dir)}, fh)
     os.rename(tmp, os.path.join(index_path, "_bootstrap_batch"))
 
 
-def _bootstrap_claimed_by(index_path: str) -> int | None:
+def _is_bootstrap_replay(index_path: str, batch_id: int,
+                         checkpoint_dir: str) -> bool:
     import json
     import os
     p = os.path.join(index_path, "_bootstrap_batch")
     if not os.path.exists(p):
-        return None
+        return False
     with open(p) as fh:
-        return json.load(fh)["batch_id"]
+        claim = json.load(fh)
+    return (claim.get("batch_id") == batch_id
+            and claim.get("checkpoint") == os.path.abspath(checkpoint_dir))
 
 
 def stream_extract(spark: SparkSession, corpus_dir: str, out_dir: str,
@@ -410,11 +418,12 @@ def stream_dedup_ingest(spark: SparkSession, corpus_dir: str,
             os.path.exists(os.path.join(index_path, t, "_SUCCESS"))
             for t in dedup._INDEX_TABLES)
         if not (has_manifest or flat_complete) \
-                or _bootstrap_claimed_by(index_path) == batch_id:
+                or _is_bootstrap_replay(index_path, batch_id,
+                                        checkpoint_dir):
             # second disjunct: a COMPLETED bootstrap whose offset never
-            # committed replays here — rebuild (idempotent overwrite)
-            # instead of double-appending batch 0's docs
-            _claim_bootstrap(index_path, batch_id)
+            # committed replays here (same checkpoint, same batch id) —
+            # rebuild (idempotent overwrite) instead of double-appending
+            _claim_bootstrap(index_path, batch_id, checkpoint_dir)
             dedup.dedup_index_build(batch_df, index_path,
                                     threshold=threshold, **dedup_kwargs)
             if reconcile_every:
@@ -470,10 +479,11 @@ def stream_text_index_ingest(spark: SparkSession, corpus_dir: str,
             return
         if not os.path.exists(os.path.join(index_path,
                                            search._IDX_MANIFEST)) \
-                or _bootstrap_claimed_by(index_path) == batch_id:
+                or _is_bootstrap_replay(index_path, batch_id,
+                                        checkpoint_dir):
             # replayed bootstrap (offset never committed) rebuilds —
             # appending would double batch 0's tf/df/n_docs
-            _claim_bootstrap(index_path, batch_id)
+            _claim_bootstrap(index_path, batch_id, checkpoint_dir)
             search.build_text_index(batch_df, index_path,
                                     n_buckets=n_buckets, id_col=id_col,
                                     text_col=text_col)
@@ -513,10 +523,11 @@ def stream_ivf_ingest(spark: SparkSession, vectors_dir: str,
             return
         if not os.path.exists(os.path.join(index_path,
                                            similarity._IVF_MANIFEST)) \
-                or _bootstrap_claimed_by(index_path) == batch_id:
+                or _is_bootstrap_replay(index_path, batch_id,
+                                        checkpoint_dir):
             # replayed bootstrap rebuilds (duplicate neighbor rows
             # would otherwise corrupt top-k ranks)
-            _claim_bootstrap(index_path, batch_id)
+            _claim_bootstrap(index_path, batch_id, checkpoint_dir)
             similarity.build_ivf_index(batch_df, index_path,
                                        n_centroids=n_centroids,
                                        quantized=quantized)

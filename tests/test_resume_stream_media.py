@@ -663,11 +663,15 @@ def test_stream_text_index_ingest_bootstrap_replay_rebuilds(spark,
                                                             tmp_path):
     """The replay window segment tags don't cover: a bootstrap that
     COMPLETES (manifest landed) but whose streaming offset never
-    commits replays as batch 0.  Simulated by re-running the stream
-    with a FRESH checkpoint over the bootstrapped index: the claim
-    marker must route the replay down the rebuild (idempotent
-    overwrite) — appending would double batch 0's tf/df/n_docs and
-    corrupt every BM25 score."""
+    commits replays as batch 0.  Simulated faithfully by deleting the
+    checkpoint's commits/0 marker (offsets kept — exactly the crash
+    window) and restarting on the SAME checkpoint: the claim marker
+    must route the replay down the rebuild (idempotent overwrite) —
+    appending would double batch 0's tf/df/n_docs and corrupt every
+    BM25 score.  The complementary case must NOT rebuild: a NEW stream
+    (fresh checkpoint, new data) over the existing index appends — a
+    bare batch-id claim would make its batch 0 wipe the first corpus."""
+    import shutil
     from legal_ner_spark.operators import search
     from legal_ner_spark.streaming.stream import stream_text_index_ingest
     rows = [(i, f"join merge alpha{i % 7} gamma pad") for i in range(60)]
@@ -675,16 +679,17 @@ def test_stream_text_index_ingest_bootstrap_replay_rebuilds(spark,
     in_dir = str(tmp_path / "arrivals")
     docs.coalesce(1).write.mode("append").parquet(in_dir)
     idx = str(tmp_path / "tidx")
-    q = stream_text_index_ingest(spark, in_dir, idx,
-                                 str(tmp_path / "ck1"), n_buckets=16)
+    ck1 = str(tmp_path / "ck1")
+    q = stream_text_index_ingest(spark, in_dir, idx, ck1, n_buckets=16)
     assert q.awaitTermination(120)
     want = [(r.doc_id, r.bm25)
             for r in search.query_text_index(spark, idx,
                                              ["join", "gamma"],
                                              k=10).collect()]
-    # offset-never-committed replay: same file, batch 0 again
-    q2 = stream_text_index_ingest(spark, in_dir, idx,
-                                  str(tmp_path / "ck2"), n_buckets=16)
+    # crash window: batch 0's data committed, streaming offset not —
+    # restart on the SAME checkpoint replays batch 0
+    shutil.rmtree(os.path.join(ck1, "commits"))
+    q2 = stream_text_index_ingest(spark, in_dir, idx, ck1, n_buckets=16)
     assert q2.awaitTermination(120)
     got = [(r.doc_id, r.bm25)
            for r in search.query_text_index(spark, idx,
@@ -694,6 +699,16 @@ def test_stream_text_index_ingest_bootstrap_replay_rebuilds(spark,
     # exactly one corpus-worth of postings — not two
     n = search.text_index_stats(spark, idx).collect()[0]
     assert n.n_docs == 60 and n.n_segments == 1
+    # NEW stream, fresh checkpoint, new corpus → APPEND, never rebuild
+    in2 = str(tmp_path / "arrivals2")
+    spark.createDataFrame([(100 + i, f"join gamma extra{i} pad pad")
+                           for i in range(10)], ["doc_id", "text"]) \
+        .coalesce(1).write.mode("append").parquet(in2)
+    q3 = stream_text_index_ingest(spark, in2, idx,
+                                  str(tmp_path / "ck2"), n_buckets=16)
+    assert q3.awaitTermination(120)
+    n2 = search.text_index_stats(spark, idx).collect()[0]
+    assert n2.n_docs == 70 and n2.n_segments == 2
 
 
 def test_stream_ivf_ingest_matches_batch_under_frozen_centroids(spark,
