@@ -131,7 +131,9 @@ def main() -> None:
                      # near_dedup_reconciled (~22 s: three near-dedup-scale
                      # jobs) stays out like near_dedup_incremental — both
                      # are oracle-gated with costs documented in BENCH.md
-                     "bm25_index_incremental", "ann_ivf_incremental"]
+                     "bm25_index_incremental", "ann_ivf_incremental",
+                     "semantic_dedup", "semantic_dedup_stats",
+                     "curation_pipeline"]
     for name in bench_queries:
         timings[name] = round(best_of(
             lambda: queries.QUERIES[name](spark, sf_dir).count()), 3)

@@ -1268,3 +1268,103 @@ def prefix_posting_stats(docs: DataFrame, t_num: int = 4, t_den: int = 5,
         .cast("bigint").alias("cand_pairs"),
         F.coalesce(F.sum(F.when(over, nb * (nb + 1) / 2).otherwise(1)),
                    F.lit(0)).cast("bigint").alias("blocked_cells"))
+
+
+def _semantic_assign(emb: DataFrame, n_clusters: int, refine_iters: int,
+                     id_col: str, vec_col: str) -> DataFrame:
+    """Shared cluster-assignment stage for ``semantic_dedup`` and
+    ``semantic_dedup_stats``: (vec_id, v, centroid_id) via the
+    deterministic IVF coarse quantizer (lowest-id seeds, optional Lloyd
+    refinement, broadcast-argmin assignment — no corpus shuffle)."""
+    from .similarity import ivf_assign, ivf_centroids, prepare_vectors
+    vecs = prepare_vectors(emb, id_col=id_col, vec_col=vec_col)
+    cents = ivf_centroids(vecs, n_centroids=n_clusters,
+                          refine_iters=refine_iters)
+    return ivf_assign(vecs, cents, n_probe=1)
+
+
+def semantic_dedup(emb: DataFrame, n_clusters: int = 8,
+                   threshold: float = 0.95, refine_iters: int = 0,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   max_iter: int = 20,
+                   checkpoint_dir: str | None = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): EMBEDDING-level
+    semantic deduplication — the tier above MinHash/SimHash/prefix in
+    the dedup ladder, catching paraphrases and re-renderings that share
+    no lexical shingles at all.  k-means-cluster the corpus embeddings,
+    compare pairs ONLY within a cluster (the paper's observation:
+    semantic duplicates co-locate in embedding space, so the O(n²)
+    comparison collapses to Σ s_c·(s_c−1)/2), connect components over
+    above-threshold cosine pairs, keep the lowest-id member per
+    component.
+
+    Returns one row per vector: (vec_id, centroid_id, keeper_vec_id);
+    ``vec_id = keeper_vec_id`` IS the semantically deduplicated corpus
+    (anti-join the rest away, exactly like ``near_dedup``'s contract).
+
+    Scale shape: centroid seeding is a TakeOrdered, assignment is a
+    broadcast-argmin map stage (no shuffle of the corpus side), the
+    within-cluster comparison is an equi-join on ``centroid_id``, and
+    the component pass runs over the (tiny) above-threshold pair graph
+    only.  The one unbounded quantity is the largest cluster — the
+    paper's knob is k ∝ N (√N .. N/100 clusters keeps E[s_c] bounded as
+    the corpus grows), and ``semantic_dedup_stats`` is the pre-run
+    census (sizes / pair volume / imbalance) a pipeline logs BEFORE
+    committing to a run, same go/no-go row the MinHash
+    (``lsh_bucket_stats``) and prefix (``prefix_posting_stats``) tiers
+    publish.  For corpora too big to refine globally,
+    ``ivf_centroids(sample_fraction=...)`` trains the quantizer on a
+    seeded sample.
+
+    Deterministic end-to-end (lowest-id seed centroids, 4-dp-rounded
+    cosines, id tie-breaks, min-id keepers) → exact DuckDB oracle
+    despite being a clustering-based method."""
+    from .graph import weakly_connected_components
+    from .similarity import cosine_expr
+    assigned = _semantic_assign(emb, n_clusters, refine_iters,
+                                id_col, vec_col)
+    a = assigned.select("centroid_id", F.col("vec_id").alias("id_a"),
+                        F.col("v").alias("va"))
+    b = assigned.select("centroid_id", F.col("vec_id").alias("id_b"),
+                        F.col("v").alias("vb"))
+    pairs = (a.join(b, "centroid_id")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("cos_sim", F.round(cosine_expr("va", "vb"), 4))
+             .filter(F.col("cos_sim") >= threshold)
+             .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
+    comp = weakly_connected_components(pairs, max_iter=max_iter,
+                                       checkpoint_dir=checkpoint_dir)
+    # vectors with no above-threshold pair never entered the component
+    # pass — they keep themselves via the coalesce (same re-expansion
+    # contract as near_dedup).
+    return (assigned
+            .join(comp.withColumnRenamed("node", "vec_id"),
+                  "vec_id", "left")
+            .select("vec_id", "centroid_id",
+                    F.coalesce("component", F.col("vec_id"))
+                    .alias("keeper_vec_id")))
+
+
+def semantic_dedup_stats(emb: DataFrame, n_clusters: int = 8,
+                         refine_iters: int = 0, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Observability census for ``semantic_dedup`` (mirrors
+    ``lsh_bucket_stats`` / ``prefix_posting_stats``): one row
+    (n_clusters, n_vectors, max_cluster, cand_pairs, imbalance) where
+    ``cand_pairs`` = Σ s_c·(s_c−1)/2 is the exact within-cluster
+    comparison volume the dedup will pay and ``imbalance`` =
+    max_cluster / mean_cluster is the skew detector (a hot centroid —
+    e.g. a boilerplate mode swallowing the corpus — shows up here
+    before it becomes one straggler join cell; the fix is more
+    clusters or quantizer refinement, both knobs on the same census)."""
+    assigned = _semantic_assign(emb, n_clusters, refine_iters,
+                                id_col, vec_col)
+    sizes = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("s"))
+    return sizes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("s").cast("bigint").alias("n_vectors"),
+        F.max("s").cast("bigint").alias("max_cluster"),
+        F.sum(F.col("s") * (F.col("s") - 1) / 2).cast("bigint")
+        .alias("cand_pairs"),
+        F.round(F.max("s") / F.avg("s"), 4).alias("imbalance"))

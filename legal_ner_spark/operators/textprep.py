@@ -270,3 +270,66 @@ def hash_split(df: DataFrame, id_col: str,
         F.when(b < train, "train")
          .when(b < train + valid, "valid")
          .otherwise("test"))
+
+
+def curation_pipeline(docs: DataFrame, benchmark: DataFrame,
+                      stopwords: list[str],
+                      min_stop_ratio: float = 0.05,
+                      min_quality: float = 0.3,
+                      max_contamination: float = 0.2, n: int = 3,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """The composed pre-training curation flow in ONE call — the
+    CCNet/FineWeb recipe (Wenzek et al. 2020; Penedo et al. 2024) as a
+    single declarative plan: language gate → quality gate →
+    order-insensitive fingerprint dedup → benchmark decontamination.
+    Returns the curated-corpus manifest: one row per SURVIVING doc with
+    the per-stage features (n_tokens, stop_ratio, quality,
+    contamination) a curation run logs next to its thresholds.
+
+    Stage order matters and mirrors production: cheap projections
+    (lang, quality) first so the shuffling stages (fingerprint groupBy,
+    contamination shingle join) see only survivors; dedup BEFORE
+    decontamination so a contaminated keeper cannot shadow a clean
+    duplicate.  Keeper = lowest doc_id per fingerprint among stage-2
+    survivors.
+
+    Scale shape: stages 1-2 are whole-stage-codegen projections; stage
+    3 shuffles 32-byte fingerprints once; stage 4 is the broadcast
+    decontamination join (corpus side shuffles once, on doc_id, for the
+    per-doc aggregate).  Docs shorter than ``n`` tokens have no
+    shingles and count as contamination 0 (nothing to overlap).  All
+    gate columns are 4-dp-rounded BEFORE comparison so engine float
+    noise cannot flip a boundary doc between Spark and the oracle."""
+    toks = F.split(F.lower(text_col), " ")
+    stop = F.array([F.lit(s) for s in stopwords])
+    n_tok = F.size(toks)
+    punct = F.length(F.regexp_replace(text_col, "[a-z0-9 ]", ""))
+    featured = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"),
+        n_tok.cast("int").alias("n_tokens"),
+        # NOT array_intersect: a stopword's every occurrence counts
+        # (the lang heuristic is a token-mass ratio, not a set ratio)
+        F.round(
+            F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+            / n_tok, 4).alias("stop_ratio"),
+        F.round(F.least(n_tok / F.lit(100.0), F.lit(1.0))
+                * (1 - punct / F.length(text_col)), 4).alias("quality"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
+        .alias("fp"))
+    gated = featured.filter(
+        (F.col("stop_ratio") >= min_stop_ratio)
+        & (F.col("quality") >= min_quality))
+    keepers = gated.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    deduped = (gated.join(keepers, "fp")
+               .filter(F.col("doc_id") == F.col("keeper"))
+               .drop("fp", "keeper"))
+    cont = contamination(deduped.select("doc_id", "text"), benchmark,
+                         n=n, id_col="doc_id", text_col="text")
+    return (deduped.join(cont.select("doc_id", "contamination"),
+                         "doc_id", "left")
+            .withColumn("contamination",
+                        F.coalesce("contamination", F.lit(0.0)))
+            .filter(F.col("contamination") < max_contamination)
+            .select("doc_id", "n_tokens", "stop_ratio", "quality",
+                    "contamination"))

@@ -1846,6 +1846,66 @@ PII_FIXTURES = [
 ]
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """The composed pre-training curation flow
+    (operators/textprep.curation_pipeline) — the CCNet/FineWeb recipe
+    as ONE declarative plan: language gate (stop-token mass ≥ 0.05) →
+    quality gate (composite ≥ 0.3) → order-insensitive fingerprint
+    dedup (keeper = min doc_id) → benchmark decontamination (3-gram
+    overlap vs the doc_id < 20 eval set, ratio < 0.2).  Returns the
+    curated-corpus manifest: surviving docs with their per-stage
+    features.  Every stage has a standalone oracled query (lang_id,
+    quality_score, doc_fingerprint, contamination); this row pins the
+    COMPOSITION — stage order, survivor re-filtering, and the
+    no-shingle → contamination-0 edge all at once."""
+    from .operators import textprep
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return (textprep.curation_pipeline(
+        docs.filter(F.col("doc_id") >= 20),
+        docs.filter(F.col("doc_id") < 20), STOPWORDS)
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                "n_tokens", "stop_ratio", "quality", "contamination"))
+
+
+def o_curation_pipeline():
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    sh = _SHINGLE3_SQL.format(pred="doc_id >= 20")
+    bsh = _SHINGLE3_SQL.format(pred="doc_id < 20")
+    return f"""
+WITH feat AS (
+  SELECT doc_id, len(toks)::INT AS n_tokens,
+         round(len(list_filter(toks, t -> t IN ({stop})))
+               / len(toks), 4) AS stop_ratio,
+         round(least(len(toks) / 100.0, 1.0)
+               * (1 - length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+                      / length(text)), 4) AS quality,
+         md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+  FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS toks
+        FROM documents WHERE doc_id >= 20)
+),
+gated AS (
+  SELECT * FROM feat WHERE stop_ratio >= 0.05 AND quality >= 0.3
+),
+deduped AS (
+  SELECT doc_id, n_tokens, stop_ratio, quality FROM (
+    SELECT g.*, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM gated g)
+  WHERE doc_id = keeper
+),
+bsh AS (SELECT DISTINCT shingle FROM ({bsh})),
+dsh AS (SELECT s.* FROM ({sh}) s JOIN deduped USING (doc_id)),
+tot AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+hits AS (SELECT doc_id, count(*) AS h
+         FROM dsh JOIN bsh USING (shingle) GROUP BY doc_id),
+cont AS (
+  SELECT t.doc_id, round(coalesce(h.h, 0) / t.n, 4) AS contamination
+  FROM tot t LEFT JOIN hits h USING (doc_id)
+)
+SELECT d.doc_id::BIGINT AS doc_id, d.n_tokens, d.stop_ratio, d.quality,
+       coalesce(c.contamination, 0.0) AS contamination
+FROM deduped d LEFT JOIN cont c USING (doc_id)
+WHERE coalesce(c.contamination, 0.0) < 0.2"""
+
+
 def q_pii_redact(spark, sf_dir):
     """PII scrubbing (emails, ≥6-digit runs) with per-doc hit counts —
     pure regex projection over planted fixtures (the driver documents
@@ -5267,6 +5327,101 @@ SELECT count(*)::BIGINT AS n_postings,
 FROM w"""
 
 
+_SEMDEDUP_ASSIGN_SQL = """e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, v AS cv
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)
+),
+assigned AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT c.vec_id, c.v, ct.centroid_id,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY {cos_vc} DESC, ct.centroid_id ASC) AS crn
+    FROM e c CROSS JOIN cents ct) WHERE crn = 1
+)"""
+
+
+def _semdedup_assign_sql() -> str:
+    cos = ("round(list_dot_product({a}, {b}) / "
+           "(sqrt(list_dot_product({a}, {a})) * "
+           "sqrt(list_dot_product({b}, {b}))), 4)")
+    return _SEMDEDUP_ASSIGN_SQL.format(
+        cos_vc=cos.format(a="c.v", b="ct.cv")), cos
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) — embedding-level semantic
+    deduplication (operators/dedup.semantic_dedup): cluster the corpus
+    embeddings with the deterministic IVF quantizer, compare cosine
+    pairs only WITHIN a cluster, connect components over
+    above-threshold pairs, keeper = lowest vec_id per component.  The
+    tier above MinHash/prefix in the dedup ladder — catches
+    paraphrases that share no lexical shingles.  threshold=0.35 on the
+    synthetic embeddings (their max within-cluster cosine is ~0.49;
+    production text-embedding corpora use 0.95+) so components are
+    non-trivial at every SF."""
+    from .operators import dedup
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    return (dedup.semantic_dedup(emb, n_clusters=8, threshold=0.35,
+                                 checkpoint_dir=_ckpt_dir(spark))
+            .select(F.col("vec_id").cast("bigint").alias("vec_id"),
+                    F.col("centroid_id").cast("int").alias("centroid_id"),
+                    F.col("keeper_vec_id").cast("bigint")
+                    .alias("keeper_vec_id")))
+
+
+def o_semantic_dedup():
+    assign, cos = _semdedup_assign_sql()
+    return f"""
+WITH RECURSIVE {assign},
+pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM assigned a JOIN assigned b USING (centroid_id)
+  WHERE a.vec_id < b.vec_id
+    AND {cos.format(a='a.v', b='b.v')} >= 0.35
+),
+edges AS (
+  SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs
+),
+reach(src, dst) AS (
+  SELECT vec_id, vec_id FROM e
+  UNION
+  SELECT r.src, ed.b FROM reach r JOIN edges ed ON r.dst = ed.a
+)
+SELECT a.vec_id::BIGINT AS vec_id, a.centroid_id::INT AS centroid_id,
+       k.keeper::BIGINT AS keeper_vec_id
+FROM assigned a
+JOIN (SELECT src, min(dst) AS keeper FROM reach GROUP BY src) k
+  ON k.src = a.vec_id"""
+
+
+def q_semantic_dedup_stats(spark, sf_dir):
+    """Pre-run census for semantic_dedup
+    (operators/dedup.semantic_dedup_stats): cluster sizes, the exact
+    within-cluster comparison volume Σ s·(s−1)/2 the dedup will pay,
+    and the hot-centroid imbalance detector — the go/no-go row logged
+    before committing a SemDeDup pass, same contract as
+    lsh_bucket_stats / prefix_posting_stats."""
+    from .operators import dedup
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    return dedup.semantic_dedup_stats(emb, n_clusters=8)
+
+
+def o_semantic_dedup_stats():
+    assign, _ = _semdedup_assign_sql()
+    return f"""
+WITH {assign},
+sizes AS (SELECT centroid_id, count(*) AS s FROM assigned GROUP BY 1)
+SELECT count(*)::BIGINT AS n_clusters,
+       sum(s)::BIGINT AS n_vectors,
+       max(s)::BIGINT AS max_cluster,
+       sum(s * (s - 1) / 2)::BIGINT AS cand_pairs,
+       round(max(s) / avg(s), 4) AS imbalance
+FROM sizes"""
+
+
 def _cocitation_edges(spark, sf_dir):
     """Canonical (a < b) undirected statute co-citation edges — shared
     base for the triangle/coefficient/assortativity analytics."""
@@ -6527,6 +6682,7 @@ QUERIES = {
     "ann_pq_topk": q_ann_pq_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "contamination": q_contamination,
+    "curation_pipeline": q_curation_pipeline,
     "pii_redact": q_pii_redact,
     "pack_shards": q_pack_shards,
     "prepare_training_corpus": q_prepare_training_corpus,
@@ -6560,6 +6716,8 @@ QUERIES = {
     "oov_rate": q_oov_rate,
     "dedup_prefix_filter": q_dedup_prefix_filter,
     "dedup_posting_stats": q_dedup_posting_stats,
+    "semantic_dedup": q_semantic_dedup,
+    "semantic_dedup_stats": q_semantic_dedup_stats,
     "kg_ktruss": q_kg_ktruss,
     "kg_random_walks": q_kg_random_walks,
     "kg_walk_skipgrams": q_kg_walk_skipgrams,
@@ -6690,6 +6848,7 @@ ORACLES = {
     "ann_pq_topk": o_ann_pq_topk(),
     "ann_ivfpq_topk": o_ann_ivfpq_topk(),
     "contamination": o_contamination(),
+    "curation_pipeline": o_curation_pipeline(),
     "pii_redact": o_pii_redact(),
     "pack_shards": o_pack_shards(),
     "prepare_training_corpus": o_prepare_training_corpus(),
@@ -6723,6 +6882,8 @@ ORACLES = {
     "oov_rate": o_oov_rate(),
     "dedup_prefix_filter": o_dedup_prefix_filter(),
     "dedup_posting_stats": o_dedup_posting_stats(),
+    "semantic_dedup": o_semantic_dedup(),
+    "semantic_dedup_stats": o_semantic_dedup_stats(),
     "kg_ktruss": o_kg_ktruss(),
     "kg_random_walks": o_kg_random_walks(),
     "kg_walk_skipgrams": o_kg_walk_skipgrams(),

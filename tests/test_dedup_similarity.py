@@ -1404,3 +1404,76 @@ def test_prefix_filter_degenerate_inputs(spark):
            for r in prefix_filter_pairs(docs, t_num=1, t_den=1,
                                         n=3).collect()}
     assert got == {(1, 2): 1.0}
+
+
+# ---------------------------------------------------------------- SemDeDup
+
+
+@pytest.fixture(scope="module")
+def sem_vecs(spark):
+    """Planted embedding corpus for semantic_dedup: seeds 0/1 define two
+    clusters on orthogonal axes; 2/3/4 are paraphrase-grade near-dups
+    along axis 0 (cos(0,2)=0.9998, cos(2,3)=0.9998, cos(3,4)=0.9998,
+    but cos(0,4)=0.9981 < the 0.999 threshold — the 0-2-3-4 merge needs
+    TRANSITIVITY, not just direct pairs); 5 is a singleton in cluster 1
+    (cos(1,5)=0.9945 stays below threshold)."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.98, 0.02, 0.0, 0.0]),
+        (3, [0.97, 0.04, 0.0, 0.0]),
+        (4, [0.96, 0.06, 0.0, 0.0]),
+        (5, [0.1, 0.95, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_semantic_dedup_collapses_planted_paraphrases(spark, sem_vecs):
+    out = {r.vec_id: (r.centroid_id, r.keeper_vec_id)
+           for r in dedup.semantic_dedup(sem_vecs, n_clusters=2,
+                                         threshold=0.999).collect()}
+    assert len(out) == 6                       # one row per vector
+    # the 0-2-3-4 chain merges transitively onto the smallest id even
+    # though cos(0,4)=0.9981 is itself below the 0.999 threshold
+    assert all(out[i][1] == 0 for i in (0, 2, 3, 4))
+    # the other seed and the cluster-1 singleton keep themselves
+    assert out[1][1] == 1 and out[5][1] == 5
+    # cluster assignment: axis-0 family in seed-0's cluster, rest in 1
+    assert {out[i][0] for i in (0, 2, 3, 4)} == {0}
+    assert {out[i][0] for i in (1, 5)} == {1}
+
+
+def test_semantic_dedup_is_within_cluster_only(spark):
+    """The SemDeDup recall trade, pinned: an above-threshold pair whose
+    members quantize to DIFFERENT centroids is never compared (the
+    paper's k ∝ N knob accepts this; the census row is where a pipeline
+    sees the cluster structure before trusting it)."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.76, 0.65]),   # nearest seed 0
+        (3, [0.65, 0.76]),   # nearest seed 1; cos(2,3) ≈ 0.988
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.vec_id: r.keeper_vec_id
+           for r in dedup.semantic_dedup(emb, n_clusters=2,
+                                         threshold=0.9).collect()}
+    assert out == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_semantic_dedup_no_pairs_above_threshold(spark, sem_vecs):
+    """Empty pair graph (threshold nothing clears) must degrade to
+    keeper = self for every vector, not crash the component pass."""
+    out = {r.vec_id: r.keeper_vec_id
+           for r in dedup.semantic_dedup(sem_vecs, n_clusters=2,
+                                         threshold=0.99999).collect()}
+    assert out == {i: i for i in range(6)}
+
+
+def test_semantic_dedup_stats_census(spark, sem_vecs):
+    row = dedup.semantic_dedup_stats(sem_vecs, n_clusters=2).collect()[0]
+    assert row.n_clusters == 2
+    assert row.n_vectors == 6
+    assert row.max_cluster == 4                    # {0,2,3,4}
+    assert row.cand_pairs == 4 * 3 / 2 + 2 * 1 / 2  # 6 + 1
+    assert abs(row.imbalance - 4 / 3) < 1e-3

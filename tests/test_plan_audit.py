@@ -411,3 +411,26 @@ def test_random_walks_window_is_src_partitioned(spark):
     p = physical(graph.random_walks(e, n_walks=1, walk_len=1))
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
     assert specs and all("nsrc#" in s for s in specs), specs
+
+
+def test_semantic_dedup_pairs_are_cluster_equi_join(spark):
+    """SemDeDup's pair tier must be the within-cluster equi-join on
+    centroid_id — a CartesianProduct over the corpus would be the
+    all-pairs shape the clustering exists to avoid.  (The
+    BroadcastNestedLoopJoin that DOES appear is ivf_assign's
+    8-row-centroid broadcast crossJoin — the accepted scalar idiom,
+    map-side, never corpus × corpus.)"""
+    p = physical(queries.QUERIES["semantic_dedup"](spark, SF))
+    assert "CartesianProduct" not in p, p[:2000]
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p \
+        or "BroadcastHashJoin" in p, p[:2000]
+
+
+def test_curation_pipeline_single_pass_shape(spark):
+    """The composed curation flow: gates are projections/filters (no
+    Exchange before the fingerprint groupBy), the benchmark shingle
+    side is broadcast, and nothing compiles to a loop join."""
+    p = physical(queries.QUERIES["curation_pipeline"](spark, SF))
+    assert "CartesianProduct" not in p, p[:2000]
+    assert "BroadcastNestedLoopJoin" not in p, p[:2000]
+    assert "BroadcastExchange" in p or "BroadcastQueryStage" in p, p[:2000]

@@ -376,3 +376,51 @@ def test_chunk_windows_coverage_and_overlap(spark, tmp_path):
     assert covered == set(range(150))
     # overlap: chunk 1 starts 16 tokens before chunk 0 ends
     assert cs[0].chunk_text.split()[48:] == cs[1].chunk_text.split()[:16]
+
+
+def test_curation_pipeline_each_gate_fires(spark):
+    """Planted corpus where every curation stage drops exactly one doc:
+    20 is non-English (no stop-token mass), 21 is too low quality
+    (punctuation soup), 23 duplicates 22's token SET (order shuffled —
+    the fingerprint gate, keeper = lower id), 24 is a verbatim copy of
+    the benchmark doc (contamination 1.0), and 25 survives everything.
+    Stage features on the survivors must match hand computation."""
+    base = "the quick brown fox jumps over a lazy dog in the sunny park"
+    rows = [
+        (0, base),                                        # benchmark doc
+        (20, "lorem ipsum dolor sit amet consectetur adipiscing elit " * 3),
+        (21, "!!!!!!!!! " * 12 + "the a"),   # quality 0.019 < 0.1
+        (22, "the court held that a statute applies to the appeal today"),
+        (23, "today the appeal applies that a statute held to the court"),
+        (24, base),
+        (25, "the judge ruled on a motion and the case is closed now"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in textprep.curation_pipeline(
+        docs.filter("doc_id >= 20"), docs.filter("doc_id < 20"),
+        ["the", "a", "of", "and", "to", "in", "is", "on"],
+        min_quality=0.1).collect()}
+    assert set(out) == {22, 25}
+    r22 = out[22]
+    assert r22.n_tokens == 11
+    assert abs(r22.stop_ratio - round(4 / 11, 4)) < 1e-9
+    assert abs(r22.quality - 0.11) < 1e-9    # least(11/100,1) * (1 - 0)
+    assert r22.contamination == 0.0
+    # 25 shares zero 3-gram shingles with the benchmark despite common
+    # stopwords (3-grams need three consecutive shared tokens)
+    assert out[25].contamination == 0.0
+
+
+def test_curation_pipeline_short_doc_contamination_zero(spark):
+    """A surviving doc shorter than the shingle width has no shingles;
+    it must come through with contamination 0, not be dropped by the
+    left-join (the no-shingle edge the composition pins)."""
+    rows = [(0, "the quick brown fox jumps"),
+            (20, "the a")]  # 2 tokens < shingle width 3: zero shingles
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = textprep.curation_pipeline(
+        docs.filter("doc_id >= 20"), docs.filter("doc_id < 20"),
+        ["the", "a", "of", "and", "to", "in", "is", "on"],
+        min_quality=0.0).collect()
+    assert len(out) == 1 and out[0].doc_id == 20
+    assert out[0].contamination == 0.0
