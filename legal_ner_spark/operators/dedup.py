@@ -1273,20 +1273,21 @@ def prefix_posting_stats(docs: DataFrame, t_num: int = 4, t_den: int = 5,
 def _semantic_assign(emb: DataFrame, n_clusters: int, refine_iters: int,
                      id_col: str, vec_col: str) -> DataFrame:
     """Shared cluster-assignment stage for ``semantic_dedup`` and
-    ``semantic_dedup_stats``: (vec_id, v, centroid_id) via the
-    deterministic IVF coarse quantizer (lowest-id seeds, optional Lloyd
-    refinement, broadcast-argmin assignment — no corpus shuffle)."""
+    ``semantic_dedup_stats``: ((vec_id, v, centroid_id), centroids) via
+    the deterministic IVF coarse quantizer (lowest-id seeds, optional
+    Lloyd refinement, broadcast-argmin assignment — no corpus
+    shuffle)."""
     from .similarity import ivf_assign, ivf_centroids, prepare_vectors
     vecs = prepare_vectors(emb, id_col=id_col, vec_col=vec_col)
     cents = ivf_centroids(vecs, n_centroids=n_clusters,
                           refine_iters=refine_iters)
-    return ivf_assign(vecs, cents, n_probe=1)
+    return ivf_assign(vecs, cents, n_probe=1), cents
 
 
 def semantic_dedup(emb: DataFrame, n_clusters: int = 8,
                    threshold: float = 0.95, refine_iters: int = 0,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   max_iter: int = 20,
+                   max_iter: int = 20, keep: str = "min_id",
                    checkpoint_dir: str | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): EMBEDDING-level
     semantic deduplication — the tier above MinHash/SimHash/prefix in
@@ -1316,13 +1317,22 @@ def semantic_dedup(emb: DataFrame, n_clusters: int = 8,
     ``ivf_centroids(sample_fraction=...)`` trains the quantizer on a
     seeded sample.
 
+    ``keep`` selects the representative per duplicate group:
+    ``"min_id"`` (default — the near_dedup convention, stable under
+    appends) or ``"diverse"`` — the PAPER's policy (§3: keep the
+    example with LOWEST cosine similarity to its cluster centroid, i.e.
+    the one adding the most diversity; ties broken by id).  Both are
+    fully deterministic and both have exact DuckDB oracles.
+
     Deterministic end-to-end (lowest-id seed centroids, 4-dp-rounded
-    cosines, id tie-breaks, min-id keepers) → exact DuckDB oracle
-    despite being a clustering-based method."""
+    cosines, id tie-breaks, deterministic keeper policies) → exact
+    DuckDB oracle despite being a clustering-based method."""
+    if keep not in ("min_id", "diverse"):
+        raise ValueError(f"keep must be 'min_id' or 'diverse', got {keep!r}")
     from .graph import weakly_connected_components
     from .similarity import cosine_expr
-    assigned = _semantic_assign(emb, n_clusters, refine_iters,
-                                id_col, vec_col)
+    assigned, cents = _semantic_assign(emb, n_clusters, refine_iters,
+                                       id_col, vec_col)
     a = assigned.select("centroid_id", F.col("vec_id").alias("id_a"),
                         F.col("v").alias("va"))
     b = assigned.select("centroid_id", F.col("vec_id").alias("id_b"),
@@ -1337,12 +1347,29 @@ def semantic_dedup(emb: DataFrame, n_clusters: int = 8,
     # vectors with no above-threshold pair never entered the component
     # pass — they keep themselves via the coalesce (same re-expansion
     # contract as near_dedup).
-    return (assigned
-            .join(comp.withColumnRenamed("node", "vec_id"),
-                  "vec_id", "left")
+    labeled = (assigned
+               .join(comp.withColumnRenamed("node", "vec_id"),
+                     "vec_id", "left")
+               .withColumn("component",
+                           F.coalesce("component", F.col("vec_id"))))
+    if keep == "min_id":
+        # component labels ARE min ids — no second pass needed
+        return labeled.select("vec_id", "centroid_id",
+                              F.col("component").alias("keeper_vec_id"))
+    # keep == "diverse": re-rank each duplicate group by similarity to
+    # its (shared — pairs are within-cluster) centroid, keeper = least
+    # similar.  The window partitions by component: bounded by cluster
+    # size, the same bound the pair join already lives under.
+    sim = (labeled.join(F.broadcast(cents), "centroid_id")
+           .withColumn("ccos", F.round(cosine_expr("v", "cv"), 4)))
+    w = Window.partitionBy("component").orderBy(F.asc("ccos"),
+                                                F.asc("vec_id"))
+    reps = (sim.withColumn("krn", F.row_number().over(w))
+            .filter(F.col("krn") == 1)
+            .select(F.col("component"), F.col("vec_id").alias("keeper")))
+    return (labeled.join(reps, "component")
             .select("vec_id", "centroid_id",
-                    F.coalesce("component", F.col("vec_id"))
-                    .alias("keeper_vec_id")))
+                    F.col("keeper").alias("keeper_vec_id")))
 
 
 def semantic_dedup_stats(emb: DataFrame, n_clusters: int = 8,
@@ -1357,8 +1384,8 @@ def semantic_dedup_stats(emb: DataFrame, n_clusters: int = 8,
     e.g. a boilerplate mode swallowing the corpus — shows up here
     before it becomes one straggler join cell; the fix is more
     clusters or quantizer refinement, both knobs on the same census)."""
-    assigned = _semantic_assign(emb, n_clusters, refine_iters,
-                                id_col, vec_col)
+    assigned, _ = _semantic_assign(emb, n_clusters, refine_iters,
+                                   id_col, vec_col)
     sizes = assigned.groupBy("centroid_id").agg(
         F.count(F.lit(1)).alias("s"))
     return sizes.agg(

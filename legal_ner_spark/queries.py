@@ -5397,6 +5397,61 @@ JOIN (SELECT src, min(dst) AS keeper FROM reach GROUP BY src) k
   ON k.src = a.vec_id"""
 
 
+def q_semantic_dedup_diverse(spark, sf_dir):
+    """semantic_dedup with the PAPER's keeper policy (SemDeDup §3:
+    within each duplicate group keep the example LEAST similar to its
+    cluster centroid — the one adding the most diversity; id
+    tie-break), vs the default min-id policy the incremental flows
+    prefer.  Same candidate/component tiers; only the representative
+    choice differs — the oracle re-ranks each component by
+    centroid-cosine in SQL."""
+    from .operators import dedup
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    return (dedup.semantic_dedup(emb, n_clusters=8, threshold=0.35,
+                                 keep="diverse",
+                                 checkpoint_dir=_ckpt_dir(spark))
+            .select(F.col("vec_id").cast("bigint").alias("vec_id"),
+                    F.col("centroid_id").cast("int").alias("centroid_id"),
+                    F.col("keeper_vec_id").cast("bigint")
+                    .alias("keeper_vec_id")))
+
+
+def o_semantic_dedup_diverse():
+    assign, cos = _semdedup_assign_sql()
+    return f"""
+WITH RECURSIVE {assign},
+pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM assigned a JOIN assigned b USING (centroid_id)
+  WHERE a.vec_id < b.vec_id
+    AND {cos.format(a='a.v', b='b.v')} >= 0.35
+),
+edges AS (
+  SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs
+),
+reach(src, dst) AS (
+  SELECT vec_id, vec_id FROM e
+  UNION
+  SELECT r.src, ed.b FROM reach r JOIN edges ed ON r.dst = ed.a
+),
+comps AS (SELECT src AS vec_id, min(dst) AS comp FROM reach GROUP BY src),
+simz AS (
+  SELECT a.vec_id, a.centroid_id, c.comp,
+         {cos.format(a='a.v', b='ct.cv')} AS ccos
+  FROM assigned a JOIN comps c USING (vec_id)
+                  JOIN cents ct USING (centroid_id)
+),
+reps AS (
+  SELECT comp, vec_id AS keeper FROM (
+    SELECT comp, vec_id, row_number() OVER (
+      PARTITION BY comp ORDER BY ccos ASC, vec_id ASC) AS rn
+    FROM simz) WHERE rn = 1
+)
+SELECT s.vec_id::BIGINT AS vec_id, s.centroid_id::INT AS centroid_id,
+       r.keeper::BIGINT AS keeper_vec_id
+FROM simz s JOIN reps r USING (comp)"""
+
+
 def q_semantic_dedup_stats(spark, sf_dir):
     """Pre-run census for semantic_dedup
     (operators/dedup.semantic_dedup_stats): cluster sizes, the exact
@@ -6717,6 +6772,7 @@ QUERIES = {
     "dedup_prefix_filter": q_dedup_prefix_filter,
     "dedup_posting_stats": q_dedup_posting_stats,
     "semantic_dedup": q_semantic_dedup,
+    "semantic_dedup_diverse": q_semantic_dedup_diverse,
     "semantic_dedup_stats": q_semantic_dedup_stats,
     "kg_ktruss": q_kg_ktruss,
     "kg_random_walks": q_kg_random_walks,
@@ -6883,6 +6939,7 @@ ORACLES = {
     "dedup_prefix_filter": o_dedup_prefix_filter(),
     "dedup_posting_stats": o_dedup_posting_stats(),
     "semantic_dedup": o_semantic_dedup(),
+    "semantic_dedup_diverse": o_semantic_dedup_diverse(),
     "semantic_dedup_stats": o_semantic_dedup_stats(),
     "kg_ktruss": o_kg_ktruss(),
     "kg_random_walks": o_kg_random_walks(),

@@ -1477,3 +1477,21 @@ def test_semantic_dedup_stats_census(spark, sem_vecs):
     assert row.max_cluster == 4                    # {0,2,3,4}
     assert row.cand_pairs == 4 * 3 / 2 + 2 * 1 / 2  # 6 + 1
     assert abs(row.imbalance - 4 / 3) < 1e-3
+
+
+def test_semantic_dedup_diverse_keeps_least_central(spark, sem_vecs):
+    """The paper's keeper policy: within the merged 0-2-3-4 group the
+    representative is vector 4 — the member LEAST similar to the
+    cluster centroid (= seed vector 0 with refine_iters=0: ccos 1.0 /
+    0.9998 / 0.9992 / 0.9981) — while singletons keep themselves."""
+    out = {r.vec_id: r.keeper_vec_id
+           for r in dedup.semantic_dedup(sem_vecs, n_clusters=2,
+                                         threshold=0.999,
+                                         keep="diverse").collect()}
+    assert all(out[i] == 4 for i in (0, 2, 3, 4))
+    assert out[1] == 1 and out[5] == 5
+
+
+def test_semantic_dedup_rejects_unknown_keep_policy(spark, sem_vecs):
+    with pytest.raises(ValueError, match="keep must be"):
+        dedup.semantic_dedup(sem_vecs, keep="random")
