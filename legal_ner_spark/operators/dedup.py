@@ -630,6 +630,23 @@ def _publish_index_snapshot(path: str, tables: dict[str, DataFrame],
     rebased index).  Table plans may READ the current snapshot: the
     fresh-id guard keeps every write target disjoint from every read
     source, and vacuum runs only after all four writes committed."""
+    return _write_index_snapshot(path, tables, _INDEX_TABLES,
+                                 _INDEX_MANIFEST, _index_dirs,
+                                 snapshot_id=snapshot_id, vacuum=vacuum,
+                                 num_files=num_files)
+
+
+def _write_index_snapshot(path: str, tables: dict[str, DataFrame],
+                          table_names: tuple[str, ...],
+                          manifest_name: str, dirs_fn,
+                          snapshot_id: str | None = None,
+                          vacuum: bool = True,
+                          num_files: int | None = None) -> dict:
+    """The lifecycle-agnostic snapshot writer behind every index
+    compaction (MinHash dedup and semantic): immutable ``snap=<id>``
+    table set, fresh-id self-overwrite guard, atomic manifest rename,
+    post-commit vacuum.  ``dirs_fn`` resolves the lifecycle's CURRENT
+    table directories (for the clash guard)."""
     import json
     import os
     import re
@@ -641,33 +658,33 @@ def _publish_index_snapshot(path: str, tables: dict[str, DataFrame],
         nums = [int(m.group(1)) for d in existing
                 if (m := re.fullmatch(r"snap=c(\d+)", d))]
         snapshot_id = f"c{(max(nums) + 1 if nums else 0):06d}"
-    cur = _index_dirs(path)
+    cur = dirs_fn(path)
     new_dirs = {t: os.path.join(path, f"snap={snapshot_id}", t)
-                for t in _INDEX_TABLES}
-    clash = [t for t in _INDEX_TABLES
+                for t in table_names}
+    clash = [t for t in table_names
              if os.path.normpath(new_dirs[t]) == os.path.normpath(cur[t])]
     if clash:
         raise ValueError(
             f"snapshot_id {snapshot_id!r} is the currently published "
             f"snapshot of {clash} — a snapshot write must mint a fresh "
             "id, or the rewrite would overwrite its own input mid-scan")
-    for t in _INDEX_TABLES:
+    for t in table_names:
         df = tables[t]
         if num_files is not None:
             df = df.coalesce(num_files)
         df.write.mode("overwrite").parquet(new_dirs[t])
     manifest = {"snapshot": snapshot_id, "tables": new_dirs}
-    tmp = os.path.join(path, f".{_INDEX_MANIFEST}.tmp")
+    tmp = os.path.join(path, f".{manifest_name}.tmp")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
-    os.rename(tmp, os.path.join(path, _INDEX_MANIFEST))  # commit point
+    os.rename(tmp, os.path.join(path, manifest_name))  # commit point
     if vacuum:
         keep = f"snap={snapshot_id}"
         for d in os.listdir(path):
             full = os.path.join(path, d)
             if d == keep or not os.path.isdir(full):
                 continue
-            if d.startswith("snap=") or d in _INDEX_TABLES:
+            if d.startswith("snap=") or d in table_names:
                 shutil.rmtree(full)
     return manifest
 
@@ -1284,6 +1301,39 @@ def _semantic_assign(emb: DataFrame, n_clusters: int, refine_iters: int,
     return ivf_assign(vecs, cents, n_probe=1), cents
 
 
+def _semantic_label(emb: DataFrame, n_clusters: int, threshold: float,
+                    refine_iters: int, id_col: str, vec_col: str,
+                    max_iter: int,
+                    checkpoint_dir: str | None) -> tuple:
+    """Shared SemDeDup core for ``semantic_dedup`` and
+    ``semantic_index_build``: (labeled, centroids) where labeled =
+    (vec_id, v, centroid_id, component) — within-cluster cosine pairs
+    above ``threshold``, connected components, component = min member
+    id (vectors with no pair keep themselves via the coalesce, same
+    re-expansion contract as near_dedup)."""
+    from .graph import weakly_connected_components
+    from .similarity import cosine_expr
+    assigned, cents = _semantic_assign(emb, n_clusters, refine_iters,
+                                       id_col, vec_col)
+    a = assigned.select("centroid_id", F.col("vec_id").alias("id_a"),
+                        F.col("v").alias("va"))
+    b = assigned.select("centroid_id", F.col("vec_id").alias("id_b"),
+                        F.col("v").alias("vb"))
+    pairs = (a.join(b, "centroid_id")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("cos_sim", F.round(cosine_expr("va", "vb"), 4))
+             .filter(F.col("cos_sim") >= threshold)
+             .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
+    comp = weakly_connected_components(pairs, max_iter=max_iter,
+                                       checkpoint_dir=checkpoint_dir)
+    labeled = (assigned
+               .join(comp.withColumnRenamed("node", "vec_id"),
+                     "vec_id", "left")
+               .withColumn("component",
+                           F.coalesce("component", F.col("vec_id"))))
+    return labeled, cents
+
+
 def semantic_dedup(emb: DataFrame, n_clusters: int = 8,
                    threshold: float = 0.95, refine_iters: int = 0,
                    id_col: str = "vec_id", vec_col: str = "embedding",
@@ -1329,29 +1379,11 @@ def semantic_dedup(emb: DataFrame, n_clusters: int = 8,
     DuckDB oracle despite being a clustering-based method."""
     if keep not in ("min_id", "diverse"):
         raise ValueError(f"keep must be 'min_id' or 'diverse', got {keep!r}")
-    from .graph import weakly_connected_components
     from .similarity import cosine_expr
-    assigned, cents = _semantic_assign(emb, n_clusters, refine_iters,
-                                       id_col, vec_col)
-    a = assigned.select("centroid_id", F.col("vec_id").alias("id_a"),
-                        F.col("v").alias("va"))
-    b = assigned.select("centroid_id", F.col("vec_id").alias("id_b"),
-                        F.col("v").alias("vb"))
-    pairs = (a.join(b, "centroid_id")
-             .filter(F.col("id_a") < F.col("id_b"))
-             .withColumn("cos_sim", F.round(cosine_expr("va", "vb"), 4))
-             .filter(F.col("cos_sim") >= threshold)
-             .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
-    comp = weakly_connected_components(pairs, max_iter=max_iter,
-                                       checkpoint_dir=checkpoint_dir)
-    # vectors with no above-threshold pair never entered the component
-    # pass — they keep themselves via the coalesce (same re-expansion
-    # contract as near_dedup).
-    labeled = (assigned
-               .join(comp.withColumnRenamed("node", "vec_id"),
-                     "vec_id", "left")
-               .withColumn("component",
-                           F.coalesce("component", F.col("vec_id"))))
+    labeled, cents = _semantic_label(
+        emb, n_clusters=n_clusters, threshold=threshold,
+        refine_iters=refine_iters, id_col=id_col, vec_col=vec_col,
+        max_iter=max_iter, checkpoint_dir=checkpoint_dir)
     if keep == "min_id":
         # component labels ARE min ids — no second pass needed
         return labeled.select("vec_id", "centroid_id",
@@ -1395,3 +1427,161 @@ def semantic_dedup_stats(emb: DataFrame, n_clusters: int = 8,
         F.sum(F.col("s") * (F.col("s") - 1) / 2).cast("bigint")
         .alias("cand_pairs"),
         F.round(F.max("s") / F.avg("s"), 4).alias("imbalance"))
+
+
+_SEM_TABLES = ("centroids", "keepers", "reps")
+_SEM_MANIFEST = "_current.json"
+
+
+def _sem_dirs(path: str) -> dict[str, str]:
+    """Resolve the semantic index's three table directories — manifest
+    if compacted, legacy flat layout otherwise (the fourth
+    instantiation of the per-lifecycle manifest pattern; see
+    ARCHITECTURE.md on why each lifecycle owns its manifest)."""
+    import json
+    import os
+    man = os.path.join(path, _SEM_MANIFEST)
+    if os.path.exists(man):
+        with open(man) as fh:
+            return json.load(fh)["tables"]
+    return {t: f"{path}/{t}" for t in _SEM_TABLES}
+
+
+def semantic_index_read(spark: SparkSession, path: str,
+                        name: str) -> DataFrame:
+    """Read one semantic-index table (centroids/keepers/reps) at the
+    current snapshot; resolve through this, never raw paths."""
+    return _read_idx_dir(spark, _sem_dirs(path)[name])
+
+
+def semantic_index_build(emb: DataFrame, path: str, n_clusters: int = 8,
+                         threshold: float = 0.95, refine_iters: int = 0,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding", max_iter: int = 20,
+                         checkpoint_dir: str | None = None) -> DataFrame:
+    """Materialize the SEMANTIC dedup index over a first corpus batch —
+    the embedding-tier twin of ``dedup_index_build``, completing the
+    platform's index family (MinHash dedup / BM25 / IVF / semantic all
+    share the build → append → compact lifecycle).  Three tables:
+
+    - ``centroids`` (centroid_id, cv) — the coarse quantizer, FROZEN at
+      build time: appends assign into these clusters, so cluster
+      membership is per-vector and append ≡ build-over-union under the
+      same quantizer (the IVF index's documented frozen-quantizer
+      trade; rebuild is the drift mitigation).
+    - ``keepers`` (vec_id, centroid_id, keeper_vec_id) — every indexed
+      vector's assignment (min-id policy: the append-stable choice;
+      the paper's ``keep='diverse'`` re-rank is NOT append-stable — a
+      later batch can change which member is least central — so the
+      index pins min_id and a reader wanting diversity re-ranks its
+      final corpus once).
+    - ``reps`` (vec_id, v, centroid_id) — the keeper SURFACE new
+      batches compare against (near-dups of a dropped non-keeper
+      member are missed: the same frozen-keeper recall trade as the
+      MinHash index, measured there by
+      tools/measure_incremental_recall.py).
+
+    Returns the keepers assignment of the build batch."""
+    labeled, cents = _semantic_label(
+        emb, n_clusters=n_clusters, threshold=threshold,
+        refine_iters=refine_iters, id_col=id_col, vec_col=vec_col,
+        max_iter=max_iter, checkpoint_dir=checkpoint_dir)
+    out = labeled.select("vec_id", "centroid_id",
+                         F.col("component").alias("keeper_vec_id"))
+    idx = _sem_dirs(path)
+    cents.write.mode("overwrite").parquet(idx["centroids"])
+    out.write.mode("overwrite").parquet(idx["keepers"])
+    (labeled.filter(F.col("vec_id") == F.col("component"))
+     .select("vec_id", "v", "centroid_id")
+     .write.mode("overwrite").parquet(idx["reps"]))
+    return out
+
+
+def semantic_index_append(new_emb: DataFrame, path: str,
+                          threshold: float = 0.95,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding", max_iter: int = 20,
+                          checkpoint_dir: str | None = None,
+                          batch_tag: str | None = None) -> DataFrame:
+    """Semantically dedup a NEW batch against the frozen index and grow
+    it — O(batch + touched reps), never O(corpus).  Frozen-keeper
+    semantics exactly as ``dedup_index_append``: existing assignments
+    never change; a new vector joins an existing cluster only through
+    an above-threshold cosine pair with a KEEPER representative in its
+    (frozen-centroid) cluster; new-new pairs chain within the batch; a
+    component touching ≥1 existing keeper maps every NEW member to the
+    MINIMUM such keeper (two old keepers bridged by a batch stay
+    distinct), keeper-less components keep their min new id.
+
+    ``batch_tag`` scopes the index writes to overwrite-idempotent
+    subdirectories — the replay hook a streaming twin needs.
+
+    Returns one row per new vector (vec_id, centroid_id,
+    keeper_vec_id)."""
+    from ..plans.checkpoint import Truncator
+    from .graph import weakly_connected_components
+    from .similarity import cosine_expr, ivf_assign, prepare_vectors
+    spark = new_emb.sparkSession
+    trunc = Truncator(checkpoint_dir)
+    idx = _sem_dirs(path)
+    cents = _read_idx_dir(spark, idx["centroids"])
+    vecs = prepare_vectors(new_emb, id_col=id_col, vec_col=vec_col)
+    assigned = trunc(ivf_assign(vecs, cents, n_probe=1), "sem_append_asg")
+    reps = _read_idx_dir(spark, idx["reps"])
+    a = assigned.select("centroid_id", F.col("vec_id").alias("id_a"),
+                        F.col("v").alias("va"))
+    b = assigned.select("centroid_id", F.col("vec_id").alias("id_b"),
+                        F.col("v").alias("vb"))
+    nn = (a.join(b, "centroid_id")
+          .filter(F.col("id_a") < F.col("id_b"))
+          .filter(F.round(cosine_expr("va", "vb"), 4) >= threshold)
+          .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
+    nk = (a.join(reps.select("centroid_id",
+                             F.col("vec_id").alias("id_b"),
+                             F.col("v").alias("vb")), "centroid_id")
+          .filter(F.round(cosine_expr("va", "vb"), 4) >= threshold)
+          .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
+    comp = weakly_connected_components(nn.union(nk),
+                                       max_iter=max_iter,
+                                       checkpoint_dir=checkpoint_dir)
+    repset = reps.select(F.col("vec_id").alias("node"))
+    comp_keeper = (comp.join(repset, "node")
+                   .groupBy("component").agg(F.min("node").alias("kmin")))
+    resolved = (comp.join(comp_keeper, "component", "left")
+                .select(F.col("node").alias("vec_id"),
+                        F.coalesce("kmin", F.col("component"))
+                        .alias("keeper_vec_id")))
+    out = trunc(
+        assigned.select("vec_id", "centroid_id")
+        .join(resolved, "vec_id", "left")
+        .select("vec_id", "centroid_id",
+                F.coalesce("keeper_vec_id", F.col("vec_id"))
+                .alias("keeper_vec_id")), "sem_append_out")
+
+    def _grow(df: DataFrame, name: str) -> None:
+        if batch_tag is None:
+            df.write.mode("append").parquet(idx[name])
+        else:
+            df.write.mode("overwrite").parquet(f"{idx[name]}/{batch_tag}")
+
+    _grow(out, "keepers")
+    new_reps = out.filter("vec_id = keeper_vec_id").select("vec_id")
+    _grow(assigned.join(new_reps, "vec_id")
+          .select("vec_id", "v", "centroid_id"), "reps")
+    return out
+
+
+def semantic_index_compact(spark: SparkSession, path: str,
+                           snapshot_id: str | None = None,
+                           vacuum: bool = True,
+                           num_files: int | None = None) -> dict:
+    """Rewrite the semantic index's current tables as one coalesced
+    ``snap=<id>`` snapshot under an atomic manifest flip — same
+    contract (and same vacuum caveat for pre-flip DataFrame handles) as
+    ``dedup_index_compact``; the shared snapshot writer enforces the
+    fresh-id self-overwrite guard."""
+    tables = {t: _read_idx_dir(spark, _sem_dirs(path)[t])
+              for t in _SEM_TABLES}
+    return _write_index_snapshot(path, tables, _SEM_TABLES, _SEM_MANIFEST,
+                                 _sem_dirs, snapshot_id=snapshot_id,
+                                 vacuum=vacuum, num_files=num_files)

@@ -5452,6 +5452,113 @@ SELECT s.vec_id::BIGINT AS vec_id, s.centroid_id::INT AS centroid_id,
 FROM simz s JOIN reps r USING (comp)"""
 
 
+def q_semantic_dedup_incremental(spark, sf_dir):
+    """Incremental SEMANTIC dedup — the embedding-tier twin of
+    near_dedup_incremental, completing the index family (MinHash /
+    BM25 / IVF / semantic all build → append → compact): build the
+    semantic index over even vec_ids (centroids trained on that batch
+    and FROZEN), COMPACT under the atomic manifest flip, append the
+    odd batch against the frozen keeper surface (within-batch pairs +
+    batch × keeper-rep pairs, components, min-keeper resolution),
+    return the combined corpus-wide assignment.  Even rows are frozen
+    byte-identical to a plain semantic_dedup of the even batch; the
+    oracle replays the identical two-phase frozen-keeper semantics in
+    SQL, and its value-exact match also proves compaction changes no
+    answer."""
+    import tempfile
+    from .operators import dedup
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    path = tempfile.mkdtemp(prefix="sem_idx_")
+    dedup.semantic_index_build(emb.filter("vec_id % 2 = 0"), path,
+                               n_clusters=8, threshold=0.35)
+    dedup.semantic_index_compact(spark, path)
+    dedup.semantic_index_append(emb.filter("vec_id % 2 = 1"), path,
+                                threshold=0.35)
+    return (dedup.semantic_index_read(spark, path, "keepers")
+            .select(F.col("vec_id").cast("bigint").alias("vec_id"),
+                    F.col("centroid_id").cast("int").alias("centroid_id"),
+                    F.col("keeper_vec_id").cast("bigint")
+                    .alias("keeper_vec_id")))
+
+
+def o_semantic_dedup_incremental():
+    cos = ("round(list_dot_product({a}, {b}) / "
+           "(sqrt(list_dot_product({a}, {a})) * "
+           "sqrt(list_dot_product({b}, {b}))), 4)")
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, v AS cv
+  FROM (SELECT * FROM e WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 8)
+),
+assigned AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT c.vec_id, c.v, ct.centroid_id,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY {cos.format(a='c.v', b='ct.cv')} DESC,
+                      ct.centroid_id ASC) AS crn
+    FROM e c CROSS JOIN cents ct) WHERE crn = 1
+),
+pairs1 AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM assigned a JOIN assigned b USING (centroid_id)
+  WHERE a.vec_id < b.vec_id AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 0
+    AND {cos.format(a='a.v', b='b.v')} >= 0.35
+),
+edges1 AS (
+  SELECT ia AS a, ib AS b FROM pairs1 UNION SELECT ib, ia FROM pairs1
+),
+reach1(src, dst) AS (
+  SELECT vec_id, vec_id FROM e WHERE vec_id % 2 = 0
+  UNION
+  SELECT r.src, ed.b FROM reach1 r JOIN edges1 ed ON r.dst = ed.a
+),
+keepers1 AS (
+  SELECT src AS vec_id, min(dst) AS keeper FROM reach1 GROUP BY src
+),
+reps1 AS (SELECT DISTINCT keeper AS vec_id FROM keepers1),
+pairs_nn AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM assigned a JOIN assigned b USING (centroid_id)
+  WHERE a.vec_id < b.vec_id AND a.vec_id % 2 = 1 AND b.vec_id % 2 = 1
+    AND {cos.format(a='a.v', b='b.v')} >= 0.35
+),
+pairs_nk AS (
+  SELECT a.vec_id AS ia, k.vec_id AS ib
+  FROM assigned a JOIN assigned k USING (centroid_id)
+                  JOIN reps1 r ON r.vec_id = k.vec_id
+  WHERE a.vec_id % 2 = 1
+    AND {cos.format(a='a.v', b='k.v')} >= 0.35
+),
+edges2 AS (
+  SELECT ia AS a, ib AS b FROM pairs_nn
+  UNION SELECT ib, ia FROM pairs_nn
+  UNION SELECT ia, ib FROM pairs_nk
+  UNION SELECT ib, ia FROM pairs_nk
+),
+reach2(src, dst) AS (
+  SELECT vec_id, vec_id FROM e WHERE vec_id % 2 = 1
+  UNION
+  SELECT r.src, ed.b FROM reach2 r JOIN edges2 ed ON r.dst = ed.a
+),
+keepers2 AS (
+  SELECT r.src AS vec_id,
+         coalesce(min(CASE WHEN rp.vec_id IS NOT NULL THEN r.dst END),
+                  min(r.dst)) AS keeper
+  FROM reach2 r LEFT JOIN reps1 rp ON rp.vec_id = r.dst
+  GROUP BY r.src
+),
+unioned AS (
+  SELECT vec_id, keeper FROM keepers1
+  UNION ALL SELECT vec_id, keeper FROM keepers2
+)
+SELECT u.vec_id::BIGINT AS vec_id, a.centroid_id::INT AS centroid_id,
+       u.keeper::BIGINT AS keeper_vec_id
+FROM unioned u JOIN assigned a USING (vec_id)"""
+
+
 def q_semantic_dedup_stats(spark, sf_dir):
     """Pre-run census for semantic_dedup
     (operators/dedup.semantic_dedup_stats): cluster sizes, the exact
@@ -6773,6 +6880,7 @@ QUERIES = {
     "dedup_posting_stats": q_dedup_posting_stats,
     "semantic_dedup": q_semantic_dedup,
     "semantic_dedup_diverse": q_semantic_dedup_diverse,
+    "semantic_dedup_incremental": q_semantic_dedup_incremental,
     "semantic_dedup_stats": q_semantic_dedup_stats,
     "kg_ktruss": q_kg_ktruss,
     "kg_random_walks": q_kg_random_walks,
@@ -6940,6 +7048,7 @@ ORACLES = {
     "dedup_posting_stats": o_dedup_posting_stats(),
     "semantic_dedup": o_semantic_dedup(),
     "semantic_dedup_diverse": o_semantic_dedup_diverse(),
+    "semantic_dedup_incremental": o_semantic_dedup_incremental(),
     "semantic_dedup_stats": o_semantic_dedup_stats(),
     "kg_ktruss": o_kg_ktruss(),
     "kg_random_walks": o_kg_random_walks(),

@@ -1495,3 +1495,83 @@ def test_semantic_dedup_diverse_keeps_least_central(spark, sem_vecs):
 def test_semantic_dedup_rejects_unknown_keep_policy(spark, sem_vecs):
     with pytest.raises(ValueError, match="keep must be"):
         dedup.semantic_dedup(sem_vecs, keep="random")
+
+
+@pytest.fixture(scope="module")
+def sem_idx_vecs(spark):
+    """Planted 2-d geometry for the semantic index (threshold 0.9,
+    2 clusters; angles in comments).  Build batch = evens: seeds 0/2
+    define the clusters; 4 (5.7°) merges with 0; 6 (70°) merges with 2
+    — so the rep surface is {0, 2} and members 4/6 are DROPPED.
+    Append batch = odds: 3 (8.1°) matches rep 0 directly; 5 (32°)
+    matches only 3 (cos 0.9143) and chains to keeper 0 through the
+    component; 7 (46°, cluster 1) matches only the dropped member 6
+    (cos 0.9135) — the frozen-keeper miss — and must stay a singleton
+    even though cos(5,7)=0.97 (different clusters: never compared)."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (2, [0.0, 1.0]),
+        (4, [0.995, 0.0995]),
+        (6, [0.342, 0.9397]),
+        (1, [0.99, 0.141]),      # odd id 1 plays the '3' role below
+        (3, [0.848, 0.53]),
+        (7, [0.6947, 0.7193]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_semantic_index_frozen_keeper_semantics(spark, sem_idx_vecs,
+                                                tmp_path):
+    from legal_ner_spark.operators.dedup import (
+        semantic_index_append, semantic_index_build, semantic_index_read)
+    emb = sem_idx_vecs
+    path = str(tmp_path / "semidx")
+    built = {r.vec_id: r.keeper_vec_id
+             for r in semantic_index_build(
+                 emb.filter("vec_id % 2 = 0"), path, n_clusters=2,
+                 threshold=0.9).collect()}
+    assert built == {0: 0, 4: 0, 2: 2, 6: 2}
+    out = {r.vec_id: r.keeper_vec_id
+           for r in semantic_index_append(
+               emb.filter("vec_id % 2 = 1"), path,
+               threshold=0.9).collect()}
+    # 1 (≈ the 8.1° vector) pairs with rep 0; 3 (32°) chains through 1;
+    # 7's only match is the dropped member 6 → frozen-keeper miss
+    assert out == {1: 0, 3: 0, 7: 7}
+    stored = {r.vec_id: r.keeper_vec_id
+              for r in semantic_index_read(spark, path,
+                                           "keepers").collect()}
+    assert stored == {**built, **out}
+    # rep surface grew by exactly the new keeper (7)
+    reps = {r.vec_id for r in semantic_index_read(spark, path,
+                                                  "reps").collect()}
+    assert reps == {0, 2, 7}
+
+
+def test_semantic_index_compact_and_replay(spark, sem_idx_vecs, tmp_path):
+    """Compaction between build and append changes no answer, and a
+    replayed batch_tag append overwrites its own subdirs instead of
+    double-appending."""
+    from legal_ner_spark.operators.dedup import (
+        semantic_index_append, semantic_index_build,
+        semantic_index_compact, semantic_index_read)
+    emb = sem_idx_vecs
+
+    def run(path, compact, tag=None, replays=1):
+        semantic_index_build(emb.filter("vec_id % 2 = 0"), path,
+                             n_clusters=2, threshold=0.9)
+        if compact:
+            semantic_index_compact(spark, path)
+        for _ in range(replays):
+            semantic_index_append(emb.filter("vec_id % 2 = 1"), path,
+                                  threshold=0.9, batch_tag=tag)
+        return sorted((r.vec_id, r.keeper_vec_id) for r in
+                      semantic_index_read(spark, path,
+                                          "keepers").collect())
+
+    plain = run(str(tmp_path / "a"), compact=False)
+    compacted = run(str(tmp_path / "b"), compact=True)
+    assert plain == compacted
+    replayed = run(str(tmp_path / "c"), compact=True, tag="batch-1",
+                   replays=2)
+    assert replayed == plain          # no double rows, same answers
