@@ -538,3 +538,64 @@ def stream_ivf_ingest(spark: SparkSession, vectors_dir: str,
     return (stream.writeStream.foreachBatch(process)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True).start())
+
+
+def stream_semantic_ingest(spark: SparkSession, vectors_dir: str,
+                           index_path: str, checkpoint_dir: str,
+                           n_clusters: int = 8, threshold: float = 0.95,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> StreamingQuery:
+    """Streaming twin of the incremental SEMANTIC dedup index —
+    completing the streaming story for all four index lifecycles
+    (MinHash dedup / BM25 / IVF / semantic): each arriving file of
+    (vec_id, embedding) rows is one micro-batch; the FIRST bootstraps
+    ``semantic_index_build`` (centroids trained on that batch and
+    FROZEN — the frozen-quantizer contract starts at bootstrap), later
+    batches dedup against the frozen keeper surface via
+    ``semantic_index_append`` under replay-stable ``batch-<id>`` tags.
+
+    Exactly-once story is the dedup twin's, not the BM25/IVF one: the
+    build writes flat table dirs (no manifest until a compact), so
+    bootstrap-complete detection needs the per-table ``_SUCCESS``
+    commit markers (Spark creates output dirs at job START — directory
+    existence would route a replayed batch 0 over a half-built index),
+    OR the compaction manifest; a completed-build-uncommitted-offset
+    replay is caught by the ``_bootstrap_batch`` claim and rebuilds
+    idempotently; append replays first delete their own tag subdirs so
+    the recomputation reads exactly the pre-batch index state."""
+    import os
+    import shutil
+    from ..operators import dedup
+    schema = spark.read.parquet(vectors_dir).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(vectors_dir))
+
+    def process(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        has_manifest = os.path.exists(
+            os.path.join(index_path, dedup._SEM_MANIFEST))
+        flat_complete = all(
+            os.path.exists(os.path.join(index_path, t, "_SUCCESS"))
+            for t in dedup._SEM_TABLES)
+        if not (has_manifest or flat_complete) \
+                or _is_bootstrap_replay(index_path, batch_id,
+                                        checkpoint_dir):
+            _claim_bootstrap(index_path, batch_id, checkpoint_dir)
+            dedup.semantic_index_build(batch_df, index_path,
+                                       n_clusters=n_clusters,
+                                       threshold=threshold,
+                                       id_col=id_col, vec_col=vec_col)
+            return
+        tag = f"batch-{batch_id:06d}"
+        for d in dedup._sem_dirs(index_path).values():
+            bdir = os.path.join(d, tag)
+            if os.path.exists(bdir):
+                shutil.rmtree(bdir)
+        dedup.semantic_index_append(batch_df, index_path,
+                                    threshold=threshold, id_col=id_col,
+                                    vec_col=vec_col, batch_tag=tag)
+
+    return (stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())

@@ -1575,3 +1575,58 @@ def test_semantic_index_compact_and_replay(spark, sem_idx_vecs, tmp_path):
     replayed = run(str(tmp_path / "c"), compact=True, tag="batch-1",
                    replays=2)
     assert replayed == plain          # no double rows, same answers
+
+
+def test_stream_semantic_ingest_matches_batch_and_restart_noop(
+        spark, sem_idx_vecs, tmp_path):
+    """The semantic streaming twin must produce EXACTLY the sequential
+    build+append keeper table on the planted geometry, and a restart
+    over the same checkpoint must change nothing."""
+    import os
+    import time
+    from legal_ner_spark.operators.dedup import (
+        semantic_index_append, semantic_index_build, semantic_index_read)
+    from legal_ner_spark.streaming.stream import stream_semantic_ingest
+
+    evens = sem_idx_vecs.filter("vec_id % 2 = 0")
+    odds = sem_idx_vecs.filter("vec_id % 2 = 1")
+
+    # one file per batch, mtimes strictly ordered so the file source
+    # triggers them in build order (frozen-keeper results are
+    # order-sensitive by design)
+    in_dir = str(tmp_path / "arrivals")
+    now = time.time()
+    seen: set = set()
+    for i, b in enumerate((evens, odds)):
+        b.coalesce(1).write.mode("append").parquet(in_dir)
+        for f in os.listdir(in_dir):
+            if f not in seen:
+                seen.add(f)
+                t = now + 100 * (i + 1)
+                os.utime(os.path.join(in_dir, f), (t, t))
+
+    idx_stream = str(tmp_path / "semidx_stream")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_semantic_ingest(spark, in_dir, idx_stream, ckpt,
+                               n_clusters=2, threshold=0.9)
+    assert q.awaitTermination(180)
+
+    idx_batch = str(tmp_path / "semidx_batch")
+    semantic_index_build(evens, idx_batch, n_clusters=2, threshold=0.9)
+    semantic_index_append(odds, idx_batch, threshold=0.9)
+
+    def keepers(path):
+        return {r.vec_id: r.keeper_vec_id
+                for r in semantic_index_read(spark, path,
+                                             "keepers").collect()}
+
+    got, want = keepers(idx_stream), keepers(idx_batch)
+    assert got == want
+    assert want == {0: 0, 4: 0, 2: 2, 6: 2, 1: 0, 3: 0, 7: 7}
+
+    # restart on the same checkpoint: nothing new arrives, the
+    # completed-bootstrap claim + tag hygiene leave the index unchanged
+    q2 = stream_semantic_ingest(spark, in_dir, idx_stream, ckpt,
+                                n_clusters=2, threshold=0.9)
+    assert q2.awaitTermination(120)
+    assert keepers(idx_stream) == want
