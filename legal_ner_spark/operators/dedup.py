@@ -1585,3 +1585,107 @@ def semantic_index_compact(spark: SparkSession, path: str,
     return _write_index_snapshot(path, tables, _SEM_TABLES, _SEM_MANIFEST,
                                  _sem_dirs, snapshot_id=snapshot_id,
                                  vacuum=vacuum, num_files=num_files)
+
+
+def semantic_index_reconcile(window_emb: DataFrame, path: str,
+                             threshold: float = 0.95,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             max_iter: int = 20,
+                             checkpoint_dir: str | None = None,
+                             snapshot_id: str | None = None,
+                             vacuum: bool = True,
+                             num_files: int | None = None) -> dict:
+    """Keeper-drift reconciliation for the frozen-keeper SEMANTIC index
+    — the embedding-tier twin of ``dedup_index_reconcile``, closing the
+    same measured trade (a new vector whose only above-threshold
+    neighbor is a dropped non-keeper member can never link through the
+    keeper surface): re-run semantic dedup over ``window_emb`` ∪ the
+    frozen keeper surface under the FROZEN centroids and REBASE every
+    stored assignment, publishing under the same atomic manifest flip
+    compaction uses.
+
+    Centroids stay frozen: reconcile repairs KEEPER drift (forgotten
+    member surfaces), not QUANTIZER drift (a distribution shift that
+    makes the build-batch centroids a poor partition) — the mitigation
+    for the latter is a rebuild, exactly as for the IVF index.  With a
+    full-corpus window the result equals a fresh ``semantic_dedup``
+    under the frozen quantizer (pinned by the
+    ``semantic_dedup_reconciled`` oracle).
+
+    Rebase semantics mirror the MinHash reconcile: components may MERGE
+    old clusters, never SPLIT them — every window vector's STORED
+    assignment rides into the component computation as an explicit
+    edge, so prior merges survive even when their witnessing keeper was
+    since demoted.  Assignments outside the window are rewritten
+    through the keeper remap (member → old keeper → new keeper); the
+    reps surface is rebuilt from the new keeper set's vectors (old
+    reps reused outside the window — no recompute, the vector IS the
+    surface).  Cost is O(|window| + |keepers|) for the pair tiers and
+    one map-side remap join for the corpus-sized keepers rewrite.
+
+    Returns the published manifest dict."""
+    from ..plans.checkpoint import Truncator
+    from .graph import weakly_connected_components
+    from .similarity import cosine_expr, ivf_assign, prepare_vectors
+    spark = window_emb.sparkSession
+    trunc = Truncator(checkpoint_dir)
+    idx = _sem_dirs(path)
+    cents = _read_idx_dir(spark, idx["centroids"])
+    old_assign = _read_idx_dir(spark, idx["keepers"])
+    vecs = prepare_vectors(window_emb, id_col=id_col, vec_col=vec_col)
+    w_asg = trunc(ivf_assign(vecs, cents, n_probe=1), "sem_rec_asg")
+    w_ids = w_asg.select("vec_id").distinct()
+    # keeper surface NOT in the window (a window vector that is also a
+    # keeper contributes its window copy, not two rows)
+    reps_old = (_read_idx_dir(spark, idx["reps"])
+                .join(w_ids, "vec_id", "left_anti"))
+    surface = (w_asg.select("vec_id", "v", "centroid_id")
+               .unionByName(reps_old.select("vec_id", "v",
+                                            "centroid_id")))
+    a = surface.select("centroid_id", F.col("vec_id").alias("id_a"),
+                       F.col("v").alias("va"))
+    b = surface.select("centroid_id", F.col("vec_id").alias("id_b"),
+                       F.col("v").alias("vb"))
+    pairs = (a.join(b, "centroid_id")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .filter(F.round(cosine_expr("va", "vb"), 4) >= threshold)
+             .select(F.col("id_a").alias("src"),
+                     F.col("id_b").alias("dst")))
+    # window vectors' stored links — the no-split guarantee
+    old_links = (old_assign.join(w_ids, "vec_id")
+                 .filter("vec_id != keeper_vec_id")
+                 .select(F.col("vec_id").alias("src"),
+                         F.col("keeper_vec_id").alias("dst")))
+    comp = weakly_connected_components(pairs.unionByName(old_links),
+                                       max_iter=max_iter,
+                                       checkpoint_dir=checkpoint_dir)
+    assign_new = trunc(
+        surface.select("vec_id", "centroid_id")
+        .join(comp.withColumnRenamed("node", "vec_id"), "vec_id", "left")
+        .select("vec_id", "centroid_id",
+                F.coalesce("component", F.col("vec_id"))
+                .alias("keeper_vec_id")), "sem_rec_assign")
+    old_keepers = (old_assign.filter("vec_id = keeper_vec_id")
+                   .select("vec_id"))
+    remap = (assign_new.join(old_keepers, "vec_id")
+             .select(F.col("vec_id").alias("keeper_vec_id"),
+                     F.col("keeper_vec_id").alias("_nk")))
+    kept = (old_assign.join(w_ids, "vec_id", "left_anti")
+            .join(remap, "keeper_vec_id", "left")
+            .select("vec_id", "centroid_id",
+                    F.coalesce("_nk", F.col("keeper_vec_id"))
+                    .alias("keeper_vec_id")))
+    new_keepers_tbl = trunc(
+        assign_new.join(w_ids, "vec_id").unionByName(kept),
+        "sem_rec_keepers")
+    # every new keeper is an old keeper or a window vector, so its
+    # vector is in `surface` — the reps rebuild is a metadata join
+    reps_tbl = surface.join(
+        new_keepers_tbl.filter("vec_id = keeper_vec_id")
+        .select("vec_id"), "vec_id")
+    tables = {"centroids": cents, "keepers": new_keepers_tbl,
+              "reps": reps_tbl}
+    return _write_index_snapshot(path, tables, _SEM_TABLES, _SEM_MANIFEST,
+                                 _sem_dirs, snapshot_id=snapshot_id,
+                                 vacuum=vacuum, num_files=num_files)

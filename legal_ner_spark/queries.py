@@ -5559,6 +5559,72 @@ SELECT u.vec_id::BIGINT AS vec_id, a.centroid_id::INT AS centroid_id,
 FROM unioned u JOIN assigned a USING (vec_id)"""
 
 
+def q_semantic_dedup_reconciled(spark, sf_dir):
+    """Full-window reconcile of the incremental semantic index
+    (operators/dedup.semantic_index_reconcile): build over evens,
+    append odds (accumulating the frozen-keeper drift), then reconcile
+    over the FULL corpus — the rebase-preserving rebuild.  The oracle
+    is a single-phase fresh semantic dedup under the FROZEN
+    even-trained quantizer: its value-exact match proves reconcile
+    closes every drift miss and the explicit-edge rebase neither
+    splits nor invents clusters (the semantic twin of
+    ``near_dedup_reconciled``)."""
+    import tempfile
+    from .operators import dedup
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    path = tempfile.mkdtemp(prefix="sem_rec_")
+    dedup.semantic_index_build(emb.filter("vec_id % 2 = 0"), path,
+                               n_clusters=8, threshold=0.35)
+    dedup.semantic_index_append(emb.filter("vec_id % 2 = 1"), path,
+                                threshold=0.35)
+    dedup.semantic_index_reconcile(emb, path, threshold=0.35)
+    return (dedup.semantic_index_read(spark, path, "keepers")
+            .select(F.col("vec_id").cast("bigint").alias("vec_id"),
+                    F.col("centroid_id").cast("int").alias("centroid_id"),
+                    F.col("keeper_vec_id").cast("bigint")
+                    .alias("keeper_vec_id")))
+
+
+def o_semantic_dedup_reconciled():
+    cos = ("round(list_dot_product({a}, {b}) / "
+           "(sqrt(list_dot_product({a}, {a})) * "
+           "sqrt(list_dot_product({b}, {b}))), 4)")
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, v AS cv
+  FROM (SELECT * FROM e WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 8)
+),
+assigned AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT c.vec_id, c.v, ct.centroid_id,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY {cos.format(a='c.v', b='ct.cv')} DESC,
+                      ct.centroid_id ASC) AS crn
+    FROM e c CROSS JOIN cents ct) WHERE crn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM assigned a JOIN assigned b USING (centroid_id)
+  WHERE a.vec_id < b.vec_id
+    AND {cos.format(a='a.v', b='b.v')} >= 0.35
+),
+edges AS (
+  SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs
+),
+reach(src, dst) AS (
+  SELECT vec_id, vec_id FROM e
+  UNION
+  SELECT r.src, ed.b FROM reach r JOIN edges ed ON r.dst = ed.a
+)
+SELECT r.src::BIGINT AS vec_id, a.centroid_id::INT AS centroid_id,
+       min(r.dst)::BIGINT AS keeper_vec_id
+FROM reach r JOIN assigned a ON a.vec_id = r.src
+GROUP BY r.src, a.centroid_id"""
+
+
 def q_semantic_dedup_stats(spark, sf_dir):
     """Pre-run census for semantic_dedup
     (operators/dedup.semantic_dedup_stats): cluster sizes, the exact
@@ -6881,6 +6947,7 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "semantic_dedup_diverse": q_semantic_dedup_diverse,
     "semantic_dedup_incremental": q_semantic_dedup_incremental,
+    "semantic_dedup_reconciled": q_semantic_dedup_reconciled,
     "semantic_dedup_stats": q_semantic_dedup_stats,
     "kg_ktruss": q_kg_ktruss,
     "kg_random_walks": q_kg_random_walks,
@@ -7049,6 +7116,7 @@ ORACLES = {
     "semantic_dedup": o_semantic_dedup(),
     "semantic_dedup_diverse": o_semantic_dedup_diverse(),
     "semantic_dedup_incremental": o_semantic_dedup_incremental(),
+    "semantic_dedup_reconciled": o_semantic_dedup_reconciled(),
     "semantic_dedup_stats": o_semantic_dedup_stats(),
     "kg_ktruss": o_kg_ktruss(),
     "kg_random_walks": o_kg_random_walks(),

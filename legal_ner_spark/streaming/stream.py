@@ -544,7 +544,10 @@ def stream_semantic_ingest(spark: SparkSession, vectors_dir: str,
                            index_path: str, checkpoint_dir: str,
                            n_clusters: int = 8, threshold: float = 0.95,
                            id_col: str = "vec_id",
-                           vec_col: str = "embedding") -> StreamingQuery:
+                           vec_col: str = "embedding",
+                           reconcile_every: int | None = None,
+                           window_batches: int | None = None
+                           ) -> StreamingQuery:
     """Streaming twin of the incremental SEMANTIC dedup index —
     completing the streaming story for all four index lifecycles
     (MinHash dedup / BM25 / IVF / semantic): each arriving file of
@@ -562,13 +565,46 @@ def stream_semantic_ingest(spark: SparkSession, vectors_dir: str,
     OR the compaction manifest; a completed-build-uncommitted-offset
     replay is caught by the ``_bootstrap_batch`` claim and rebuilds
     idempotently; append replays first delete their own tag subdirs so
-    the recomputation reads exactly the pre-batch index state."""
+    the recomputation reads exactly the pre-batch index state.
+
+    ROLLING RECONCILE (``reconcile_every``/``window_batches``): same
+    contract and exactly-once ordering as ``stream_dedup_ingest`` —
+    raw batches are stashed under ``<index_path>/_window/batch-<id>``,
+    every k-th batch runs ``semantic_index_reconcile`` over the
+    STRICTLY EARLIER stashes BEFORE its own append (a reconcile must
+    only cover committed batches, or a replayed append would
+    re-append rows the reconcile already consolidated)."""
     import os
     import shutil
     from ..operators import dedup
     schema = spark.read.parquet(vectors_dir).schema
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1).parquet(vectors_dir))
+
+    def _stash(batch_df, batch_id: int) -> None:
+        (batch_df.write.mode("overwrite")
+         .parquet(os.path.join(index_path, "_window",
+                               f"batch-{batch_id:06d}")))
+
+    def _maybe_reconcile(batch_id: int) -> None:
+        if not reconcile_every or batch_id % reconcile_every != 0:
+            return
+        wdir = os.path.join(index_path, "_window")
+        if not os.path.isdir(wdir):
+            return
+        stashes = sorted(d for d in os.listdir(wdir)
+                         if d.startswith("batch-")
+                         and int(d.split("-")[1]) < batch_id)
+        if not stashes:
+            return
+        win = spark.read.parquet(*(os.path.join(wdir, d)
+                                   for d in stashes))
+        dedup.semantic_index_reconcile(win, index_path,
+                                       threshold=threshold,
+                                       id_col=id_col, vec_col=vec_col)
+        if window_batches:
+            for d in stashes[:-window_batches]:
+                shutil.rmtree(os.path.join(wdir, d))
 
     def process(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -586,15 +622,21 @@ def stream_semantic_ingest(spark: SparkSession, vectors_dir: str,
                                        n_clusters=n_clusters,
                                        threshold=threshold,
                                        id_col=id_col, vec_col=vec_col)
+            if reconcile_every:
+                _stash(batch_df, batch_id)
             return
         tag = f"batch-{batch_id:06d}"
         for d in dedup._sem_dirs(index_path).values():
             bdir = os.path.join(d, tag)
             if os.path.exists(bdir):
                 shutil.rmtree(bdir)
+        # reconcile BEFORE this batch's append (after the hygiene)
+        _maybe_reconcile(batch_id)
         dedup.semantic_index_append(batch_df, index_path,
                                     threshold=threshold, id_col=id_col,
                                     vec_col=vec_col, batch_tag=tag)
+        if reconcile_every:
+            _stash(batch_df, batch_id)
 
     return (stream.writeStream.foreachBatch(process)
             .option("checkpointLocation", checkpoint_dir)

@@ -1630,3 +1630,125 @@ def test_stream_semantic_ingest_matches_batch_and_restart_noop(
                                 n_clusters=2, threshold=0.9)
     assert q2.awaitTermination(120)
     assert keepers(idx_stream) == want
+
+
+def test_semantic_index_reconcile_repairs_drift_no_split(spark,
+                                                         sem_idx_vecs,
+                                                         tmp_path):
+    """Reconcile over a window holding the forgotten member (6) must
+    link the drift vector (7, whose only match was that dropped
+    member) into keeper 2 and demote 7 from the rep surface; a later
+    reconcile over a window whose only stored link is keeper-mediated
+    (3 -> 0, no direct cosine pair with rep 0) must preserve it — the
+    explicit-edge no-split guarantee."""
+    from legal_ner_spark.operators.dedup import (
+        semantic_index_append, semantic_index_build,
+        semantic_index_reconcile, semantic_index_read)
+    emb = sem_idx_vecs
+    path = str(tmp_path / "semidx")
+    semantic_index_build(emb.filter("vec_id % 2 = 0"), path,
+                         n_clusters=2, threshold=0.9)
+    semantic_index_append(emb.filter("vec_id % 2 = 1"), path,
+                          threshold=0.9)
+
+    def keepers():
+        return {r.vec_id: r.keeper_vec_id
+                for r in semantic_index_read(spark, path,
+                                             "keepers").collect()}
+
+    assert keepers() == {0: 0, 4: 0, 2: 2, 6: 2, 1: 0, 3: 0, 7: 7}
+    semantic_index_reconcile(emb.filter("vec_id IN (6, 7)"), path,
+                             threshold=0.9)
+    repaired = {0: 0, 4: 0, 2: 2, 6: 2, 1: 0, 3: 0, 7: 2}
+    assert keepers() == repaired
+    reps = {r.vec_id for r in semantic_index_read(spark, path,
+                                                  "reps").collect()}
+    assert reps == {0, 2}
+    # no-split: 3's only link is its stored keeper 0 (cos(3, 0) =
+    # 0.848 < 0.9) — the explicit edge must carry it
+    semantic_index_reconcile(emb.filter("vec_id = 3"), path,
+                             threshold=0.9)
+    assert keepers() == repaired
+    # idempotence: the same window again changes nothing
+    semantic_index_reconcile(emb.filter("vec_id IN (6, 7)"), path,
+                             threshold=0.9)
+    assert keepers() == repaired
+
+
+def test_semantic_index_reconcile_full_window_is_fresh_dedup(
+        spark, sem_idx_vecs, tmp_path):
+    """A full-corpus window rebases to exactly the fresh semantic dedup
+    under the FROZEN quantizer, and appends keep working against the
+    reconciled snapshot."""
+    from legal_ner_spark.operators.dedup import (
+        semantic_index_append, semantic_index_build,
+        semantic_index_reconcile, semantic_index_read)
+    emb = sem_idx_vecs
+    path = str(tmp_path / "semidx")
+    semantic_index_build(emb.filter("vec_id % 2 = 0"), path,
+                         n_clusters=2, threshold=0.9)
+    semantic_index_append(emb.filter("vec_id % 2 = 1"), path,
+                          threshold=0.9)
+    semantic_index_reconcile(emb, path, threshold=0.9)
+    got = {r.vec_id: r.keeper_vec_id
+           for r in semantic_index_read(spark, path, "keepers").collect()}
+    # fresh pass under centroids {0: [1,0], 2: [0,1]}: cluster 0 chain
+    # 0-1-3 (+4), cluster 1 chain 2-6-7
+    assert got == {0: 0, 1: 0, 3: 0, 4: 0, 2: 2, 6: 2, 7: 2}
+    # the reconciled snapshot still accepts appends
+    extra = spark.createDataFrame([(9, [0.9999, 0.0141])],
+                                  ["vec_id", "embedding"])
+    semantic_index_append(extra, path, threshold=0.9)
+    got2 = {r.vec_id: r.keeper_vec_id
+            for r in semantic_index_read(spark, path,
+                                         "keepers").collect()}
+    assert got2[9] == 0
+
+
+def test_stream_semantic_ingest_rolling_reconcile_repairs_drift(
+        spark, sem_idx_vecs, tmp_path):
+    """The semantic twin's rolling reconcile: the drift vector 7 (only
+    match = forgotten member 6 from the bootstrap batch) stays a
+    singleton in the plain frozen-keeper stream but lands in keeper
+    2's cluster once the k-th batch's reconcile rebases over the
+    retained window.  Keeper rows stay unique through the
+    reconcile+append interleave."""
+    import os
+    import time
+    from legal_ner_spark.operators.dedup import semantic_index_read
+    from legal_ner_spark.streaming.stream import stream_semantic_ingest
+    emb = sem_idx_vecs
+    b1 = emb.filter("vec_id % 2 = 0")          # 0, 2, 4, 6
+    b2 = emb.filter("vec_id = 7")              # the drift vector
+    b3 = emb.filter("vec_id IN (1, 3)")        # triggers the reconcile
+
+    def run(idx_name, ck_name, **kw):
+        in_dir = str(tmp_path / f"in_{idx_name}")
+        now = time.time()
+        seen: set = set()
+        for i, b in enumerate((b1, b2, b3)):
+            b.coalesce(1).write.mode("append").parquet(in_dir)
+            for f in os.listdir(in_dir):
+                if f not in seen:
+                    seen.add(f)
+                    t = now + 100 * (i + 1)
+                    os.utime(os.path.join(in_dir, f), (t, t))
+        idx = str(tmp_path / idx_name)
+        q = stream_semantic_ingest(spark, in_dir, idx,
+                                   str(tmp_path / ck_name),
+                                   n_clusters=2, threshold=0.9, **kw)
+        assert q.awaitTermination(180)
+        return idx, {r.vec_id: r.keeper_vec_id
+                     for r in semantic_index_read(
+                         spark, idx, "keepers").collect()}
+
+    _, plain = run("semidx_plain", "semck_plain")
+    assert plain == {0: 0, 4: 0, 2: 2, 6: 2, 7: 7, 1: 0, 3: 0}
+    # reconcile due at the start of batch 2, covering batches 0-1
+    idx_r, rec = run("semidx_rec", "semck_rec", reconcile_every=2,
+                     window_batches=2)
+    assert rec == {0: 0, 4: 0, 2: 2, 6: 2, 7: 2, 1: 0, 3: 0}
+    ks = semantic_index_read(spark, idx_r, "keepers")
+    assert ks.count() == ks.select("vec_id").distinct().count()
+    wdir = os.path.join(idx_r, "_window")
+    assert len(os.listdir(wdir)) <= 3
