@@ -333,3 +333,161 @@ def curation_pipeline(docs: DataFrame, benchmark: DataFrame,
             .filter(F.col("contamination") < max_contamination)
             .select("doc_id", "n_tokens", "stop_ratio", "quality",
                     "contamination"))
+
+
+GOPHER_STOPWORDS = ("the", "a", "of", "to", "and", "in",
+                    "be", "that", "have", "with")
+
+
+def gopher_rules(docs: DataFrame,
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_word: float = 3.0, max_mean_word: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 min_alpha_word_frac: float = 0.8,
+                 min_stop_hits: int = 2,
+                 stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Gopher repetition-free quality rules (Rae et al. 2021, §A1.1 —
+    the rule set MassiveText/RefinedWeb/FineWeb descend from), as ONE
+    whole-stage-codegen projection: word-count bounds, mean-word-length
+    band, symbol-to-word ratio (``#`` and ``...``), fraction of words
+    containing an alphabetic character, and the ≥``min_stop_hits``
+    distinct-stopword requirement.  Emits every measured feature, every
+    per-rule verdict (int 0/1 — engine-portable), and the conjunction
+    ``pass_all`` — a curation run logs the per-rule failure tallies,
+    not just the survivor set, so each threshold can be audited.
+
+    Scale shape: pure projection over the corpus scan — no shuffle, no
+    UDF, trivially 100 TB-safe; thresholds are constant-folded.  All
+    ratio features are 4-dp-rounded BEFORE comparison so engine float
+    noise cannot flip a boundary doc between Spark and the oracle."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    n_words = F.size(toks)
+    mean_wl = F.round(
+        F.length(F.regexp_replace(F.col(text_col), " ", "")) / n_words, 4)
+    n_sym = (F.size(F.split(F.col(text_col), "#", -1)) - 1
+             + F.size(F.split(F.col(text_col), r"\.\.\.", -1)) - 1)
+    sym_ratio = F.round(n_sym / n_words, 4)
+    alpha_frac = F.round(
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / n_words, 4)
+    stop = F.array([F.lit(s) for s in stopwords])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(toks), stop))
+    out = docs.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        n_words.cast("int").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.cast("int").alias("stop_hits"))
+    rules = {
+        "r_word_count": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "r_mean_word_len": (F.col("mean_word_len") >= min_mean_word)
+        & (F.col("mean_word_len") <= max_mean_word),
+        "r_symbol_ratio": F.col("symbol_ratio") <= max_symbol_ratio,
+        "r_alpha_words": F.col("alpha_word_frac") >= min_alpha_word_frac,
+        "r_stopwords": F.col("stop_hits") >= min_stop_hits,
+    }
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond.cast("int"))
+    return out.withColumn(
+        "pass_all",
+        F.least(*[F.col(n) for n in rules]).alias("pass_all"))
+
+
+def _hashed_grams(docs: DataFrame, n_buckets: int, id_col: str,
+                  text_col: str, salt: str) -> DataFrame:
+    """(doc_id, bucket) rows — one per unigram and bigram occurrence,
+    hashed into ``n_buckets`` via the engine-neutral md5 idiom (DSIR's
+    hashed n-gram feature map, Xie et al. 2023 §3).  Exploding is the
+    shingle-table shape every dedup operator here already lives under."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    base = docs.select(F.col(id_col).cast("bigint").alias("doc_id"),
+                       toks.alias("ts"))
+    uni = base.select("doc_id", F.explode("ts").alias("g"))
+    big = (base.select(
+        "doc_id",
+        F.explode(F.arrays_zip(
+            F.slice("ts", 1, F.size("ts") - 1),
+            F.slice("ts", 2, F.size("ts") - 1))).alias("bg"))
+        .select("doc_id", F.concat_ws(" ", F.col("bg.0"),
+                                      F.col("bg.1")).alias("g")))
+    grams = uni.unionByName(big)
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col("g"))),
+                           1, 8), 16, 10).cast("bigint"),
+        F.lit(n_buckets))
+    return grams.select("doc_id", bucket.cast("int").alias("bucket"))
+
+
+def dsir_weights(docs: DataFrame, target: DataFrame,
+                 n_buckets: int = 256, smoothing: float = 1.0,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 salt: str = "dsir") -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw doc by
+    how target-like its hashed n-gram bag is —
+    ``logw(x) = Σ_b c_x(b)·(ln p_target(b) − ln p_raw(b))`` with
+    Laplace-smoothed bucket probabilities.  The standard way to carve a
+    domain-matched training subset out of a general crawl.
+
+    Scale shape: both bucket distributions are ``n_buckets``-row
+    aggregates (tiny at any corpus size) broadcast onto the raw gram
+    rows together with the 1-row totals frame; the corpus side shuffles
+    exactly ONCE — the final per-doc sum.  The raw distribution is
+    estimated from ``docs`` itself (the paper's raw pool); pass a
+    pre-sampled frame for either side at 10^12 docs — the estimator
+    only needs distributional, not exhaustive, counts.  ``logw`` is
+    4-dp-rounded so resampling thresholds replay identically in the
+    oracle.
+
+    Estimator caveat: the Laplace mass is ``smoothing·n_buckets``
+    phantom counts — a target with far fewer grams than that is mostly
+    phantom and the ranking degenerates toward the raw distribution.
+    Keep target gram count ≫ n_buckets (or shrink ``smoothing``)."""
+    feat = _hashed_grams(docs, n_buckets, id_col, text_col, salt)
+    tfeat = _hashed_grams(target, n_buckets, id_col, text_col, salt)
+    c_r = feat.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    c_t = tfeat.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    n_r = feat.agg(F.count(F.lit(1)).alias("nr"))
+    n_t = tfeat.agg(F.count(F.lit(1)).alias("nt"))
+    b = float(n_buckets)
+    s = float(smoothing)
+    scored = (feat.join(F.broadcast(c_r), "bucket")
+              .join(F.broadcast(c_t), "bucket", "left")
+              .crossJoin(F.broadcast(n_r)).crossJoin(F.broadcast(n_t))
+              .withColumn("ct", F.coalesce("ct", F.lit(0)))
+              .withColumn(
+                  "term",
+                  F.log((F.col("ct") + s) / (F.col("nt") + s * b))
+                  - F.log((F.col("cr") + s) / (F.col("nr") + s * b))))
+    return (scored.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+                 F.round(F.sum("term"), 4).alias("logw")))
+
+
+def dsir_resample(docs: DataFrame, target: DataFrame, k: int,
+                  n_buckets: int = 256, smoothing: float = 1.0,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  salt: str = "dsir") -> DataFrame:
+    """DSIR's second half — sample ``k`` docs WITHOUT replacement with
+    probability ∝ exp(logw), via the Gumbel-top-k trick (Xie et al.
+    2023 §3.2; Kool et al. 2019): key = logw + Gumbel(0,1), take the k
+    largest.  The Gumbel noise is an md5-derived uniform on (salt,
+    doc_id) — the same engine-neutral hash family as every sampler here
+    — so the draw is reproducible under retry/resume and replayable by
+    the oracle.  Plan shape: dsir_weights + a projection +
+    TakeOrderedAndProject; no extra shuffle.  The key is computed from
+    the ROUNDED logw and itself 4-dp-rounded (doc_id tie-break) so both
+    engines rank identically."""
+    w = dsir_weights(docs, target, n_buckets=n_buckets,
+                     smoothing=smoothing, id_col=id_col,
+                     text_col=text_col, salt=salt)
+    u = ((F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt + "-g"), F.col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("double") + 1.0) / 4294967297.0)
+    key = F.round(F.col("logw") - F.log(-F.log(u)), 4)
+    return (w.withColumn("gumbel_key", key)
+            .orderBy(F.desc("gumbel_key"), F.asc("doc_id"))
+            .limit(k))

@@ -6811,6 +6811,125 @@ WHERE rec_type = 'triple' AND pred = 'part_of'
 GROUP BY subj HAVING count(DISTINCT obj) >= 2"""
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher quality rules (Rae et al. 2021 §A1.1 — the published rule
+    set MassiveText/RefinedWeb/FineWeb descend from) over the corpus:
+    word-count bounds, mean-word-length band, symbol-to-word ratio,
+    alphabetic-word fraction, distinct-stopword floor — every feature,
+    every per-rule verdict, and the conjunction, in one zero-shuffle
+    projection (operators/textprep.gopher_rules).  min_words=30 splits
+    this corpus (docs run ~10-110 words); the paper's 50/100k bounds
+    are the defaults."""
+    from .operators import textprep
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return textprep.gopher_rules(docs, min_words=30)
+
+
+def o_gopher_quality():
+    stops = ", ".join(f"'{s}'" for s in
+                      ("the", "a", "of", "to", "and", "in",
+                       "be", "that", "have", "with"))
+    return f"""
+WITH feat AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         len(string_split(lower(text), ' '))::INT AS n_words,
+         round(length(replace(text, ' ', ''))
+               / len(string_split(lower(text), ' ')), 4) AS mean_word_len,
+         round((len(string_split(text, '#')) - 1
+                + len(str_split_regex(text, '\\.\\.\\.')) - 1)
+               / len(string_split(lower(text), ' ')), 4) AS symbol_ratio,
+         round(len(list_filter(string_split(lower(text), ' '),
+                               t -> regexp_matches(t, '[a-z]')))
+               / len(string_split(lower(text), ' ')), 4) AS alpha_word_frac,
+         len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+                            [{stops}]))::INT AS stop_hits
+  FROM documents)
+SELECT *,
+       least(r_word_count, r_mean_word_len, r_symbol_ratio,
+             r_alpha_words, r_stopwords) AS pass_all
+FROM (
+  SELECT *,
+         (n_words >= 30 AND n_words <= 100000)::INT AS r_word_count,
+         (mean_word_len >= 3.0 AND mean_word_len <= 10.0)::INT
+           AS r_mean_word_len,
+         (symbol_ratio <= 0.1)::INT AS r_symbol_ratio,
+         (alpha_word_frac >= 0.8)::INT AS r_alpha_words,
+         (stop_hits >= 2)::INT AS r_stopwords
+  FROM feat)"""
+
+
+_DSIR_SQL = """
+toks AS (
+  SELECT doc_id::BIGINT AS doc_id, source,
+         string_split(lower(text), ' ') AS ts
+  FROM documents),
+grams AS (
+  SELECT doc_id, source, unnest(ts) AS g FROM toks
+  UNION ALL
+  SELECT doc_id, source, ts[i] || ' ' || ts[i + 1] AS g
+  FROM toks, unnest(generate_series(1, len(ts) - 1)) AS t(i)),
+feat AS (
+  SELECT doc_id, source,
+         (('0x' || substr(md5('dsir' || g), 1, 8))::UBIGINT
+          % 256)::INT AS bucket
+  FROM grams),
+c_r AS (SELECT bucket, count(*) AS cr FROM feat GROUP BY bucket),
+c_t AS (SELECT bucket, count(*) AS ct FROM feat
+        WHERE source = 'src0' GROUP BY bucket),
+n_r AS (SELECT count(*) AS nr FROM feat),
+n_t AS (SELECT count(*) AS nt FROM feat WHERE source = 'src0'),
+w AS (
+  SELECT doc_id, count(*)::BIGINT AS n_grams,
+         round(sum(ln((coalesce(ct, 0) + 1.0) / (nt + 256.0))
+                   - ln((cr + 1.0) / (nr + 256.0))), 4) AS logw
+  FROM feat JOIN c_r USING (bucket)
+            LEFT JOIN c_t USING (bucket)
+            CROSS JOIN n_r CROSS JOIN n_t
+  GROUP BY doc_id)"""
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): score every doc by
+    how target-like its hashed uni+bigram bag is, logw = Σ_b c(b)·
+    (ln p_target(b) − ln p_raw(b)), Laplace-smoothed, 256 buckets —
+    target = the ``src0`` slice of the corpus, raw = the whole corpus.
+    The standard estimator for carving a domain-matched subset out of
+    a crawl.  Plan: both distributions are 256-row broadcast
+    aggregates; the corpus gram table shuffles once (the per-doc
+    sum)."""
+    from .operators import textprep
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return textprep.dsir_weights(docs, docs.filter("source = 'src0'"))
+
+
+def o_dsir_weights():
+    return f"WITH {_DSIR_SQL}\nSELECT doc_id, n_grams, logw FROM w"
+
+
+def q_dsir_resample(spark, sf_dir):
+    """DSIR's sampling half: k=100 docs without replacement with
+    probability ∝ exp(logw) via Gumbel-top-k (key = logw + Gumbel(0,1)
+    from the md5 uniform — reproducible under retry and replayable by
+    the oracle).  Plan: dsir_weights + projection +
+    TakeOrderedAndProject."""
+    from .operators import textprep
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return textprep.dsir_resample(docs, docs.filter("source = 'src0'"),
+                                  k=100)
+
+
+def o_dsir_resample():
+    return f"""
+WITH {_DSIR_SQL}
+SELECT doc_id, n_grams, logw, gumbel_key FROM (
+  SELECT *,
+         round(logw - ln(-ln(
+             (('0x' || substr(md5('dsir-g' || doc_id::VARCHAR), 1, 8))
+              ::UBIGINT + 1.0) / 4294967297.0)), 4) AS gumbel_key
+  FROM w)
+ORDER BY gumbel_key DESC, doc_id LIMIT 100"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6911,6 +7030,9 @@ QUERIES = {
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "contamination": q_contamination,
     "curation_pipeline": q_curation_pipeline,
+    "gopher_quality": q_gopher_quality,
+    "dsir_weights": q_dsir_weights,
+    "dsir_resample": q_dsir_resample,
     "pii_redact": q_pii_redact,
     "pack_shards": q_pack_shards,
     "prepare_training_corpus": q_prepare_training_corpus,
@@ -7080,6 +7202,9 @@ ORACLES = {
     "ann_ivfpq_topk": o_ann_ivfpq_topk(),
     "contamination": o_contamination(),
     "curation_pipeline": o_curation_pipeline(),
+    "gopher_quality": o_gopher_quality(),
+    "dsir_weights": o_dsir_weights(),
+    "dsir_resample": o_dsir_resample(),
     "pii_redact": o_pii_redact(),
     "pack_shards": o_pack_shards(),
     "prepare_training_corpus": o_prepare_training_corpus(),

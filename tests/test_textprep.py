@@ -424,3 +424,70 @@ def test_curation_pipeline_short_doc_contamination_zero(spark):
         min_quality=0.0).collect()
     assert len(out) == 1 and out[0].doc_id == 20
     assert out[0].contamination == 0.0
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    """One doc per rule violation + one clean doc; every per-rule verdict
+    and the conjunction must identify exactly its target."""
+    long_clean = " ".join(
+        ["the cattle and a doggie always sitting with that carpet "
+         "to be of usefulness in here"] * 3)
+    docs = spark.createDataFrame(
+        [(0, long_clean),                            # passes everything
+         (1, "the a of to and short"),               # < min_words
+         (2, "the of " + "x " * 58),                 # mean word len < 3
+         (3, long_clean + " ### ... ### ... ### ... ### ... ### ..."),
+         (4, "the of " + "1234 " * 58),              # alpha frac < 0.8
+         (5, "zz yy xx ww vv " * 12)],               # no stopwords
+        ["doc_id", "text"])
+    rows = {r.doc_id: r for r in textprep.gopher_rules(
+        docs, min_words=30).collect()}
+    assert rows[0].pass_all == 1
+    assert rows[1].r_word_count == 0 and rows[1].pass_all == 0
+    assert rows[2].r_mean_word_len == 0 and rows[2].pass_all == 0
+    assert rows[3].r_symbol_ratio == 0 and rows[3].pass_all == 0
+    assert rows[4].r_alpha_words == 0 and rows[4].pass_all == 0
+    assert rows[5].r_stopwords == 0 and rows[5].pass_all == 0
+    # features are measured, not just gated
+    assert rows[1].n_words == 6
+    assert rows[5].stop_hits == 0 and rows[0].stop_hits >= 2
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """A doc drawn from the target phrase scores strictly above an
+    off-distribution doc of the same length; n_grams = 2·len − 1
+    (unigrams + bigrams)."""
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta " * 8) for i in range(4)],
+        ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta alpha beta gamma delta"),
+         (1, "zeta eta theta iota kappa lambda mu nu")],
+        ["doc_id", "text"])
+    w = {r.doc_id: r for r in textprep.dsir_weights(docs, target).collect()}
+    assert w[0].logw > w[1].logw
+    assert w[0].n_grams == 2 * 8 - 1 and w[1].n_grams == 2 * 8 - 1
+
+
+def test_dsir_resample_gumbel_topk_deterministic(spark):
+    """k rows, a subset of the weight table, identical across runs, and
+    biased toward the target-like half of the corpus."""
+    # target large enough that real counts dominate the alpha*B smoothing
+    # mass (the docstring's distributional-estimate requirement)
+    target = spark.createDataFrame(
+        [(1000 + i, "alpha beta gamma delta epsilon " * 6)
+         for i in range(40)],
+        ["doc_id", "text"])
+    rows = ([(i, "alpha beta gamma delta epsilon " * 4)
+             for i in range(20)]
+            + [(i, f"noise{i} junk{i} other{i} words{i} stray{i} " * 4)
+               for i in range(20, 40)])
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got1 = textprep.dsir_resample(docs, target, k=10).collect()
+    got2 = textprep.dsir_resample(docs, target, k=10).collect()
+    assert [r.doc_id for r in got1] == [r.doc_id for r in got2]
+    assert len(got1) == 10
+    picked = {r.doc_id for r in got1}
+    assert len(picked & set(range(20))) >= 8   # exp(logw) gap dominates
+    keys = [r.gumbel_key for r in got1]
+    assert keys == sorted(keys, reverse=True)
