@@ -491,3 +491,88 @@ def dsir_resample(docs: DataFrame, target: DataFrame, k: int,
     return (w.withColumn("gumbel_key", key)
             .orderBy(F.desc("gumbel_key"), F.asc("doc_id"))
             .limit(k))
+
+
+def gopher_repetition(docs: DataFrame, top_n: int = 2, dup_n: int = 5,
+                      max_top_frac: float = 0.20,
+                      max_dup_frac: float = 0.15,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Gopher repetition rules (Rae et al. 2021 §A1.1, the half
+    ``gopher_rules`` doesn't cover): fraction of characters contained in
+    the most common ``top_n``-gram, and fraction of characters covered
+    by ``dup_n``-grams that occur more than once — the latter EXACT, by
+    unioning the duplicated grams' character intervals per doc (a char
+    under several duplicated grams counts once, the published
+    MassiveText/datatrove semantics), not the count×len over-estimate.
+
+    Shape: one posexplode of the token stream; token char offsets, the
+    n-gram texts (``lead`` chains), and the interval union (sort by
+    start, running max of end, sum the uncovered gap) are all windows
+    partitioned by doc_id — bounded by document length, the same bound
+    every per-doc operator here lives under; the corpus shuffles once
+    on doc_id.  Fractions are 4-dp-rounded before the threshold
+    comparison."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    base = (docs.select(F.col(id_col).cast("bigint").alias("doc_id"),
+                        F.length(text_col).alias("n_chars"),
+                        F.posexplode(toks).alias("pos", "tok")))
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    # char offset of token i = sum of (len+1) of tokens before it
+    off = base.withColumn(
+        "start",
+        F.coalesce(F.sum(F.length("tok") + 1).over(
+            wdoc.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)))
+
+    def grams(n: int) -> DataFrame:
+        g = F.concat_ws(" ", *[F.lead("tok", i).over(wdoc) if i else
+                               F.col("tok") for i in range(n)])
+        e = (F.lead("start", n - 1).over(wdoc)
+             + F.lead(F.length("tok"), n - 1).over(wdoc))
+        return (off.withColumn("gram", g).withColumn("gend", e)
+                .filter(F.col("gend").isNotNull())
+                .select("doc_id", "n_chars", "gram",
+                        "start", F.col("gend").alias("end")))
+
+    top = (grams(top_n)
+           .groupBy("doc_id", "n_chars", "gram")
+           .agg(F.count(F.lit(1)).alias("c"))
+           .groupBy("doc_id", "n_chars")
+           .agg(F.max(F.struct(F.col("c"),
+                               F.length("gram").alias("gl"),
+                               F.col("gram"))).alias("m"))
+           .select("doc_id",
+                   F.round(F.col("m.c") * F.col("m.gl") / F.col("n_chars"),
+                           4).alias("top_ngram_frac")))
+    dgrams = grams(dup_n)
+    dups = (dgrams.groupBy("doc_id", "gram")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter("c > 1").select("doc_id", "gram"))
+    wiv = Window.partitionBy("doc_id").orderBy("start", "end")
+    covered = (dgrams.join(dups, ["doc_id", "gram"])
+               .withColumn("pmax",
+                           F.coalesce(F.max("end").over(
+                               wiv.rowsBetween(Window.unboundedPreceding,
+                                               -1)), F.lit(0)))
+               .withColumn("gain",
+                           F.greatest(F.lit(0),
+                                      F.col("end")
+                                      - F.greatest("pmax", "start")))
+               .groupBy("doc_id")
+               .agg(F.sum("gain").alias("dup_chars")))
+    return (docs.select(F.col(id_col).cast("bigint").alias("doc_id"),
+                        F.length(text_col).alias("n_chars"))
+            .join(top, "doc_id", "left")
+            .join(covered, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("top_ngram_frac", F.lit(0.0))
+                    .alias("top_ngram_frac"),
+                    F.round(F.coalesce("dup_chars", F.lit(0))
+                            / F.col("n_chars"), 4).alias("dup_ngram_frac"))
+            .withColumn("r_top_ngram",
+                        (F.col("top_ngram_frac") <= max_top_frac)
+                        .cast("int"))
+            .withColumn("r_dup_ngram",
+                        (F.col("dup_ngram_frac") <= max_dup_frac)
+                        .cast("int"))
+            .withColumn("pass_all", F.least("r_top_ngram", "r_dup_ngram")))

@@ -6858,6 +6858,82 @@ FROM (
   FROM feat)"""
 
 
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher REPETITION rules (Rae et al. 2021 §A1.1 — the half
+    gopher_quality doesn't cover): fraction of characters in the most
+    common 2-gram, and fraction of characters covered by 3-grams
+    occurring more than once — the latter exact via per-doc interval
+    union (a char under several duplicated grams counts once, the
+    published semantics).  Token offsets, lead-chain grams, and the
+    union are all doc_id-partitioned windows — one corpus shuffle.
+    dup_n=3 (the paper sweeps 5-10 on web text) because the synthetic
+    vocabulary is ~25 words: 3-gram collisions exist at every SF, so
+    the rule actually fires."""
+    from .operators import textprep
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return textprep.gopher_repetition(docs, top_n=2, dup_n=3)
+
+
+def o_gopher_repetition():
+    return """
+WITH base AS (
+  SELECT doc_id::BIGINT AS doc_id, length(text) AS n_chars,
+         string_split(lower(text), ' ') AS ts
+  FROM documents),
+tok AS (
+  SELECT doc_id, n_chars, i - 1 AS pos, ts[i] AS tok
+  FROM base, unnest(generate_series(1, len(ts))) AS t(i)),
+off AS (
+  SELECT *, coalesce(sum(length(tok) + 1) OVER (
+      PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS gstart
+  FROM tok),
+g2 AS (
+  SELECT doc_id, n_chars,
+         tok || ' ' || lead(tok, 1) OVER w AS gram,
+         lead(gstart, 1) OVER w + length(lead(tok, 1) OVER w) AS gend
+  FROM off WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY gend IS NOT NULL),
+top AS (
+  SELECT doc_id,
+         round(c * length(gram) / n_chars, 4) AS top_ngram_frac
+  FROM (SELECT doc_id, n_chars, gram, count(*) AS c,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY count(*) DESC, length(gram) DESC, gram DESC)
+               AS rn
+        FROM g2 GROUP BY doc_id, n_chars, gram)
+  WHERE rn = 1),
+g3 AS (
+  SELECT doc_id, n_chars,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+           AS gram,
+         gstart,
+         lead(gstart, 2) OVER w + length(lead(tok, 2) OVER w) AS gend
+  FROM off WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY gend IS NOT NULL),
+dup AS (
+  SELECT doc_id, gram FROM g3 GROUP BY doc_id, gram HAVING count(*) > 1),
+covered AS (
+  SELECT doc_id, sum(greatest(0, gend - greatest(pmax, gstart)))
+           AS dup_chars
+  FROM (SELECT g3.*, coalesce(max(gend) OVER (
+            PARTITION BY doc_id ORDER BY gstart, gend
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pmax
+        FROM g3 JOIN dup USING (doc_id, gram))
+  GROUP BY doc_id)
+SELECT *, least(r_top_ngram, r_dup_ngram) AS pass_all FROM (
+  SELECT d.doc_id::BIGINT AS doc_id,
+         coalesce(t.top_ngram_frac, 0.0) AS top_ngram_frac,
+         round(coalesce(c.dup_chars, 0) / length(d.text), 4)
+           AS dup_ngram_frac,
+         (coalesce(t.top_ngram_frac, 0.0) <= 0.20)::INT AS r_top_ngram,
+         (round(coalesce(c.dup_chars, 0) / length(d.text), 4)
+          <= 0.15)::INT AS r_dup_ngram
+  FROM documents d
+  LEFT JOIN top t ON t.doc_id = d.doc_id
+  LEFT JOIN covered c ON c.doc_id = d.doc_id)"""
+
+
 _DSIR_SQL = """
 toks AS (
   SELECT doc_id::BIGINT AS doc_id, source,
@@ -7031,6 +7107,7 @@ QUERIES = {
     "contamination": q_contamination,
     "curation_pipeline": q_curation_pipeline,
     "gopher_quality": q_gopher_quality,
+    "gopher_repetition": q_gopher_repetition,
     "dsir_weights": q_dsir_weights,
     "dsir_resample": q_dsir_resample,
     "pii_redact": q_pii_redact,
@@ -7203,6 +7280,7 @@ ORACLES = {
     "contamination": o_contamination(),
     "curation_pipeline": o_curation_pipeline(),
     "gopher_quality": o_gopher_quality(),
+    "gopher_repetition": o_gopher_repetition(),
     "dsir_weights": o_dsir_weights(),
     "dsir_resample": o_dsir_resample(),
     "pii_redact": o_pii_redact(),

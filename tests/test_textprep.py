@@ -491,3 +491,22 @@ def test_dsir_resample_gumbel_topk_deterministic(spark):
     assert len(picked & set(range(20))) >= 8   # exp(logw) gap dominates
     keys = [r.gumbel_key for r in got1]
     assert keys == sorted(keys, reverse=True)
+
+
+def test_gopher_repetition_interval_union_exact(spark):
+    """Hand-computed fixtures: full coverage, partial overlap union
+    (chars under several duplicated grams count once), and a clean doc."""
+    docs = spark.createDataFrame(
+        [(0, "a b c a b c a b c"),   # every 3-gram duplicated: union = all
+         (1, "p q p q p q x"),       # dup 3-grams cover [0,11) of 13 chars
+         (2, "alpha beta gamma delta epsilon")],   # no repetition
+        ["doc_id", "text"])
+    rows = {r.doc_id: r for r in textprep.gopher_repetition(
+        docs, top_n=2, dup_n=3).collect()}
+    assert rows[0].dup_ngram_frac == 1.0
+    # top 2-gram: "a b" and "b c" both x3, len 3; gram-desc tie-break
+    assert rows[0].top_ngram_frac == round(3 * 3 / 17, 4)
+    # union of [0,5) [2,7) [4,9) [6,11) = 11 chars of 13
+    assert rows[1].dup_ngram_frac == round(11 / 13, 4)
+    assert rows[2].dup_ngram_frac == 0.0 and rows[2].r_dup_ngram == 1
+    assert rows[0].pass_all == 0 and rows[0].r_dup_ngram == 0
