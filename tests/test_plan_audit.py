@@ -434,3 +434,30 @@ def test_curation_pipeline_single_pass_shape(spark):
     assert "CartesianProduct" not in p, p[:2000]
     assert "BroadcastNestedLoopJoin" not in p, p[:2000]
     assert "BroadcastExchange" in p or "BroadcastQueryStage" in p, p[:2000]
+
+
+def test_gopher_quality_is_zero_exchange_projection(spark):
+    """The Gopher quality rules must stay a scan-local projection — any
+    Exchange would mean the cheapest gate in the curation stack
+    shuffles the full corpus."""
+    p = physical(queries.QUERIES["gopher_quality"](spark, SF))
+    assert "Exchange" not in p, p[:2000]
+    assert "ReadSchema" in p
+
+
+def test_dsir_distributions_broadcast_corpus_shuffles_once(spark):
+    """DSIR: both 256-bucket distributions and the totals rows join in
+    as broadcasts; the only hash exchanges on the gram table are the
+    per-doc aggregation — never a loop join."""
+    p = physical(queries.QUERIES["dsir_weights"](spark, SF))
+    assert "CartesianProduct" not in p, p[:2000]
+    assert "BroadcastExchange" in p or "BroadcastQueryStage" in p, p[:2000]
+
+
+def test_gopher_repetition_windows_are_doc_partitioned(spark):
+    """Every window in the repetition rules must be doc_id-partitioned —
+    an unpartitioned window would sort the whole corpus on one task."""
+    p = physical(queries.QUERIES["gopher_repetition"](spark, SF))
+    # an unpartitioned window compiles to Exchange SinglePartition
+    assert "SinglePartition" not in p, p[:2000]
+    assert "CartesianProduct" not in p, p[:2000]
