@@ -133,7 +133,9 @@ def main() -> None:
                      # are oracle-gated with costs documented in BENCH.md
                      "bm25_index_incremental", "ann_ivf_incremental",
                      "semantic_dedup", "semantic_dedup_stats",
-                     "curation_pipeline"]
+                     "curation_pipeline",
+                     "gopher_quality", "gopher_repetition",
+                     "dsir_weights", "dsir_resample"]
     for name in bench_queries:
         timings[name] = round(best_of(
             lambda: queries.QUERIES[name](spark, sf_dir).count()), 3)
