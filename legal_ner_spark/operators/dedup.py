@@ -1312,16 +1312,19 @@ def _semantic_label(emb: DataFrame, n_clusters: int, threshold: float,
     id (vectors with no pair keep themselves via the coalesce, same
     re-expansion contract as near_dedup)."""
     from .graph import weakly_connected_components
-    from .similarity import cosine_expr
+    from .similarity import dot_expr, with_unit_vector
     assigned, cents = _semantic_assign(emb, n_clusters, refine_iters,
                                        id_col, vec_col)
-    a = assigned.select("centroid_id", F.col("vec_id").alias("id_a"),
-                        F.col("v").alias("va"))
-    b = assigned.select("centroid_id", F.col("vec_id").alias("id_b"),
-                        F.col("v").alias("vb"))
+    # pre-normalize once per vector; the quadratic pair filter is then a
+    # single dot per pair (same 4-dp scores — see with_unit_vector)
+    normed = with_unit_vector(assigned)
+    a = normed.select("centroid_id", F.col("vec_id").alias("id_a"),
+                      F.col("vn").alias("va"))
+    b = normed.select("centroid_id", F.col("vec_id").alias("id_b"),
+                      F.col("vn").alias("vb"))
     pairs = (a.join(b, "centroid_id")
              .filter(F.col("id_a") < F.col("id_b"))
-             .withColumn("cos_sim", F.round(cosine_expr("va", "vb"), 4))
+             .withColumn("cos_sim", F.round(dot_expr("va", "vb"), 4))
              .filter(F.col("cos_sim") >= threshold)
              .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
     comp = weakly_connected_components(pairs, max_iter=max_iter,
@@ -1520,7 +1523,8 @@ def semantic_index_append(new_emb: DataFrame, path: str,
     keeper_vec_id)."""
     from ..plans.checkpoint import Truncator
     from .graph import weakly_connected_components
-    from .similarity import cosine_expr, ivf_assign, prepare_vectors
+    from .similarity import (dot_expr, ivf_assign, prepare_vectors,
+                             with_unit_vector)
     spark = new_emb.sparkSession
     trunc = Truncator(checkpoint_dir)
     idx = _sem_dirs(path)
@@ -1528,18 +1532,19 @@ def semantic_index_append(new_emb: DataFrame, path: str,
     vecs = prepare_vectors(new_emb, id_col=id_col, vec_col=vec_col)
     assigned = trunc(ivf_assign(vecs, cents, n_probe=1), "sem_append_asg")
     reps = _read_idx_dir(spark, idx["reps"])
-    a = assigned.select("centroid_id", F.col("vec_id").alias("id_a"),
-                        F.col("v").alias("va"))
-    b = assigned.select("centroid_id", F.col("vec_id").alias("id_b"),
-                        F.col("v").alias("vb"))
+    normed = with_unit_vector(assigned)
+    a = normed.select("centroid_id", F.col("vec_id").alias("id_a"),
+                      F.col("vn").alias("va"))
+    b = normed.select("centroid_id", F.col("vec_id").alias("id_b"),
+                      F.col("vn").alias("vb"))
     nn = (a.join(b, "centroid_id")
           .filter(F.col("id_a") < F.col("id_b"))
-          .filter(F.round(cosine_expr("va", "vb"), 4) >= threshold)
+          .filter(F.round(dot_expr("va", "vb"), 4) >= threshold)
           .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
-    nk = (a.join(reps.select("centroid_id",
-                             F.col("vec_id").alias("id_b"),
-                             F.col("v").alias("vb")), "centroid_id")
-          .filter(F.round(cosine_expr("va", "vb"), 4) >= threshold)
+    nk = (a.join(with_unit_vector(reps)
+                 .select("centroid_id", F.col("vec_id").alias("id_b"),
+                         F.col("vn").alias("vb")), "centroid_id")
+          .filter(F.round(dot_expr("va", "vb"), 4) >= threshold)
           .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
     comp = weakly_connected_components(nn.union(nk),
                                        max_iter=max_iter,
@@ -1627,7 +1632,8 @@ def semantic_index_reconcile(window_emb: DataFrame, path: str,
     Returns the published manifest dict."""
     from ..plans.checkpoint import Truncator
     from .graph import weakly_connected_components
-    from .similarity import cosine_expr, ivf_assign, prepare_vectors
+    from .similarity import (dot_expr, ivf_assign, prepare_vectors,
+                             with_unit_vector)
     spark = window_emb.sparkSession
     trunc = Truncator(checkpoint_dir)
     idx = _sem_dirs(path)
@@ -1643,13 +1649,14 @@ def semantic_index_reconcile(window_emb: DataFrame, path: str,
     surface = (w_asg.select("vec_id", "v", "centroid_id")
                .unionByName(reps_old.select("vec_id", "v",
                                             "centroid_id")))
-    a = surface.select("centroid_id", F.col("vec_id").alias("id_a"),
-                       F.col("v").alias("va"))
-    b = surface.select("centroid_id", F.col("vec_id").alias("id_b"),
-                       F.col("v").alias("vb"))
+    nsurf = with_unit_vector(surface)
+    a = nsurf.select("centroid_id", F.col("vec_id").alias("id_a"),
+                     F.col("vn").alias("va"))
+    b = nsurf.select("centroid_id", F.col("vec_id").alias("id_b"),
+                     F.col("vn").alias("vb"))
     pairs = (a.join(b, "centroid_id")
              .filter(F.col("id_a") < F.col("id_b"))
-             .filter(F.round(cosine_expr("va", "vb"), 4) >= threshold)
+             .filter(F.round(dot_expr("va", "vb"), 4) >= threshold)
              .select(F.col("id_a").alias("src"),
                      F.col("id_b").alias("dst")))
     # window vectors' stored links — the no-split guarantee

@@ -62,6 +62,26 @@ def prepare_vectors(emb: DataFrame, id_col: str = "vec_id",
                       _as_double(vec_col).alias("v"))
 
 
+def dot_expr(a: str, b: str) -> F.Column:
+    return F.expr(_DOT.format(a=a, b=b))
+
+
+def with_unit_vector(df: DataFrame, vec_col: str = "v",
+                     out: str = "vn") -> DataFrame:
+    """Project a unit-normalized copy of ``vec_col``, computing the norm
+    ONCE as its own column (the lambda references it, it is not
+    re-evaluated per element).  Cosine of unit vectors is their dot —
+    on a quadratic pair path this replaces cosine_expr's three
+    interpreted array folds per PAIR with one fold per pair plus one
+    normalization per VECTOR, the same hoist-out-of-the-hot-loop move
+    as BENCH.md lesson 3b.  4-dp-rounded scores are unchanged (the
+    oracle computes the algebraically identical dot/(|a||b|))."""
+    return (df.withColumn("_nrm", F.expr(_NORM.format(a=vec_col)))
+            .withColumn(out, F.expr(f"transform({vec_col},"
+                                    f" x -> x / _nrm)"))
+            .drop("_nrm"))
+
+
 def cosine_near_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
     """ALL-PAIRS cosine near-dup pairs — exact, O(n²): the bounded
     verification tier for small subsets only.  The production path at
