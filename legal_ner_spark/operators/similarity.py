@@ -34,15 +34,18 @@ def cosine_expr(a: str, b: str) -> F.Column:
                   f"(({_NORM.format(a=a)}) * ({_NORM.format(a=b)}))")
 
 
-def _rerank_topk(cand: DataFrame, k: int) -> DataFrame:
+def _rerank_topk(cand: DataFrame, k: int, unit: bool = False) -> DataFrame:
     """Exact cosine rerank + top-k over candidate rows
     (query_id, neighbor_id, qv, cv).  THE determinism contract shared by
     the brute-force baseline and both ANN paths: rank on the
     4-dp-rounded score with neighbor_id tie-break, so results are stable
     across engines and float-summation orders — one definition, or the
     ANN paths silently diverge from the baseline they are validated
-    against."""
-    j = cand.withColumn("cos_sim", F.round(cosine_expr("qv", "cv"), 4))
+    against.  ``unit=True`` asserts both sides are pre-normalized
+    (with_unit_vector) so the score is a single dot per candidate row
+    instead of three interpreted folds — same 4-dp scores."""
+    score = dot_expr("qv", "cv") if unit else cosine_expr("qv", "cv")
+    j = cand.withColumn("cos_sim", F.round(score, 4))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"),
                                                F.asc("neighbor_id"))
     return (j.withColumn("rnk", F.row_number().over(w)).filter(f"rnk <= {k}")
@@ -53,7 +56,10 @@ def _rerank_topk(cand: DataFrame, k: int) -> DataFrame:
 def brute_force_topk(queries: DataFrame, candidates: DataFrame,
                      k: int = 5) -> DataFrame:
     """queries(query_id, qv) × candidates(neighbor_id, cv) → top-k rows."""
-    return _rerank_topk(candidates.crossJoin(F.broadcast(queries)), k)
+    return _rerank_topk(
+        with_unit_vector(candidates, "cv", "cv")
+        .crossJoin(F.broadcast(with_unit_vector(queries, "qv", "qv"))),
+        k, unit=True)
 
 
 def prepare_vectors(emb: DataFrame, id_col: str = "vec_id",
@@ -86,12 +92,13 @@ def cosine_near_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
     """ALL-PAIRS cosine near-dup pairs — exact, O(n²): the bounded
     verification tier for small subsets only.  The production path at
     corpus scale is ``lsh_near_pairs`` below (banded equi-join)."""
-    a = prepare_vectors(emb).select(F.col("vec_id").alias("id_a"),
-                                    F.col("v").alias("va"))
-    b = prepare_vectors(emb).select(F.col("vec_id").alias("id_b"),
-                                    F.col("v").alias("vb"))
+    normed = with_unit_vector(prepare_vectors(emb))
+    a = normed.select(F.col("vec_id").alias("id_a"),
+                      F.col("vn").alias("va"))
+    b = normed.select(F.col("vec_id").alias("id_b"),
+                      F.col("vn").alias("vb"))
     return (a.join(b, F.col("id_a") < F.col("id_b"))
-            .withColumn("cos_sim", F.round(cosine_expr("va", "vb"), 4))
+            .withColumn("cos_sim", F.round(dot_expr("va", "vb"), 4))
             .filter(F.col("cos_sim") >= threshold)
             .select("id_a", "id_b", "cos_sim"))
 
@@ -117,10 +124,10 @@ def lsh_near_pairs(emb: DataFrame, threshold: float = 0.95, dim: int = 64,
     (member ↔ bucket-min) — O(width) candidates, cosine-verified like
     every other candidate, so precision is unchanged."""
     vs = prepare_vectors(emb, id_col, vec_col)
-    sigs = lsh_signatures(vs, dim, n_planes, n_tables)
-    a = sigs.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+    sigs = with_unit_vector(lsh_signatures(vs, dim, n_planes, n_tables))
+    a = sigs.select(F.col("vec_id").alias("id_a"), F.col("vn").alias("va"),
                     "table", "sig")
-    b = sigs.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+    b = sigs.select(F.col("vec_id").alias("id_b"), F.col("vn").alias("vb"),
                     "table", "sig")
     if max_bucket is None:
         cand = (a.join(b, ["table", "sig"])
@@ -140,7 +147,7 @@ def lsh_near_pairs(emb: DataFrame, threshold: float = 0.95, dim: int = 64,
         cand = normal.unionByName(star)
     return (cand
             .dropDuplicates(["id_a", "id_b"])
-            .withColumn("cos_sim", F.round(cosine_expr("va", "vb"), 4))
+            .withColumn("cos_sim", F.round(dot_expr("va", "vb"), 4))
             .filter(F.col("cos_sim") >= threshold)
             .select("id_a", "id_b", "cos_sim"))
 
@@ -259,10 +266,12 @@ def ivf_ann_topk(queries: DataFrame, candidates: DataFrame, k: int = 5,
         queries.select(F.col("vec_id"), F.col("v")), cents, n_probe=n_probe) \
         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
                 "centroid_id")
-    cand = (lists.join(F.broadcast(probes), "centroid_id")
+    cand = (with_unit_vector(lists, "cv", "cv")
+            .join(F.broadcast(with_unit_vector(probes, "qv", "qv")),
+                  "centroid_id")
             .select("query_id", "neighbor_id", "qv", "cv")
             .dropDuplicates(["query_id", "neighbor_id"]))
-    return _rerank_topk(cand, k)
+    return _rerank_topk(cand, k, unit=True)
 
 
 _IVF_MANIFEST = "_current.json"
@@ -487,10 +496,12 @@ def query_ivf_index(spark, path: str, queries: DataFrame, k: int = 5,
     probes = ivf_assign(queries, cents, n_probe=n_probe) \
         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
                 "centroid_id")
-    cand = (lists.join(F.broadcast(probes), "centroid_id")
+    cand = (with_unit_vector(lists, "cv", "cv")
+            .join(F.broadcast(with_unit_vector(probes, "qv", "qv")),
+                  "centroid_id")
             .select("query_id", "neighbor_id", "qv", "cv")
             .dropDuplicates(["query_id", "neighbor_id"]))
-    return _rerank_topk(cand, k)
+    return _rerank_topk(cand, k, unit=True)
 
 
 def lsh_ann_topk(queries: DataFrame, candidates: DataFrame, dim: int,
@@ -503,13 +514,15 @@ def lsh_ann_topk(queries: DataFrame, candidates: DataFrame, dim: int,
     cs = (lsh_signatures(candidates, dim, n_planes, n_tables)
           .select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
                   F.col("table").alias("ctable"), F.col("sig").alias("csig")))
-    cand = (cs.join(F.broadcast(
-        qs.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
-                  "table", "sig")),
+    cand = (with_unit_vector(cs, "cv", "cv").join(F.broadcast(
+        with_unit_vector(
+            qs.select(F.col("vec_id").alias("query_id"),
+                      F.col("v").alias("qv"), "table", "sig"),
+            "qv", "qv")),
         (F.col("ctable") == F.col("table")) & (F.col("csig") == F.col("sig")))
         .select("query_id", "neighbor_id", "qv", "cv")
         .dropDuplicates(["query_id", "neighbor_id"]))
-    return _rerank_topk(cand, k)
+    return _rerank_topk(cand, k, unit=True)
 
 
 def quantize_embeddings(emb: DataFrame, id_col: str = "vec_id",
