@@ -135,7 +135,8 @@ def main() -> None:
                      "semantic_dedup", "semantic_dedup_stats",
                      "curation_pipeline",
                      "gopher_quality", "gopher_repetition",
-                     "dsir_weights", "dsir_resample"]
+                     "dsir_weights", "dsir_resample",
+                     "source_quota_sample", "quality_classifier"]
     for name in bench_queries:
         timings[name] = round(best_of(
             lambda: queries.QUERIES[name](spark, sf_dir).count()), 3)

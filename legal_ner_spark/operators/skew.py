@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _row_salt(df: DataFrame, n_salts: int) -> F.Column:
@@ -134,3 +135,53 @@ def digest_semi_prune(big: DataFrame, keys: DataFrame, big_key: str,
     dig = keys.select(F.xxhash64(F.col(key_col)).alias("_kh")).distinct()
     return big.join(F.broadcast(dig),
                     F.xxhash64(F.col(big_key)) == F.col("_kh"), "left_semi")
+
+
+def bounded_topk_per_key(df: DataFrame, key_col: str, id_col: str,
+                         k: int, salt: str = "ss1",
+                         cell_chars: int = 2) -> DataFrame:
+    """Exact per-key smallest-k under the md5(salt||id) uniform —
+    output-identical to ``textprep.stratified_sample`` (same rank key,
+    same id tie-break) but with per-task work bounded under key skew:
+    the mega-stratum guard that function's docstring defers to skew.*.
+
+    A plain ``row_number() over (partition by key)`` puts a hot key's
+    ENTIRE population into one window partition — one straggler task
+    sorting 10^9 rows when 90% of a crawl is one language.  Here the
+    rank key's first ``cell_chars`` hex digits radix-partition each key
+    into ``16^cell_chars`` cells whose order AGREES with the rank order
+    (fixed-width lowercase hex compares lexicographically as its
+    numeric value), so a tiny per-(key, cell) count table + a per-key
+    prefix sum over ≤16^cell_chars rows decides almost every row
+    without ranking it:
+
+      cum ≤ k            → the whole cell is in the top-k: keep, unsorted
+      cum − count ≥ k    → the whole cell is past the top-k: drop at scan
+      boundary cell      → row_number within (key, cell) only — expected
+                           hot-key-count/16^cell_chars rows per task
+
+    Exactly one boundary cell exists per key with more than k rows, so
+    the residual window is 16^cell_chars× smaller than the naive one;
+    raise ``cell_chars`` (4 → 65,536 cells) if a key is hot enough that
+    even that slice is a straggler.  Every shuffle is on (key, cell) —
+    the hot key spreads across cells by construction.  The md5 rank is
+    deterministic, so retries replay identically (SPARK-23207-safe) and
+    a DuckDB oracle can replay the draw."""
+    u = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    g = (df.withColumn("_u", u)
+         .withColumn("_cell", F.conv(F.substring("_u", 1, cell_chars),
+                                     16, 10).cast("int")))
+    cnt = g.groupBy(key_col, "_cell").agg(F.count(F.lit(1)).alias("_cn"))
+    wc = (Window.partitionBy(key_col).orderBy("_cell")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (cnt.withColumn("_cum", F.sum("_cn").over(wc))
+           .withColumn("_prev", F.col("_cum") - F.col("_cn"))
+           .drop("_cn"))
+    j = g.join(cum, [key_col, "_cell"])
+    whole = j.filter(F.col("_cum") <= k)
+    wb = Window.partitionBy(key_col, "_cell").orderBy("_u", F.col(id_col))
+    edge = (j.filter((F.col("_prev") < k) & (F.col("_cum") > k))
+            .withColumn("_rn", F.row_number().over(wb))
+            .filter(F.col("_prev") + F.col("_rn") <= k)
+            .drop("_rn"))
+    return whole.unionByName(edge).drop("_u", "_cell", "_cum", "_prev")

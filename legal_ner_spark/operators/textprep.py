@@ -576,3 +576,100 @@ def gopher_repetition(docs: DataFrame, top_n: int = 2, dup_n: int = 5,
                         (F.col("dup_ngram_frac") <= max_dup_frac)
                         .cast("int"))
             .withColumn("pass_all", F.least("r_top_ngram", "r_dup_ngram")))
+
+
+def source_quota_sample(docs: DataFrame, quota: int,
+                        source_col: str = "source",
+                        id_col: str = "doc_id",
+                        salt: str = "sq1") -> DataFrame:
+    """Per-domain quota cap — the crawl-curation standard (C4/RefinedWeb
+    keep at most N pages per host so boilerplate-heavy mega-domains
+    don't dominate the mix): keep the ``quota`` docs per source whose
+    md5(salt||id) uniform ranks smallest.  Semantically identical to
+    ``stratified_sample(docs, source, id, quota)`` — and pinned to it by
+    test — but routed through ``skew.bounded_topk_per_key`` so the ONE
+    property that defines this workload, a pathologically hot domain,
+    cannot produce a straggler window: per-(source, radix-cell) prefix
+    sums decide whole cells and only the boundary cell is ranked."""
+    from .skew import bounded_topk_per_key
+    return bounded_topk_per_key(docs, source_col, id_col, quota, salt=salt)
+
+
+def quality_classifier(docs: DataFrame, n_buckets: int = 1024,
+                       bias: float = 0.0, threshold: float = 0.5,
+                       weights: DataFrame | None = None,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       salt: str = "qcls") -> DataFrame:
+    """FastText-style hashed bag-of-words linear quality scorer — the
+    model-based filtering stage of modern curation stacks (CCNet's
+    fastText LM filter; FineWeb-Edu's classifier gate), as pure Spark
+    SQL: every token hashes to one of ``n_buckets`` feature buckets,
+    the doc's score is sigmoid(mean bucket weight + bias), and
+    ``keep = score ≥ threshold``.
+
+    Weights: by default each bucket's weight is a deterministic
+    md5-derived value in [−1, 1] — a stand-in with the exact production
+    plan shape, since training a real classifier is out of scope here.
+    Pass ``weights`` (bucket:int, w:double — a trained model exported
+    to a ``n_buckets``-row table) to score with real coefficients: that
+    path explodes tokens and broadcast-joins the weight table (still no
+    corpus-side shuffle until the per-doc sum).  The two paths are
+    pinned equal by test when ``weights`` materializes the default
+    hash-weights.
+
+    Scale shape, default path: ONE whole-stage projection — bucket
+    hash, weight derivation, and the per-doc mean all run inside
+    ``transform``/``aggregate`` lambdas over the token array, so the
+    corpus is scanned once with zero exchanges (the same
+    zero-shuffle-gate shape as ``gopher_rules``).  The margin is
+    4-dp-rounded before the sigmoid and the score after it, so engine
+    float noise cannot flip a threshold-boundary doc vs the oracle."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    b = float(n_buckets)
+
+    def bucket_of(t: F.Column) -> F.Column:
+        return F.pmod(
+            F.conv(F.substring(F.md5(F.concat(F.lit(salt + "-b"), t)),
+                               1, 8), 16, 10).cast("bigint"),
+            F.lit(int(b))).cast("int")
+
+    def hash_weight(bucket: F.Column) -> F.Column:
+        u = (F.conv(F.substring(
+            F.md5(F.concat(F.lit(salt + "-w"), bucket.cast("string"))),
+            1, 8), 16, 10).cast("double") / 4294967295.0)
+        return u * 2.0 - 1.0
+
+    if weights is None:
+        ws = F.transform(toks, lambda t: hash_weight(bucket_of(t)))
+        margin = F.round(
+            F.aggregate(ws, F.lit(0.0), lambda a, x: a + x)
+            / F.size(toks) + F.lit(bias), 4)
+        scored = docs.select(F.col(id_col).cast("bigint").alias("doc_id"),
+                             F.size(toks).cast("int").alias("n_tokens"),
+                             margin.alias("margin"))
+    else:
+        tok_rows = (docs.select(F.col(id_col).cast("bigint").alias("doc_id"),
+                                F.explode(toks).alias("t"))
+                    .select("doc_id", bucket_of(F.col("t")).alias("bucket")))
+        scored = (tok_rows.join(F.broadcast(weights), "bucket")
+                  .groupBy("doc_id")
+                  .agg(F.count(F.lit(1)).cast("int").alias("n_tokens"),
+                       F.round(F.sum("w") / F.count(F.lit(1))
+                               + F.lit(bias), 4).alias("margin")))
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))), 4)
+    return (scored.withColumn("score", score)
+            .withColumn("keep",
+                        (F.col("score") >= threshold).cast("int")))
+
+
+def default_classifier_weights(spark, n_buckets: int = 1024,
+                               salt: str = "qcls") -> DataFrame:
+    """The default hash-weights of ``quality_classifier`` materialized
+    as the (bucket, w) table a TRAINED model would export — the swap
+    point, and the fixture that pins the two scoring paths equal."""
+    u = (F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt + "-w"), F.col("bucket").cast("string"))),
+        1, 8), 16, 10).cast("double") / 4294967295.0)
+    return (spark.range(n_buckets)
+            .select(F.col("id").cast("int").alias("bucket"))
+            .withColumn("w", u * 2.0 - 1.0))

@@ -7006,6 +7006,66 @@ SELECT doc_id, n_grams, logw, gumbel_key FROM (
 ORDER BY gumbel_key DESC, doc_id LIMIT 100"""
 
 
+def q_source_quota_sample(spark, sf_dir):
+    """Per-domain quota cap (C4/RefinedWeb keep ≤N pages per host so
+    mega-domains don't dominate the mix): the 10 docs per source whose
+    md5 uniform ranks smallest — exact, and hub-bounded via
+    skew.bounded_topk_per_key (radix-cell prefix sums decide whole
+    cells; only the per-source boundary cell is ranked, so a 90%-one-
+    domain crawl cannot produce a straggler window)."""
+    from .operators import textprep
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return (textprep.source_quota_sample(docs, quota=10)
+            .select("doc_id", "source"))
+
+
+def o_source_quota_sample():
+    return """
+SELECT doc_id, source FROM (
+  SELECT doc_id::BIGINT AS doc_id, source,
+         row_number() OVER (
+             PARTITION BY source
+             ORDER BY md5('sq1' || doc_id::VARCHAR), doc_id) AS rn
+  FROM documents) WHERE rn <= 10"""
+
+
+def q_quality_classifier(spark, sf_dir):
+    """FastText-style hashed bag-of-words linear quality scorer (the
+    CCNet/FineWeb-Edu model-based filtering stage): token → md5 bucket
+    (1,024), score = sigmoid(mean bucket weight), keep = score ≥ 0.5.
+    Weights are deterministic md5-derived stand-ins with the exact
+    production plan shape — a trained model swaps in as a broadcast
+    (bucket, w) table, pinned output-equal by test.  Plan: ONE
+    zero-exchange projection (hash, weight, and mean all inside
+    transform/aggregate lambdas over the token array)."""
+    from .operators import textprep
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return textprep.quality_classifier(docs)
+
+
+def o_quality_classifier():
+    return """
+WITH toks AS (
+  SELECT doc_id::BIGINT AS doc_id, string_split(lower(text), ' ') AS ts
+  FROM documents),
+t AS (SELECT doc_id, len(ts) AS n, unnest(ts) AS tok FROM toks),
+s AS (
+  SELECT doc_id, n,
+         (('0x' || substr(md5('qcls-b' || tok), 1, 8))::UBIGINT
+          % 1024)::INT AS bucket
+  FROM t),
+m AS (
+  SELECT doc_id, any_value(n)::INT AS n_tokens,
+         round(sum((('0x' || substr(md5('qcls-w' || bucket::VARCHAR),
+                                    1, 8))::UBIGINT
+                    / 4294967295.0) * 2 - 1) / any_value(n), 4) AS margin
+  FROM s GROUP BY doc_id)
+SELECT doc_id, n_tokens, margin,
+       round(1.0 / (1.0 + exp(-margin)), 4) AS score,
+       (round(1.0 / (1.0 + exp(-margin)), 4) >= 0.5)::INT AS keep
+FROM m"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7110,6 +7170,8 @@ QUERIES = {
     "gopher_repetition": q_gopher_repetition,
     "dsir_weights": q_dsir_weights,
     "dsir_resample": q_dsir_resample,
+    "source_quota_sample": q_source_quota_sample,
+    "quality_classifier": q_quality_classifier,
     "pii_redact": q_pii_redact,
     "pack_shards": q_pack_shards,
     "prepare_training_corpus": q_prepare_training_corpus,
@@ -7283,6 +7345,8 @@ ORACLES = {
     "gopher_repetition": o_gopher_repetition(),
     "dsir_weights": o_dsir_weights(),
     "dsir_resample": o_dsir_resample(),
+    "source_quota_sample": o_source_quota_sample(),
+    "quality_classifier": o_quality_classifier(),
     "pii_redact": o_pii_redact(),
     "pack_shards": o_pack_shards(),
     "prepare_training_corpus": o_prepare_training_corpus(),

@@ -461,3 +461,30 @@ def test_gopher_repetition_windows_are_doc_partitioned(spark):
     # an unpartitioned window compiles to Exchange SinglePartition
     assert "SinglePartition" not in p, p[:2000]
     assert "CartesianProduct" not in p, p[:2000]
+
+
+def test_quality_classifier_default_is_zero_exchange(spark):
+    """The default hashed-linear scorer must stay a scan-local
+    projection — bucket hash, weight derivation, and the per-doc mean
+    all run inside array lambdas, so the corpus never shuffles."""
+    p = physical(queries.QUERIES["quality_classifier"](spark, SF))
+    assert "Exchange" not in p, p[:2000]
+    assert "ReadSchema" in p
+
+
+def test_source_quota_sample_has_no_per_key_window(spark):
+    """The quota cap must never rank a whole source in one window
+    partition: every window is (key, radix-cell)-partitioned and every
+    exchange carries the cell column, so a hot domain spreads."""
+    p = physical(queries.QUERIES["source_quota_sample"](spark, SF))
+    assert "SinglePartition" not in p, p[:2000]
+    assert "CartesianProduct" not in p, p[:2000]
+    # the row-ranking exchange must carry the cell column next to the
+    # key (the source-only exchanges feed the ≤256-row/key count table)
+    import re
+    cells = [f for f in re.findall(r"hashpartitioning\([^)]*\)", p)
+             if "_cell" in f]
+    assert cells, p[:3000]
+    # and the row_number window itself is (key, cell)-specified
+    assert any("_cell" in f for f in re.findall(
+        r"row_number\(\) windowspecdefinition\([^)]*\)", p)), p[:3000]

@@ -510,3 +510,54 @@ def test_gopher_repetition_interval_union_exact(spark):
     assert rows[1].dup_ngram_frac == round(11 / 13, 4)
     assert rows[2].dup_ngram_frac == 0.0 and rows[2].r_dup_ngram == 1
     assert rows[0].pass_all == 0 and rows[0].r_dup_ngram == 0
+
+
+def test_bounded_topk_equals_stratified_sample(spark):
+    """skew.bounded_topk_per_key is output-IDENTICAL to
+    stratified_sample (same md5 rank key, same id tie-break) on uniform
+    keys, on a 90%-one-key skew, and when k exceeds a group."""
+    from legal_ner_spark.operators.skew import bounded_topk_per_key
+    base = (spark.range(4000)
+            .withColumn("key", F.when(F.col("id") % 10 < 9, F.lit("hot"))
+                        .otherwise((F.col("id") % 13).cast("string"))))
+    for df, k in ((base, 37), (base.filter("id < 40"), 37)):
+        a = textprep.stratified_sample(df, "key", "id", k, salt="bt")
+        b = bounded_topk_per_key(df, "key", "id", k, salt="bt")
+        ra = sorted((r.key, r.id) for r in a.collect())
+        rb = sorted((r.key, r.id) for r in b.collect())
+        assert ra == rb and ra
+
+
+def test_source_quota_sample_caps_per_source(spark):
+    """Exactly quota docs per source survive (fewer iff the source is
+    smaller), and the draw is deterministic across runs."""
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 3}" if i < 30 else "src_small")
+         for i in range(32)], ["doc_id", "source"])
+    out = textprep.source_quota_sample(docs, quota=4)
+    per = {r.source: r.n for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per == {"src0": 4, "src1": 4, "src2": 4, "src_small": 2}
+    again = sorted(r.doc_id for r in
+                   textprep.source_quota_sample(docs, quota=4).collect())
+    assert again == sorted(r.doc_id for r in out.collect())
+
+
+def test_quality_classifier_paths_equal_and_gate_splits(spark):
+    """The zero-shuffle hash-weight path and the broadcast trained-
+    weights path (weights = the materialized default table) score every
+    doc identically; the 0.5 gate splits a real corpus both ways; an
+    empty-text doc still scores (token [''], no NaN)."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(120)
+    a = textprep.quality_classifier(docs)
+    w = textprep.default_classifier_weights(spark)
+    b = textprep.quality_classifier(docs, weights=w)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb and len(ra) == 120
+    keeps = {r.keep for r in a.collect()}
+    assert keeps == {0, 1}
+    empty = spark.createDataFrame([(7, "")], ["doc_id", "text"])
+    r = textprep.quality_classifier(empty).collect()[0]
+    assert r.n_tokens == 1 and r.score == r.score  # not NaN
