@@ -136,7 +136,8 @@ def main() -> None:
                      "curation_pipeline",
                      "gopher_quality", "gopher_repetition",
                      "dsir_weights", "dsir_resample",
-                     "source_quota_sample", "quality_classifier"]
+                     "source_quota_sample", "quality_classifier",
+                     "curation_pipeline_v2"]
     for name in bench_queries:
         timings[name] = round(best_of(
             lambda: queries.QUERIES[name](spark, sf_dir).count()), 3)

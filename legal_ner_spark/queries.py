@@ -7043,9 +7043,8 @@ def q_quality_classifier(spark, sf_dir):
     return textprep.quality_classifier(docs)
 
 
-def o_quality_classifier():
-    return """
-WITH toks AS (
+_QCLS_SQL = """
+toks AS (
   SELECT doc_id::BIGINT AS doc_id, string_split(lower(text), ' ') AS ts
   FROM documents),
 t AS (SELECT doc_id, len(ts) AS n, unnest(ts) AS tok FROM toks),
@@ -7059,11 +7058,49 @@ m AS (
          round(sum((('0x' || substr(md5('qcls-w' || bucket::VARCHAR),
                                     1, 8))::UBIGINT
                     / 4294967295.0) * 2 - 1) / any_value(n), 4) AS margin
-  FROM s GROUP BY doc_id)
+  FROM s GROUP BY doc_id)"""
+
+
+def o_quality_classifier():
+    return f"""
+WITH {_QCLS_SQL}
 SELECT doc_id, n_tokens, margin,
        round(1.0 / (1.0 + exp(-margin)), 4) AS score,
        (round(1.0 / (1.0 + exp(-margin)), 4) >= 0.5)::INT AS keep
 FROM m"""
+
+
+def q_curation_pipeline_v2(spark, sf_dir):
+    """The round's two new curation stages COMPOSED, the FineWeb-Edu
+    shape: model-based gate (hashed linear classifier, score ≥ 0.5)
+    first, then the per-domain quota cap (3 docs/source) over the
+    survivors — gate before cap so a low-quality page can never crowd a
+    good one out of its domain's quota.  Plan: the zero-exchange
+    classifier projection fuses into the scan; the quota stage sees
+    only survivors."""
+    from .operators import textprep
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    scored = (textprep.quality_classifier(docs)
+              .filter("keep = 1").select("doc_id", "score"))
+    kept = docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                       "source").join(scored, "doc_id")
+    return (textprep.source_quota_sample(kept, quota=3)
+            .select("doc_id", "source", "score"))
+
+
+def o_curation_pipeline_v2():
+    return f"""
+WITH {_QCLS_SQL},
+kept AS (
+  SELECT m.doc_id, d.source,
+         round(1.0 / (1.0 + exp(-margin)), 4) AS score
+  FROM m JOIN documents d ON d.doc_id::BIGINT = m.doc_id
+  WHERE round(1.0 / (1.0 + exp(-margin)), 4) >= 0.5)
+SELECT doc_id, source, score FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY source
+      ORDER BY md5('sq1' || doc_id::VARCHAR), doc_id) AS rn
+  FROM kept) WHERE rn <= 3"""
 
 
 # --------------------------------------------------------------------------
@@ -7172,6 +7209,7 @@ QUERIES = {
     "dsir_resample": q_dsir_resample,
     "source_quota_sample": q_source_quota_sample,
     "quality_classifier": q_quality_classifier,
+    "curation_pipeline_v2": q_curation_pipeline_v2,
     "pii_redact": q_pii_redact,
     "pack_shards": q_pack_shards,
     "prepare_training_corpus": q_prepare_training_corpus,
@@ -7347,6 +7385,7 @@ ORACLES = {
     "dsir_resample": o_dsir_resample(),
     "source_quota_sample": o_source_quota_sample(),
     "quality_classifier": o_quality_classifier(),
+    "curation_pipeline_v2": o_curation_pipeline_v2(),
     "pii_redact": o_pii_redact(),
     "pack_shards": o_pack_shards(),
     "prepare_training_corpus": o_prepare_training_corpus(),
