@@ -488,3 +488,16 @@ def test_source_quota_sample_has_no_per_key_window(spark):
     # and the row_number window itself is (key, cell)-specified
     assert any("_cell" in f for f in re.findall(
         r"row_number\(\) windowspecdefinition\([^)]*\)", p)), p[:3000]
+
+
+def test_curation_v2_classifier_fuses_into_scan(spark):
+    """The composed v2 flow: no loop join anywhere, no single-partition
+    window, and the quota stage's ranking exchanges carry the radix
+    cell (the hot-domain guard survives the composition)."""
+    import re
+    p = physical(queries.QUERIES["curation_pipeline_v2"](spark, SF))
+    assert "CartesianProduct" not in p, p[:2000]
+    assert "BroadcastNestedLoopJoin" not in p, p[:2000]
+    assert "SinglePartition" not in p, p[:2000]
+    assert any("_cell" in f
+               for f in re.findall(r"hashpartitioning\([^)]*\)", p)), p[:3000]

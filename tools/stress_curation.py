@@ -83,10 +83,16 @@ def main() -> None:
     out["dsir_rows"] = agg["n"]
     out["dsir_mean_logw"] = float(agg["mean_logw"])
 
+    t0 = time.time()
+    n_keep = (textprep.quality_classifier(docs)
+              .filter("keep = 1").count())
+    out["quality_classifier_s"] = round(time.time() - t0, 1)
+    out["classifier_keep"] = n_keep
+
     total = (out["gopher_rules_s"] + out["gopher_repetition_s"]
-             + out["dsir_weights_s"])
+             + out["dsir_weights_s"] + out["quality_classifier_s"])
     out["total_s"] = round(total, 1)
-    out["docs_per_s_all_three"] = int(3 * n_docs / total)
+    out["docs_per_s_all_four"] = int(4 * n_docs / total)
     print(json.dumps(out))
     spark.stop()
 
