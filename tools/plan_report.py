@@ -87,6 +87,12 @@ SHOW = [
     ("kg_statute_triangles", "adaptive orientation: id-oriented 2-join "
                              "wedges off the truncated edge leaf (probe "
                              "chose the hub-free path)"),
+    ("quality_classifier", "hashed linear gate: bucket hash, weight, and "
+                           "per-doc mean inside array lambdas — zero "
+                           "Exchange"),
+    ("source_quota_sample", "per-domain cap: radix-cell prefix sums + "
+                            "boundary-cell-only ranking — no per-key "
+                            "window over a hot domain"),
 ]
 
 
