@@ -651,10 +651,15 @@ def quality_classifier(docs: DataFrame, n_buckets: int = 1024,
         tok_rows = (docs.select(F.col(id_col).cast("bigint").alias("doc_id"),
                                 F.explode(toks).alias("t"))
                     .select("doc_id", bucket_of(F.col("t")).alias("bucket")))
-        scored = (tok_rows.join(F.broadcast(weights), "bucket")
+        # LEFT join + weight 0 for buckets absent from a partial model:
+        # an inner join would silently drop those tokens from BOTH the
+        # sum and the n_tokens denominator — the wrong failure mode for
+        # a gate (a sparse model would quietly score on a shrunken doc)
+        scored = (tok_rows.join(F.broadcast(weights), "bucket", "left")
                   .groupBy("doc_id")
                   .agg(F.count(F.lit(1)).cast("int").alias("n_tokens"),
-                       F.round(F.sum("w") / F.count(F.lit(1))
+                       F.round(F.sum(F.coalesce("w", F.lit(0.0)))
+                               / F.count(F.lit(1))
                                + F.lit(bias), 4).alias("margin")))
     score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))), 4)
     return (scored.withColumn("score", score)
