@@ -1,0 +1,282 @@
+"""Declarative query + validation layer over the constructed KG.
+
+The engine's OUTPUT is a (subj, pred, obj, doc_id) triple table (see
+`operators/extract.py`, reference CSV export `postprocessing_utils.py:825-864`
+re-expressed as triples per SURVEY §1.2).  A KG platform also needs the
+CONSUMER side — the operators a user points at the finished graph:
+
+- ``bgp_match``: SPARQL-style basic-graph-pattern matching — conjunctive
+  triple patterns with shared variables — compiled to selectivity-ordered
+  equi-joins over predicate-pushed scans of the triple table.
+- ``property_path``: bounded-length pairwise reachability (SPARQL
+  ``pred{1,k}`` paths) as iterated frontier equi-joins with min-hop
+  semantics and lineage truncation per hop.
+- ``resolve_same_as``: canonicalizing rewrite of the graph through its own
+  ``same_as`` edges (the entity-resolution payoff of statute clustering).
+- ``constraint_report``: SHACL-lite structural validation — per-predicate
+  functionality / inverse-functionality / cardinality profile.
+
+Scale shape: everything here is pure DataFrame filter/equi-join/aggregate.
+Pattern scans are `pred = literal` filters that reach the parquet scan as
+PushedFilters; join order comes from a ≤|preds|-row predicate-count probe
+(the same broadcast-stats idiom as `search.py`'s term buckets — the probe
+result is a handful of literals, never data); path expansion is one
+(dst=src)-keyed shuffle per hop, bounded by the DISTINCT frontier and the
+seen-pair anti-join so a dense core never re-expands.  No operator in this
+module ever builds a cartesian product — disconnected patterns are refused
+unless the caller explicitly opts in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["bgp_match", "property_path", "resolve_same_as",
+           "constraint_report"]
+
+_TERM_COLS = ("subj", "pred", "obj", "doc_id")
+
+
+def _is_var(term) -> bool:
+    return isinstance(term, str) and term.startswith("?")
+
+
+def _var_name(term: str) -> str:
+    name = term[1:]
+    if not name.isidentifier():
+        raise ValueError(f"bad variable name {term!r}")
+    return name
+
+
+def bgp_match(triples: DataFrame, patterns, *, distinct: bool = True,
+              allow_product: bool = False,
+              broadcast_rows: int = 50_000) -> DataFrame:
+    """Match a conjunctive basic graph pattern against a triple table.
+
+    ``patterns`` is a list of 3- or 4-tuples ``(subj, pred, obj[, doc])``
+    where each term is a literal string, a variable (``"?name"``), or
+    ``None`` (unconstrained, not projected).  Returns one column per
+    variable (without the ``?``), first-appearance order, DISTINCT
+    bindings by default (SPARQL ``SELECT DISTINCT`` semantics — the
+    natural contract over a set-semantics triple table).
+
+    Plan: each pattern compiles to a filtered projection of ``triples``
+    (bound terms become pushdown-able equality predicates), then patterns
+    join left-deep on their shared variables, cheapest-first.  Cost comes
+    from a per-predicate count probe — one tiny aggregate whose result is
+    ≤ |distinct preds| rows — discounted per additional bound term;
+    estimated-small sides get a broadcast hint (AQE still has the final
+    word).  Patterns that share no variable with the accumulated join are
+    a cartesian product and raise unless ``allow_product=True``.
+    """
+    if not patterns:
+        raise ValueError("bgp_match needs at least one pattern")
+    pats = []
+    for p in patterns:
+        p = tuple(p)
+        if len(p) == 3:
+            p = p + (None,)
+        if len(p) != 4:
+            raise ValueError(f"pattern must have 3 or 4 terms, got {p!r}")
+        pats.append(p)
+
+    # selectivity probe: one ≤|preds|-row aggregate, collected as literals
+    pred_counts = {r["pred"]: r["n"] for r in
+                   triples.groupBy("pred").agg(F.count("*").alias("n"))
+                   .collect()}
+    total = sum(pred_counts.values()) or 1
+
+    compiled = []   # (est_rows, vars_in_order, DataFrame)
+    for p in pats:
+        df = triples
+        est = float(total)
+        if not _is_var(p[1]) and p[1] is not None:
+            est = float(pred_counts.get(p[1], 0))
+        n_bound = 0
+        seen_vars: dict[str, str] = {}   # var name -> first column
+        eq_pairs = []
+        proj = []
+        for col, term in zip(_TERM_COLS, p):
+            if term is None:
+                continue
+            if _is_var(term):
+                v = _var_name(term)
+                if v in seen_vars:          # repeated var inside a pattern
+                    eq_pairs.append((seen_vars[v], col))
+                else:
+                    seen_vars[v] = col
+                    proj.append(F.col(col).alias(v))
+            else:
+                df = df.filter(F.col(col) == F.lit(term))
+                n_bound += 1
+        for a, b in eq_pairs:
+            df = df.filter(F.col(a) == F.col(b))
+        # every bound term beyond the predicate sharpens the estimate;
+        # the factor is crude but monotone, which is all ordering needs
+        est = est / (100.0 ** max(0, n_bound - (0 if _is_var(p[1]) else 1)))
+        compiled.append((est, list(seen_vars), df.select(*proj)))
+
+    declared = []           # projection order = first appearance in patterns
+    for _, pvars, _ in compiled:
+        declared += [v for v in pvars if v not in declared]
+
+    # greedy left-deep join order: cheapest connected pattern next
+    order = sorted(range(len(compiled)), key=lambda i: compiled[i][0])
+    done: set[int] = set()
+    first = order[0]
+    est0, out_vars, cur = compiled[first]
+    out_vars = list(out_vars)
+    done.add(first)
+    while len(done) < len(compiled):
+        nxt = None
+        for i in order:
+            if i in done:
+                continue
+            if set(compiled[i][1]) & set(out_vars):
+                nxt = i
+                break
+        if nxt is None:
+            if not allow_product:
+                raise ValueError(
+                    "disconnected pattern group (cartesian product); pass "
+                    "allow_product=True to run it anyway")
+            nxt = next(i for i in order if i not in done)
+        est, pvars, pdf = compiled[nxt]
+        shared = [v for v in out_vars if v in pvars]
+        if est <= broadcast_rows:
+            pdf = F.broadcast(pdf)
+        cur = cur.join(pdf, on=shared, how="inner") if shared \
+            else cur.crossJoin(pdf)
+        out_vars += [v for v in pvars if v not in out_vars]
+        done.add(nxt)
+
+    cur = cur.select(*declared)
+    return cur.distinct() if distinct else cur
+
+
+def property_path(edges: DataFrame, max_hops: int, *, min_hops: int = 1,
+                  symmetric: bool = False,
+                  checkpoint_dir: str | None = None) -> DataFrame:
+    """Pairwise bounded-length reachability: ``(src, dst, hops)`` where
+    ``hops`` is the MINIMUM path length in ``[1, max_hops]`` from src to
+    dst over the ``(src, dst)`` edge table, filtered to
+    ``hops >= min_hops`` — the SPARQL ``pred{min,max}`` property path as
+    DataFrame ops.  ``symmetric=True`` unions the reversed edges first
+    (undirected reachability).  A cycle can reach back to its own source
+    (``src = dst`` rows appear when a ≥1-hop loop exists), matching path
+    semantics, not BFS-tree semantics.
+
+    One (frontier.dst = edges.src) shuffle per hop; the frontier is the
+    set of NEWLY reached pairs only (anti-join against everything seen),
+    so a dense core is expanded once, not once per hop.  Lineage is
+    truncated per hop via the shared ``Truncator`` (durable under
+    ``checkpoint_dir`` — the cluster-safe mode).  Result size is the
+    true bounded-reachability relation; that is the answer's size, not a
+    plan artifact — callers bound it with ``max_hops``.
+    """
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    if not 1 <= min_hops <= max_hops:
+        raise ValueError("need 1 <= min_hops <= max_hops")
+    from ..plans.checkpoint import Truncator
+    trunc = Truncator(checkpoint_dir)
+
+    e = edges.select("src", "dst")
+    if symmetric:
+        e = e.union(e.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst")))
+    e = trunc(e.distinct(), "pp_edges")
+
+    reach = trunc(e.withColumn("hops", F.lit(1)), "pp_h1")
+    frontier = reach.select("src", "dst")
+    for k in range(2, max_hops + 1):
+        nxt = (frontier.join(e.select(F.col("src").alias("m"), "dst")
+                             .withColumnRenamed("dst", "ndst"),
+                             frontier.dst == F.col("m"))
+               .select("src", F.col("ndst").alias("dst"))
+               .distinct())
+        new = trunc(nxt.join(reach.select("src", "dst"),
+                             on=["src", "dst"], how="left_anti"),
+                    f"pp_h{k}")
+        if new.isEmpty():
+            break
+        reach = trunc(reach.unionByName(
+            new.withColumn("hops", F.lit(k))), f"pp_r{k}")
+        frontier = new
+    return reach.filter(F.col("hops") >= min_hops)
+
+
+def resolve_same_as(triples: DataFrame, *, pred: str = "same_as",
+                    broadcast_mapping: bool = False) -> DataFrame:
+    """Rewrite the graph through its own ``same_as`` edges: every subj/obj
+    that appears as the alias side of a ``same_as`` triple is replaced by
+    its canonical form, and the ``same_as`` rows themselves drop out —
+    the entity-resolution payoff of the statute-clustering stage
+    (reference `postprocessing_utils.py:660-783` emits the mention →
+    canonical pairs; this operator APPLIES them to the rest of the KG).
+
+    The mapping is made functional first (an alias with several canonical
+    forms — possible across documents — deterministically takes the
+    lexicographic min), so the rewrite is idempotent and order-free.  Two
+    left equi-joins on the endpoint columns; pass
+    ``broadcast_mapping=True`` when the dictionary is known-small, else
+    the shuffle join (the mapping scales with distinct mention texts —
+    corpus-sized, not row-sized).
+    """
+    mapping = (triples.filter(F.col("pred") == pred)
+               .groupBy(F.col("subj").alias("alias"))
+               .agg(F.min("obj").alias("canon")))
+    if broadcast_mapping:
+        mapping = F.broadcast(mapping)
+    rest = triples.filter(F.col("pred") != pred)
+    out_cols = rest.columns
+    rest = (rest.join(mapping.withColumnRenamed("alias", "s_alias")
+                      .withColumnRenamed("canon", "s_canon"),
+                      rest.subj == F.col("s_alias"), "left")
+            .withColumn("subj", F.coalesce("s_canon", "subj")))
+    rest = (rest.join(mapping.withColumnRenamed("alias", "o_alias")
+                      .withColumnRenamed("canon", "o_canon"),
+                      rest.obj == F.col("o_alias"), "left")
+            .withColumn("obj", F.coalesce("o_canon", "obj")))
+    return rest.select(*out_cols)
+
+
+def constraint_report(triples: DataFrame) -> DataFrame:
+    """SHACL-lite structural profile of the graph, one row per predicate:
+
+    - ``n_triples``, ``n_subjects``, ``n_objects`` — raw shape;
+    - ``functional_violations`` — subjects with >1 distinct object (how
+      far the predicate is from subj→obj functional: ``decided_by`` with
+      two courts on one judgment is a flag worth raising);
+    - ``inverse_violations`` — objects with >1 distinct subject (the
+      inverse-functional reading; high values are normal for hub objects
+      like IPC, which is exactly what the report shows);
+    - ``max_out_degree`` — the hottest subject's fan-out (skew early
+      warning for downstream joins).
+
+    Two (pred, endpoint)-keyed aggregates joined on ``pred`` — a
+    metadata-sized result regardless of corpus size.
+    """
+    by_subj = (triples.groupBy("pred", "subj")
+               .agg(F.countDistinct("obj").alias("n_obj")))
+    subj_side = (by_subj.groupBy("pred")
+                 .agg(F.count("*").alias("n_subjects"),
+                      F.sum(F.when(F.col("n_obj") > 1, 1).otherwise(0))
+                      .cast("bigint").alias("functional_violations"),
+                      F.max("n_obj").cast("bigint")
+                      .alias("max_out_degree")))
+    by_obj = (triples.groupBy("pred", "obj")
+              .agg(F.countDistinct("subj").alias("n_subj")))
+    obj_side = (by_obj.groupBy("pred")
+                .agg(F.count("*").alias("n_objects"),
+                     F.sum(F.when(F.col("n_subj") > 1, 1).otherwise(0))
+                     .cast("bigint").alias("inverse_violations")))
+    counts = (triples.groupBy("pred")
+              .agg(F.count("*").cast("bigint").alias("n_triples")))
+    return (counts.join(subj_side, "pred").join(obj_side, "pred")
+            .select("pred", "n_triples",
+                    F.col("n_subjects").cast("bigint").alias("n_subjects"),
+                    F.col("n_objects").cast("bigint").alias("n_objects"),
+                    "functional_violations", "inverse_violations",
+                    "max_out_degree"))

@@ -7103,6 +7103,149 @@ SELECT doc_id, source, score FROM (
   FROM kept) WHERE rn <= 3"""
 
 
+def q_kg_bgp_star(spark, sf_dir):
+    """SPARQL-style basic-graph-pattern STAR query over the constructed
+    KG — the consumer-side declarative layer: bindings of
+
+        ?d decided_by ?court .  ?d has_judge ?judge .
+        ?d cites_precedent ?p
+
+    compiled by ``kgquery.bgp_match`` to selectivity-ordered equi-joins
+    over predicate-pushed scans of the triple table (join order from a
+    ≤9-row predicate-count probe; small patterns broadcast)."""
+    from .operators import kgquery
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    return kgquery.bgp_match(tri, [("?d", "decided_by", "?court"),
+                                   ("?d", "has_judge", "?judge"),
+                                   ("?d", "cites_precedent", "?p")])
+
+
+def o_kg_bgp_star():
+    return f"""
+WITH t AS (SELECT subj, pred, obj FROM {_KG_SQL_SRC}
+           WHERE rec_type = 'triple')
+SELECT DISTINCT a.subj AS d, a.obj AS court, b.obj AS judge, c.obj AS p
+FROM t a
+JOIN t b ON b.subj = a.subj
+JOIN t c ON c.subj = a.subj
+WHERE a.pred = 'decided_by' AND b.pred = 'has_judge'
+  AND c.pred = 'cites_precedent'"""
+
+
+def q_kg_bgp_chain(spark, sf_dir):
+    """BGP CHAIN through a shared object variable — alias co-reference
+    pairs: ``?m same_as ?canon . ?m2 same_as ?canon`` with the
+    ``?m < ?m2`` half-matrix cut applied as a plain DataFrame filter on
+    the returned bindings (the layer composes with ordinary Spark)."""
+    from .operators import kgquery
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    b = kgquery.bgp_match(tri, [("?m", "same_as", "?canon"),
+                                ("?m2", "same_as", "?canon")])
+    return b.filter(F.col("m") < F.col("m2"))
+
+
+def o_kg_bgp_chain():
+    return f"""
+WITH t AS (SELECT subj, obj FROM {_KG_SQL_SRC}
+           WHERE rec_type = 'triple' AND pred = 'same_as')
+SELECT DISTINCT a.subj AS m, a.obj AS canon, b.subj AS m2
+FROM t a JOIN t b ON b.obj = a.obj
+WHERE a.subj < b.subj"""
+
+
+def q_kg_path_bounded(spark, sf_dir):
+    """Bounded property path (SPARQL ``cites_precedent{2,3}`` over the
+    undirected citation graph): every (src, dst) pair within 2-3 hops
+    with its MINIMUM hop count — hops=2 pairs are doc-doc
+    co-citation + precedent-precedent co-occurrence; hops=3 reaches the
+    neighbours' precedents.  One frontier equi-join per hop, newly
+    reached pairs only (anti-join vs seen), lineage truncated per hop."""
+    from .operators import kgquery
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    e = (tri.filter(F.col("pred") == "cites_precedent")
+         .select(F.concat(F.lit("d:"), "doc_id").alias("src"),
+                 F.concat(F.lit("p:"), "obj").alias("dst")))
+    return kgquery.property_path(e, 3, min_hops=2, symmetric=True,
+                                 checkpoint_dir=_ckpt_dir(spark))
+
+
+def o_kg_path_bounded():
+    return f"""
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT 'd:' || doc_id AS src, 'p:' || obj AS dst
+  FROM {_KG_SQL_SRC} WHERE rec_type = 'triple' AND pred = 'cites_precedent'
+), e AS (
+  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+), walk(src, dst, d) AS (
+  SELECT src, dst, 1 FROM e
+  UNION
+  SELECT w.src, e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.dst
+  WHERE w.d < 3
+)
+SELECT src, dst, min(d)::INT AS hops FROM walk
+GROUP BY src, dst HAVING min(d) >= 2"""
+
+
+def q_kg_resolved_triples(spark, sf_dir):
+    """The KG rewritten through its own ``same_as`` edges — every
+    endpoint that appears as an alias is replaced by its canonical form
+    (deterministic min when a cross-document alias is ambiguous) and the
+    ``same_as`` rows drop out: the entity-resolution payoff of statute
+    clustering applied to the whole graph.  Two left equi-joins."""
+    from .operators import kgquery
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    return kgquery.resolve_same_as(tri)
+
+
+def o_kg_resolved_triples():
+    return f"""
+WITH t AS (SELECT subj, pred, obj, doc_id FROM {_KG_SQL_SRC}
+           WHERE rec_type = 'triple'),
+m AS (SELECT subj AS alias, min(obj) AS canon FROM t
+      WHERE pred = 'same_as' GROUP BY subj)
+SELECT coalesce(ms.canon, r.subj) AS subj, r.pred,
+       coalesce(mo.canon, r.obj) AS obj, r.doc_id
+FROM t r
+LEFT JOIN m ms ON r.subj = ms.alias
+LEFT JOIN m mo ON r.obj = mo.alias
+WHERE r.pred <> 'same_as'"""
+
+
+def q_kg_constraint_report(spark, sf_dir):
+    """SHACL-lite validation profile of the graph, one row per
+    predicate: functionality / inverse-functionality violation counts,
+    endpoint cardinalities, and the hottest subject's fan-out (the skew
+    early-warning for downstream joins).  Two (pred, endpoint)-keyed
+    aggregates joined on pred — metadata-sized output at any corpus
+    size."""
+    from .operators import kgquery
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    return kgquery.constraint_report(tri)
+
+
+def o_kg_constraint_report():
+    return f"""
+WITH t AS (SELECT subj, pred, obj FROM {_KG_SQL_SRC}
+           WHERE rec_type = 'triple'),
+s AS (SELECT pred, subj, count(DISTINCT obj) AS n_obj
+      FROM t GROUP BY pred, subj),
+ss AS (SELECT pred, count(*)::BIGINT AS n_subjects,
+              sum(CASE WHEN n_obj > 1 THEN 1 ELSE 0 END)::BIGINT
+                AS functional_violations,
+              max(n_obj)::BIGINT AS max_out_degree
+       FROM s GROUP BY pred),
+o AS (SELECT pred, obj, count(DISTINCT subj) AS n_subj
+      FROM t GROUP BY pred, obj),
+oo AS (SELECT pred, count(*)::BIGINT AS n_objects,
+              sum(CASE WHEN n_subj > 1 THEN 1 ELSE 0 END)::BIGINT
+                AS inverse_violations
+       FROM o GROUP BY pred),
+c AS (SELECT pred, count(*)::BIGINT AS n_triples FROM t GROUP BY pred)
+SELECT c.pred, c.n_triples, ss.n_subjects, oo.n_objects,
+       ss.functional_violations, oo.inverse_violations, ss.max_out_degree
+FROM c JOIN ss ON ss.pred = c.pred JOIN oo ON oo.pred = c.pred"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7254,6 +7397,11 @@ QUERIES = {
     "kg_neighbor_sample": q_kg_neighbor_sample,
     "kg_walk_ppmi": q_kg_walk_ppmi,
     "kg_truss_communities": q_kg_truss_communities,
+    "kg_bgp_star": q_kg_bgp_star,
+    "kg_bgp_chain": q_kg_bgp_chain,
+    "kg_path_bounded": q_kg_path_bounded,
+    "kg_resolved_triples": q_kg_resolved_triples,
+    "kg_constraint_report": q_kg_constraint_report,
     "kg_clustering_coeff": q_kg_clustering_coeff,
     "kg_assortativity": q_kg_assortativity,
     "kg_component_sizes": q_kg_component_sizes,
@@ -7430,6 +7578,11 @@ ORACLES = {
     "kg_neighbor_sample": o_kg_neighbor_sample(),
     "kg_walk_ppmi": o_kg_walk_ppmi(),
     "kg_truss_communities": o_kg_truss_communities(),
+    "kg_bgp_star": o_kg_bgp_star(),
+    "kg_bgp_chain": o_kg_bgp_chain(),
+    "kg_path_bounded": o_kg_path_bounded(),
+    "kg_resolved_triples": o_kg_resolved_triples(),
+    "kg_constraint_report": o_kg_constraint_report(),
     "kg_clustering_coeff": o_kg_clustering_coeff(),
     "kg_assortativity": o_kg_assortativity(),
     "kg_component_sizes": o_kg_component_sizes(),

@@ -1,0 +1,217 @@
+"""The consumer-side KG query/validation layer (operators/kgquery.py):
+BGP matching, bounded property paths, same_as resolution, constraint
+profiles — semantics pinned on hand-built graphs plus a brute-force BFS
+cross-check and a plan audit (equi-joins only, predicate filters pushed)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from legal_ner_spark.operators import kgquery
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(
+        [(s, p, o, d) for s, p, o, d in rows],
+        "subj string, pred string, obj string, doc_id string")
+
+
+@pytest.fixture(scope="module")
+def kg(spark):
+    df = _triples(spark, [
+        ("d1", "decided_by", "SC", "d1"),
+        ("d1", "has_judge", "J. Rao", "d1"),
+        ("d1", "cites_precedent", "A vs B", "d1"),
+        ("d1", "cites_precedent", "C vs D", "d1"),
+        ("d2", "decided_by", "HC", "d2"),
+        ("d2", "has_judge", "J. Rao", "d2"),
+        ("d2", "cites_precedent", "A vs B", "d2"),
+        ("d3", "decided_by", "SC", "d3"),      # no judge: drops from star
+        ("ipc", "same_as", "Indian Penal Code", "d1"),
+        ("i.p.c.", "same_as", "Indian Penal Code", "d2"),
+        ("s 302", "part_of", "ipc", "d1"),
+    ]).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+# -------------------------------------------------------------- bgp_match
+
+def test_bgp_star_bindings(kg):
+    out = kgquery.bgp_match(kg, [("?d", "decided_by", "?c"),
+                                 ("?d", "has_judge", "?j"),
+                                 ("?d", "cites_precedent", "?p")])
+    rows = {tuple(r) for r in out.collect()}
+    assert rows == {("d1", "SC", "J. Rao", "A vs B"),
+                    ("d1", "SC", "J. Rao", "C vs D"),
+                    ("d2", "HC", "J. Rao", "A vs B")}
+    assert out.columns == ["d", "c", "j", "p"]   # first-appearance order
+
+
+def test_bgp_literal_binding_and_none(kg):
+    # literal subj + literal pred, None obj (matched, not projected);
+    # the two patterns share no variable → a product → refused eagerly
+    with pytest.raises(ValueError, match="disconnected"):
+        kgquery.bgp_match(kg, [("d1", "cites_precedent", "?p"),
+                               ("?x", "same_as", None, "d1")])
+
+
+def test_bgp_explicit_product(kg):
+    out = kgquery.bgp_match(kg, [("d1", "decided_by", "?c"),
+                                 ("?m", "same_as", None, "d1")],
+                            allow_product=True)
+    assert {tuple(r) for r in out.collect()} == {("SC", "ipc")}
+
+
+def test_bgp_repeated_var_in_one_pattern(spark):
+    t = _triples(spark, [("a", "self", "a", "x"), ("a", "self", "b", "x")])
+    out = kgquery.bgp_match(t, [("?n", "self", "?n")])
+    assert [tuple(r) for r in out.collect()] == [("a",)]
+
+
+def test_bgp_doc_term_as_variable(kg):
+    out = kgquery.bgp_match(kg, [(None, "same_as", "?canon", "?doc")])
+    assert {tuple(r) for r in out.collect()} == {
+        ("Indian Penal Code", "d1"), ("Indian Penal Code", "d2")}
+
+
+def test_bgp_chain_shared_object(kg):
+    out = (kgquery.bgp_match(kg, [("?m", "same_as", "?canon"),
+                                  ("?m2", "same_as", "?canon")])
+           .filter(F.col("m") < F.col("m2")))
+    assert {tuple(r) for r in out.collect()} == {
+        ("i.p.c.", "Indian Penal Code", "ipc")}
+
+
+def test_bgp_rejects_empty_and_bad_shapes(kg):
+    with pytest.raises(ValueError):
+        kgquery.bgp_match(kg, [])
+    with pytest.raises(ValueError):
+        kgquery.bgp_match(kg, [("?a", "p")])
+    with pytest.raises(ValueError, match="bad variable"):
+        kgquery.bgp_match(kg, [("?not ok", "p", "?b")])
+
+
+def test_bgp_plan_is_equi_join_only(kg):
+    out = kgquery.bgp_match(kg, [("?d", "decided_by", "?c"),
+                                 ("?d", "has_judge", "?j")])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bgp_pred_filter_reaches_parquet_scan(spark, tmp_path):
+    p = str(tmp_path / "tri")
+    _triples(spark, [("a", "p1", "b", "x"), ("b", "p2", "c", "x")]) \
+        .write.parquet(p)
+    tri = spark.read.parquet(p)
+    out = kgquery.bgp_match(tri, [("?s", "p1", "?o")])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(pred), EqualTo(pred,p1)" in plan
+
+
+# ---------------------------------------------------------- property_path
+
+def _brute_pairs(edges, max_hops, symmetric):
+    adj = {}
+    es = list(edges) + ([(b, a) for a, b in edges] if symmetric else [])
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+    out = {}
+    for s in {a for a, _ in es}:
+        frontier, seen, d = {s}, set(), 0
+        while frontier and d < max_hops:
+            d += 1
+            frontier = {n for f in frontier for n in adj.get(f, ())} - seen
+            for n in frontier:
+                out.setdefault((s, n), d)
+            seen |= frontier
+    return out
+
+
+@pytest.mark.parametrize("symmetric", [False, True])
+def test_property_path_matches_brute_bfs(spark, symmetric):
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),   # 4-cycle
+             ("b", "e"), ("x", "y")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r.src, r.dst): r.hops
+           for r in kgquery.property_path(e, 3, symmetric=symmetric)
+           .collect()}
+    assert got == _brute_pairs(edges, 3, symmetric)
+
+
+def test_property_path_cycle_reaches_self(spark):
+    e = spark.createDataFrame([("a", "b"), ("b", "a")],
+                              "src string, dst string")
+    got = {(r.src, r.dst): r.hops
+           for r in kgquery.property_path(e, 4).collect()}
+    # 2-cycle: self reachable at hops=2, never re-expanded after
+    assert got == {("a", "b"): 1, ("b", "a"): 1,
+                   ("a", "a"): 2, ("b", "b"): 2}
+
+
+def test_property_path_min_hops_filter(spark):
+    e = spark.createDataFrame([("a", "b"), ("b", "c")],
+                              "src string, dst string")
+    got = {(r.src, r.dst): r.hops
+           for r in kgquery.property_path(e, 3, min_hops=2).collect()}
+    assert got == {("a", "c"): 2}
+
+
+def test_property_path_early_exit_and_validation(spark):
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    # max_hops=5 but the graph exhausts after hop 1 → loop exits early
+    assert kgquery.property_path(e, 5).count() == 1
+    with pytest.raises(ValueError):
+        kgquery.property_path(e, 0)
+    with pytest.raises(ValueError):
+        kgquery.property_path(e, 2, min_hops=3)
+
+
+# --------------------------------------------------------- resolve_same_as
+
+def test_resolve_rewrites_both_endpoints_and_drops_same_as(kg):
+    out = kgquery.resolve_same_as(kg)
+    assert out.filter(F.col("pred") == "same_as").count() == 0
+    part = out.filter(F.col("pred") == "part_of").collect()
+    assert [(r.subj, r.obj) for r in part] == [
+        ("s 302", "Indian Penal Code")]
+    # untouched rows survive byte-identical
+    assert out.filter(F.col("pred") == "decided_by").count() == 3
+    assert out.columns == kg.columns
+
+
+def test_resolve_ambiguous_alias_takes_min_canon(spark):
+    t = _triples(spark, [
+        ("x", "same_as", "B-canon", "d1"),
+        ("x", "same_as", "A-canon", "d2"),     # ambiguous across docs
+        ("x", "rel", "y", "d1"),
+    ])
+    out = kgquery.resolve_same_as(t).collect()
+    assert [(r.subj, r.pred, r.obj) for r in out] == [
+        ("A-canon", "rel", "y")]
+    # idempotent: resolving the resolved graph is a no-op
+    again = kgquery.resolve_same_as(
+        spark.createDataFrame(out, t.schema)).collect()
+    assert [(r.subj, r.pred, r.obj) for r in again] == [
+        ("A-canon", "rel", "y")]
+
+
+# ------------------------------------------------------- constraint_report
+
+def test_constraint_report_counts(spark):
+    t = _triples(spark, [
+        ("s1", "f", "o1", "d"), ("s1", "f", "o2", "d"),   # functional viol
+        ("s2", "f", "o1", "d"),                           # inverse viol o1
+        ("s1", "g", "o9", "d"),
+    ])
+    rows = {r.pred: r for r in kgquery.constraint_report(t).collect()}
+    f = rows["f"]
+    assert (f.n_triples, f.n_subjects, f.n_objects) == (3, 2, 2)
+    assert f.functional_violations == 1          # s1 has two objects
+    assert f.inverse_violations == 1             # o1 has two subjects
+    assert f.max_out_degree == 2
+    g = rows["g"]
+    assert (g.functional_violations, g.inverse_violations,
+            g.max_out_degree) == (0, 0, 1)
