@@ -137,7 +137,11 @@ def main() -> None:
                      "gopher_quality", "gopher_repetition",
                      "dsir_weights", "dsir_resample",
                      "source_quota_sample", "quality_classifier",
-                     "curation_pipeline_v2"]
+                     "curation_pipeline_v2",
+                     # consumer-side KG query layer
+                     "kg_bgp_star", "kg_bgp_optional", "kg_bgp_chain",
+                     "kg_path_bounded", "kg_resolved_triples",
+                     "kg_constraint_report"]
     for name in bench_queries:
         timings[name] = round(best_of(
             lambda: queries.QUERIES[name](spark, sf_dir).count()), 3)

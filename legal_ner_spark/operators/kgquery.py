@@ -49,8 +49,8 @@ def _var_name(term: str) -> str:
     return name
 
 
-def bgp_match(triples: DataFrame, patterns, *, distinct: bool = True,
-              allow_product: bool = False,
+def bgp_match(triples: DataFrame, patterns, *, optional=(),
+              distinct: bool = True, allow_product: bool = False,
               broadcast_rows: int = 50_000) -> DataFrame:
     """Match a conjunctive basic graph pattern against a triple table.
 
@@ -69,17 +69,27 @@ def bgp_match(triples: DataFrame, patterns, *, distinct: bool = True,
     estimated-small sides get a broadcast hint (AQE still has the final
     word).  Patterns that share no variable with the accumulated join are
     a cartesian product and raise unless ``allow_product=True``.
+
+    ``optional`` patterns (SPARQL OPTIONAL) left-join AFTER every required
+    pattern, in the order given; their fresh variables come back null when
+    nothing matches.  Each must share ≥1 variable with the required group
+    — an unanchored optional would be a cartesian product with nulls.
     """
     if not patterns:
         raise ValueError("bgp_match needs at least one pattern")
-    pats = []
-    for p in patterns:
-        p = tuple(p)
-        if len(p) == 3:
-            p = p + (None,)
-        if len(p) != 4:
-            raise ValueError(f"pattern must have 3 or 4 terms, got {p!r}")
-        pats.append(p)
+
+    def _norm(ps):
+        out = []
+        for p in ps:
+            p = tuple(p)
+            if len(p) == 3:
+                p = p + (None,)
+            if len(p) != 4:
+                raise ValueError(f"pattern must have 3 or 4 terms, got {p!r}")
+            out.append(p)
+        return out
+
+    pats, opats = _norm(patterns), _norm(optional)
 
     # selectivity probe: one ≤|preds|-row aggregate, collected as literals
     pred_counts = {r["pred"]: r["n"] for r in
@@ -87,8 +97,7 @@ def bgp_match(triples: DataFrame, patterns, *, distinct: bool = True,
                    .collect()}
     total = sum(pred_counts.values()) or 1
 
-    compiled = []   # (est_rows, vars_in_order, DataFrame)
-    for p in pats:
+    def _compile(p):
         df = triples
         est = float(total)
         if not _is_var(p[1]) and p[1] is not None:
@@ -115,10 +124,13 @@ def bgp_match(triples: DataFrame, patterns, *, distinct: bool = True,
         # every bound term beyond the predicate sharpens the estimate;
         # the factor is crude but monotone, which is all ordering needs
         est = est / (100.0 ** max(0, n_bound - (0 if _is_var(p[1]) else 1)))
-        compiled.append((est, list(seen_vars), df.select(*proj)))
+        return est, list(seen_vars), df.select(*proj)
+
+    compiled = [_compile(p) for p in pats]
+    ocompiled = [_compile(p) for p in opats]
 
     declared = []           # projection order = first appearance in patterns
-    for _, pvars, _ in compiled:
+    for _, pvars, _ in compiled + ocompiled:
         declared += [v for v in pvars if v not in declared]
 
     # greedy left-deep join order: cheapest connected pattern next
@@ -150,6 +162,18 @@ def bgp_match(triples: DataFrame, patterns, *, distinct: bool = True,
             else cur.crossJoin(pdf)
         out_vars += [v for v in pvars if v not in out_vars]
         done.add(nxt)
+
+    # OPTIONAL patterns: left joins in caller order, anchored or refused
+    for est, pvars, pdf in ocompiled:
+        shared = [v for v in out_vars if v in pvars]
+        if not shared:
+            raise ValueError(
+                "optional pattern shares no variable with the required "
+                "group (unanchored OPTIONAL is a cartesian product)")
+        if est <= broadcast_rows:
+            pdf = F.broadcast(pdf)
+        cur = cur.join(pdf, on=shared, how="left")
+        out_vars += [v for v in pvars if v not in out_vars]
 
     cur = cur.select(*declared)
     return cur.distinct() if distinct else cur

@@ -7132,6 +7132,26 @@ WHERE a.pred = 'decided_by' AND b.pred = 'has_judge'
   AND c.pred = 'cites_precedent'"""
 
 
+def q_kg_bgp_optional(spark, sf_dir):
+    """BGP with a SPARQL OPTIONAL clause: every judgment with its court,
+    plus its cited precedents WHEN it cites any (null otherwise) — the
+    left-join leg of the pattern compiler.  An unanchored optional is
+    refused as a cartesian product; this one anchors on ?d."""
+    from .operators import kgquery
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    return kgquery.bgp_match(tri, [("?d", "decided_by", "?court")],
+                             optional=[("?d", "cites_precedent", "?p")])
+
+
+def o_kg_bgp_optional():
+    return f"""
+WITH t AS (SELECT subj, pred, obj FROM {_KG_SQL_SRC}
+           WHERE rec_type = 'triple')
+SELECT DISTINCT a.subj AS d, a.obj AS court, b.obj AS p
+FROM t a LEFT JOIN t b ON b.subj = a.subj AND b.pred = 'cites_precedent'
+WHERE a.pred = 'decided_by'"""
+
+
 def q_kg_bgp_chain(spark, sf_dir):
     """BGP CHAIN through a shared object variable — alias co-reference
     pairs: ``?m same_as ?canon . ?m2 same_as ?canon`` with the
@@ -7398,6 +7418,7 @@ QUERIES = {
     "kg_walk_ppmi": q_kg_walk_ppmi,
     "kg_truss_communities": q_kg_truss_communities,
     "kg_bgp_star": q_kg_bgp_star,
+    "kg_bgp_optional": q_kg_bgp_optional,
     "kg_bgp_chain": q_kg_bgp_chain,
     "kg_path_bounded": q_kg_path_bounded,
     "kg_resolved_triples": q_kg_resolved_triples,
@@ -7579,6 +7600,7 @@ ORACLES = {
     "kg_walk_ppmi": o_kg_walk_ppmi(),
     "kg_truss_communities": o_kg_truss_communities(),
     "kg_bgp_star": o_kg_bgp_star(),
+    "kg_bgp_optional": o_kg_bgp_optional(),
     "kg_bgp_chain": o_kg_bgp_chain(),
     "kg_path_bounded": o_kg_path_bounded(),
     "kg_resolved_triples": o_kg_resolved_triples(),

@@ -84,6 +84,21 @@ def test_bgp_chain_shared_object(kg):
         ("i.p.c.", "Indian Penal Code", "ipc")}
 
 
+def test_bgp_optional_left_join(kg):
+    out = kgquery.bgp_match(kg, [("?d", "decided_by", "?c")],
+                            optional=[("?d", "has_judge", "?j")])
+    rows = {tuple(r) for r in out.collect()}
+    assert rows == {("d1", "SC", "J. Rao"), ("d2", "HC", "J. Rao"),
+                    ("d3", "SC", None)}     # d3 has no judge → null
+    assert out.columns == ["d", "c", "j"]
+
+
+def test_bgp_optional_must_anchor(kg):
+    with pytest.raises(ValueError, match="unanchored OPTIONAL"):
+        kgquery.bgp_match(kg, [("?d", "decided_by", "?c")],
+                          optional=[("?m", "same_as", "?canon")])
+
+
 def test_bgp_rejects_empty_and_bad_shapes(kg):
     with pytest.raises(ValueError):
         kgquery.bgp_match(kg, [])
