@@ -139,7 +139,8 @@ def main() -> None:
                      "source_quota_sample", "quality_classifier",
                      "curation_pipeline_v2",
                      # consumer-side KG query layer
-                     "kg_bgp_star", "kg_bgp_optional", "kg_bgp_chain",
+                     "kg_bgp_star", "kg_bgp_optional", "kg_bgp_minus",
+                     "kg_bgp_chain",
                      "kg_path_bounded", "kg_resolved_triples",
                      "kg_constraint_report"]
     for name in bench_queries:

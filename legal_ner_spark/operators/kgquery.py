@@ -49,9 +49,10 @@ def _var_name(term: str) -> str:
     return name
 
 
-def bgp_match(triples: DataFrame, patterns, *, optional=(),
+def bgp_match(triples: DataFrame, patterns, *, optional=(), minus=(),
               distinct: bool = True, allow_product: bool = False,
-              broadcast_rows: int = 50_000) -> DataFrame:
+              broadcast_rows: int = 50_000,
+              pred_stats: dict | None = None) -> DataFrame:
     """Match a conjunctive basic graph pattern against a triple table.
 
     ``patterns`` is a list of 3- or 4-tuples ``(subj, pred, obj[, doc])``
@@ -74,6 +75,14 @@ def bgp_match(triples: DataFrame, patterns, *, optional=(),
     pattern, in the order given; their fresh variables come back null when
     nothing matches.  Each must share ≥1 variable with the required group
     — an unanchored optional would be a cartesian product with nulls.
+
+    ``minus`` patterns (SPARQL MINUS / FILTER NOT EXISTS) anti-join after
+    the optionals: bindings with ANY match against the pattern drop.
+    Fresh variables inside a minus pattern are existential (never
+    projected); the same anchoring rule applies.
+
+    ``pred_stats`` (``{pred: row_count}``) skips the count probe — pass a
+    precomputed dict when issuing many queries against one snapshot.
     """
     if not patterns:
         raise ValueError("bgp_match needs at least one pattern")
@@ -89,12 +98,12 @@ def bgp_match(triples: DataFrame, patterns, *, optional=(),
             out.append(p)
         return out
 
-    pats, opats = _norm(patterns), _norm(optional)
+    pats, opats, mpats = _norm(patterns), _norm(optional), _norm(minus)
 
     # selectivity probe: one ≤|preds|-row aggregate, collected as literals
-    pred_counts = {r["pred"]: r["n"] for r in
-                   triples.groupBy("pred").agg(F.count("*").alias("n"))
-                   .collect()}
+    pred_counts = pred_stats if pred_stats is not None else {
+        r["pred"]: r["n"] for r in
+        triples.groupBy("pred").agg(F.count("*").alias("n")).collect()}
     total = sum(pred_counts.values()) or 1
 
     def _compile(p):
@@ -128,6 +137,7 @@ def bgp_match(triples: DataFrame, patterns, *, optional=(),
 
     compiled = [_compile(p) for p in pats]
     ocompiled = [_compile(p) for p in opats]
+    mcompiled = [_compile(p) for p in mpats]
 
     declared = []           # projection order = first appearance in patterns
     for _, pvars, _ in compiled + ocompiled:
@@ -174,6 +184,17 @@ def bgp_match(triples: DataFrame, patterns, *, optional=(),
             pdf = F.broadcast(pdf)
         cur = cur.join(pdf, on=shared, how="left")
         out_vars += [v for v in pvars if v not in out_vars]
+
+    # MINUS patterns: anti joins; fresh variables are existential
+    for est, pvars, pdf in mcompiled:
+        shared = [v for v in out_vars if v in pvars]
+        if not shared:
+            raise ValueError(
+                "minus pattern shares no variable with the matched group "
+                "(an unanchored MINUS either drops everything or nothing)")
+        if est <= broadcast_rows:
+            pdf = F.broadcast(pdf)
+        cur = cur.join(pdf.select(*shared), on=shared, how="left_anti")
 
     cur = cur.select(*declared)
     return cur.distinct() if distinct else cur

@@ -7152,6 +7152,26 @@ FROM t a LEFT JOIN t b ON b.subj = a.subj AND b.pred = 'cites_precedent'
 WHERE a.pred = 'decided_by'"""
 
 
+def q_kg_bgp_minus(spark, sf_dir):
+    """BGP with a SPARQL MINUS clause: judgments (with their court) that
+    cite NO precedent — the anti-join leg of the pattern compiler; the
+    minus pattern's ?p is existential and never projected."""
+    from .operators import kgquery
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    return kgquery.bgp_match(tri, [("?d", "decided_by", "?court")],
+                             minus=[("?d", "cites_precedent", "?p")])
+
+
+def o_kg_bgp_minus():
+    return f"""
+WITH t AS (SELECT subj, pred, obj FROM {_KG_SQL_SRC}
+           WHERE rec_type = 'triple')
+SELECT DISTINCT a.subj AS d, a.obj AS court
+FROM t a
+WHERE a.pred = 'decided_by' AND NOT EXISTS (
+  SELECT 1 FROM t b WHERE b.pred = 'cites_precedent' AND b.subj = a.subj)"""
+
+
 def q_kg_bgp_chain(spark, sf_dir):
     """BGP CHAIN through a shared object variable — alias co-reference
     pairs: ``?m same_as ?canon . ?m2 same_as ?canon`` with the
@@ -7419,6 +7439,7 @@ QUERIES = {
     "kg_truss_communities": q_kg_truss_communities,
     "kg_bgp_star": q_kg_bgp_star,
     "kg_bgp_optional": q_kg_bgp_optional,
+    "kg_bgp_minus": q_kg_bgp_minus,
     "kg_bgp_chain": q_kg_bgp_chain,
     "kg_path_bounded": q_kg_path_bounded,
     "kg_resolved_triples": q_kg_resolved_triples,
@@ -7601,6 +7622,7 @@ ORACLES = {
     "kg_truss_communities": o_kg_truss_communities(),
     "kg_bgp_star": o_kg_bgp_star(),
     "kg_bgp_optional": o_kg_bgp_optional(),
+    "kg_bgp_minus": o_kg_bgp_minus(),
     "kg_bgp_chain": o_kg_bgp_chain(),
     "kg_path_bounded": o_kg_path_bounded(),
     "kg_resolved_triples": o_kg_resolved_triples(),

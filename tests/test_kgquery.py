@@ -99,6 +99,36 @@ def test_bgp_optional_must_anchor(kg):
                           optional=[("?m", "same_as", "?canon")])
 
 
+def test_bgp_minus_anti_join(kg):
+    out = kgquery.bgp_match(kg, [("?d", "decided_by", "?c")],
+                            minus=[("?d", "cites_precedent", "?p")])
+    # d3 is the only judgment citing nothing
+    assert {tuple(r) for r in out.collect()} == {("d3", "SC")}
+    assert out.columns == ["d", "c"]   # existential ?p never projected
+
+
+def test_bgp_minus_must_anchor(kg):
+    with pytest.raises(ValueError, match="unanchored MINUS"):
+        kgquery.bgp_match(kg, [("?d", "decided_by", "?c")],
+                          minus=[("?m", "same_as", "?canon")])
+
+
+def test_bgp_predicate_variable(kg):
+    out = kgquery.bgp_match(kg, [("d1", "?p", "?o")])
+    got = {tuple(r) for r in out.collect()}
+    assert ("decided_by", "SC") in got
+    assert ("cites_precedent", "A vs B") in got
+    assert len(got) == 4
+
+
+def test_bgp_pred_stats_skips_probe(kg):
+    # a wrong stats dict must not change ANSWERS, only the join order
+    out = kgquery.bgp_match(kg, [("?d", "decided_by", "?c"),
+                                 ("?d", "has_judge", "?j")],
+                            pred_stats={"decided_by": 10**9, "has_judge": 1})
+    assert out.count() == 2
+
+
 def test_bgp_rejects_empty_and_bad_shapes(kg):
     with pytest.raises(ValueError):
         kgquery.bgp_match(kg, [])
