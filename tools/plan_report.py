@@ -93,6 +93,14 @@ SHOW = [
     ("source_quota_sample", "per-domain cap: radix-cell prefix sums + "
                             "boundary-cell-only ranking — no per-key "
                             "window over a hot domain"),
+    ("kg_bgp_star", "BGP compile: selectivity-ordered equi-joins, "
+                    "pred literal pushed to the triple scan, small "
+                    "patterns broadcast"),
+    ("kg_bgp_minus", "SPARQL MINUS as a BroadcastHashJoin LeftAnti "
+                     "on the shared variable"),
+    ("kg_path_bounded", "bounded property path: per-hop frontier "
+                        "equi-join + seen-pair anti-join, lineage "
+                        "truncated per hop"),
 ]
 
 
