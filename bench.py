@@ -141,7 +141,8 @@ def main() -> None:
                      # consumer-side KG query layer
                      "kg_bgp_star", "kg_bgp_optional", "kg_bgp_minus",
                      "kg_bgp_chain",
-                     "kg_path_bounded", "kg_resolved_triples",
+                     "kg_path_bounded", "kg_path_seq", "kg_path_alt",
+                     "kg_resolved_triples",
                      "kg_constraint_report"]
     for name in bench_queries:
         timings[name] = round(best_of(

@@ -32,8 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bgp_match", "property_path", "resolve_same_as",
-           "constraint_report"]
+__all__ = ["bgp_match", "property_path", "path_edges", "path_sequence",
+           "resolve_same_as", "constraint_report"]
 
 _TERM_COLS = ("subj", "pred", "obj", "doc_id")
 
@@ -250,6 +250,67 @@ def property_path(edges: DataFrame, max_hops: int, *, min_hops: int = 1,
             new.withColumn("hops", F.lit(k))), f"pp_r{k}")
         frontier = new
     return reach.filter(F.col("hops") >= min_hops)
+
+
+def _step_edges(triples: DataFrame, step: str) -> DataFrame:
+    """``(src, dst)`` edge set of one path step: ``"pred"`` walks the
+    predicate forward, ``"^pred"`` (SPARQL inverse) walks it backward.
+    The predicate literal is a pushed parquet filter either way; inverse
+    is a projection swap, never a second scan shape."""
+    if not isinstance(step, str) or not step:
+        raise ValueError(f"bad path step {step!r}")
+    inv = step.startswith("^")
+    p = step[1:] if inv else step
+    if not p or p.startswith("^"):
+        raise ValueError(f"bad path step {step!r}")
+    e = triples.filter(F.col("pred") == p)
+    if inv:
+        return e.select(F.col("obj").alias("src"), F.col("subj").alias("dst"))
+    return e.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+
+
+def path_edges(triples: DataFrame, alts) -> DataFrame:
+    """Edge set of a SPARQL alternation ``(s1|s2|...)`` — the union of
+    each step's edges (steps use the ``pred`` / ``^pred`` syntax of
+    `_step_edges`).  Feed the result to `property_path` to evaluate
+    ``(p1|^p2){m,k}``: Catalyst plans the union as parallel pred-pushed
+    scans of the one triple table, and the path iteration dedups via its
+    own ``distinct``, so no extra shuffle is added here."""
+    alts = list(alts)
+    if not alts:
+        raise ValueError("path_edges needs at least one alternative")
+    out = _step_edges(triples, alts[0])
+    for s in alts[1:]:
+        out = out.unionByName(_step_edges(triples, s))
+    return out
+
+
+def path_sequence(triples: DataFrame, steps, *,
+                  distinct: bool = True) -> DataFrame:
+    """SPARQL sequence path ``s1/s2/.../sk`` — the composition of the
+    steps' edge relations, e.g. ``part_of/^part_of`` = provisions of the
+    same statute, ``decided_by/^decided_by`` = judgments of the same
+    court.  Returns ``(src, dst)`` pairs (endpoints only — sequence
+    paths have fixed length, so no ``hops`` column).
+
+    One equi-join per step, each probing a pred-pushed scan of the
+    triple table — the same shape as `property_path`'s hop join but with
+    a DIFFERENT edge set per hop and no seen-pair state (a fixed-length
+    sequence cannot revisit).  ``distinct=False`` keeps path
+    multiplicity (bag semantics) for callers that count paths.  The
+    intermediate fan-out of a step through a hub endpoint is the
+    answer's own size at the next step, not a plan artifact; callers
+    bound it by choosing the rarer predicate first, exactly as in SPARQL
+    engines' left-deep path plans."""
+    steps = list(steps)
+    if not steps:
+        raise ValueError("path_sequence needs at least one step")
+    cur = _step_edges(triples, steps[0])
+    for s in steps[1:]:
+        nxt = _step_edges(triples, s).withColumnRenamed("dst", "ndst")
+        cur = (cur.join(nxt, cur.dst == nxt.src)
+               .select(cur.src, F.col("ndst").alias("dst")))
+    return cur.distinct() if distinct else cur
 
 
 def resolve_same_as(triples: DataFrame, *, pred: str = "same_as",

@@ -7226,6 +7226,57 @@ SELECT src, dst, min(d)::INT AS hops FROM walk
 GROUP BY src, dst HAVING min(d) >= 2"""
 
 
+def q_kg_path_seq(spark, sf_dir):
+    """SPARQL sequence path ``part_of/^same_as`` — every provision paired
+    with each ALIAS of its statute: forward along provision→statute,
+    then backward through the same_as dictionary (inverse step).  One
+    pred-pushed equi-join per step; the inverse is a projection swap of
+    the same triple scan, never a different scan shape."""
+    from .operators import kgquery
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    return kgquery.path_sequence(tri, ["part_of", "^same_as"])
+
+
+def o_kg_path_seq():
+    return f"""
+WITH t AS (SELECT subj, pred, obj FROM {_KG_SQL_SRC}
+           WHERE rec_type = 'triple')
+SELECT DISTINCT a.subj AS src, b.subj AS dst
+FROM t a JOIN t b ON b.obj = a.obj AND b.pred = 'same_as'
+WHERE a.pred = 'part_of'"""
+
+
+def q_kg_path_alt(spark, sf_dir):
+    """Bounded path over a SPARQL alternation with an inverse member —
+    ``(part_of|^same_as){1,2}``: reach through EITHER the
+    provision→statute edge or the canonical→alias edge, min-hop
+    semantics.  The alternation is a union of two pred-pushed
+    projections of the one triple table; the path iteration dedups it,
+    so the alternation itself adds no shuffle."""
+    from .operators import kgquery
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    e = kgquery.path_edges(tri, ["part_of", "^same_as"])
+    return kgquery.property_path(e, 2, min_hops=1,
+                                 checkpoint_dir=_ckpt_dir(spark))
+
+
+def o_kg_path_alt():
+    return f"""
+WITH RECURSIVE t AS (
+  SELECT subj, pred, obj FROM {_KG_SQL_SRC} WHERE rec_type = 'triple'
+), e AS (
+  SELECT DISTINCT subj AS src, obj AS dst FROM t WHERE pred = 'part_of'
+  UNION
+  SELECT DISTINCT obj AS src, subj AS dst FROM t WHERE pred = 'same_as'
+), walk(src, dst, d) AS (
+  SELECT src, dst, 1 FROM e
+  UNION
+  SELECT w.src, e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.dst
+  WHERE w.d < 2
+)
+SELECT src, dst, min(d)::INT AS hops FROM walk GROUP BY src, dst"""
+
+
 def q_kg_resolved_triples(spark, sf_dir):
     """The KG rewritten through its own ``same_as`` edges — every
     endpoint that appears as an alias is replaced by its canonical form
@@ -7442,6 +7493,8 @@ QUERIES = {
     "kg_bgp_minus": q_kg_bgp_minus,
     "kg_bgp_chain": q_kg_bgp_chain,
     "kg_path_bounded": q_kg_path_bounded,
+    "kg_path_seq": q_kg_path_seq,
+    "kg_path_alt": q_kg_path_alt,
     "kg_resolved_triples": q_kg_resolved_triples,
     "kg_constraint_report": q_kg_constraint_report,
     "kg_clustering_coeff": q_kg_clustering_coeff,
@@ -7625,6 +7678,8 @@ ORACLES = {
     "kg_bgp_minus": o_kg_bgp_minus(),
     "kg_bgp_chain": o_kg_bgp_chain(),
     "kg_path_bounded": o_kg_path_bounded(),
+    "kg_path_seq": o_kg_path_seq(),
+    "kg_path_alt": o_kg_path_alt(),
     "kg_resolved_triples": o_kg_resolved_triples(),
     "kg_constraint_report": o_kg_constraint_report(),
     "kg_clustering_coeff": o_kg_clustering_coeff(),

@@ -214,6 +214,62 @@ def test_property_path_early_exit_and_validation(spark):
         kgquery.property_path(e, 2, min_hops=3)
 
 
+# ------------------------------------------- path_edges / path_sequence
+
+def test_step_edges_inverse_and_validation(kg):
+    fwd = {tuple(r) for r in kgquery._step_edges(kg, "part_of").collect()}
+    inv = {tuple(r) for r in kgquery._step_edges(kg, "^part_of").collect()}
+    assert fwd == {("s 302", "ipc")}
+    assert inv == {("ipc", "s 302")}
+    for bad in ("", "^", "^^p", None):
+        with pytest.raises(ValueError):
+            kgquery._step_edges(kg, bad)
+
+
+def test_path_edges_alternation_union(kg):
+    got = {tuple(r) for r in
+           kgquery.path_edges(kg, ["part_of", "^same_as"]).collect()}
+    assert got == {("s 302", "ipc"),
+                   ("Indian Penal Code", "ipc"),
+                   ("Indian Penal Code", "i.p.c.")}
+    with pytest.raises(ValueError):
+        kgquery.path_edges(kg, [])
+
+
+def test_path_sequence_composition(kg):
+    # provision → statute → statute's canonical name
+    got = {tuple(r) for r in
+           kgquery.path_sequence(kg, ["part_of", "same_as"]).collect()}
+    assert got == {("s 302", "Indian Penal Code")}
+    # single-step sequence == that step's edges
+    one = {tuple(r) for r in kgquery.path_sequence(kg, ["part_of"]).collect()}
+    assert one == {("s 302", "ipc")}
+    with pytest.raises(ValueError):
+        kgquery.path_sequence(kg, [])
+
+
+def test_path_sequence_bag_multiplicity(spark):
+    tri = _triples(spark, [
+        ("a", "p", "m1", "d"), ("a", "p", "m2", "d"),
+        ("m1", "q", "z", "d"), ("m2", "q", "z", "d")])
+    # two distinct paths a→z: distinct collapses, bag keeps both
+    assert kgquery.path_sequence(tri, ["p", "q"]).count() == 1
+    assert kgquery.path_sequence(tri, ["p", "q"], distinct=False).count() == 2
+
+
+def test_path_sequence_pred_pushdown(spark, tmp_path):
+    p = str(tmp_path / "tri_seq")
+    _triples(spark, [("a", "part_of", "b", "x"),
+                     ("c", "same_as", "b", "x")]).write.parquet(p)
+    tri = spark.read.parquet(p)
+    out = kgquery.path_sequence(tri, ["part_of", "^same_as"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # each step's pred literal reaches its parquet scan
+    assert "EqualTo(pred,part_of)" in plan
+    assert "EqualTo(pred,same_as)" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
 # --------------------------------------------------------- resolve_same_as
 
 def test_resolve_rewrites_both_endpoints_and_drops_same_as(kg):
