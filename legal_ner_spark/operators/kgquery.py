@@ -11,6 +11,11 @@ CONSUMER side — the operators a user points at the finished graph:
 - ``property_path``: bounded-length pairwise reachability (SPARQL
   ``pred{1,k}`` paths) as iterated frontier equi-joins with min-hop
   semantics and lineage truncation per hop.
+- ``path_edges`` / ``path_sequence``: SPARQL path expressions — inverse
+  steps (``^pred``), alternation unions, and fixed sequence composition.
+- ``construct`` / ``closure``: the inference half — single-pass CONSTRUCT
+  rule application, and semi-naive transitive/symmetric predicate closure
+  (the recursive rule shape) emitted as derived triples.
 - ``resolve_same_as``: canonicalizing rewrite of the graph through its own
   ``same_as`` edges (the entity-resolution payoff of statute clustering).
 - ``constraint_report``: SHACL-lite structural validation — per-predicate
@@ -33,7 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["bgp_match", "property_path", "path_edges", "path_sequence",
-           "resolve_same_as", "constraint_report"]
+           "construct", "closure", "resolve_same_as", "constraint_report"]
 
 _TERM_COLS = ("subj", "pred", "obj", "doc_id")
 
@@ -49,7 +54,15 @@ def _var_name(term: str) -> str:
     return name
 
 
+def _apply_values(pdf: DataFrame, pvars, vmap: dict) -> DataFrame:
+    for v in pvars:
+        if v in vmap:
+            pdf = pdf.filter(F.col(v).isin(vmap[v]))
+    return pdf
+
+
 def bgp_match(triples: DataFrame, patterns, *, optional=(), minus=(),
+              values: dict | None = None,
               distinct: bool = True, allow_product: bool = False,
               broadcast_rows: int = 50_000,
               pred_stats: dict | None = None) -> DataFrame:
@@ -80,6 +93,14 @@ def bgp_match(triples: DataFrame, patterns, *, optional=(), minus=(),
     the optionals: bindings with ANY match against the pattern drop.
     Fresh variables inside a minus pattern are existential (never
     projected); the same anchoring rule applies.
+
+    ``values`` (SPARQL VALUES, one-variable form: ``{"?v": [lit, ...]}``)
+    restricts a variable to an explicit literal list.  It is compiled as
+    an ``IsIn`` filter on EVERY required pattern that binds the variable
+    — an In predicate that reaches the parquet scan, not a post-join
+    filter — so it must name variables bound by required patterns (a
+    VALUES over an optional-only variable has null-compatibility
+    semantics this compiler does not implement, and is refused).
 
     ``pred_stats`` (``{pred: row_count}``) skips the count probe — pass a
     precomputed dict when issuing many queries against one snapshot.
@@ -138,6 +159,25 @@ def bgp_match(triples: DataFrame, patterns, *, optional=(), minus=(),
     compiled = [_compile(p) for p in pats]
     ocompiled = [_compile(p) for p in opats]
     mcompiled = [_compile(p) for p in mpats]
+
+    # VALUES: IsIn filters on every required pattern binding the variable
+    if values:
+        vmap = {}
+        for term, lits in values.items():
+            lits = list(lits)
+            if not lits:
+                raise ValueError(f"empty VALUES list for {term!r}")
+            vmap[_var_name(term)] = lits
+        required_vars = {v for _, pvars, _ in compiled for v in pvars}
+        missing = set(vmap) - required_vars
+        if missing:
+            raise ValueError(
+                f"VALUES variable(s) {sorted(missing)} not bound by any "
+                "required pattern")
+        compiled = [
+            (est / (100.0 if set(pvars) & set(vmap) else 1.0), pvars,
+             _apply_values(pdf, pvars, vmap))
+            for est, pvars, pdf in compiled]
 
     declared = []           # projection order = first appearance in patterns
     for _, pvars, _ in compiled + ocompiled:
@@ -311,6 +351,76 @@ def path_sequence(triples: DataFrame, steps, *,
         cur = (cur.join(nxt, cur.dst == nxt.src)
                .select(cur.src, F.col("ndst").alias("dst")))
     return cur.distinct() if distinct else cur
+
+
+def construct(triples: DataFrame, body, head, *, values: dict | None = None,
+              optional=(), minus=(), **bgp_kwargs) -> DataFrame:
+    """SPARQL CONSTRUCT — one rule application: match ``body`` (a BGP,
+    same syntax as `bgp_match` including ``optional``/``minus``/
+    ``values``) and instantiate each ``head`` template
+    ``(subj, pred, obj)`` per binding, returning a NEW triple table
+    ``(subj, pred, obj, doc_id)`` with ``doc_id`` null (derived facts
+    have no single source document — provenance-carrying callers can
+    put ``?doc`` in a head term instead).
+
+    Head terms are variables (must be bound by the body — an unbound
+    head variable is a rule bug and is refused, not nulled) or literal
+    strings.  Multiple head templates share ONE body match: the plan is
+    the body's join tree + a union of constant-width projections, so a
+    k-template rule costs one match, not k."""
+    heads = [tuple(h) for h in head] if head and not isinstance(
+        head[0], str) else [tuple(head)]
+    if not heads or any(len(h) != 3 for h in heads):
+        raise ValueError("head must be one or more (subj, pred, obj) "
+                         "templates")
+    b = bgp_match(triples, body, optional=optional, minus=minus,
+                  values=values, **bgp_kwargs)
+    bound = set(b.columns)
+    out = None
+    for h in heads:
+        cols = []
+        for col, term in zip(("subj", "pred", "obj"), h):
+            if _is_var(term):
+                v = _var_name(term)
+                if v not in bound:
+                    raise ValueError(
+                        f"head variable {term!r} is not bound by the body")
+                cols.append(F.col(v).alias(col))
+            else:
+                cols.append(F.lit(term).alias(col))
+        t = b.select(*cols, F.lit(None).cast("string").alias("doc_id"))
+        out = t if out is None else out.unionByName(t)
+    return out.distinct()
+
+
+def closure(triples: DataFrame, pred: str, *, symmetric: bool = False,
+            max_hops: int = 8, out_pred: str | None = None,
+            keep_self: bool = False,
+            checkpoint_dir: str | None = None) -> DataFrame:
+    """Transitive (optionally symmetric) closure of one predicate,
+    emitted as derived triples — the recursive-rule half of CONSTRUCT
+    (``S(x,y), S(y,z) => S(x,z)``; with ``symmetric=True`` also
+    ``S(x,y) => S(y,x)``), e.g. closing the ``same_as`` alias dictionary
+    into full equivalence classes.
+
+    Evaluation IS `property_path`'s frontier loop, which is semi-naive
+    by construction: each round joins only the DELTA (newly derived
+    pairs) against the base edges and anti-joins the seen set, so a
+    K-round closure never re-derives a known pair — the Datalog
+    semi-naive optimization as DataFrame ops.  ``max_hops`` bounds the
+    rounds (closure depth beyond it is cut — callers pick the bound the
+    way SPARQL engines bound ``pred+``); reflexive pairs produced by
+    cycles drop unless ``keep_self=True``."""
+    e = _step_edges(triples, pred)
+    pairs = property_path(e, max_hops, symmetric=symmetric,
+                          checkpoint_dir=checkpoint_dir)
+    if not keep_self:
+        pairs = pairs.filter(F.col("src") != F.col("dst"))
+    return pairs.select(
+        F.col("src").alias("subj"),
+        F.lit(out_pred or pred).alias("pred"),
+        F.col("dst").alias("obj"),
+        F.lit(None).cast("string").alias("doc_id")).distinct()
 
 
 def resolve_same_as(triples: DataFrame, *, pred: str = "same_as",

@@ -7226,6 +7226,85 @@ SELECT src, dst, min(d)::INT AS hops FROM walk
 GROUP BY src, dst HAVING min(d) >= 2"""
 
 
+def q_kg_bgp_values(spark, sf_dir):
+    """BGP with a SPARQL VALUES clause: judgments + judges, with the
+    court variable restricted to two literal courts.  The VALUES list
+    compiles to an In filter on the pattern scan (plan-audited in
+    tests), not a post-join filter."""
+    from .operators import kgquery
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    return kgquery.bgp_match(
+        tri, [("?d", "decided_by", "?court"), ("?d", "has_judge", "?j")],
+        values={"?court": ["Supreme Court Of India",
+                           "High Court Of Delhi"]})
+
+
+def o_kg_bgp_values():
+    return f"""
+WITH t AS (SELECT subj, pred, obj FROM {_KG_SQL_SRC}
+           WHERE rec_type = 'triple')
+SELECT DISTINCT a.subj AS d, a.obj AS court, b.obj AS j
+FROM t a JOIN t b ON b.subj = a.subj AND b.pred = 'has_judge'
+WHERE a.pred = 'decided_by'
+  AND a.obj IN ('Supreme Court Of India', 'High Court Of Delhi')"""
+
+
+def q_kg_construct_rule(spark, sf_dir):
+    """SPARQL CONSTRUCT — one rule application over the finished graph:
+    ``?prov part_of ?st . ?alias same_as ?st => ?prov part_of_alias
+    ?alias`` — derived triples linking each provision to every ALIAS of
+    its statute.  One body match, one constant-width head projection;
+    derived facts carry a null doc_id (no single source document)."""
+    from .operators import kgquery
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    return kgquery.construct(
+        tri,
+        body=[("?prov", "part_of", "?st"), ("?alias", "same_as", "?st")],
+        head=("?prov", "part_of_alias", "?alias"))
+
+
+def o_kg_construct_rule():
+    return f"""
+WITH t AS (SELECT subj, pred, obj FROM {_KG_SQL_SRC}
+           WHERE rec_type = 'triple')
+SELECT DISTINCT a.subj AS subj, 'part_of_alias' AS pred, b.subj AS obj,
+       CAST(NULL AS VARCHAR) AS doc_id
+FROM t a JOIN t b ON b.obj = a.obj AND b.pred = 'same_as'
+WHERE a.pred = 'part_of'"""
+
+
+def q_kg_same_as_closure(spark, sf_dir):
+    """Recursive rule: symmetric + transitive closure of ``same_as`` —
+    the alias dictionary closed into full equivalence classes, emitted
+    as derived triples.  Semi-naive by construction (property_path's
+    delta-frontier loop): each round joins only NEWLY derived pairs
+    against the base edges; reflexive pairs from the symmetric 2-cycles
+    drop."""
+    from .operators import kgquery
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    return kgquery.closure(tri, "same_as", symmetric=True, max_hops=4,
+                           checkpoint_dir=_ckpt_dir(spark))
+
+
+def o_kg_same_as_closure():
+    return f"""
+WITH RECURSIVE t AS (
+  SELECT subj, pred, obj FROM {_KG_SQL_SRC} WHERE rec_type = 'triple'
+), e AS (
+  SELECT DISTINCT subj AS src, obj AS dst FROM t WHERE pred = 'same_as'
+  UNION
+  SELECT DISTINCT obj AS src, subj AS dst FROM t WHERE pred = 'same_as'
+), walk(src, dst, d) AS (
+  SELECT src, dst, 1 FROM e
+  UNION
+  SELECT w.src, e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.dst
+  WHERE w.d < 4
+)
+SELECT DISTINCT src AS subj, 'same_as' AS pred, dst AS obj,
+       CAST(NULL AS VARCHAR) AS doc_id
+FROM walk WHERE src <> dst"""
+
+
 def q_kg_path_seq(spark, sf_dir):
     """SPARQL sequence path ``part_of/^same_as`` — every provision paired
     with each ALIAS of its statute: forward along provision→statute,
@@ -7491,7 +7570,10 @@ QUERIES = {
     "kg_bgp_star": q_kg_bgp_star,
     "kg_bgp_optional": q_kg_bgp_optional,
     "kg_bgp_minus": q_kg_bgp_minus,
+    "kg_bgp_values": q_kg_bgp_values,
     "kg_bgp_chain": q_kg_bgp_chain,
+    "kg_construct_rule": q_kg_construct_rule,
+    "kg_same_as_closure": q_kg_same_as_closure,
     "kg_path_bounded": q_kg_path_bounded,
     "kg_path_seq": q_kg_path_seq,
     "kg_path_alt": q_kg_path_alt,
@@ -7676,7 +7758,10 @@ ORACLES = {
     "kg_bgp_star": o_kg_bgp_star(),
     "kg_bgp_optional": o_kg_bgp_optional(),
     "kg_bgp_minus": o_kg_bgp_minus(),
+    "kg_bgp_values": o_kg_bgp_values(),
     "kg_bgp_chain": o_kg_bgp_chain(),
+    "kg_construct_rule": o_kg_construct_rule(),
+    "kg_same_as_closure": o_kg_same_as_closure(),
     "kg_path_bounded": o_kg_path_bounded(),
     "kg_path_seq": o_kg_path_seq(),
     "kg_path_alt": o_kg_path_alt(),

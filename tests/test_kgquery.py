@@ -214,7 +214,93 @@ def test_property_path_early_exit_and_validation(spark):
         kgquery.property_path(e, 2, min_hops=3)
 
 
-# ------------------------------------------- path_edges / path_sequence
+def test_bgp_values_restricts_and_validates(kg):
+    out = kgquery.bgp_match(kg, [("?d", "decided_by", "?c"),
+                                 ("?d", "has_judge", "?j")],
+                            values={"?c": ["SC"]})
+    assert {tuple(r) for r in out.collect()} == {("d1", "SC", "J. Rao")}
+    with pytest.raises(ValueError, match="empty VALUES"):
+        kgquery.bgp_match(kg, [("?d", "decided_by", "?c")],
+                          values={"?c": []})
+    with pytest.raises(ValueError, match="not bound by any"):
+        kgquery.bgp_match(kg, [("?d", "decided_by", "?c")],
+                          values={"?nope": ["x"]})
+    # VALUES over an optional-only variable: refused, not mis-filtered
+    with pytest.raises(ValueError, match="not bound by any"):
+        kgquery.bgp_match(kg, [("?d", "decided_by", "?c")],
+                          optional=[("?d", "has_judge", "?j")],
+                          values={"?j": ["J. Rao"]})
+
+
+def test_bgp_values_filter_reaches_scan(spark, tmp_path):
+    p = str(tmp_path / "tri_vals")
+    _triples(spark, [("a", "p1", "b", "x"), ("c", "p1", "d", "x")]) \
+        .write.parquet(p)
+    tri = spark.read.parquet(p)
+    out = kgquery.bgp_match(tri, [("?s", "p1", "?o")],
+                            values={"?o": ["b", "zzz"]})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "In(obj, [b,zzz])" in plan    # the VALUES list is a scan filter
+    assert {tuple(r) for r in out.collect()} == {("a", "b")}
+
+
+# ----------------------------------------------------- construct / closure
+
+def test_construct_single_rule(kg):
+    # ?prov part_of ?st . ?alias same_as ?st => derived triples, null doc
+    out = kgquery.construct(
+        kg, body=[("?prov", "part_of", "?st"),
+                  ("?alias", "same_as", "?st")],
+        head=("?prov", "alias_of_statute", "?alias"))
+    assert out.columns == ["subj", "pred", "obj", "doc_id"]
+    got = {tuple(r) for r in out.collect()}
+    # s 302 part_of ipc; aliases of ipc: nothing (same_as obj is the
+    # CANONICAL 'Indian Penal Code', subj the alias) — join on ?st=ipc
+    # matches no same_as obj, so test through the canonical instead
+    assert got == set()
+    out2 = kgquery.construct(
+        kg, body=[("?a", "same_as", "?canon"),
+                  ("?b", "same_as", "?canon")],
+        head=("?a", "coalias", "?b"))
+    got2 = {(r.subj, r.obj) for r in out2.collect()}
+    assert got2 == {("ipc", "ipc"), ("ipc", "i.p.c."),
+                    ("i.p.c.", "ipc"), ("i.p.c.", "i.p.c.")}
+    assert all(r.pred == "coalias" and r.doc_id is None
+               for r in out2.collect())
+
+
+def test_construct_multi_head_and_validation(kg):
+    out = kgquery.construct(
+        kg, body=[("?d", "decided_by", "?c")],
+        head=[("?d", "is_judgment", "true"), ("?c", "is_court", "true")])
+    got = {tuple(r)[:3] for r in out.collect()}
+    assert got == {("d1", "is_judgment", "true"),
+                   ("d2", "is_judgment", "true"),
+                   ("d3", "is_judgment", "true"),
+                   ("SC", "is_court", "true"), ("HC", "is_court", "true")}
+    with pytest.raises(ValueError, match="not bound by the body"):
+        kgquery.construct(kg, body=[("?d", "decided_by", "?c")],
+                          head=("?d", "p", "?unbound"))
+    with pytest.raises(ValueError, match="head must be"):
+        kgquery.construct(kg, body=[("?d", "decided_by", "?c")],
+                          head=("?d", "p"))
+
+
+def test_closure_symmetric_transitive(kg, spark):
+    out = kgquery.closure(kg, "same_as", symmetric=True, max_hops=4)
+    pairs = {(r.subj, r.obj) for r in out.collect()}
+    members = {"ipc", "i.p.c.", "Indian Penal Code"}
+    # full equivalence class: every ordered pair, no self-loops
+    assert pairs == {(a, b) for a in members for b in members if a != b}
+    assert all(r.pred == "same_as" and r.doc_id is None
+               for r in out.collect())
+    # directed closure of a chain a->b->c under out_pred rename
+    tri = _triples(spark, [("a", "p", "b", "x"), ("b", "p", "c", "x")])
+    dir_out = kgquery.closure(tri, "p", max_hops=3, out_pred="p_closed")
+    got = {(r.subj, r.obj) for r in dir_out.collect()}
+    assert got == {("a", "b"), ("b", "c"), ("a", "c")}
+    assert dir_out.first().pred == "p_closed"
+
 
 def test_step_edges_inverse_and_validation(kg):
     fwd = {tuple(r) for r in kgquery._step_edges(kg, "part_of").collect()}
