@@ -38,7 +38,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["bgp_match", "property_path", "path_edges", "path_sequence",
-           "construct", "closure", "resolve_same_as", "constraint_report"]
+           "construct", "closure", "to_ntriples", "resolve_same_as",
+           "constraint_report"]
 
 _TERM_COLS = ("subj", "pred", "obj", "doc_id")
 
@@ -421,6 +422,47 @@ def closure(triples: DataFrame, pred: str, *, symmetric: bool = False,
         F.lit(out_pred or pred).alias("pred"),
         F.col("dst").alias("obj"),
         F.lit(None).cast("string").alias("doc_id")).distinct()
+
+
+def to_ntriples(triples: DataFrame, *, base: str = "urn:lner:",
+                labels: bool = True) -> DataFrame:
+    """Serialize the graph as W3C N-Triples lines (one ``line`` column) —
+    the interchange sink that hands the constructed KG to standard RDF
+    tools.  Entity text is arbitrary (case names, statute aliases), so
+    nodes get deterministic skolem IRIs ``<{base}n:md5(text)>`` — stable
+    across runs and partitions, join-free — and, with ``labels=True``,
+    each distinct node also emits an ``rdfs:label`` triple carrying the
+    original text as an N-Triples literal (backslash, quote, LF, CR and
+    TAB escaped per the spec's ECHAR productions).  Predicates are the
+    engine's own ``[a-z_]`` vocabulary and map to ``<{base}p:pred>``
+    directly.
+
+    Everything is a codegen'd string expression off the triple scan — no
+    join, no Python; the label leg is one distinct over the stacked
+    endpoints.  Output is set-semantic (DISTINCT lines), ready for
+    ``df.write.text`` sharded exactly like any other sink here."""
+    def esc(c):
+        for a, b in (("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"),
+                     ("\r", "\\r"), ("\t", "\\t")):
+            c = F.replace(c, F.lit(a), F.lit(b))
+        return c
+
+    def node(c):
+        return F.concat(F.lit(f"<{base}n:"), F.md5(c), F.lit(">"))
+
+    stmts = triples.select(F.concat(
+        node(F.col("subj")), F.lit(" "),
+        F.lit(f"<{base}p:"), F.col("pred"), F.lit("> "),
+        node(F.col("obj")), F.lit(" .")).alias("line"))
+    if not labels:
+        return stmts.distinct()
+    ends = (triples.select(F.col("subj").alias("t"))
+            .unionByName(triples.select(F.col("obj").alias("t"))))
+    lbls = ends.select(F.concat(
+        node(F.col("t")),
+        F.lit(" <http://www.w3.org/2000/01/rdf-schema#label> \""),
+        esc(F.col("t")), F.lit('" .')).alias("line"))
+    return stmts.unionByName(lbls).distinct()
 
 
 def resolve_same_as(triples: DataFrame, *, pred: str = "same_as",

@@ -7305,6 +7305,37 @@ SELECT DISTINCT src AS subj, 'same_as' AS pred, dst AS obj,
 FROM walk WHERE src <> dst"""
 
 
+def q_kg_export_ntriples(spark, sf_dir):
+    """W3C N-Triples export of the constructed graph — skolem node IRIs
+    (md5 of the entity text, deterministic and join-free), the engine's
+    predicate vocabulary as IRIs, plus rdfs:label literals carrying the
+    original text with spec ECHAR escaping.  One codegen'd string
+    expression off the triple scan; ready for ``write.text``."""
+    from .operators import kgquery
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    return kgquery.to_ntriples(tri)
+
+
+def o_kg_export_ntriples():
+    return f"""
+WITH t AS (SELECT subj, pred, obj FROM {_KG_SQL_SRC}
+           WHERE rec_type = 'triple'),
+stmt AS (
+  SELECT '<urn:lner:n:' || md5(subj) || '> <urn:lner:p:' || pred ||
+         '> <urn:lner:n:' || md5(obj) || '> .' AS line FROM t
+), ends AS (
+  SELECT subj AS x FROM t UNION SELECT obj AS x FROM t
+), lbl AS (
+  SELECT '<urn:lner:n:' || md5(x) ||
+         '> <http://www.w3.org/2000/01/rdf-schema#label> "' ||
+         replace(replace(replace(replace(replace(x,
+           '\\', '\\\\'), '"', '\\"'), chr(10), '\\n'), chr(13), '\\r'),
+           chr(9), '\\t') || '" .' AS line FROM ends
+)
+SELECT DISTINCT line FROM
+  (SELECT line FROM stmt UNION ALL SELECT line FROM lbl)"""
+
+
 def q_kg_path_seq(spark, sf_dir):
     """SPARQL sequence path ``part_of/^same_as`` — every provision paired
     with each ALIAS of its statute: forward along provision→statute,
@@ -7574,6 +7605,7 @@ QUERIES = {
     "kg_bgp_chain": q_kg_bgp_chain,
     "kg_construct_rule": q_kg_construct_rule,
     "kg_same_as_closure": q_kg_same_as_closure,
+    "kg_export_ntriples": q_kg_export_ntriples,
     "kg_path_bounded": q_kg_path_bounded,
     "kg_path_seq": q_kg_path_seq,
     "kg_path_alt": q_kg_path_alt,
@@ -7762,6 +7794,7 @@ ORACLES = {
     "kg_bgp_chain": o_kg_bgp_chain(),
     "kg_construct_rule": o_kg_construct_rule(),
     "kg_same_as_closure": o_kg_same_as_closure(),
+    "kg_export_ntriples": o_kg_export_ntriples(),
     "kg_path_bounded": o_kg_path_bounded(),
     "kg_path_seq": o_kg_path_seq(),
     "kg_path_alt": o_kg_path_alt(),

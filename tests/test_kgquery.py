@@ -356,6 +356,37 @@ def test_path_sequence_pred_pushdown(spark, tmp_path):
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
 
 
+# -------------------------------------------------------------- to_ntriples
+
+def test_ntriples_escaping_and_shape(spark):
+    import hashlib
+    nasty = 'a "b"\\c\nd\te\r'
+    tri = _triples(spark, [(nasty, "p", "x", "d1")])
+    lines = {r.line for r in kgquery.to_ntriples(tri).collect()}
+    h = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert (f"<urn:lner:n:{h(nasty)}> <urn:lner:p:p> "
+            f"<urn:lner:n:{h('x')}> .") in lines
+    want = ('a \\"b\\"\\\\c\\nd\\te\\r')
+    assert (f"<urn:lner:n:{h(nasty)}> "
+            f'<http://www.w3.org/2000/01/rdf-schema#label> "{want}" .'
+            ) in lines
+    # 1 statement + 2 node labels
+    assert len(lines) == 3
+
+
+def test_ntriples_statements_only_and_wellformed(kg):
+    import re
+    stmts = kgquery.to_ntriples(kg, labels=False).collect()
+    assert len(stmts) == kg.distinct().count()   # fixture has no dup triple
+    pat = re.compile(r"^<urn:lner:n:[0-9a-f]{32}> <urn:lner:p:\w+> "
+                     r"<urn:lner:n:[0-9a-f]{32}> \.$")
+    assert all(pat.match(r.line) for r in stmts)
+    full = kgquery.to_ntriples(kg).count()
+    n_nodes = (kg.select(F.col("subj").alias("t"))
+               .union(kg.select("obj")).distinct().count())
+    assert full == len(stmts) + n_nodes
+
+
 # --------------------------------------------------------- resolve_same_as
 
 def test_resolve_rewrites_both_endpoints_and_drops_same_as(kg):
