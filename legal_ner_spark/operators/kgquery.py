@@ -38,8 +38,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["bgp_match", "property_path", "path_edges", "path_sequence",
-           "construct", "closure", "to_ntriples", "resolve_same_as",
-           "constraint_report"]
+           "construct", "closure", "to_ntriples", "from_ntriples",
+           "resolve_same_as", "constraint_report"]
 
 _TERM_COLS = ("subj", "pred", "obj", "doc_id")
 
@@ -463,6 +463,56 @@ def to_ntriples(triples: DataFrame, *, base: str = "urn:lner:",
         F.lit(" <http://www.w3.org/2000/01/rdf-schema#label> \""),
         esc(F.col("t")), F.lit('" .')).alias("line"))
     return stmts.unionByName(lbls).distinct()
+
+
+def from_ntriples(lines: DataFrame, *, base: str = "urn:lner:",
+                  col: str = "line") -> DataFrame:
+    """Parse `to_ntriples` output back into a ``(subj, pred, obj,
+    doc_id)`` triple table — the matching source connector, so a graph
+    can round-trip through its RDF interchange form (``doc_id`` is null:
+    N-Triples carries no provenance).
+
+    Statement lines give the skolem-IRI graph; rdfs:label lines give the
+    IRI → original-text dictionary (ECHAR unescape uses the sentinel
+    trick: ``\\\\`` is parked on NUL first so ``\\\\n`` correctly yields
+    backslash + ``n``, not a newline, then the single-char escapes
+    resolve, then NUL restores the backslash).  Three equi-joins rebuild
+    the text-keyed triples: subj and obj each resolve through the label
+    dictionary — broadcast when small, plain shuffle joins otherwise
+    (the dictionary scales with distinct nodes).  Lines that are neither
+    statements nor labels (comments, other predicates' labels) are
+    ignored, per the format's line-independent contract."""
+    stmt_re = (f"^<{base}n:([0-9a-f]{{32}})> <{base}p:([^>]+)> "
+               f"<{base}n:([0-9a-f]{{32}})> \\.$")
+    lbl_re = (f'^<{base}n:([0-9a-f]{{32}})> '
+              f'<http://www\\.w3\\.org/2000/01/rdf-schema#label> '
+              f'"(.*)" \\.$')
+    c = F.col(col)
+    stmts = (lines
+             .select(F.regexp_extract(c, stmt_re, 1).alias("s"),
+                     F.regexp_extract(c, stmt_re, 2).alias("pred"),
+                     F.regexp_extract(c, stmt_re, 3).alias("o"))
+             .filter(F.col("s") != ""))
+
+    def unesc(x):
+        x = F.replace(x, F.lit("\\\\"), F.lit("\x00"))
+        for a, b in (("\\n", "\n"), ("\\r", "\r"), ("\\t", "\t"),
+                     ('\\"', '"')):
+            x = F.replace(x, F.lit(a), F.lit(b))
+        return F.replace(x, F.lit("\x00"), F.lit("\\"))
+
+    labels = (lines
+              .select(F.regexp_extract(c, lbl_re, 1).alias("iri"),
+                      unesc(F.regexp_extract(c, lbl_re, 2)).alias("text"))
+              .filter(F.col("iri") != "").distinct())
+    return (stmts
+            .join(labels.withColumnRenamed("text", "subj"),
+                  stmts.s == labels.iri)
+            .drop("iri", "s")
+            .join(labels.withColumnRenamed("text", "obj"),
+                  F.col("o") == labels.iri)
+            .select("subj", "pred", "obj",
+                    F.lit(None).cast("string").alias("doc_id")))
 
 
 def resolve_same_as(triples: DataFrame, *, pred: str = "same_as",

@@ -7336,6 +7336,24 @@ SELECT DISTINCT line FROM
   (SELECT line FROM stmt UNION ALL SELECT line FROM lbl)"""
 
 
+def q_kg_roundtrip_ntriples(spark, sf_dir):
+    """Round-trip through the RDF interchange form: export the graph as
+    N-Triples, parse it back (`from_ntriples` — skolem-statement regex +
+    label-dictionary unescape + two resolution joins), and the result
+    must be value-exact against the ORIGINAL triple table — the oracle
+    here is the plain triple scan, which makes the export/import pair
+    self-certifying (any escaping or parsing defect breaks equality)."""
+    from .operators import kgquery
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    return kgquery.from_ntriples(kgquery.to_ntriples(tri)).distinct()
+
+
+def o_kg_roundtrip_ntriples():
+    return f"""
+SELECT DISTINCT subj, pred, obj, CAST(NULL AS VARCHAR) AS doc_id
+FROM {_KG_SQL_SRC} WHERE rec_type = 'triple'"""
+
+
 def q_kg_path_seq(spark, sf_dir):
     """SPARQL sequence path ``part_of/^same_as`` — every provision paired
     with each ALIAS of its statute: forward along provision→statute,
@@ -7606,6 +7624,7 @@ QUERIES = {
     "kg_construct_rule": q_kg_construct_rule,
     "kg_same_as_closure": q_kg_same_as_closure,
     "kg_export_ntriples": q_kg_export_ntriples,
+    "kg_roundtrip_ntriples": q_kg_roundtrip_ntriples,
     "kg_path_bounded": q_kg_path_bounded,
     "kg_path_seq": q_kg_path_seq,
     "kg_path_alt": q_kg_path_alt,
@@ -7795,6 +7814,7 @@ ORACLES = {
     "kg_construct_rule": o_kg_construct_rule(),
     "kg_same_as_closure": o_kg_same_as_closure(),
     "kg_export_ntriples": o_kg_export_ntriples(),
+    "kg_roundtrip_ntriples": o_kg_roundtrip_ntriples(),
     "kg_path_bounded": o_kg_path_bounded(),
     "kg_path_seq": o_kg_path_seq(),
     "kg_path_alt": o_kg_path_alt(),

@@ -387,6 +387,27 @@ def test_ntriples_statements_only_and_wellformed(kg):
     assert full == len(stmts) + n_nodes
 
 
+def test_ntriples_roundtrip_nasty_strings(spark):
+    rows = [('a "b"\\c\nd\te\r', "p_one", "plain", "d1"),
+            ("x\\ny", "p_two", 'q"q', "d2"),      # literal backslash-n
+            ("plain", "p_one", "x\\ny", "d3")]
+    tri = _triples(spark, rows)
+    back = kgquery.from_ntriples(kgquery.to_ntriples(tri))
+    got = {(r.subj, r.pred, r.obj) for r in back.collect()}
+    assert got == {(s, p, o) for s, p, o, _ in rows}
+    assert all(r.doc_id is None for r in back.collect())
+
+
+def test_from_ntriples_ignores_foreign_lines(spark, kg):
+    nt = kgquery.to_ntriples(kg)
+    extra = spark.createDataFrame(
+        [("# comment",), ("<urn:other:x> <urn:other:p> <urn:other:y> .",)],
+        "line string")
+    back = kgquery.from_ntriples(nt.unionByName(extra))
+    want = {(r.subj, r.pred, r.obj) for r in kg.collect()}
+    assert {(r.subj, r.pred, r.obj) for r in back.collect()} == want
+
+
 # --------------------------------------------------------- resolve_same_as
 
 def test_resolve_rewrites_both_endpoints_and_drops_same_as(kg):
