@@ -476,10 +476,12 @@ def from_ntriples(lines: DataFrame, *, base: str = "urn:lner:",
     IRI → original-text dictionary (ECHAR unescape uses the sentinel
     trick: ``\\\\`` is parked on NUL first so ``\\\\n`` correctly yields
     backslash + ``n``, not a newline, then the single-char escapes
-    resolve, then NUL restores the backslash).  Three equi-joins rebuild
+    resolve, then NUL restores the backslash).  Two equi-joins rebuild
     the text-keyed triples: subj and obj each resolve through the label
-    dictionary — broadcast when small, plain shuffle joins otherwise
-    (the dictionary scales with distinct nodes).  Lines that are neither
+    dictionary as plain shuffle joins — the dictionary scales with
+    distinct NODES (corpus-sized, not row-sized), so no broadcast is
+    assumed; AQE converts to broadcast at runtime when a real dictionary
+    turns out small.  Lines that are neither
     statements nor labels (comments, other predicates' labels) are
     ignored, per the format's line-independent contract."""
     stmt_re = (f"^<{base}n:([0-9a-f]{{32}})> <{base}p:([^>]+)> "
