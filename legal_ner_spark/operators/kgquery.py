@@ -63,7 +63,7 @@ def _apply_values(pdf: DataFrame, pvars, vmap: dict) -> DataFrame:
 
 
 def bgp_match(triples: DataFrame, patterns, *, optional=(), minus=(),
-              values: dict | None = None,
+              values: dict | None = None, filters=(),
               distinct: bool = True, allow_product: bool = False,
               broadcast_rows: int = 50_000,
               pred_stats: dict | None = None) -> DataFrame:
@@ -102,6 +102,13 @@ def bgp_match(triples: DataFrame, patterns, *, optional=(), minus=(),
     filter — so it must name variables bound by required patterns (a
     VALUES over an optional-only variable has null-compatibility
     semantics this compiler does not implement, and is refused).
+
+    ``filters`` (SPARQL FILTER) are SQL boolean expressions over the
+    variable columns (``"court != 'SC'"``, ``"length(j) > 3"``), applied
+    after the joins and before DISTINCT — Catalyst then pushes each one
+    as deep as its referenced variables allow, so a single-variable
+    filter still lands on that pattern's scan without this compiler
+    doing anything.  Expressions must reference declared variables only.
 
     ``pred_stats`` (``{pred: row_count}``) skips the count probe — pass a
     precomputed dict when issuing many queries against one snapshot.
@@ -238,6 +245,8 @@ def bgp_match(triples: DataFrame, patterns, *, optional=(), minus=(),
         cur = cur.join(pdf.select(*shared), on=shared, how="left_anti")
 
     cur = cur.select(*declared)
+    for fx in ([filters] if isinstance(filters, str) else filters):
+        cur = cur.filter(F.expr(fx))
     return cur.distinct() if distinct else cur
 
 

@@ -7336,6 +7336,35 @@ SELECT DISTINCT line FROM
   (SELECT line FROM stmt UNION ALL SELECT line FROM lbl)"""
 
 
+def q_kg_bgp_filter_agg(spark, sf_dir):
+    """FILTER + aggregation over BGP bindings — precedent breadth per
+    High Court: match (judgment, court) × (judgment, precedent), FILTER
+    the court variable with a SQL predicate (Catalyst pushes the
+    single-variable LIKE through the join to the pattern scan), then a
+    plain groupBy over the binding table — the query layer feeding the
+    engine's analytics tier directly."""
+    from .operators import kgquery
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    b = kgquery.bgp_match(tri, [("?d", "decided_by", "?court"),
+                                ("?d", "cites_precedent", "?p")],
+                          filters="court LIKE 'High Court%'")
+    return (b.groupBy("court")
+            .agg(F.countDistinct("p").alias("n_precedents"),
+                 F.countDistinct("d").alias("n_judgments")))
+
+
+def o_kg_bgp_filter_agg():
+    return f"""
+WITH t AS (SELECT subj, pred, obj FROM {_KG_SQL_SRC}
+           WHERE rec_type = 'triple')
+SELECT a.obj AS court,
+       COUNT(DISTINCT b.obj) AS n_precedents,
+       COUNT(DISTINCT a.subj) AS n_judgments
+FROM t a JOIN t b ON b.subj = a.subj AND b.pred = 'cites_precedent'
+WHERE a.pred = 'decided_by' AND a.obj LIKE 'High Court%'
+GROUP BY a.obj"""
+
+
 def q_kg_roundtrip_ntriples(spark, sf_dir):
     """Round-trip through the RDF interchange form: export the graph as
     N-Triples, parse it back (`from_ntriples` — skolem-statement regex +
@@ -7620,6 +7649,7 @@ QUERIES = {
     "kg_bgp_optional": q_kg_bgp_optional,
     "kg_bgp_minus": q_kg_bgp_minus,
     "kg_bgp_values": q_kg_bgp_values,
+    "kg_bgp_filter_agg": q_kg_bgp_filter_agg,
     "kg_bgp_chain": q_kg_bgp_chain,
     "kg_construct_rule": q_kg_construct_rule,
     "kg_same_as_closure": q_kg_same_as_closure,
@@ -7810,6 +7840,7 @@ ORACLES = {
     "kg_bgp_optional": o_kg_bgp_optional(),
     "kg_bgp_minus": o_kg_bgp_minus(),
     "kg_bgp_values": o_kg_bgp_values(),
+    "kg_bgp_filter_agg": o_kg_bgp_filter_agg(),
     "kg_bgp_chain": o_kg_bgp_chain(),
     "kg_construct_rule": o_kg_construct_rule(),
     "kg_same_as_closure": o_kg_same_as_closure(),

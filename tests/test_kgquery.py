@@ -244,6 +244,29 @@ def test_bgp_values_filter_reaches_scan(spark, tmp_path):
     assert {tuple(r) for r in out.collect()} == {("a", "b")}
 
 
+def test_bgp_filter_expressions(kg):
+    out = kgquery.bgp_match(kg, [("?d", "decided_by", "?c"),
+                                 ("?d", "has_judge", "?j")],
+                            filters=["c != 'SC'", "length(j) > 3"])
+    assert {tuple(r) for r in out.collect()} == {("d2", "HC", "J. Rao")}
+    # single string accepted too
+    one = kgquery.bgp_match(kg, [("?d", "decided_by", "?c")],
+                            filters="c = 'HC'")
+    assert {tuple(r) for r in one.collect()} == {("d2", "HC")}
+
+
+def test_bgp_filter_pushes_to_scan(spark, tmp_path):
+    p = str(tmp_path / "tri_filt")
+    _triples(spark, [("a", "p1", "b", "x"), ("c", "p1", "d", "x")]) \
+        .write.parquet(p)
+    tri = spark.read.parquet(p)
+    out = kgquery.bgp_match(tri, [("?s", "p1", "?o")], filters="o != 'b'")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # Catalyst pushed the single-variable FILTER through the projection
+    assert "Not(EqualTo(obj,b))" in plan
+    assert {tuple(r) for r in out.collect()} == {("c", "d")}
+
+
 # ----------------------------------------------------- construct / closure
 
 def test_construct_single_rule(kg):
