@@ -492,7 +492,13 @@ def from_ntriples(lines: DataFrame, *, base: str = "urn:lner:",
     assumed; AQE converts to broadcast at runtime when a real dictionary
     turns out small.  Lines that are neither
     statements nor labels (comments, other predicates' labels) are
-    ignored, per the format's line-independent contract."""
+    ignored, per the format's line-independent contract.
+
+    Scope: this parses `to_ntriples` output (round-trip contract,
+    property-fuzzed in tests), not arbitrary third-party N-Triples —
+    and text containing a raw NUL byte is not round-trip-safe (NUL is
+    the unescape parking sentinel; extracted natural text never
+    contains it)."""
     stmt_re = (f"^<{base}n:([0-9a-f]{{32}})> <{base}p:([^>]+)> "
                f"<{base}n:([0-9a-f]{{32}})> \\.$")
     lbl_re = (f'^<{base}n:([0-9a-f]{{32}})> '

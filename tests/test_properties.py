@@ -190,3 +190,49 @@ def test_simhash_pigeonhole_banding_is_complete(spark):
             if h <= max_h:
                 want[(a, b)] = h
         assert got == want, (max_h, len(got), len(want))
+
+
+# ---- N-Triples ECHAR escape/unescape chain (operators/kgquery.py) ------
+# Pure-string mirrors of to_ntriples' esc() and from_ntriples' unesc()
+# F.replace chains (F.replace is literal global replacement, same as
+# str.replace, applied in the same order) — the property pins the chain
+# ORDERING, which is where escape bugs live (the \\n-vs-\n ambiguity).
+
+def _nt_esc(s: str) -> str:
+    for a, b in (("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"),
+                 ("\r", "\\r"), ("\t", "\\t")):
+        s = s.replace(a, b)
+    return s
+
+
+def _nt_unesc(s: str) -> str:
+    s = s.replace("\\\\", "\x00")
+    for a, b in (("\\n", "\n"), ("\\r", "\r"), ("\\t", "\t"),
+                 ('\\"', '"')):
+        s = s.replace(a, b)
+    return s.replace("\x00", "\\")
+
+
+NT_TEXT = st.text(
+    alphabet=st.characters(min_codepoint=1, max_codepoint=0x10FFFF,
+                           exclude_categories=("Cs",)),
+    max_size=120)
+
+
+@settings(max_examples=500, deadline=None)
+@given(NT_TEXT)
+def test_ntriples_escape_roundtrip(text):
+    assert _nt_unesc(_nt_esc(text)) == text
+
+
+@settings(max_examples=300, deadline=None)
+@given(NT_TEXT)
+def test_ntriples_escaped_form_is_wellformed(text):
+    e = _nt_esc(text)
+    # a spec-conforming literal body: no raw newline/CR, and every quote
+    # or backslash is part of an escape sequence
+    assert "\n" not in e and "\r" not in e and "\t" not in e
+    assert '"' not in e.replace('\\"', "")
+    stripped = e.replace("\\\\", "").replace('\\"', "") \
+                .replace("\\n", "").replace("\\r", "").replace("\\t", "")
+    assert "\\" not in stripped
