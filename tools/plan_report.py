@@ -101,6 +101,12 @@ SHOW = [
     ("kg_path_bounded", "bounded property path: per-hop frontier "
                         "equi-join + seen-pair anti-join, lineage "
                         "truncated per hop"),
+    ("kg_path_seq", "sequence path: one pred-pushed equi-join per step, "
+                    "inverse step as a projection swap"),
+    ("kg_construct_rule", "CONSTRUCT: body join tree + constant-width "
+                          "head projection"),
+    ("kg_export_ntriples", "N-Triples sink: codegen'd string expressions "
+                           "off the scan, label leg one distinct"),
 ]
 
 
