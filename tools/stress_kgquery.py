@@ -1,6 +1,6 @@
 """Scale stress for the consumer-side KG query layer (operators/kgquery.py).
 
-Two hazards a declarative KG layer must survive at 100 TB:
+Three hazards a declarative KG layer must survive at 100 TB:
 
 1. **BGP join order.** A pattern list that starts from the hot predicate
    (a ``mentions``-like edge with 10⁷⁺ rows) shuffles the hot table's
@@ -17,6 +17,12 @@ Two hazards a declarative KG layer must survive at 100 TB:
    N-node directed cycle (every hop reaches exactly N new pairs — any
    superlinear growth would be re-expansion) and checks per-hop output
    is exactly N·max_hops.
+
+3. **Interchange volume.** The N-Triples escape chain and the
+   round-trip (export → regex parse → two label-resolution joins) are
+   string codegen + equi-joins and must stay linear; this tool pushes
+   millions of triples with embedded quotes/newlines/backslashes through
+   both directions and asserts the set-exact round-trip.
 
 Prints one JSON line; the committed row lives in BENCH.md.
 
@@ -115,6 +121,31 @@ def main() -> None:
     counts = {r["hops"]: r["count"] for r in per_hop}
     assert counts == {k: cyc for k in range(1, hops + 1)}, counts
 
+    # ---- 3. N-Triples interchange at millions of lines -------------------
+    # entity text with embedded quotes/newlines/backslashes every few
+    # rows — the escape chain must survive at volume, and the round-trip
+    # (export → parse → resolve) must return EXACTLY the input triples.
+    nt_n = max(hot // 2, 1_000_000)
+    tri_nt = (spark.range(nt_n).select(
+        F.concat(F.lit('ent "'), F.col("id").cast("string"),
+                 F.when(F.col("id") % 7 == 0, F.lit('"\n\\x'))
+                  .otherwise(F.lit('"'))).alias("subj"),
+        F.concat(F.lit("p"), F.pmod("id", 5).cast("string")).alias("pred"),
+        F.concat(F.lit("obj\t"), F.pmod("id", 997).cast("string"))
+        .alias("obj"),
+        F.lit(None).cast("string").alias("doc_id")))
+    t0 = time.time()
+    n_lines = kgquery.to_ntriples(tri_nt).count()
+    t_export = time.time() - t0
+    t0 = time.time()
+    back = kgquery.from_ntriples(kgquery.to_ntriples(tri_nt))
+    n_diff = (back.select("subj", "pred", "obj")
+              .exceptAll(tri_nt.select("subj", "pred", "obj")).count()
+              + tri_nt.select("subj", "pred", "obj")
+              .exceptAll(back.select("subj", "pred", "obj")).count())
+    t_roundtrip = time.time() - t0
+    assert n_diff == 0, n_diff
+
     out = {
         "metric": "kgquery_stress",
         "hot_rows": hot,
@@ -126,6 +157,11 @@ def main() -> None:
         "path_pairs": sum(counts.values()),
         "path_sec": round(t_path, 2),
         "path_pairs_per_hop_exact": True,
+        "nt_triples": nt_n,
+        "nt_lines": n_lines,
+        "nt_export_sec": round(t_export, 2),
+        "nt_roundtrip_sec": round(t_roundtrip, 2),
+        "nt_roundtrip_exact": True,
     }
     print(json.dumps(out))
     spark.stop()
