@@ -399,6 +399,12 @@ def construct(triples: DataFrame, body, head, *, values: dict | None = None,
             else:
                 cols.append(F.lit(term).alias(col))
         t = b.select(*cols, F.lit(None).cast("string").alias("doc_id"))
+        # SPARQL CONSTRUCT semantics: a template instance with an unbound
+        # (null) term — possible when a head variable comes from an
+        # OPTIONAL body pattern — is NOT emitted, rather than producing
+        # an incomplete triple
+        t = t.filter(F.col("subj").isNotNull() & F.col("pred").isNotNull()
+                     & F.col("obj").isNotNull())
         out = t if out is None else out.unionByName(t)
     return out.distinct()
 

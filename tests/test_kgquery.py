@@ -309,6 +309,17 @@ def test_construct_multi_head_and_validation(kg):
                           head=("?d", "p"))
 
 
+def test_construct_drops_unbound_optional_heads(kg):
+    # head uses an OPTIONAL variable: unmatched bindings (d3 has no
+    # judge) must NOT emit an incomplete triple (SPARQL CONSTRUCT rule)
+    out = kgquery.construct(
+        kg, body=[("?d", "decided_by", "?c")],
+        optional=[("?d", "has_judge", "?j")],
+        head=("?d", "judged_by", "?j"))
+    got = {(r.subj, r.obj) for r in out.collect()}
+    assert got == {("d1", "J. Rao"), ("d2", "J. Rao")}   # no (d3, null)
+
+
 def test_closure_symmetric_transitive(kg, spark):
     out = kgquery.closure(kg, "same_as", symmetric=True, max_hops=4)
     pairs = {(r.subj, r.obj) for r in out.collect()}
