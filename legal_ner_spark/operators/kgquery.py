@@ -101,7 +101,12 @@ def bgp_match(triples: DataFrame, patterns, *, optional=(), minus=(),
     — an In predicate that reaches the parquet scan, not a post-join
     filter — so it must name variables bound by required patterns (a
     VALUES over an optional-only variable has null-compatibility
-    semantics this compiler does not implement, and is refused).
+    semantics this compiler does not implement, and is refused).  A
+    valued pattern's cost estimate is discounted like any bound term
+    (÷100) — a pathological list of many HOT literals can over-discount
+    and earn a broadcast hint the filtered side doesn't deserve; pass
+    ``broadcast_rows=0`` to disable all broadcast hints and let AQE
+    decide from runtime sizes.
 
     ``filters`` (SPARQL FILTER) are SQL boolean expressions over the
     variable columns (``"court != 'SC'"``, ``"length(j) > 3"``), applied
