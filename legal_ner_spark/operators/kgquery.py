@@ -37,9 +37,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bgp_match", "property_path", "path_edges", "path_sequence",
-           "construct", "closure", "to_ntriples", "from_ntriples",
-           "resolve_same_as", "constraint_report"]
+__all__ = ["bgp_match", "bgp_match_delta", "property_path", "path_edges",
+           "path_sequence", "construct", "closure", "to_ntriples",
+           "from_ntriples", "resolve_same_as", "constraint_report"]
 
 _TERM_COLS = ("subj", "pred", "obj", "doc_id")
 
@@ -66,7 +66,8 @@ def bgp_match(triples: DataFrame, patterns, *, optional=(), minus=(),
               values: dict | None = None, filters=(),
               distinct: bool = True, allow_product: bool = False,
               broadcast_rows: int = 50_000,
-              pred_stats: dict | None = None) -> DataFrame:
+              pred_stats: dict | None = None,
+              sources=None) -> DataFrame:
     """Match a conjunctive basic graph pattern against a triple table.
 
     ``patterns`` is a list of 3- or 4-tuples ``(subj, pred, obj[, doc])``
@@ -117,6 +118,13 @@ def bgp_match(triples: DataFrame, patterns, *, optional=(), minus=(),
 
     ``pred_stats`` (``{pred: row_count}``) skips the count probe — pass a
     precomputed dict when issuing many queries against one snapshot.
+
+    ``sources`` (parallel to ``patterns``; entries a DataFrame or None)
+    overrides the triple table for individual REQUIRED patterns — the
+    hook `bgp_match_delta` uses to pin one pattern to a small delta
+    while the rest read the full store.  An overridden pattern is
+    assumed delta-sized: it sorts first in the join order and gets the
+    broadcast hint.
     """
     if not patterns:
         raise ValueError("bgp_match needs at least one pattern")
@@ -140,8 +148,8 @@ def bgp_match(triples: DataFrame, patterns, *, optional=(), minus=(),
         triples.groupBy("pred").agg(F.count("*").alias("n")).collect()}
     total = sum(pred_counts.values()) or 1
 
-    def _compile(p):
-        df = triples
+    def _compile(p, src=None):
+        df = triples if src is None else src
         est = float(total)
         if not _is_var(p[1]) and p[1] is not None:
             est = float(pred_counts.get(p[1], 0))
@@ -167,9 +175,14 @@ def bgp_match(triples: DataFrame, patterns, *, optional=(), minus=(),
         # every bound term beyond the predicate sharpens the estimate;
         # the factor is crude but monotone, which is all ordering needs
         est = est / (100.0 ** max(0, n_bound - (0 if _is_var(p[1]) else 1)))
+        if src is not None:          # delta-pinned: smallest, joins first
+            est = 0.0
         return est, list(seen_vars), df.select(*proj)
 
-    compiled = [_compile(p) for p in pats]
+    if sources is not None and len(sources) != len(pats):
+        raise ValueError("sources must be parallel to patterns")
+    srcs = sources or [None] * len(pats)
+    compiled = [_compile(p, s) for p, s in zip(pats, srcs)]
     ocompiled = [_compile(p) for p in opats]
     mcompiled = [_compile(p) for p in mpats]
 
@@ -305,6 +318,47 @@ def property_path(edges: DataFrame, max_hops: int, *, min_hops: int = 1,
             new.withColumn("hops", F.lit(k))), f"pp_r{k}")
         frontier = new
     return reach.filter(F.col("hops") >= min_hops)
+
+
+def bgp_match_delta(full: DataFrame, delta: DataFrame, patterns, *,
+                    values: dict | None = None, filters=(),
+                    pred_stats: dict | None = None,
+                    **bgp_kwargs) -> DataFrame:
+    """Incremental BGP maintenance: the NEW bindings a batch of ``delta``
+    triples adds to a continuous query over a growing store — the
+    semi-naive step for conjunctive queries.  ``full`` must already
+    INCLUDE the delta (post-batch state).
+
+    A new binding must use ≥1 delta triple, so the result is the union
+    over pattern positions i of the match with pattern i pinned to the
+    delta and every other pattern reading the full store (the delta
+    pattern sorts first in each leg's join order and broadcasts).  With
+    set semantics the legs may re-derive the same binding through two
+    delta atoms — the final DISTINCT absorbs it, and callers anti-join
+    against their stored bindings anyway (double-derivation is why this
+    needs no pre/post split).  Cost: k legs × (|delta-match| joins) —
+    O(batch), never O(store).
+
+    Only MONOTONE clauses are accepted (patterns, VALUES, FILTER):
+    OPTIONAL and MINUS are non-monotone — a later batch can RETRACT an
+    earlier binding's nulls — so maintaining them incrementally would
+    silently serve stale answers; they raise instead."""
+    if bgp_kwargs.pop("optional", ()) or bgp_kwargs.pop("minus", ()):
+        raise ValueError(
+            "bgp_match_delta maintains monotone queries only — OPTIONAL "
+            "and MINUS results can be retracted by later batches")
+    pats = list(patterns)
+    if pred_stats is None:
+        pred_stats = {r["pred"]: r["n"] for r in
+                      full.groupBy("pred").agg(F.count("*").alias("n"))
+                      .collect()}
+    out = None
+    for i in range(len(pats)):
+        srcs = [delta if j == i else None for j in range(len(pats))]
+        leg = bgp_match(full, pats, values=values, filters=filters,
+                        pred_stats=pred_stats, sources=srcs, **bgp_kwargs)
+        out = leg if out is None else out.unionByName(leg)
+    return out.distinct()
 
 
 def _step_edges(triples: DataFrame, step: str) -> DataFrame:

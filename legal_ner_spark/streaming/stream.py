@@ -641,3 +641,73 @@ def stream_semantic_ingest(spark: SparkSession, vectors_dir: str,
     return (stream.writeStream.foreachBatch(process)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True).start())
+
+
+def stream_bgp_query(spark: SparkSession, triples_dir: str, state_dir: str,
+                     checkpoint_dir: str, patterns, *,
+                     values: dict | None = None,
+                     filters=()) -> StreamingQuery:
+    """Continuous BGP query over streaming KG ingest — a standing
+    SPARQL-style conjunctive query whose answer set GROWS as triple
+    batches arrive, maintained incrementally: each micro-batch runs
+    `kgquery.bgp_match_delta` (one delta-pinned leg per pattern, every
+    other pattern reading the full store), so per-batch cost is
+    O(batch), never O(store).  Monotone clauses only (patterns, VALUES,
+    FILTER) — the delta matcher refuses OPTIONAL/MINUS, whose answers a
+    later batch could retract.
+
+    Layout under ``state_dir``: ``triples/batch_tag=…`` (the store,
+    one subdir per batch) and ``bindings/batch_tag=…`` (the standing
+    query's answers, one subdir per batch).  Exactly-once under
+    replays: a replayed batch overwrites its OWN two subdirs; the
+    store read and the stored-bindings anti-join both EXCLUDE the
+    in-flight batch's tag, so the recomputation sees the same prior
+    state and rewrites the same rows instead of emitting duplicates or
+    an empty overwrite (the replay hazard of anti-joining one's own
+    committed output)."""
+    import os
+    from ..operators import kgquery
+
+    schema = spark.read.parquet(triples_dir).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(triples_dir))
+    tri_store = os.path.join(state_dir, "triples")
+    bind_store = os.path.join(state_dir, "bindings")
+
+    def process(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sp = batch_df.sparkSession
+        tag = f"batch-{batch_id:06d}"
+        delta = batch_df.select("subj", "pred", "obj", "doc_id")
+
+        def _read_prior(store):
+            if not os.path.isdir(store):
+                return None
+            prior = sp.read.parquet(store).filter(F.col("batch_tag") != tag)
+            return prior.drop("batch_tag")
+
+        prior_tri = _read_prior(tri_store)
+        full = delta if prior_tri is None \
+            else prior_tri.unionByName(delta)
+        new_b = kgquery.bgp_match_delta(full, delta, patterns,
+                                        values=values, filters=filters)
+        prior_b = _read_prior(bind_store)
+        if prior_b is not None:
+            new_b = new_b.join(prior_b, on=list(new_b.columns),
+                               how="left_anti")
+        (new_b.write.mode("overwrite")
+         .parquet(os.path.join(bind_store, f"batch_tag={tag}")))
+        (delta.write.mode("overwrite")
+         .parquet(os.path.join(tri_store, f"batch_tag={tag}")))
+
+    return (stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())
+
+
+def read_bgp_bindings(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The standing query's current answer set (all batches' bindings)."""
+    import os
+    return (spark.read.parquet(os.path.join(state_dir, "bindings"))
+            .drop("batch_tag"))

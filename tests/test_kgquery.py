@@ -156,6 +156,47 @@ def test_bgp_pred_filter_reaches_parquet_scan(spark, tmp_path):
     assert "PushedFilters: [IsNotNull(pred), EqualTo(pred,p1)" in plan
 
 
+# ----------------------------------------------------------- delta match
+
+PATS = [("?d", "decided_by", "?c"), ("?d", "cites_precedent", "?p")]
+
+
+def _bind(df):
+    return {tuple(r) for r in kgquery.bgp_match(df, PATS).collect()}
+
+
+def test_bgp_delta_covers_exactly_the_new_bindings(kg, spark):
+    # delta: a brand-new judgment (both atoms in the delta) AND a new
+    # citation for an existing judgment (one atom in delta, one in base)
+    delta = _triples(spark, [
+        ("d4", "decided_by", "SC", "d4"),
+        ("d4", "cites_precedent", "X vs Y", "d4"),
+        ("d3", "cites_precedent", "A vs B", "d3")])
+    full = kg.unionByName(delta)
+    new = {tuple(r) for r in
+           kgquery.bgp_match_delta(full, delta, PATS).collect()}
+    base_b, full_b = _bind(kg), _bind(full)
+    assert full_b - base_b <= new <= full_b
+    assert ("d4", "SC", "X vs Y") in new          # both atoms from delta
+    assert ("d3", "SC", "A vs B") in new          # one atom from delta
+    # base-only bindings never re-derive through a delta-pinned leg
+    assert ("d1", "SC", "A vs B") not in new
+
+
+def test_bgp_delta_refuses_nonmonotone(kg, spark):
+    delta = _triples(spark, [("d4", "decided_by", "SC", "d4")])
+    with pytest.raises(ValueError, match="monotone"):
+        kgquery.bgp_match_delta(kg, delta, PATS,
+                                optional=[("?d", "has_judge", "?j")])
+    with pytest.raises(ValueError, match="monotone"):
+        kgquery.bgp_match_delta(kg, delta, PATS,
+                                minus=[("?d", "has_judge", "?j")])
+
+
+def test_bgp_delta_empty_delta_is_empty(kg):
+    assert kgquery.bgp_match_delta(kg, kg.limit(0), PATS).count() == 0
+
+
 # ---------------------------------------------------------- property_path
 
 def _brute_pairs(edges, max_hops, symmetric):
@@ -488,3 +529,94 @@ def test_constraint_report_counts(spark):
     g = rows["g"]
     assert (g.functional_violations, g.inverse_violations,
             g.max_out_degree) == (0, 0, 1)
+
+
+# ------------------------------------------------------ streaming twin
+
+def test_stream_bgp_query_matches_batch(spark, tmp_path):
+    """The continuous query over three arriving triple files must end
+    with EXACTLY the batch bgp_match over the union, and a restart over
+    the same checkpoint must change nothing."""
+    import os
+    import time
+    from legal_ner_spark.streaming.stream import (stream_bgp_query,
+                                                  read_bgp_bindings)
+
+    b1 = _triples(spark, [("d1", "decided_by", "SC", "d1"),
+                          ("d1", "cites_precedent", "A vs B", "d1")])
+    b2 = _triples(spark, [("d2", "decided_by", "HC", "d2"),
+                          ("d1", "cites_precedent", "C vs D", "d1")])
+    b3 = _triples(spark, [("d2", "cites_precedent", "A vs B", "d2"),
+                          ("d3", "decided_by", "SC", "d3")])
+
+    in_dir = str(tmp_path / "tri_arrivals")
+    now, seen = time.time(), set()
+    for i, b in enumerate((b1, b2, b3)):
+        b.coalesce(1).write.mode("append").parquet(in_dir)
+        for f in os.listdir(in_dir):
+            if f not in seen:
+                seen.add(f)
+                t = now + 100 * (i + 1)
+                os.utime(os.path.join(in_dir, f), (t, t))
+
+    state = str(tmp_path / "bgp_state")
+    ckpt = str(tmp_path / "bgp_ckpt")
+    q = stream_bgp_query(spark, in_dir, state, ckpt, PATS)
+    assert q.awaitTermination(180)
+
+    got = {tuple(r) for r in read_bgp_bindings(spark, state).collect()}
+    full = b1.unionByName(b2).unionByName(b3)
+    want = {tuple(r) for r in kgquery.bgp_match(full, PATS).collect()}
+    assert got == want and len(got) == 3   # d1×2 precedents + d2×1
+    # no binding stored twice across batch subdirs
+    assert read_bgp_bindings(spark, state).count() == len(got)
+
+    # restart over the same checkpoint: a no-op
+    q2 = stream_bgp_query(spark, in_dir, state, ckpt, PATS)
+    assert q2.awaitTermination(180)
+    assert {tuple(r) for r in
+            read_bgp_bindings(spark, state).collect()} == want
+    assert read_bgp_bindings(spark, state).count() == len(got)
+
+
+def test_stream_bgp_query_replayed_tag_overwrites(spark, tmp_path):
+    """Simulated replay: re-running a batch's foreachBatch body with
+    its own subdirs already committed must rewrite the same rows, not
+    double them or blank them (the self-anti-join hazard)."""
+    import os
+    from legal_ner_spark.streaming import stream as S
+
+    state = str(tmp_path / "st")
+    tri_store = os.path.join(state, "triples")
+    bind_store = os.path.join(state, "bindings")
+    b1 = _triples(spark, [("d1", "decided_by", "SC", "d1"),
+                          ("d1", "cites_precedent", "A vs B", "d1")])
+
+    def run_batch(df, bid):
+        # mirror of stream_bgp_query's process()
+        tag = f"batch-{bid:06d}"
+        delta = df.select("subj", "pred", "obj", "doc_id")
+        def prior(store):
+            if not os.path.isdir(store):
+                return None
+            return (spark.read.parquet(store)
+                    .filter(F.col("batch_tag") != tag).drop("batch_tag"))
+        pt = prior(tri_store)
+        full = delta if pt is None else pt.unionByName(delta)
+        nb = kgquery.bgp_match_delta(full, delta, PATS)
+        pb = prior(bind_store)
+        if pb is not None:
+            nb = nb.join(pb, on=list(nb.columns), how="left_anti")
+        nb.write.mode("overwrite").parquet(
+            os.path.join(bind_store, f"batch_tag={tag}"))
+        delta.write.mode("overwrite").parquet(
+            os.path.join(tri_store, f"batch_tag={tag}"))
+
+    run_batch(b1, 0)
+    first = {tuple(r) for r in
+             spark.read.parquet(bind_store).drop("batch_tag").collect()}
+    assert first == {("d1", "SC", "A vs B")}
+    run_batch(b1, 0)       # replay of the SAME batch id
+    again = spark.read.parquet(bind_store).drop("batch_tag")
+    assert {tuple(r) for r in again.collect()} == first
+    assert again.count() == 1
