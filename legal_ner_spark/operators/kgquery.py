@@ -216,6 +216,12 @@ def bgp_match(triples: DataFrame, patterns, *, optional=(), minus=(),
     est0, out_vars, cur = compiled[first]
     out_vars = list(out_vars)
     done.add(first)
+    # a delta-pinned start keeps the ACCUMULATING binding side delta-sized
+    # through every join — hint it broadcast so the store patterns stream
+    # through BroadcastHashJoins unshuffled (scan-only cost per leg);
+    # without the hint Catalyst sees an unknown-size side and shuffles
+    # the store on every hop
+    cur_small = srcs[first] is not None
     while len(done) < len(compiled):
         nxt = None
         for i in order:
@@ -234,6 +240,8 @@ def bgp_match(triples: DataFrame, patterns, *, optional=(), minus=(),
         shared = [v for v in out_vars if v in pvars]
         if est <= broadcast_rows:
             pdf = F.broadcast(pdf)
+        elif cur_small:
+            cur = F.broadcast(cur)
         cur = cur.join(pdf, on=shared, how="inner") if shared \
             else cur.crossJoin(pdf)
         out_vars += [v for v in pvars if v not in out_vars]
@@ -336,8 +344,17 @@ def bgp_match_delta(full: DataFrame, delta: DataFrame, patterns, *,
     set semantics the legs may re-derive the same binding through two
     delta atoms — the final DISTINCT absorbs it, and callers anti-join
     against their stored bindings anyway (double-derivation is why this
-    needs no pre/post split).  Cost: k legs × (|delta-match| joins) —
-    O(batch), never O(store).
+    needs no pre/post split).
+
+    Cost model, stated precisely: each leg's accumulating binding side
+    stays delta-sized and is broadcast, so the store's pattern
+    projections are SCANNED (columnar, pred-pushed) but never shuffled
+    — per-batch shuffle and join state are O(batch) while a full
+    rematch shuffles store-sized inputs.  The k·(k−1) store scans per
+    batch are the irreducible term; against a store whose full rematch
+    is already answer-sized (this engine's probe-ordered plans), the
+    delta matcher's win is the O(batch) shuffle + incremental OUTPUT
+    (only new bindings), not raw wall-clock at small k.
 
     Only MONOTONE clauses are accepted (patterns, VALUES, FILTER):
     OPTIONAL and MINUS are non-monotone — a later batch can RETRACT an

@@ -121,6 +121,35 @@ def main() -> None:
     counts = {r["hops"]: r["count"] for r in per_hop}
     assert counts == {k: cyc for k in range(1, hops + 1)}, counts
 
+    # ---- 2b. incremental maintenance: O(batch), not O(store) -------------
+    # a 1,000-triple-chain delta against the 84M-row store: the standing
+    # query's per-batch cost must track the DELTA; the full rematch is
+    # the cost it avoids.  All delta ids are fresh, so the new-binding
+    # count is exactly 1,000 (asserted — any cross-talk would break it).
+    kd = 1000
+    base_tag = spark.range(kd)
+    d1 = base_tag.select(F.concat(F.lit("nd"), "id").alias("subj"),
+                         F.lit("mentions").alias("pred"),
+                         F.concat(F.lit("ne"), "id").alias("obj"))
+    d2 = base_tag.select(F.concat(F.lit("ne"), "id").alias("subj"),
+                         F.lit("cites").alias("pred"),
+                         F.concat(F.lit("nf"), "id").alias("obj"))
+    d3 = base_tag.select(F.concat(F.lit("nf"), "id").alias("subj"),
+                         F.lit("decided_by").alias("pred"),
+                         F.lit("c0").alias("obj"))
+    delta = (d1.union(d2).union(d3)
+             .withColumn("doc_id", F.col("subj")).cache())
+    delta.count()
+    full = tri.unionByName(delta)
+    t0 = time.time()
+    n_new = kgquery.bgp_match_delta(full, delta, pats).count()
+    t_delta = time.time() - t0
+    assert n_new == kd, n_new
+    t0 = time.time()
+    n_full = kgquery.bgp_match(full, pats).count()
+    t_full_rematch = time.time() - t0
+    assert n_full == n_probe + kd, (n_full, n_probe)
+
     # ---- 3. N-Triples interchange at millions of lines -------------------
     # entity text with embedded quotes/newlines/backslashes every few
     # rows — the escape chain must survive at volume, and the round-trip
@@ -157,6 +186,10 @@ def main() -> None:
         "path_pairs": sum(counts.values()),
         "path_sec": round(t_path, 2),
         "path_pairs_per_hop_exact": True,
+        "delta_triples": kd * 3,
+        "delta_new_bindings": n_new,
+        "delta_match_sec": round(t_delta, 2),
+        "full_rematch_sec": round(t_full_rematch, 2),
         "nt_triples": nt_n,
         "nt_lines": n_lines,
         "nt_export_sec": round(t_export, 2),
