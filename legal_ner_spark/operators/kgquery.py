@@ -7,7 +7,10 @@ CONSUMER side — the operators a user points at the finished graph:
 
 - ``bgp_match``: SPARQL-style basic-graph-pattern matching — conjunctive
   triple patterns with shared variables — compiled to selectivity-ordered
-  equi-joins over predicate-pushed scans of the triple table.
+  equi-joins over predicate-pushed scans of the triple table, with
+  OPTIONAL (left join), MINUS (per-pattern anti join), FILTER EXISTS /
+  NOT EXISTS (conjunctive sub-group semi/anti join), VALUES (scan-level
+  In filters), and FILTER expressions.
 - ``property_path``: bounded-length pairwise reachability (SPARQL
   ``pred{1,k}`` paths) as iterated frontier equi-joins with min-hop
   semantics and lineage truncation per hop.
@@ -63,6 +66,7 @@ def _apply_values(pdf: DataFrame, pvars, vmap: dict) -> DataFrame:
 
 
 def bgp_match(triples: DataFrame, patterns, *, optional=(), minus=(),
+              exists=(), not_exists=(),
               values: dict | None = None, filters=(),
               distinct: bool = True, allow_product: bool = False,
               broadcast_rows: int = 50_000,
@@ -91,10 +95,28 @@ def bgp_match(triples: DataFrame, patterns, *, optional=(), minus=(),
     nothing matches.  Each must share ≥1 variable with the required group
     — an unanchored optional would be a cartesian product with nulls.
 
-    ``minus`` patterns (SPARQL MINUS / FILTER NOT EXISTS) anti-join after
-    the optionals: bindings with ANY match against the pattern drop.
-    Fresh variables inside a minus pattern are existential (never
-    projected); the same anchoring rule applies.
+    ``minus`` patterns (SPARQL MINUS) anti-join after the optionals:
+    bindings with ANY match against the pattern drop.  Fresh variables
+    inside a minus pattern are existential (never projected); the same
+    anchoring rule applies.  Each minus pattern is applied SEPARATELY —
+    ``minus=[A, B]`` means ¬A ∧ ¬B.
+
+    ``exists`` / ``not_exists`` (SPARQL ``FILTER EXISTS { ... }`` /
+    ``FILTER NOT EXISTS { ... }``) each take ONE conjunctive pattern
+    group (a flat pattern list, matched as a sub-BGP), applied after
+    OPTIONAL and MINUS.  This is the piece MINUS cannot express:
+    ``not_exists=[A, B]`` drops bindings where A ∧ B jointly match —
+    ¬(A ∧ B) — while ``minus=[A, B]`` is ¬A ∧ ¬B.  Shared-variable
+    correlation is SQL-style (equality on the shared columns; a NULL
+    shared value from an OPTIONAL never matches — it fails EXISTS and
+    passes NOT EXISTS — where the SPARQL spec's substitution semantics
+    would leave the inner variable free; divergence documented by
+    choice, matching every SQL engine's correlated EXISTS).  A group
+    sharing NO variable with the bindings is the constant gate the spec
+    prescribes: EXISTS keeps everything iff the group matches at all,
+    NOT EXISTS drops everything iff it does — decided by an eager
+    limit-1 probe at compile time, the same eagerness class as the
+    predicate-count probe.
 
     ``values`` (SPARQL VALUES, one-variable form: ``{"?v": [lit, ...]}``)
     restricts a variable to an explicit literal list.  It is compiled as
@@ -270,6 +292,42 @@ def bgp_match(triples: DataFrame, patterns, *, optional=(), minus=(),
             pdf = F.broadcast(pdf)
         cur = cur.join(pdf.select(*shared), on=shared, how="left_anti")
 
+    # EXISTS / NOT EXISTS groups: each is ONE sub-BGP (conjunctive),
+    # matched by a recursive bgp_match that reuses this call's predicate
+    # counts (no second probe), then semi/anti-joined on the shared
+    # variables.  The group's own join tree is selectivity-ordered like
+    # any BGP; its estimate for the broadcast hint is the cheapest
+    # pattern's (a conjunctive match is never costed above its rarest
+    # atom here — AQE corrects at runtime if the join fans out).
+    def _group_est(group):
+        ests = []
+        for p in _norm(group):
+            e = float(total)
+            if not _is_var(p[1]) and p[1] is not None:
+                e = float(pred_counts.get(p[1], 0))
+            ests.append(e)
+        return min(ests) if ests else 0.0
+
+    for group, keep_on_match in ((exists, True), (not_exists, False)):
+        if not group:
+            continue
+        g = bgp_match(triples, group, distinct=True,
+                      allow_product=allow_product,
+                      broadcast_rows=broadcast_rows,
+                      pred_stats=pred_counts)
+        shared = [v for v in out_vars if v in g.columns]
+        if shared:
+            gsel = g.select(*shared)
+            if _group_est(group) <= broadcast_rows:
+                gsel = F.broadcast(gsel)
+            cur = cur.join(gsel, on=shared,
+                           how="left_semi" if keep_on_match else "left_anti")
+        else:
+            # constant gate: the group's truth doesn't vary per binding
+            matched = not g.isEmpty()
+            if matched != keep_on_match:
+                cur = cur.where(F.lit(False))
+
     cur = cur.select(*declared)
     for fx in ([filters] if isinstance(filters, str) else filters):
         cur = cur.filter(F.expr(fx))
@@ -364,6 +422,12 @@ def bgp_match_delta(full: DataFrame, delta: DataFrame, patterns, *,
         raise ValueError(
             "bgp_match_delta maintains monotone queries only — OPTIONAL "
             "and MINUS results can be retracted by later batches")
+    if bgp_kwargs.pop("exists", ()) or bgp_kwargs.pop("not_exists", ()):
+        raise ValueError(
+            "bgp_match_delta cannot maintain EXISTS/NOT EXISTS — NOT "
+            "EXISTS retracts, and EXISTS can newly admit an OLD binding "
+            "that touches no delta triple (the semi-naive legs would "
+            "miss it); rematch those queries per batch instead")
     pats = list(patterns)
     if pred_stats is None:
         pred_stats = {r["pred"]: r["n"] for r in

@@ -7249,6 +7249,56 @@ WHERE a.pred = 'decided_by'
   AND a.obj IN ('Supreme Court Of India', 'High Court Of Delhi')"""
 
 
+def q_kg_bgp_exists(spark, sf_dir):
+    """BGP with a SPARQL FILTER EXISTS group: judgments + courts where
+    the judgment BOTH cites a precedent and names a lawyer.  The group
+    is one conjunctive sub-BGP semi-joined on the shared ?d — the shape
+    MINUS cannot express (minus=[A, B] is ¬A ∧ ¬B; this is A ∧ B)."""
+    from .operators import kgquery
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    return kgquery.bgp_match(
+        tri, [("?d", "decided_by", "?court")],
+        exists=[("?d", "cites_precedent", "?p"),
+                ("?d", "has_lawyer", "?l")])
+
+
+def o_kg_bgp_exists():
+    return f"""
+WITH t AS (SELECT subj, pred, obj FROM {_KG_SQL_SRC}
+           WHERE rec_type = 'triple')
+SELECT DISTINCT a.subj AS d, a.obj AS court
+FROM t a
+WHERE a.pred = 'decided_by' AND EXISTS (
+  SELECT 1 FROM t b JOIN t c ON c.subj = b.subj
+  WHERE b.pred = 'cites_precedent' AND c.pred = 'has_lawyer'
+    AND b.subj = a.subj)"""
+
+
+def q_kg_bgp_not_exists(spark, sf_dir):
+    """BGP with SPARQL FILTER NOT EXISTS — ¬(cites ∧ lawyer), i.e.
+    judgments missing the citation or the lawyer (or both).  Contrast
+    with `q_kg_bgp_minus` (¬each-pattern separately): the pytest suite
+    pins the two shapes apart on a fixture where they disagree."""
+    from .operators import kgquery
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    return kgquery.bgp_match(
+        tri, [("?d", "decided_by", "?court")],
+        not_exists=[("?d", "cites_precedent", "?p"),
+                    ("?d", "has_lawyer", "?l")])
+
+
+def o_kg_bgp_not_exists():
+    return f"""
+WITH t AS (SELECT subj, pred, obj FROM {_KG_SQL_SRC}
+           WHERE rec_type = 'triple')
+SELECT DISTINCT a.subj AS d, a.obj AS court
+FROM t a
+WHERE a.pred = 'decided_by' AND NOT EXISTS (
+  SELECT 1 FROM t b JOIN t c ON c.subj = b.subj
+  WHERE b.pred = 'cites_precedent' AND c.pred = 'has_lawyer'
+    AND b.subj = a.subj)"""
+
+
 def q_kg_construct_rule(spark, sf_dir):
     """SPARQL CONSTRUCT — one rule application over the finished graph:
     ``?prov part_of ?st . ?alias same_as ?st => ?prov part_of_alias
@@ -7649,6 +7699,8 @@ QUERIES = {
     "kg_bgp_optional": q_kg_bgp_optional,
     "kg_bgp_minus": q_kg_bgp_minus,
     "kg_bgp_values": q_kg_bgp_values,
+    "kg_bgp_exists": q_kg_bgp_exists,
+    "kg_bgp_not_exists": q_kg_bgp_not_exists,
     "kg_bgp_filter_agg": q_kg_bgp_filter_agg,
     "kg_bgp_chain": q_kg_bgp_chain,
     "kg_construct_rule": q_kg_construct_rule,
@@ -7840,6 +7892,8 @@ ORACLES = {
     "kg_bgp_optional": o_kg_bgp_optional(),
     "kg_bgp_minus": o_kg_bgp_minus(),
     "kg_bgp_values": o_kg_bgp_values(),
+    "kg_bgp_exists": o_kg_bgp_exists(),
+    "kg_bgp_not_exists": o_kg_bgp_not_exists(),
     "kg_bgp_filter_agg": o_kg_bgp_filter_agg(),
     "kg_bgp_chain": o_kg_bgp_chain(),
     "kg_construct_rule": o_kg_construct_rule(),

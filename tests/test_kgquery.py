@@ -113,6 +113,83 @@ def test_bgp_minus_must_anchor(kg):
                           minus=[("?m", "same_as", "?canon")])
 
 
+@pytest.fixture(scope="module")
+def roles(spark):
+    # d1: judge+lawyer, d2: judge only, d3: lawyer only, d4: neither
+    df = _triples(spark, [
+        ("d1", "decided_by", "SC", "d1"),
+        ("d1", "has_judge", "J1", "d1"),
+        ("d1", "has_lawyer", "L1", "d1"),
+        ("d2", "decided_by", "HC", "d2"),
+        ("d2", "has_judge", "J2", "d2"),
+        ("d3", "decided_by", "SC", "d3"),
+        ("d3", "has_lawyer", "L3", "d3"),
+        ("d4", "decided_by", "HC", "d4"),
+    ]).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_bgp_exists_group_is_conjunctive(roles):
+    out = kgquery.bgp_match(roles, [("?d", "decided_by", "?c")],
+                            exists=[("?d", "has_judge", "?j"),
+                                    ("?d", "has_lawyer", "?l")])
+    assert {tuple(r) for r in out.collect()} == {("d1", "SC")}
+    assert out.columns == ["d", "c"]     # group vars never projected
+
+
+def test_bgp_not_exists_differs_from_minus(roles):
+    # NOT EXISTS {A . B} = ¬(A ∧ B): only d1 has both roles, so d2-d4 stay
+    ne = kgquery.bgp_match(roles, [("?d", "decided_by", "?c")],
+                           not_exists=[("?d", "has_judge", "?j"),
+                                       ("?d", "has_lawyer", "?l")])
+    assert {r["d"] for r in ne.collect()} == {"d2", "d3", "d4"}
+    # minus=[A, B] = ¬A ∧ ¬B: only d4 has neither role
+    mi = kgquery.bgp_match(roles, [("?d", "decided_by", "?c")],
+                           minus=[("?d", "has_judge", "?j"),
+                                  ("?d", "has_lawyer", "?l")])
+    assert {r["d"] for r in mi.collect()} == {"d4"}
+
+
+def test_bgp_exists_unanchored_gate(roles):
+    base = [("?d", "decided_by", "?c")]
+    # group matches somewhere → EXISTS keeps all 4, NOT EXISTS drops all
+    hit = [("?m", "has_lawyer", "?l")]
+    assert kgquery.bgp_match(roles, base, exists=hit).count() == 4
+    assert kgquery.bgp_match(roles, base, not_exists=hit).count() == 0
+    # group matches nowhere → inverse
+    miss = [("?m", "cites_precedent", "?p")]
+    assert kgquery.bgp_match(roles, base, exists=miss).count() == 0
+    ne = kgquery.bgp_match(roles, base, not_exists=miss)
+    assert ne.count() == 4
+    assert ne.columns == ["d", "c"]
+
+
+def test_bgp_exists_null_optional_var_fails_correlation(roles):
+    # documented SQL-style correlation: a null shared value (from an
+    # OPTIONAL) never matches — fails EXISTS, passes NOT EXISTS
+    out = kgquery.bgp_match(roles, [("?d", "decided_by", "?c")],
+                            optional=[("?d", "has_judge", "?j")],
+                            exists=[(None, "has_judge", "?j")])
+    assert {r["d"] for r in out.collect()} == {"d1", "d2"}
+    out2 = kgquery.bgp_match(roles, [("?d", "decided_by", "?c")],
+                             optional=[("?d", "has_judge", "?j")],
+                             not_exists=[(None, "has_judge", "?j")])
+    assert {r["d"] for r in out2.collect()} == {"d3", "d4"}
+
+
+def test_bgp_delta_refuses_exists(roles):
+    with pytest.raises(ValueError, match="EXISTS"):
+        kgquery.bgp_match_delta(roles, roles.limit(1),
+                                [("?d", "decided_by", "?c")],
+                                exists=[("?d", "has_judge", "?j")])
+    with pytest.raises(ValueError, match="EXISTS"):
+        kgquery.bgp_match_delta(roles, roles.limit(1),
+                                [("?d", "decided_by", "?c")],
+                                not_exists=[("?d", "has_judge", "?j")])
+
+
 def test_bgp_predicate_variable(kg):
     out = kgquery.bgp_match(kg, [("d1", "?p", "?o")])
     got = {tuple(r) for r in out.collect()}
