@@ -127,6 +127,11 @@ def main() -> None:
                      "kg_random_walks", "kg_walk_skipgrams",
                      "kg_neighbor_sample", "kg_walk_ppmi",
                      "kg_truss_communities",
+                     # closed-form DeepWalk: walks→skipgrams→PPMI→SVD;
+                     # kg_embedding_neighbors re-runs the same chain +
+                     # brute rerank (~10 s) and stays rows+pytest-gated
+                     # outside bench like near_dedup_reconciled
+                     "kg_node_embeddings",
                      # index-lifecycle rows (build+append+compact per run);
                      # near_dedup_reconciled (~22 s: three near-dedup-scale
                      # jobs) stays out like near_dedup_incremental — both

@@ -432,6 +432,182 @@ def walk_skipgrams(walks: DataFrame, window: int = 2) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
 
 
+def ppmi_embeddings(ppmi: DataFrame, dim: int = 8, n_iter: int = 12, *,
+                    c_col: str = "center", x_col: str = "context",
+                    w_col: str = "ppmi", salt: str = "pe",
+                    checkpoint_dir: str | None = None) -> DataFrame:
+    """Node embeddings by truncated eigendecomposition of the (symmetric)
+    PPMI matrix — the Levy-Goldberg result that skip-gram-with-negative-
+    sampling factorizes shifted PMI makes this the closed-form DeepWalk
+    trainer: walks → `walk_skipgrams` → PPMI (`q_kg_walk_ppmi`'s form) →
+    THIS → (node, emb) with emb = Q·V·diag(√|λ|) — the paper's
+    ``W = U_d·Σ_d^{1/2}`` with Σ the singular values, which for a
+    symmetric matrix are |eigenvalues| over the dominant-|λ| subspace
+    (exactly what subspace iteration converges to).  E·Eᵀ therefore
+    reconstructs Q·|Λ|·Qᵀ, the PSD hull of the rank-d truncation; the
+    SIGNED eigenvalues ride along in ``lam`` so callers can drop
+    negative directions if they want the α=0.5 PSD factorization
+    instead.
+
+    Algorithm: distributed subspace (orthogonal/block-power) iteration.
+    The matrix lives as sparse (c, x, w) rows, symmetrized as
+    (A + Aᵀ)/2 and materialized once; the basis Q is (node,
+    array<double>[dim]).  Each iteration is
+
+      Y = A·Q   — ONE equi-join (A.x = Q.node, shuffled on node) and
+                  ONE groupBy(c) with dim partial-aggregable sums
+                  (per-row cost O(dim); a hub row is a map-side-combined
+                  fan-in, never a straggler window), then
+      Q = Y·G^(-1/2) — symmetric orthonormalization from the dim×dim
+                  Gram G = YᵀY (dim(dim+1)/2 sum aggregates collected as
+                  SCALARS; eigh on the driver).  The driver only ever
+                  holds dim² numbers — the tall-skinny-QR idiom — so the
+                  iteration scales with |V| on executors alone.
+
+    After n_iter rounds a Rayleigh–Ritz step (T = QᵀAQ, eigh, rotate)
+    aligns the basis with the eigenvectors and yields the signed
+    eigenvalues, ordered by descending |λ|.  Column signs are canonicalized
+    against a deterministic md5 test vector (sign of Σᵥ e_j(v)·h(v),
+    h(v) ∈ {±1}), so output is reproducible across runs and engines up
+    to float noise.  Init is md5-deterministic per (salt, node, j).
+
+    Convergence is the usual linear |λ_{dim+1}/λ_dim| rate; n_iter=12
+    is ample for the ~10-100× spectral decay of real PPMI matrices.
+    ``dim`` must be ≤ the node count.  Returns (node, emb array<double>,
+    lam array<double>) — ``lam`` is the constant descending-eigenvalue
+    array stamped on every row so callers need no side channel.
+    """
+    import numpy as np
+    from ..plans.checkpoint import Truncator
+    trunc = Truncator(checkpoint_dir)
+
+    half = ppmi.select(F.col(c_col).alias("c"), F.col(x_col).alias("x"),
+                       (F.col(w_col).cast("double") / 2.0).alias("w"))
+    a = trunc(half.unionByName(
+        half.select(F.col("x").alias("c"), F.col("c").alias("x"), "w"))
+        .groupBy("c", "x").agg(F.sum("w").alias("w")), "pe_matrix")
+    n_edges = a.count()
+
+    # size the iteration's partitioning to the MATRIX, not the corpus
+    # default: every downstream job operates on vocabulary-sized
+    # relations, and materialization pins whatever partitioning the
+    # matrix carries — inheriting the corpus's shuffle width schedules
+    # n_iter·parts near-empty tasks.  ~500k matrix cells per partition;
+    # partitioned BY THE JOIN KEY x so every A·Q join co-locates on
+    # the A side.
+    import math
+    p = max(1, min(math.ceil(n_edges / 500_000),
+                   a.rdd.getNumPartitions()))
+    if p < a.rdd.getNumPartitions():
+        a = trunc(a.repartition(p, "x"), "pe_matrix_p")
+
+    nodes = a.select(F.col("c").alias("node")).distinct()
+    n_nodes = nodes.count()
+    if not 1 <= dim <= n_nodes:
+        raise ValueError(f"dim must be in [1, {n_nodes}], got {dim}")
+
+    def _hash_unit(col, j):
+        # deterministic float in [-1, 1): md5 → 8 hex chars → int → scale
+        h = F.conv(F.substring(F.md5(F.concat_ws(
+            "-", F.lit(salt), col, F.lit(j))), 1, 8), 16, 10).cast("double")
+        return (h % F.lit(2000003.0)) / F.lit(1000001.5) - F.lit(1.0)
+
+    q = nodes.select("node", F.array(
+        *[_hash_unit(F.col("node"), j) for j in range(dim)]).alias("q"))
+
+    def _mul(qdf):
+        # Y = A·Q: one join + one aggregate, dim sums
+        j = a.join(qdf, a.x == qdf.node)
+        return (j.groupBy("c")
+                .agg(*[F.sum(F.col("w") * F.col("q")[i]).alias(f"y{i}")
+                       for i in range(dim)])
+                .select(F.col("c").alias("node"),
+                        F.array(*[F.col(f"y{i}")
+                                  for i in range(dim)]).alias("y")))
+
+    def _gram(ydf, acol="y", bcol="y"):
+        # dim×dim scalar matrix collected from sum aggregates
+        aggs = [F.sum(F.col(acol)[i] * F.col(bcol)[j])
+                for i in range(dim) for j in range(dim) if i <= j]
+        row = ydf.agg(*aggs).collect()[0]
+        g = np.zeros((dim, dim))
+        k = 0
+        for i in range(dim):
+            for j in range(i, dim):
+                g[i, j] = g[j, i] = row[k] or 0.0
+                k += 1
+        return g
+
+    def _rotate(ydf, m, out="q"):
+        # Q = Y·M, dim² scalar multiply-adds per row, pure codegen
+        cols = [sum((F.col("y")[i] * float(m[i, jj]) for i in range(dim)),
+                    start=F.lit(0.0)) for jj in range(dim)]
+        return ydf.select("node", F.array(*cols).alias(out))
+
+    def _orth_factor(g):
+        # G^(-1/2) by eigh, eigenvalues clamped — symmetric
+        # orthogonalization survives a (near-)rank-deficient Y where
+        # Cholesky would not
+        s, u = np.linalg.eigh(g)
+        s = np.maximum(s, 1e-12 * max(float(s.max()), 1.0))
+        return u @ np.diag(s ** -0.5) @ u.T
+
+    # hot-loop state management (the MLlib-iterative idiom): the Gram
+    # collect is ALREADY an action every round, so persist y and let
+    # that one action both fill the cache and deliver G — one job per
+    # iteration instead of three (materialize + collect + re-trunc).
+    # q stays a lazy dim²-multiply projection of the cached y.  Every
+    # 4th round y is hard-truncated instead (localCheckpoint) so plan
+    # depth stays bounded for large n_iter; the previous round's cache
+    # is dropped once the new y is materialized.
+    prev = None
+    for it in range(n_iter):
+        if (it + 1) % 4 == 0:
+            y = trunc(_mul(q), f"pe_y{it}")
+            g = _gram(y)
+        else:
+            y = _mul(q).persist()
+            g = _gram(y)                     # action: fills the cache
+        q = _rotate(y, _orth_factor(g))
+        if prev is not None:
+            prev.unpersist()
+        prev = y if y.is_cached else None
+
+    # Rayleigh–Ritz: T = QᵀAQ, rotate Q into the Ritz basis
+    z = _mul(q).persist()
+    qz = q.join(z.withColumnRenamed("y", "z"), "node")
+    taggs = [F.sum(F.col("q")[i] * F.col("z")[j])
+             for i in range(dim) for j in range(dim)]
+    trow = qz.agg(*taggs).collect()[0]
+    t = np.array([[trow[i * dim + j] or 0.0 for j in range(dim)]
+                  for i in range(dim)])
+    t = (t + t.T) / 2.0
+    lam, v = np.linalg.eigh(t)
+    order = np.argsort(-np.abs(lam))    # descending singular values |λ|
+    lam, v = lam[order], v[:, order]
+    scale = v @ np.diag(np.sqrt(np.abs(lam)))
+    e = trunc(_rotate(q.withColumnRenamed("q", "y"), scale, out="emb"),
+              "pe_emb")
+    z.unpersist()                       # e is hard-materialized above
+    if prev is not None:
+        prev.unpersist()
+
+    # canonical signs: s_j = sign(Σ emb_j(v)·h(v)), h(v) = ±1 from md5
+    hv = F.when(F.conv(F.substring(F.md5(F.concat_ws(
+        "-", F.lit(salt), F.lit("sgn"), F.col("node"))), 1, 8),
+        16, 10).cast("bigint") % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    srow = (e.withColumn("_h", hv)
+            .agg(*[F.sum(F.col("emb")[j] * F.col("_h"))
+                   for j in range(dim)]).collect()[0])
+    signs = [1.0 if (srow[j] or 0.0) >= 0 else -1.0 for j in range(dim)]
+    lam_lit = F.array(*[F.lit(round(float(x), 6)) for x in lam])
+    return e.select(
+        "node",
+        F.array(*[F.col("emb")[j] * signs[j] for j in range(dim)])
+        .alias("emb"),
+        lam_lit.alias("lam"))
+
+
 def sampled_adjacency(edges: DataFrame, k: int = 2,
                       salt: str = "ns") -> DataFrame:
     """Deterministic fanout-sampled adjacency — the GNN-minibatch prep

@@ -5860,6 +5860,78 @@ WHERE round(greatest(0.0, ln(n * (SELECT sum(n) FROM pairs)
        / (nc.n_c * nx.n_x))), 4) > 0"""
 
 
+def _walk_ppmi_df(spark, sf_dir):
+    """Shared walks → skip-grams → PPMI chain (q_kg_walk_ppmi's exact
+    form) feeding the embedding queries."""
+    from .operators import graph
+    from .plans.checkpoint import Truncator
+    e = _cocitation_edges(spark, sf_dir)
+    walks = graph.random_walks(e.select(F.col("a").alias("src"),
+                                        F.col("b").alias("dst")),
+                               n_walks=2, walk_len=3,
+                               checkpoint_dir=_ckpt_dir(spark))
+    pairs = Truncator(_ckpt_dir(spark))(
+        graph.walk_skipgrams(walks, window=2), "emb_pairs")
+    nc = pairs.groupBy("center").agg(F.sum("n").alias("n_c"))
+    nx = pairs.groupBy("context").agg(F.sum("n").alias("n_x"))
+    tot = pairs.agg(F.sum("n").alias("n_tot"))
+    return (pairs.join(nc, "center").join(nx, "context")
+            .crossJoin(F.broadcast(tot))
+            .withColumn("ppmi", F.greatest(F.lit(0.0), F.log(
+                F.col("n") * F.col("n_tot")
+                / (F.col("n_c") * F.col("n_x")))))
+            .filter(F.col("ppmi") > 0)
+            .select("center", "context", "ppmi"))
+
+
+def q_kg_node_embeddings(spark, sf_dir):
+    """DeepWalk node embeddings in closed form — the END of the chain
+    whose pieces are oracled standalone (kg_random_walks →
+    kg_walk_skipgrams → kg_walk_ppmi): truncated SVD of the PPMI matrix
+    by distributed subspace iteration (`graph.ppmi_embeddings`,
+    Levy & Goldberg 2014).  Per iteration: ONE equi-join + ONE
+    map-side-combinable aggregate; the driver holds only dim² scalars.
+
+    No SQL oracle — an iterative eigensolve has no ANSI-SQL form (the
+    driver records the weaker rows-only check); correctness is gated by
+    tests/test_embeddings.py instead: eigenvalues + rank-k
+    reconstruction vs numpy on planted-spectrum matrices, orthogonality
+    EᵀE = diag(|λ|), determinism across runs, and symmetrization."""
+    from .operators import graph
+    ppmi = _walk_ppmi_df(spark, sf_dir)
+    # n_iter=5: the statute co-citation PPMI has ~10× spectral decay, so
+    # 5 rounds + the Rayleigh-Ritz rotation is converged well past the
+    # 4-dp level; eigen-ACCURACY on hard spectra is pytest-gated with
+    # n_iter=25 (tests/test_embeddings.py), this row is the
+    # chain-composition + throughput gate
+    return graph.ppmi_embeddings(ppmi, dim=4, n_iter=5,
+                                 checkpoint_dir=_ckpt_dir(spark))
+
+
+def q_kg_embedding_neighbors(spark, sf_dir):
+    """Nearest statutes in the LEARNED embedding space — the payoff
+    query of the representation-learning chain: cosine top-2 neighbors
+    per node over `q_kg_node_embeddings`' vectors, via the similarity
+    tier's unit-vector rerank.  At this vocabulary (tens of statutes)
+    the broadcast brute tier is the right plan; at web scale the same
+    vectors feed `build_ivf_index` / `ann_ivf_topk` unchanged.  No SQL
+    oracle (inherits the eigensolve); rows-only + pytest gates."""
+    from .operators import graph, similarity
+    emb = q_kg_node_embeddings(spark, sf_dir).select("node", "emb")
+    qv = emb.select(F.col("node").alias("query_id"),
+                    F.col("emb").alias("qv"))
+    cv = emb.select(F.col("node").alias("neighbor_id"),
+                    F.col("emb").alias("cv"))
+    out = similarity.brute_force_topk(qv, cv, k=3)
+    # drop the trivial self-match, keep 2 true neighbors
+    return (out.filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("r", F.row_number().over(
+                Window.partitionBy("query_id")
+                .orderBy(F.desc("cos_sim"), "neighbor_id")))
+            .filter(F.col("r") <= 2)
+            .select("query_id", "neighbor_id", "r"))
+
+
 def q_kg_truss_communities(spark, sf_dir):
     """Connected components of the 3-truss — statute FAMILIES whose
     every membership edge is triangle-supported: the truss peel removes
@@ -7694,6 +7766,8 @@ QUERIES = {
     "kg_walk_skipgrams": q_kg_walk_skipgrams,
     "kg_neighbor_sample": q_kg_neighbor_sample,
     "kg_walk_ppmi": q_kg_walk_ppmi,
+    "kg_node_embeddings": q_kg_node_embeddings,
+    "kg_embedding_neighbors": q_kg_embedding_neighbors,
     "kg_truss_communities": q_kg_truss_communities,
     "kg_bgp_star": q_kg_bgp_star,
     "kg_bgp_optional": q_kg_bgp_optional,
