@@ -575,7 +575,8 @@ def dedup_index_read(spark: SparkSession | None, path: str,
 def dedup_index_compact(spark: SparkSession, path: str,
                         snapshot_id: str | None = None,
                         vacuum: bool = True,
-                        num_files: int | None = None) -> dict:
+                        num_files: int | None = None,
+                        keep_snapshots: int = 1) -> dict:
     """Compact the dedup index — the maintenance move
     ``dedup_index_append`` needs at scale: every append adds one more
     parquet file set to each of the four tables, so a rolling 10^12-doc
@@ -616,13 +617,15 @@ def dedup_index_compact(spark: SparkSession, path: str,
     cur = _index_dirs(path)
     tables = {t: _read_idx_dir(spark, cur[t]) for t in _INDEX_TABLES}
     return _publish_index_snapshot(path, tables, snapshot_id=snapshot_id,
-                                   vacuum=vacuum, num_files=num_files)
+                                   vacuum=vacuum, num_files=num_files,
+                                   keep_snapshots=keep_snapshots)
 
 
 def _publish_index_snapshot(path: str, tables: dict[str, DataFrame],
                             snapshot_id: str | None = None,
                             vacuum: bool = True,
-                            num_files: int | None = None) -> dict:
+                            num_files: int | None = None,
+                            keep_snapshots: int = 1) -> dict:
     """Write the four index tables into an immutable ``snap=<id>``
     directory set and flip the manifest atomically — the shared commit
     machinery of ``dedup_index_compact`` (tables = a repack of the
@@ -633,7 +636,8 @@ def _publish_index_snapshot(path: str, tables: dict[str, DataFrame],
     return _write_index_snapshot(path, tables, _INDEX_TABLES,
                                  _INDEX_MANIFEST, _index_dirs,
                                  snapshot_id=snapshot_id, vacuum=vacuum,
-                                 num_files=num_files)
+                                 num_files=num_files,
+                                 keep_snapshots=keep_snapshots)
 
 
 def _write_index_snapshot(path: str, tables: dict[str, DataFrame],
@@ -641,12 +645,29 @@ def _write_index_snapshot(path: str, tables: dict[str, DataFrame],
                           manifest_name: str, dirs_fn,
                           snapshot_id: str | None = None,
                           vacuum: bool = True,
-                          num_files: int | None = None) -> dict:
+                          num_files: int | None = None,
+                          keep_snapshots: int = 1) -> dict:
     """The lifecycle-agnostic snapshot writer behind every index
     compaction (MinHash dedup and semantic): immutable ``snap=<id>``
     table set, fresh-id self-overwrite guard, atomic manifest rename,
     post-commit vacuum.  ``dirs_fn`` resolves the lifecycle's CURRENT
-    table directories (for the clash guard)."""
+    table directories (for the clash guard).
+
+    The manifest carries a ``history`` list (oldest → newest, the new
+    snapshot last) so commit and file expiry are SEPARATE events, the
+    way table formats split them (Iceberg snapshot log vs
+    ``expire_snapshots``): ``vacuum`` retains the newest
+    ``keep_snapshots`` entries (default 1 = current-only, the r4
+    behavior) and a retained entry stays readable via
+    ``index_read_at`` until ``expire_index_snapshots`` drops it.
+    Snapshot content is AS-SUPERSEDED, not as-published: appends write
+    into the CURRENT snapshot's directories, so a non-current retained
+    snapshot reads as the state the superseding publish consumed (for
+    a compaction that equals the new snapshot — a repack; for a
+    reconcile it is the pre-rebase index, the audit trail a keeper
+    remap wants) and is frozen from then on.  Legacy flat table dirs
+    (the pre-first-compaction layout) are not snapshot-tracked and are
+    always removed on vacuum."""
     import json
     import os
     import re
@@ -673,19 +694,113 @@ def _write_index_snapshot(path: str, tables: dict[str, DataFrame],
         if num_files is not None:
             df = df.coalesce(num_files)
         df.write.mode("overwrite").parquet(new_dirs[t])
-    manifest = {"snapshot": snapshot_id, "tables": new_dirs}
+    history = _manifest_history(path, manifest_name)
+    history = ([e for e in history if e["snapshot"] != snapshot_id]
+               + [{"snapshot": snapshot_id, "tables": new_dirs}])
+    if vacuum:
+        if keep_snapshots < 1:
+            raise ValueError("keep_snapshots must be >= 1")
+        history = history[-keep_snapshots:]
+    manifest = {"snapshot": snapshot_id, "tables": new_dirs,
+                "history": history}
     tmp = os.path.join(path, f".{manifest_name}.tmp")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
     os.rename(tmp, os.path.join(path, manifest_name))  # commit point
     if vacuum:
-        keep = f"snap={snapshot_id}"
+        keep = {f"snap={e['snapshot']}" for e in history}
         for d in os.listdir(path):
             full = os.path.join(path, d)
-            if d == keep or not os.path.isdir(full):
+            if d in keep or not os.path.isdir(full):
                 continue
             if d.startswith("snap=") or d in table_names:
                 shutil.rmtree(full)
+    return manifest
+
+
+def _manifest_history(path: str, manifest_name: str) -> list[dict]:
+    """The retained snapshot log from an index manifest, oldest →
+    newest (current last); ``[]`` for a never-compacted flat-layout
+    index.  A pre-history manifest (r4 format, no ``history`` key)
+    reconstructs as its current entry alone — its older snapshots were
+    either vacuumed at publish or are untracked orphans."""
+    import json
+    import os
+    man = os.path.join(path, manifest_name)
+    if not os.path.exists(man):
+        return []
+    with open(man) as fh:
+        m = json.load(fh)
+    return m.get("history",
+                 [{"snapshot": m["snapshot"], "tables": m["tables"]}])
+
+
+def index_snapshot_history(path: str,
+                           manifest_name: str = _INDEX_MANIFEST
+                           ) -> list[dict]:
+    """Public snapshot log for any manifest-flip index lifecycle
+    (dedup: the default manifest name; semantic: the same name at the
+    semantic index path).  Each entry is ``{snapshot, tables}``; the
+    current snapshot is last.  This is the commit log Iceberg-style
+    time travel reads against — ``index_read_at`` resolves through it,
+    ``expire_index_snapshots`` prunes it."""
+    return _manifest_history(path, manifest_name)
+
+
+def index_read_at(spark: SparkSession, path: str, name: str,
+                  snapshot_id: str,
+                  manifest_name: str = _INDEX_MANIFEST) -> DataFrame:
+    """Time-travel read of one index table AT A RETAINED SNAPSHOT.
+    Readers that need repeatable scans across a compaction pin a
+    snapshot id (from ``index_snapshot_history``) instead of holding a
+    pre-flip DataFrame plan — the plan stays valid until
+    ``expire_index_snapshots`` (or a vacuuming publish) drops the
+    snapshot, which is exactly the commit-vs-expiry split table
+    formats make.  Content is AS-SUPERSEDED (see
+    ``_write_index_snapshot``): pinning the previous snapshot across a
+    RECONCILE reads the pre-rebase index."""
+    for e in _manifest_history(path, manifest_name):
+        if e["snapshot"] == snapshot_id:
+            return _read_idx_dir(spark, e["tables"][name])
+    retained = [e["snapshot"] for e in _manifest_history(path,
+                                                         manifest_name)]
+    raise ValueError(
+        f"snapshot {snapshot_id!r} is not retained at {path} "
+        f"(retained: {retained}) — it was expired, or never published")
+
+
+def expire_index_snapshots(path: str, keep_last: int = 1,
+                           manifest_name: str = _INDEX_MANIFEST) -> dict:
+    """Drop all but the newest ``keep_last`` retained snapshots of a
+    manifest-flip index: prune the history, rewrite the manifest
+    atomically, THEN delete the unreferenced ``snap=`` directories —
+    the file-expiry half of the lifecycle (Iceberg
+    ``expire_snapshots``), separated from publish so retention runs on
+    its own schedule.  The current snapshot is history's last entry
+    and is always kept.  Returns the rewritten manifest."""
+    import json
+    import os
+    import shutil
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    history = _manifest_history(path, manifest_name)
+    if not history:
+        raise ValueError(
+            f"no manifest at {path} — a flat-layout index has no "
+            "snapshots to expire; compact it first")
+    kept = history[-keep_last:]
+    manifest = {"snapshot": kept[-1]["snapshot"],
+                "tables": kept[-1]["tables"], "history": kept}
+    tmp = os.path.join(path, f".{manifest_name}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.rename(tmp, os.path.join(path, manifest_name))  # commit point
+    keep_dirs = {f"snap={e['snapshot']}" for e in kept}
+    for d in os.listdir(path):
+        full = os.path.join(path, d)
+        if d.startswith("snap=") and d not in keep_dirs \
+                and os.path.isdir(full):
+            shutil.rmtree(full)
     return manifest
 
 
@@ -698,7 +813,8 @@ def dedup_index_reconcile(window_docs: DataFrame, path: str,
                           max_bucket: int | None = None,
                           snapshot_id: str | None = None,
                           vacuum: bool = True,
-                          num_files: int | None = None) -> dict:
+                          num_files: int | None = None,
+                          keep_snapshots: int = 1) -> dict:
     """Keeper-drift reconciliation for the frozen-keeper index — the
     mitigation the measured trade demands
     (``tools/measure_incremental_recall.py``: drift recall 0.0000
@@ -814,7 +930,8 @@ def dedup_index_reconcile(window_docs: DataFrame, path: str,
                                         rows_per_band=rows_per_band)),
     }
     return _publish_index_snapshot(path, tables, snapshot_id=snapshot_id,
-                                   vacuum=vacuum, num_files=num_files)
+                                   vacuum=vacuum, num_files=num_files,
+                                   keep_snapshots=keep_snapshots)
 
 
 def shingle_fingerprints(sh: DataFrame) -> DataFrame:
@@ -1579,7 +1696,8 @@ def semantic_index_append(new_emb: DataFrame, path: str,
 def semantic_index_compact(spark: SparkSession, path: str,
                            snapshot_id: str | None = None,
                            vacuum: bool = True,
-                           num_files: int | None = None) -> dict:
+                           num_files: int | None = None,
+                           keep_snapshots: int = 1) -> dict:
     """Rewrite the semantic index's current tables as one coalesced
     ``snap=<id>`` snapshot under an atomic manifest flip — same
     contract (and same vacuum caveat for pre-flip DataFrame handles) as
@@ -1589,7 +1707,8 @@ def semantic_index_compact(spark: SparkSession, path: str,
               for t in _SEM_TABLES}
     return _write_index_snapshot(path, tables, _SEM_TABLES, _SEM_MANIFEST,
                                  _sem_dirs, snapshot_id=snapshot_id,
-                                 vacuum=vacuum, num_files=num_files)
+                                 vacuum=vacuum, num_files=num_files,
+                                 keep_snapshots=keep_snapshots)
 
 
 def semantic_index_reconcile(window_emb: DataFrame, path: str,
@@ -1600,7 +1719,8 @@ def semantic_index_reconcile(window_emb: DataFrame, path: str,
                              checkpoint_dir: str | None = None,
                              snapshot_id: str | None = None,
                              vacuum: bool = True,
-                             num_files: int | None = None) -> dict:
+                             num_files: int | None = None,
+                             keep_snapshots: int = 1) -> dict:
     """Keeper-drift reconciliation for the frozen-keeper SEMANTIC index
     — the embedding-tier twin of ``dedup_index_reconcile``, closing the
     same measured trade (a new vector whose only above-threshold
@@ -1695,4 +1815,5 @@ def semantic_index_reconcile(window_emb: DataFrame, path: str,
               "reps": reps_tbl}
     return _write_index_snapshot(path, tables, _SEM_TABLES, _SEM_MANIFEST,
                                  _sem_dirs, snapshot_id=snapshot_id,
-                                 vacuum=vacuum, num_files=num_files)
+                                 vacuum=vacuum, num_files=num_files,
+                                 keep_snapshots=keep_snapshots)

@@ -194,13 +194,16 @@ def append_text_index(new_docs: DataFrame, path: str,
     segments = [s for s in man["segments"] if s != seg] + [seg]
     manifest = {"snapshot": man.get("snapshot"), "segments": segments,
                 "n_buckets": n_buckets}
+    if "history" in man:  # the snapshot log survives appends
+        manifest["history"] = man["history"]
     _write_text_manifest(path, manifest)
     return manifest
 
 
 def compact_text_index(spark, path: str, snapshot_id: str | None = None,
                        vacuum: bool = True,
-                       num_files: int | None = None) -> dict:
+                       num_files: int | None = None,
+                       keep_snapshots: int = 1) -> dict:
     """Merge all segments back into ONE under ``<path>/snap=<id>`` and
     flip the manifest atomically — the maintenance move a rolling
     ingest needs (every append adds a segment whose listing cost
@@ -239,18 +242,54 @@ def compact_text_index(spark, path: str, snapshot_id: str | None = None,
         mx = (spark.read.parquet(f"{path}/postings")
               .agg(F.max("bucket")).collect()[0][0])
         n_buckets = int(mx) + 1 if mx is not None else 64
+    # snapshot log: the superseded state (with every segment appended
+    # while it was current) is frozen into history; `vacuum` retains
+    # the newest `keep_snapshots` entries — the same commit-vs-expiry
+    # split as the dedup index's `_write_index_snapshot`
+    from ..plans.publish import referenced_roots, segmented_history
+    history = segmented_history(man, _TEXT_ENTRY_KEYS)
+    history.append({"snapshot": snapshot_id, "segments": [snap],
+                    "n_buckets": n_buckets})
+    if vacuum:
+        if keep_snapshots < 1:
+            raise ValueError("keep_snapshots must be >= 1")
+        history = history[-keep_snapshots:]
     manifest = {"snapshot": snapshot_id, "segments": [snap],
-                "n_buckets": n_buckets}
+                "n_buckets": n_buckets, "history": history}
     _write_text_manifest(path, manifest)
     if vacuum:
+        keep = referenced_roots(path, history)
         for d in os.listdir(path):
             full = os.path.join(path, d)
-            if full == snap or not os.path.isdir(full):
+            if d in keep or not os.path.isdir(full):
                 continue
             if (d.startswith("seg-") or d.startswith("snap=")
                     or d in ("postings", "stats", "postings_schema")):
                 shutil.rmtree(full)
     return manifest
+
+
+_TEXT_ENTRY_KEYS = ("snapshot", "segments", "n_buckets")
+
+
+def text_index_history(path: str) -> list[dict]:
+    """Snapshot log of the BM25 index, oldest → newest (current last);
+    ``[]`` for a build-once index.  Entries are frozen AS-SUPERSEDED
+    states (segments appended while a snapshot was current ride in its
+    entry), same semantics as ``dedup.index_snapshot_history``."""
+    from ..plans.publish import segmented_history
+    return segmented_history(_read_text_manifest(path), _TEXT_ENTRY_KEYS)
+
+
+def expire_text_index_snapshots(path: str, keep_last: int = 1) -> dict:
+    """Drop all but the newest ``keep_last`` retained BM25 snapshots —
+    the file-expiry half of the lifecycle, separated from compaction so
+    retention runs on its own schedule; the current snapshot is always
+    kept.  Returns the rewritten manifest."""
+    from ..plans.publish import expire_segmented_snapshots
+    return expire_segmented_snapshots(
+        path, _IDX_MANIFEST, _TEXT_ENTRY_KEYS, keep_last=keep_last,
+        legacy_dirs=("postings", "stats", "postings_schema"))
 
 
 def _read_text_segments(spark, segments: list[str],
@@ -286,13 +325,23 @@ def _read_text_segments(spark, segments: list[str],
 
 def query_text_index(spark, path: str, terms: list[str], k: int = 20,
                      k1: float = 1.2, b: float = 0.75,
-                     n_buckets: int = 64) -> DataFrame:
+                     n_buckets: int = 64,
+                     snapshot_id: str | None = None) -> DataFrame:
     """BM25 top-k served from a materialized index: the query terms'
     bucket ids are LITERALS, so they reach every segment's postings
     scan as PartitionFilters (pruned directories, not filtered rows)
     with the term filter pushed beneath; scoring is identical to
-    ``bm25_topk`` (df and corpus stats fold across segments)."""
+    ``bm25_topk`` (df and corpus stats fold across segments).
+
+    ``snapshot_id`` time-travels: serve from a RETAINED snapshot (see
+    ``text_index_history``) instead of the current one — the
+    repeatable-scan pin a reader holds across a compaction until
+    ``expire_text_index_snapshots`` drops it."""
     man = _read_text_manifest(path)
+    if snapshot_id is not None:
+        from ..plans.publish import resolve_segmented_snapshot
+        man = resolve_segmented_snapshot(man, _TEXT_ENTRY_KEYS,
+                                         snapshot_id, "BM25 index")
     if man.get("n_buckets") is not None:
         n_buckets = man["n_buckets"]
     # no driver-side xxhash64 exists; compute the buckets with a tiny

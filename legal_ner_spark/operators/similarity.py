@@ -417,13 +417,16 @@ def append_ivf_index(new_vecs: DataFrame, path: str,
     segments = [s for s in man["segments"] if s != seg] + [seg]
     manifest = {"snapshot": man.get("snapshot"),
                 "centroids": man["centroids"], "segments": segments}
+    if "history" in man:  # the snapshot log survives appends
+        manifest["history"] = man["history"]
     _write_ivf_manifest(path, manifest)
     return manifest
 
 
 def compact_ivf_index(spark, path: str, snapshot_id: str | None = None,
                       vacuum: bool = True,
-                      num_files: int | None = None) -> dict:
+                      num_files: int | None = None,
+                      keep_snapshots: int = 1) -> dict:
     """Merge all list segments into ONE under ``<path>/snap=<id>``
     (centroids copied alongside so the snapshot is self-contained) and
     flip the manifest atomically.  The quantizer stays FROZEN — the
@@ -457,14 +460,29 @@ def compact_ivf_index(spark, path: str, snapshot_id: str | None = None,
      .parquet(f"{snap}/lists_schema"))
     (spark.read.parquet(man["centroids"])
      .write.mode("overwrite").parquet(f"{snap}/centroids"))
+    # snapshot log: freeze the superseded state (with every segment
+    # appended while it was current) into history; `vacuum` retains the
+    # newest `keep_snapshots` entries — same commit-vs-expiry split as
+    # the dedup index's `_write_index_snapshot`
+    from ..plans.publish import referenced_roots, segmented_history
+    history = segmented_history(man, _IVF_ENTRY_KEYS)
+    history.append({"snapshot": snapshot_id,
+                    "centroids": f"{snap}/centroids",
+                    "segments": [f"{snap}/lists"]})
+    if vacuum:
+        if keep_snapshots < 1:
+            raise ValueError("keep_snapshots must be >= 1")
+        history = history[-keep_snapshots:]
     manifest = {"snapshot": snapshot_id,
                 "centroids": f"{snap}/centroids",
-                "segments": [f"{snap}/lists"]}
+                "segments": [f"{snap}/lists"],
+                "history": history}
     _write_ivf_manifest(path, manifest)
     if vacuum:
+        keep = referenced_roots(path, history)
         for d in os.listdir(path):
             full = os.path.join(path, d)
-            if full == snap or not os.path.isdir(full):
+            if d in keep or not os.path.isdir(full):
                 continue
             if (d.startswith("seg-") or d.startswith("snap=")
                     or d in ("lists", "lists_schema", "centroids")):
@@ -472,8 +490,30 @@ def compact_ivf_index(spark, path: str, snapshot_id: str | None = None,
     return manifest
 
 
+_IVF_ENTRY_KEYS = ("snapshot", "centroids", "segments")
+
+
+def ivf_index_history(path: str) -> list[dict]:
+    """Snapshot log of the IVF index, oldest → newest (current last);
+    ``[]`` for a build-once index.  Entries are frozen AS-SUPERSEDED
+    states, same semantics as ``dedup.index_snapshot_history``."""
+    from ..plans.publish import segmented_history
+    return segmented_history(_read_ivf_manifest(path), _IVF_ENTRY_KEYS)
+
+
+def expire_ivf_index_snapshots(path: str, keep_last: int = 1) -> dict:
+    """Drop all but the newest ``keep_last`` retained IVF snapshots —
+    the file-expiry half of the lifecycle; the current snapshot is
+    always kept.  Returns the rewritten manifest."""
+    from ..plans.publish import expire_segmented_snapshots
+    return expire_segmented_snapshots(
+        path, _IVF_MANIFEST, _IVF_ENTRY_KEYS, keep_last=keep_last,
+        legacy_dirs=("lists", "lists_schema", "centroids"))
+
+
 def query_ivf_index(spark, path: str, queries: DataFrame, k: int = 5,
-                    n_probe: int = 2) -> DataFrame:
+                    n_probe: int = 2,
+                    snapshot_id: str | None = None) -> DataFrame:
     """Query a materialized IVF index.  The probed centroid_ids reach
     every list segment's scan as a partition filter (visible as
     PartitionFilters in the plan when probes are literal); rerank is
@@ -482,8 +522,17 @@ def query_ivf_index(spark, path: str, queries: DataFrame, k: int = 5,
     ``build_ivf_index``) is detected by schema and dequantized inside
     the rerank projection.  Segments (appended batches) union before
     the probe join — list membership is per-vector, so segmentation
-    never changes the candidate set."""
+    never changes the candidate set.
+
+    ``snapshot_id`` time-travels: serve from a RETAINED snapshot (see
+    ``ivf_index_history``) instead of the current one — the
+    repeatable-scan pin a reader holds across a compaction until
+    ``expire_ivf_index_snapshots`` drops it."""
     man = _read_ivf_manifest(path)
+    if snapshot_id is not None:
+        from ..plans.publish import resolve_segmented_snapshot
+        man = resolve_segmented_snapshot(man, _IVF_ENTRY_KEYS,
+                                         snapshot_id, "IVF index")
     cents = spark.read.parquet(man["centroids"])
     lists = _read_lists_dir(spark, man["segments"][0])
     for s in man["segments"][1:]:

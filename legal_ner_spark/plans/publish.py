@@ -121,3 +121,106 @@ def read_published(spark: SparkSession, root: str, name: str) -> DataFrame:
     if manifest is None:
         raise FileNotFoundError(f"no published snapshot under {root}")
     return spark.read.parquet(manifest["tables"][name])
+
+
+# ---------------------------------------------------------------------
+# Segmented-lifecycle snapshot log (BM25 text index, IVF): the
+# commit-vs-file-expiry split for manifests whose state is a SEGMENT
+# LIST that appends mutate between compactions.  The dedup/semantic
+# lifecycles get the same split from their shared snapshot writer
+# (operators/dedup.py `_write_index_snapshot`); these helpers give the
+# two segment-list manifests one consistent implementation of history,
+# snapshot resolution, and retention-driven expiry.
+# ---------------------------------------------------------------------
+
+def segmented_history(man: dict, entry_keys: tuple[str, ...]) -> list[dict]:
+    """Snapshot log of a segmented manifest, oldest → newest, CURRENT
+    LAST.  The current snapshot's entry is re-derived from the manifest
+    body (not the stored history) because appends grow the live
+    ``segments`` list after the snapshot was published — the body is
+    authoritative for the current state; stored history entries are
+    frozen as-superseded states.  A manifest whose ``snapshot`` is None
+    (legacy build-once / fresh build) contributes no current entry —
+    that state is untracked, exactly like the dedup index's flat
+    layout."""
+    hist = list(man.get("history", []))
+    if man.get("snapshot") is not None:
+        cur = {k: man[k] for k in entry_keys if k in man}
+        hist = ([e for e in hist if e.get("snapshot") != man["snapshot"]]
+                + [cur])
+    return hist
+
+
+def resolve_segmented_snapshot(man: dict, entry_keys: tuple[str, ...],
+                               snapshot_id: str, what: str) -> dict:
+    """The history entry for ``snapshot_id``, or a loud ValueError
+    naming the retained ids — never a half-missing-directory scan."""
+    hist = segmented_history(man, entry_keys)
+    for e in hist:
+        if e.get("snapshot") == snapshot_id:
+            return e
+    raise ValueError(
+        f"snapshot {snapshot_id!r} is not retained in the {what} "
+        f"(retained: {[e.get('snapshot') for e in hist]}) — it was "
+        "expired, or never published")
+
+
+def referenced_roots(path: str, entries: list[dict]) -> set[str]:
+    """Top-level directory names under ``path`` that retained history
+    entries still reference (segment roots, centroids, …) — the KEEP
+    set for vacuum/expiry.  A reference equal to ``path`` itself (the
+    legacy single-segment layout) contributes nothing: legacy states
+    are untracked."""
+    roots: set[str] = set()
+    for e in entries:
+        refs = list(e.get("segments", []))
+        if "centroids" in e:
+            refs.append(e["centroids"])
+        for s in refs:
+            rel = os.path.relpath(s, path)
+            if rel != "." and not rel.startswith(".."):
+                roots.add(rel.split(os.sep)[0])
+    return roots
+
+
+def expire_segmented_snapshots(path: str, manifest_name: str,
+                               entry_keys: tuple[str, ...],
+                               keep_last: int = 1,
+                               legacy_dirs: tuple[str, ...] = ()) -> dict:
+    """Drop all but the newest ``keep_last`` retained snapshots of a
+    segmented index: prune the history, rewrite the manifest
+    atomically, THEN delete unreferenced ``snap=``/``seg-`` directories
+    (and untracked legacy flat dirs).  The current snapshot is the
+    log's last entry and is always kept.  Returns the rewritten
+    manifest."""
+    import shutil
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    mpath = os.path.join(path, manifest_name)
+    if not os.path.exists(mpath):
+        raise ValueError(
+            f"no manifest at {path} — a build-once index has no "
+            "snapshots to expire; compact it first")
+    with open(mpath) as fh:
+        man = json.load(fh)
+    hist = segmented_history(man, entry_keys)
+    if not hist:
+        raise ValueError(
+            f"the index at {path} has never published a snapshot "
+            "(snapshot is None) — compact it first")
+    kept = hist[-keep_last:]
+    manifest = {k: v for k, v in man.items() if k != "history"}
+    manifest["history"] = kept
+    tmp = os.path.join(path, f".{manifest_name}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.rename(tmp, mpath)  # commit point
+    keep = referenced_roots(path, kept)
+    for d in os.listdir(path):
+        full = os.path.join(path, d)
+        if d in keep or not os.path.isdir(full):
+            continue
+        if d.startswith("snap=") or d.startswith("seg-") \
+                or d in legacy_dirs:
+            shutil.rmtree(full)
+    return manifest
