@@ -71,7 +71,9 @@ def bgp_match(triples: DataFrame, patterns, *, optional=(), minus=(),
               distinct: bool = True, allow_product: bool = False,
               broadcast_rows: int = 50_000,
               pred_stats: dict | None = None,
-              sources=None) -> DataFrame:
+              sources=None, select=None, order_by=(),
+              limit: int | None = None,
+              offset: int | None = None) -> DataFrame:
     """Match a conjunctive basic graph pattern against a triple table.
 
     ``patterns`` is a list of 3- or 4-tuples ``(subj, pred, obj[, doc])``
@@ -140,6 +142,20 @@ def bgp_match(triples: DataFrame, patterns, *, optional=(), minus=(),
 
     ``pred_stats`` (``{pred: row_count}``) skips the count probe — pass a
     precomputed dict when issuing many queries against one snapshot.
+
+    Solution modifiers, applied in SPARQL's order (projection →
+    DISTINCT → ORDER BY → OFFSET → LIMIT): ``select`` projects a subset
+    of the declared variables (``["?court", "?j"]``); ``order_by``
+    sorts by variables, ``"-?v"`` for descending — with a projection it
+    must reference projected variables (the same restriction SPARQL
+    puts on SELECT DISTINCT); ``limit``/``offset`` slice the ordered
+    solutions.  OFFSET without ORDER BY is refused — an unordered
+    offset is a nondeterministic answer in a distributed engine (the
+    spec says the same: without ORDER BY, LIMIT/OFFSET pick arbitrary
+    solutions; LIMIT alone is allowed since "any N solutions" is a
+    meaningful contract, "skip an arbitrary N" is not).  ORDER BY +
+    LIMIT compiles to Spark's TakeOrderedAndProject — a per-partition
+    top-k fold, never a global sort of the full binding set.
 
     ``sources`` (parallel to ``patterns``; entries a DataFrame or None)
     overrides the triple table for individual REQUIRED patterns — the
@@ -331,7 +347,54 @@ def bgp_match(triples: DataFrame, patterns, *, optional=(), minus=(),
     cur = cur.select(*declared)
     for fx in ([filters] if isinstance(filters, str) else filters):
         cur = cur.filter(F.expr(fx))
-    return cur.distinct() if distinct else cur
+    if select is not None:
+        names = []
+        for v in ([select] if isinstance(select, str) else select):
+            n = _var_name(v) if _is_var(v) else v
+            if n not in declared:
+                raise ValueError(
+                    f"select names undeclared variable ?{n} "
+                    f"(declared: {declared})")
+            names.append(n)
+        cur = cur.select(*names)
+    if distinct:
+        cur = cur.distinct()
+    if order_by:
+        keys = []
+        for o in ([order_by] if isinstance(order_by, str) else order_by):
+            desc = o.startswith("-")
+            raw = o[1:] if desc else o
+            n = _var_name(raw) if _is_var(raw) else raw
+            if n not in cur.columns:
+                raise ValueError(
+                    f"order_by names ?{n}, which is not in the "
+                    f"projected solution ({cur.columns}) — with a "
+                    "projection, ORDER BY must use projected variables")
+            keys.append(F.col(n).desc() if desc else F.col(n).asc())
+        cur = cur.orderBy(*keys)
+    if offset:
+        if not order_by:
+            raise ValueError(
+                "OFFSET without ORDER BY is a nondeterministic slice "
+                "in a distributed engine — give order_by")
+        cur = cur.offset(int(offset))
+    if limit is not None:
+        cur = cur.limit(int(limit))
+    return cur
+
+
+def ask(triples: DataFrame, patterns, **kw) -> bool:
+    """SPARQL ASK: does the BGP have at least one solution?  Compiles
+    the same plan as ``bgp_match`` and probes it with an eager limit-1
+    (``isEmpty`` takes one row from the first non-empty partition — no
+    full materialization).  Every bgp_match option except the solution
+    modifiers passes through."""
+    for bad in ("distinct", "select", "order_by", "limit", "offset"):
+        if bad in kw:
+            raise ValueError(f"ask() takes no {bad!r} — ASK is a "
+                             "boolean, not a solution sequence")
+    return not bgp_match(triples, patterns, distinct=False,
+                         **kw).isEmpty()
 
 
 def property_path(edges: DataFrame, max_hops: int, *, min_hops: int = 1,

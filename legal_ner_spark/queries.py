@@ -7487,6 +7487,57 @@ WHERE a.pred = 'decided_by' AND a.obj LIKE 'High Court%'
 GROUP BY a.obj"""
 
 
+def q_kg_bgp_slice(spark, sf_dir):
+    """SPARQL solution modifiers end-to-end: SELECT (projection to
+    ?court ?j) DISTINCT ORDER BY (court asc, judge desc) OFFSET 5
+    LIMIT 10 over a two-pattern BGP.  The total order on both projected
+    variables makes the slice deterministic — the refusal path (OFFSET
+    without ORDER BY) is pytest-gated; ORDER BY + LIMIT compiles to a
+    top-k fold (TakeOrderedAndProject), not a global sort."""
+    from .operators import kgquery
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    return kgquery.bgp_match(
+        tri, [("?d", "decided_by", "?court"), ("?d", "has_judge", "?j")],
+        select=["?court", "?j"], order_by=["?court", "-?j"],
+        offset=5, limit=10)
+
+
+def o_kg_bgp_slice():
+    return f"""
+WITH t AS (SELECT subj, pred, obj FROM {_KG_SQL_SRC}
+           WHERE rec_type = 'triple')
+SELECT DISTINCT a.obj AS court, b.obj AS j
+FROM t a JOIN t b ON b.subj = a.subj AND b.pred = 'has_judge'
+WHERE a.pred = 'decided_by'
+ORDER BY court ASC, j DESC LIMIT 10 OFFSET 5"""
+
+
+def q_kg_bgp_ask(spark, sf_dir):
+    """SPARQL ASK over two BGPs: one that matches (a judgment decided
+    by a court that also cites a precedent) and one that cannot (a
+    court that decides itself), returned as a single boolean row.  ask
+    probes the compiled plan with an eager limit-1 — no full binding
+    materialization."""
+    from .operators import kgquery
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    yes = kgquery.ask(tri, [("?d", "decided_by", "?c"),
+                            ("?d", "cites_precedent", "?p")])
+    no = kgquery.ask(tri, [("?c", "decided_by", "?c")])
+    return spark.createDataFrame([(yes, no)],
+                                 "matched boolean, self_decided boolean")
+
+
+def o_kg_bgp_ask():
+    return f"""
+WITH t AS (SELECT subj, pred, obj FROM {_KG_SQL_SRC}
+           WHERE rec_type = 'triple')
+SELECT EXISTS(SELECT 1 FROM t a JOIN t b ON b.subj = a.subj
+              AND b.pred = 'cites_precedent'
+              WHERE a.pred = 'decided_by') AS matched,
+       EXISTS(SELECT 1 FROM t WHERE pred = 'decided_by'
+              AND subj = obj) AS self_decided"""
+
+
 def q_kg_roundtrip_ntriples(spark, sf_dir):
     """Round-trip through the RDF interchange form: export the graph as
     N-Triples, parse it back (`from_ntriples` — skolem-statement regex +
@@ -7777,6 +7828,8 @@ QUERIES = {
     "kg_bgp_not_exists": q_kg_bgp_not_exists,
     "kg_bgp_filter_agg": q_kg_bgp_filter_agg,
     "kg_bgp_chain": q_kg_bgp_chain,
+    "kg_bgp_slice": q_kg_bgp_slice,
+    "kg_bgp_ask": q_kg_bgp_ask,
     "kg_construct_rule": q_kg_construct_rule,
     "kg_same_as_closure": q_kg_same_as_closure,
     "kg_export_ntriples": q_kg_export_ntriples,
@@ -7970,6 +8023,8 @@ ORACLES = {
     "kg_bgp_not_exists": o_kg_bgp_not_exists(),
     "kg_bgp_filter_agg": o_kg_bgp_filter_agg(),
     "kg_bgp_chain": o_kg_bgp_chain(),
+    "kg_bgp_slice": o_kg_bgp_slice(),
+    "kg_bgp_ask": o_kg_bgp_ask(),
     "kg_construct_rule": o_kg_construct_rule(),
     "kg_same_as_closure": o_kg_same_as_closure(),
     "kg_export_ntriples": o_kg_export_ntriples(),

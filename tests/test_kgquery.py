@@ -215,6 +215,56 @@ def test_bgp_rejects_empty_and_bad_shapes(kg):
         kgquery.bgp_match(kg, [("?not ok", "p", "?b")])
 
 
+def test_bgp_solution_modifiers(kg):
+    """SELECT projection → DISTINCT → ORDER BY → OFFSET → LIMIT, in
+    SPARQL's order, with a descending key."""
+    out = kgquery.bgp_match(
+        kg, [("?d", "cites_precedent", "?p")],
+        select=["?p"], order_by=["-?p"])
+    assert [r.p for r in out.collect()] == ["C vs D", "A vs B"]
+    out = kgquery.bgp_match(
+        kg, [("?d", "cites_precedent", "?p")],
+        select=["?p"], order_by=["?p"], offset=1, limit=1)
+    assert [r.p for r in out.collect()] == ["C vs D"]
+    # distinct applies to the PROJECTED solution: two docs cite
+    # "A vs B", one row survives
+    n = kgquery.bgp_match(kg, [("?d", "cites_precedent", "?p")],
+                          select=["?p"]).count()
+    assert n == 2
+
+
+def test_bgp_modifier_guards(kg):
+    with pytest.raises(ValueError, match="undeclared"):
+        kgquery.bgp_match(kg, [("?d", "decided_by", "?c")],
+                          select=["?nope"])
+    with pytest.raises(ValueError, match="projected"):
+        kgquery.bgp_match(kg, [("?d", "decided_by", "?c")],
+                          select=["?c"], order_by=["?d"])
+    with pytest.raises(ValueError, match="OFFSET without ORDER BY"):
+        kgquery.bgp_match(kg, [("?d", "decided_by", "?c")], offset=2)
+
+
+def test_bgp_order_limit_is_topk_not_global_sort(kg):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject (a
+    per-partition top-k fold) — a global Sort over the binding table
+    would be the 100 TB scale-killer."""
+    out = kgquery.bgp_match(kg, [("?d", "decided_by", "?c")],
+                            order_by=["?d"], limit=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ask(kg):
+    assert kgquery.ask(kg, [("?d", "decided_by", "?c"),
+                            ("?d", "has_judge", "?j")]) is True
+    assert kgquery.ask(kg, [("?d", "decided_by", "nowhere")]) is False
+    # options pass through; solution modifiers are refused
+    assert kgquery.ask(kg, [("?d", "decided_by", "?c")],
+                       not_exists=[("?d", "has_judge", "?j")]) is True
+    with pytest.raises(ValueError, match="ASK is a boolean"):
+        kgquery.ask(kg, [("?d", "decided_by", "?c")], limit=1)
+
+
 def test_bgp_plan_is_equi_join_only(kg):
     out = kgquery.bgp_match(kg, [("?d", "decided_by", "?c"),
                                  ("?d", "has_judge", "?j")])
