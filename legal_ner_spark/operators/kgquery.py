@@ -73,7 +73,8 @@ def bgp_match(triples: DataFrame, patterns, *, optional=(), minus=(),
               pred_stats: dict | None = None,
               sources=None, select=None, order_by=(),
               limit: int | None = None,
-              offset: int | None = None) -> DataFrame:
+              offset: int | None = None,
+              path_max_hops: int = 8) -> DataFrame:
     """Match a conjunctive basic graph pattern against a triple table.
 
     ``patterns`` is a list of 3- or 4-tuples ``(subj, pred, obj[, doc])``
@@ -143,6 +144,15 @@ def bgp_match(triples: DataFrame, patterns, *, optional=(), minus=(),
     ``pred_stats`` (``{pred: row_count}``) skips the count probe — pass a
     precomputed dict when issuing many queries against one snapshot.
 
+    A predicate term containing path metacharacters is a PROPERTY-PATH
+    EXPRESSION (``"part_of/same_as?"``, ``"same_as+"``,
+    ``"(cites_precedent|^cites_precedent){1,2}"``): the pattern matches
+    the path's endpoint relation, evaluated by ``path_relation`` (one
+    pred-pushed scan per step, semi-naive frontier loop for
+    quantifiers, ``+``/``*`` bounded by ``path_max_hops``) and joined
+    into the BGP like any other pattern.  Path patterns take no doc
+    term and cannot be delta-pinned.
+
     Solution modifiers, applied in SPARQL's order (projection →
     DISTINCT → ORDER BY → OFFSET → LIMIT): ``select`` projects a subset
     of the declared variables (``["?court", "?j"]``); ``order_by``
@@ -187,6 +197,42 @@ def bgp_match(triples: DataFrame, patterns, *, optional=(), minus=(),
     total = sum(pred_counts.values()) or 1
 
     def _compile(p, src=None):
+        # property-path predicate (``part_of/same_as?``, ``same_as+``,
+        # ``(a|^b){1,2}`` …): the pattern's relation is the evaluated
+        # path endpoints instead of a filtered triple scan — see
+        # `path_relation`.  The doc term has no meaning across hops and
+        # a delta pin has no sound incremental semantics for a closure
+        # (one new edge can create many new paths), so both are refused.
+        if p[1] is not None and not _is_var(p[1]) and _is_path_expr(p[1]):
+            if p[3] is not None:
+                raise ValueError(
+                    f"path pattern {p[:3]!r} cannot constrain doc_id — "
+                    "a multi-hop match spans documents")
+            if src is not None:
+                raise ValueError(
+                    "a path-expression pattern cannot be delta-pinned "
+                    "(a delta edge can create paths the delta does not "
+                    "contain); evaluate it against the full store")
+            rel = path_relation(triples, p[1], max_hops=path_max_hops)
+            df = rel
+            seen_vars: dict[str, str] = {}
+            proj = []
+            for col, term in (("src", p[0]), ("dst", p[2])):
+                if term is None:
+                    continue
+                if _is_var(term):
+                    v = _var_name(term)
+                    if v in seen_vars:
+                        df = df.filter(F.col(seen_vars[v]) == F.col(col))
+                    else:
+                        seen_vars[v] = col
+                        proj.append(F.col(col).alias(v))
+                else:
+                    df = df.filter(F.col(col) == F.lit(term))
+            first_alts = _parse_path(p[1])[0][0]
+            est = float(sum(pred_counts.get(a.lstrip("^"), 0)
+                            for a in first_alts)) or 1.0
+            return est, list(seen_vars), df.select(*proj)
         df = triples if src is None else src
         est = float(total)
         if not _is_var(p[1]) and p[1] is not None:
@@ -536,6 +582,125 @@ def path_edges(triples: DataFrame, alts) -> DataFrame:
     for s in alts[1:]:
         out = out.unionByName(_step_edges(triples, s))
     return out
+
+
+_PATH_META = "/|^+*?{("
+_STEP_RE = None  # compiled lazily; ^?pred with word/dot chars
+
+
+def _is_path_expr(term: str) -> bool:
+    """A non-variable predicate term containing path metacharacters is
+    a property-path expression (plain predicates are bare identifiers —
+    letters/digits/underscore/dot)."""
+    return any(ch in term for ch in _PATH_META)
+
+
+def _parse_path(expr: str):
+    """Parse a SPARQL property-path subset into evaluation steps
+    ``[(alternatives, min_hops, max_hops)]`` where alternatives are
+    ``pred`` / ``^pred`` step strings (``path_edges`` syntax) and
+    ``max_hops=None`` means unbounded (``+``/``*``, bounded at
+    evaluation by ``max_hops``).  Grammar: ``seq := step ('/' step)*``;
+    ``step := atom quant?``; ``atom := '^'? pred | '(' alt ('|' alt)* ')'``;
+    ``quant := '+' | '*' | '?' | '{m,n}'``.  One level of grouping —
+    alternation inside a sequence — which covers the SPARQL paths a
+    triple-pattern engine meets in practice; nested groups are refused
+    loudly rather than mis-parsed."""
+    import re
+    global _STEP_RE
+    if _STEP_RE is None:
+        _STEP_RE = re.compile(
+            r"^(?P<atom>\^?[A-Za-z_][\w.]*|\([^()]+\))"
+            r"(?P<q>\+|\*|\?|\{(?P<lo>\d+),(?P<hi>\d+)\})?$")
+    segs, buf, depth = [], "", 0
+    for ch in expr:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                raise ValueError(f"unbalanced ')' in path {expr!r}")
+        if ch == "/" and depth == 0:
+            segs.append(buf)
+            buf = ""
+        else:
+            buf += ch
+    if depth:
+        raise ValueError(f"unbalanced '(' in path {expr!r}")
+    segs.append(buf)
+    step_re = re.compile(r"^\^?[A-Za-z_][\w.]*$")
+    steps = []
+    for seg in segs:
+        m = _STEP_RE.match(seg.strip())
+        if not m:
+            raise ValueError(f"bad path step {seg!r} in {expr!r}")
+        atom = m.group("atom")
+        alts = ([a.strip() for a in atom[1:-1].split("|")]
+                if atom.startswith("(") else [atom])
+        for a in alts:
+            if not step_re.match(a):
+                raise ValueError(f"bad path alternative {a!r} in {expr!r}")
+        q = m.group("q")
+        if q is None:
+            mn, mx = 1, 1
+        elif q == "+":
+            mn, mx = 1, None
+        elif q == "*":
+            mn, mx = 0, None
+        elif q == "?":
+            mn, mx = 0, 1
+        else:
+            mn, mx = int(m.group("lo")), int(m.group("hi"))
+            if mx < 1 or mn > mx:
+                raise ValueError(f"bad quantifier bounds in {seg!r}")
+        steps.append((alts, mn, mx))
+    return steps
+
+
+def path_relation(triples: DataFrame, expr: str, *, max_hops: int = 8,
+                  checkpoint_dir: str | None = None) -> DataFrame:
+    """Evaluate a property-path EXPRESSION (see ``_parse_path``) to its
+    ``(src, dst)`` endpoint relation — the composition of the existing
+    path operators: each step is a pred-pushed edge scan
+    (``_step_edges``), alternation unions them (``path_edges``),
+    quantifiers run the semi-naive frontier loop (``property_path``,
+    unbounded ``+``/``*`` cut at ``max_hops`` exactly like ``closure``;
+    the loop stops at the true fixpoint when the graph's diameter is
+    smaller), and ``/`` composes step relations with one equi-join
+    each.  Zero-admitting quantifiers follow the spec: mid-sequence the
+    zero case passes the incoming endpoints through (``a/p?/b``
+    matches with or without the hop); at the START of a path the
+    zero-length relation is the identity over every graph node.  Every
+    shuffle is keyed — no product shape anywhere."""
+    steps = _parse_path(expr)
+    rel = None
+    for alts, mn, mx in steps:
+        e = path_edges(triples, alts)
+        if (mn, mx) == (1, 1):
+            step_rel = e.distinct()
+        else:
+            hi = mx if mx is not None else max_hops
+            step_rel = property_path(
+                e, hi, min_hops=max(mn, 1),
+                checkpoint_dir=checkpoint_dir).select("src", "dst")
+        if rel is None:
+            if mn == 0:
+                nodes = (triples.select(F.col("subj").alias("src"))
+                         .unionByName(triples.select(
+                             F.col("obj").alias("src")))
+                         .distinct())
+                rel = (nodes.withColumn("dst", F.col("src"))
+                       .unionByName(step_rel).distinct())
+            else:
+                rel = step_rel
+        else:
+            nxt = step_rel.select(F.col("src").alias("_m"),
+                                  F.col("dst").alias("_nd"))
+            comp = (rel.join(nxt, rel["dst"] == nxt["_m"])
+                    .select(rel["src"], F.col("_nd").alias("dst")))
+            rel = (rel.unionByName(comp).distinct() if mn == 0
+                   else comp.distinct())
+    return rel
 
 
 def path_sequence(triples: DataFrame, steps, *,

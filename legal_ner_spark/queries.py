@@ -7538,6 +7538,34 @@ SELECT EXISTS(SELECT 1 FROM t a JOIN t b ON b.subj = a.subj
               AND subj = obj) AS self_decided"""
 
 
+def q_kg_bgp_path_quant(spark, sf_dir):
+    """Property-path expression INSIDE a BGP pattern: provisions
+    resolved to their statute under ``part_of/same_as?`` — one hop to
+    the statute alias, then zero-or-one canonicalization hops, so the
+    result carries BOTH the alias and (where an alias entry exists) the
+    canonical name, per SPARQL zero-admitting-quantifier semantics.
+    Compiled by `path_relation`: two pred-pushed scans, one equi-join,
+    the zero case a union — no closure loop runs for a bounded
+    quantifier."""
+    from .operators import kgquery
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    return kgquery.bgp_match(tri, [("?prov", "part_of/same_as?", "?stat")],
+                             order_by=["?prov", "?stat"])
+
+
+def o_kg_bgp_path_quant():
+    return f"""
+WITH t AS (SELECT subj, pred, obj FROM {_KG_SQL_SRC}
+           WHERE rec_type = 'triple'),
+po AS (SELECT subj AS prov, obj AS stat FROM t WHERE pred = 'part_of')
+SELECT DISTINCT prov, stat FROM (
+  SELECT prov, stat FROM po
+  UNION ALL
+  SELECT po.prov, s.obj AS stat
+  FROM po JOIN t s ON s.subj = po.stat AND s.pred = 'same_as')
+ORDER BY prov, stat"""
+
+
 def q_kg_roundtrip_ntriples(spark, sf_dir):
     """Round-trip through the RDF interchange form: export the graph as
     N-Triples, parse it back (`from_ntriples` — skolem-statement regex +
@@ -7830,6 +7858,7 @@ QUERIES = {
     "kg_bgp_chain": q_kg_bgp_chain,
     "kg_bgp_slice": q_kg_bgp_slice,
     "kg_bgp_ask": q_kg_bgp_ask,
+    "kg_bgp_path_quant": q_kg_bgp_path_quant,
     "kg_construct_rule": q_kg_construct_rule,
     "kg_same_as_closure": q_kg_same_as_closure,
     "kg_export_ntriples": q_kg_export_ntriples,
@@ -8025,6 +8054,7 @@ ORACLES = {
     "kg_bgp_chain": o_kg_bgp_chain(),
     "kg_bgp_slice": o_kg_bgp_slice(),
     "kg_bgp_ask": o_kg_bgp_ask(),
+    "kg_bgp_path_quant": o_kg_bgp_path_quant(),
     "kg_construct_rule": o_kg_construct_rule(),
     "kg_same_as_closure": o_kg_same_as_closure(),
     "kg_export_ntriples": o_kg_export_ntriples(),

@@ -265,6 +265,67 @@ def test_ask(kg):
         kgquery.ask(kg, [("?d", "decided_by", "?c")], limit=1)
 
 
+@pytest.fixture(scope="module")
+def chain(spark):
+    """a -p-> b -p-> c -p-> d, plus b -q-> x, d -q-> y: enough shape to
+    pin every quantifier and the sequence/alternation composition."""
+    df = _triples(spark, [
+        ("a", "p", "b", None), ("b", "p", "c", None),
+        ("c", "p", "d", None),
+        ("b", "q", "x", None), ("d", "q", "y", None),
+    ]).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_path_relation_quantifiers(chain):
+    def rel(expr, **kw):
+        return {(r.src, r.dst)
+                for r in kgquery.path_relation(chain, expr, **kw).collect()}
+
+    assert rel("p") == {("a", "b"), ("b", "c"), ("c", "d")}
+    assert rel("p+") == {("a", "b"), ("a", "c"), ("a", "d"),
+                         ("b", "c"), ("b", "d"), ("c", "d")}
+    assert rel("p{2,3}") == {("a", "c"), ("a", "d"), ("b", "d")}
+    assert rel("p+", max_hops=2) == {("a", "b"), ("a", "c"),
+                                     ("b", "c"), ("b", "d"), ("c", "d")}
+    # sequence + zero-or-one: p then optionally q
+    assert rel("p/q?") == {("a", "b"), ("b", "c"), ("c", "d"),
+                           ("a", "x"), ("c", "y")}
+    # alternation + inverse: q-neighbors in either direction of b
+    assert rel("(q|^q)") == {("b", "x"), ("x", "b"),
+                             ("d", "y"), ("y", "d")}
+    # leading * : identity over EVERY graph node, plus reachability
+    ids = {(n, n) for n in "abcdxy"}
+    assert rel("p*") == ids | rel("p+")
+
+
+def test_path_relation_parse_errors(chain):
+    for bad in ["p//q", "(p", "p)", "((p|q))", "p{3,2}", "p{0,0}", ""]:
+        with pytest.raises(ValueError):
+            kgquery.path_relation(chain, bad)
+
+
+def test_bgp_path_pattern_joins_like_any_other(chain):
+    """A path-expression predicate inside a BGP: endpoints join with a
+    plain pattern on the shared variable."""
+    out = kgquery.bgp_match(
+        chain, [("a", "p+", "?v"), ("?v", "q", "?w")])
+    assert {tuple(r) for r in out.collect()} == {("b", "x"), ("d", "y")}
+    # literal on both endpoints: a 0/1-row gate (an explicit product)
+    assert kgquery.bgp_match(chain, [("a", "p{3,3}", "d"),
+                                     ("?s", "q", "?o")],
+                             allow_product=True).count() == 2
+    assert kgquery.bgp_match(chain, [("a", "p{3,4}", "a"),
+                                     ("?s", "q", "?o")],
+                             allow_product=True).count() == 0
+    with pytest.raises(ValueError, match="doc_id"):
+        kgquery.bgp_match(chain, [("?s", "p+", "?o", "doc1")])
+    with pytest.raises(ValueError, match="delta-pinned"):
+        kgquery.bgp_match(chain, [("?s", "p+", "?o")], sources=[chain])
+
+
 def test_bgp_plan_is_equi_join_only(kg):
     out = kgquery.bgp_match(kg, [("?d", "decided_by", "?c"),
                                  ("?d", "has_judge", "?j")])
