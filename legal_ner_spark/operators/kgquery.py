@@ -538,6 +538,15 @@ def bgp_match_delta(full: DataFrame, delta: DataFrame, patterns, *,
             "that touches no delta triple (the semi-naive legs would "
             "miss it); rematch those queries per batch instead")
     pats = list(patterns)
+    for p in pats:
+        pred = tuple(p)[1]
+        if pred is not None and not _is_var(pred) and _is_path_expr(pred):
+            raise ValueError(
+                "bgp_match_delta cannot maintain a property-path "
+                f"pattern ({pred!r}): a single delta edge can create "
+                "paths that contain no delta endpoint pair, so no "
+                "pinned leg would enumerate them — rematch path "
+                "queries per batch instead")
     if pred_stats is None:
         pred_stats = {r["pred"]: r["n"] for r in
                       full.groupBy("pred").agg(F.count("*").alias("n"))

@@ -324,6 +324,17 @@ def test_bgp_path_pattern_joins_like_any_other(chain):
         kgquery.bgp_match(chain, [("?s", "p+", "?o", "doc1")])
     with pytest.raises(ValueError, match="delta-pinned"):
         kgquery.bgp_match(chain, [("?s", "p+", "?o")], sources=[chain])
+    # incremental maintenance of a path query is unsound in every leg
+    # position, not just the pinned one
+    with pytest.raises(ValueError, match="property-path"):
+        kgquery.bgp_match_delta(chain, chain.limit(1),
+                                [("?s", "p+", "?o"), ("?o", "q", "?w")])
+    # CONSTRUCT bodies inherit path predicates through bgp_match
+    derived = kgquery.construct(chain, [("?s", "p{2,3}", "?o")],
+                                ("?s", "reaches", "?o"))
+    assert {(r.subj, r.obj) for r in derived.collect()} \
+        == {("a", "c"), ("a", "d"), ("b", "d")}
+    assert derived.columns == ["subj", "pred", "obj", "doc_id"]
 
 
 def test_bgp_plan_is_equi_join_only(kg):
