@@ -213,7 +213,9 @@ def bgp_match(triples: DataFrame, patterns, *, optional=(), minus=(),
                     "a path-expression pattern cannot be delta-pinned "
                     "(a delta edge can create paths the delta does not "
                     "contain); evaluate it against the full store")
-            rel = path_relation(triples, p[1], max_hops=path_max_hops)
+            rel = path_relation(triples, p[1], max_hops=path_max_hops,
+                                checkpoint_dir=_session_ckpt(
+                                    triples.sparkSession))
             df = rel
             seen_vars: dict[str, str] = {}
             proj = []
@@ -229,9 +231,12 @@ def bgp_match(triples: DataFrame, patterns, *, optional=(), minus=(),
                         proj.append(F.col(col).alias(v))
                 else:
                     df = df.filter(F.col(col) == F.lit(term))
-            first_alts = _parse_path(p[1])[0][0]
-            est = float(sum(pred_counts.get(a.lstrip("^"), 0)
-                            for a in first_alts)) or 1.0
+            first_alts, _, _, first_neg = _parse_path(p[1])[0]
+            named = float(sum(pred_counts.get(a.lstrip("^"), 0)
+                              for a in first_alts))
+            # a negated set matches everything BUT the named preds
+            est = (max(float(total) - named, 1.0) if first_neg
+                   else named or 1.0)
             return est, list(seen_vars), df.select(*proj)
         df = triples if src is None else src
         est = float(total)
@@ -593,8 +598,22 @@ def path_edges(triples: DataFrame, alts) -> DataFrame:
     return out
 
 
-_PATH_META = "/|^+*?{("
+_PATH_META = "/|^+*?{(!"
 _STEP_RE = None  # compiled lazily; ^?pred with word/dot chars
+
+
+def _session_ckpt(spark) -> str | None:
+    """Per-invocation durable-truncation subdirectory from the session
+    config ``spark.legal_ner.checkpointDir`` (the same knob the
+    iterative query wrappers honor) — None means localCheckpoint.  The
+    quantifier loop inside a path expression is an iterative chain like
+    any other; without this, an executor loss on a real cluster re-runs
+    the whole frontier iteration."""
+    base = spark.conf.get("spark.legal_ner.checkpointDir", None)
+    if not base:
+        return None
+    import uuid
+    return f"{base.rstrip('/')}/{uuid.uuid4().hex}"
 
 
 def _is_path_expr(term: str) -> bool:
@@ -606,11 +625,13 @@ def _is_path_expr(term: str) -> bool:
 
 def _parse_path(expr: str):
     """Parse a SPARQL property-path subset into evaluation steps
-    ``[(alternatives, min_hops, max_hops)]`` where alternatives are
-    ``pred`` / ``^pred`` step strings (``path_edges`` syntax) and
-    ``max_hops=None`` means unbounded (``+``/``*``, bounded at
-    evaluation by ``max_hops``).  Grammar: ``seq := step ('/' step)*``;
-    ``step := atom quant?``; ``atom := '^'? pred | '(' alt ('|' alt)* ')'``;
+    ``[(alternatives, min_hops, max_hops, negated)]`` where
+    alternatives are ``pred`` / ``^pred`` step strings (``path_edges``
+    syntax; with ``negated`` they are the EXCLUDED set — see
+    ``_nps_edges``) and ``max_hops=None`` means unbounded (``+``/``*``,
+    bounded at evaluation by ``max_hops``).  Grammar:
+    ``seq := step ('/' step)*``; ``step := atom quant?``;
+    ``atom := '!'? ('^'? pred | '(' alt ('|' alt)* ')')``;
     ``quant := '+' | '*' | '?' | '{m,n}'``.  One level of grouping —
     alternation inside a sequence — which covers the SPARQL paths a
     triple-pattern engine meets in practice; nested groups are refused
@@ -619,7 +640,7 @@ def _parse_path(expr: str):
     global _STEP_RE
     if _STEP_RE is None:
         _STEP_RE = re.compile(
-            r"^(?P<atom>\^?[A-Za-z_][\w.]*|\([^()]+\))"
+            r"^(?P<neg>!)?(?P<atom>\^?[A-Za-z_][\w.]*|\([^()]+\))"
             r"(?P<q>\+|\*|\?|\{(?P<lo>\d+),(?P<hi>\d+)\})?$")
     segs, buf, depth = [], "", 0
     for ch in expr:
@@ -662,8 +683,34 @@ def _parse_path(expr: str):
             mn, mx = int(m.group("lo")), int(m.group("hi"))
             if mx < 1 or mn > mx:
                 raise ValueError(f"bad quantifier bounds in {seg!r}")
-        steps.append((alts, mn, mx))
+        steps.append((alts, mn, mx, bool(m.group("neg"))))
     return steps
+
+
+def _nps_edges(triples: DataFrame, members) -> DataFrame:
+    """Edge set of a SPARQL NEGATED PROPERTY SET ``!(p1|^p2|...)``: one
+    hop by any predicate NOT named, per direction — forward members
+    exclude predicates on forward edges, inverse members on reversed
+    edges, and a direction with no members contributes no leg (so
+    ``!p`` never matches an inverse edge and ``!(^p)`` never a forward
+    one), exactly the spec's forward/inverse split.  The NOT-IN is a
+    pushed parquet filter; the scan is inherently broad — that is the
+    operator's semantics, not a plan artifact."""
+    fwd = [m for m in members if not m.startswith("^")]
+    inv = [m[1:] for m in members if m.startswith("^")]
+    legs = []
+    if fwd:
+        legs.append(triples.filter(~F.col("pred").isin(fwd))
+                    .select(F.col("subj").alias("src"),
+                            F.col("obj").alias("dst")))
+    if inv:
+        legs.append(triples.filter(~F.col("pred").isin(inv))
+                    .select(F.col("obj").alias("src"),
+                            F.col("subj").alias("dst")))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
 
 
 def path_relation(triples: DataFrame, expr: str, *, max_hops: int = 8,
@@ -683,8 +730,8 @@ def path_relation(triples: DataFrame, expr: str, *, max_hops: int = 8,
     shuffle is keyed — no product shape anywhere."""
     steps = _parse_path(expr)
     rel = None
-    for alts, mn, mx in steps:
-        e = path_edges(triples, alts)
+    for alts, mn, mx, neg in steps:
+        e = _nps_edges(triples, alts) if neg else path_edges(triples, alts)
         if (mn, mx) == (1, 1):
             step_rel = e.distinct()
         else:

@@ -7566,6 +7566,32 @@ SELECT DISTINCT prov, stat FROM (
 ORDER BY prov, stat"""
 
 
+def q_kg_bgp_path_nps(spark, sf_dir):
+    """SPARQL negated property set inside a BGP: judgments related to
+    anything by an edge that is NOT a mention and NOT a party/lawyer
+    role, i.e. ``!(mentions|has_judge|has_lawyer|has_petitioner|
+    has_respondent)`` — the citation/decision/structure skeleton of the
+    graph.  The exclusion list compiles to a pushed Not-In parquet
+    filter (forward leg only — no ^members, so no inverse edges per the
+    spec's direction split)."""
+    from .operators import kgquery
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    return kgquery.bgp_match(
+        tri, [("?s", "!(mentions|has_judge|has_lawyer|has_petitioner"
+                     "|has_respondent)", "?o")],
+        order_by=["?s", "?o"])
+
+
+def o_kg_bgp_path_nps():
+    return f"""
+WITH t AS (SELECT subj, pred, obj FROM {_KG_SQL_SRC}
+           WHERE rec_type = 'triple')
+SELECT DISTINCT subj AS s, obj AS o FROM t
+WHERE pred NOT IN ('mentions', 'has_judge', 'has_lawyer',
+                   'has_petitioner', 'has_respondent')
+ORDER BY s, o"""
+
+
 def q_kg_roundtrip_ntriples(spark, sf_dir):
     """Round-trip through the RDF interchange form: export the graph as
     N-Triples, parse it back (`from_ntriples` — skolem-statement regex +
@@ -7859,6 +7885,7 @@ QUERIES = {
     "kg_bgp_slice": q_kg_bgp_slice,
     "kg_bgp_ask": q_kg_bgp_ask,
     "kg_bgp_path_quant": q_kg_bgp_path_quant,
+    "kg_bgp_path_nps": q_kg_bgp_path_nps,
     "kg_construct_rule": q_kg_construct_rule,
     "kg_same_as_closure": q_kg_same_as_closure,
     "kg_export_ntriples": q_kg_export_ntriples,
@@ -8055,6 +8082,7 @@ ORACLES = {
     "kg_bgp_slice": o_kg_bgp_slice(),
     "kg_bgp_ask": o_kg_bgp_ask(),
     "kg_bgp_path_quant": o_kg_bgp_path_quant(),
+    "kg_bgp_path_nps": o_kg_bgp_path_nps(),
     "kg_construct_rule": o_kg_construct_rule(),
     "kg_same_as_closure": o_kg_same_as_closure(),
     "kg_export_ntriples": o_kg_export_ntriples(),

@@ -301,6 +301,28 @@ def test_path_relation_quantifiers(chain):
     assert rel("p*") == ids | rel("p+")
 
 
+def test_path_negated_property_set(chain):
+    """SPARQL !(...) per direction: forward members exclude forward
+    edges, inverse members reversed edges, absent direction = no leg."""
+    def rel(expr, **kw):
+        return {(r.src, r.dst)
+                for r in kgquery.path_relation(chain, expr, **kw).collect()}
+
+    p_edges = {("a", "b"), ("b", "c"), ("c", "d")}
+    q_edges = {("b", "x"), ("d", "y")}
+    assert rel("!q") == p_edges                      # forward only
+    assert rel("!(^q)") == {(b, a) for a, b in p_edges}  # inverse only
+    assert rel("!(p|^p)") == q_edges | {(b, a) for a, b in q_edges}
+    # NPS composes and quantifies like any step
+    assert rel("!q/q") == {("a", "x"), ("c", "y")}
+    assert rel("!q{2,2}") == {("a", "c"), ("b", "d")}
+    # inside a BGP, with the everything-but estimate
+    out = kgquery.bgp_match(chain, [("?s", "!q", "?o"),
+                                    ("?o", "q", "?w")])
+    assert {tuple(r) for r in out.collect()} == {("a", "b", "x"),
+                                                 ("c", "d", "y")}
+
+
 def test_path_relation_parse_errors(chain):
     for bad in ["p//q", "(p", "p)", "((p|q))", "p{3,2}", "p{0,0}", ""]:
         with pytest.raises(ValueError):
