@@ -148,7 +148,7 @@ def main() -> None:
                      "kg_bgp_exists", "kg_bgp_not_exists",
                      "kg_bgp_values", "kg_bgp_filter_agg", "kg_bgp_chain",
                      "kg_bgp_slice", "kg_bgp_ask", "kg_bgp_path_quant",
-                     "kg_bgp_path_nps",
+                     "kg_bgp_path_nps", "kg_bgp_bind",
                      "kg_construct_rule", "kg_same_as_closure",
                      "kg_export_ntriples", "kg_roundtrip_ntriples",
                      "kg_path_bounded", "kg_path_seq", "kg_path_alt",

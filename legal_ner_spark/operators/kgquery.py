@@ -74,7 +74,8 @@ def bgp_match(triples: DataFrame, patterns, *, optional=(), minus=(),
               sources=None, select=None, order_by=(),
               limit: int | None = None,
               offset: int | None = None,
-              path_max_hops: int = 8) -> DataFrame:
+              path_max_hops: int = 8,
+              bind: dict | None = None) -> DataFrame:
     """Match a conjunctive basic graph pattern against a triple table.
 
     ``patterns`` is a list of 3- or 4-tuples ``(subj, pred, obj[, doc])``
@@ -152,6 +153,14 @@ def bgp_match(triples: DataFrame, patterns, *, optional=(), minus=(),
     quantifiers, ``+``/``*`` bounded by ``path_max_hops``) and joined
     into the BGP like any other pattern.  Path patterns take no doc
     term and cannot be delta-pinned.
+
+    ``bind`` (SPARQL BIND: ``{"?year": "substring(p, -4, 4)"}``) adds
+    computed variables — SQL expressions over the declared variables —
+    evaluated after the joins and FILTERs, in dict order (a later bind
+    may reference an earlier one), before projection, so bound
+    variables participate in ``select``/``order_by``/``filters``-free
+    downstream use exactly like matched ones.  Rebinding a declared or
+    earlier-bound name is refused, as in the spec.
 
     Solution modifiers, applied in SPARQL's order (projection →
     DISTINCT → ORDER BY → OFFSET → LIMIT): ``select`` projects a subset
@@ -398,6 +407,15 @@ def bgp_match(triples: DataFrame, patterns, *, optional=(), minus=(),
     cur = cur.select(*declared)
     for fx in ([filters] if isinstance(filters, str) else filters):
         cur = cur.filter(F.expr(fx))
+    if bind:
+        for term, expr in bind.items():
+            v = _var_name(term) if _is_var(term) else term
+            if v in declared:
+                raise ValueError(
+                    f"BIND would rebind ?{v}, which is already bound "
+                    "(SPARQL refuses BIND onto an in-scope variable)")
+            cur = cur.withColumn(v, F.expr(expr))
+            declared.append(v)
     if select is not None:
         names = []
         for v in ([select] if isinstance(select, str) else select):

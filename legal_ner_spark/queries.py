@@ -7592,6 +7592,29 @@ WHERE pred NOT IN ('mentions', 'has_judge', 'has_lawyer',
 ORDER BY s, o"""
 
 
+def q_kg_bgp_bind(spark, sf_dir):
+    """SPARQL BIND: computed variables over BGP bindings — the court's
+    lowercase form and its judgment count tag, projected and sorted.
+    BIND expressions evaluate after joins in dict order (the second
+    references the first) and feed select/order_by like matched
+    variables."""
+    from .operators import kgquery
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    return kgquery.bgp_match(
+        tri, [("?d", "decided_by", "?c")],
+        bind={"?cl": "lower(c)", "?ln": "length(cl)"},
+        select=["?cl", "?ln"], order_by=["?cl"])
+
+
+def o_kg_bgp_bind():
+    return f"""
+WITH t AS (SELECT subj, pred, obj FROM {_KG_SQL_SRC}
+           WHERE rec_type = 'triple')
+SELECT DISTINCT lower(obj) AS cl, length(lower(obj)) AS ln
+FROM t WHERE pred = 'decided_by'
+ORDER BY cl"""
+
+
 def q_kg_roundtrip_ntriples(spark, sf_dir):
     """Round-trip through the RDF interchange form: export the graph as
     N-Triples, parse it back (`from_ntriples` — skolem-statement regex +
@@ -7886,6 +7909,7 @@ QUERIES = {
     "kg_bgp_ask": q_kg_bgp_ask,
     "kg_bgp_path_quant": q_kg_bgp_path_quant,
     "kg_bgp_path_nps": q_kg_bgp_path_nps,
+    "kg_bgp_bind": q_kg_bgp_bind,
     "kg_construct_rule": q_kg_construct_rule,
     "kg_same_as_closure": q_kg_same_as_closure,
     "kg_export_ntriples": q_kg_export_ntriples,
@@ -8083,6 +8107,7 @@ ORACLES = {
     "kg_bgp_ask": o_kg_bgp_ask(),
     "kg_bgp_path_quant": o_kg_bgp_path_quant(),
     "kg_bgp_path_nps": o_kg_bgp_path_nps(),
+    "kg_bgp_bind": o_kg_bgp_bind(),
     "kg_construct_rule": o_kg_construct_rule(),
     "kg_same_as_closure": o_kg_same_as_closure(),
     "kg_export_ntriples": o_kg_export_ntriples(),

@@ -359,6 +359,24 @@ def test_bgp_path_pattern_joins_like_any_other(chain):
     assert derived.columns == ["subj", "pred", "obj", "doc_id"]
 
 
+def test_bgp_bind(kg):
+    """BIND adds computed variables after joins/FILTER, in dict order
+    (later binds see earlier ones), usable by select/order_by; rebinding
+    an in-scope name is refused."""
+    out = kgquery.bgp_match(
+        kg, [("?d", "decided_by", "?c")],
+        bind={"?cl": "lower(c)", "?tag": "concat(cl, '-', d)"},
+        select=["?tag"], order_by=["?tag"])
+    assert [r.tag for r in out.collect()] == ["hc-d2", "sc-d1", "sc-d3"]
+    with pytest.raises(ValueError, match="rebind"):
+        kgquery.bgp_match(kg, [("?d", "decided_by", "?c")],
+                          bind={"?c": "upper(c)"})
+    # two spellings of one name: the second entry is a rebind
+    with pytest.raises(ValueError, match="rebind"):
+        kgquery.bgp_match(kg, [("?d", "decided_by", "?c")],
+                          bind={"?y": "1", "y": "2"})
+
+
 def test_bgp_plan_is_equi_join_only(kg):
     out = kgquery.bgp_match(kg, [("?d", "decided_by", "?c"),
                                  ("?d", "has_judge", "?j")])

@@ -150,6 +150,27 @@ def main() -> None:
     t_full_rematch = time.time() - t0
     assert n_full == n_probe + kd, (n_full, n_probe)
 
+    # ---- 2c. path EXPRESSIONS at store scale ------------------------------
+    # the parsed-path engine over the same 84M-row store, each leg with
+    # an exact cross-check: the sequence expression must equal the BGP
+    # chain's endpoint projection; the negated property set must equal
+    # the raw NOT-IN scan.  Both are new plan SHAPES (path_relation
+    # composition / _nps_edges union), so they get their own timings —
+    # re-expansion is already pinned by the cycle leg above.
+    t0 = time.time()
+    n_seq = kgquery.path_relation(
+        tri, "mentions/cites/decided_by").count()
+    t_seq = time.time() - t0
+    n_seq_want = (l1.join(l2, "e").join(l3, "f")
+                  .select("d", "c").distinct().count())
+    assert n_seq == n_seq_want, (n_seq, n_seq_want)
+    t0 = time.time()
+    n_nps = kgquery.path_relation(tri, "!decided_by").count()
+    t_nps = time.time() - t0
+    n_nps_want = (tri.filter(F.col("pred") != "decided_by")
+                  .select("subj", "obj").distinct().count())
+    assert n_nps == n_nps_want, (n_nps, n_nps_want)
+
     # ---- 3. N-Triples interchange at millions of lines -------------------
     # entity text with embedded quotes/newlines/backslashes every few
     # rows — the escape chain must survive at volume, and the round-trip
@@ -190,6 +211,10 @@ def main() -> None:
         "delta_new_bindings": n_new,
         "delta_match_sec": round(t_delta, 2),
         "full_rematch_sec": round(t_full_rematch, 2),
+        "path_seq_pairs": n_seq,
+        "path_seq_sec": round(t_seq, 2),
+        "path_nps_pairs": n_nps,
+        "path_nps_sec": round(t_nps, 2),
         "nt_triples": nt_n,
         "nt_lines": n_lines,
         "nt_export_sec": round(t_export, 2),
