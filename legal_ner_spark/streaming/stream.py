@@ -646,7 +646,7 @@ def stream_semantic_ingest(spark: SparkSession, vectors_dir: str,
 def stream_bgp_query(spark: SparkSession, triples_dir: str, state_dir: str,
                      checkpoint_dir: str, patterns, *,
                      values: dict | None = None,
-                     filters=()) -> StreamingQuery:
+                     filters=(), mode: str = "delta") -> StreamingQuery:
     """Continuous BGP query over streaming KG ingest — a standing
     SPARQL-style conjunctive query whose answer set GROWS as triple
     batches arrive, maintained incrementally: each micro-batch runs
@@ -655,6 +655,17 @@ def stream_bgp_query(spark: SparkSession, triples_dir: str, state_dir: str,
     O(batch), never O(store).  Monotone clauses only (patterns, VALUES,
     FILTER) — the delta matcher refuses OPTIONAL/MINUS, whose answers a
     later batch could retract.
+
+    ``mode="rematch"`` trades the O(batch) cost for full generality
+    over MONOTONE queries the delta matcher cannot maintain — above
+    all property-path patterns (`bgp_match_delta` refuses them: a new
+    edge creates paths no delta-pinned leg enumerates): each batch
+    re-matches the whole store and anti-joins the stored bindings, so
+    only new answers are emitted, exactly-once under the same replay
+    contract.  Per-batch cost is O(store-match); a path answer never
+    retracts under inserts, so the grow-only binding store stays
+    correct.  (Non-monotone clauses stay refused in both modes — a
+    retraction cannot be represented in a grow-only answer set.)
 
     Layout under ``state_dir``: ``triples/batch_tag=…`` (the store,
     one subdir per batch) and ``bindings/batch_tag=…`` (the standing
@@ -667,6 +678,9 @@ def stream_bgp_query(spark: SparkSession, triples_dir: str, state_dir: str,
     committed output)."""
     import os
     from ..operators import kgquery
+
+    if mode not in ("delta", "rematch"):
+        raise ValueError(f"mode must be 'delta' or 'rematch', got {mode!r}")
 
     schema = spark.read.parquet(triples_dir).schema
     stream = (spark.readStream.schema(schema)
@@ -690,8 +704,12 @@ def stream_bgp_query(spark: SparkSession, triples_dir: str, state_dir: str,
         prior_tri = _read_prior(tri_store)
         full = delta if prior_tri is None \
             else prior_tri.unionByName(delta)
-        new_b = kgquery.bgp_match_delta(full, delta, patterns,
-                                        values=values, filters=filters)
+        if mode == "delta":
+            new_b = kgquery.bgp_match_delta(full, delta, patterns,
+                                            values=values, filters=filters)
+        else:
+            new_b = kgquery.bgp_match(full, patterns,
+                                      values=values, filters=filters)
         prior_b = _read_prior(bind_store)
         if prior_b is not None:
             new_b = new_b.join(prior_b, on=list(new_b.columns),

@@ -818,6 +818,49 @@ def test_stream_bgp_query_matches_batch(spark, tmp_path):
     assert read_bgp_bindings(spark, state).count() == len(got)
 
 
+def test_stream_bgp_query_rematch_mode_path_pattern(spark, tmp_path):
+    """mode='rematch': a continuous PATH query (which the delta matcher
+    refuses) over arriving batches ends with exactly the batch
+    bgp_match over the union — including a transitive answer whose two
+    edges arrived in DIFFERENT batches, the case a delta-pinned leg
+    can never enumerate; no binding is stored twice."""
+    import os
+    import time
+    from legal_ner_spark.streaming.stream import (stream_bgp_query,
+                                                  read_bgp_bindings)
+
+    pats = [("?x", "part_of+", "?y")]
+    b1 = _triples(spark, [("s1", "part_of", "ch1", "d1"),
+                          ("d1", "decided_by", "SC", "d1")])
+    b2 = _triples(spark, [("ch1", "part_of", "act1", "d2")])
+
+    in_dir = str(tmp_path / "tri_arrivals")
+    now, seen = time.time(), set()
+    for i, b in enumerate((b1, b2)):
+        b.coalesce(1).write.mode("append").parquet(in_dir)
+        for f in os.listdir(in_dir):
+            if f not in seen:
+                seen.add(f)
+                t = now + 100 * (i + 1)
+                os.utime(os.path.join(in_dir, f), (t, t))
+
+    state = str(tmp_path / "bgp_state")
+    ckpt = str(tmp_path / "bgp_ckpt")
+    q = stream_bgp_query(spark, in_dir, state, ckpt, pats, mode="rematch")
+    assert q.awaitTermination(180)
+
+    got = {tuple(r) for r in read_bgp_bindings(spark, state).collect()}
+    want = {tuple(r) for r in
+            kgquery.bgp_match(b1.unionByName(b2), pats).collect()}
+    # the cross-batch transitive pair is present
+    assert ("s1", "act1") in got
+    assert got == want
+    assert read_bgp_bindings(spark, state).count() == len(got)
+
+    with pytest.raises(ValueError, match="mode"):
+        stream_bgp_query(spark, in_dir, state, ckpt, pats, mode="nope")
+
+
 def test_stream_bgp_query_replayed_tag_overwrites(spark, tmp_path):
     """Simulated replay: re-running a batch's foreachBatch body with
     its own subdirs already committed must rewrite the same rows, not
