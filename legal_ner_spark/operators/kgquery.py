@@ -75,7 +75,9 @@ def bgp_match(triples: DataFrame, patterns, *, optional=(), minus=(),
               limit: int | None = None,
               offset: int | None = None,
               path_max_hops: int = 8,
-              bind: dict | None = None) -> DataFrame:
+              bind: dict | None = None,
+              group_by=None, agg: dict | None = None,
+              having: str | None = None) -> DataFrame:
     """Match a conjunctive basic graph pattern against a triple table.
 
     ``patterns`` is a list of 3- or 4-tuples ``(subj, pred, obj[, doc])``
@@ -161,6 +163,23 @@ def bgp_match(triples: DataFrame, patterns, *, optional=(), minus=(),
     variables participate in ``select``/``order_by``/``filters``-free
     downstream use exactly like matched ones.  Rebinding a declared or
     earlier-bound name is refused, as in the spec.
+
+    ``group_by`` / ``agg`` / ``having`` (SPARQL GROUP BY + aggregates):
+    ``group_by`` lists grouping variables; ``agg`` maps fresh aliases to
+    SQL aggregate expressions over the variable columns
+    (``{"?n": "count(*)", "?top": "max(p)"}`` — COUNT/SUM/MIN/MAX/AVG/
+    COUNT(DISTINCT ...) and friends, evaluated by Spark's hash
+    aggregate with map-side partials, never a window); ``having`` is a
+    SQL boolean over group keys + aliases applied to the aggregated
+    rows (SPARQL HAVING).  ``agg`` without ``group_by`` is the global
+    aggregate (``SELECT (COUNT(*) AS ?n) WHERE …``); ``group_by``
+    without ``agg`` returns the distinct key combinations.  Aggregates
+    compute over the DISTINCT binding set when ``distinct=True`` (the
+    default — consistent with the layer's set-semantics contract over
+    a set-semantics triple table); pass ``distinct=False`` for SPARQL's
+    multiset counting.  ``select`` cannot be combined with grouping —
+    the aggregated projection IS the keys + aliases; ``order_by``/
+    ``limit``/``offset`` then act on the aggregated solutions.
 
     Solution modifiers, applied in SPARQL's order (projection →
     DISTINCT → ORDER BY → OFFSET → LIMIT): ``select`` projects a subset
@@ -418,6 +437,42 @@ def bgp_match(triples: DataFrame, patterns, *, optional=(), minus=(),
                     "(SPARQL refuses BIND onto an in-scope variable)")
             cur = cur.withColumn(v, F.expr(expr))
             declared.append(v)
+    grouped = False
+    if agg or group_by:
+        if select is not None:
+            raise ValueError(
+                "select cannot be combined with group_by/agg — the "
+                "aggregated projection is the group keys plus the "
+                "aggregate aliases")
+        keys = []
+        for v in ([group_by] if isinstance(group_by, str)
+                  else (group_by or [])):
+            n = _var_name(v) if _is_var(v) else v
+            if n not in declared:
+                raise ValueError(
+                    f"group_by names undeclared variable ?{n} "
+                    f"(declared: {declared})")
+            keys.append(n)
+        if distinct:
+            # set-semantics default: aggregate the DISTINCT binding set
+            cur = cur.distinct()
+        aggs = []
+        for term, expr in (agg or {}).items():
+            n = _var_name(term) if _is_var(term) else term
+            if n in declared:
+                raise ValueError(
+                    f"aggregate alias ?{n} collides with a declared "
+                    "variable (SPARQL refuses rebinding, like BIND)")
+            aggs.append(F.expr(expr).alias(n))
+        if aggs:
+            cur = cur.groupBy(*keys).agg(*aggs)
+        else:                       # GROUP BY without aggregates:
+            cur = cur.select(*keys).distinct()   # distinct key tuples
+        if having:
+            cur = cur.filter(F.expr(having))
+        grouped = True
+    elif having:
+        raise ValueError("having requires group_by and/or agg")
     if select is not None:
         names = []
         for v in ([select] if isinstance(select, str) else select):
@@ -428,7 +483,7 @@ def bgp_match(triples: DataFrame, patterns, *, optional=(), minus=(),
                     f"(declared: {declared})")
             names.append(n)
         cur = cur.select(*names)
-    if distinct:
+    if distinct and not grouped:
         cur = cur.distinct()
     if order_by:
         keys = []
@@ -460,12 +515,113 @@ def ask(triples: DataFrame, patterns, **kw) -> bool:
     (``isEmpty`` takes one row from the first non-empty partition — no
     full materialization).  Every bgp_match option except the solution
     modifiers passes through."""
-    for bad in ("distinct", "select", "order_by", "limit", "offset"):
+    for bad in ("distinct", "select", "order_by", "limit", "offset",
+                "group_by", "agg", "having"):
         if bad in kw:
             raise ValueError(f"ask() takes no {bad!r} — ASK is a "
                              "boolean, not a solution sequence")
     return not bgp_match(triples, patterns, distinct=False,
                          **kw).isEmpty()
+
+
+def bgp_union(triples: DataFrame, groups, *, distinct: bool = True,
+              order_by=(), limit: int | None = None,
+              offset: int | None = None, **shared) -> DataFrame:
+    """SPARQL UNION: alternative pattern groups whose solution sets
+    union.  Each entry in ``groups`` is either a flat pattern list (a
+    plain BGP branch) or a dict of ``bgp_match`` keyword arguments
+    (``{"patterns": [...], "bind": {...}, "filters": [...]}``) for
+    branches that need their own OPTIONAL / FILTER / BIND; ``shared``
+    kwargs (e.g. ``pred_stats``, ``broadcast_rows``) apply to every
+    branch, with the branch dict winning on conflict.
+
+    Solutions combine by variable NAME with the spec's unbound-variable
+    semantics: a variable bound in one branch but absent from another
+    comes back null in the second branch's solutions
+    (``unionByName(allowMissingColumns=True)``).  Column order is first
+    appearance across branches, like ``bgp_match``'s first-appearance
+    rule.  DISTINCT / ORDER BY / OFFSET / LIMIT then apply to the
+    unioned solution set under ``bgp_match``'s rules (OFFSET without
+    ORDER BY refused).
+
+    Plan: each branch compiles independently (selectivity-ordered
+    equi-joins over predicate-pushed scans); the union is Spark's
+    zero-shuffle ``Union`` node, so the only added cost is the final
+    DISTINCT's hash aggregate over the combined solutions.  Branch
+    solution modifiers are refused — the spec applies modifiers to the
+    whole query, not per-branch."""
+    if not groups:
+        raise ValueError("bgp_union needs at least one group")
+    parts = []
+    for g in groups:
+        if isinstance(g, dict):
+            kw = {**shared, **g}
+            pats = kw.pop("patterns")
+        else:
+            kw, pats = dict(shared), g
+        for bad in ("distinct", "select", "order_by", "limit", "offset"):
+            if bad in kw:
+                raise ValueError(
+                    f"branch-level {bad!r} is refused — solution "
+                    "modifiers apply to the unioned solutions (pass "
+                    "them to bgp_union itself)")
+        parts.append(bgp_match(triples, pats, distinct=False, **kw))
+    cur = parts[0]
+    for p in parts[1:]:
+        cur = cur.unionByName(p, allowMissingColumns=True)
+    if distinct:
+        cur = cur.distinct()
+    if order_by:
+        keys = []
+        for o in ([order_by] if isinstance(order_by, str) else order_by):
+            desc = o.startswith("-")
+            raw = o[1:] if desc else o
+            n = _var_name(raw) if _is_var(raw) else raw
+            if n not in cur.columns:
+                raise ValueError(
+                    f"order_by names ?{n}, which is not in the unioned "
+                    f"solution ({cur.columns})")
+            keys.append(F.col(n).desc() if desc else F.col(n).asc())
+        cur = cur.orderBy(*keys)
+    if offset:
+        if not order_by:
+            raise ValueError(
+                "OFFSET without ORDER BY is a nondeterministic slice "
+                "in a distributed engine — give order_by")
+        cur = cur.offset(int(offset))
+    if limit is not None:
+        cur = cur.limit(int(limit))
+    return cur
+
+
+def describe(triples: DataFrame, nodes) -> DataFrame:
+    """SPARQL DESCRIBE (concise bounded description, depth 1): every
+    triple whose subject OR object is one of ``nodes``.  ``nodes`` is a
+    literal list — compiled to an OR of two In predicates on ONE scan,
+    both pushdown-able — or a one-column DataFrame of node ids (the
+    DESCRIBE-?var form, where the node set is itself a query answer):
+    then each leg (subject / object) is a left-semi equi-join against
+    the node set and the legs union + de-dup (a triple touching the set
+    at both ends must come back once).  Returns full triple rows
+    (subj, pred, obj, + whatever provenance columns the store carries).
+
+    Scale shape: the semi-join legs shuffle on the node id only; a
+    small node set (the common case — DESCRIBE of a handful of
+    resources) broadcasts under AQE."""
+    if isinstance(nodes, DataFrame):
+        if len(nodes.columns) != 1:
+            raise ValueError(
+                f"nodes DataFrame must have exactly one column, got "
+                f"{nodes.columns}")
+        ids = nodes.toDF("node").distinct()
+        s = triples.join(ids, triples["subj"] == ids["node"], "left_semi")
+        o = triples.join(ids, triples["obj"] == ids["node"], "left_semi")
+        return s.unionByName(o).distinct()
+    nodes = list(nodes)
+    if not nodes:
+        raise ValueError("describe needs at least one node")
+    return triples.filter(F.col("subj").isin(nodes)
+                          | F.col("obj").isin(nodes)).distinct()
 
 
 def property_path(edges: DataFrame, max_hops: int, *, min_hops: int = 1,

@@ -7346,6 +7346,85 @@ WHERE a.pred = 'decided_by' AND EXISTS (
     AND b.subj = a.subj)"""
 
 
+def q_kg_bgp_groupagg(spark, sf_dir):
+    """SPARQL GROUP BY + aggregates + HAVING inside the BGP compiler —
+    per-court citation volume: group the (judgment, court, precedent)
+    bindings by court, count distinct judgments and total citation
+    bindings, keep courts with ≥2 citations.  Unlike `kg_bgp_filter_agg`
+    (plain DataFrame groupBy over the binding table) this is the
+    query-layer's own GROUP BY/HAVING leg — Spark hash aggregate with
+    map-side partials over the set-semantics binding set."""
+    from .operators import kgquery
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    return kgquery.bgp_match(
+        tri, [("?d", "decided_by", "?court"),
+              ("?d", "cites_precedent", "?p")],
+        group_by="?court",
+        agg={"?n_judgments": "count(distinct d)",
+             "?n_citations": "count(*)"},
+        having="n_citations >= 2")
+
+
+def o_kg_bgp_groupagg():
+    return f"""
+WITH t AS (SELECT subj, pred, obj FROM {_KG_SQL_SRC}
+           WHERE rec_type = 'triple'),
+b AS (SELECT DISTINCT a.subj AS d, a.obj AS court, c.obj AS p
+      FROM t a JOIN t c ON c.subj = a.subj AND c.pred = 'cites_precedent'
+      WHERE a.pred = 'decided_by')
+SELECT court, count(DISTINCT d)::BIGINT AS n_judgments,
+       count(*)::BIGINT AS n_citations
+FROM b GROUP BY court HAVING count(*) >= 2"""
+
+
+def q_kg_bgp_union(spark, sf_dir):
+    """SPARQL UNION of two branches with a branch-tagging BIND —
+    every judgment's court attributions and judge attributions as one
+    (d, v, rel) solution set.  Each branch compiles independently; the
+    union is Spark's zero-shuffle Union node plus one DISTINCT; a
+    variable absent from a branch null-fills per the spec
+    (both branches bind ?rel here, so no nulls in this instance)."""
+    from .operators import kgquery
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    return kgquery.bgp_union(tri, [
+        {"patterns": [("?d", "decided_by", "?v")],
+         "bind": {"?rel": "'court'"}},
+        {"patterns": [("?d", "has_judge", "?v")],
+         "bind": {"?rel": "'judge'"}},
+    ])
+
+
+def o_kg_bgp_union():
+    return f"""
+WITH t AS (SELECT subj, pred, obj FROM {_KG_SQL_SRC}
+           WHERE rec_type = 'triple')
+SELECT DISTINCT subj AS d, obj AS v, 'court' AS rel FROM t
+WHERE pred = 'decided_by'
+UNION
+SELECT DISTINCT subj AS d, obj AS v, 'judge' AS rel FROM t
+WHERE pred = 'has_judge'"""
+
+
+def q_kg_describe(spark, sf_dir):
+    """SPARQL DESCRIBE (depth-1 bounded description) of a queried node
+    set — every triple touching any statute that has provisions (the
+    DESCRIBE-?var form: the node set is itself a query answer, so the
+    legs are left-semi equi-joins, subject and object, unioned)."""
+    from .operators import kgquery
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    nodes = tri.filter(F.col("pred") == "part_of").select("obj")
+    return kgquery.describe(tri, nodes)
+
+
+def o_kg_describe():
+    return f"""
+WITH t AS (SELECT subj, pred, obj, doc_id FROM {_KG_SQL_SRC}
+           WHERE rec_type = 'triple'),
+n AS (SELECT DISTINCT obj AS node FROM t WHERE pred = 'part_of')
+SELECT DISTINCT subj, pred, obj, doc_id FROM t
+WHERE subj IN (SELECT node FROM n) OR obj IN (SELECT node FROM n)"""
+
+
 def q_kg_bgp_not_exists(spark, sf_dir):
     """BGP with SPARQL FILTER NOT EXISTS — ¬(cites ∧ lawyer), i.e.
     judgments missing the citation or the lawyer (or both).  Contrast
@@ -7902,6 +7981,9 @@ QUERIES = {
     "kg_bgp_minus": q_kg_bgp_minus,
     "kg_bgp_values": q_kg_bgp_values,
     "kg_bgp_exists": q_kg_bgp_exists,
+    "kg_bgp_groupagg": q_kg_bgp_groupagg,
+    "kg_bgp_union": q_kg_bgp_union,
+    "kg_describe": q_kg_describe,
     "kg_bgp_not_exists": q_kg_bgp_not_exists,
     "kg_bgp_filter_agg": q_kg_bgp_filter_agg,
     "kg_bgp_chain": q_kg_bgp_chain,
@@ -8100,6 +8182,9 @@ ORACLES = {
     "kg_bgp_minus": o_kg_bgp_minus(),
     "kg_bgp_values": o_kg_bgp_values(),
     "kg_bgp_exists": o_kg_bgp_exists(),
+    "kg_bgp_groupagg": o_kg_bgp_groupagg(),
+    "kg_bgp_union": o_kg_bgp_union(),
+    "kg_describe": o_kg_describe(),
     "kg_bgp_not_exists": o_kg_bgp_not_exists(),
     "kg_bgp_filter_agg": o_kg_bgp_filter_agg(),
     "kg_bgp_chain": o_kg_bgp_chain(),

@@ -902,3 +902,116 @@ def test_stream_bgp_query_replayed_tag_overwrites(spark, tmp_path):
     again = spark.read.parquet(bind_store).drop("batch_tag")
     assert {tuple(r) for r in again.collect()} == first
     assert again.count() == 1
+
+
+# ------------------------------------------------ group_by / agg / union
+
+def test_bgp_group_agg_and_having(kg):
+    out = kgquery.bgp_match(
+        kg, [("?d", "decided_by", "?c"), ("?d", "cites_precedent", "?p")],
+        group_by="?c",
+        agg={"?n_d": "count(distinct d)", "?n": "count(*)"})
+    rows = {tuple(r) for r in out.collect()}
+    assert rows == {("SC", 1, 2), ("HC", 1, 1)}
+    assert out.columns == ["c", "n_d", "n"]
+    kept = kgquery.bgp_match(
+        kg, [("?d", "decided_by", "?c"), ("?d", "cites_precedent", "?p")],
+        group_by="?c", agg={"?n": "count(*)"}, having="n >= 2")
+    assert {tuple(r) for r in kept.collect()} == {("SC", 2)}
+
+
+def test_bgp_global_agg_and_bare_group_by(kg):
+    g = kgquery.bgp_match(kg, [("?d", "decided_by", "?c")],
+                          agg={"?n": "count(*)"})
+    assert [tuple(r) for r in g.collect()] == [(3,)]
+    keys = kgquery.bgp_match(kg, [("?d", "decided_by", "?c")],
+                             group_by=["?c"])
+    assert {r["c"] for r in keys.collect()} == {"SC", "HC"}
+    assert keys.columns == ["c"]
+
+
+def test_bgp_agg_distinct_vs_multiset(kg):
+    # distinct=True (default): set-semantics bindings -> d1 counts once
+    s = kgquery.bgp_match(kg, [("?d", "cites_precedent", None)],
+                          group_by="?d", agg={"?n": "count(*)"})
+    assert {tuple(r) for r in s.collect()} == {("d1", 1), ("d2", 1)}
+    # distinct=False: SPARQL multiset counting -> d1 cites twice
+    m = kgquery.bgp_match(kg, [("?d", "cites_precedent", None)],
+                          group_by="?d", agg={"?n": "count(*)"},
+                          distinct=False)
+    assert {tuple(r) for r in m.collect()} == {("d1", 2), ("d2", 1)}
+
+
+def test_bgp_group_agg_validation(kg):
+    with pytest.raises(ValueError, match="select cannot be combined"):
+        kgquery.bgp_match(kg, [("?d", "decided_by", "?c")],
+                          group_by="?c", agg={"?n": "count(*)"},
+                          select=["?c"])
+    with pytest.raises(ValueError, match="collides with a declared"):
+        kgquery.bgp_match(kg, [("?d", "decided_by", "?c")],
+                          group_by="?c", agg={"?d": "count(*)"})
+    with pytest.raises(ValueError, match="undeclared variable"):
+        kgquery.bgp_match(kg, [("?d", "decided_by", "?c")],
+                          group_by="?x", agg={"?n": "count(*)"})
+    with pytest.raises(ValueError, match="having requires"):
+        kgquery.bgp_match(kg, [("?d", "decided_by", "?c")],
+                          having="c = 'SC'")
+
+
+def test_bgp_union_branches_and_null_fill(kg):
+    out = kgquery.bgp_union(kg, [
+        [("?d", "decided_by", "?v")],
+        {"patterns": [("?d", "has_judge", "?v")],
+         "bind": {"?src": "'judge'"}},
+    ])
+    rows = {tuple(r) for r in out.collect()}
+    assert rows == {("d1", "SC", None), ("d2", "HC", None),
+                    ("d3", "SC", None),
+                    ("d1", "J. Rao", "judge"), ("d2", "J. Rao", "judge")}
+    assert out.columns == ["d", "v", "src"]
+
+
+def test_bgp_union_modifiers_and_validation(kg):
+    top = kgquery.bgp_union(
+        kg, [[("?d", "decided_by", "?v")],
+             [("?d", "has_judge", "?v")]],
+        order_by=["?d", "?v"], limit=2)
+    assert [tuple(r) for r in top.collect()] == [
+        ("d1", "J. Rao"), ("d1", "SC")]
+    with pytest.raises(ValueError, match="branch-level"):
+        kgquery.bgp_union(kg, [{"patterns": [("?d", "decided_by", "?v")],
+                                "limit": 1}])
+    with pytest.raises(ValueError, match="at least one group"):
+        kgquery.bgp_union(kg, [])
+
+
+def test_describe_list_and_dataframe_forms(kg, spark):
+    want = {("ipc", "same_as", "Indian Penal Code", "d1"),
+            ("s 302", "part_of", "ipc", "d1")}
+    lst = kgquery.describe(kg, ["ipc"])
+    assert {tuple(r) for r in lst.collect()} == want
+    ids = spark.createDataFrame([("ipc",)], "node string")
+    dfd = kgquery.describe(kg, ids)
+    assert {tuple(r) for r in dfd.collect()} == want
+    with pytest.raises(ValueError, match="exactly one column"):
+        kgquery.describe(kg, kg.select("subj", "obj"))
+    with pytest.raises(ValueError, match="at least one node"):
+        kgquery.describe(kg, [])
+
+
+def test_bgp_group_agg_plan_is_partial_hash_agg(kg):
+    out = kgquery.bgp_match(
+        kg, [("?d", "decided_by", "?c"), ("?d", "cites_precedent", "?p")],
+        group_by="?c", agg={"?n": "count(*)"})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # map-side partial + final hash aggregate, never a window/sort agg
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" not in plan
+    assert "SortAggregate" not in plan
+
+
+def test_bgp_union_plan_is_union_node(kg):
+    out = kgquery.bgp_union(kg, [[("?d", "decided_by", "?v")],
+                                 [("?d", "has_judge", "?v")]])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan      # zero-shuffle combine of the branches
