@@ -171,6 +171,26 @@ def main() -> None:
                   .select("subj", "obj").distinct().count())
     assert n_nps == n_nps_want, (n_nps, n_nps_want)
 
+    # ---- 2d. GROUP BY aggregate + UNION at store scale --------------------
+    # the compiler's aggregation leg: per-subject fan-out of the hot
+    # ``mentions`` predicate (4n bindings → n groups) as a partial+final
+    # hash aggregate — every subject mentions exactly 4 entities by
+    # construction, asserted for ALL groups.  The UNION leg combines
+    # both hot predicates (20n bindings) through the zero-shuffle Union
+    # + one DISTINCT; all pairs are distinct by construction, asserted
+    # by exact count.
+    t0 = time.time()
+    n_bad = (kgquery.bgp_match(tri, [("?s", "mentions", "?e")],
+                               group_by="?s", agg={"?n": "count(*)"})
+             .filter("n != 4").count())
+    t_group = time.time() - t0
+    assert n_bad == 0, n_bad
+    t0 = time.time()
+    n_union = kgquery.bgp_union(tri, [[("?a", "mentions", "?b")],
+                                      [("?a", "cites", "?b")]]).count()
+    t_union = time.time() - t0
+    assert n_union == n * 20, (n_union, n * 20)
+
     # ---- 3. N-Triples interchange at millions of lines -------------------
     # entity text with embedded quotes/newlines/backslashes every few
     # rows — the escape chain must survive at volume, and the round-trip
@@ -215,6 +235,11 @@ def main() -> None:
         "path_seq_sec": round(t_seq, 2),
         "path_nps_pairs": n_nps,
         "path_nps_sec": round(t_nps, 2),
+        "group_agg_subjects": n,
+        "group_agg_fanout_exact": True,
+        "group_agg_sec": round(t_group, 2),
+        "union_bindings": n_union,
+        "union_sec": round(t_union, 2),
         "nt_triples": nt_n,
         "nt_lines": n_lines,
         "nt_export_sec": round(t_export, 2),
