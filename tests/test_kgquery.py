@@ -1015,3 +1015,13 @@ def test_bgp_union_plan_is_union_node(kg):
                                  [("?d", "has_judge", "?v")]])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Union" in plan      # zero-shuffle combine of the branches
+
+
+def test_bgp_agg_accepts_any_sql_aggregate(kg):
+    # SPARQL GROUP_CONCAT via Spark's collect_list — the agg dict takes
+    # any SQL aggregate expression, not a fixed function menu
+    out = kgquery.bgp_match(
+        kg, [("?d", "cites_precedent", "?p")], group_by="?d",
+        agg={"?ps": "concat_ws('|', sort_array(collect_list(p)))"})
+    assert {tuple(r) for r in out.collect()} == {
+        ("d1", "A vs B|C vs D"), ("d2", "A vs B")}

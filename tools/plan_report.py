@@ -98,6 +98,11 @@ SHOW = [
                     "patterns broadcast"),
     ("kg_bgp_minus", "SPARQL MINUS as a BroadcastHashJoin LeftAnti "
                      "on the shared variable"),
+    ("kg_bgp_groupagg", "SPARQL GROUP BY + HAVING: partial+final "
+                        "HashAggregate over the binding set — never "
+                        "a window"),
+    ("kg_bgp_union", "SPARQL UNION: zero-shuffle Union of the branch "
+                     "join trees + one DISTINCT"),
     ("kg_path_bounded", "bounded property path: per-hop frontier "
                         "equi-join + seen-pair anti-join, lineage "
                         "truncated per hop"),
