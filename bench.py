@@ -150,6 +150,7 @@ def main() -> None:
                      "kg_bgp_slice", "kg_bgp_ask", "kg_bgp_path_quant",
                      "kg_bgp_path_nps", "kg_bgp_bind",
                      "kg_bgp_groupagg", "kg_bgp_union", "kg_describe",
+                     "kg_bgp_subquery",
                      "kg_construct_rule", "kg_same_as_closure",
                      "kg_export_ntriples", "kg_roundtrip_ntriples",
                      "kg_path_bounded", "kg_path_seq", "kg_path_alt",

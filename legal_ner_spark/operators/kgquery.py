@@ -77,7 +77,8 @@ def bgp_match(triples: DataFrame, patterns, *, optional=(), minus=(),
               path_max_hops: int = 8,
               bind: dict | None = None,
               group_by=None, agg: dict | None = None,
-              having: str | None = None) -> DataFrame:
+              having: str | None = None,
+              subqueries=()) -> DataFrame:
     """Match a conjunctive basic graph pattern against a triple table.
 
     ``patterns`` is a list of 3- or 4-tuples ``(subj, pred, obj[, doc])``
@@ -180,6 +181,19 @@ def bgp_match(triples: DataFrame, patterns, *, optional=(), minus=(),
     multiset counting.  ``select`` cannot be combined with grouping —
     the aggregated projection IS the keys + aliases; ``order_by``/
     ``limit``/``offset`` then act on the aggregated solutions.
+
+    ``subqueries`` (SPARQL nested SELECT): each entry is a solution
+    DataFrame — typically another ``bgp_match`` call, often an
+    aggregated one — evaluated bottom-up per the spec and inner-joined
+    into this group on its shared variable COLUMNS ("judgments decided
+    by courts with ≥N judgments": the subquery groups per court, the
+    outer group joins on ``court``).  Fresh subquery columns (aggregate
+    aliases) become declared variables, projectable and FILTER-able
+    like matched ones.  A subquery sharing no variable with the group
+    is refused (a cartesian product).  No broadcast hint is placed —
+    a subquery's size is unknowable at compile time; AQE decides from
+    runtime sizes (aggregated subqueries are usually tiny and convert
+    to broadcast joins at runtime).
 
     Solution modifiers, applied in SPARQL's order (projection →
     DISTINCT → ORDER BY → OFFSET → LIMIT): ``select`` projects a subset
@@ -424,6 +438,21 @@ def bgp_match(triples: DataFrame, patterns, *, optional=(), minus=(),
             matched = not g.isEmpty()
             if matched != keep_on_match:
                 cur = cur.where(F.lit(False))
+
+    # subqueries: bottom-up-evaluated solution tables, joined on their
+    # shared variable columns; fresh columns become declared variables
+    for sq in ([subqueries] if isinstance(subqueries, DataFrame)
+               else subqueries):
+        shared = [v for v in out_vars if v in sq.columns]
+        if not shared:
+            raise ValueError(
+                "subquery shares no variable with the group (a "
+                "cartesian product); correlate it on at least one "
+                "variable column")
+        cur = cur.join(sq, on=shared, how="inner")
+        fresh = [c for c in sq.columns if c not in out_vars]
+        out_vars += fresh
+        declared += [c for c in fresh if c not in declared]
 
     cur = cur.select(*declared)
     for fx in ([filters] if isinstance(filters, str) else filters):

@@ -7425,6 +7425,38 @@ SELECT DISTINCT subj, pred, obj, doc_id FROM t
 WHERE subj IN (SELECT node FROM n) OR obj IN (SELECT node FROM n)"""
 
 
+def q_kg_bgp_subquery(spark, sf_dir):
+    """SPARQL nested SELECT (subquery): judgments + judges restricted
+    to courts with ≥3 distinct judgments — the inner query groups per
+    court (GROUP BY + HAVING leg), the outer BGP joins it on the shared
+    ?court column; the aggregate alias ?n_d rides into the outer
+    solution.  The subquery's aggregated table is runtime-tiny, so AQE
+    converts the correlation join to a broadcast."""
+    from .operators import kgquery
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    sub = kgquery.bgp_match(tri, [("?d2", "decided_by", "?court")],
+                            group_by="?court",
+                            agg={"?n_d": "count(distinct d2)"},
+                            having="n_d >= 3")
+    return kgquery.bgp_match(tri, [("?d", "decided_by", "?court"),
+                                   ("?d", "has_judge", "?j")],
+                             subqueries=[sub])
+
+
+def o_kg_bgp_subquery():
+    return f"""
+WITH t AS (SELECT subj, pred, obj FROM {_KG_SQL_SRC}
+           WHERE rec_type = 'triple'),
+sub AS (SELECT obj AS court, count(DISTINCT subj)::BIGINT AS n_d
+        FROM t WHERE pred = 'decided_by'
+        GROUP BY obj HAVING count(DISTINCT subj) >= 3)
+SELECT DISTINCT a.subj AS d, a.obj AS court, b.obj AS j, s.n_d
+FROM t a
+JOIN t b ON b.subj = a.subj AND b.pred = 'has_judge'
+JOIN sub s ON s.court = a.obj
+WHERE a.pred = 'decided_by'"""
+
+
 def q_kg_bgp_not_exists(spark, sf_dir):
     """BGP with SPARQL FILTER NOT EXISTS — ¬(cites ∧ lawyer), i.e.
     judgments missing the citation or the lawyer (or both).  Contrast
@@ -7984,6 +8016,7 @@ QUERIES = {
     "kg_bgp_groupagg": q_kg_bgp_groupagg,
     "kg_bgp_union": q_kg_bgp_union,
     "kg_describe": q_kg_describe,
+    "kg_bgp_subquery": q_kg_bgp_subquery,
     "kg_bgp_not_exists": q_kg_bgp_not_exists,
     "kg_bgp_filter_agg": q_kg_bgp_filter_agg,
     "kg_bgp_chain": q_kg_bgp_chain,
@@ -8185,6 +8218,7 @@ ORACLES = {
     "kg_bgp_groupagg": o_kg_bgp_groupagg(),
     "kg_bgp_union": o_kg_bgp_union(),
     "kg_describe": o_kg_describe(),
+    "kg_bgp_subquery": o_kg_bgp_subquery(),
     "kg_bgp_not_exists": o_kg_bgp_not_exists(),
     "kg_bgp_filter_agg": o_kg_bgp_filter_agg(),
     "kg_bgp_chain": o_kg_bgp_chain(),

@@ -1025,3 +1025,24 @@ def test_bgp_agg_accepts_any_sql_aggregate(kg):
         agg={"?ps": "concat_ws('|', sort_array(collect_list(p)))"})
     assert {tuple(r) for r in out.collect()} == {
         ("d1", "A vs B|C vs D"), ("d2", "A vs B")}
+
+
+def test_bgp_subquery_join_and_validation(kg):
+    # SPARQL nested SELECT: courts with >= 2 judgments, joined back
+    sub = kgquery.bgp_match(kg, [("?d2", "decided_by", "?c")],
+                            group_by="?c",
+                            agg={"?n": "count(distinct d2)"},
+                            having="n >= 2")
+    out = kgquery.bgp_match(kg, [("?d", "decided_by", "?c"),
+                                 ("?d", "has_judge", "?j")],
+                            subqueries=[sub])
+    # SC has d1+d3 (n=2); only d1 has a judge.  HC has n=1 -> dropped.
+    assert {tuple(r) for r in out.collect()} == {("d1", "SC", "J. Rao", 2)}
+    assert out.columns == ["d", "c", "j", "n"]
+    # fresh subquery columns are selectable and filterable
+    sel = kgquery.bgp_match(kg, [("?d", "decided_by", "?c")],
+                            subqueries=sub, select=["?c", "?n"])
+    assert {tuple(r) for r in sel.collect()} == {("SC", 2)}
+    with pytest.raises(ValueError, match="subquery shares no variable"):
+        kgquery.bgp_match(kg, [("?m", "same_as", "?canon")],
+                          subqueries=[sub])
