@@ -103,6 +103,9 @@ SHOW = [
                         "a window"),
     ("kg_bgp_union", "SPARQL UNION: zero-shuffle Union of the branch "
                      "join trees + one DISTINCT"),
+    ("kg_bgp_subquery", "SPARQL nested SELECT: the inner aggregate "
+                        "tree correlation-joined into the outer BGP "
+                        "(AQE broadcasts the tiny aggregated side)"),
     ("kg_path_bounded", "bounded property path: per-hop frontier "
                         "equi-join + seen-pair anti-join, lineage "
                         "truncated per hop"),
