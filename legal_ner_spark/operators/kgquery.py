@@ -23,6 +23,21 @@ CONSUMER side — the operators a user points at the finished graph:
   ``same_as`` edges (the entity-resolution payoff of statute clustering).
 - ``constraint_report``: SHACL-lite structural validation — per-predicate
   functionality / inverse-functionality / cardinality profile.
+- ``rdfs_entail`` / ``owl_extend``: schema-driven entailment
+  materialization — the ρdf rule set (sub-class/sub-property closure,
+  domain/range typing, type inheritance) and the OWL-RL property
+  fragment (inverse-of, symmetric, transitive declarations), each a
+  stratified pass of instance-scan ⋈ broadcast-ontology joins over
+  semi-naive closures.
+- ``update_graph`` / ``update_graph_commit``: SPARQL Update —
+  ``DELETE/INSERT WHERE`` (and the ground DATA forms) as one shared BGP
+  match + template instantiation + 3-tuple anti-join/union, pure or
+  committed as a new store snapshot under the atomic manifest flip with
+  time travel and retention.
+- ``validate_shapes``: declarative SHACL-lite shapes —
+  targetSubjectsOf focus selection with min/max-count, sh:in, and
+  sh:pattern constraints compiled to pred-pushed scans + hash
+  aggregates, violations as rows.
 
 Scale shape: everything here is pure DataFrame filter/equi-join/aggregate.
 Pattern scans are `pred = literal` filters that reach the parquet scan as
@@ -42,7 +57,9 @@ from pyspark.sql import functions as F
 
 __all__ = ["bgp_match", "bgp_match_delta", "property_path", "path_edges",
            "path_sequence", "construct", "closure", "to_ntriples",
-           "from_ntriples", "resolve_same_as", "constraint_report"]
+           "from_ntriples", "resolve_same_as", "constraint_report",
+           "rdfs_entail", "owl_extend", "update_graph",
+           "update_graph_commit", "validate_shapes"]
 
 _TERM_COLS = ("subj", "pred", "obj", "doc_id")
 
@@ -1099,13 +1116,28 @@ def construct(triples: DataFrame, body, head, *, values: dict | None = None,
     strings.  Multiple head templates share ONE body match: the plan is
     the body's join tree + a union of constant-width projections, so a
     k-template rule costs one match, not k."""
-    heads = [tuple(h) for h in head] if head and not isinstance(
-        head[0], str) else [tuple(head)]
-    if not heads or any(len(h) != 3 for h in heads):
-        raise ValueError("head must be one or more (subj, pred, obj) "
-                         "templates")
     b = bgp_match(triples, body, optional=optional, minus=minus,
                   values=values, **bgp_kwargs)
+    return _instantiate_templates(b, _norm_templates(head))
+
+
+def _norm_templates(tpls):
+    """Normalize one template or a list of templates to a list of
+    3-tuples, refusing malformed shapes."""
+    out = [tuple(h) for h in tpls] if tpls and not isinstance(
+        tpls[0], str) else [tuple(tpls)]
+    if not out or any(len(h) != 3 for h in out):
+        raise ValueError("templates must be one or more (subj, pred, obj) "
+                         "3-tuples")
+    return out
+
+
+def _instantiate_templates(b: DataFrame, heads) -> DataFrame:
+    """Instantiate ``(subj, pred, obj)`` templates against a binding
+    table (shared by `construct` and `update_graph`): variables project
+    the binding column, literals become constants; all templates share
+    the ONE binding match — a union of constant-width projections over
+    the same join tree, so k templates cost one match, not k."""
     bound = set(b.columns)
     out = None
     for h in heads:
@@ -1115,7 +1147,7 @@ def construct(triples: DataFrame, body, head, *, values: dict | None = None,
                 v = _var_name(term)
                 if v not in bound:
                     raise ValueError(
-                        f"head variable {term!r} is not bound by the body")
+                        f"template variable {term!r} is not bound")
                 cols.append(F.col(v).alias(col))
             else:
                 cols.append(F.lit(term).alias(col))
@@ -1332,3 +1364,397 @@ def constraint_report(triples: DataFrame) -> DataFrame:
                     F.col("n_objects").cast("bigint").alias("n_objects"),
                     "functional_violations", "inverse_violations",
                     "max_out_degree"))
+
+
+# --- RDFS / OWL entailment ---------------------------------------------------
+
+_RDFS_SCHEMA_PREDS = ("subclass_of", "subproperty_of", "domain", "range")
+
+
+def rdfs_entail(triples: DataFrame, *, type_pred: str = "type",
+                subclass_pred: str = "subclass_of",
+                subproperty_pred: str = "subproperty_of",
+                domain_pred: str = "domain",
+                range_pred: str = "range",
+                max_hops: int = 8,
+                checkpoint_dir: str | None = None,
+                derived_only: bool = False) -> DataFrame:
+    """Materialize the RDFS entailment of the graph — the ρdf fragment
+    (Muñoz/Pérez/Gutierrez, "Minimal deductive systems for RDF"): the
+    schema triples live IN the graph (rows whose predicate is one of
+    ``subclass_of`` / ``subproperty_of`` / ``domain`` / ``range``,
+    the engine's lowercase spellings of rdfs:subClassOf etc.), and the
+    standard rule set is applied to fixpoint:
+
+    - rdfs5/rdfs11: transitive closure of ``subproperty_of`` and
+      ``subclass_of`` (semi-naive, via `closure`);
+    - rdfs7: ``(x p y), (p ⊑ q) ⟹ (x q y)`` through the CLOSED
+      property hierarchy;
+    - rdfs2/rdfs3: ``(x p y), (p domain C) ⟹ (x type C)`` and
+      ``(p range C) ⟹ (y type C)`` over asserted ∪ rdfs7-derived;
+    - rdfs9: ``(x type C), (C ⊑ D) ⟹ (x type D)`` through the
+      closed class hierarchy, over asserted ∪ rdfs2/3-derived types.
+
+    Because the hierarchies are pre-closed, this stratification reaches
+    the fixpoint in ONE pass (the classic ρdf result; `rdfs_entail` of
+    its own output adds nothing — pinned by a pytest idempotence gate).
+    The degenerate meta-level cases the fragment excludes —
+    ``type``/schema predicates themselves declared as sub-properties or
+    given domains/ranges — are refused up front rather than silently
+    half-applied.
+
+    Plan shape: both closures run over SCHEMA rows only (ontology-sized,
+    thousands of rows at most, never corpus-sized), so every rule
+    application is an instance-scan ⋈ broadcast-closure equi-join; the
+    instance side is scanned once per rule family.  ``derived_only``
+    anti-joins the input back out, leaving just the inferred rows
+    (doc_id null — derived facts have no single source document).
+    """
+    schema_preds = {subclass_pred, subproperty_pred, domain_pred,
+                    range_pred}
+    meta = (triples.filter(F.col("pred").isin(*schema_preds))
+            .filter(F.col("subj").isin(type_pred, *schema_preds)
+                    | F.col("obj").isin(type_pred)))
+    if not meta.isEmpty():
+        raise ValueError(
+            "rdfs_entail implements the rho-df fragment: the type/schema "
+            "predicates themselves may not appear as subjects of "
+            "subproperty_of/domain/range or as entailment targets")
+
+    c_spo = closure(triples, subproperty_pred, max_hops=max_hops,
+                    checkpoint_dir=checkpoint_dir)
+    c_sco = closure(triples, subclass_pred, max_hops=max_hops,
+                    checkpoint_dir=checkpoint_dir)
+    spo = F.broadcast(c_spo.select(F.col("subj").alias("sub"),
+                                   F.col("obj").alias("sup")))
+    sco = F.broadcast(c_sco.select(F.col("subj").alias("sub"),
+                                   F.col("obj").alias("sup")))
+    inst = triples.select("subj", "pred", "obj")
+
+    # rdfs7 through the closed property hierarchy
+    d7 = (inst.join(spo, inst.pred == spo.sub)
+          .select("subj", F.col("sup").alias("pred"), "obj"))
+    ext = inst.unionByName(d7).distinct()
+
+    # rdfs2 / rdfs3 over asserted ∪ rdfs7-derived
+    dom = F.broadcast(triples.filter(F.col("pred") == domain_pred)
+                      .select(F.col("subj").alias("p"),
+                              F.col("obj").alias("cls")).distinct())
+    rng = F.broadcast(triples.filter(F.col("pred") == range_pred)
+                      .select(F.col("subj").alias("p"),
+                              F.col("obj").alias("cls")).distinct())
+    d2 = (ext.join(dom, ext.pred == dom.p)
+          .select("subj", F.lit(type_pred).alias("pred"),
+                  F.col("cls").alias("obj")))
+    d3 = (ext.join(rng, ext.pred == rng.p)
+          .select(F.col("obj").alias("subj"),
+                  F.lit(type_pred).alias("pred"),
+                  F.col("cls").alias("obj")))
+    types = (inst.filter(F.col("pred") == type_pred)
+             .unionByName(d2).unionByName(d3).distinct())
+
+    # rdfs9 through the closed class hierarchy
+    d9 = (types.join(sco, types.obj == sco.sub)
+          .select("subj", F.lit(type_pred).alias("pred"),
+                  F.col("sup").alias("obj")))
+
+    derived = (d7.unionByName(d2).unionByName(d3).unionByName(d9)
+               .unionByName(c_spo.select("subj", "pred", "obj"))
+               .unionByName(c_sco.select("subj", "pred", "obj"))
+               .distinct()
+               .join(inst.distinct(), on=["subj", "pred", "obj"],
+                     how="left_anti")
+               .withColumn("doc_id", F.lit(None).cast("string")))
+    if derived_only:
+        return derived
+    return triples.select("subj", "pred", "obj", "doc_id").unionByName(
+        derived)
+
+
+def owl_extend(triples: DataFrame, *, type_pred: str = "type",
+               inverse_pred: str = "inverse_of",
+               symmetric_class: str = "symmetric_property",
+               transitive_class: str = "transitive_property",
+               max_hops: int = 8,
+               checkpoint_dir: str | None = None,
+               derived_only: bool = False) -> DataFrame:
+    """Materialize the OWL-RL property-semantics fragment on top of the
+    graph's own declarations: ``(p inverse_of q)`` ⟹ each ``(x p y)``
+    yields ``(y q x)`` (and symmetrically, owl:inverseOf being
+    symmetric); ``(p type symmetric_property)`` ⟹ ``(x p y)`` yields
+    ``(y p x)``; ``(p type transitive_property)`` ⟹ p's edge set is
+    transitively closed.
+
+    Fixpoint by stratification: inverse and symmetric images are added
+    FIRST (so a transitive predicate closes over edges contributed
+    through its inverse), then each declared-transitive predicate's
+    edges close via one shared pred-keyed semi-naive frontier loop (one
+    ``(pred, dst)=(pred, src)`` shuffle per hop — all transitive
+    predicates advance together, no per-predicate driver loop), then
+    the inverse images of the CLOSED edges are added, which is the
+    fixpoint for this fragment: a transitive pred's closure pushed
+    through its inverse equals the inverse pred's own closure (pinned
+    by a pytest gate on an inverse-of-transitive fixture).
+
+    Declarations are ontology-sized and broadcast; instance scans are
+    per-rule-family equi-joins, as in `rdfs_entail`.
+    """
+    from ..plans.checkpoint import Truncator
+    trunc = Truncator(checkpoint_dir)
+
+    inv = (triples.filter(F.col("pred") == inverse_pred)
+           .select(F.col("subj").alias("p"), F.col("obj").alias("q"))
+           .distinct())
+    inv = inv.unionByName(inv.select(F.col("q").alias("p"),
+                                     F.col("p").alias("q"))).distinct()
+    inv = F.broadcast(inv)
+    sym = F.broadcast(
+        triples.filter((F.col("pred") == type_pred)
+                       & (F.col("obj") == symmetric_class))
+        .select(F.col("subj").alias("p")).distinct())
+    tra = F.broadcast(
+        triples.filter((F.col("pred") == type_pred)
+                       & (F.col("obj") == transitive_class))
+        .select(F.col("subj").alias("p")).distinct())
+
+    inst = triples.select("subj", "pred", "obj")
+
+    def inv_img(df):
+        return (df.join(inv, df.pred == inv.p)
+                .select(F.col("obj").alias("subj"),
+                        F.col("q").alias("pred"),
+                        F.col("subj").alias("obj")))
+
+    def sym_img(df):
+        return (df.join(sym, df.pred == sym.p)
+                .select(F.col("obj").alias("subj"), "pred",
+                        F.col("subj").alias("obj")))
+
+    base = (inst.unionByName(inv_img(inst)).unionByName(sym_img(inst))
+            .distinct())
+
+    # shared pred-keyed semi-naive closure of every declared-transitive
+    # predicate's edge set (rows of other predicates never enter)
+    e = trunc(base.join(tra, base.pred == tra.p).select(
+        "pred", F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .distinct(), "owl_edges")
+    reach = e
+    frontier = e
+    for k in range(2, max_hops + 1):
+        nxt = (frontier.join(
+            e.select(F.col("pred").alias("p2"), F.col("src").alias("m"),
+                     F.col("dst").alias("ndst")),
+            (frontier.dst == F.col("m")) & (frontier.pred == F.col("p2")))
+            .select("pred", "src", F.col("ndst").alias("dst")).distinct())
+        new = trunc(nxt.join(reach, on=["pred", "src", "dst"],
+                             how="left_anti"), f"owl_h{k}")
+        if new.isEmpty():
+            break
+        reach = trunc(reach.unionByName(new), f"owl_r{k}")
+        frontier = new
+    closed = reach.select(F.col("src").alias("subj"), "pred",
+                          F.col("dst").alias("obj"))
+
+    full = (base.unionByName(closed).unionByName(inv_img(closed))
+            .distinct())
+    derived = (full.join(inst.distinct(), on=["subj", "pred", "obj"],
+                         how="left_anti")
+               .withColumn("doc_id", F.lit(None).cast("string")))
+    if derived_only:
+        return derived
+    return triples.select("subj", "pred", "obj", "doc_id").unionByName(
+        derived)
+
+
+# --- SPARQL Update -----------------------------------------------------------
+
+def update_graph(triples: DataFrame, *, where=(), delete=(), insert=(),
+                 values: dict | None = None, **bgp_kwargs) -> DataFrame:
+    """SPARQL Update as a pure graph transform — ``DELETE {…} INSERT {…}
+    WHERE {…}`` (and the ground ``DELETE DATA`` / ``INSERT DATA`` forms
+    when ``where`` is empty): returns the UPDATED triple table, leaving
+    the input untouched; pair with `update_graph_commit` for the
+    snapshotted store form.
+
+    Semantics follow the spec: ``where`` (a BGP — full `bgp_match`
+    syntax) is evaluated ONCE against the ORIGINAL graph; both template
+    sets instantiate from that same binding table (so a pred-rename
+    update whose delete and insert templates overlap behaves
+    atomically); deletion applies first, then insertion.  A template
+    instance with an unbound term is skipped, as in CONSTRUCT.  With no
+    ``where``, both template sets must be ground (no variables).
+
+    Store semantics: ours is a provenance-carrying bag — asserted rows
+    keep their ``doc_id`` and multiplicity.  DELETE drops EVERY row
+    whose ``(subj, pred, obj)`` matches an instantiated delete triple,
+    across all documents (SPARQL graphs have no provenance dimension);
+    INSERT is set-semantic — a distinct inserted triple lands once,
+    ``doc_id`` null, and only if the post-delete graph doesn't already
+    assert it.
+
+    Plan: one BGP match shared by both template sets, one left-anti
+    equi-join on the 3-tuple for the delete (the instantiated delete
+    set is answer-sized and typically broadcast by AQE), one anti-join
+    + union for the insert.  No operator here materializes the graph.
+    """
+    spark = triples.sparkSession
+    d_tpls = _norm_templates(delete) if delete else []
+    i_tpls = _norm_templates(insert) if insert else []
+    if not d_tpls and not i_tpls:
+        raise ValueError("update_graph needs delete and/or insert "
+                         "templates")
+
+    if where:
+        b = bgp_match(triples, where, values=values, **bgp_kwargs)
+        dels = _instantiate_templates(b, d_tpls) if d_tpls else None
+        ins = _instantiate_templates(b, i_tpls) if i_tpls else None
+    else:
+        def ground(tpls, kind):
+            if any(_is_var(t) for h in tpls for t in h):
+                raise ValueError(
+                    f"{kind} DATA (no WHERE clause) requires ground "
+                    "templates — got a variable")
+            return spark.createDataFrame(
+                [(s, p, o, None) for s, p, o in tpls],
+                "subj string, pred string, obj string, doc_id string")
+        dels = ground(d_tpls, "DELETE") if d_tpls else None
+        ins = ground(i_tpls, "INSERT") if i_tpls else None
+
+    out = triples.select("subj", "pred", "obj", "doc_id")
+    if dels is not None:
+        out = out.join(dels.select("subj", "pred", "obj"),
+                       on=["subj", "pred", "obj"], how="left_anti")
+    if ins is not None:
+        fresh = (ins.select("subj", "pred", "obj").distinct()
+                 .join(out.select("subj", "pred", "obj"),
+                       on=["subj", "pred", "obj"], how="left_anti")
+                 .withColumn("doc_id", F.lit(None).cast("string")))
+        out = out.unionByName(fresh)
+    return out
+
+
+def update_graph_commit(spark, root: str, *, snapshot_id: str,
+                        where=(), delete=(), insert=(),
+                        table: str = "triples",
+                        retain: int | None = None,
+                        **update_kwargs) -> dict:
+    """Snapshotted SPARQL Update against a PUBLISHED triple store: read
+    the current snapshot through the manifest, apply `update_graph`, and
+    commit the result as a NEW snapshot under the same atomic manifest
+    flip every index lifecycle here uses (`plans/publish.py`) — readers
+    resolve through the manifest, so they see the old graph until the
+    instant the new one is complete, previous snapshots stay readable
+    for time travel until retention removes them, and a crash mid-write
+    leaves the manifest (and the store) on the previous snapshot.
+
+    Returns the new manifest dict.  Superseded snapshots stay readable
+    (`plans.publish.read_snapshot`) until retention removes them:
+    ``retain=N`` keeps the newest N snapshot directories per table
+    (mtime order, current always kept) and vacuums the rest; pass None
+    to leave history intact.
+    """
+    import os
+    from ..plans import publish as pub
+    cur = pub.read_published(spark, root, table)
+    new = update_graph(cur, where=where, delete=delete, insert=insert,
+                       **update_kwargs)
+    man = pub.publish_tables({table: new}, root, snapshot_id=snapshot_id)
+    if retain is not None:
+        if retain < 1:
+            raise ValueError("retain must be >= 1")
+        tdir = os.path.join(root, table)
+        snaps = sorted((e for e in os.listdir(tdir)
+                        if e.startswith("snap=")),
+                       key=lambda e: os.path.getmtime(
+                           os.path.join(tdir, e)))
+        keep = {e.split("=", 1)[1] for e in snaps[-retain:]}
+        pub.vacuum(root, keep_ids=keep)
+    return man
+
+
+# --- SHACL-lite shape validation ---------------------------------------------
+
+def validate_shapes(triples: DataFrame, shapes) -> DataFrame:
+    """Declarative SHACL-lite validation: ``shapes`` is a list of shape
+    dicts — ``{"shape": name, "target_pred": p, "constraints": [...]}``
+    — where focus nodes are the distinct SUBJECTS of ``target_pred``
+    (sh:targetSubjectsOf) and each constraint checks one property path
+    off the focus node:
+
+    - ``{"path": q, "min_count": n}`` / ``{"path": q, "max_count": n}``
+      — sh:minCount / sh:maxCount on the focus node's q-objects
+      (min_count counts 0 for a focus with no q rows, per SHACL);
+    - ``{"path": q, "in": [...]}`` — sh:in, every q-object must be in
+      the closed list;
+    - ``{"path": q, "pattern": rx}`` — sh:pattern, every q-object must
+      rlike the regex.
+
+    Returns violation rows ``(shape, focus, path, constraint, value)``
+    — value is the offending count (as a string) for cardinality
+    constraints and the offending object for in/pattern — an empty
+    result means the graph conforms.
+
+    The shapes list is the SHACL shapes graph: configuration-sized,
+    compiled driver-side into a union of per-constraint legs.  Each leg
+    is a pred-pushed scan + hash aggregate or broadcast-list filter,
+    grouped per (shape, path) so one shape's min+max on the same path
+    share a single count aggregate; nothing here scales with anything
+    but the instance data.
+    """
+    legs = []
+    for sh in shapes:
+        name, tgt = sh["shape"], sh["target_pred"]
+        focus = (triples.filter(F.col("pred") == tgt)
+                 .select(F.col("subj").alias("focus")).distinct())
+        by_path = {}
+        for c in sh["constraints"]:
+            by_path.setdefault(c["path"], []).append(c)
+        for path, cs in by_path.items():
+            vals = (triples.filter(F.col("pred") == path)
+                    .select(F.col("subj").alias("focus"),
+                            F.col("obj").alias("value")))
+            card = [c for c in cs if "min_count" in c or "max_count" in c]
+            if card:
+                cnt = (focus.join(vals, "focus", "left")
+                       .groupBy("focus")
+                       .agg(F.count("value").alias("n")))
+                for c in card:
+                    if "min_count" in c:
+                        legs.append(
+                            cnt.filter(F.col("n") < c["min_count"])
+                            .select(F.lit(name).alias("shape"), "focus",
+                                    F.lit(path).alias("path"),
+                                    F.lit(f"min_count={c['min_count']}")
+                                    .alias("constraint"),
+                                    F.col("n").cast("string")
+                                    .alias("value")))
+                    if "max_count" in c:
+                        legs.append(
+                            cnt.filter(F.col("n") > c["max_count"])
+                            .select(F.lit(name).alias("shape"), "focus",
+                                    F.lit(path).alias("path"),
+                                    F.lit(f"max_count={c['max_count']}")
+                                    .alias("constraint"),
+                                    F.col("n").cast("string")
+                                    .alias("value")))
+            fvals = focus.join(vals, "focus")
+            for c in cs:
+                if "in" in c:
+                    legs.append(
+                        fvals.filter(~F.col("value").isin(*c["in"]))
+                        .select(F.lit(name).alias("shape"), "focus",
+                                F.lit(path).alias("path"),
+                                F.lit("in").alias("constraint"), "value"))
+                if "pattern" in c:
+                    legs.append(
+                        fvals.filter(~F.col("value").rlike(c["pattern"]))
+                        .select(F.lit(name).alias("shape"), "focus",
+                                F.lit(path).alias("path"),
+                                F.lit(f"pattern={c['pattern']}")
+                                .alias("constraint"), "value"))
+    if not legs:
+        raise ValueError("shapes declare no constraints")
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.distinct()

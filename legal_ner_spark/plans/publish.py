@@ -123,6 +123,26 @@ def read_published(spark: SparkSession, root: str, name: str) -> DataFrame:
     return spark.read.parquet(manifest["tables"][name])
 
 
+def read_snapshot(spark: SparkSession, root: str, name: str,
+                  snapshot_id: str) -> DataFrame:
+    """Time-travel read: a table at a SPECIFIC retained snapshot.
+    Snapshot directories are immutable once published, so any id that
+    survives retention (`vacuum` keep_ids) is exactly the state the
+    commit published; an expired or never-published id raises with the
+    retained list, never a half-missing-directory scan."""
+    tdir = os.path.join(root, name)
+    path = os.path.join(tdir, f"snap={snapshot_id}")
+    if not os.path.isdir(path):
+        have = sorted(e.split("=", 1)[1] for e in os.listdir(tdir)
+                      if e.startswith("snap=")) if os.path.isdir(tdir) \
+            else []
+        raise ValueError(
+            f"snapshot {snapshot_id!r} of table {name!r} is not retained "
+            f"under {root} (retained: {have}) — it was vacuumed, or "
+            "never published")
+    return spark.read.parquet(path)
+
+
 # ---------------------------------------------------------------------
 # Segmented-lifecycle snapshot log (BM25 text index, IVF): the
 # commit-vs-file-expiry split for manifests whose state is a SEGMENT

@@ -1,0 +1,304 @@
+"""RDFS/OWL entailment, SPARQL Update, and SHACL-lite shape validation
+(`operators/kgquery.py`: rdfs_entail / owl_extend / update_graph /
+update_graph_commit / validate_shapes).
+
+The entailment fixtures are hand-built so every rule fires on a row the
+test can name; the fixpoint gates (entail twice == entail once) are the
+semantic anchor — a one-pass stratification that is NOT a fixpoint would
+fail them, not just undershoot.
+"""
+
+import os
+
+import pytest
+
+from legal_ner_spark.operators import kgquery as kq
+from legal_ner_spark.plans import publish as pub
+
+
+def T(spark, rows):
+    return spark.createDataFrame(
+        [(s, p, o, d) for s, p, o, d in
+         ((r if len(r) == 4 else (*r, None)) for r in rows)],
+        "subj string, pred string, obj string, doc_id string")
+
+
+def spo_set(df):
+    return {(r.subj, r.pred, r.obj)
+            for r in df.select("subj", "pred", "obj").collect()}
+
+
+# --- rdfs_entail -----------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def rdfs_graph(spark):
+    return T(spark, [
+        # ontology (schema rows live in the graph)
+        ("has_petitioner", "subproperty_of", "has_party"),
+        ("has_respondent", "subproperty_of", "has_party"),
+        ("has_party", "subproperty_of", "involves"),
+        ("decided_by", "domain", "judgment"),
+        ("decided_by", "range", "court"),
+        ("has_party", "domain", "judgment"),
+        ("judgment", "subclass_of", "legal_document"),
+        ("legal_document", "subclass_of", "document"),
+        ("court", "subclass_of", "institution"),
+        # instance
+        ("d1", "has_petitioner", "alice", "d1"),
+        ("d2", "has_respondent", "bob", "d2"),
+        ("d1", "decided_by", "sc", "d1"),
+        ("x9", "type", "judgment"),          # asserted type feeds rdfs9
+    ])
+
+
+def test_rdfs_every_rule_fires(spark, rdfs_graph):
+    got = spo_set(kq.rdfs_entail(rdfs_graph, derived_only=True))
+    # rdfs5: subproperty transitivity
+    assert ("has_petitioner", "subproperty_of", "involves") in got
+    # rdfs11: subclass transitivity
+    assert ("judgment", "subclass_of", "document") in got
+    # rdfs7: instance triple through the CLOSED hierarchy (2 levels)
+    assert ("d1", "has_party", "alice") in got
+    assert ("d1", "involves", "alice") in got
+    # rdfs2/rdfs3: domain/range typing
+    assert ("d1", "type", "judgment") in got
+    assert ("sc", "type", "court") in got
+    # rdfs2 over an rdfs7-DERIVED triple (has_party has a domain)
+    assert ("d2", "type", "judgment") in got
+    # rdfs9 through the closed class hierarchy, over derived AND
+    # asserted types
+    assert ("d1", "type", "legal_document") in got
+    assert ("d1", "type", "document") in got
+    assert ("sc", "type", "institution") in got
+    assert ("x9", "type", "document") in got
+
+
+def test_rdfs_no_spurious_facts(spark, rdfs_graph):
+    got = spo_set(kq.rdfs_entail(rdfs_graph, derived_only=True))
+    # nothing types d2 as court, nothing gives bob a party role, no
+    # reflexive subclass rows
+    assert not any(s == "bob" and p != "type" for s, p, o in got)
+    assert ("d2", "type", "court") not in got
+    assert all(s != o for s, p, o in got
+               if p in ("subclass_of", "subproperty_of"))
+
+
+def test_rdfs_fixpoint_idempotent(spark, rdfs_graph):
+    once = kq.rdfs_entail(rdfs_graph)
+    twice = kq.rdfs_entail(once)
+    assert spo_set(twice) == spo_set(once)
+
+
+def test_rdfs_derived_only_excludes_asserted(spark, rdfs_graph):
+    derived = kq.rdfs_entail(rdfs_graph, derived_only=True)
+    assert spo_set(derived).isdisjoint(spo_set(rdfs_graph))
+    full = kq.rdfs_entail(rdfs_graph)
+    assert spo_set(full) == spo_set(derived) | spo_set(rdfs_graph)
+    # derived rows carry no provenance
+    assert derived.filter(derived.doc_id.isNotNull()).count() == 0
+
+
+def test_rdfs_refuses_meta_level_schema(spark):
+    g = T(spark, [("type", "subproperty_of", "relates"),
+                  ("d1", "decided_by", "sc")])
+    with pytest.raises(ValueError, match="rho-df"):
+        kq.rdfs_entail(g)
+    g2 = T(spark, [("subclass_of", "domain", "cls")])
+    with pytest.raises(ValueError, match="rho-df"):
+        kq.rdfs_entail(g2)
+
+
+def test_rdfs_no_schema_is_identity(spark):
+    g = T(spark, [("d1", "decided_by", "sc", "d1")])
+    assert spo_set(kq.rdfs_entail(g)) == spo_set(g)
+    assert kq.rdfs_entail(g, derived_only=True).count() == 0
+
+
+# --- owl_extend ------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def owl_graph(spark):
+    return T(spark, [
+        ("cited_by", "inverse_of", "cites"),
+        ("cites", "type", "transitive_property"),
+        ("near", "type", "symmetric_property"),
+        ("a", "cites", "b"), ("b", "cites", "c"), ("c", "cites", "d"),
+        ("x", "near", "y"),
+        # an edge asserted on the INVERSE pred must feed the closure
+        ("e", "cited_by", "d"),
+    ])
+
+
+def test_owl_every_rule_fires(spark, owl_graph):
+    got = spo_set(kq.owl_extend(owl_graph, derived_only=True))
+    # transitive closure (3-hop chain)
+    assert ("a", "cites", "c") in got and ("a", "cites", "d") in got
+    # inverse images of asserted and closed edges
+    assert ("b", "cited_by", "a") in got
+    assert ("d", "cited_by", "a") in got
+    # inverse_of is symmetric: the cited_by assertion yields a cites
+    # edge, which then participates in the closure
+    assert ("d", "cites", "e") in got
+    assert ("a", "cites", "e") in got
+    assert ("e", "cited_by", "a") in got
+    # symmetric property
+    assert ("y", "near", "x") in got
+
+
+def test_owl_fixpoint_idempotent(spark, owl_graph):
+    once = kq.owl_extend(owl_graph)
+    twice = kq.owl_extend(once)
+    assert spo_set(twice) == spo_set(once)
+
+
+def test_owl_undeclared_preds_untouched(spark):
+    g = T(spark, [("a", "likes", "b"), ("b", "likes", "c")])
+    assert kq.owl_extend(g, derived_only=True).count() == 0
+
+
+def test_owl_max_hops_bounds_closure(spark):
+    chain = [("n%d" % i, "cites", "n%d" % (i + 1)) for i in range(6)]
+    g = T(spark, chain + [("cites", "type", "transitive_property")])
+    got = spo_set(kq.owl_extend(g, max_hops=2, derived_only=True))
+    assert ("n0", "cites", "n2") in got
+    assert ("n0", "cites", "n3") not in got
+
+
+# --- update_graph ----------------------------------------------------------
+
+@pytest.fixture()
+def store_graph(spark):
+    return T(spark, [
+        ("d1", "decided_by", "sc", "d1"),
+        ("d2", "decided_by", "hc", "d2"),
+        ("d2", "decided_by", "hc", "d2b"),   # same fact, two documents
+        ("d1", "has_judge", "j1", "d1"),
+    ])
+
+
+def test_update_delete_insert_where(spark, store_graph):
+    out = kq.update_graph(store_graph,
+                          where=[("?d", "decided_by", "?c")],
+                          delete=[("?d", "decided_by", "?c")],
+                          insert=[("?d", "heard_by", "?c")])
+    assert spo_set(out) == {("d1", "has_judge", "j1"),
+                            ("d1", "heard_by", "sc"),
+                            ("d2", "heard_by", "hc")}
+    # delete drops EVERY provenance row of a matched 3-tuple; inserts
+    # are set-semantic with null provenance
+    assert out.count() == 3
+    assert out.filter("pred = 'heard_by' and doc_id is not null")\
+        .count() == 0
+
+
+def test_update_where_reads_original_graph(spark, store_graph):
+    # insert template re-asserts what delete removes: per the spec both
+    # instantiate from bindings over the ORIGINAL graph, so this is a
+    # provenance-stripping no-op on the 3-tuple level, not a wipe
+    out = kq.update_graph(store_graph,
+                          where=[("?d", "decided_by", "?c")],
+                          delete=[("?d", "decided_by", "?c")],
+                          insert=[("?d", "decided_by", "?c")])
+    assert spo_set(out) == spo_set(store_graph)
+
+
+def test_update_ground_forms(spark, store_graph):
+    ins = kq.update_graph(store_graph,
+                          insert=[("d3", "decided_by", "sc")])
+    assert ("d3", "decided_by", "sc") in spo_set(ins)
+    assert ins.count() == store_graph.count() + 1
+    # inserting an existing 3-tuple is a no-op
+    noop = kq.update_graph(store_graph,
+                           insert=[("d1", "has_judge", "j1")])
+    assert noop.count() == store_graph.count()
+    dele = kq.update_graph(store_graph,
+                           delete=[("d2", "decided_by", "hc")])
+    assert dele.count() == 2  # both provenance rows gone
+
+
+def test_update_refuses_bad_input(spark, store_graph):
+    with pytest.raises(ValueError, match="ground"):
+        kq.update_graph(store_graph, insert=[("?d", "p", "o")])
+    with pytest.raises(ValueError, match="delete and/or insert"):
+        kq.update_graph(store_graph, where=[("?d", "decided_by", "?c")])
+    with pytest.raises(ValueError, match="not bound"):
+        kq.update_graph(store_graph,
+                        where=[("?d", "decided_by", "?c")],
+                        insert=[("?d", "p", "?nope")])
+
+
+def test_update_graph_commit_snapshots(spark, store_graph, tmp_path):
+    root = str(tmp_path / "kgstore")
+    pub.publish_tables({"triples": store_graph}, root, snapshot_id="s0")
+    man = kq.update_graph_commit(
+        spark, root, snapshot_id="s1",
+        where=[("?d", "decided_by", "?c")],
+        delete=[("?d", "decided_by", "?c")],
+        insert=[("?d", "heard_by", "?c")])
+    assert man["snapshot"] == "s1"
+    cur = pub.read_published(spark, root, "triples")
+    assert ("d1", "heard_by", "sc") in spo_set(cur)
+    assert not any(p == "decided_by" for _, p, _ in spo_set(cur))
+    # time travel: the superseded snapshot is intact
+    old = pub.read_snapshot(spark, root, "triples", "s0")
+    assert spo_set(old) == spo_set(store_graph)
+    # retention: a second update with retain=2 keeps s1+s2, drops s0
+    kq.update_graph_commit(spark, root, snapshot_id="s2",
+                           insert=[("d9", "decided_by", "sc")],
+                           retain=2)
+    assert spo_set(pub.read_snapshot(spark, root, "triples", "s1")) \
+        == spo_set(cur)
+    with pytest.raises(ValueError, match="not retained"):
+        pub.read_snapshot(spark, root, "triples", "s0")
+    assert ("d9", "decided_by", "sc") in spo_set(
+        pub.read_published(spark, root, "triples"))
+
+
+# --- validate_shapes --------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def shacl_graph(spark):
+    return T(spark, [
+        ("d1", "decided_by", "sc"), ("d1", "decided_by", "hc"),
+        ("d2", "decided_by", "sc"), ("d2", "has_judge", "j1"),
+        ("d3", "decided_by", "xx"),
+        ("d3", "has_judge", "J-bad"),
+        # a non-focus subject: never validated
+        ("p1", "part_of", "ipc"),
+    ])
+
+
+SHAPES = [{"shape": "JudgmentShape", "target_pred": "decided_by",
+           "constraints": [
+               {"path": "decided_by", "max_count": 1},
+               {"path": "has_judge", "min_count": 1},
+               {"path": "decided_by", "in": ["sc", "hc"]},
+               {"path": "has_judge", "pattern": "^j[0-9]+$"},
+           ]}]
+
+
+def test_shapes_each_constraint(spark, shacl_graph):
+    got = {(r.shape, r.focus, r.path, r.constraint, r.value)
+           for r in kq.validate_shapes(shacl_graph, SHAPES).collect()}
+    assert ("JudgmentShape", "d1", "decided_by", "max_count=1", "2") \
+        in got
+    assert ("JudgmentShape", "d1", "has_judge", "min_count=1", "0") \
+        in got
+    assert ("JudgmentShape", "d3", "decided_by", "in", "xx") in got
+    assert ("JudgmentShape", "d3", "has_judge", "pattern=^j[0-9]+$",
+            "J-bad") in got
+    # conforming focus node produces no rows; non-focus never validated
+    assert not any(f == "d2" for _, f, _, _, _ in got)
+    assert not any(f == "p1" for _, f, _, _, _ in got)
+
+
+def test_shapes_clean_graph_conforms(spark):
+    g = T(spark, [("d1", "decided_by", "sc"), ("d1", "has_judge", "j1")])
+    assert kq.validate_shapes(g, SHAPES).count() == 0
+
+
+def test_shapes_refuses_empty(spark, shacl_graph):
+    with pytest.raises(ValueError, match="no constraints"):
+        kq.validate_shapes(shacl_graph,
+                           [{"shape": "S", "target_pred": "p",
+                             "constraints": []}])
