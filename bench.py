@@ -155,7 +155,9 @@ def main() -> None:
                      "kg_export_ntriples", "kg_roundtrip_ntriples",
                      "kg_path_bounded", "kg_path_seq", "kg_path_alt",
                      "kg_resolved_triples",
-                     "kg_constraint_report"]
+                     "kg_constraint_report",
+                     "kg_rdfs_entail", "kg_owl_extend",
+                     "kg_update_rename", "kg_shacl_validate"]
     for name in bench_queries:
         timings[name] = round(best_of(
             lambda: queries.QUERIES[name](spark, sf_dir).count()), 3)

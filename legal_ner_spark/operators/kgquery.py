@@ -1121,14 +1121,14 @@ def construct(triples: DataFrame, body, head, *, values: dict | None = None,
     return _instantiate_templates(b, _norm_templates(head))
 
 
-def _norm_templates(tpls):
+def _norm_templates(tpls, kind: str = "head"):
     """Normalize one template or a list of templates to a list of
     3-tuples, refusing malformed shapes."""
     out = [tuple(h) for h in tpls] if tpls and not isinstance(
         tpls[0], str) else [tuple(tpls)]
     if not out or any(len(h) != 3 for h in out):
-        raise ValueError("templates must be one or more (subj, pred, obj) "
-                         "3-tuples")
+        raise ValueError(f"{kind} must be one or more (subj, pred, obj) "
+                         "templates")
     return out
 
 
@@ -1147,7 +1147,8 @@ def _instantiate_templates(b: DataFrame, heads) -> DataFrame:
                 v = _var_name(term)
                 if v not in bound:
                     raise ValueError(
-                        f"template variable {term!r} is not bound")
+                        f"template variable {term!r} is not bound by "
+                        "the body bindings")
                 cols.append(F.col(v).alias(col))
             else:
                 cols.append(F.lit(term).alias(col))
@@ -1370,6 +1371,49 @@ def constraint_report(triples: DataFrame) -> DataFrame:
 
 _RDFS_SCHEMA_PREDS = ("subclass_of", "subproperty_of", "domain", "range")
 
+# Ontology rows an rdfs_entail closure will run driver-side: schema is
+# metadata-sized by nature (a vocabulary, not a corpus); a hierarchy
+# wider than this falls back to the distributed semi-naive closure.
+_SCHEMA_DRIVER_CAP = 100_000
+
+
+def _py_closure(edges, max_hops: int) -> dict[str, set[str]]:
+    """Bounded transitive closure of a driver-side edge list:
+    node → every node reachable in [1, max_hops] hops (self-pairs
+    dropped, matching `closure(keep_self=False)`)."""
+    adj: dict[str, set[str]] = {}
+    for s, o in edges:
+        adj.setdefault(s, set()).add(o)
+    out: dict[str, set[str]] = {}
+    for start in adj:
+        frontier = set(adj[start])
+        seen = set(frontier)
+        for _ in range(max_hops - 1):
+            nxt = set()
+            for n in frontier:
+                nxt |= adj.get(n, set())
+            nxt -= seen
+            if not nxt:
+                break
+            seen |= nxt
+            frontier = nxt
+        seen.discard(start)
+        if seen:
+            out[start] = seen
+    return out
+
+
+def _lit_multimap(d: dict[str, set[str]]):
+    """A dict[str, set[str]] as a literal ``map<string, array<string>>``
+    column — the ontology compiled INTO the expression tree, so a rule
+    application is ``explode(element_at(m, col))`` inside one narrow
+    codegen'd stage instead of a join."""
+    keys = sorted(d)
+    return F.map_from_arrays(
+        F.array(*[F.lit(k) for k in keys]),
+        F.array(*[F.array(*[F.lit(v) for v in sorted(d[k])])
+                  for k in keys]))
+
 
 def rdfs_entail(triples: DataFrame, *, type_pred: str = "type",
                 subclass_pred: str = "subclass_of",
@@ -1403,18 +1447,150 @@ def rdfs_entail(triples: DataFrame, *, type_pred: str = "type",
     given domains/ranges — are refused up front rather than silently
     half-applied.
 
-    Plan shape: both closures run over SCHEMA rows only (ontology-sized,
-    thousands of rows at most, never corpus-sized), so every rule
-    application is an instance-scan ⋈ broadcast-closure equi-join; the
-    instance side is scanned once per rule family.  ``derived_only``
-    anti-joins the input back out, leaving just the inferred rows
-    (doc_id null — derived facts have no single source document).
+    Plan shape: the schema is configuration-sized by nature (a
+    vocabulary, not a corpus), so it is collected ONCE — the same
+    handful-of-literals idiom as the search index's term-bucket pruning
+    — its closures computed driver-side, and the rule set compiled INTO
+    the expression tree as literal ``map<string, array<string>>``
+    lookups: every rule application is ``explode(element_at(m, col))``
+    inside one narrow codegen'd stage over the instance scan — zero
+    joins, zero broadcasts; the only shuffles in the whole operator are
+    the final DISTINCT and the ``derived_only`` anti-join.  A schema
+    wider than `_SCHEMA_DRIVER_CAP` (pathological: the "ontology" is
+    really data) falls back to broadcast-join rule application over the
+    distributed semi-naive `closure`.  ``derived_only`` anti-joins the
+    input back out, leaving just the inferred rows (doc_id null —
+    derived facts have no single source document).
     """
+    schema_preds = {subclass_pred, subproperty_pred, domain_pred,
+                    range_pred}
+    sch_rows = (triples.filter(F.col("pred").isin(*schema_preds))
+                .select("subj", "pred", "obj").distinct()
+                .limit(_SCHEMA_DRIVER_CAP + 1).collect())
+    if len(sch_rows) > _SCHEMA_DRIVER_CAP:
+        return _rdfs_entail_dist(
+            triples, type_pred=type_pred, subclass_pred=subclass_pred,
+            subproperty_pred=subproperty_pred, domain_pred=domain_pred,
+            range_pred=range_pred, max_hops=max_hops,
+            checkpoint_dir=checkpoint_dir, derived_only=derived_only)
+
+    meta_subjects = {type_pred} | schema_preds
+    if any(r.subj in meta_subjects or r.obj == type_pred
+           for r in sch_rows):
+        raise ValueError(
+            "rdfs_entail implements the rho-df fragment: the type/schema "
+            "predicates themselves may not appear as subjects of "
+            "subproperty_of/domain/range or as entailment targets")
+
+    spo = _py_closure([(r.subj, r.obj) for r in sch_rows
+                       if r.pred == subproperty_pred], max_hops)
+    sco = _py_closure([(r.subj, r.obj) for r in sch_rows
+                       if r.pred == subclass_pred], max_hops)
+    dom: dict[str, set[str]] = {}
+    rng: dict[str, set[str]] = {}
+    for r in sch_rows:
+        if r.pred == domain_pred:
+            dom.setdefault(r.subj, set()).add(r.obj)
+        elif r.pred == range_pred:
+            rng.setdefault(r.subj, set()).add(r.obj)
+
+    # Compose the EFFECTIVE per-predicate rule maps driver-side, so the
+    # whole stratification collapses into one flatMap over one scan:
+    # - P7[p]: every (transitive) super-property of p             (rdfs7)
+    # - TS[p]: subject types from p — domain of p and of each of its
+    #   super-properties, closed over the class hierarchy   (rdfs2+rdfs9)
+    # - TO[p]: object types likewise from range              (rdfs3+rdfs9)
+    # - sco[C]: super-classes of an ASSERTED type object          (rdfs9)
+    def close_cls(classes):
+        out = set()
+        for c in classes:
+            out |= {c} | sco.get(c, set())
+        return out
+
+    TS: dict[str, set[str]] = {}
+    TO: dict[str, set[str]] = {}
+    for p in set(dom) | set(rng) | set(spo):
+        supers = {p} | spo.get(p, set())
+        s_cls = close_cls(set().union(*(dom.get(q, set())
+                                        for q in supers)))
+        o_cls = close_cls(set().union(*(rng.get(q, set())
+                                        for q in supers)))
+        if s_cls:
+            TS[p] = s_cls
+        if o_cls:
+            TO[p] = o_cls
+
+    spark = triples.sparkSession
+    inst = triples.select("subj", "pred", "obj")
+    T = "array<struct<s:string,p:string,o:string>>"
+    empty = F.expr(f"CAST(array() AS {T})")
+
+    def arm(m, keycol, mk):
+        if not m:
+            return None
+        arr = F.element_at(_lit_multimap(m), keycol)
+        return F.coalesce(F.transform(arr, mk), empty)
+
+    s, p, o = F.col("subj"), F.col("pred"), F.col("obj")
+    tp = F.lit(type_pred)
+
+    def st(a, b, c):
+        return F.struct(a.alias("s"), b.alias("p"), c.alias("o"))
+
+    arms = [a for a in (
+        arm(spo, p, lambda q: st(s, q, o)),
+        arm(TS, p, lambda c: st(s, tp, c)),
+        arm(TO, p, lambda c: st(o, tp, c)),
+        arm(sco, F.when(p == type_pred, o), lambda d: st(s, tp, d)),
+    ) if a is not None]
+
+    legs = []
+    if arms:
+        gen = inst.select(F.explode(
+            arms[0] if len(arms) == 1 else F.concat(*arms)).alias("t"))
+        legs.append(gen.select(F.col("t.s").alias("subj"),
+                               F.col("t.p").alias("pred"),
+                               F.col("t.o").alias("obj")))
+
+    # the closure triples themselves (rdfs5 / rdfs11 entailments)
+    lits = ([(a, subproperty_pred, b) for a, bs in spo.items()
+             for b in bs]
+            + [(a, subclass_pred, b) for a, bs in sco.items()
+               for b in bs])
+    if lits:
+        legs.append(spark.createDataFrame(
+            sorted(lits), "subj string, pred string, obj string"))
+
+    if not legs:
+        derived = spark.createDataFrame(
+            [], "subj string, pred string, obj string, doc_id string")
+    else:
+        derived = legs[0]
+        for leg in legs[1:]:
+            derived = derived.unionByName(leg)
+        derived = (derived.distinct()
+                   .join(inst, on=["subj", "pred", "obj"],
+                         how="left_anti")
+                   .withColumn("doc_id", F.lit(None).cast("string")))
+    if derived_only:
+        return derived
+    return triples.select("subj", "pred", "obj", "doc_id").unionByName(
+        derived)
+
+
+def _rdfs_entail_dist(triples: DataFrame, *, type_pred, subclass_pred,
+                      subproperty_pred, domain_pred, range_pred,
+                      max_hops, checkpoint_dir,
+                      derived_only) -> DataFrame:
+    """`rdfs_entail`'s wide-ontology fallback: the same stratification
+    with broadcast-join rule application over the distributed semi-naive
+    `closure` — for the pathological schema that exceeds
+    `_SCHEMA_DRIVER_CAP` rows."""
     schema_preds = {subclass_pred, subproperty_pred, domain_pred,
                     range_pred}
     meta = (triples.filter(F.col("pred").isin(*schema_preds))
             .filter(F.col("subj").isin(type_pred, *schema_preds)
-                    | F.col("obj").isin(type_pred)))
+                    | (F.col("obj") == type_pred)))
     if not meta.isEmpty():
         raise ValueError(
             "rdfs_entail implements the rho-df fragment: the type/schema "
@@ -1431,12 +1607,10 @@ def rdfs_entail(triples: DataFrame, *, type_pred: str = "type",
                                    F.col("obj").alias("sup")))
     inst = triples.select("subj", "pred", "obj")
 
-    # rdfs7 through the closed property hierarchy
     d7 = (inst.join(spo, inst.pred == spo.sub)
           .select("subj", F.col("sup").alias("pred"), "obj"))
-    ext = inst.unionByName(d7).distinct()
+    ext = inst.unionByName(d7)
 
-    # rdfs2 / rdfs3 over asserted ∪ rdfs7-derived
     dom = F.broadcast(triples.filter(F.col("pred") == domain_pred)
                       .select(F.col("subj").alias("p"),
                               F.col("obj").alias("cls")).distinct())
@@ -1451,9 +1625,8 @@ def rdfs_entail(triples: DataFrame, *, type_pred: str = "type",
                   F.lit(type_pred).alias("pred"),
                   F.col("cls").alias("obj")))
     types = (inst.filter(F.col("pred") == type_pred)
-             .unionByName(d2).unionByName(d3).distinct())
+             .unionByName(d2).unionByName(d3))
 
-    # rdfs9 through the closed class hierarchy
     d9 = (types.join(sco, types.obj == sco.sub)
           .select("subj", F.lit(type_pred).alias("pred"),
                   F.col("sup").alias("obj")))
@@ -1462,8 +1635,7 @@ def rdfs_entail(triples: DataFrame, *, type_pred: str = "type",
                .unionByName(c_spo.select("subj", "pred", "obj"))
                .unionByName(c_sco.select("subj", "pred", "obj"))
                .distinct()
-               .join(inst.distinct(), on=["subj", "pred", "obj"],
-                     how="left_anti")
+               .join(inst, on=["subj", "pred", "obj"], how="left_anti")
                .withColumn("doc_id", F.lit(None).cast("string")))
     if derived_only:
         return derived
@@ -1496,69 +1668,111 @@ def owl_extend(triples: DataFrame, *, type_pred: str = "type",
     through its inverse equals the inverse pred's own closure (pinned
     by a pytest gate on an inverse-of-transitive fixture).
 
-    Declarations are ontology-sized and broadcast; instance scans are
-    per-rule-family equi-joins, as in `rdfs_entail`.
+    Plan shape: the declarations are ontology-sized by nature, so they
+    are collected once (handful-of-literals idiom, capped by
+    `_SCHEMA_DRIVER_CAP`) and the inverse/symmetric images compile into
+    ONE explode over one instance scan — no joins; only the transitive
+    closure stays distributed, because it runs over INSTANCE edges
+    (corpus-sized) of the declared predicates.
     """
     from ..plans.checkpoint import Truncator
     trunc = Truncator(checkpoint_dir)
 
-    inv = (triples.filter(F.col("pred") == inverse_pred)
-           .select(F.col("subj").alias("p"), F.col("obj").alias("q"))
-           .distinct())
-    inv = inv.unionByName(inv.select(F.col("q").alias("p"),
-                                     F.col("p").alias("q"))).distinct()
-    inv = F.broadcast(inv)
-    sym = F.broadcast(
-        triples.filter((F.col("pred") == type_pred)
-                       & (F.col("obj") == symmetric_class))
-        .select(F.col("subj").alias("p")).distinct())
-    tra = F.broadcast(
-        triples.filter((F.col("pred") == type_pred)
-                       & (F.col("obj") == transitive_class))
-        .select(F.col("subj").alias("p")).distinct())
+    decl_rows = (triples.filter(
+        (F.col("pred") == inverse_pred)
+        | ((F.col("pred") == type_pred)
+           & F.col("obj").isin(symmetric_class, transitive_class)))
+        .select("subj", "pred", "obj").distinct()
+        .limit(_SCHEMA_DRIVER_CAP + 1).collect())
+    if len(decl_rows) > _SCHEMA_DRIVER_CAP:
+        raise ValueError(
+            f"owl_extend found more than {_SCHEMA_DRIVER_CAP} property "
+            "declarations — that is data, not an ontology; check "
+            "inverse_pred/type_pred for a collision with instance "
+            "predicates")
+    inv_map: dict[str, set[str]] = {}
+    sym_set: set[str] = set()
+    tra_set: set[str] = set()
+    for r in decl_rows:
+        if r.pred == inverse_pred:
+            inv_map.setdefault(r.subj, set()).add(r.obj)
+            inv_map.setdefault(r.obj, set()).add(r.subj)
+        elif r.obj == symmetric_class:
+            sym_set.add(r.subj)
+        else:
+            tra_set.add(r.subj)
 
     inst = triples.select("subj", "pred", "obj")
+    T = "array<struct<s:string,p:string,o:string>>"
+    empty = F.expr(f"CAST(array() AS {T})")
 
-    def inv_img(df):
-        return (df.join(inv, df.pred == inv.p)
-                .select(F.col("obj").alias("subj"),
-                        F.col("q").alias("pred"),
-                        F.col("subj").alias("obj")))
+    def st(a, b, c):
+        return F.struct(a.alias("s"), b.alias("p"), c.alias("o"))
 
-    def sym_img(df):
-        return (df.join(sym, df.pred == sym.p)
-                .select(F.col("obj").alias("subj"), "pred",
-                        F.col("subj").alias("obj")))
+    def img_arms(df):
+        """Inverse + symmetric images of a triple table as expression
+        arms — one Generate, no join."""
+        s, p, o = F.col("subj"), F.col("pred"), F.col("obj")
+        arms = []
+        if inv_map:
+            arms.append(F.coalesce(
+                F.transform(F.element_at(_lit_multimap(inv_map), p),
+                            lambda q: st(o, q, s)), empty))
+        if sym_set:
+            arms.append(F.when(p.isin(*sorted(sym_set)),
+                               F.array(st(o, p, s))).otherwise(empty))
+        if not arms:
+            return None
+        gen = df.select(F.explode(
+            arms[0] if len(arms) == 1 else F.concat(*arms)).alias("t"))
+        return gen.select(F.col("t.s").alias("subj"),
+                          F.col("t.p").alias("pred"),
+                          F.col("t.o").alias("obj"))
 
-    base = (inst.unionByName(inv_img(inst)).unionByName(sym_img(inst))
-            .distinct())
+    def img(df):
+        out = img_arms(df)
+        return df if out is None else df.unionByName(out)
+
+    # no intermediate distinct — the closure's edge set dedups itself
+    # and the final distinct covers the rest (a full shuffle saved)
+    base = img(inst)
 
     # shared pred-keyed semi-naive closure of every declared-transitive
-    # predicate's edge set (rows of other predicates never enter)
-    e = trunc(base.join(tra, base.pred == tra.p).select(
-        "pred", F.col("subj").alias("src"), F.col("obj").alias("dst"))
-        .distinct(), "owl_edges")
+    # predicate's INSTANCE edges (rows of other predicates never enter)
+    if not tra_set:
+        e = base.where(F.lit(False)).select(
+            F.col("pred"), F.col("subj").alias("src"),
+            F.col("obj").alias("dst"))
+    else:
+        e = trunc(base.where(F.col("pred").isin(*sorted(tra_set)))
+                  .select("pred", F.col("subj").alias("src"),
+                          F.col("obj").alias("dst"))
+                  .distinct(), "owl_edges")
     reach = e
     frontier = e
-    for k in range(2, max_hops + 1):
-        nxt = (frontier.join(
-            e.select(F.col("pred").alias("p2"), F.col("src").alias("m"),
-                     F.col("dst").alias("ndst")),
-            (frontier.dst == F.col("m")) & (frontier.pred == F.col("p2")))
-            .select("pred", "src", F.col("ndst").alias("dst")).distinct())
-        new = trunc(nxt.join(reach, on=["pred", "src", "dst"],
-                             how="left_anti"), f"owl_h{k}")
-        if new.isEmpty():
-            break
-        reach = trunc(reach.unionByName(new), f"owl_r{k}")
-        frontier = new
+    if tra_set:
+        for k in range(2, max_hops + 1):
+            nxt = (frontier.join(
+                e.select(F.col("pred").alias("p2"),
+                         F.col("src").alias("m"),
+                         F.col("dst").alias("ndst")),
+                (frontier.dst == F.col("m"))
+                & (frontier.pred == F.col("p2")))
+                .select("pred", "src", F.col("ndst").alias("dst"))
+                .distinct())
+            new = trunc(nxt.join(reach, on=["pred", "src", "dst"],
+                                 how="left_anti"), f"owl_h{k}")
+            if new.isEmpty():
+                break
+            reach = trunc(reach.unionByName(new), f"owl_r{k}")
+            frontier = new
     closed = reach.select(F.col("src").alias("subj"), "pred",
                           F.col("dst").alias("obj"))
 
-    full = (base.unionByName(closed).unionByName(inv_img(closed))
-            .distinct())
-    derived = (full.join(inst.distinct(), on=["subj", "pred", "obj"],
+    full = base.unionByName(img(closed))
+    derived = (full.join(inst, on=["subj", "pred", "obj"],
                          how="left_anti")
+               .distinct()
                .withColumn("doc_id", F.lit(None).cast("string")))
     if derived_only:
         return derived
@@ -1598,8 +1812,8 @@ def update_graph(triples: DataFrame, *, where=(), delete=(), insert=(),
     + union for the insert.  No operator here materializes the graph.
     """
     spark = triples.sparkSession
-    d_tpls = _norm_templates(delete) if delete else []
-    i_tpls = _norm_templates(insert) if insert else []
+    d_tpls = _norm_templates(delete, "delete") if delete else []
+    i_tpls = _norm_templates(insert, "insert") if insert else []
     if not d_tpls and not i_tpls:
         raise ValueError("update_graph needs delete and/or insert "
                          "templates")

@@ -7855,6 +7855,221 @@ SELECT c.pred, c.n_triples, ss.n_subjects, oo.n_objects,
 FROM c JOIN ss ON ss.pred = c.pred JOIN oo ON oo.pred = c.pred"""
 
 
+# The RDFS ontology both kg_rdfs_entail legs share: schema triples for
+# the engine's own predicate vocabulary — property hierarchy with a
+# 2-level chain (exercises rdfs5 transitivity), domain/range typing,
+# and a class hierarchy with a 2-level chain (rdfs11).
+_RDFS_ONTOLOGY = [
+    ("has_petitioner", "subproperty_of", "has_party"),
+    ("has_respondent", "subproperty_of", "has_party"),
+    ("has_party", "subproperty_of", "involves"),
+    ("has_judge", "subproperty_of", "involves"),
+    ("has_lawyer", "subproperty_of", "involves"),
+    ("decided_by", "domain", "judgment"),
+    ("decided_by", "range", "court"),
+    ("cites_precedent", "domain", "judgment"),
+    ("part_of", "domain", "provision"),
+    ("part_of", "range", "statute"),
+    ("judgment", "subclass_of", "legal_document"),
+    ("legal_document", "subclass_of", "document"),
+    ("provision", "subclass_of", "legal_text"),
+    ("statute", "subclass_of", "legal_text"),
+    ("legal_text", "subclass_of", "document"),
+]
+
+
+def _rdfs_values_cte():
+    rows = ",\n  ".join(f"('{s}', '{p}', '{o}')"
+                        for s, p, o in _RDFS_ONTOLOGY)
+    return f"sch(subj, pred, obj) AS (VALUES\n  {rows})"
+
+
+def q_kg_rdfs_entail(spark, sf_dir):
+    """RDFS entailment materialization (ρdf rule set) of the extracted
+    KG under a fixed ontology for the engine's predicate vocabulary:
+    sub-property/sub-class closures (rdfs5/11, semi-naive), instance
+    propagation through the closed property hierarchy (rdfs7),
+    domain/range typing (rdfs2/3), and type inheritance (rdfs9) — the
+    derived rows only.  Every rule application is an instance scan ⋈
+    broadcast ontology closure; the oracle runs the same stratification
+    with recursive CTEs."""
+    from .operators import kgquery
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    sch = spark.createDataFrame(
+        [(s, p, o, None) for s, p, o in _RDFS_ONTOLOGY],
+        "subj string, pred string, obj string, doc_id string")
+    return (kgquery.rdfs_entail(tri.unionByName(sch), derived_only=True)
+            .select("subj", "pred", "obj"))
+
+
+def o_kg_rdfs_entail():
+    return f"""
+WITH RECURSIVE
+t AS (SELECT subj, pred, obj FROM {_KG_SQL_SRC}
+      WHERE rec_type = 'triple'),
+{_rdfs_values_cte()},
+g AS (SELECT subj, pred, obj FROM t UNION SELECT * FROM sch),
+spo AS (
+  SELECT subj AS sub, obj AS sup FROM g WHERE pred = 'subproperty_of'
+  UNION
+  SELECT spo.sub, e.obj FROM spo
+  JOIN g e ON e.pred = 'subproperty_of' AND e.subj = spo.sup),
+sco AS (
+  SELECT subj AS sub, obj AS sup FROM g WHERE pred = 'subclass_of'
+  UNION
+  SELECT sco.sub, e.obj FROM sco
+  JOIN g e ON e.pred = 'subclass_of' AND e.subj = sco.sup),
+d7 AS (SELECT g.subj, spo.sup AS pred, g.obj
+       FROM g JOIN spo ON g.pred = spo.sub),
+ext AS (SELECT subj, pred, obj FROM g UNION SELECT * FROM d7),
+d2 AS (SELECT ext.subj AS subj, 'type' AS pred, s.obj AS obj
+       FROM ext JOIN g s ON s.pred = 'domain' AND s.subj = ext.pred),
+d3 AS (SELECT ext.obj AS subj, 'type' AS pred, s.obj AS obj
+       FROM ext JOIN g s ON s.pred = 'range' AND s.subj = ext.pred),
+types AS (SELECT subj, obj FROM g WHERE pred = 'type'
+          UNION SELECT subj, obj FROM d2
+          UNION SELECT subj, obj FROM d3),
+d9 AS (SELECT ty.subj, 'type' AS pred, sco.sup AS obj
+       FROM types ty JOIN sco ON ty.obj = sco.sub),
+der AS (SELECT * FROM d7 UNION SELECT * FROM d2 UNION SELECT * FROM d3
+        UNION SELECT * FROM d9
+        UNION SELECT sub, 'subproperty_of', sup FROM spo
+          WHERE sub <> sup
+        UNION SELECT sub, 'subclass_of', sup FROM sco WHERE sub <> sup)
+SELECT subj, pred, obj FROM der
+EXCEPT SELECT subj, pred, obj FROM g"""
+
+
+def q_kg_owl_extend(spark, sf_dir):
+    """OWL-RL property-fragment materialization of the extracted KG
+    under its own declarations: cited_by as the inverse of
+    cites_precedent, cites_precedent transitive, same_as symmetric —
+    inverse/symmetric images first, one shared pred-keyed semi-naive
+    closure, then inverse images of the closed edges (the fixpoint for
+    this fragment); derived rows only."""
+    from .operators import kgquery
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    decl = spark.createDataFrame(
+        [("cited_by", "inverse_of", "cites_precedent", None),
+         ("cites_precedent", "type", "transitive_property", None),
+         ("same_as", "type", "symmetric_property", None)],
+        "subj string, pred string, obj string, doc_id string")
+    return (kgquery.owl_extend(tri.unionByName(decl), derived_only=True)
+            .select("subj", "pred", "obj"))
+
+
+def o_kg_owl_extend():
+    return f"""
+WITH RECURSIVE
+t AS (SELECT subj, pred, obj FROM {_KG_SQL_SRC}
+      WHERE rec_type = 'triple'),
+decl(subj, pred, obj) AS (VALUES
+  ('cited_by', 'inverse_of', 'cites_precedent'),
+  ('cites_precedent', 'type', 'transitive_property'),
+  ('same_as', 'type', 'symmetric_property')),
+g AS (SELECT subj, pred, obj FROM t UNION SELECT * FROM decl),
+inv AS (SELECT subj AS p, obj AS q FROM g WHERE pred = 'inverse_of'
+        UNION
+        SELECT obj, subj FROM g WHERE pred = 'inverse_of'),
+sym AS (SELECT DISTINCT subj AS p FROM g
+        WHERE pred = 'type' AND obj = 'symmetric_property'),
+tra AS (SELECT DISTINCT subj AS p FROM g
+        WHERE pred = 'type' AND obj = 'transitive_property'),
+base AS (SELECT subj, pred, obj FROM g
+         UNION
+         SELECT g.obj, i.q, g.subj FROM g JOIN inv i ON g.pred = i.p
+         UNION
+         SELECT g.obj, g.pred, g.subj FROM g JOIN sym s ON g.pred = s.p),
+e AS (SELECT DISTINCT b.pred, b.subj AS src, b.obj AS dst
+      FROM base b JOIN tra ON b.pred = tra.p),
+reach AS (SELECT pred, src, dst FROM e
+          UNION
+          SELECT r.pred, r.src, e.dst FROM reach r
+          JOIN e ON e.pred = r.pred AND e.src = r.dst),
+closed AS (SELECT src AS subj, pred, dst AS obj FROM reach),
+civ AS (SELECT c.obj AS subj, i.q AS pred, c.subj AS obj
+        FROM closed c JOIN inv i ON c.pred = i.p),
+full_g AS (SELECT * FROM base UNION SELECT * FROM closed
+           UNION SELECT * FROM civ)
+SELECT subj, pred, obj FROM full_g
+EXCEPT SELECT subj, pred, obj FROM g"""
+
+
+def q_kg_update_rename(spark, sf_dir):
+    """SPARQL Update — DELETE {?d decided_by ?c} INSERT {?d heard_by ?c}
+    WHERE {?d decided_by ?c} against the extracted KG: the WHERE binds
+    once over the original graph, deletion drops every provenance row of
+    each matched 3-tuple, insertion lands set-semantic with null
+    provenance.  One shared BGP match, one anti-join, one union — the
+    full updated graph comes back."""
+    from .operators import kgquery
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    return kgquery.update_graph(
+        tri, where=[("?d", "decided_by", "?c")],
+        delete=[("?d", "decided_by", "?c")],
+        insert=[("?d", "heard_by", "?c")])
+
+
+def o_kg_update_rename():
+    return f"""
+WITH t AS (SELECT subj, pred, obj, doc_id FROM {_KG_SQL_SRC}
+           WHERE rec_type = 'triple')
+SELECT subj, pred, obj, doc_id FROM t WHERE pred <> 'decided_by'
+UNION ALL
+SELECT DISTINCT subj, 'heard_by' AS pred, obj, NULL AS doc_id
+FROM t WHERE pred = 'decided_by'"""
+
+
+_SHACL_SHAPES = [{
+    "shape": "JudgmentShape", "target_pred": "decided_by",
+    "constraints": [
+        {"path": "decided_by", "max_count": 1},
+        {"path": "has_judge", "min_count": 1},
+        {"path": "cites_precedent", "max_count": 3},
+    ]}]
+
+
+def q_kg_shacl_validate(spark, sf_dir):
+    """Declarative SHACL-lite validation of the extracted KG: every
+    judgment (subject of decided_by) must name exactly one court, at
+    least one judge, and at most three precedent citations — violations
+    come back as rows (empty result = conforming graph).  Each
+    constraint is a pred-pushed scan + per-focus hash aggregate; min and
+    max on the same path share one count."""
+    from .operators import kgquery
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    return kgquery.validate_shapes(tri, _SHACL_SHAPES)
+
+
+def o_kg_shacl_validate():
+    return f"""
+WITH t AS (SELECT subj, pred, obj FROM {_KG_SQL_SRC}
+           WHERE rec_type = 'triple'),
+focus AS (SELECT DISTINCT subj AS focus FROM t
+          WHERE pred = 'decided_by'),
+c_db AS (SELECT f.focus, count(v.obj) AS n FROM focus f
+         LEFT JOIN t v ON v.pred = 'decided_by' AND v.subj = f.focus
+         GROUP BY f.focus),
+c_hj AS (SELECT f.focus, count(v.obj) AS n FROM focus f
+         LEFT JOIN t v ON v.pred = 'has_judge' AND v.subj = f.focus
+         GROUP BY f.focus),
+c_cp AS (SELECT f.focus, count(v.obj) AS n FROM focus f
+         LEFT JOIN t v ON v.pred = 'cites_precedent' AND v.subj = f.focus
+         GROUP BY f.focus)
+SELECT DISTINCT 'JudgmentShape' AS shape, focus,
+       'decided_by' AS path, 'max_count=1' AS "constraint",
+       CAST(n AS VARCHAR) AS value
+FROM c_db WHERE n > 1
+UNION
+SELECT DISTINCT 'JudgmentShape', focus, 'has_judge', 'min_count=1',
+       CAST(n AS VARCHAR)
+FROM c_hj WHERE n < 1
+UNION
+SELECT DISTINCT 'JudgmentShape', focus, 'cites_precedent',
+       'max_count=3', CAST(n AS VARCHAR)
+FROM c_cp WHERE n > 3"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8017,6 +8232,10 @@ QUERIES = {
     "kg_bgp_union": q_kg_bgp_union,
     "kg_describe": q_kg_describe,
     "kg_bgp_subquery": q_kg_bgp_subquery,
+    "kg_rdfs_entail": q_kg_rdfs_entail,
+    "kg_owl_extend": q_kg_owl_extend,
+    "kg_update_rename": q_kg_update_rename,
+    "kg_shacl_validate": q_kg_shacl_validate,
     "kg_bgp_not_exists": q_kg_bgp_not_exists,
     "kg_bgp_filter_agg": q_kg_bgp_filter_agg,
     "kg_bgp_chain": q_kg_bgp_chain,
@@ -8219,6 +8438,10 @@ ORACLES = {
     "kg_bgp_union": o_kg_bgp_union(),
     "kg_describe": o_kg_describe(),
     "kg_bgp_subquery": o_kg_bgp_subquery(),
+    "kg_rdfs_entail": o_kg_rdfs_entail(),
+    "kg_owl_extend": o_kg_owl_extend(),
+    "kg_update_rename": o_kg_update_rename(),
+    "kg_shacl_validate": o_kg_shacl_validate(),
     "kg_bgp_not_exists": o_kg_bgp_not_exists(),
     "kg_bgp_filter_agg": o_kg_bgp_filter_agg(),
     "kg_bgp_chain": o_kg_bgp_chain(),
