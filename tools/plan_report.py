@@ -115,6 +115,16 @@ SHOW = [
                           "head projection"),
     ("kg_export_ntriples", "N-Triples sink: codegen'd string expressions "
                            "off the scan, label leg one distinct"),
+    ("kg_rdfs_entail", "RDFS entailment: the ontology compiled into "
+                       "literal map lookups — ONE Generate over ONE "
+                       "instance scan, the only exchanges the final "
+                       "distinct + derived-only anti-join"),
+    ("kg_update_rename", "SPARQL Update: shared BGP match, 3-tuple "
+                         "anti-join for the delete, anti-join + union "
+                         "for the set-semantic insert"),
+    ("kg_shacl_validate", "SHACL shapes: pred-pushed scans + per-focus "
+                          "hash aggregates, min+max on one path share "
+                          "a single count"),
 ]
 
 
