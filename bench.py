@@ -157,7 +157,8 @@ def main() -> None:
                      "kg_resolved_triples",
                      "kg_constraint_report",
                      "kg_rdfs_entail", "kg_owl_extend",
-                     "kg_update_rename", "kg_shacl_validate"]
+                     "kg_update_rename", "kg_shacl_validate",
+                     "kg_rules_program", "kg_graph_diff"]
     for name in bench_queries:
         timings[name] = round(best_of(
             lambda: queries.QUERIES[name](spark, sf_dir).count()), 3)

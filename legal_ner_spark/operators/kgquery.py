@@ -59,7 +59,8 @@ __all__ = ["bgp_match", "bgp_match_delta", "property_path", "path_edges",
            "path_sequence", "construct", "closure", "to_ntriples",
            "from_ntriples", "resolve_same_as", "constraint_report",
            "rdfs_entail", "owl_extend", "update_graph",
-           "update_graph_commit", "validate_shapes"]
+           "update_graph_commit", "validate_shapes",
+           "materialize_rules", "graph_diff"]
 
 _TERM_COLS = ("subj", "pred", "obj", "doc_id")
 
@@ -1972,3 +1973,127 @@ def validate_shapes(triples: DataFrame, shapes) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out.distinct()
+
+
+# --- Datalog rule programs ----------------------------------------------------
+
+def materialize_rules(triples: DataFrame, rules, *, max_rounds: int = 16,
+                      checkpoint_dir: str | None = None,
+                      derived_only: bool = False) -> DataFrame:
+    """Run a PROGRAM of CONSTRUCT rules to fixpoint — semi-naive Datalog
+    over DataFrames.  ``rules`` is a list of dicts ``{"body": [BGP
+    patterns], "head": template or [templates], "values": …,
+    "filters": …}`` (same syntax as `construct`); rules may feed each
+    other and themselves (recursion), e.g. the classic ancestor
+    program::
+
+        [{"body": [("?x", "parent", "?y")], "head": ("?x", "anc", "?y")},
+         {"body": [("?x", "anc", "?y"), ("?y", "parent", "?z")],
+          "head": ("?x", "anc", "?z")}]
+
+    Evaluation is the textbook semi-naive loop: round 0 matches every
+    body against the asserted graph (`bgp_match` + shared template
+    instantiation); each later round matches every body via
+    `bgp_match_delta` with the PREVIOUS round's new facts as the delta
+    — only bindings that use ≥1 new fact are derived, so a K-round
+    program never re-derives a known fact's bindings — then anti-joins
+    the instantiated heads against everything known.  The loop stops
+    when a round adds nothing (true fixpoint, checked per round) or at
+    ``max_rounds``.  Rule heads ground out in the graph's own terms +
+    the rules' literals, so the fixpoint is finite; derived facts carry
+    null ``doc_id``.
+
+    Monotone bodies only (patterns / VALUES / FILTER): OPTIONAL, MINUS,
+    EXISTS groups, and property-path predicates are refused up front —
+    the delta matcher cannot maintain them (`bgp_match_delta`), and a
+    non-monotone Datalog program wouldn't have a least fixpoint to
+    materialize in the first place.
+
+    Scale shape: per round, each k-pattern rule costs the delta
+    matcher's k pinned legs (delta side broadcast, store side scanned
+    pred-pushed, shuffle O(|new facts|)); per-round lineage is truncated
+    via the shared ``Truncator`` (durable under ``checkpoint_dir``).
+    Predicate stats are probed once per round and shared across rules.
+    """
+    from ..plans.checkpoint import Truncator
+    trunc = Truncator(checkpoint_dir)
+
+    compiled = []
+    for r in rules:
+        body = list(r["body"])
+        for p in body:
+            pred = tuple(p)[1]
+            if pred is not None and not _is_var(pred) \
+                    and _is_path_expr(pred):
+                raise ValueError(
+                    "materialize_rules takes plain predicates only — "
+                    f"a path expression ({pred!r}) is not incrementally "
+                    "maintainable (see bgp_match_delta)")
+        if any(k in r for k in ("optional", "minus", "exists",
+                                "not_exists")):
+            raise ValueError(
+                "materialize_rules runs MONOTONE rule bodies only — "
+                "OPTIONAL/MINUS/EXISTS have no least fixpoint to "
+                "materialize")
+        compiled.append((body, _norm_templates(r["head"]),
+                         r.get("values"), tuple(r.get("filters", ()))))
+    if not compiled:
+        raise ValueError("materialize_rules needs at least one rule")
+
+    def heads_of(match_fn):
+        out = None
+        for body, heads, values, filters in compiled:
+            b = match_fn(body, values, filters)
+            h = _instantiate_templates(b, heads).select(
+                "subj", "pred", "obj")
+            out = h if out is None else out.unionByName(h)
+        return out.distinct()
+
+    known3 = trunc(triples.select("subj", "pred", "obj").distinct(),
+                   "rules_known0")
+    full = known3.withColumn("doc_id", F.lit(None).cast("string"))
+
+    new = (heads_of(lambda body, v, f:
+                    bgp_match(full, body, values=v, filters=f))
+           .join(known3, on=["subj", "pred", "obj"], how="left_anti"))
+    new = trunc(new, "rules_d0")
+    derived = new
+    for k in range(1, max_rounds + 1):
+        if new.isEmpty():
+            break
+        known3 = trunc(known3.unionByName(new), f"rules_known{k}")
+        full = known3.withColumn("doc_id", F.lit(None).cast("string"))
+        delta = new.withColumn("doc_id", F.lit(None).cast("string"))
+        stats = {r["pred"]: r["n"] for r in
+                 full.groupBy("pred").agg(F.count("*").alias("n"))
+                 .collect()}
+        new = (heads_of(lambda body, v, f:
+                        bgp_match_delta(full, delta, body, values=v,
+                                        filters=f, pred_stats=stats))
+               .join(known3, on=["subj", "pred", "obj"],
+                     how="left_anti"))
+        new = trunc(new, f"rules_d{k}")
+        derived = trunc(derived.unionByName(new), f"rules_all{k}")
+
+    derived = derived.withColumn("doc_id", F.lit(None).cast("string"))
+    if derived_only:
+        return derived
+    return triples.select("subj", "pred", "obj", "doc_id").unionByName(
+        derived)
+
+
+def graph_diff(before: DataFrame, after: DataFrame) -> DataFrame:
+    """Set difference of two graph states as rows ``(subj, pred, obj,
+    change)`` with ``change ∈ {'added', 'removed'}`` — the companion to
+    `update_graph_commit`'s time travel: diff any two retained
+    snapshots (``read_snapshot(s0)`` vs ``read_snapshot(s2)``) to audit
+    what a window of updates did.  Distinct 3-tuple semantics
+    (provenance/multiplicity changes are not changes to the GRAPH); two
+    anti-joins, each side scanned once."""
+    a = before.select("subj", "pred", "obj").distinct()
+    b = after.select("subj", "pred", "obj").distinct()
+    added = (b.join(a, on=["subj", "pred", "obj"], how="left_anti")
+             .withColumn("change", F.lit("added")))
+    removed = (a.join(b, on=["subj", "pred", "obj"], how="left_anti")
+               .withColumn("change", F.lit("removed")))
+    return added.unionByName(removed)

@@ -8070,6 +8070,60 @@ SELECT DISTINCT 'JudgmentShape', focus, 'cites_precedent',
 FROM c_cp WHERE n > 3"""
 
 
+def q_kg_rules_program(spark, sf_dir):
+    """Datalog rule PROGRAM run to fixpoint (semi-naive, every round's
+    delta pinned into each body position): the transitive closure of
+    the alias dictionary expressed as the classic 2-rule linear
+    recursion — same_as ⊆ eq; eq ∘ same_as ⊆ eq — a second
+    implementation path for the relation `kg_same_as_closure` oracles,
+    derived rows only."""
+    from .operators import kgquery
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    prog = [
+        {"body": [("?a", "same_as", "?b")], "head": ("?a", "eq", "?b")},
+        {"body": [("?a", "eq", "?b"), ("?b", "same_as", "?c")],
+         "head": ("?a", "eq", "?c")},
+    ]
+    return (kgquery.materialize_rules(tri, prog, derived_only=True)
+            .select("subj", "pred", "obj"))
+
+
+def o_kg_rules_program():
+    return f"""
+WITH RECURSIVE
+e AS (SELECT DISTINCT subj, obj FROM {_KG_SQL_SRC}
+      WHERE rec_type = 'triple' AND pred = 'same_as'),
+r AS (SELECT subj, obj FROM e
+      UNION
+      SELECT r.subj, e.obj FROM r JOIN e ON e.subj = r.obj)
+SELECT subj, 'eq' AS pred, obj FROM r"""
+
+
+def q_kg_graph_diff(spark, sf_dir):
+    """Graph diff between two store states — the update audit: the
+    extracted KG before vs after the `kg_update_rename` DELETE/INSERT,
+    as (subj, pred, obj, change) rows.  Two anti-joins on distinct
+    3-tuples."""
+    from .operators import kgquery
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    after = kgquery.update_graph(
+        tri, where=[("?d", "decided_by", "?c")],
+        delete=[("?d", "decided_by", "?c")],
+        insert=[("?d", "heard_by", "?c")])
+    return kgquery.graph_diff(tri, after)
+
+
+def o_kg_graph_diff():
+    return f"""
+WITH t AS (SELECT DISTINCT subj, pred, obj FROM {_KG_SQL_SRC}
+           WHERE rec_type = 'triple')
+SELECT subj, 'heard_by' AS pred, obj, 'added' AS change
+FROM t WHERE pred = 'decided_by'
+UNION
+SELECT subj, pred, obj, 'removed' AS change
+FROM t WHERE pred = 'decided_by'"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8236,6 +8290,8 @@ QUERIES = {
     "kg_owl_extend": q_kg_owl_extend,
     "kg_update_rename": q_kg_update_rename,
     "kg_shacl_validate": q_kg_shacl_validate,
+    "kg_rules_program": q_kg_rules_program,
+    "kg_graph_diff": q_kg_graph_diff,
     "kg_bgp_not_exists": q_kg_bgp_not_exists,
     "kg_bgp_filter_agg": q_kg_bgp_filter_agg,
     "kg_bgp_chain": q_kg_bgp_chain,
@@ -8442,6 +8498,8 @@ ORACLES = {
     "kg_owl_extend": o_kg_owl_extend(),
     "kg_update_rename": o_kg_update_rename(),
     "kg_shacl_validate": o_kg_shacl_validate(),
+    "kg_rules_program": o_kg_rules_program(),
+    "kg_graph_diff": o_kg_graph_diff(),
     "kg_bgp_not_exists": o_kg_bgp_not_exists(),
     "kg_bgp_filter_agg": o_kg_bgp_filter_agg(),
     "kg_bgp_chain": o_kg_bgp_chain(),

@@ -302,3 +302,112 @@ def test_shapes_refuses_empty(spark, shacl_graph):
         kq.validate_shapes(shacl_graph,
                            [{"shape": "S", "target_pred": "p",
                              "constraints": []}])
+
+
+# --- materialize_rules -------------------------------------------------------
+
+ANC_PROG = [
+    {"body": [("?x", "parent", "?y")], "head": ("?x", "anc", "?y")},
+    {"body": [("?x", "anc", "?y"), ("?y", "parent", "?z")],
+     "head": ("?x", "anc", "?z")},
+]
+
+
+def test_rules_ancestor_fixpoint(spark):
+    # a 6-node chain: the linear-recursive program needs 5 semi-naive
+    # rounds; the fixpoint is all 15 ordered pairs
+    g = T(spark, [("n%d" % i, "parent", "n%d" % (i + 1))
+                  for i in range(5)])
+    out = kq.materialize_rules(g, ANC_PROG, derived_only=True)
+    anc = {(r.subj, r.obj) for r in out.filter("pred = 'anc'").collect()}
+    want = {("n%d" % i, "n%d" % j)
+            for i in range(5) for j in range(i + 1, 6)}
+    assert anc == want
+    assert out.count() == len(want)  # nothing but anc facts derived
+
+
+def test_rules_agree_with_closure(spark):
+    # on a branchy cyclic graph the program must equal the dedicated
+    # closure operator (keep_self=True: the program derives cycle
+    # self-pairs exactly like path semantics)
+    g = T(spark, [("a", "parent", "b"), ("b", "parent", "c"),
+                  ("c", "parent", "a"), ("b", "parent", "d")])
+    out = kq.materialize_rules(g, ANC_PROG, derived_only=True)
+    anc = {(r.subj, r.obj) for r in out.collect()}
+    cl = kq.closure(g, "parent", keep_self=True)
+    want = {(r.subj, r.obj) for r in cl.collect()}
+    assert anc == want
+
+
+def test_rules_nonlinear_same_generation(spark):
+    facts = T(spark, [("a", "up", "m1"), ("b", "up", "m2"),
+                      ("m1", "flat", "m2"),
+                      ("m2", "down", "b2")])
+    prog = [{"body": [("?x", "flat", "?y")], "head": ("?x", "sg", "?y")},
+            {"body": [("?x", "up", "?a"), ("?a", "sg", "?b"),
+                      ("?b", "down", "?y")],
+             "head": ("?x", "sg", "?y")}]
+    out = kq.materialize_rules(facts, prog, derived_only=True)
+    got = {(r.subj, r.obj) for r in out.collect()}
+    assert got == {("m1", "m2"), ("a", "b2")}
+
+
+def test_rules_idempotent_and_round_bound(spark):
+    g = T(spark, [("n%d" % i, "parent", "n%d" % (i + 1))
+                  for i in range(5)])
+    once = kq.materialize_rules(g, ANC_PROG)
+    twice = kq.materialize_rules(once, ANC_PROG)
+    assert spo_set(twice) == spo_set(once)
+    # max_rounds cuts the fixpoint short (depth > 2 pairs missing)
+    cut = kq.materialize_rules(g, ANC_PROG, max_rounds=1,
+                               derived_only=True)
+    assert cut.count() < 15
+    assert ("n0", "anc", "n1") in spo_set(cut)
+
+
+def test_rules_multi_head_shares_body(spark):
+    g = T(spark, [("d1", "decided_by", "sc")])
+    prog = [{"body": [("?d", "decided_by", "?c")],
+             "head": [("?c", "hears", "?d"), ("?d", "is", "judgment")]}]
+    out = kq.materialize_rules(g, prog, derived_only=True)
+    assert spo_set(out) == {("sc", "hears", "d1"),
+                            ("d1", "is", "judgment")}
+
+
+def test_rules_refusals(spark):
+    g = T(spark, [("a", "parent", "b")])
+    with pytest.raises(ValueError, match="path expression"):
+        kq.materialize_rules(g, [{"body": [("?x", "parent+", "?y")],
+                                  "head": ("?x", "a", "?y")}])
+    with pytest.raises(ValueError, match="MONOTONE"):
+        kq.materialize_rules(g, [{"body": [("?x", "parent", "?y")],
+                                  "head": ("?x", "a", "?y"),
+                                  "optional": [("?x", "q", "?z")]}])
+    with pytest.raises(ValueError, match="at least one rule"):
+        kq.materialize_rules(g, [])
+
+
+# --- graph_diff --------------------------------------------------------------
+
+def test_graph_diff_and_snapshot_audit(spark, tmp_path):
+    a = T(spark, [("s", "p", "o"), ("s2", "p", "o2")])
+    b = T(spark, [("s", "p", "o"), ("s3", "p", "o3")])
+    got = {(r.subj, r.pred, r.obj, r.change)
+           for r in kq.graph_diff(a, b).collect()}
+    assert got == {("s3", "p", "o3", "added"),
+                   ("s2", "p", "o2", "removed")}
+    # identical graphs (and pure provenance/multiplicity changes) diff
+    # to empty
+    a2 = T(spark, [("s", "p", "o"), ("s", "p", "o")])
+    assert kq.graph_diff(a, a2.unionByName(
+        T(spark, [("s2", "p", "o2")]))).count() == 0
+    # the time-travel audit loop: snapshot, update, diff the snapshots
+    root = str(tmp_path / "store")
+    pub.publish_tables({"triples": a}, root, snapshot_id="s0")
+    kq.update_graph_commit(spark, root, snapshot_id="s1",
+                           delete=[("s2", "p", "o2")],
+                           insert=[("s4", "p", "o4")])
+    d = kq.graph_diff(pub.read_snapshot(spark, root, "triples", "s0"),
+                      pub.read_snapshot(spark, root, "triples", "s1"))
+    assert {(r.subj, r.change) for r in d.collect()} == \
+        {("s4", "added"), ("s2", "removed")}

@@ -125,6 +125,11 @@ SHOW = [
     ("kg_shacl_validate", "SHACL shapes: pred-pushed scans + per-focus "
                           "hash aggregates, min+max on one path share "
                           "a single count"),
+    ("kg_rules_program", "Datalog program fixpoint: semi-naive rounds "
+                         "already materialized — the final plan is the "
+                         "derived-facts union + known-facts anti-join"),
+    ("kg_graph_diff", "snapshot audit: one anti-join per direction on "
+                      "distinct 3-tuples"),
 ]
 
 

@@ -129,6 +129,32 @@ def main() -> None:
     want_owl = (closure_pairs - base_edges) + closure_pairs
     assert n_owl == want_owl, (n_owl, want_owl)
 
+    # ---- 2b. materialize_rules: recursive program over deep chains ------
+    # the ancestor program on k/2 disjoint chains: fixpoint = all
+    # within-chain ordered pairs, reached in length-2 semi-naive rounds;
+    # asserted in closed form — re-derivation or a cross-chain leak
+    # breaks it.  Uses the same chain table as the owl leg (pred
+    # follows), rules pred anc.
+    kr = max(k // 2, 1)
+    rn = (spark.range(kr * length).select(
+        F.col("id").alias("nid"), (F.col("id") % length).alias("pos")))
+    rch = (rn.filter(F.col("pos") < length - 1)
+           .select(F.concat(F.lit("r"), "nid").alias("subj"),
+                   F.lit("follows").alias("pred"),
+                   F.concat(F.lit("r"), F.col("nid") + 1).alias("obj"),
+                   F.lit(None).cast("string").alias("doc_id")))
+    prog = [{"body": [("?x", "follows", "?y")],
+             "head": ("?x", "anc", "?y")},
+            {"body": [("?x", "anc", "?y"), ("?y", "follows", "?z")],
+             "head": ("?x", "anc", "?z")}]
+    t0 = time.time()
+    n_rules = kgquery.materialize_rules(rch, prog,
+                                        max_rounds=length,
+                                        derived_only=True).count()
+    t_rules = time.time() - t0
+    want_rules = kr * (length * (length - 1) // 2)
+    assert n_rules == want_rules, (n_rules, want_rules)
+
     # ---- 3. update_graph pred-rename over the store ---------------------
     t0 = time.time()
     up = kgquery.update_graph(
@@ -169,6 +195,10 @@ def main() -> None:
         "owl_derived_rows": n_owl,
         "owl_derived_exact": True,
         "owl_sec": round(t_owl, 2),
+        "rules_chains": kr,
+        "rules_derived_rows": n_rules,
+        "rules_derived_exact": True,
+        "rules_sec": round(t_rules, 2),
         "update_rows": n_up,
         "update_conserves_rows": True,
         "update_sec": round(t_update, 2),
