@@ -60,7 +60,7 @@ __all__ = ["bgp_match", "bgp_match_delta", "property_path", "path_edges",
            "from_ntriples", "resolve_same_as", "constraint_report",
            "rdfs_entail", "owl_extend", "update_graph",
            "update_graph_commit", "validate_shapes",
-           "materialize_rules", "graph_diff"]
+           "materialize_rules", "materialize_rules_delta", "graph_diff"]
 
 _TERM_COLS = ("subj", "pred", "obj", "doc_id")
 
@@ -2017,7 +2017,29 @@ def materialize_rules(triples: DataFrame, rules, *, max_rounds: int = 16,
     """
     from ..plans.checkpoint import Truncator
     trunc = Truncator(checkpoint_dir)
+    compiled = _compile_rules(rules)
 
+    known3 = trunc(triples.select("subj", "pred", "obj").distinct(),
+                   "rules_known0")
+    full = known3.withColumn("doc_id", F.lit(None).cast("string"))
+
+    new = (_rule_heads(compiled,
+                       lambda body, v, f:
+                       bgp_match(full, body, values=v, filters=f))
+           .join(known3, on=["subj", "pred", "obj"], how="left_anti"))
+    new = trunc(new, "rules_d0")
+    derived = _rules_seminaive(compiled, known3, new, trunc, max_rounds)
+
+    derived = derived.withColumn("doc_id", F.lit(None).cast("string"))
+    if derived_only:
+        return derived
+    return triples.select("subj", "pred", "obj", "doc_id").unionByName(
+        derived)
+
+
+def _compile_rules(rules):
+    """Shared rule-program compiler: validates monotonicity and plain
+    predicates, normalizes head templates."""
     compiled = []
     for r in rules:
         body = list(r["body"])
@@ -2039,25 +2061,27 @@ def materialize_rules(triples: DataFrame, rules, *, max_rounds: int = 16,
                          r.get("values"), tuple(r.get("filters", ()))))
     if not compiled:
         raise ValueError("materialize_rules needs at least one rule")
+    return compiled
 
-    def heads_of(match_fn):
-        out = None
-        for body, heads, values, filters in compiled:
-            b = match_fn(body, values, filters)
-            h = _instantiate_templates(b, heads).select(
-                "subj", "pred", "obj")
-            out = h if out is None else out.unionByName(h)
-        return out.distinct()
 
-    known3 = trunc(triples.select("subj", "pred", "obj").distinct(),
-                   "rules_known0")
-    full = known3.withColumn("doc_id", F.lit(None).cast("string"))
+def _rule_heads(compiled, match_fn):
+    """Union of every rule's instantiated heads under one matcher."""
+    out = None
+    for body, heads, values, filters in compiled:
+        b = match_fn(body, values, filters)
+        h = _instantiate_templates(b, heads).select("subj", "pred", "obj")
+        out = h if out is None else out.unionByName(h)
+    return out.distinct()
 
-    new = (heads_of(lambda body, v, f:
-                    bgp_match(full, body, values=v, filters=f))
-           .join(known3, on=["subj", "pred", "obj"], how="left_anti"))
-    new = trunc(new, "rules_d0")
-    derived = new
+
+def _rules_seminaive(compiled, known3, new, trunc, max_rounds,
+                     derived=None):
+    """The shared semi-naive continuation: given the known 3-tuple set
+    and this round's new facts, run delta rounds to fixpoint (or
+    ``max_rounds``) and return everything derived (``derived`` seeds
+    the accumulator — `materialize_rules` seeds with round 0's facts,
+    the incremental entry point with the batch round's)."""
+    derived = new if derived is None else derived
     for k in range(1, max_rounds + 1):
         if new.isEmpty():
             break
@@ -2067,19 +2091,63 @@ def materialize_rules(triples: DataFrame, rules, *, max_rounds: int = 16,
         stats = {r["pred"]: r["n"] for r in
                  full.groupBy("pred").agg(F.count("*").alias("n"))
                  .collect()}
-        new = (heads_of(lambda body, v, f:
-                        bgp_match_delta(full, delta, body, values=v,
-                                        filters=f, pred_stats=stats))
+        new = (_rule_heads(compiled,
+                           lambda body, v, f:
+                           bgp_match_delta(full, delta, body, values=v,
+                                           filters=f, pred_stats=stats))
                .join(known3, on=["subj", "pred", "obj"],
                      how="left_anti"))
         new = trunc(new, f"rules_d{k}")
         derived = trunc(derived.unionByName(new), f"rules_all{k}")
+    return derived
 
-    derived = derived.withColumn("doc_id", F.lit(None).cast("string"))
-    if derived_only:
-        return derived
-    return triples.select("subj", "pred", "obj", "doc_id").unionByName(
-        derived)
+
+def materialize_rules_delta(full: DataFrame, delta: DataFrame, rules, *,
+                            max_rounds: int = 16,
+                            checkpoint_dir: str | None = None) -> DataFrame:
+    """Incremental maintenance of a `materialize_rules` fixpoint under
+    INSERTIONS — the rule-program analogue of `bgp_match_delta`, with
+    the same contract: ``full`` is the post-batch state (the PRIOR
+    FIXPOINT — asserted facts plus everything previously derived —
+    already unioned with the new batch ``delta``).  Returns ONLY the
+    newly derived facts (null ``doc_id``); appending them to ``full``
+    yields exactly ``materialize_rules(asserted ∪ delta)`` — insert-only
+    Datalog needs no DRed-style over-delete/re-derive pass because
+    nothing retracts, which is also why this refuses the same
+    non-monotone clauses `materialize_rules` does.
+
+    Round 0 matches every body via `bgp_match_delta` with the BATCH as
+    the delta (a new fact must use ≥1 batch triple — everything
+    derivable from the prior state alone is already in ``full``); later
+    rounds continue the shared semi-naive loop with each round's new
+    facts as the next delta.  Per-batch cost is O(batch + new facts),
+    never O(store): every leg broadcasts the delta side and scans the
+    store pred-pushed without shuffling it.
+
+    Replayed batches are safe: a delta whose 3-tuples are all already
+    in ``full``'s prior portion derives nothing new (the anti-join
+    absorbs re-derivations), so the result is empty and an append of it
+    is a no-op."""
+    from ..plans.checkpoint import Truncator
+    trunc = Truncator(checkpoint_dir)
+    compiled = _compile_rules(rules)
+
+    known3 = trunc(full.select("subj", "pred", "obj").distinct(),
+                   "rulesd_known0")
+    full4 = known3.withColumn("doc_id", F.lit(None).cast("string"))
+    delta4 = (delta.select("subj", "pred", "obj").distinct()
+              .withColumn("doc_id", F.lit(None).cast("string")))
+    stats = {r["pred"]: r["n"] for r in
+             full4.groupBy("pred").agg(F.count("*").alias("n"))
+             .collect()}
+    new = (_rule_heads(compiled,
+                       lambda body, v, f:
+                       bgp_match_delta(full4, delta4, body, values=v,
+                                       filters=f, pred_stats=stats))
+           .join(known3, on=["subj", "pred", "obj"], how="left_anti"))
+    new = trunc(new, "rulesd_d0")
+    derived = _rules_seminaive(compiled, known3, new, trunc, max_rounds)
+    return derived.withColumn("doc_id", F.lit(None).cast("string"))
 
 
 def graph_diff(before: DataFrame, after: DataFrame) -> DataFrame:

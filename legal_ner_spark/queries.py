@@ -8099,6 +8099,61 @@ r AS (SELECT subj, obj FROM e
 SELECT subj, 'eq' AS pred, obj FROM r"""
 
 
+def q_kg_bgp_graph(spark, sf_dir):
+    """SPARQL named-graph (GRAPH) query: the 4th pattern position binds
+    the graph term — this store's named graphs are the judgment docs
+    that assert each triple (``doc_id`` provenance), so
+
+        GRAPH ?g { ?j decided_by ?c . ?j cites_precedent ?p }
+
+    returns only pairs asserted by the SAME document: both patterns
+    join on ?j AND ?g.  Exercises graph-variable binding + the shared
+    graph variable across patterns."""
+    from .operators import kgquery
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    return kgquery.bgp_match(tri, [("?j", "decided_by", "?c", "?g"),
+                                   ("?j", "cites_precedent", "?p", "?g")])
+
+
+def o_kg_bgp_graph():
+    return f"""
+WITH t AS (SELECT DISTINCT subj, pred, obj, doc_id FROM {_KG_SQL_SRC}
+           WHERE rec_type = 'triple')
+SELECT DISTINCT a.subj AS j, a.obj AS c, a.doc_id AS g, b.obj AS p
+FROM t a JOIN t b ON b.subj = a.subj AND b.doc_id = a.doc_id
+WHERE a.pred = 'decided_by' AND b.pred = 'cites_precedent'"""
+
+
+def q_kg_rules_incremental(spark, sf_dir):
+    """The SAME fixpoint as `kg_rules_program`, computed INCREMENTALLY:
+    the same_as facts arrive in two deterministic batches (md5 split on
+    subj); batch 1 is materialized to fixpoint, batch 2 folds in via
+    `materialize_rules_delta` (insertion-only semi-naive maintenance —
+    only consequences that use ≥1 batch-2 fact are derived).  Returning
+    the union's eq facts makes the recursive-CTE oracle a proof that
+    the incremental path loses and invents nothing across the batch
+    boundary."""
+    from .operators import kgquery
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    prog = [
+        {"body": [("?a", "same_as", "?b")], "head": ("?a", "eq", "?b")},
+        {"body": [("?a", "eq", "?b"), ("?b", "same_as", "?c")],
+         "head": ("?a", "eq", "?c")},
+    ]
+    sa = tri.filter(F.col("pred") == "same_as")
+    b1 = sa.filter(F.md5(F.col("subj")) < "8")
+    b2 = sa.filter(~(F.md5(F.col("subj")) < "8"))
+    m1 = kgquery.materialize_rules(b1, prog)
+    full = m1.unionByName(b2.select("subj", "pred", "obj", "doc_id"))
+    new = kgquery.materialize_rules_delta(full, b2, prog)
+    return (full.unionByName(new).filter(F.col("pred") == "eq")
+            .select("subj", "pred", "obj").distinct())
+
+
+def o_kg_rules_incremental():
+    return o_kg_rules_program()
+
+
 def q_kg_graph_diff(spark, sf_dir):
     """Graph diff between two store states — the update audit: the
     extracted KG before vs after the `kg_update_rename` DELETE/INSERT,
@@ -8290,7 +8345,9 @@ QUERIES = {
     "kg_owl_extend": q_kg_owl_extend,
     "kg_update_rename": q_kg_update_rename,
     "kg_shacl_validate": q_kg_shacl_validate,
+    "kg_bgp_graph": q_kg_bgp_graph,
     "kg_rules_program": q_kg_rules_program,
+    "kg_rules_incremental": q_kg_rules_incremental,
     "kg_graph_diff": q_kg_graph_diff,
     "kg_bgp_not_exists": q_kg_bgp_not_exists,
     "kg_bgp_filter_agg": q_kg_bgp_filter_agg,
@@ -8498,7 +8555,9 @@ ORACLES = {
     "kg_owl_extend": o_kg_owl_extend(),
     "kg_update_rename": o_kg_update_rename(),
     "kg_shacl_validate": o_kg_shacl_validate(),
+    "kg_bgp_graph": o_kg_bgp_graph(),
     "kg_rules_program": o_kg_rules_program(),
+    "kg_rules_incremental": o_kg_rules_incremental(),
     "kg_graph_diff": o_kg_graph_diff(),
     "kg_bgp_not_exists": o_kg_bgp_not_exists(),
     "kg_bgp_filter_agg": o_kg_bgp_filter_agg(),

@@ -729,3 +729,77 @@ def read_bgp_bindings(spark: SparkSession, state_dir: str) -> DataFrame:
     import os
     return (spark.read.parquet(os.path.join(state_dir, "bindings"))
             .drop("batch_tag"))
+
+
+def stream_rules_materialize(spark: SparkSession, triples_dir: str,
+                             state_dir: str, checkpoint_dir: str, rules, *,
+                             max_rounds: int = 16) -> StreamingQuery:
+    """Continuous Datalog materialization over streaming KG ingest — a
+    standing rule PROGRAM whose fixpoint GROWS as triple batches arrive,
+    maintained incrementally: each micro-batch runs
+    `kgquery.materialize_rules_delta` against the prior fixpoint
+    (asserted store ∪ derived store ∪ the batch), so per-batch cost is
+    O(batch + new consequences), never O(store) — insert-only Datalog
+    retracts nothing, which is exactly why the program's monotone-only
+    restriction (validated eagerly at submit, before any batch runs)
+    makes a grow-only derived store correct.
+
+    Layout under ``state_dir``: ``triples/batch_tag=…`` (asserted facts,
+    one subdir per batch) and ``derived/batch_tag=…`` (each batch's new
+    consequences).  Exactly-once under replays, same contract as
+    `stream_bgp_query`: a replayed batch overwrites its OWN two subdirs,
+    and both prior-state reads EXCLUDE the in-flight batch's tag, so the
+    recomputation sees the same prior fixpoint and rewrites the same
+    rows."""
+    import os
+    from ..operators import kgquery
+
+    kgquery._compile_rules(rules)
+    schema = spark.read.parquet(triples_dir).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(triples_dir))
+    tri_store = os.path.join(state_dir, "triples")
+    drv_store = os.path.join(state_dir, "derived")
+
+    def process(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sp = batch_df.sparkSession
+        tag = f"batch-{batch_id:06d}"
+        delta = batch_df.select("subj", "pred", "obj", "doc_id")
+
+        def _read_prior(store):
+            if not os.path.isdir(store):
+                return None
+            prior = sp.read.parquet(store).filter(F.col("batch_tag") != tag)
+            return prior.drop("batch_tag")
+
+        full = delta
+        for store in (tri_store, drv_store):
+            prior = _read_prior(store)
+            if prior is not None:
+                full = full.unionByName(prior)
+        new_d = kgquery.materialize_rules_delta(full, delta, rules,
+                                                max_rounds=max_rounds)
+        (new_d.write.mode("overwrite")
+         .parquet(os.path.join(drv_store, f"batch_tag={tag}")))
+        (delta.write.mode("overwrite")
+         .parquet(os.path.join(tri_store, f"batch_tag={tag}")))
+
+    return (stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())
+
+
+def read_rules_facts(spark: SparkSession, state_dir: str,
+                     derived_only: bool = False) -> DataFrame:
+    """The standing program's current fixpoint (asserted ∪ derived), or
+    just the derived facts."""
+    import os
+    drv = (spark.read.parquet(os.path.join(state_dir, "derived"))
+           .drop("batch_tag"))
+    if derived_only:
+        return drv
+    tri = (spark.read.parquet(os.path.join(state_dir, "triples"))
+           .drop("batch_tag"))
+    return tri.unionByName(drv)

@@ -411,3 +411,112 @@ def test_graph_diff_and_snapshot_audit(spark, tmp_path):
                       pub.read_snapshot(spark, root, "triples", "s1"))
     assert {(r.subj, r.change) for r in d.collect()} == \
         {("s4", "added"), ("s2", "removed")}
+
+
+# --- materialize_rules_delta (incremental insertion-only Datalog) ------------
+
+def test_rules_delta_matches_full_recompute(spark):
+    # chain edges split so recursion must cross the batch boundary:
+    # batch 1 = even edges, batch 2 = odd edges of a 6-node chain
+    edges = [("n%d" % i, "parent", "n%d" % (i + 1)) for i in range(5)]
+    b1 = T(spark, edges[0::2])
+    b2 = T(spark, edges[1::2])
+    m1 = kq.materialize_rules(b1, ANC_PROG)
+    full = m1.unionByName(b2)
+    new = kq.materialize_rules_delta(full, b2, ANC_PROG)
+    got = spo_set(full.unionByName(new))
+    want = spo_set(kq.materialize_rules(b1.unionByName(b2), ANC_PROG))
+    assert got == want
+    # and the new facts really are new: none was in the prior fixpoint
+    assert not (spo_set(new) & spo_set(m1))
+
+
+def test_rules_delta_cross_batch_bridge(spark):
+    # batch 1 builds two disjoint 3-node chains, batch 2 adds the ONE
+    # bridging edge — every cross-chain ancestor pair must appear,
+    # and nothing already derived may be re-emitted
+    c1 = [("a%d" % i, "parent", "a%d" % (i + 1)) for i in range(2)]
+    c2 = [("b%d" % i, "parent", "b%d" % (i + 1)) for i in range(2)]
+    b1 = T(spark, c1 + c2)
+    m1 = kq.materialize_rules(b1, ANC_PROG)
+    bridge = T(spark, [("a2", "parent", "b0")])
+    new = kq.materialize_rules_delta(m1.unionByName(bridge), bridge,
+                                     ANC_PROG)
+    got = {(r.subj, r.obj) for r in new.filter("pred = 'anc'").collect()}
+    # exactly the anc pairs that cross the bridge — 3 sources × 3 sinks
+    want = {("a%d" % i, "b%d" % j) for i in range(3) for j in range(3)}
+    assert got == want
+    assert new.count() == len(want)
+
+
+def test_rules_delta_replay_is_noop(spark):
+    edges = [("n%d" % i, "parent", "n%d" % (i + 1)) for i in range(4)]
+    b1, b2 = T(spark, edges[:2]), T(spark, edges[2:])
+    m1 = kq.materialize_rules(b1, ANC_PROG)
+    full = m1.unionByName(b2)
+    new = kq.materialize_rules_delta(full, b2, ANC_PROG)
+    # replay: the batch's facts and consequences are all already known
+    replay = kq.materialize_rules_delta(full.unionByName(new), b2,
+                                        ANC_PROG)
+    assert replay.count() == 0
+
+
+def test_rules_delta_refusals(spark):
+    g = T(spark, [("a", "parent", "b")])
+    with pytest.raises(ValueError, match="path expression"):
+        kq.materialize_rules_delta(g, g, [{"body": [("?x", "parent+",
+                                                     "?y")],
+                                           "head": ("?x", "a", "?y")}])
+    with pytest.raises(ValueError, match="MONOTONE"):
+        kq.materialize_rules_delta(g, g, [{"body": [("?x", "parent",
+                                                     "?y")],
+                                           "head": ("?x", "a", "?y"),
+                                           "minus": [("?x", "q", "?z")]}])
+
+
+def test_stream_rules_materialize_matches_batch(spark, tmp_path):
+    """The continuous program over three arriving triple files must end
+    with EXACTLY the batch fixpoint over the union — including ancestor
+    pairs whose edges arrived in different batches — and a restart over
+    the same checkpoint must change nothing."""
+    import time
+    from legal_ner_spark.streaming.stream import (stream_rules_materialize,
+                                                  read_rules_facts)
+
+    edges = [("n%d" % i, "parent", "n%d" % (i + 1), "d0") for i in range(5)]
+    batches = [T(spark, edges[0:2]), T(spark, edges[2:4]),
+               T(spark, edges[4:5])]
+    in_dir = str(tmp_path / "tri_arrivals")
+    now, seen = time.time(), set()
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("append").parquet(in_dir)
+        for f in os.listdir(in_dir):
+            if f not in seen:
+                seen.add(f)
+                t = now + 100 * (i + 1)
+                os.utime(os.path.join(in_dir, f), (t, t))
+
+    state = str(tmp_path / "rules_state")
+    ckpt = str(tmp_path / "rules_ckpt")
+    q = stream_rules_materialize(spark, in_dir, state, ckpt, ANC_PROG)
+    assert q.awaitTermination(180)
+
+    got = spo_set(read_rules_facts(spark, state))
+    all_tri = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    want = spo_set(kq.materialize_rules(all_tri, ANC_PROG))
+    assert got == want
+    # no fact stored twice across batch subdirs
+    assert read_rules_facts(spark, state).count() == len(want)
+
+    # restart over the same checkpoint: a no-op
+    q2 = stream_rules_materialize(spark, in_dir, state, ckpt, ANC_PROG)
+    assert q2.awaitTermination(180)
+    assert spo_set(read_rules_facts(spark, state)) == want
+    assert read_rules_facts(spark, state).count() == len(want)
+
+    # a bad program fails at submit, before any batch runs
+    with pytest.raises(ValueError, match="MONOTONE"):
+        stream_rules_materialize(
+            spark, in_dir, state, ckpt,
+            [{"body": [("?x", "parent", "?y")], "head": ("?x", "a", "?y"),
+              "optional": [("?x", "q", "?z")]}])

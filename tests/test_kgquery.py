@@ -76,6 +76,20 @@ def test_bgp_doc_term_as_variable(kg):
         ("Indian Penal Code", "d1"), ("Indian Penal Code", "d2")}
 
 
+def test_bgp_shared_graph_variable_joins(spark):
+    # GRAPH ?g { ?j p ?c . ?j q ?x }: both patterns must come from the
+    # SAME named graph — the cross-graph pair (d2 asserts q for j1) drops
+    g = _triples(spark, [("j1", "p", "c1", "d1"),
+                         ("j1", "q", "x1", "d1"),
+                         ("j1", "q", "x2", "d2"),
+                         ("j2", "p", "c2", "d2"),
+                         ("j2", "q", "x3", "d2")])
+    out = kgquery.bgp_match(g, [("?j", "p", "?c", "?g"),
+                                ("?j", "q", "?x", "?g")])
+    assert {tuple(r) for r in out.collect()} == {
+        ("j1", "c1", "d1", "x1"), ("j2", "c2", "d2", "x3")}
+
+
 def test_bgp_chain_shared_object(kg):
     out = (kgquery.bgp_match(kg, [("?m", "same_as", "?canon"),
                                   ("?m2", "same_as", "?canon")])

@@ -128,6 +128,13 @@ SHOW = [
     ("kg_rules_program", "Datalog program fixpoint: semi-naive rounds "
                          "already materialized — the final plan is the "
                          "derived-facts union + known-facts anti-join"),
+    ("kg_bgp_graph", "named-graph BGP: both patterns pred-pushed, "
+                     "joined on (?j, ?g) — the graph term is one more "
+                     "equi-join key, no new shuffle shape"),
+    ("kg_rules_incremental", "insert-only Datalog maintenance: batch-2 "
+                             "facts delta-pinned into every body "
+                             "position, store scanned pred-pushed but "
+                             "never shuffled"),
     ("kg_graph_diff", "snapshot audit: one anti-join per direction on "
                       "distinct 3-tuples"),
 ]

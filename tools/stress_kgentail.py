@@ -148,12 +148,35 @@ def main() -> None:
             {"body": [("?x", "anc", "?y"), ("?y", "follows", "?z")],
              "head": ("?x", "anc", "?z")}]
     t0 = time.time()
-    n_rules = kgquery.materialize_rules(rch, prog,
-                                        max_rounds=length,
-                                        derived_only=True).count()
+    rules_derived = kgquery.materialize_rules(rch, prog,
+                                              max_rounds=length,
+                                              derived_only=True).persist()
+    n_rules = rules_derived.count()
     t_rules = time.time() - t0
     want_rules = kr * (length * (length - 1) // 2)
     assert n_rules == want_rules, (n_rules, want_rules)
+
+    # ---- 2c. materialize_rules_delta: O(batch) maintenance --------------
+    # extend kb of the chains by one node each; the ONLY new facts are
+    # the extended chains' ancestor pairs into the new tail — exactly
+    # `length` per extended chain, in closed form.  The batch is tiny
+    # next to the store, so the leg times the delta matcher's store
+    # scans, not a recomputation of the 9M-pair fixpoint.
+    kb = min(kr, 25_000)
+    batch = (spark.range(kb).select(
+        F.concat(F.lit("r"), F.col("id") * length + (length - 1))
+        .alias("subj"),
+        F.lit("follows").alias("pred"),
+        F.concat(F.lit("x"), F.col("id")).alias("obj"),
+        F.lit(None).cast("string").alias("doc_id")))
+    full = rch.unionByName(rules_derived).unionByName(batch)
+    t0 = time.time()
+    n_rdelta = kgquery.materialize_rules_delta(
+        full, batch, prog, max_rounds=length).count()
+    t_rdelta = time.time() - t0
+    want_rdelta = kb * length
+    assert n_rdelta == want_rdelta, (n_rdelta, want_rdelta)
+    rules_derived.unpersist()
 
     # ---- 3. update_graph pred-rename over the store ---------------------
     t0 = time.time()
@@ -199,6 +222,10 @@ def main() -> None:
         "rules_derived_rows": n_rules,
         "rules_derived_exact": True,
         "rules_sec": round(t_rules, 2),
+        "rules_delta_batch_edges": kb,
+        "rules_delta_rows": n_rdelta,
+        "rules_delta_exact": True,
+        "rules_delta_sec": round(t_rdelta, 2),
         "update_rows": n_up,
         "update_conserves_rows": True,
         "update_sec": round(t_update, 2),
