@@ -60,7 +60,8 @@ __all__ = ["bgp_match", "bgp_match_delta", "property_path", "path_edges",
            "from_ntriples", "resolve_same_as", "constraint_report",
            "rdfs_entail", "owl_extend", "update_graph",
            "update_graph_commit", "validate_shapes",
-           "materialize_rules", "materialize_rules_delta", "graph_diff"]
+           "materialize_rules", "materialize_rules_delta", "rdfs_rules",
+           "graph_diff"]
 
 _TERM_COLS = ("subj", "pred", "obj", "doc_id")
 
@@ -2148,6 +2149,45 @@ def materialize_rules_delta(full: DataFrame, delta: DataFrame, rules, *,
     new = trunc(new, "rulesd_d0")
     derived = _rules_seminaive(compiled, known3, new, trunc, max_rounds)
     return derived.withColumn("doc_id", F.lit(None).cast("string"))
+
+
+def rdfs_rules(*, type_pred: str = "type",
+               subclass_pred: str = "subclass_of",
+               subproperty_pred: str = "subproperty_of",
+               domain_pred: str = "domain",
+               range_pred: str = "range"):
+    """The ρdf rule set as a `materialize_rules` program — the SAME
+    entailment `rdfs_entail` materializes (pinned by a pytest equality
+    gate on rdfs-valid graphs), expressed declaratively so it composes
+    with the rule machinery: run it one-shot, fold instance batches in
+    with `materialize_rules_delta` (INCREMENTAL RDFS — the compiled
+    `rdfs_entail` is rebuild-only), or keep it standing under
+    `stream_rules_materialize`.  rdfs7/2/3 use a VARIABLE predicate
+    (``(?x, ?p, ?y)``), so those bodies scan the store un-pushed — the
+    compiled `rdfs_entail` (schema collected once, rules as literal map
+    lookups over one narrow stage) stays the fast path for one-shot
+    materialization; this program is the maintainable path.
+
+    Unlike `rdfs_entail`, a generic rule engine cannot see that
+    meta-level schema rows (``type``/schema predicates as rule SUBJECTS)
+    step outside the fragment — callers who need that guard get it from
+    `rdfs_entail`'s refusal before switching to the program form."""
+    return [
+        {"body": [("?p", subproperty_pred, "?q"),
+                  ("?q", subproperty_pred, "?r")],
+         "head": ("?p", subproperty_pred, "?r")},          # rdfs5
+        {"body": [("?c", subclass_pred, "?d"),
+                  ("?d", subclass_pred, "?e")],
+         "head": ("?c", subclass_pred, "?e")},             # rdfs11
+        {"body": [("?p", subproperty_pred, "?q"), ("?x", "?p", "?y")],
+         "head": ("?x", "?q", "?y")},                      # rdfs7
+        {"body": [("?p", domain_pred, "?C"), ("?x", "?p", "?y")],
+         "head": ("?x", type_pred, "?C")},                 # rdfs2
+        {"body": [("?p", range_pred, "?C"), ("?x", "?p", "?y")],
+         "head": ("?y", type_pred, "?C")},                 # rdfs3
+        {"body": [("?x", type_pred, "?C"), ("?C", subclass_pred, "?D")],
+         "head": ("?x", type_pred, "?D")},                 # rdfs9
+    ]
 
 
 def graph_diff(before: DataFrame, after: DataFrame) -> DataFrame:

@@ -520,3 +520,37 @@ def test_stream_rules_materialize_matches_batch(spark, tmp_path):
             spark, in_dir, state, ckpt,
             [{"body": [("?x", "parent", "?y")], "head": ("?x", "a", "?y"),
               "optional": [("?x", "q", "?z")]}])
+
+
+# --- rdfs_rules: the rho-df fragment as a rule program -----------------------
+
+def test_rdfs_rules_program_equals_rdfs_entail(spark, rdfs_graph):
+    # the declarative program and the compiled one-pass stratification
+    # must materialize the SAME entailment — every rule interaction in
+    # the fixture (rdfs2 over an rdfs7-derived triple, rdfs9 over
+    # derived types) exercises the semi-naive rounds
+    prog_out = spo_set(kq.materialize_rules(rdfs_graph, kq.rdfs_rules(),
+                                            derived_only=True))
+    entail_out = spo_set(kq.rdfs_entail(rdfs_graph, derived_only=True))
+    assert prog_out == entail_out
+
+
+def test_rdfs_incremental_via_rules(spark, rdfs_graph):
+    # INCREMENTAL RDFS: new instance facts fold into the materialized
+    # entailment via materialize_rules_delta; the result must equal a
+    # full rdfs_entail over the grown graph (the compiled operator is
+    # rebuild-only — the program form is the maintainable path)
+    m0 = kq.materialize_rules(rdfs_graph, kq.rdfs_rules())
+    batch = T(spark, [("d3", "has_respondent", "carol", "d3"),
+                      ("d3", "decided_by", "hc", "d3")])
+    new = kq.materialize_rules_delta(m0.unionByName(batch), batch,
+                                     kq.rdfs_rules())
+    got = spo_set(m0.unionByName(batch).unionByName(new))
+    want = spo_set(kq.rdfs_entail(rdfs_graph.unionByName(batch)))
+    assert got == want
+    # the fold derived the batch's full entailment chain
+    new3 = spo_set(new)
+    assert ("d3", "has_party", "carol") in new3
+    assert ("d3", "involves", "carol") in new3
+    assert ("d3", "type", "document") in new3
+    assert ("hc", "type", "institution") in new3
