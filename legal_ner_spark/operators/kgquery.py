@@ -60,8 +60,9 @@ __all__ = ["bgp_match", "bgp_match_delta", "property_path", "path_edges",
            "from_ntriples", "resolve_same_as", "constraint_report",
            "rdfs_entail", "owl_extend", "update_graph",
            "update_graph_commit", "validate_shapes",
-           "materialize_rules", "materialize_rules_delta", "rdfs_rules",
-           "graph_diff"]
+           "materialize_rules", "materialize_rules_delta",
+           "materialize_rules_retract", "update_graph_maintain",
+           "rdfs_rules", "graph_diff"]
 
 _TERM_COLS = ("subj", "pred", "obj", "doc_id")
 
@@ -2149,6 +2150,188 @@ def materialize_rules_delta(full: DataFrame, delta: DataFrame, rules, *,
     new = trunc(new, "rulesd_d0")
     derived = _rules_seminaive(compiled, known3, new, trunc, max_rounds)
     return derived.withColumn("doc_id", F.lit(None).cast("string"))
+
+
+def materialize_rules_retract(asserted: DataFrame, derived: DataFrame,
+                              deleted: DataFrame, rules, *,
+                              max_rounds: int = 16,
+                              checkpoint_dir: str | None = None) -> DataFrame:
+    """Deletion maintenance for a `materialize_rules` fixpoint — the
+    classic DRed (delete-and-rederive, Gupta/Mumick/Subrahmanian)
+    two-phase algorithm, completing `materialize_rules_delta`'s
+    insert-only story.  Inputs: ``asserted`` = the base facts AFTER the
+    deletion, ``derived`` = the fixpoint's current derived set,
+    ``deleted`` = the removed base facts.  Returns the NEW derived set
+    (3-tuples, null ``doc_id``): ``asserted ∪ returned`` equals
+    ``materialize_rules(asserted)`` — pinned by pytest on diamond
+    graphs where an alternative derivation must survive.
+
+    Phase 1 — over-delete: semi-naive over DELETIONS.  Seed with the
+    deleted base facts; each round, every fact derivable in the OLD
+    fixpoint using ≥1 endangered fact (`bgp_match_delta` with the
+    deletion set as the delta) becomes endangered too — but only
+    DERIVED facts can actually leave (a fact still asserted survives
+    any derivation loss), so each round intersects with the derived set
+    and anti-joins the still-asserted facts.  Per-round cost is
+    O(endangered), never O(store): the deletion set broadcasts, the
+    old fixpoint is scanned pred-pushed.
+
+    Phase 2 — re-derive: a fact was OVER-deleted if the surviving
+    facts still derive it some other way.  Round 0 is the one full
+    rematch DRed is known for (every rule body over the survivors,
+    heads restricted to the endangered set — there is no delta to pin:
+    an alternative derivation need not touch any endangered fact);
+    skipped entirely when nothing derived is endangered.  Recovered
+    facts then feed the shared semi-naive insertion loop, which
+    re-admits their downstream consequences; heads that were never
+    endangered are already in the survivor set, so the loop's
+    known-facts anti-join drops them for free.
+
+    Same monotone-only contract as the rest of the rule machinery —
+    which DRed itself requires: with negation, deleting a fact could
+    ADD answers, and neither phase enumerates those."""
+    from ..plans.checkpoint import Truncator
+    trunc = Truncator(checkpoint_dir)
+    compiled = _compile_rules(rules)
+
+    a3 = trunc(asserted.select("subj", "pred", "obj").distinct(),
+               "dred_a3")
+    drv3 = trunc(derived.select("subj", "pred", "obj").distinct(),
+                 "dred_drv3")
+    del3 = deleted.select("subj", "pred", "obj").distinct()
+    old_fix3 = trunc(a3.unionByName(del3).unionByName(drv3).distinct(),
+                     "dred_oldfix")
+    old_full4 = old_fix3.withColumn("doc_id", F.lit(None).cast("string"))
+    stats = {r["pred"]: r["n"] for r in
+             old_full4.groupBy("pred").agg(F.count("*").alias("n"))
+             .collect()}
+
+    # phase 1: over-delete
+    d = trunc(del3.join(a3, on=["subj", "pred", "obj"], how="left_anti"),
+              "dred_d0")
+    endangered = d
+    for k in range(1, max_rounds + 1):
+        if d.isEmpty():
+            break
+        d4 = d.withColumn("doc_id", F.lit(None).cast("string"))
+        cand = _rule_heads(compiled,
+                           lambda body, v, f:
+                           bgp_match_delta(old_full4, d4, body, values=v,
+                                           filters=f, pred_stats=stats))
+        d = (cand.join(drv3, on=["subj", "pred", "obj"], how="left_semi")
+             .join(a3, on=["subj", "pred", "obj"], how="left_anti")
+             .join(endangered, on=["subj", "pred", "obj"],
+                   how="left_anti"))
+        d = trunc(d, f"dred_d{k}")
+        endangered = trunc(endangered.unionByName(d), f"dred_end{k}")
+
+    survivors3 = trunc(old_fix3.join(endangered,
+                                     on=["subj", "pred", "obj"],
+                                     how="left_anti"), "dred_surv")
+    kept_derived = drv3.join(endangered, on=["subj", "pred", "obj"],
+                             how="left_anti")
+
+    # phase 2: re-derive (only if some endangered fact could come back)
+    if endangered.isEmpty():
+        recovered = None
+    else:
+        surv4 = survivors3.withColumn("doc_id",
+                                      F.lit(None).cast("string"))
+        redo = (_rule_heads(compiled,
+                            lambda body, v, f:
+                            bgp_match(surv4, body, values=v, filters=f))
+                .join(endangered, on=["subj", "pred", "obj"],
+                      how="left_semi"))
+        redo = trunc(redo, "dred_redo0")
+        recovered = _rules_seminaive(compiled, survivors3, redo, trunc,
+                                     max_rounds)
+
+    out = kept_derived if recovered is None \
+        else kept_derived.unionByName(recovered)
+    return (out.join(a3, on=["subj", "pred", "obj"], how="left_anti")
+            .distinct()
+            .withColumn("doc_id", F.lit(None).cast("string")))
+
+
+def update_graph_maintain(asserted: DataFrame, derived: DataFrame,
+                          rules, *, where=(), delete=(), insert=(),
+                          values: dict | None = None,
+                          max_rounds: int = 16,
+                          checkpoint_dir: str | None = None,
+                          **bgp_kwargs):
+    """SPARQL Update WITH materialized-view maintenance: apply a
+    DELETE/INSERT WHERE to the BASE facts and carry a
+    `materialize_rules` fixpoint through it — DRed
+    (`materialize_rules_retract`) for the delete half, the insertion
+    delta (`materialize_rules_delta`) for the insert half, in the
+    spec's delete-then-insert order.  Returns ``(new_asserted,
+    new_derived)``; their union equals
+    ``materialize_rules(new_asserted)`` (pinned by pytest), at
+    O(changed + endangered) maintenance cost instead of a from-scratch
+    fixpoint.
+
+    WHERE binds against the ORIGINAL asserted graph only (same contract
+    as `update_graph`): updates manage base facts; derived facts are
+    view contents, not updatable rows.  Derived-set hygiene is
+    preserved: an inserted fact that was previously derived moves OUT
+    of the derived set (it is asserted now), and a deleted base fact
+    that remains derivable comes BACK as a derived fact."""
+    spark = asserted.sparkSession
+    d_tpls = _norm_templates(delete, "delete") if delete else []
+    i_tpls = _norm_templates(insert, "insert") if insert else []
+    if not d_tpls and not i_tpls:
+        raise ValueError("update_graph_maintain needs delete and/or "
+                         "insert templates")
+    if where:
+        b = bgp_match(asserted, where, values=values, **bgp_kwargs)
+        dels = _instantiate_templates(b, d_tpls) if d_tpls else None
+        ins = _instantiate_templates(b, i_tpls) if i_tpls else None
+    else:
+        def ground(tpls, kind):
+            if any(_is_var(t) for h in tpls for t in h):
+                raise ValueError(
+                    f"{kind} DATA (no WHERE clause) requires ground "
+                    "templates — got a variable")
+            return spark.createDataFrame(
+                [(s, p, o, None) for s, p, o in tpls],
+                "subj string, pred string, obj string, doc_id string")
+        dels = ground(d_tpls, "DELETE") if d_tpls else None
+        ins = ground(i_tpls, "INSERT") if i_tpls else None
+
+    # delete half: retract what actually leaves the base
+    kept = asserted.select("subj", "pred", "obj", "doc_id")
+    drv = derived.select("subj", "pred", "obj").distinct()
+    if dels is not None:
+        deleted = (dels.select("subj", "pred", "obj").distinct()
+                   .join(asserted.select("subj", "pred", "obj"),
+                         on=["subj", "pred", "obj"], how="left_semi")
+                   .withColumn("doc_id", F.lit(None).cast("string")))
+        kept = kept.join(deleted.select("subj", "pred", "obj"),
+                         on=["subj", "pred", "obj"], how="left_anti")
+        drv = materialize_rules_retract(
+            kept, derived, deleted, rules, max_rounds=max_rounds,
+            checkpoint_dir=checkpoint_dir).select("subj", "pred", "obj")
+
+    # insert half: set-semantic fresh rows, then the insertion delta
+    new_asserted = kept
+    if ins is not None:
+        fresh = (ins.select("subj", "pred", "obj").distinct()
+                 .join(kept.select("subj", "pred", "obj"),
+                       on=["subj", "pred", "obj"], how="left_anti")
+                 .withColumn("doc_id", F.lit(None).cast("string")))
+        new_asserted = kept.unionByName(fresh)
+        drv4 = drv.withColumn("doc_id", F.lit(None).cast("string"))
+        full = new_asserted.unionByName(drv4)
+        new = materialize_rules_delta(
+            full, fresh, rules, max_rounds=max_rounds,
+            checkpoint_dir=checkpoint_dir).select("subj", "pred", "obj")
+        drv = drv.unionByName(new)
+
+    new_derived = (drv.distinct()
+                   .join(new_asserted.select("subj", "pred", "obj"),
+                         on=["subj", "pred", "obj"], how="left_anti")
+                   .withColumn("doc_id", F.lit(None).cast("string")))
+    return new_asserted, new_derived
 
 
 def rdfs_rules(*, type_pred: str = "type",

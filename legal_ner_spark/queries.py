@@ -8154,6 +8154,45 @@ def o_kg_rules_incremental():
     return o_kg_rules_program()
 
 
+def q_kg_rules_retract(spark, sf_dir):
+    """DRed deletion maintenance: materialize the alias-closure fixpoint
+    over ALL same_as facts, then retract the md5-upper half of the base
+    facts via `materialize_rules_retract` (over-delete endangered
+    consequences, re-derive survivors with alternative derivations).
+    Returning kept-base ∪ maintained-derived makes the recursive-CTE
+    oracle over the REMAINING facts a proof that DRed converged to the
+    from-scratch fixpoint."""
+    from .operators import kgquery
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    prog = [
+        {"body": [("?a", "same_as", "?b")], "head": ("?a", "eq", "?b")},
+        {"body": [("?a", "eq", "?b"), ("?b", "same_as", "?c")],
+         "head": ("?a", "eq", "?c")},
+    ]
+    sa = tri.filter(F.col("pred") == "same_as")
+    dele = sa.filter(~(F.md5(F.col("subj")) < "8"))
+    kept = sa.filter(F.md5(F.col("subj")) < "8")
+    drv = kgquery.materialize_rules(sa, prog, derived_only=True)
+    new_drv = kgquery.materialize_rules_retract(kept, drv, dele, prog)
+    return (kept.select("subj", "pred", "obj")
+            .unionByName(new_drv.select("subj", "pred", "obj"))
+            .distinct())
+
+
+def o_kg_rules_retract():
+    return f"""
+WITH RECURSIVE
+e AS (SELECT DISTINCT subj, obj FROM {_KG_SQL_SRC}
+      WHERE rec_type = 'triple' AND pred = 'same_as'
+        AND md5(subj) < '8'),
+r AS (SELECT subj, obj FROM e
+      UNION
+      SELECT r.subj, e.obj FROM r JOIN e ON e.subj = r.obj)
+SELECT subj, 'same_as' AS pred, obj FROM e
+UNION
+SELECT subj, 'eq' AS pred, obj FROM r"""
+
+
 def q_kg_graph_diff(spark, sf_dir):
     """Graph diff between two store states — the update audit: the
     extracted KG before vs after the `kg_update_rename` DELETE/INSERT,
@@ -8348,6 +8387,7 @@ QUERIES = {
     "kg_bgp_graph": q_kg_bgp_graph,
     "kg_rules_program": q_kg_rules_program,
     "kg_rules_incremental": q_kg_rules_incremental,
+    "kg_rules_retract": q_kg_rules_retract,
     "kg_graph_diff": q_kg_graph_diff,
     "kg_bgp_not_exists": q_kg_bgp_not_exists,
     "kg_bgp_filter_agg": q_kg_bgp_filter_agg,
@@ -8558,6 +8598,7 @@ ORACLES = {
     "kg_bgp_graph": o_kg_bgp_graph(),
     "kg_rules_program": o_kg_rules_program(),
     "kg_rules_incremental": o_kg_rules_incremental(),
+    "kg_rules_retract": o_kg_rules_retract(),
     "kg_graph_diff": o_kg_graph_diff(),
     "kg_bgp_not_exists": o_kg_bgp_not_exists(),
     "kg_bgp_filter_agg": o_kg_bgp_filter_agg(),

@@ -554,3 +554,174 @@ def test_rdfs_incremental_via_rules(spark, rdfs_graph):
     assert ("d3", "involves", "carol") in new3
     assert ("d3", "type", "document") in new3
     assert ("hc", "type", "institution") in new3
+
+
+# --- materialize_rules_retract (DRed deletion maintenance) --------------------
+
+def _dred_check(spark, base_rows, del_rows, prog):
+    """retract(asserted, derived, deleted) ∪ asserted must equal the
+    from-scratch fixpoint over the post-delete base."""
+    base = T(spark, base_rows)
+    dele = T(spark, del_rows)
+    kept = base.join(dele.select("subj", "pred", "obj"),
+                     on=["subj", "pred", "obj"], how="left_anti")
+    drv = kq.materialize_rules(base, prog, derived_only=True)
+    new_drv = kq.materialize_rules_retract(kept, drv, dele, prog)
+    got = spo_set(kept) | spo_set(new_drv)
+    want = spo_set(kq.materialize_rules(kept, prog))
+    assert got == want
+    # derived-set hygiene: nothing asserted leaks into the derived set
+    assert spo_set(new_drv).isdisjoint(spo_set(kept))
+    return spo_set(new_drv)
+
+
+def test_dred_chain_cut(spark):
+    # cutting the middle edge of a 6-node chain must drop exactly the
+    # cross-cut ancestor pairs
+    edges = [("n%d" % i, "parent", "n%d" % (i + 1)) for i in range(5)]
+    new_drv = _dred_check(spark, edges, [edges[2]], ANC_PROG)
+    anc = {(s, o) for s, p, o in new_drv if p == "anc"}
+    want = ({("n%d" % i, "n%d" % j) for i in range(3)
+             for j in range(i + 1, 3)}
+            | {("n%d" % i, "n%d" % j) for i in range(3, 6)
+               for j in range(i + 1, 6)})
+    assert anc == want
+
+
+def test_dred_alternative_derivation_survives(spark):
+    # diamond: a→b→d and a→c→d; deleting a→b must NOT drop anc(a,d)
+    # (the re-derive phase restores it through the surviving path)
+    edges = [("a", "parent", "b"), ("b", "parent", "d"),
+             ("a", "parent", "c"), ("c", "parent", "d")]
+    new_drv = _dred_check(spark, edges, [edges[0]], ANC_PROG)
+    anc = {(s, o) for s, p, o in new_drv if p == "anc"}
+    assert ("a", "d") in anc          # survived via a→c→d
+    assert ("a", "b") not in anc      # the deleted edge's own pair fell
+    assert ("b", "d") in anc          # untouched branch intact
+
+
+def test_dred_still_asserted_fact_survives(spark):
+    # anc(a,x) is BOTH derived (from parent a→x) and asserted as a base
+    # fact; deleting the parent edge must keep it — as an asserted fact,
+    # outside the derived set
+    base = [("a", "parent", "x"), ("a", "anc", "x")]
+    new_drv = _dred_check(spark, base, [base[0]], ANC_PROG)
+    assert ("a", "anc", "x") not in new_drv   # asserted, not derived
+
+
+def test_dred_insert_then_retract_roundtrip(spark):
+    # folding a batch in with the insertion delta and retracting the
+    # same batch with DRed must restore the original derived set
+    edges = [("n%d" % i, "parent", "n%d" % (i + 1)) for i in range(4)]
+    b1, b2 = T(spark, edges[:2]), T(spark, edges[2:])
+    drv1 = kq.materialize_rules(b1, ANC_PROG, derived_only=True)
+    full = b1.unionByName(drv1).unionByName(b2)
+    new = kq.materialize_rules_delta(full, b2, ANC_PROG)
+    drv2 = drv1.unionByName(new)
+    back = kq.materialize_rules_retract(b1, drv2, b2, ANC_PROG)
+    assert spo_set(back) == spo_set(drv1)
+
+
+def test_dred_noop_delete_of_duplicate_provenance(spark):
+    # the deleted 3-tuple is still asserted (second provenance row):
+    # nothing changes
+    base = [("a", "parent", "b", "d1"), ("a", "parent", "b", "d2")]
+    asserted = T(spark, base[:1])    # post-delete: one row remains
+    drv = kq.materialize_rules(T(spark, base), ANC_PROG,
+                               derived_only=True)
+    out = kq.materialize_rules_retract(asserted, drv,
+                                       T(spark, base[1:]), ANC_PROG)
+    assert spo_set(out) == spo_set(drv)
+
+
+def test_dred_nonlinear_program(spark):
+    # same-generation (non-linear recursion): delete the flat edge the
+    # whole relation hangs on — everything derived must fall
+    facts = [("a", "up", "m1"), ("b", "up", "m2"),
+             ("m1", "flat", "m2"), ("m2", "down", "b2")]
+    prog = [{"body": [("?x", "flat", "?y")], "head": ("?x", "sg", "?y")},
+            {"body": [("?x", "up", "?a"), ("?a", "sg", "?b"),
+                      ("?b", "down", "?y")],
+             "head": ("?x", "sg", "?y")}]
+    new_drv = _dred_check(spark, facts, [facts[2]], prog)
+    assert new_drv == set()
+
+
+def test_dred_refuses_nonmonotone(spark):
+    g = T(spark, [("a", "parent", "b")])
+    with pytest.raises(ValueError, match="MONOTONE"):
+        kq.materialize_rules_retract(
+            g, g, g, [{"body": [("?x", "parent", "?y")],
+                       "head": ("?x", "a", "?y"),
+                       "minus": [("?x", "q", "?z")]}])
+
+
+# --- update_graph_maintain (update + view maintenance) ------------------------
+
+def _maintain_check(spark, base_rows, prog, **update):
+    base = T(spark, base_rows)
+    drv = kq.materialize_rules(base, prog, derived_only=True)
+    na, nd = kq.update_graph_maintain(base, drv, prog, **update)
+    got = spo_set(na) | spo_set(nd)
+    want = spo_set(kq.materialize_rules(na, prog))
+    assert got == want
+    assert spo_set(nd).isdisjoint(spo_set(na))   # hygiene
+    return na, nd
+
+
+def test_maintain_delete_insert_where(spark):
+    # rename an edge mid-chain: the fixpoint must follow BOTH halves —
+    # pairs through the old edge fall, pairs through the new one rise
+    prog = [{"body": [("?x", "parent", "?y")],
+             "head": ("?x", "anc", "?y")},
+            {"body": [("?x", "anc", "?y"), ("?y", "parent", "?z")],
+             "head": ("?x", "anc", "?z")},
+            {"body": [("?x", "step", "?y")],
+             "head": ("?x", "anc", "?y")},
+            {"body": [("?x", "anc", "?y"), ("?y", "step", "?z")],
+             "head": ("?x", "anc", "?z")}]
+    edges = [("n%d" % i, "parent", "n%d" % (i + 1)) for i in range(4)]
+    na, nd = _maintain_check(
+        spark, edges, prog,
+        where=[("n1", "parent", "?y")],
+        delete=[("n1", "parent", "?y")],
+        insert=[("n1", "step", "?y")])
+    anc = {(s, o) for s, p, o in spo_set(nd) if p == "anc"}
+    # the chain is still fully connected through the step edge
+    assert ("n0", "n4") in anc and ("n1", "n4") in anc
+    assert ("n1", "step", "n2") in spo_set(na)
+    assert ("n1", "parent", "n2") not in spo_set(na)
+
+
+def test_maintain_insert_of_previously_derived_fact(spark):
+    # asserting a fact the view already derived must MOVE it from the
+    # derived set to the base, changing the graph not at all
+    edges = [("a", "parent", "b"), ("b", "parent", "c")]
+    base = T(spark, edges)
+    drv = kq.materialize_rules(base, ANC_PROG, derived_only=True)
+    assert ("a", "anc", "c") in spo_set(drv)
+    na, nd = kq.update_graph_maintain(
+        base, drv, ANC_PROG, insert=[("a", "anc", "c")])
+    assert ("a", "anc", "c") in spo_set(na)
+    assert ("a", "anc", "c") not in spo_set(nd)
+    assert spo_set(na) | spo_set(nd) == spo_set(base) | spo_set(drv) \
+        | {("a", "anc", "c")}
+
+
+def test_maintain_delete_of_rederivable_fact(spark):
+    # deleting a base fact that the rules still derive: it leaves the
+    # base and comes BACK as a derived fact
+    rows = [("a", "parent", "b"), ("a", "anc", "b")]
+    base = T(spark, rows)
+    drv = kq.materialize_rules(base, ANC_PROG, derived_only=True)
+    na, nd = kq.update_graph_maintain(
+        base, drv, ANC_PROG, delete=[("a", "anc", "b")])
+    assert ("a", "anc", "b") not in spo_set(na)
+    assert ("a", "anc", "b") in spo_set(nd)
+    assert spo_set(na) | spo_set(nd) == spo_set(base)
+
+
+def test_maintain_refuses_empty_update(spark):
+    g = T(spark, [("a", "parent", "b")])
+    with pytest.raises(ValueError, match="delete and/or"):
+        kq.update_graph_maintain(g, g.limit(0), ANC_PROG)

@@ -135,6 +135,9 @@ SHOW = [
                              "facts delta-pinned into every body "
                              "position, store scanned pred-pushed but "
                              "never shuffled"),
+    ("kg_rules_retract", "DRed: over-delete legs delta-pinned on the "
+                         "deletion set, one survivor rematch restricted "
+                         "to endangered heads, semi-naive re-admission"),
     ("kg_graph_diff", "snapshot audit: one anti-join per direction on "
                       "distinct 3-tuples"),
 ]

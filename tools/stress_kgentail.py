@@ -176,6 +176,29 @@ def main() -> None:
     t_rdelta = time.time() - t0
     want_rdelta = kb * length
     assert n_rdelta == want_rdelta, (n_rdelta, want_rdelta)
+
+    # ---- 2d. materialize_rules_retract: DRed deletion maintenance -------
+    # delete the LAST edge of kb chains: endangered = the anc pairs
+    # into each deleted chain's tail — (length-1) per chain, none
+    # re-derivable (chains have no alternative paths), so the new
+    # derived set is exactly the fixpoint minus kb·(length-1) rows.
+    # Phase 2's full rematch (the honest DRed cost) runs — the
+    # endangered set is non-empty — and must put nothing back.
+    dele = (spark.range(kb).select(
+        F.concat(F.lit("r"), F.col("id") * length + (length - 2))
+        .alias("subj"),
+        F.lit("follows").alias("pred"),
+        F.concat(F.lit("r"), F.col("id") * length + (length - 1))
+        .alias("obj"),
+        F.lit(None).cast("string").alias("doc_id")))
+    kept = rch.join(dele.select("subj", "pred", "obj"),
+                    on=["subj", "pred", "obj"], how="left_anti")
+    t0 = time.time()
+    n_retract = kgquery.materialize_rules_retract(
+        kept, rules_derived, dele, prog, max_rounds=length).count()
+    t_retract = time.time() - t0
+    want_retract = want_rules - kb * (length - 1)
+    assert n_retract == want_retract, (n_retract, want_retract)
     rules_derived.unpersist()
 
     # ---- 3. update_graph pred-rename over the store ---------------------
@@ -226,6 +249,10 @@ def main() -> None:
         "rules_delta_rows": n_rdelta,
         "rules_delta_exact": True,
         "rules_delta_sec": round(t_rdelta, 2),
+        "retract_deleted_edges": kb,
+        "retract_rows": n_retract,
+        "retract_exact": True,
+        "retract_sec": round(t_retract, 2),
         "update_rows": n_up,
         "update_conserves_rows": True,
         "update_sec": round(t_update, 2),
