@@ -159,7 +159,9 @@ def main() -> None:
                      "kg_rdfs_entail", "kg_owl_extend",
                      "kg_update_rename", "kg_shacl_validate",
                      "kg_rules_program", "kg_rules_incremental",
-                     "kg_rules_retract", "kg_graph_diff", "kg_bgp_graph"]
+                     "kg_rules_retract", "kg_rules_stratified",
+                     "kg_update_maintain", "kg_graph_diff",
+                     "kg_bgp_graph"]
     for name in bench_queries:
         timings[name] = round(best_of(
             lambda: queries.QUERIES[name](spark, sf_dir).count()), 3)

@@ -62,6 +62,7 @@ __all__ = ["bgp_match", "bgp_match_delta", "property_path", "path_edges",
            "update_graph_commit", "validate_shapes",
            "materialize_rules", "materialize_rules_delta",
            "materialize_rules_retract", "update_graph_maintain",
+           "materialize_rules_stratified", "stratify_rules",
            "rdfs_rules", "graph_diff"]
 
 _TERM_COLS = ("subj", "pred", "obj", "doc_id")
@@ -2332,6 +2333,262 @@ def update_graph_maintain(asserted: DataFrame, derived: DataFrame,
                          on=["subj", "pred", "obj"], how="left_anti")
                    .withColumn("doc_id", F.lit(None).cast("string")))
     return new_asserted, new_derived
+
+
+def _compile_rules_neg(rules):
+    """Rule compiler for the STRATIFIED entry point: like
+    `_compile_rules` but each rule may carry ``"minus": [patterns]``
+    (negated body atoms, SPARQL-MINUS semantics).  OPTIONAL/EXISTS and
+    path predicates stay refused; a MINUS pattern's predicate must be a
+    literal (negating an unknown predicate has no computable dependency
+    graph, so it cannot be stratified).  Returns 5-tuples
+    ``(body, heads, minus, values, filters)``."""
+    compiled = []
+    for r in rules:
+        body = list(r["body"])
+        for p in body:
+            pred = tuple(p)[1]
+            if pred is not None and not _is_var(pred) \
+                    and _is_path_expr(pred):
+                raise ValueError(
+                    "materialize_rules_stratified takes plain predicates "
+                    f"only — a path expression ({pred!r}) is not "
+                    "fixpoint-maintainable (see bgp_match_delta)")
+        if any(k in r for k in ("optional", "exists", "not_exists")):
+            raise ValueError(
+                "materialize_rules_stratified supports negation via "
+                "'minus' only — OPTIONAL/EXISTS rule bodies are not "
+                "Datalog atoms")
+        mpats = [tuple(p) for p in r.get("minus", ())]
+        for p in mpats:
+            mp = p[1]
+            if mp is None or _is_var(mp):
+                raise ValueError(
+                    "a rule's MINUS pattern needs a literal predicate — "
+                    f"got {p!r}: negation over an unknown predicate "
+                    "cannot be placed in a stratum")
+            if _is_path_expr(mp):
+                raise ValueError(
+                    f"a rule's MINUS pattern cannot use a path "
+                    f"expression ({mp!r})")
+        heads = _norm_templates(r["head"])
+        for h in heads:
+            if h[1] is None or _is_var(h[1]):
+                raise ValueError(
+                    "materialize_rules_stratified needs literal head "
+                    f"predicates — got {h!r}: a variable head predicate "
+                    "makes the dependency graph (hence stratification) "
+                    "undecidable; use the monotone materialize_rules "
+                    "for variable-head programs")
+        compiled.append((body, heads, mpats, r.get("values"),
+                         tuple(r.get("filters", ()))))
+    if not compiled:
+        raise ValueError("materialize_rules_stratified needs at least "
+                         "one rule")
+    return compiled
+
+
+def _rule_strata(compiled):
+    """Predicate-level stratification (Apt/Blair/Walker): derived
+    predicates get levels such that a positive dependency allows the
+    same level and a negative dependency forces a strictly LOWER level
+    for the negated predicate.  All heads of one rule share its level.
+    Returns ``(rule_levels, pred_level)``; raises when no assignment
+    exists (negation through recursion)."""
+    idb = {h[1] for _, heads, _, _, _ in compiled for h in heads}
+    level = {p: 0 for p in idb}
+    bound = len(idb)
+    for _ in range(bound * max(1, len(compiled)) + 1):
+        changed = False
+        for body, heads, mpats, _, _ in compiled:
+            lo = 0
+            for p in body:
+                bp = tuple(p)[1]
+                deps = idb if (bp is None or _is_var(bp)) else \
+                    ([bp] if bp in idb else [])
+                for d in deps:
+                    lo = max(lo, level[d])
+            for p in mpats:
+                mp = p[1]
+                if mp in idb:
+                    lo = max(lo, level[mp] + 1)
+            rl = max([lo] + [level[h[1]] for h in heads])
+            if rl > bound:
+                raise ValueError(
+                    "rule program is not stratifiable — a predicate "
+                    "depends negatively on itself through recursion "
+                    f"(level of {sorted(h[1] for h in heads)} exceeds "
+                    f"the {bound}-predicate bound)")
+            for h in heads:
+                if level[h[1]] != rl:
+                    level[h[1]] = rl
+                    changed = True
+        if not changed:
+            break
+    rule_levels = [max(level[h[1]] for h in heads)
+                   for _, heads, _, _, _ in compiled]
+    return rule_levels, level
+
+
+def stratify_rules(rules):
+    """Public stratification probe: returns ``(strata, pred_level)``
+    where ``strata`` is a list of rule-index lists, lowest level first
+    (evaluation order), and ``pred_level`` maps each derived predicate
+    to its level.  Raises ``ValueError`` for non-stratifiable programs
+    — the same check `materialize_rules_stratified` applies before
+    touching any data, exposed so callers can validate programs at
+    submit time."""
+    compiled = _compile_rules_neg(rules)
+    rule_levels, pred_level = _rule_strata(compiled)
+    strata = [[] for _ in range(max(rule_levels) + 1)]
+    for i, lv in enumerate(rule_levels):
+        strata[lv].append(i)
+    return [s for s in strata if s], pred_level
+
+
+def _apply_minus(b: DataFrame, triples: DataFrame, mpats, pred_counts,
+                 broadcast_rows: int = 50_000) -> DataFrame:
+    """Anti-join a binding table against MINUS patterns matched over
+    ``triples`` — the same semantics `bgp_match` gives its ``minus``
+    argument, lifted out so the stratified semi-naive loop can apply a
+    (stratum-static) negation to `bgp_match_delta` legs, which refuse
+    ``minus`` themselves (sound there because stratification freezes
+    every negated predicate below the running stratum)."""
+    bound = set(b.columns)
+    for p in mpats:
+        p = tuple(p) + (None,) * (4 - len(p))
+        df = triples
+        seen: dict[str, str] = {}
+        eq_pairs, proj = [], []
+        for col, term in zip(_TERM_COLS, p):
+            if term is None:
+                continue
+            if _is_var(term):
+                v = _var_name(term)
+                if v in seen:
+                    eq_pairs.append((seen[v], col))
+                else:
+                    seen[v] = col
+                    proj.append(F.col(col).alias(v))
+            else:
+                df = df.filter(F.col(col) == F.lit(term))
+        for a, c in eq_pairs:
+            df = df.filter(F.col(a) == F.col(c))
+        shared = [v for v in seen if v in bound]
+        if not shared:
+            raise ValueError(
+                "minus pattern shares no variable with the matched group "
+                "(an unanchored MINUS either drops everything or nothing)")
+        mdf = df.select(*proj).select(*shared)
+        if float(pred_counts.get(p[1], 0)) <= broadcast_rows:
+            mdf = F.broadcast(mdf)
+        b = b.join(mdf, on=shared, how="left_anti")
+    return b
+
+
+def materialize_rules_stratified(triples: DataFrame, rules, *,
+                                 max_rounds: int = 16,
+                                 checkpoint_dir: str | None = None,
+                                 derived_only: bool = False) -> DataFrame:
+    """Stratified Datalog WITH NEGATION — the textbook completion of
+    `materialize_rules`, which refuses non-monotone bodies because an
+    unrestricted program has no least fixpoint.  Stratified programs DO
+    have a canonical model (the perfect model, Apt/Blair/Walker; also
+    SQL:1999's recursion restriction): rules may carry ``"minus":
+    [patterns]`` — negated body atoms under SPARQL-MINUS semantics —
+    as long as no predicate depends negatively on itself through
+    recursion.  `stratify_rules` computes the predicate levels up
+    front and refuses non-stratifiable programs before touching data::
+
+        # reachable pairs, then each root's canonical mapping:
+        # canon(a,b) := eq(a,b) ∧ ¬∃z eq(z,a)   — stratum 1 negates
+        # stratum 0's completed fixpoint
+        [{"body": [("?a", "same_as", "?b")], "head": ("?a","eq","?b")},
+         {"body": [("?a","eq","?b"), ("?b","same_as","?c")],
+          "head": ("?a","eq","?c")},
+         {"body": [("?a","eq","?b")], "minus": [("?z","eq","?a")],
+          "head": ("?a","canon","?b")}]
+
+    Evaluation runs the strata lowest-first; each stratum is a MONOTONE
+    program over the store extended with every lower stratum's derived
+    facts, so the shared semi-naive machinery applies: round 0 matches
+    via `bgp_match` (its ``minus`` arg), delta rounds via
+    `bgp_match_delta` on the positive body with the stratum's MINUS
+    patterns applied by `_apply_minus` afterwards.  That split is sound
+    precisely BECAUSE of stratification — a negated predicate's
+    extension is complete and frozen before its stratum starts (facts
+    added within a stratum carry that stratum's head predicates, which
+    no same-stratum MINUS may name), so the anti-join is
+    round-invariant.
+
+    Scale shape: identical to `materialize_rules` per stratum (delta
+    legs broadcast, store scanned pred-pushed, shuffle O(new facts));
+    each MINUS adds one anti-join per rule evaluation whose right side
+    is a pred-pushed projection (broadcast when small).  Incremental
+    maintenance (`materialize_rules_delta`/`_retract`) still refuses
+    negated programs — a batch can RETRACT a negation-derived fact,
+    which needs DRed over the stratified model, not the monotone fold.
+
+    Derived facts carry null ``doc_id``; ``derived_only=True`` returns
+    just them."""
+    from ..plans.checkpoint import Truncator
+    trunc = Truncator(checkpoint_dir)
+    compiled = _compile_rules_neg(rules)
+    rule_levels, _ = _rule_strata(compiled)
+    n_levels = max(rule_levels) + 1
+
+    known3 = trunc(triples.select("subj", "pred", "obj").distinct(),
+                   "strat_known")
+    derived_all = None
+    for lv in range(n_levels):
+        sub = [c for c, rl in zip(compiled, rule_levels) if rl == lv]
+        if not sub:
+            continue
+        full = known3.withColumn("doc_id", F.lit(None).cast("string"))
+        new = None
+        for body, heads, mpats, v, f in sub:
+            b = bgp_match(full, body, minus=mpats, values=v, filters=f)
+            h = _instantiate_templates(b, heads).select(
+                "subj", "pred", "obj")
+            new = h if new is None else new.unionByName(h)
+        new = (new.distinct()
+               .join(known3, on=["subj", "pred", "obj"], how="left_anti"))
+        new = trunc(new, f"strat{lv}_d0")
+        derived = new
+        for k in range(1, max_rounds + 1):
+            if new.isEmpty():
+                break
+            known3 = trunc(known3.unionByName(new), f"strat{lv}_known{k}")
+            full = known3.withColumn("doc_id", F.lit(None).cast("string"))
+            delta = new.withColumn("doc_id", F.lit(None).cast("string"))
+            stats = {r["pred"]: r["n"] for r in
+                     full.groupBy("pred").agg(F.count("*").alias("n"))
+                     .collect()}
+            new = None
+            for body, heads, mpats, v, f in sub:
+                b = bgp_match_delta(full, delta, body, values=v,
+                                    filters=f, pred_stats=stats)
+                if mpats:
+                    b = _apply_minus(b, full, mpats, stats)
+                h = _instantiate_templates(b, heads).select(
+                    "subj", "pred", "obj")
+                new = h if new is None else new.unionByName(h)
+            new = (new.distinct()
+                   .join(known3, on=["subj", "pred", "obj"],
+                         how="left_anti"))
+            new = trunc(new, f"strat{lv}_d{k}")
+            derived = trunc(derived.unionByName(new), f"strat{lv}_all{k}")
+        known3 = trunc(known3.unionByName(derived).distinct(),
+                       f"strat{lv}_close")
+        derived_all = derived if derived_all is None \
+            else derived_all.unionByName(derived)
+
+    derived_all = (derived_all.distinct()
+                   .withColumn("doc_id", F.lit(None).cast("string")))
+    if derived_only:
+        return derived_all
+    return triples.select("subj", "pred", "obj", "doc_id").unionByName(
+        derived_all)
 
 
 def rdfs_rules(*, type_pred: str = "type",

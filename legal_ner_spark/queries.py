@@ -8193,6 +8193,89 @@ UNION
 SELECT subj, 'eq' AS pred, obj FROM r"""
 
 
+def q_kg_rules_stratified(spark, sf_dir):
+    """Stratified Datalog with NEGATION: stratum 0 closes the alias
+    dictionary transitively (eq), stratum 1 then derives each chain
+    root's canonical mapping — canon(a,b) := eq(a,b) ∧ ¬∃z eq(z,a) —
+    a MINUS over a DERIVED predicate, which the monotone
+    `materialize_rules` refuses and `materialize_rules_stratified`
+    places in a higher stratum.  The recursive-CTE + anti-join oracle
+    pins the perfect-model semantics end-to-end."""
+    from .operators import kgquery
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    prog = [
+        {"body": [("?a", "same_as", "?b")], "head": ("?a", "eq", "?b")},
+        {"body": [("?a", "eq", "?b"), ("?b", "same_as", "?c")],
+         "head": ("?a", "eq", "?c")},
+        {"body": [("?a", "eq", "?b")], "minus": [("?z", "eq", "?a")],
+         "head": ("?a", "canon", "?b")},
+    ]
+    return (kgquery.materialize_rules_stratified(
+        tri.filter(F.col("pred") == "same_as"), prog, derived_only=True)
+        .select("subj", "pred", "obj"))
+
+
+def o_kg_rules_stratified():
+    return f"""
+WITH RECURSIVE
+e AS (SELECT DISTINCT subj, obj FROM {_KG_SQL_SRC}
+      WHERE rec_type = 'triple' AND pred = 'same_as'),
+r AS (SELECT subj, obj FROM e
+      UNION
+      SELECT r.subj, e.obj FROM r JOIN e ON e.subj = r.obj)
+SELECT subj, 'eq' AS pred, obj FROM r
+UNION
+SELECT subj, 'canon' AS pred, obj FROM r a
+WHERE NOT EXISTS (SELECT 1 FROM r z WHERE z.obj = a.subj)"""
+
+
+def q_kg_update_maintain(spark, sf_dir):
+    """SPARQL Update WITH view maintenance: rename the md5-upper half
+    of the same_as dictionary to alias_of (DELETE + INSERT WHERE) while
+    carrying the eq fixpoint through the change — DRed retracts the
+    deleted edges' endangered consequences, the insertion delta
+    re-admits them through the renamed edges.  The program closes over
+    BOTH preds, so connectivity is invariant: the oracle is the plain
+    closure over the ORIGINAL graph plus the renamed base rows — the
+    maintained fixpoint must lose and invent nothing."""
+    from .operators import kgquery
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    prog = [
+        {"body": [("?a", "same_as", "?b")], "head": ("?a", "eq", "?b")},
+        {"body": [("?a", "alias_of", "?b")], "head": ("?a", "eq", "?b")},
+        {"body": [("?a", "eq", "?b"), ("?b", "same_as", "?c")],
+         "head": ("?a", "eq", "?c")},
+        {"body": [("?a", "eq", "?b"), ("?b", "alias_of", "?c")],
+         "head": ("?a", "eq", "?c")},
+    ]
+    sa = tri.filter(F.col("pred") == "same_as")
+    drv = kgquery.materialize_rules(sa, prog, derived_only=True)
+    na, nd = kgquery.update_graph_maintain(
+        sa, drv, prog,
+        where=[("?a", "same_as", "?b")],
+        filters="md5(a) >= '8'",
+        delete=[("?a", "same_as", "?b")],
+        insert=[("?a", "alias_of", "?b")])
+    return (na.select("subj", "pred", "obj")
+            .unionByName(nd.select("subj", "pred", "obj"))
+            .distinct())
+
+
+def o_kg_update_maintain():
+    return f"""
+WITH RECURSIVE
+e AS (SELECT DISTINCT subj, obj FROM {_KG_SQL_SRC}
+      WHERE rec_type = 'triple' AND pred = 'same_as'),
+r AS (SELECT subj, obj FROM e
+      UNION
+      SELECT r.subj, e.obj FROM r JOIN e ON e.subj = r.obj)
+SELECT subj, 'same_as' AS pred, obj FROM e WHERE md5(subj) < '8'
+UNION
+SELECT subj, 'alias_of' AS pred, obj FROM e WHERE md5(subj) >= '8'
+UNION
+SELECT subj, 'eq' AS pred, obj FROM r"""
+
+
 def q_kg_graph_diff(spark, sf_dir):
     """Graph diff between two store states — the update audit: the
     extracted KG before vs after the `kg_update_rename` DELETE/INSERT,
@@ -8388,6 +8471,8 @@ QUERIES = {
     "kg_rules_program": q_kg_rules_program,
     "kg_rules_incremental": q_kg_rules_incremental,
     "kg_rules_retract": q_kg_rules_retract,
+    "kg_rules_stratified": q_kg_rules_stratified,
+    "kg_update_maintain": q_kg_update_maintain,
     "kg_graph_diff": q_kg_graph_diff,
     "kg_bgp_not_exists": q_kg_bgp_not_exists,
     "kg_bgp_filter_agg": q_kg_bgp_filter_agg,
@@ -8599,6 +8684,8 @@ ORACLES = {
     "kg_rules_program": o_kg_rules_program(),
     "kg_rules_incremental": o_kg_rules_incremental(),
     "kg_rules_retract": o_kg_rules_retract(),
+    "kg_rules_stratified": o_kg_rules_stratified(),
+    "kg_update_maintain": o_kg_update_maintain(),
     "kg_graph_diff": o_kg_graph_diff(),
     "kg_bgp_not_exists": o_kg_bgp_not_exists(),
     "kg_bgp_filter_agg": o_kg_bgp_filter_agg(),

@@ -725,3 +725,130 @@ def test_maintain_refuses_empty_update(spark):
     g = T(spark, [("a", "parent", "b")])
     with pytest.raises(ValueError, match="delete and/or"):
         kq.update_graph_maintain(g, g.limit(0), ANC_PROG)
+
+
+# --- materialize_rules_stratified (Datalog with stratified negation) ----------
+
+SA_CANON_PROG = [
+    {"body": [("?a", "same_as", "?b")], "head": ("?a", "eq", "?b")},
+    {"body": [("?a", "eq", "?b"), ("?b", "same_as", "?c")],
+     "head": ("?a", "eq", "?c")},
+    {"body": [("?a", "eq", "?b")], "minus": [("?z", "eq", "?a")],
+     "head": ("?a", "canon", "?b")},
+]
+
+
+def test_stratify_levels_and_order(spark):
+    strata, levels = kq.stratify_rules(SA_CANON_PROG)
+    assert levels == {"eq": 0, "canon": 1}
+    assert strata == [[0, 1], [2]]
+
+
+def test_stratified_negation_over_derived_pred(spark):
+    # eq = transitive same_as closure (stratum 0); canon(a,b) = eq pairs
+    # whose subject is never an eq OBJECT (stratum 1 negates stratum 0's
+    # completed fixpoint): two chains a->b->c and x->y
+    g = T(spark, [("a", "same_as", "b"), ("b", "same_as", "c"),
+                  ("x", "same_as", "y")])
+    out = spo_set(kq.materialize_rules_stratified(
+        g, SA_CANON_PROG, derived_only=True))
+    assert {t for t in out if t[1] == "canon"} == {
+        ("a", "canon", "b"), ("a", "canon", "c"), ("x", "canon", "y")}
+    assert {t for t in out if t[1] == "eq"} == {
+        ("a", "eq", "b"), ("a", "eq", "c"), ("b", "eq", "c"),
+        ("x", "eq", "y")}
+
+
+def test_stratified_negation_inside_recursion_same_stratum(spark):
+    # safe-reach: recursion WITH a minus in the recursive rule — the
+    # negated pred (bad) is EDB, so the whole program is one stratum
+    # and the delta rounds must apply the anti-join (_apply_minus path).
+    # Chain n0..n5 with n3 bad: reach from n0 stops at n2.
+    rows = [("n%d" % i, "edge", "n%d" % (i + 1)) for i in range(5)]
+    rows.append(("n3", "bad", "n3"))
+    prog = [
+        {"body": [("?x", "edge", "?y")],
+         "minus": [("?y", "bad", "?y2")],
+         "head": ("?x", "sreach", "?y")},
+        {"body": [("?x", "sreach", "?y"), ("?y", "edge", "?z")],
+         "minus": [("?z", "bad", "?z2")],
+         "head": ("?x", "sreach", "?z")},
+    ]
+    strata, levels = kq.stratify_rules(prog)
+    assert strata == [[0, 1]] and levels == {"sreach": 0}
+    out = spo_set(kq.materialize_rules_stratified(
+        g := T(spark, rows), prog, derived_only=True))
+    # bad blocks reaching INTO n3, not out of it: n3 still reaches n4/n5
+    want = {("n%d" % i, "sreach", "n%d" % j)
+            for i in range(3) for j in range(i + 1, 3)} \
+        | {("n3", "sreach", "n4"), ("n3", "sreach", "n5"),
+           ("n4", "sreach", "n5")}
+    assert out == want
+
+
+def test_stratified_three_levels(spark):
+    # level 0: anc closure; level 1: leaf(x) = nodes with no child
+    # (negation over base pred appearing in a recursive program keeps it
+    # level 0 — negation over DERIVED anc forces level 1); level 2:
+    # inner(x,y) = anc pairs whose target is NOT a leaf
+    prog = ANC_PROG + [
+        {"body": [("?p", "parent", "?c")],
+         "minus": [("?c", "anc", "?g")],
+         "head": ("?c", "is", "leaf")},
+        {"body": [("?x", "anc", "?y")],
+         "minus": [("?y", "is", "leaf")],
+         "head": ("?x", "inner_anc", "?y")},
+    ]
+    strata, levels = kq.stratify_rules(prog)
+    assert levels == {"anc": 0, "is": 1, "inner_anc": 2}
+    g = T(spark, [("r", "parent", "m"), ("m", "parent", "l")])
+    out = spo_set(kq.materialize_rules_stratified(
+        g, prog, derived_only=True))
+    assert ("l", "is", "leaf") in out
+    assert ("m", "is", "leaf") not in out
+    assert {t for t in out if t[1] == "inner_anc"} == {("r", "inner_anc", "m")}
+
+
+def test_stratified_matches_monotone_on_negation_free_program(spark):
+    g = T(spark, [("n%d" % i, "parent", "n%d" % (i + 1))
+                  for i in range(4)])
+    a = spo_set(kq.materialize_rules(g, ANC_PROG, derived_only=True))
+    b = spo_set(kq.materialize_rules_stratified(
+        g, ANC_PROG, derived_only=True))
+    assert a == b
+
+
+def test_stratified_refuses_negation_through_recursion(spark):
+    # win(x) :- move(x,y), ¬win(y): the classic non-stratifiable game
+    prog = [{"body": [("?x", "move", "?y")],
+             "minus": [("?y", "win", "?w")],
+             "head": ("?x", "win", "?x")}]
+    with pytest.raises(ValueError, match="not stratifiable"):
+        kq.stratify_rules(prog)
+
+
+def test_stratified_refuses_variable_head_and_minus_preds(spark):
+    with pytest.raises(ValueError, match="literal head"):
+        kq.stratify_rules([{"body": [("?x", "p", "?y")],
+                            "head": ("?x", "?p2", "?y")}])
+    with pytest.raises(ValueError, match="literal predicate"):
+        kq.stratify_rules([{"body": [("?x", "p", "?y")],
+                            "minus": [("?y", "?q", "?z")],
+                            "head": ("?x", "r", "?y")}])
+
+
+def test_stratified_refuses_unanchored_minus(spark):
+    g = T(spark, [("a", "p", "b")])
+    prog = [{"body": [("?x", "p", "?y")],
+             "minus": [("?u", "q", "?v")],
+             "head": ("?x", "r", "?y")}]
+    with pytest.raises(ValueError, match="shares no variable"):
+        kq.materialize_rules_stratified(g, prog).collect()
+
+
+def test_stratified_full_union_and_docid(spark):
+    g = T(spark, [("a", "same_as", "b")])
+    full = kq.materialize_rules_stratified(g, SA_CANON_PROG)
+    assert set(full.columns) == {"subj", "pred", "obj", "doc_id"}
+    assert spo_set(full) == {("a", "same_as", "b"), ("a", "eq", "b"),
+                             ("a", "canon", "b")}

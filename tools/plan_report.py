@@ -138,6 +138,12 @@ SHOW = [
     ("kg_rules_retract", "DRed: over-delete legs delta-pinned on the "
                          "deletion set, one survivor rematch restricted "
                          "to endangered heads, semi-naive re-admission"),
+    ("kg_rules_stratified", "stratified negation: stratum 0's semi-naive "
+                            "fixpoint, then stratum 1's MINUS as one "
+                            "anti-join against the frozen lower store"),
+    ("kg_update_maintain", "DELETE/INSERT with view maintenance: DRed "
+                           "for the delete half, delta-pinned insertion "
+                           "fold for the insert half"),
     ("kg_graph_diff", "snapshot audit: one anti-join per direction on "
                       "distinct 3-tuples"),
 ]

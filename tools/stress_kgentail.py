@@ -201,6 +201,22 @@ def main() -> None:
     assert n_retract == want_retract, (n_retract, want_retract)
     rules_derived.unpersist()
 
+    # ---- 2e. materialize_rules_stratified: negation at store scale ------
+    # anc (stratum 0) + canon(x,y) := anc(x,y) ∧ ¬∃z anc(z,x)
+    # (stratum 1 negates the completed 9M-pair fixpoint): the only
+    # subjects never appearing as an anc OBJECT are the kr chain
+    # heads, so canon adds exactly kr·(length-1) rows — a wrong
+    # stratum order or a leaky anti-join breaks the closed form.
+    prog_s = prog + [{"body": [("?x", "anc", "?y")],
+                      "minus": [("?z", "anc", "?x")],
+                      "head": ("?x", "canon", "?y")}]
+    t0 = time.time()
+    n_strat = kgquery.materialize_rules_stratified(
+        rch, prog_s, max_rounds=length, derived_only=True).count()
+    t_strat = time.time() - t0
+    want_strat = want_rules + kr * (length - 1)
+    assert n_strat == want_strat, (n_strat, want_strat)
+
     # ---- 3. update_graph pred-rename over the store ---------------------
     t0 = time.time()
     up = kgquery.update_graph(
@@ -253,6 +269,9 @@ def main() -> None:
         "retract_rows": n_retract,
         "retract_exact": True,
         "retract_sec": round(t_retract, 2),
+        "stratified_rows": n_strat,
+        "stratified_exact": True,
+        "stratified_sec": round(t_strat, 2),
         "update_rows": n_up,
         "update_conserves_rows": True,
         "update_sec": round(t_update, 2),
