@@ -63,6 +63,7 @@ __all__ = ["bgp_match", "bgp_match_delta", "property_path", "path_edges",
            "materialize_rules", "materialize_rules_delta",
            "materialize_rules_retract", "update_graph_maintain",
            "materialize_rules_stratified", "stratify_rules",
+           "materialize_rules_stratified_maintain",
            "rdfs_rules", "graph_diff"]
 
 _TERM_COLS = ("subj", "pred", "obj", "doc_id")
@@ -2589,6 +2590,248 @@ def materialize_rules_stratified(triples: DataFrame, rules, *,
         return derived_all
     return triples.select("subj", "pred", "obj", "doc_id").unionByName(
         derived_all)
+
+
+def materialize_rules_stratified_maintain(asserted: DataFrame,
+                                          derived: DataFrame,
+                                          inserts: DataFrame,
+                                          deletes: DataFrame, rules, *,
+                                          max_rounds: int = 16,
+                                          checkpoint_dir: str | None = None
+                                          ) -> DataFrame:
+    """Incremental maintenance of a STRATIFIED fixpoint under a batch of
+    base-fact inserts AND deletes — the signed-delta generalization of
+    `materialize_rules_delta` (insert-only, monotone) and
+    `materialize_rules_retract` (delete-only, monotone), which both
+    refuse negated programs because negation inverts polarity: an
+    INSERT into a negated predicate can RETRACT facts above it, and a
+    DELETE from one can DERIVE new facts.  This is DRed extended to
+    stratified negation (Gupta/Mumick/Subrahmanian §5): strata are
+    processed lowest-first, each receiving the accumulated visible-input
+    diffs (base batch ∪ lower strata's own output diffs, insert/delete
+    pairs cancelled so a fact that merely MOVED between base and derived
+    propagates as no change).
+
+    Inputs: ``asserted`` = base facts AFTER the batch; ``derived`` = the
+    prior `materialize_rules_stratified(..., derived_only=True)` set;
+    ``inserts``/``deletes`` = the batch (normalized defensively: a
+    delete still asserted is ignored, an insert must be asserted).
+    Returns the NEW derived set: ``asserted ∪ returned`` equals the
+    from-scratch stratified fixpoint over ``asserted`` — pinned by a
+    fuzz gate over random graphs and batch splits.
+
+    Per stratum, four endangerment/derivation sources are enumerated,
+    each O(diff) via pinned legs (the store is scanned pred-pushed,
+    never shuffled):
+
+    - positive deletes: `bgp_match_delta` with the deletion diff pinned
+      into every positive body atom (classic DRed over-delete);
+    - negative INSERTS: each MINUS atom is appended to the body as a
+      positive pattern pinned to the insertion diff — bindings whose
+      negation just became blocked (an over-estimate, as DRed allows);
+    - then delete-and-rederive: one survivor rematch restricted to the
+      endangered heads + the shared semi-naive re-admission;
+    - positive inserts (`bgp_match_delta` on the new store) and
+      negative DELETES (MINUS atom pinned to the deletion diff, the
+      full MINUS re-checked against the NEW store — the deleted
+      instance must not survive through another witness) seed the
+      insertion loop.
+
+    Within a stratum every negated predicate is frozen (strictly lower
+    level), so `_apply_minus` stays round-invariant exactly as in
+    `materialize_rules_stratified`."""
+    from ..plans.checkpoint import Truncator
+    trunc = Truncator(checkpoint_dir)
+    compiled = _compile_rules_neg(rules)
+    rule_levels, pred_level = _rule_strata(compiled)
+    n_levels = max(rule_levels) + 1
+    SPO = ["subj", "pred", "obj"]
+
+    def four(df3):
+        return df3.withColumn("doc_id", F.lit(None).cast("string"))
+
+    def pstats(df4):
+        return {r["pred"]: r["n"] for r in
+                df4.groupBy("pred").agg(F.count("*").alias("n"))
+                .collect()}
+
+    def pin_pattern(m, body):
+        # A MINUS atom appended to the body as a pinned positive
+        # pattern must NOT capture the atom's existential variables:
+        # binding them would turn the later ∃-check (`_apply_minus`
+        # re-running the same atom) into an equality on the one pinned
+        # witness.  Rename every variable the positive body does not
+        # bind to a fresh name; only the anchor variables stay shared.
+        body_vars = {_var_name(t) for p in body for t in tuple(p)
+                     if t is not None and _is_var(t)}
+        out = []
+        for i, t in enumerate(tuple(m) + (None,) * (4 - len(m))):
+            if t is not None and _is_var(t) \
+                    and _var_name(t) not in body_vars:
+                t = f"?__pin{i}_{_var_name(t)}"
+            out.append(t)
+        return tuple(out)
+
+    base_new = trunc(asserted.select(*SPO).distinct(), "sm_base")
+    d_ins = trunc(inserts.select(*SPO).distinct()
+                  .join(base_new, on=SPO, how="left_semi"), "sm_ins")
+    d_del = trunc(deletes.select(*SPO).distinct()
+                  .join(base_new, on=SPO, how="left_anti"), "sm_del")
+    v_old = trunc(base_new.join(d_ins, on=SPO, how="left_anti")
+                  .unionByName(d_del).distinct(), "sm_vold")
+    v_new = base_new
+    drv3 = trunc(derived.select(*SPO).distinct(), "sm_drv")
+
+    p_new_all = None
+    for lv in range(n_levels):
+        sub = [c for c, rl in zip(compiled, rule_levels) if rl == lv]
+        lv_preds = [p for p, l in pred_level.items() if l == lv]
+        head_preds = [h[1] for _, heads, _, _, _ in sub for h in heads]
+        p_old = trunc(drv3.filter(F.col("pred").isin(lv_preds)),
+                      f"sm{lv}_pold")
+        if d_ins.isEmpty() and d_del.isEmpty():
+            p_new_all = p_old if p_new_all is None \
+                else p_new_all.unionByName(p_old)
+            v_old = trunc(v_old.unionByName(p_old).distinct(),
+                          f"sm{lv}_voc")
+            v_new = trunc(v_new.unionByName(p_old).distinct(),
+                          f"sm{lv}_vnc")
+            continue
+
+        f_old3 = trunc(v_old.unionByName(p_old).distinct(),
+                       f"sm{lv}_fold")
+        f_old4 = four(f_old3)
+        so = pstats(f_old4)
+        di4, dd4 = four(d_ins), four(d_del)
+
+        # ---- endangered seed: deleted same-pred base facts + bindings
+        # losing a positive atom or GAINING a negated one
+        cand = None
+        for body, heads, mpats, v, f in sub:
+            if not dd4.isEmpty():
+                b = bgp_match_delta(f_old4, dd4, body, values=v,
+                                    filters=f, pred_stats=so)
+                if mpats:
+                    b = _apply_minus(b, f_old4, mpats, so)
+                h = _instantiate_templates(b, heads).select(*SPO)
+                cand = h if cand is None else cand.unionByName(h)
+            if mpats and not di4.isEmpty():
+                for i, m in enumerate(mpats):
+                    b = bgp_match(f_old4, list(body) + [pin_pattern(
+                        m, body)], values=v, filters=f, pred_stats=so,
+                                  sources=[None] * len(body) + [di4])
+                    rest = [x for j, x in enumerate(mpats) if j != i]
+                    if rest:
+                        b = _apply_minus(b, f_old4, rest, so)
+                    h = _instantiate_templates(b, heads).select(*SPO)
+                    cand = h if cand is None else cand.unionByName(h)
+        e = d_del.filter(F.col("pred").isin(head_preds))
+        if cand is not None:
+            e = e.unionByName(
+                cand.distinct().join(p_old, on=SPO, how="left_semi"))
+        e = trunc(e.distinct(), f"sm{lv}_e0")
+
+        # ---- endangered propagation (over-delete, O(endangered)/round)
+        d = e
+        for k in range(1, max_rounds + 1):
+            if d.isEmpty():
+                break
+            d4 = four(d)
+            cand = _rule_heads(
+                [(b_, h_, v_, f_) for b_, h_, _, v_, f_ in sub],
+                lambda body, v, f:
+                bgp_match_delta(f_old4, d4, body, values=v, filters=f,
+                                pred_stats=so))
+            d = (cand.join(p_old, on=SPO, how="left_semi")
+                 .join(e, on=SPO, how="left_anti"))
+            d = trunc(d, f"sm{lv}_e{k}")
+            e = trunc(e.unionByName(d), f"sm{lv}_eall{k}")
+
+        p_kept = trunc(p_old.join(e, on=SPO, how="left_anti")
+                       .join(v_new, on=SPO, how="left_anti"),
+                       f"sm{lv}_kept")
+        f_surv3 = trunc(v_new.unionByName(p_kept).distinct(),
+                        f"sm{lv}_surv")
+        f_surv4 = four(f_surv3)
+        sn = pstats(f_surv4)
+
+        # ---- (re)derivation seeds over the NEW store
+        seeds = None
+        for body, heads, mpats, v, f in sub:
+            if not e.isEmpty():
+                b = bgp_match(f_surv4, body, values=v, filters=f,
+                              pred_stats=sn)
+                if mpats:
+                    b = _apply_minus(b, f_surv4, mpats, sn)
+                h = (_instantiate_templates(b, heads).select(*SPO)
+                     .join(e, on=SPO, how="left_semi"))
+                seeds = h if seeds is None else seeds.unionByName(h)
+            if not di4.isEmpty():
+                b = bgp_match_delta(f_surv4, di4, body, values=v,
+                                    filters=f, pred_stats=sn)
+                if mpats:
+                    b = _apply_minus(b, f_surv4, mpats, sn)
+                h = _instantiate_templates(b, heads).select(*SPO)
+                seeds = h if seeds is None else seeds.unionByName(h)
+            if mpats and not dd4.isEmpty():
+                for i, m in enumerate(mpats):
+                    b = bgp_match(f_surv4, list(body) + [pin_pattern(
+                        m, body)], values=v, filters=f, pred_stats=sn,
+                                  sources=[None] * len(body) + [dd4])
+                    b = _apply_minus(b, f_surv4, mpats, sn)
+                    h = _instantiate_templates(b, heads).select(*SPO)
+                    seeds = h if seeds is None else seeds.unionByName(h)
+        if seeds is None:
+            gained = p_kept.limit(0)
+        else:
+            seeds = trunc(seeds.distinct()
+                          .join(f_surv3, on=SPO, how="left_anti"),
+                          f"sm{lv}_seed")
+            # ---- semi-naive re-admission/insertion loop
+            known3, new, gained = f_surv3, seeds, seeds
+            for k in range(1, max_rounds + 1):
+                if new.isEmpty():
+                    break
+                known3 = trunc(known3.unionByName(new), f"sm{lv}_k{k}")
+                full4 = four(known3)
+                delta4 = four(new)
+                st = pstats(full4)
+                new = None
+                for body, heads, mpats, v, f in sub:
+                    b = bgp_match_delta(full4, delta4, body, values=v,
+                                        filters=f, pred_stats=st)
+                    if mpats:
+                        b = _apply_minus(b, full4, mpats, st)
+                    h = _instantiate_templates(b, heads).select(*SPO)
+                    new = h if new is None else new.unionByName(h)
+                new = (new.distinct()
+                       .join(known3, on=SPO, how="left_anti"))
+                new = trunc(new, f"sm{lv}_n{k}")
+                gained = trunc(gained.unionByName(new), f"sm{lv}_g{k}")
+
+        p_new = trunc(p_kept.unionByName(gained).distinct(),
+                      f"sm{lv}_pnew")
+        p_new_all = p_new if p_new_all is None \
+            else p_new_all.unionByName(p_new)
+
+        # ---- propagate this stratum's own output diffs upward,
+        # cancelling insert/delete pairs (a fact that moved between
+        # base and derived is no visible change to higher strata)
+        dp_ins = gained.join(p_old, on=SPO, how="left_anti")
+        dp_del = (e.join(p_old, on=SPO, how="left_semi")
+                  .join(p_new, on=SPO, how="left_anti"))
+        raw_ins = d_ins.unionByName(dp_ins).distinct()
+        raw_del = d_del.unionByName(dp_del).distinct()
+        d_ins = trunc(raw_ins.join(raw_del, on=SPO, how="left_anti"),
+                      f"sm{lv}_di")
+        d_del = trunc(raw_del.join(raw_ins, on=SPO, how="left_anti"),
+                      f"sm{lv}_dd")
+        v_old = trunc(v_old.unionByName(p_old).distinct(), f"sm{lv}_vo")
+        v_new = trunc(v_new.unionByName(p_new).distinct(), f"sm{lv}_vn")
+
+    return (p_new_all.join(base_new, on=SPO, how="left_anti")
+            .distinct()
+            .withColumn("doc_id", F.lit(None).cast("string")))
 
 
 def rdfs_rules(*, type_pred: str = "type",

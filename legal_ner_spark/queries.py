@@ -8229,6 +8229,54 @@ SELECT subj, 'canon' AS pred, obj FROM r a
 WHERE NOT EXISTS (SELECT 1 FROM r z WHERE z.obj = a.subj)"""
 
 
+def q_kg_rules_stratified_maintain(spark, sf_dir):
+    """Signed-delta maintenance of a STRATIFIED fixpoint: materialize
+    eq+canon over the full alias dictionary, then retract the md5-upper
+    half of the base edges through
+    `materialize_rules_stratified_maintain` — deletions must both
+    remove eq pairs (DRed over-delete/re-derive) and ADD canon facts
+    (chain members becoming roots when their in-edge leaves: negation
+    inverts the delete's polarity).  Returning kept-base ∪ maintained
+    derived makes the from-scratch oracle over the REMAINING edges a
+    proof the signed-delta propagation converged."""
+    from .operators import kgquery
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    prog = [
+        {"body": [("?a", "same_as", "?b")], "head": ("?a", "eq", "?b")},
+        {"body": [("?a", "eq", "?b"), ("?b", "same_as", "?c")],
+         "head": ("?a", "eq", "?c")},
+        {"body": [("?a", "eq", "?b")], "minus": [("?z", "eq", "?a")],
+         "head": ("?a", "canon", "?b")},
+    ]
+    sa = tri.filter(F.col("pred") == "same_as")
+    kept = sa.filter(F.md5(F.col("subj")) < "8")
+    dele = sa.filter(~(F.md5(F.col("subj")) < "8"))
+    drv = kgquery.materialize_rules_stratified(sa, prog,
+                                               derived_only=True)
+    nd = kgquery.materialize_rules_stratified_maintain(
+        kept, drv, sa.limit(0), dele, prog)
+    return (kept.select("subj", "pred", "obj")
+            .unionByName(nd.select("subj", "pred", "obj"))
+            .distinct())
+
+
+def o_kg_rules_stratified_maintain():
+    return f"""
+WITH RECURSIVE
+e AS (SELECT DISTINCT subj, obj FROM {_KG_SQL_SRC}
+      WHERE rec_type = 'triple' AND pred = 'same_as'
+        AND md5(subj) < '8'),
+r AS (SELECT subj, obj FROM e
+      UNION
+      SELECT r.subj, e.obj FROM r JOIN e ON e.subj = r.obj)
+SELECT subj, 'same_as' AS pred, obj FROM e
+UNION
+SELECT subj, 'eq' AS pred, obj FROM r
+UNION
+SELECT subj, 'canon' AS pred, obj FROM r a
+WHERE NOT EXISTS (SELECT 1 FROM r z WHERE z.obj = a.subj)"""
+
+
 def q_kg_update_maintain(spark, sf_dir):
     """SPARQL Update WITH view maintenance: rename the md5-upper half
     of the same_as dictionary to alias_of (DELETE + INSERT WHERE) while
@@ -8472,6 +8520,7 @@ QUERIES = {
     "kg_rules_incremental": q_kg_rules_incremental,
     "kg_rules_retract": q_kg_rules_retract,
     "kg_rules_stratified": q_kg_rules_stratified,
+    "kg_rules_stratified_maintain": q_kg_rules_stratified_maintain,
     "kg_update_maintain": q_kg_update_maintain,
     "kg_graph_diff": q_kg_graph_diff,
     "kg_bgp_not_exists": q_kg_bgp_not_exists,
@@ -8685,6 +8734,7 @@ ORACLES = {
     "kg_rules_incremental": o_kg_rules_incremental(),
     "kg_rules_retract": o_kg_rules_retract(),
     "kg_rules_stratified": o_kg_rules_stratified(),
+    "kg_rules_stratified_maintain": o_kg_rules_stratified_maintain(),
     "kg_update_maintain": o_kg_update_maintain(),
     "kg_graph_diff": o_kg_graph_diff(),
     "kg_bgp_not_exists": o_kg_bgp_not_exists(),

@@ -852,3 +852,144 @@ def test_stratified_full_union_and_docid(spark):
     assert set(full.columns) == {"subj", "pred", "obj", "doc_id"}
     assert spo_set(full) == {("a", "same_as", "b"), ("a", "eq", "b"),
                              ("a", "canon", "b")}
+
+
+# --- materialize_rules_stratified_maintain (signed-delta maintenance) ---------
+
+def _smaint_check(spark, old_rows, ins_rows, del_rows, prog):
+    """maintained(new_base) ∪ new_base must equal the from-scratch
+    stratified fixpoint over new_base; returns the new derived set."""
+    old = T(spark, old_rows)
+    ins, dele = T(spark, ins_rows), T(spark, del_rows)
+    new_base = (old.join(dele.select("subj", "pred", "obj"),
+                         on=["subj", "pred", "obj"], how="left_anti")
+                .unionByName(ins).distinct())
+    drv = kq.materialize_rules_stratified(old, prog, derived_only=True)
+    nd = kq.materialize_rules_stratified_maintain(
+        new_base, drv, ins, dele, prog)
+    got = spo_set(new_base) | spo_set(nd)
+    want = spo_set(kq.materialize_rules_stratified(new_base, prog))
+    assert got == want, (sorted(got - want), sorted(want - got))
+    assert spo_set(nd).isdisjoint(spo_set(new_base))
+    return spo_set(nd)
+
+
+def test_smaint_negative_insert_retracts(spark):
+    # canon(a,·) holds because nothing eq-reaches a; INSERTING
+    # same_as(z,a) must retract every canon(a,·) and create canon(z,·)
+    # — an insert that DELETES derived facts through negation
+    nd = _smaint_check(
+        spark,
+        [("a", "same_as", "b"), ("b", "same_as", "c")],
+        [("z", "same_as", "a")], [],
+        SA_CANON_PROG)
+    canon = {t for t in nd if t[1] == "canon"}
+    assert canon == {("z", "canon", "a"), ("z", "canon", "b"),
+                     ("z", "canon", "c")}
+
+
+def test_smaint_negative_delete_derives(spark):
+    # DELETING same_as(z,a) makes a a root again: canon(a,·) must
+    # (re)appear — a delete that INSERTS derived facts through negation
+    nd = _smaint_check(
+        spark,
+        [("z", "same_as", "a"), ("a", "same_as", "b")],
+        [], [("z", "same_as", "a")],
+        SA_CANON_PROG)
+    assert {t for t in nd if t[1] == "canon"} == {("a", "canon", "b")}
+
+
+def test_smaint_mixed_batch(spark):
+    # delete one chain's link and extend another in the same batch
+    _smaint_check(
+        spark,
+        [("a", "same_as", "b"), ("b", "same_as", "c"),
+         ("x", "same_as", "y")],
+        [("y", "same_as", "w"), ("c", "same_as", "d")],
+        [("b", "same_as", "c")],
+        SA_CANON_PROG)
+
+
+def test_smaint_deleted_but_rederivable_base_fact(spark):
+    # anc(a,b) asserted AND derivable; deleting the assertion must keep
+    # it visible — returned as a DERIVED fact now
+    nd = _smaint_check(
+        spark,
+        [("a", "parent", "b"), ("a", "anc", "b")],
+        [], [("a", "anc", "b")],
+        ANC_PROG)
+    assert ("a", "anc", "b") in nd
+
+
+def test_smaint_insert_of_previously_derived_fact(spark):
+    # asserting an already-derived fact: visible set unchanged; the
+    # fact moves out of the derived set
+    nd = _smaint_check(
+        spark,
+        [("a", "parent", "b"), ("b", "parent", "c")],
+        [("a", "anc", "c")], [],
+        ANC_PROG)
+    assert ("a", "anc", "c") not in nd
+
+
+def test_smaint_empty_batch_is_noop(spark):
+    g = T(spark, [("a", "same_as", "b")])
+    drv = kq.materialize_rules_stratified(g, SA_CANON_PROG,
+                                          derived_only=True)
+    nd = kq.materialize_rules_stratified_maintain(
+        g, drv, g.limit(0), g.limit(0), SA_CANON_PROG)
+    assert spo_set(nd) == spo_set(drv)
+
+
+def test_smaint_three_level_propagation(spark):
+    # leaf/inner_anc program: extending the chain r->m->l by l->n flips
+    # l from leaf to inner — stratum-1 facts retract via a stratum-0
+    # insert, stratum-2 facts flip both ways in one batch
+    prog = ANC_PROG + [
+        {"body": [("?p", "parent", "?c")],
+         "minus": [("?c", "anc", "?g")],
+         "head": ("?c", "is", "leaf")},
+        {"body": [("?x", "anc", "?y")],
+         "minus": [("?y", "is", "leaf")],
+         "head": ("?x", "inner_anc", "?y")},
+    ]
+    nd = _smaint_check(
+        spark,
+        [("r", "parent", "m"), ("m", "parent", "l")],
+        [("l", "parent", "n")], [],
+        prog)
+    assert ("l", "is", "leaf") not in nd
+    assert ("n", "is", "leaf") in nd
+    assert ("r", "inner_anc", "l") in nd
+
+
+def test_smaint_fuzz_random_graphs(spark):
+    # randomized gate: random edge sets and batch splits over all three
+    # fixture programs; maintained ≡ from-scratch every time
+    import random
+    rnd = random.Random(20260820)
+    nodes = ["n%d" % i for i in range(8)]
+    progs = [SA_CANON_PROG, ANC_PROG]
+    sreach = [
+        {"body": [("?x", "edge", "?y")],
+         "minus": [("?y", "bad", "?b")],
+         "head": ("?x", "sreach", "?y")},
+        {"body": [("?x", "sreach", "?y"), ("?y", "edge", "?z")],
+         "minus": [("?z", "bad", "?b")],
+         "head": ("?x", "sreach", "?z")},
+    ]
+    progs.append(sreach)
+    preds = {id(SA_CANON_PROG): ["same_as"],
+             id(ANC_PROG): ["parent", "anc"],
+             id(sreach): ["edge", "bad"]}
+    for trial in range(6):
+        prog = progs[trial % len(progs)]
+        ps = preds[id(prog)]
+        pool = [(rnd.choice(nodes), rnd.choice(ps), rnd.choice(nodes))
+                for _ in range(12)]
+        old = [t for t in pool if rnd.random() < 0.7]
+        dels = [t for t in old if rnd.random() < 0.3]
+        ins = [t for t in pool if t not in old and rnd.random() < 0.5]
+        if not (old or ins):
+            continue
+        _smaint_check(spark, old or [("q", ps[0], "q2")], ins, dels, prog)

@@ -141,6 +141,10 @@ SHOW = [
     ("kg_rules_stratified", "stratified negation: stratum 0's semi-naive "
                             "fixpoint, then stratum 1's MINUS as one "
                             "anti-join against the frozen lower store"),
+    ("kg_rules_stratified_maintain",
+     "signed-delta stratified maintenance: diff-pinned endangered legs "
+     "per polarity, one survivor rematch per changed stratum, "
+     "insert/delete pairs cancelled between strata"),
     ("kg_update_maintain", "DELETE/INSERT with view maintenance: DRed "
                            "for the delete half, delta-pinned insertion "
                            "fold for the insert half"),

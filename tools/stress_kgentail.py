@@ -211,11 +211,34 @@ def main() -> None:
                       "minus": [("?z", "anc", "?x")],
                       "head": ("?x", "canon", "?y")}]
     t0 = time.time()
-    n_strat = kgquery.materialize_rules_stratified(
-        rch, prog_s, max_rounds=length, derived_only=True).count()
+    sderiv = kgquery.materialize_rules_stratified(
+        rch, prog_s, max_rounds=length, derived_only=True).persist()
+    n_strat = sderiv.count()
     t_strat = time.time() - t0
     want_strat = want_rules + kr * (length - 1)
     assert n_strat == want_strat, (n_strat, want_strat)
+
+    # ---- 2f. materialize_rules_stratified_maintain: signed deltas -------
+    # delete the FIRST edge of kb chains: each loses its head's
+    # (length-1) anc pairs AND its (length-1) canon rows, while the
+    # SECOND node becomes a new root contributing (length-2) canon
+    # rows — a deletion that INSERTS derived facts through negation.
+    # Net change is exactly -kb·length, in closed form.
+    dele_m = (spark.range(kb).select(
+        F.concat(F.lit("r"), F.col("id") * length).alias("subj"),
+        F.lit("follows").alias("pred"),
+        F.concat(F.lit("r"), F.col("id") * length + 1).alias("obj"),
+        F.lit(None).cast("string").alias("doc_id")))
+    kept_m = rch.join(dele_m.select("subj", "pred", "obj"),
+                      on=["subj", "pred", "obj"], how="left_anti")
+    t0 = time.time()
+    n_maint = kgquery.materialize_rules_stratified_maintain(
+        kept_m, sderiv, rch.limit(0), dele_m, prog_s,
+        max_rounds=length).count()
+    t_maint = time.time() - t0
+    want_maint = want_strat - kb * length
+    assert n_maint == want_maint, (n_maint, want_maint)
+    sderiv.unpersist()
 
     # ---- 3. update_graph pred-rename over the store ---------------------
     t0 = time.time()
@@ -272,6 +295,10 @@ def main() -> None:
         "stratified_rows": n_strat,
         "stratified_exact": True,
         "stratified_sec": round(t_strat, 2),
+        "smaintain_deleted_edges": kb,
+        "smaintain_rows": n_maint,
+        "smaintain_exact": True,
+        "smaintain_sec": round(t_maint, 2),
         "update_rows": n_up,
         "update_conserves_rows": True,
         "update_sec": round(t_update, 2),
