@@ -803,3 +803,125 @@ def read_rules_facts(spark: SparkSession, state_dir: str,
     tri = (spark.read.parquet(os.path.join(state_dir, "triples"))
            .drop("batch_tag"))
     return tri.unionByName(drv)
+
+
+def stream_stratified_materialize(spark: SparkSession, triples_dir: str,
+                                  state_dir: str, checkpoint_dir: str,
+                                  rules, *, max_rounds: int = 16,
+                                  keep_snapshots: int = 2
+                                  ) -> StreamingQuery:
+    """Continuous STRATIFIED Datalog materialization — the negation-
+    capable twin of `stream_rules_materialize`.  The stream itself is
+    insert-only, but negation inverts polarity: a new triple landing in
+    a negated predicate RETRACTS derived facts above it, so a grow-only
+    `derived/batch_tag=…` append store (the monotone twin's layout)
+    cannot represent the fixpoint.  The derived store is instead a full
+    SNAPSHOT per batch under an atomic `_current.json` manifest — the
+    dedup-index commit idiom (`operators/dedup._write_index_snapshot`):
+    each micro-batch runs `materialize_rules_stratified_maintain`
+    (inserts = the batch, no deletes) against the manifest-resolved
+    prior fixpoint, writes `derived_index/snap=batch-NNNNNN/derived`,
+    and flips the manifest as the commit point.  Asserted triples stay
+    append-only (`triples/batch_tag=…`), same as the monotone twin.
+
+    Costs, stated honestly: per-batch COMPUTE is O(batch + changed
+    consequences) (the signed-delta maintainer), but per-batch WRITE is
+    O(fixpoint) — the snapshot is the price of retractability, exactly
+    the compaction-vs-append trade the dedup index makes.  A program
+    with no negation should use `stream_rules_materialize` (O(batch)
+    writes); this twin refuses nothing it can run, but the monotone
+    twin is the fast path.
+
+    Exactly-once across restarts: a replayed batch overwrites its OWN
+    triples subdir and snap directory; the prior-triples read excludes
+    the in-flight tag, and the prior-derived read resolves through the
+    manifest HISTORY skipping the batch's own snapshot (covering a
+    crash after the flip).  ``keep_snapshots`` must be ≥ 2: replay
+    safety needs the superseded snapshot to survive until the NEXT
+    batch commits (foreachBatch replays at most the one uncommitted
+    batch).  Non-stratifiable programs are refused at submit, before
+    any batch runs."""
+    import json
+    import os
+    import shutil
+    from ..operators import kgquery
+    from ..operators.dedup import _manifest_history
+
+    kgquery.stratify_rules(rules)          # eager refusal at submit
+    if keep_snapshots < 2:
+        raise ValueError(
+            "keep_snapshots must be >= 2: a replayed batch resolves its "
+            "prior state through the SUPERSEDED snapshot, which must "
+            "survive until the next batch's commit")
+    schema = spark.read.parquet(triples_dir).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(triples_dir))
+    tri_store = os.path.join(state_dir, "triples")
+    didx = os.path.join(state_dir, "derived_index")
+    man_name = "_current.json"
+
+    def process(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sp = batch_df.sparkSession
+        tag = f"batch-{batch_id:06d}"
+        delta = batch_df.select("subj", "pred", "obj", "doc_id")
+
+        asserted = delta
+        if os.path.isdir(tri_store):
+            prior_tri = (sp.read.parquet(tri_store)
+                         .filter(F.col("batch_tag") != tag)
+                         .drop("batch_tag"))
+            asserted = delta.unionByName(prior_tri).distinct()
+
+        hist = [e for e in _manifest_history(didx, man_name)
+                if e["snapshot"] != tag]       # replay: skip own snap
+        if hist:
+            prior_drv = sp.read.parquet(hist[-1]["tables"]["derived"])
+            nd = kgquery.materialize_rules_stratified_maintain(
+                asserted, prior_drv, delta, delta.limit(0), rules,
+                max_rounds=max_rounds)
+        else:
+            nd = kgquery.materialize_rules_stratified(
+                asserted, rules, max_rounds=max_rounds,
+                derived_only=True)
+
+        snap_dir = os.path.join(didx, f"snap={tag}", "derived")
+        nd.write.mode("overwrite").parquet(snap_dir)
+        (delta.write.mode("overwrite")
+         .parquet(os.path.join(tri_store, f"batch_tag={tag}")))
+
+        hist = hist + [{"snapshot": tag,
+                        "tables": {"derived": snap_dir}}]
+        dropped, hist = hist[:-keep_snapshots], hist[-keep_snapshots:]
+        manifest = {"snapshot": tag, "tables": {"derived": snap_dir},
+                    "history": hist}
+        tmp = os.path.join(didx, f".{man_name}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.rename(tmp, os.path.join(didx, man_name))   # commit point
+        for e in dropped:                               # post-commit vacuum
+            shutil.rmtree(os.path.join(didx, f"snap={e['snapshot']}"),
+                          ignore_errors=True)
+
+    return (stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())
+
+
+def read_stratified_facts(spark: SparkSession, state_dir: str,
+                          derived_only: bool = False) -> DataFrame:
+    """The standing stratified program's current fixpoint (asserted ∪
+    derived), or just the derived facts — resolved through the derived
+    index's manifest, so a reader always sees one committed snapshot."""
+    import json
+    import os
+    didx = os.path.join(state_dir, "derived_index")
+    with open(os.path.join(didx, "_current.json")) as fh:
+        man = json.load(fh)
+    drv = spark.read.parquet(man["tables"]["derived"])
+    if derived_only:
+        return drv
+    tri = (spark.read.parquet(os.path.join(state_dir, "triples"))
+           .drop("batch_tag"))
+    return tri.unionByName(drv)

@@ -993,3 +993,66 @@ def test_smaint_fuzz_random_graphs(spark):
         if not (old or ins):
             continue
         _smaint_check(spark, old or [("q", ps[0], "q2")], ins, dels, prog)
+
+
+# --- stream_stratified_materialize (continuous stratified Datalog) ------------
+
+def test_stream_stratified_matches_batch(spark, tmp_path):
+    """Three arriving batches under the canon program: the final state
+    must equal the from-scratch stratified fixpoint over the union —
+    batch 2's edge RETRACTS batch 1 canon facts through negation (z
+    reaches a, so a stops being a root) — and a restart over the same
+    checkpoint must change nothing."""
+    import time
+    from legal_ner_spark.streaming.stream import (
+        stream_stratified_materialize, read_stratified_facts)
+
+    batches = [
+        T(spark, [("a", "same_as", "b", "d0")]),
+        T(spark, [("b", "same_as", "c", "d0")]),
+        T(spark, [("z", "same_as", "a", "d0")]),   # retracts canon(a,·)
+    ]
+    in_dir = str(tmp_path / "sa_arrivals")
+    now, seen = time.time(), set()
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("append").parquet(in_dir)
+        for f in os.listdir(in_dir):
+            if f not in seen:
+                seen.add(f)
+                t = now + 100 * (i + 1)
+                os.utime(os.path.join(in_dir, f), (t, t))
+
+    state = str(tmp_path / "strat_state")
+    ckpt = str(tmp_path / "strat_ckpt")
+    q = stream_stratified_materialize(spark, in_dir, state, ckpt,
+                                      SA_CANON_PROG)
+    assert q.awaitTermination(240)
+
+    all_tri = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    want = spo_set(kq.materialize_rules_stratified(all_tri,
+                                                   SA_CANON_PROG))
+    got = spo_set(read_stratified_facts(spark, state))
+    assert got == want
+    # the mid-stream canon facts were retracted, not shadowed: the
+    # stored fixpoint holds no stale root rows at all
+    drv = spo_set(read_stratified_facts(spark, state,
+                                        derived_only=True))
+    assert all(s == "z" for s, p, o in drv if p == "canon")
+    assert read_stratified_facts(spark, state).count() == len(want)
+
+    # restart over the same checkpoint: a no-op
+    q2 = stream_stratified_materialize(spark, in_dir, state, ckpt,
+                                       SA_CANON_PROG)
+    assert q2.awaitTermination(240)
+    assert spo_set(read_stratified_facts(spark, state)) == want
+
+    # refusals at submit, before any batch runs
+    with pytest.raises(ValueError, match="not stratifiable"):
+        stream_stratified_materialize(
+            spark, in_dir, state, ckpt,
+            [{"body": [("?x", "move", "?y")],
+              "minus": [("?y", "win", "?w")],
+              "head": ("?x", "win", "?x")}])
+    with pytest.raises(ValueError, match="keep_snapshots"):
+        stream_stratified_materialize(spark, in_dir, state, ckpt,
+                                      SA_CANON_PROG, keep_snapshots=1)
