@@ -2061,8 +2061,10 @@ def _compile_rules(rules):
                 "materialize_rules runs MONOTONE rule bodies only — "
                 "OPTIONAL/MINUS/EXISTS have no least fixpoint to "
                 "materialize")
+        fx = r.get("filters", ())
         compiled.append((body, _norm_templates(r["head"]),
-                         r.get("values"), tuple(r.get("filters", ()))))
+                         r.get("values"),
+                         (fx,) if isinstance(fx, str) else tuple(fx)))
     if not compiled:
         raise ValueError("materialize_rules needs at least one rule")
     return compiled
@@ -2339,11 +2341,16 @@ def update_graph_maintain(asserted: DataFrame, derived: DataFrame,
 def _compile_rules_neg(rules):
     """Rule compiler for the STRATIFIED entry point: like
     `_compile_rules` but each rule may carry ``"minus": [patterns]``
-    (negated body atoms, SPARQL-MINUS semantics).  OPTIONAL/EXISTS and
-    path predicates stay refused; a MINUS pattern's predicate must be a
+    (negated body atoms, SPARQL-MINUS semantics) and/or
+    ``"group_by"``/``"agg"``/``"having"`` (an AGGREGATE rule — the head
+    instantiates once per group from the aggregated bindings,
+    BigDatalog/SociaLite-style, stratified like negation: aggregation
+    is non-monotone in every input).  OPTIONAL/EXISTS and path
+    predicates stay refused; a MINUS pattern's predicate must be a
     literal (negating an unknown predicate has no computable dependency
-    graph, so it cannot be stratified).  Returns 5-tuples
-    ``(body, heads, minus, values, filters)``."""
+    graph, so it cannot be stratified).  Returns 6-tuples
+    ``(body, heads, minus, values, filters, aggspec)`` with ``aggspec``
+    ``None`` for plain rules."""
     compiled = []
     for r in rules:
         body = list(r["body"])
@@ -2372,6 +2379,16 @@ def _compile_rules_neg(rules):
                 raise ValueError(
                     f"a rule's MINUS pattern cannot use a path "
                     f"expression ({mp!r})")
+        aggspec = None
+        if any(k in r for k in ("agg", "group_by", "having")):
+            if not r.get("agg"):
+                raise ValueError(
+                    "an aggregate rule needs a non-empty 'agg' dict "
+                    "(alias -> SQL aggregate expression); 'group_by'/"
+                    "'having' alone are not a rule")
+            aggspec = {"group_by": r.get("group_by"),
+                       "agg": dict(r["agg"]),
+                       "having": r.get("having")}
         heads = _norm_templates(r["head"])
         for h in heads:
             if h[1] is None or _is_var(h[1]):
@@ -2381,8 +2398,10 @@ def _compile_rules_neg(rules):
                     "makes the dependency graph (hence stratification) "
                     "undecidable; use the monotone materialize_rules "
                     "for variable-head programs")
+        fx = r.get("filters", ())
         compiled.append((body, heads, mpats, r.get("values"),
-                         tuple(r.get("filters", ()))))
+                         (fx,) if isinstance(fx, str) else tuple(fx),
+                         aggspec))
     if not compiled:
         raise ValueError("materialize_rules_stratified needs at least "
                          "one rule")
@@ -2390,25 +2409,43 @@ def _compile_rules_neg(rules):
 
 
 def _rule_strata(compiled):
-    """Predicate-level stratification (Apt/Blair/Walker): derived
-    predicates get levels such that a positive dependency allows the
-    same level and a negative dependency forces a strictly LOWER level
-    for the negated predicate.  All heads of one rule share its level.
-    Returns ``(rule_levels, pred_level)``; raises when no assignment
-    exists (negation through recursion)."""
-    idb = {h[1] for _, heads, _, _, _ in compiled for h in heads}
+    """Predicate-level stratification (Apt/Blair/Walker, extended to
+    aggregation): derived predicates get levels such that a positive
+    dependency allows the same level, while a NEGATIVE dependency, any
+    dependency of an AGGREGATE rule, or a dependency ON an
+    aggregate-defined predicate forces a strictly LOWER level for the
+    dependee — aggregation is non-monotone in every input and its
+    output must be complete before anything consumes it.  All heads of
+    one rule share its level.  Returns ``(rule_levels, pred_level)``;
+    raises when no assignment exists (negation or aggregation through
+    recursion), or when an aggregate-defined predicate is co-defined by
+    a plain rule (maintenance could not then split the predicate's
+    extension between the recompute and semi-naive paths)."""
+    idb = {h[1] for _, heads, _, _, _, _ in compiled for h in heads}
+    agg_heads = {h[1] for _, heads, _, _, _, a in compiled
+                 for h in heads if a is not None}
+    plain_heads = {h[1] for _, heads, _, _, _, a in compiled
+                   for h in heads if a is None}
+    codef = agg_heads & plain_heads
+    if codef:
+        raise ValueError(
+            f"predicate(s) {sorted(codef)} defined by BOTH an aggregate "
+            "rule and a plain rule — an aggregate head predicate must "
+            "be defined only by aggregate rules")
     level = {p: 0 for p in idb}
     bound = len(idb)
     for _ in range(bound * max(1, len(compiled)) + 1):
         changed = False
-        for body, heads, mpats, _, _ in compiled:
+        for body, heads, mpats, _, _, aggspec in compiled:
             lo = 0
             for p in body:
                 bp = tuple(p)[1]
                 deps = idb if (bp is None or _is_var(bp)) else \
                     ([bp] if bp in idb else [])
                 for d in deps:
-                    lo = max(lo, level[d])
+                    bump = 1 if (aggspec is not None
+                                 or d in agg_heads) else 0
+                    lo = max(lo, level[d] + bump)
             for p in mpats:
                 mp = p[1]
                 if mp in idb:
@@ -2417,9 +2454,10 @@ def _rule_strata(compiled):
             if rl > bound:
                 raise ValueError(
                     "rule program is not stratifiable — a predicate "
-                    "depends negatively on itself through recursion "
-                    f"(level of {sorted(h[1] for h in heads)} exceeds "
-                    f"the {bound}-predicate bound)")
+                    "depends negatively (or through aggregation) on "
+                    "itself through recursion (level of "
+                    f"{sorted(h[1] for h in heads)} exceeds the "
+                    f"{bound}-predicate bound)")
             for h in heads:
                 if level[h[1]] != rl:
                     level[h[1]] = rl
@@ -2427,7 +2465,7 @@ def _rule_strata(compiled):
         if not changed:
             break
     rule_levels = [max(level[h[1]] for h in heads)
-                   for _, heads, _, _, _ in compiled]
+                   for _, heads, _, _, _, _ in compiled]
     return rule_levels, level
 
 
@@ -2484,6 +2522,25 @@ def _apply_minus(b: DataFrame, triples: DataFrame, mpats, pred_counts,
         if float(pred_counts.get(p[1], 0)) <= broadcast_rows:
             mdf = F.broadcast(mdf)
         b = b.join(mdf, on=shared, how="left_anti")
+    return b
+
+
+def _eval_rule_once(full4: DataFrame, body, mpats, values, filters,
+                    aggspec, pred_stats: dict | None = None) -> DataFrame:
+    """One full (non-delta) evaluation of a stratified rule's body —
+    the round-0 path.  Plain rules are a `bgp_match` with MINUS;
+    aggregate rules add GROUP BY/aggregates/HAVING, and their binding
+    columns are cast to string so numeric aggregate results land in the
+    string-typed triple store the way every other term does."""
+    kw = {}
+    if aggspec is not None:
+        kw = {"group_by": aggspec.get("group_by"),
+              "agg": aggspec["agg"], "having": aggspec.get("having")}
+    b = bgp_match(full4, body, minus=mpats, values=values,
+                  filters=filters, pred_stats=pred_stats, **kw)
+    if aggspec is not None:
+        b = b.select([F.col(c).cast("string").alias(c)
+                      for c in b.columns])
     return b
 
 
@@ -2547,8 +2604,8 @@ def materialize_rules_stratified(triples: DataFrame, rules, *,
             continue
         full = known3.withColumn("doc_id", F.lit(None).cast("string"))
         new = None
-        for body, heads, mpats, v, f in sub:
-            b = bgp_match(full, body, minus=mpats, values=v, filters=f)
+        for body, heads, mpats, v, f, aggspec in sub:
+            b = _eval_rule_once(full, body, mpats, v, f, aggspec)
             h = _instantiate_templates(b, heads).select(
                 "subj", "pred", "obj")
             new = h if new is None else new.unionByName(h)
@@ -2556,8 +2613,12 @@ def materialize_rules_stratified(triples: DataFrame, rules, *,
                .join(known3, on=["subj", "pred", "obj"], how="left_anti"))
         new = trunc(new, f"strat{lv}_d0")
         derived = new
+        # aggregate rules are complete after round 0: every input is
+        # strictly below this stratum and frozen, and nothing in this
+        # stratum consumes their heads (the leveling forbids it)
+        loop_rules = [c for c in sub if c[5] is None]
         for k in range(1, max_rounds + 1):
-            if new.isEmpty():
+            if not loop_rules or new.isEmpty():
                 break
             known3 = trunc(known3.unionByName(new), f"strat{lv}_known{k}")
             full = known3.withColumn("doc_id", F.lit(None).cast("string"))
@@ -2566,7 +2627,7 @@ def materialize_rules_stratified(triples: DataFrame, rules, *,
                      full.groupBy("pred").agg(F.count("*").alias("n"))
                      .collect()}
             new = None
-            for body, heads, mpats, v, f in sub:
+            for body, heads, mpats, v, f, _ in loop_rules:
                 b = bgp_match_delta(full, delta, body, values=v,
                                     filters=f, pred_stats=stats)
                 if mpats:
@@ -2685,8 +2746,13 @@ def materialize_rules_stratified_maintain(asserted: DataFrame,
     p_new_all = None
     for lv in range(n_levels):
         sub = [c for c, rl in zip(compiled, rule_levels) if rl == lv]
+        sub_na = [c for c in sub if c[5] is None]
+        sub_ag = [c for c in sub if c[5] is not None]
         lv_preds = [p for p, l in pred_level.items() if l == lv]
-        head_preds = [h[1] for _, heads, _, _, _ in sub for h in heads]
+        ag_preds = [h[1] for _, heads, _, _, _, _ in sub_ag
+                    for h in heads]
+        head_preds = [h[1] for _, heads, _, _, _, _ in sub_na
+                      for h in heads]
         p_old = trunc(drv3.filter(F.col("pred").isin(lv_preds)),
                       f"sm{lv}_pold")
         if d_ins.isEmpty() and d_del.isEmpty():
@@ -2698,6 +2764,10 @@ def materialize_rules_stratified_maintain(asserted: DataFrame,
                           f"sm{lv}_vnc")
             continue
 
+        p_old_ag = p_old.filter(F.col("pred").isin(ag_preds)) \
+            if ag_preds else p_old.limit(0)
+        p_old_na = p_old.filter(~F.col("pred").isin(ag_preds)) \
+            if ag_preds else p_old
         f_old3 = trunc(v_old.unionByName(p_old).distinct(),
                        f"sm{lv}_fold")
         f_old4 = four(f_old3)
@@ -2707,7 +2777,7 @@ def materialize_rules_stratified_maintain(asserted: DataFrame,
         # ---- endangered seed: deleted same-pred base facts + bindings
         # losing a positive atom or GAINING a negated one
         cand = None
-        for body, heads, mpats, v, f in sub:
+        for body, heads, mpats, v, f, _ in sub_na:
             if not dd4.isEmpty():
                 b = bgp_match_delta(f_old4, dd4, body, values=v,
                                     filters=f, pred_stats=so)
@@ -2728,7 +2798,7 @@ def materialize_rules_stratified_maintain(asserted: DataFrame,
         e = d_del.filter(F.col("pred").isin(head_preds))
         if cand is not None:
             e = e.unionByName(
-                cand.distinct().join(p_old, on=SPO, how="left_semi"))
+                cand.distinct().join(p_old_na, on=SPO, how="left_semi"))
         e = trunc(e.distinct(), f"sm{lv}_e0")
 
         # ---- endangered propagation (over-delete, O(endangered)/round)
@@ -2738,16 +2808,16 @@ def materialize_rules_stratified_maintain(asserted: DataFrame,
                 break
             d4 = four(d)
             cand = _rule_heads(
-                [(b_, h_, v_, f_) for b_, h_, _, v_, f_ in sub],
+                [(b_, h_, v_, f_) for b_, h_, _, v_, f_, _ in sub_na],
                 lambda body, v, f:
                 bgp_match_delta(f_old4, d4, body, values=v, filters=f,
                                 pred_stats=so))
-            d = (cand.join(p_old, on=SPO, how="left_semi")
+            d = (cand.join(p_old_na, on=SPO, how="left_semi")
                  .join(e, on=SPO, how="left_anti"))
             d = trunc(d, f"sm{lv}_e{k}")
             e = trunc(e.unionByName(d), f"sm{lv}_eall{k}")
 
-        p_kept = trunc(p_old.join(e, on=SPO, how="left_anti")
+        p_kept = trunc(p_old_na.join(e, on=SPO, how="left_anti")
                        .join(v_new, on=SPO, how="left_anti"),
                        f"sm{lv}_kept")
         f_surv3 = trunc(v_new.unionByName(p_kept).distinct(),
@@ -2757,7 +2827,7 @@ def materialize_rules_stratified_maintain(asserted: DataFrame,
 
         # ---- (re)derivation seeds over the NEW store
         seeds = None
-        for body, heads, mpats, v, f in sub:
+        for body, heads, mpats, v, f, _ in sub_na:
             if not e.isEmpty():
                 b = bgp_match(f_surv4, body, values=v, filters=f,
                               pred_stats=sn)
@@ -2797,7 +2867,7 @@ def materialize_rules_stratified_maintain(asserted: DataFrame,
                 delta4 = four(new)
                 st = pstats(full4)
                 new = None
-                for body, heads, mpats, v, f in sub:
+                for body, heads, mpats, v, f, _ in sub_na:
                     b = bgp_match_delta(full4, delta4, body, values=v,
                                         filters=f, pred_stats=st)
                     if mpats:
@@ -2809,17 +2879,39 @@ def materialize_rules_stratified_maintain(asserted: DataFrame,
                 new = trunc(new, f"sm{lv}_n{k}")
                 gained = trunc(gained.unionByName(new), f"sm{lv}_g{k}")
 
-        p_new = trunc(p_kept.unionByName(gained).distinct(),
-                      f"sm{lv}_pnew")
+        # ---- aggregate rules: inputs are strictly below this
+        # stratum, so a changed input means ONE wholesale re-aggregate
+        # over the new visible store (pred-pushed scans + hash
+        # aggregates) — incremental folding of aggregates is unsound
+        # for min/max deletes and not worth the split for the rest
+        new_ag = None
+        for body, heads, mpats, v, f, aggspec in sub_ag:
+            b = _eval_rule_once(four(v_new), body, mpats, v, f, aggspec)
+            h = _instantiate_templates(b, heads).select(*SPO)
+            new_ag = h if new_ag is None else new_ag.unionByName(h)
+        if new_ag is not None:
+            new_ag = trunc(new_ag.distinct()
+                           .join(v_new, on=SPO, how="left_anti"),
+                           f"sm{lv}_ag")
+
+        p_new = p_kept.unionByName(gained)
+        if new_ag is not None:
+            p_new = p_new.unionByName(new_ag)
+        p_new = trunc(p_new.distinct(), f"sm{lv}_pnew")
         p_new_all = p_new if p_new_all is None \
             else p_new_all.unionByName(p_new)
 
         # ---- propagate this stratum's own output diffs upward,
         # cancelling insert/delete pairs (a fact that moved between
         # base and derived is no visible change to higher strata)
-        dp_ins = gained.join(p_old, on=SPO, how="left_anti")
-        dp_del = (e.join(p_old, on=SPO, how="left_semi")
+        dp_ins = gained.join(p_old_na, on=SPO, how="left_anti")
+        dp_del = (e.join(p_old_na, on=SPO, how="left_semi")
                   .join(p_new, on=SPO, how="left_anti"))
+        if new_ag is not None:
+            dp_ins = dp_ins.unionByName(
+                new_ag.join(p_old_ag, on=SPO, how="left_anti"))
+            dp_del = dp_del.unionByName(
+                p_old_ag.join(new_ag, on=SPO, how="left_anti"))
         raw_ins = d_ins.unionByName(dp_ins).distinct()
         raw_del = d_del.unionByName(dp_del).distinct()
         d_ins = trunc(raw_ins.join(raw_del, on=SPO, how="left_anti"),

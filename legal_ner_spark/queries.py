@@ -8229,6 +8229,44 @@ SELECT subj, 'canon' AS pred, obj FROM r a
 WHERE NOT EXISTS (SELECT 1 FROM r z WHERE z.obj = a.subj)"""
 
 
+def q_kg_rules_aggregate(spark, sf_dir):
+    """Stratified AGGREGATION in rule heads (BigDatalog/SociaLite
+    lineage): close the alias dictionary transitively (recursive
+    stratum 0), then derive each subject's reach-set size as a fact —
+    an aggregate rule whose input is a DERIVED predicate, placed in its
+    own stratum (aggregation is non-monotone in every input, so its
+    inputs must be complete first).  Numeric aggregates land in the
+    string-typed triple store via a cast, pinned by the CAST in the
+    recursive-CTE + GROUP BY oracle."""
+    from .operators import kgquery
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    prog = [
+        {"body": [("?a", "same_as", "?b")], "head": ("?a", "eq", "?b")},
+        {"body": [("?a", "eq", "?b"), ("?b", "same_as", "?c")],
+         "head": ("?a", "eq", "?c")},
+        {"body": [("?a", "eq", "?b")], "group_by": "?a",
+         "agg": {"n": "count(*)"},
+         "head": ("?a", "eq_count", "?n")},
+    ]
+    return (kgquery.materialize_rules_stratified(
+        tri.filter(F.col("pred") == "same_as"), prog, derived_only=True)
+        .select("subj", "pred", "obj"))
+
+
+def o_kg_rules_aggregate():
+    return f"""
+WITH RECURSIVE
+e AS (SELECT DISTINCT subj, obj FROM {_KG_SQL_SRC}
+      WHERE rec_type = 'triple' AND pred = 'same_as'),
+r AS (SELECT subj, obj FROM e
+      UNION
+      SELECT r.subj, e.obj FROM r JOIN e ON e.subj = r.obj)
+SELECT subj, 'eq' AS pred, obj FROM r
+UNION
+SELECT subj, 'eq_count' AS pred, CAST(COUNT(*) AS VARCHAR) AS obj
+FROM r GROUP BY subj"""
+
+
 def q_kg_rules_stratified_maintain(spark, sf_dir):
     """Signed-delta maintenance of a STRATIFIED fixpoint: materialize
     eq+canon over the full alias dictionary, then retract the md5-upper
@@ -8520,6 +8558,7 @@ QUERIES = {
     "kg_rules_incremental": q_kg_rules_incremental,
     "kg_rules_retract": q_kg_rules_retract,
     "kg_rules_stratified": q_kg_rules_stratified,
+    "kg_rules_aggregate": q_kg_rules_aggregate,
     "kg_rules_stratified_maintain": q_kg_rules_stratified_maintain,
     "kg_update_maintain": q_kg_update_maintain,
     "kg_graph_diff": q_kg_graph_diff,
@@ -8734,6 +8773,7 @@ ORACLES = {
     "kg_rules_incremental": o_kg_rules_incremental(),
     "kg_rules_retract": o_kg_rules_retract(),
     "kg_rules_stratified": o_kg_rules_stratified(),
+    "kg_rules_aggregate": o_kg_rules_aggregate(),
     "kg_rules_stratified_maintain": o_kg_rules_stratified_maintain(),
     "kg_update_maintain": o_kg_update_maintain(),
     "kg_graph_diff": o_kg_graph_diff(),

@@ -1056,3 +1056,119 @@ def test_stream_stratified_matches_batch(spark, tmp_path):
     with pytest.raises(ValueError, match="keep_snapshots"):
         stream_stratified_materialize(spark, in_dir, state, ckpt,
                                       SA_CANON_PROG, keep_snapshots=1)
+
+
+# --- stratified aggregation (aggregate rule heads) ----------------------------
+
+DEG_PROG = [
+    {"body": [("?x", "cites", "?y")], "head": ("?x", "link", "?y")},
+    {"body": [("?x", "link", "?y")], "group_by": "?x",
+     "agg": {"n": "count(*)"}, "head": ("?x", "out_degree", "?n")},
+    {"body": [("?x", "out_degree", "?n")],
+     "filters": "cast(n as int) >= 2",
+     "head": ("?x", "is", "hub")},
+]
+
+
+def test_agg_rule_levels(spark):
+    strata, levels = kq.stratify_rules(DEG_PROG)
+    # the aggregate sits strictly above its input, its consumer
+    # strictly above it
+    assert levels == {"link": 0, "out_degree": 1, "is": 2}
+    assert strata == [[0], [1], [2]]
+
+
+def test_agg_rule_counts_and_consumer(spark):
+    g = T(spark, [("a", "cites", "b"), ("a", "cites", "c"),
+                  ("b", "cites", "c")])
+    out = spo_set(kq.materialize_rules_stratified(g, DEG_PROG,
+                                                  derived_only=True))
+    assert ("a", "out_degree", "2") in out
+    assert ("b", "out_degree", "1") in out
+    assert {t for t in out if t[1] == "is"} == {("a", "is", "hub")}
+
+
+def test_agg_over_recursive_closure(spark):
+    # count DERIVED facts: reach-set size per node over the anc closure
+    prog = ANC_PROG + [
+        {"body": [("?x", "anc", "?y")], "group_by": "?x",
+         "agg": {"n": "count(*)"}, "head": ("?x", "reach_count", "?n")},
+    ]
+    g = T(spark, [("n%d" % i, "parent", "n%d" % (i + 1))
+                  for i in range(3)])
+    out = spo_set(kq.materialize_rules_stratified(g, prog,
+                                                  derived_only=True))
+    assert ("n0", "reach_count", "3") in out
+    assert ("n2", "reach_count", "1") in out
+
+
+def test_agg_global_and_having(spark):
+    g = T(spark, [("a", "cites", "b"), ("b", "cites", "c")])
+    prog = [{"body": [("?x", "cites", "?y")],
+             "agg": {"total": "count(*)"},
+             "head": ("graph", "edge_count", "?total")},
+            {"body": [("?x", "cites", "?y")], "group_by": "?x",
+             "agg": {"n": "count(*)"}, "having": "n >= 2",
+             "head": ("?x", "is", "multi")}]
+    out = spo_set(kq.materialize_rules_stratified(g, prog,
+                                                  derived_only=True))
+    assert out == {("graph", "edge_count", "2")}
+
+
+def test_agg_maintain_recomputes(spark):
+    # inserting an edge updates the count AND flips the hub consumer;
+    # deleting must walk counts back down — both via the wholesale
+    # re-aggregate, pinned equal to from-scratch
+    g = T(spark, [("a", "cites", "b"), ("a", "cites", "c"),
+                  ("b", "cites", "c")])
+    drv = kq.materialize_rules_stratified(g, DEG_PROG,
+                                          derived_only=True)
+    ins = T(spark, [("b", "cites", "d")])
+    nb = g.unionByName(ins)
+    nd = kq.materialize_rules_stratified_maintain(
+        nb, drv, ins, g.limit(0), DEG_PROG)
+    want = spo_set(kq.materialize_rules_stratified(nb, DEG_PROG))
+    assert spo_set(nb) | spo_set(nd) == want
+    assert ("b", "out_degree", "2") in spo_set(nd)
+    assert ("b", "is", "hub") in spo_set(nd)
+    # now delete back
+    drv2 = nd
+    nd2 = kq.materialize_rules_stratified_maintain(
+        g, drv2, nb.limit(0), ins, DEG_PROG)
+    assert spo_set(nd2) == spo_set(drv)
+
+
+def test_agg_refuses_codefinition_and_bad_spec(spark):
+    with pytest.raises(ValueError, match="BOTH an aggregate"):
+        kq.stratify_rules([
+            {"body": [("?x", "p", "?y")], "group_by": "?x",
+             "agg": {"n": "count(*)"}, "head": ("?x", "q", "?n")},
+            {"body": [("?x", "r", "?y")], "head": ("?x", "q", "?y")}])
+    with pytest.raises(ValueError, match="non-empty 'agg'"):
+        kq.stratify_rules([{"body": [("?x", "p", "?y")],
+                            "group_by": "?x",
+                            "head": ("?x", "q", "?y")}])
+
+
+def test_agg_refuses_aggregation_through_recursion(spark):
+    # a count over its own head predicate has no stratum
+    with pytest.raises(ValueError, match="not stratifiable"):
+        kq.stratify_rules([
+            {"body": [("?x", "q", "?y")], "group_by": "?x",
+             "agg": {"n": "count(*)"}, "head": ("?x", "q", "?n")}])
+
+
+def test_agg_fuzz_maintain(spark):
+    import random
+    rnd = random.Random(20260821)
+    nodes = ["n%d" % i for i in range(6)]
+    for trial in range(4):
+        pool = [(rnd.choice(nodes), "cites", rnd.choice(nodes))
+                for _ in range(10)]
+        old = [t for t in pool if rnd.random() < 0.7]
+        dels = [t for t in old if rnd.random() < 0.3]
+        ins = [t for t in pool if t not in old and rnd.random() < 0.5]
+        if not (old or ins):
+            continue
+        _smaint_check(spark, old or [("q", "cites", "q2")], ins, dels,
+                      DEG_PROG)

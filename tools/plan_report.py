@@ -141,6 +141,9 @@ SHOW = [
     ("kg_rules_stratified", "stratified negation: stratum 0's semi-naive "
                             "fixpoint, then stratum 1's MINUS as one "
                             "anti-join against the frozen lower store"),
+    ("kg_rules_aggregate", "stratified aggregation: recursive closure, "
+                           "then one partial+final hash aggregate in its "
+                           "own stratum, cast into the store"),
     ("kg_rules_stratified_maintain",
      "signed-delta stratified maintenance: diff-pinned endangered legs "
      "per polarity, one survivor rematch per changed stratum, "
