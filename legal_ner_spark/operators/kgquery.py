@@ -64,6 +64,7 @@ __all__ = ["bgp_match", "bgp_match_delta", "property_path", "path_edges",
            "materialize_rules_retract", "update_graph_maintain",
            "materialize_rules_stratified", "stratify_rules",
            "materialize_rules_stratified_maintain",
+           "goal_rules", "materialize_rules_goal", "explain_derivation",
            "rdfs_rules", "graph_diff"]
 
 _TERM_COLS = ("subj", "pred", "obj", "doc_id")
@@ -2924,6 +2925,200 @@ def materialize_rules_stratified_maintain(asserted: DataFrame,
     return (p_new_all.join(base_new, on=SPO, how="left_anti")
             .distinct()
             .withColumn("doc_id", F.lit(None).cast("string")))
+
+
+def goal_rules(rules, goal_pred: str):
+    """Backward-reachable sub-program for a goal predicate — the
+    sound half of magic-sets (predicate-level relevance pruning): keep
+    exactly the rules whose head predicate the goal depends on,
+    transitively, through positive atoms, MINUS atoms (negation inputs
+    must be complete to answer the goal), and aggregate bodies.  A
+    variable body predicate depends on every derived predicate, so it
+    conservatively keeps everything reachable.  Rule order is
+    preserved; a goal over a base-only predicate returns ``[]``.
+
+    At 10^12-document scale this is the difference between
+    materializing one query's closure and materializing every rule
+    family the program happens to carry — `materialize_rules_goal`
+    composes it with the right evaluator."""
+    compiled = _compile_rules_neg(rules)
+    defs: dict[str, list[int]] = {}
+    for i, (_, heads, _, _, _, _) in enumerate(compiled):
+        for h in heads:
+            defs.setdefault(h[1], []).append(i)
+    reached, keep, frontier = set(), set(), [goal_pred]
+    while frontier:
+        p = frontier.pop()
+        if p in reached:
+            continue
+        reached.add(p)
+        for i in defs.get(p, ()):
+            if i in keep:
+                continue
+            keep.add(i)
+            body, _, mpats, _, _, _ = compiled[i]
+            for pat in list(body) + list(mpats):
+                bp = tuple(pat)[1]
+                if bp is None or _is_var(bp):
+                    frontier.extend(defs)       # conservative: all IDB
+                elif bp in defs:
+                    frontier.append(bp)
+    return [r for i, r in enumerate(rules) if i in keep]
+
+
+def materialize_rules_goal(triples: DataFrame, rules, goal, *,
+                           max_rounds: int = 16,
+                           checkpoint_dir: str | None = None,
+                           **match_kwargs) -> DataFrame:
+    """Goal-directed rule-program query: instead of materializing the
+    WHOLE program's fixpoint and filtering, prune to the goal pattern's
+    backward-reachable sub-program (`goal_rules`), materialize only
+    that, and `bgp_match` the goal over base ∪ sub-fixpoint.  The
+    evaluator is chosen by what the sub-program needs — stratified when
+    any kept rule carries ``minus`` or an aggregate, the plain monotone
+    loop otherwise.  ``goal`` is one BGP pattern with a LITERAL
+    predicate (a variable goal predicate can reach anything — run the
+    full program for that); extra `bgp_match` kwargs (``filters``,
+    ``values``, ``select``, …) pass through."""
+    g = tuple(goal)
+    gp = g[1] if len(g) > 1 else None
+    if gp is None or _is_var(gp):
+        raise ValueError(
+            "materialize_rules_goal needs a literal goal predicate — a "
+            "variable predicate depends on every rule; call "
+            "materialize_rules on the full program instead")
+    sub = goal_rules(rules, gp)
+    if not sub:
+        full = triples.select("subj", "pred", "obj", "doc_id")
+    else:
+        needs_strat = any(r.get("minus") or r.get("agg") for r in sub)
+        if needs_strat:
+            full = materialize_rules_stratified(
+                triples, sub, max_rounds=max_rounds,
+                checkpoint_dir=checkpoint_dir)
+        else:
+            full = materialize_rules(triples, sub, max_rounds=max_rounds,
+                                     checkpoint_dir=checkpoint_dir)
+    return bgp_match(full, [g], **match_kwargs)
+
+
+def explain_derivation(triples: DataFrame, derived: DataFrame, rules,
+                       fact, *, max_depth: int = 16) -> list[dict]:
+    """WHY-provenance for one derived fact: a derivation tree showing
+    ONE way the rules produce ``fact`` from asserted facts.  Returns a
+    list of steps ``{"fact": (s,p,o), "rule": i, "premises": [(s,p,o),
+    …], "negated": [pattern, …]}`` ordered leaves-last; asserted
+    premises terminate branches (they appear in no step).  MINUS atoms
+    are reported as the patterns whose ABSENCE the step relied on
+    (negation has no witness row to show).  Driver-side recursion over
+    a frontier of single facts — each probe is one `bgp_match` with
+    the head variables pinned via VALUES against a pred-pushed scan,
+    ``limit 1`` (any witness suffices for WHY-provenance); the store
+    itself is never collected.  Raises if the fact is asserted (nothing
+    to explain) or not derivable."""
+    compiled = _compile_rules_neg(rules)
+    SPO = ("subj", "pred", "obj")
+    fact = tuple(fact)
+    if len(fact) != 3:
+        raise ValueError("fact must be a (subj, pred, obj) 3-tuple")
+    full = (triples.select(*SPO)
+            .unionByName(derived.select(*SPO)).distinct()
+            .withColumn("doc_id", F.lit(None).cast("string")))
+
+    def is_asserted(f):
+        return not triples.filter(
+            (F.col("subj") == f[0]) & (F.col("pred") == f[1])
+            & (F.col("obj") == f[2])).isEmpty()
+
+    if is_asserted(fact):
+        raise ValueError(f"{fact!r} is asserted — nothing to explain")
+
+    steps, seen = [], set()
+
+    def derive_one(f, depth):
+        if f in seen:          # already explained on another branch
+            return True
+        if depth > max_depth:
+            return False
+        for i, (body, heads, mpats, v, fx, aggspec) in enumerate(compiled):
+            for h in heads:
+                # unify the head template with the fact
+                vals: dict[str, list] = {}
+                ok = True
+                for term, val in zip(h, f):
+                    if _is_var(term):
+                        vn = _var_name(term)
+                        if vn in vals and vals[vn] != [val]:
+                            ok = False
+                            break
+                        vals[vn] = [val]
+                    elif term != val:
+                        ok = False
+                        break
+                if not ok:
+                    continue
+                kw = {}
+                if aggspec is not None:
+                    kw = {"group_by": aggspec.get("group_by"),
+                          "agg": aggspec["agg"],
+                          "having": aggspec.get("having")}
+                # VALUES can pin only pattern-bound variables; a head
+                # variable naming an aggregate ALIAS (or anything else
+                # the body does not bind) becomes a post-match filter
+                body_vars = {_var_name(t) for pat in body
+                             for t in tuple(pat)
+                             if t is not None and _is_var(t)}
+                pin = {"?" + k: vs for k, vs in vals.items()
+                       if k in body_vars}
+                post = {k: vs[0] for k, vs in vals.items()
+                        if k not in body_vars}
+                try:
+                    b = bgp_match(full, body, minus=mpats,
+                                  values={**(v or {}), **pin},
+                                  filters=fx, **kw)
+                except ValueError:
+                    continue       # e.g. VALUES var unbound by this body
+                if aggspec is not None:
+                    b = b.select([F.col(c).cast("string").alias(c)
+                                  for c in b.columns])
+                for vn, val in post.items():
+                    if vn not in b.columns:
+                        b = b.where(F.lit(False))
+                        break
+                    b = b.filter(F.col(vn) == F.lit(val))
+                rows = b.limit(1).collect()
+                if not rows:
+                    continue
+                binding = rows[0].asDict()
+                premises = []
+                for pat in body:
+                    pat = tuple(pat) + (None,) * (4 - len(pat))
+                    pf = tuple(binding.get(_var_name(t)) if _is_var(t)
+                               else t for t in pat[:3])
+                    if None not in pf:
+                        premises.append(pf)
+                sub_ok = True
+                if aggspec is None:
+                    for pf in premises:
+                        if pf == f or is_asserted(pf):
+                            continue
+                        if not derive_one(pf, depth + 1):
+                            sub_ok = False
+                            break
+                if not sub_ok:
+                    continue
+                seen.add(f)
+                steps.append({"fact": f, "rule": i,
+                              "premises": premises,
+                              "negated": list(mpats)})
+                return True
+        return False
+
+    if not derive_one(fact, 0):
+        raise ValueError(f"{fact!r} is not derivable from the rules "
+                         "over this store (within max_depth)")
+    steps.reverse()
+    return steps
 
 
 def rdfs_rules(*, type_pred: str = "type",

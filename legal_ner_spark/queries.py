@@ -8267,6 +8267,43 @@ SELECT subj, 'eq_count' AS pred, CAST(COUNT(*) AS VARCHAR) AS obj
 FROM r GROUP BY subj"""
 
 
+def q_kg_rules_goal(spark, sf_dir):
+    """Goal-directed rule-program query (the sound half of magic sets):
+    the program carries the alias-closure family AND an unrelated
+    decided_by family; the goal pattern ("?a", "eq", "?b") prunes to
+    the 2 backward-reachable rules, materializes only that
+    sub-fixpoint, and matches the goal — at store scale the unrelated
+    family is never evaluated.  The oracle is the plain closure CTE:
+    pruning must change the answer not at all."""
+    from .operators import kgquery
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    prog = [
+        {"body": [("?a", "same_as", "?b")], "head": ("?a", "eq", "?b")},
+        {"body": [("?a", "eq", "?b"), ("?b", "same_as", "?c")],
+         "head": ("?a", "eq", "?c")},
+        {"body": [("?j", "decided_by", "?c")],
+         "head": ("?j", "court_link", "?c")},
+        {"body": [("?j", "court_link", "?c"),
+                  ("?j", "cites_precedent", "?p")],
+         "head": ("?c", "saw_precedent", "?p")},
+    ]
+    src = tri.filter(F.col("pred").isin("same_as", "decided_by",
+                                        "cites_precedent"))
+    return (kgquery.materialize_rules_goal(src, prog, ("?a", "eq", "?b"))
+            .select(F.col("a").alias("subj"), F.col("b").alias("obj")))
+
+
+def o_kg_rules_goal():
+    return f"""
+WITH RECURSIVE
+e AS (SELECT DISTINCT subj, obj FROM {_KG_SQL_SRC}
+      WHERE rec_type = 'triple' AND pred = 'same_as'),
+r AS (SELECT subj, obj FROM e
+      UNION
+      SELECT r.subj, e.obj FROM r JOIN e ON e.subj = r.obj)
+SELECT subj, obj FROM r"""
+
+
 def q_kg_rules_stratified_maintain(spark, sf_dir):
     """Signed-delta maintenance of a STRATIFIED fixpoint: materialize
     eq+canon over the full alias dictionary, then retract the md5-upper
@@ -8559,6 +8596,7 @@ QUERIES = {
     "kg_rules_retract": q_kg_rules_retract,
     "kg_rules_stratified": q_kg_rules_stratified,
     "kg_rules_aggregate": q_kg_rules_aggregate,
+    "kg_rules_goal": q_kg_rules_goal,
     "kg_rules_stratified_maintain": q_kg_rules_stratified_maintain,
     "kg_update_maintain": q_kg_update_maintain,
     "kg_graph_diff": q_kg_graph_diff,
@@ -8774,6 +8812,7 @@ ORACLES = {
     "kg_rules_retract": o_kg_rules_retract(),
     "kg_rules_stratified": o_kg_rules_stratified(),
     "kg_rules_aggregate": o_kg_rules_aggregate(),
+    "kg_rules_goal": o_kg_rules_goal(),
     "kg_rules_stratified_maintain": o_kg_rules_stratified_maintain(),
     "kg_update_maintain": o_kg_update_maintain(),
     "kg_graph_diff": o_kg_graph_diff(),

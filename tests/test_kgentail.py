@@ -1172,3 +1172,88 @@ def test_agg_fuzz_maintain(spark):
             continue
         _smaint_check(spark, old or [("q", "cites", "q2")], ins, dels,
                       DEG_PROG)
+
+
+# --- goal-directed evaluation + why-provenance --------------------------------
+
+GOAL_PROG = SA_CANON_PROG + [
+    {"body": [("?j", "decided_by", "?c")],
+     "head": ("?j", "court_link", "?c")},          # unrelated family
+    {"body": [("?j", "court_link", "?c"), ("?j", "cites", "?p")],
+     "head": ("?c", "saw_precedent", "?p")},
+]
+
+
+def test_goal_rules_prunes_to_reachable(spark):
+    assert len(kq.goal_rules(GOAL_PROG, "eq")) == 2
+    assert len(kq.goal_rules(GOAL_PROG, "canon")) == 3   # negation input kept
+    assert len(kq.goal_rules(GOAL_PROG, "saw_precedent")) == 2
+    assert kq.goal_rules(GOAL_PROG, "same_as") == []     # EDB goal
+
+
+def test_goal_query_equals_full_fixpoint(spark):
+    g = T(spark, [("a", "same_as", "b"), ("b", "same_as", "c"),
+                  ("d1", "decided_by", "sc"), ("d1", "cites", "p1")])
+    goal = kq.materialize_rules_goal(g, GOAL_PROG, ("?x", "eq", "?y"))
+    full = kq.materialize_rules_stratified(g, GOAL_PROG)
+    want = {(r.subj, r.obj) for r in
+            full.filter(full.pred == "eq").collect()}
+    assert {(r.x, r.y) for r in goal.collect()} == want
+    # the negated goal routes through the stratified evaluator
+    roots = kq.materialize_rules_goal(g, GOAL_PROG, ("?x", "canon", "?y"))
+    assert {(r.x, r.y) for r in roots.collect()} == {
+        ("a", "b"), ("a", "c")}
+    # an EDB goal is a plain match over the base store
+    base = kq.materialize_rules_goal(g, GOAL_PROG,
+                                     ("?x", "same_as", "?y"))
+    assert base.count() == 2
+
+
+def test_goal_refuses_variable_pred(spark):
+    g = T(spark, [("a", "same_as", "b")])
+    with pytest.raises(ValueError, match="literal goal predicate"):
+        kq.materialize_rules_goal(g, GOAL_PROG, ("?x", "?p", "?y"))
+
+
+def test_explain_chain_derivation(spark):
+    g = T(spark, [("a", "same_as", "b"), ("b", "same_as", "c")])
+    drv = kq.materialize_rules_stratified(g, SA_CANON_PROG,
+                                          derived_only=True)
+    steps = kq.explain_derivation(g, drv, SA_CANON_PROG, ("a", "eq", "c"))
+    facts = [s["fact"] for s in steps]
+    assert facts[0] == ("a", "eq", "c")          # root first
+    assert ("a", "eq", "b") in facts             # its derived premise
+    root = steps[0]
+    assert root["rule"] == 1
+    assert ("b", "same_as", "c") in root["premises"]
+
+
+def test_explain_negated_step_reports_minus(spark):
+    g = T(spark, [("a", "same_as", "b")])
+    drv = kq.materialize_rules_stratified(g, SA_CANON_PROG,
+                                          derived_only=True)
+    steps = kq.explain_derivation(g, drv, SA_CANON_PROG,
+                                  ("a", "canon", "b"))
+    assert steps[0]["fact"] == ("a", "canon", "b")
+    assert steps[0]["negated"] == [("?z", "eq", "?a")]
+
+
+def test_explain_aggregate_fact(spark):
+    g = T(spark, [("a", "same_as", "b"), ("a", "same_as", "c")])
+    prog = [{"body": [("?x", "same_as", "?y")], "group_by": "?x",
+             "agg": {"n": "count(*)"}, "head": ("?x", "deg", "?n")}]
+    drv = kq.materialize_rules_stratified(g, prog, derived_only=True)
+    steps = kq.explain_derivation(g, drv, prog, ("a", "deg", "2"))
+    assert steps[0]["rule"] == 0
+    with pytest.raises(ValueError, match="not derivable"):
+        kq.explain_derivation(g, drv, prog, ("a", "deg", "3"))
+
+
+def test_explain_refusals(spark):
+    g = T(spark, [("a", "same_as", "b")])
+    drv = kq.materialize_rules_stratified(g, SA_CANON_PROG,
+                                          derived_only=True)
+    with pytest.raises(ValueError, match="asserted"):
+        kq.explain_derivation(g, drv, SA_CANON_PROG, ("a", "same_as", "b"))
+    with pytest.raises(ValueError, match="not derivable"):
+        kq.explain_derivation(g, drv, SA_CANON_PROG, ("b", "eq", "a"))

@@ -144,6 +144,9 @@ SHOW = [
     ("kg_rules_aggregate", "stratified aggregation: recursive closure, "
                            "then one partial+final hash aggregate in its "
                            "own stratum, cast into the store"),
+    ("kg_rules_goal", "goal-directed program query: only the goal's "
+                      "backward-reachable rules materialize, then one "
+                      "goal match"),
     ("kg_rules_stratified_maintain",
      "signed-delta stratified maintenance: diff-pinned endangered legs "
      "per polarity, one survivor rematch per changed stratum, "
