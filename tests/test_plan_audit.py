@@ -501,3 +501,18 @@ def test_curation_v2_classifier_fuses_into_scan(spark):
     assert "SinglePartition" not in p, p[:2000]
     assert any("_cell" in f
                for f in re.findall(r"hashpartitioning\([^)]*\)", p)), p[:3000]
+
+
+def test_datalog_maintenance_tier_has_no_loop_joins(spark):
+    """The round-5 Datalog tier (DRed retraction, stratified negation,
+    signed-delta maintenance, aggregation, goal-directed) must compile
+    to equi-joins and hash aggregates only — every MINUS is an anti
+    equi-join on shared variables, every pinned diff leg a broadcast
+    hash join; a CartesianProduct or BroadcastNestedLoopJoin anywhere
+    in these plans would not survive the 84M store, let alone 100 TB."""
+    for name in ("kg_rules_retract", "kg_rules_stratified",
+                 "kg_rules_aggregate", "kg_rules_goal",
+                 "kg_rules_stratified_maintain", "kg_update_maintain"):
+        p = physical(queries.QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in p, (name, p[:2000])
+        assert "BroadcastNestedLoopJoin" not in p, (name, p[:2000])
