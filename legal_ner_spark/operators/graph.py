@@ -128,6 +128,66 @@ def bfs_distances(edges: DataFrame, sources: DataFrame,
     return visited
 
 
+def shortest_paths(edges: DataFrame, sources: DataFrame, *,
+                   weight_col: str = "weight", directed: bool = True,
+                   max_iter: int = 30,
+                   checkpoint_dir: str | None = None) -> DataFrame:
+    """Multi-source WEIGHTED shortest paths — distributed Bellman-Ford
+    with frontier pruning (only nodes whose tentative distance improved
+    last round relax their out-edges this round): (node, dist) for
+    every node reachable from any source within ``max_iter`` edge
+    relaxations.  The weighted companion to `bfs_distances` (hop
+    counts); weight 1.0 everywhere reproduces it.
+
+    ``edges`` needs (src, dst, ``weight_col``); negative weights are
+    refused up front (one broadcast-able min aggregate) — with them
+    Bellman-Ford needs V−1 full rounds plus a negative-cycle check,
+    and a min-fold over partial paths stops being monotone under the
+    frontier pruning this implementation relies on.  ``max_iter``
+    bounds the relaxation depth, so the result is exactly "shortest
+    distance using ≤ max_iter edges" — the property the hop-bounded
+    recursive-CTE oracle pins.
+
+    Per round: frontier ⋈ edges (one pred-pushed equi-join), a min
+    HashAggregate per destination, one left join against current
+    distances keeping strict improvements — work O(frontier × avg
+    degree), never O(V²); lineage truncated per round (durable under
+    ``checkpoint_dir``, the shared CC/PageRank contract)."""
+    from ..plans.checkpoint import Truncator
+    trunc = Truncator(checkpoint_dir)
+    w = F.col(weight_col).cast("double")
+    neg = edges.agg(F.min(w).alias("m")).collect()[0]["m"]
+    if neg is not None and neg < 0:
+        raise ValueError(
+            f"shortest_paths requires non-negative weights — found "
+            f"min({weight_col}) = {neg}; frontier-pruned Bellman-Ford "
+            "is not sound under negative edges")
+    e = edges.select("src", "dst", w.alias("w"))
+    if not directed:
+        e = e.unionByName(e.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst"), "w"))
+    e = trunc(e, "sssp_edges")
+    dist = trunc(sources.select("node").distinct()
+                 .withColumn("dist", F.lit(0.0)), "sssp_r0")
+    frontier = dist
+    for it in range(1, max_iter + 1):
+        cand = (e.join(frontier.select(F.col("node").alias("src"),
+                                       F.col("dist").alias("fd")), "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min(F.col("fd") + F.col("w")).alias("cd")))
+        improved = (cand.join(dist, "node", "left")
+                    .filter(F.col("dist").isNull()
+                            | (F.col("cd") < F.col("dist")))
+                    .select("node", F.col("cd").alias("dist")))
+        frontier = trunc(improved, f"sssp_f{it}")
+        if frontier.isEmpty():
+            break
+        dist = trunc(dist.join(frontier.select("node"), "node",
+                               "left_anti").unionByName(frontier),
+                     f"sssp_d{it}")
+    return dist
+
+
 def triangles(edges: DataFrame, hub_threshold: int = 4096,
               checkpoint_dir: str | None = None) -> DataFrame:
     """Triangle enumeration over an undirected edge table: rows

@@ -8267,6 +8267,63 @@ SELECT subj, 'eq_count' AS pred, CAST(COUNT(*) AS VARCHAR) AS obj
 FROM r GROUP BY subj"""
 
 
+def q_kg_shortest_paths(spark, sf_dir):
+    """Weighted multi-source shortest paths (frontier-pruned
+    Bellman-Ford, `graph.shortest_paths`) over a judgment-succession
+    DAG: per court, judgments ordered by id form a chain with
+    unit-successor edges (weight 2) and skip edges (weight 3) — the
+    cheapest route mixes them, so a min-fold that relaxed edges in the
+    wrong order or double-counted a frontier would diverge from the
+    hop-bounded recursive-CTE oracle.  max_iter=12 on BOTH sides pins
+    the identical "shortest using ≤12 edges" contract.  (The per-court
+    ROW_NUMBER builds the small succession dimension, not the path
+    search — courts are a bounded dimension; the frontier loop is the
+    operator under test.)"""
+    from .operators import graph
+    from pyspark.sql import Window
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    dec = (tri.filter(F.col("pred") == "decided_by")
+           .select(F.col("subj").alias("doc"),
+                   F.col("obj").alias("court")).distinct())
+    seq = dec.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("court").orderBy("doc")))
+    a = seq.select("court", F.col("doc").alias("src"),
+                   F.col("rn").alias("ra"))
+    b = seq.select("court", F.col("doc").alias("dst"),
+                   F.col("rn").alias("rb"))
+    e1 = (a.join(b, ["court"]).filter(F.col("rb") == F.col("ra") + 1)
+          .select("src", "dst", F.lit(2.0).alias("weight")))
+    e2 = (a.join(b, ["court"]).filter(F.col("rb") == F.col("ra") + 2)
+          .select("src", "dst", F.lit(3.0).alias("weight")))
+    sources = seq.filter(F.col("rn") == 1).select(
+        F.col("doc").alias("node")).distinct()
+    out = graph.shortest_paths(e1.unionByName(e2), sources,
+                               max_iter=12)
+    return out.select("node", F.col("dist").cast("bigint").alias("dist"))
+
+
+def o_kg_shortest_paths():
+    return f"""
+WITH RECURSIVE
+dec AS (SELECT DISTINCT subj AS doc, obj AS court FROM {_KG_SQL_SRC}
+        WHERE rec_type = 'triple' AND pred = 'decided_by'),
+seq AS (SELECT doc, court,
+               ROW_NUMBER() OVER (PARTITION BY court ORDER BY doc) AS rn
+        FROM dec),
+e AS (SELECT a.doc AS src, b.doc AS dst, CAST(2.0 AS DOUBLE) AS w
+      FROM seq a JOIN seq b ON a.court = b.court AND b.rn = a.rn + 1
+      UNION ALL
+      SELECT a.doc, b.doc, CAST(3.0 AS DOUBLE)
+      FROM seq a JOIN seq b ON a.court = b.court AND b.rn = a.rn + 2),
+p AS (SELECT DISTINCT doc AS node, CAST(0.0 AS DOUBLE) AS d, 0 AS hops
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT e.dst, p.d + e.w, p.hops + 1
+      FROM p JOIN e ON e.src = p.node WHERE p.hops < 12)
+SELECT node, CAST(MIN(d) AS BIGINT) AS dist FROM p GROUP BY node"""
+
+
 def q_kg_rules_goal(spark, sf_dir):
     """Goal-directed rule-program query (the sound half of magic sets):
     the program carries the alias-closure family AND an unrelated
@@ -8597,6 +8654,7 @@ QUERIES = {
     "kg_rules_stratified": q_kg_rules_stratified,
     "kg_rules_aggregate": q_kg_rules_aggregate,
     "kg_rules_goal": q_kg_rules_goal,
+    "kg_shortest_paths": q_kg_shortest_paths,
     "kg_rules_stratified_maintain": q_kg_rules_stratified_maintain,
     "kg_update_maintain": q_kg_update_maintain,
     "kg_graph_diff": q_kg_graph_diff,
@@ -8813,6 +8871,7 @@ ORACLES = {
     "kg_rules_stratified": o_kg_rules_stratified(),
     "kg_rules_aggregate": o_kg_rules_aggregate(),
     "kg_rules_goal": o_kg_rules_goal(),
+    "kg_shortest_paths": o_kg_shortest_paths(),
     "kg_rules_stratified_maintain": o_kg_rules_stratified_maintain(),
     "kg_update_maintain": o_kg_update_maintain(),
     "kg_graph_diff": o_kg_graph_diff(),

@@ -451,3 +451,61 @@ def test_sampled_adjacency_bounds_hubs_deterministically(spark):
         per_root.setdefault(r.root, []).append((r.n1, r.n2))
         assert (r.root, r.n1) in und and (r.n1, r.n2) in und
     assert all(len(v) <= 4 for v in per_root.values())
+
+
+def test_shortest_paths_weighted_min(spark, tmp_path):
+    """Weighted SSSP must pick the cheaper of two routes: chain
+    0→1→2→3 (unit edges) plus a skip edge 0→2 of weight 1.5 — dist(2)
+    is 1.5 via the skip, dist(3) 2.5 through it; an unreachable island
+    stays absent; durable-checkpoint mode identical."""
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (0, 2, 1.5),
+         (10, 11, 1.0)], ["src", "dst", "weight"])
+    sources = spark.createDataFrame([(0,)], ["node"])
+    got = {r.node: r.dist
+           for r in graph.shortest_paths(edges, sources).collect()}
+    assert got == {0: 0.0, 1: 1.0, 2: 1.5, 3: 2.5}
+    durable = {r.node: r.dist
+               for r in graph.shortest_paths(
+                   edges, sources,
+                   checkpoint_dir=str(tmp_path / "sssp")).collect()}
+    assert durable == got
+
+
+def test_shortest_paths_undirected_and_multisource(spark):
+    # undirected: distance propagates against edge direction; two
+    # sources compete — every node gets the min over both
+    edges = spark.createDataFrame(
+        [(i, i + 1, 2.0) for i in range(6)], ["src", "dst", "weight"])
+    sources = spark.createDataFrame([(0,), (6,)], ["node"])
+    got = {r.node: r.dist
+           for r in graph.shortest_paths(edges, sources,
+                                         directed=False).collect()}
+    assert got == {0: 0.0, 1: 2.0, 2: 4.0, 3: 6.0,
+                   4: 4.0, 5: 2.0, 6: 0.0}
+
+
+def test_shortest_paths_hop_bound_and_unit_equals_bfs(spark):
+    edges = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(8)], ["src", "dst", "weight"])
+    sources = spark.createDataFrame([(0,)], ["node"])
+    capped = {r.node: r.dist
+              for r in graph.shortest_paths(edges, sources,
+                                            max_iter=3).collect()}
+    assert max(capped.values()) == 3.0 and len(capped) == 4
+    bfs = {r.node: float(r.distance)
+           for r in graph.bfs_distances(
+               edges.select("src", "dst"), sources,
+               max_depth=8).collect()}
+    full = {r.node: r.dist
+            for r in graph.shortest_paths(edges, sources, max_iter=8,
+                                          directed=False).collect()}
+    assert full == bfs
+
+
+def test_shortest_paths_refuses_negative_weights(spark):
+    edges = spark.createDataFrame([(0, 1, -1.0)],
+                                  ["src", "dst", "weight"])
+    sources = spark.createDataFrame([(0,)], ["node"])
+    with pytest.raises(ValueError, match="non-negative"):
+        graph.shortest_paths(edges, sources)

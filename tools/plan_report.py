@@ -144,6 +144,9 @@ SHOW = [
     ("kg_rules_aggregate", "stratified aggregation: recursive closure, "
                            "then one partial+final hash aggregate in its "
                            "own stratum, cast into the store"),
+    ("kg_shortest_paths", "frontier-pruned Bellman-Ford: one equi-join "
+                          "+ min HashAggregate + improvement anti-fold "
+                          "per relaxation round"),
     ("kg_rules_goal", "goal-directed program query: only the goal's "
                       "backward-reachable rules materialize, then one "
                       "goal match"),

@@ -47,6 +47,33 @@ def main() -> None:
     mode = "durable-parquet" if durable else "localCheckpoint"
     print(f"WCC[{mode}]: {n} nodes, {n_edges} edges -> {n_comp} components "
           f"in {dt:.1f}s ({n_edges / dt:,.0f} edges/s)")
+
+    # ---- weighted SSSP over deep chains with skip edges ----------------
+    # k chains of length L; unit-successor edges weight 2, skip edges
+    # (i -> i+2) weight 3: dist(pos) = 3*(pos//2) + 2*(pos%2), so the
+    # total over every node is k * Σ — closed form; a mis-relaxed
+    # frontier or a double-counted improvement breaks it exactly.
+    from legal_ner_spark.operators.graph import shortest_paths
+    L = 64
+    k = max(n // L, 1)
+    pos = F.col("id") % L
+    e1 = (spark.range(k * L).filter(pos < L - 1)
+          .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"),
+                  F.lit(2.0).alias("weight")))
+    e2 = (spark.range(k * L).filter(pos < L - 2)
+          .select(F.col("id").alias("src"), (F.col("id") + 2).alias("dst"),
+                  F.lit(3.0).alias("weight")))
+    srcs = spark.range(k).select((F.col("id") * L).alias("node"))
+    t0 = time.time()
+    out = shortest_paths(e1.unionByName(e2), srcs, max_iter=L)
+    row = out.agg(F.count("*").alias("n"),
+                  F.sum("dist").alias("s")).collect()[0]
+    dt2 = time.time() - t0
+    want_sum = k * sum(3 * (i // 2) + 2 * (i % 2) for i in range(L))
+    assert row["n"] == k * L, (row["n"], k * L)
+    assert int(row["s"]) == want_sum, (row["s"], want_sum)
+    print(f"SSSP: {k} chains x {L} nodes (skip edges) -> "
+          f"{row['n']} settled, dist-sum EXACT in {dt2:.1f}s")
     spark.stop()
 
 
