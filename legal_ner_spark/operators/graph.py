@@ -128,6 +128,50 @@ def bfs_distances(edges: DataFrame, sources: DataFrame,
     return visited
 
 
+def landmark_distances(edges: DataFrame, landmarks: DataFrame, *,
+                       max_depth: int = 10, directed: bool = False,
+                       checkpoint_dir: str | None = None) -> DataFrame:
+    """PER-LANDMARK hop distances — (root, node, distance) for every
+    node within ``max_depth`` hops of each landmark, the landmark/pivot
+    table behind closeness- and harmonic-centrality estimates and
+    distance-feature exports (Brandes-style sampling: centrality over a
+    bounded landmark set instead of all-pairs).  `bfs_distances` folds
+    all sources into ONE distance (min over sources); this keeps the
+    per-root breakdown, so state is O(|landmarks| × reached) — callers
+    choose a bounded landmark sample, which is the point of the
+    technique.
+
+    Same frontier shape as `bfs_distances`, keyed by (root, node):
+    each round joins the frontier against the edges once, distincts the
+    (root, dst) pairs, anti-joins the visited set — work
+    O(frontier × avg degree) per round, lineage truncated per round
+    (durable under ``checkpoint_dir``)."""
+    from ..plans.checkpoint import Truncator
+    trunc = Truncator(checkpoint_dir)
+    e = edges.select("src", "dst")
+    if not directed:
+        e = e.unionByName(e.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+    e = trunc(e, "lmd_edges")
+    visited = trunc(landmarks.select(F.col("node").alias("root"))
+                    .distinct()
+                    .select("root", F.col("root").alias("node"))
+                    .withColumn("distance", F.lit(0)), "lmd_r0")
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        nxt = (frontier.select("root", F.col("node").alias("src"))
+               .join(e, "src")
+               .select("root", F.col("dst").alias("node")).distinct()
+               .join(visited.select("root", "node"), ["root", "node"],
+                     "left_anti")
+               .withColumn("distance", F.lit(depth)))
+        frontier = trunc(nxt, f"lmd_f{depth}")
+        if frontier.isEmpty():
+            break
+        visited = trunc(visited.unionByName(frontier), f"lmd_v{depth}")
+    return visited
+
+
 def shortest_paths(edges: DataFrame, sources: DataFrame, *,
                    weight_col: str = "weight", directed: bool = True,
                    max_iter: int = 30,

@@ -8324,6 +8324,61 @@ p AS (SELECT DISTINCT doc AS node, CAST(0.0 AS DOUBLE) AS d, 0 AS hops
 SELECT node, CAST(MIN(d) AS BIGINT) AS dist FROM p GROUP BY node"""
 
 
+def q_kg_harmonic_centrality(spark, sf_dir):
+    """Landmark harmonic centrality (`graph.landmark_distances`):
+    per-landmark BFS over the undirected per-court succession chains,
+    then h(v) = Σ_roots 1/d(root, v) — scaled by 27720 (lcm 1..12) so
+    every term is an exact integer and the cross-engine comparison is
+    hash-exact (float summation order would not be).  Landmarks = each
+    court's first judgment; max_depth=12 on both sides pins the same
+    bounded-horizon estimate (the Brandes-sampling shape: centrality
+    from a bounded pivot set, not all-pairs)."""
+    from .operators import graph
+    from pyspark.sql import Window
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    dec = (tri.filter(F.col("pred") == "decided_by")
+           .select(F.col("subj").alias("doc"),
+                   F.col("obj").alias("court")).distinct())
+    seq = dec.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("court").orderBy("doc")))
+    a = seq.select("court", F.col("doc").alias("src"),
+                   F.col("rn").alias("ra"))
+    b = seq.select("court", F.col("doc").alias("dst"),
+                   F.col("rn").alias("rb"))
+    edges = (a.join(b, ["court"])
+             .filter(F.col("rb") == F.col("ra") + 1)
+             .select("src", "dst"))
+    lms = seq.filter(F.col("rn") == 1).select(
+        F.col("doc").alias("node")).distinct()
+    lmd = graph.landmark_distances(edges, lms, max_depth=12)
+    return (lmd.filter(F.col("distance") > 0)
+            .groupBy("node")
+            .agg(F.sum(F.lit(27720) / F.col("distance"))
+                 .cast("bigint").alias("h")))
+
+
+def o_kg_harmonic_centrality():
+    return f"""
+WITH RECURSIVE
+dec AS (SELECT DISTINCT subj AS doc, obj AS court FROM {_KG_SQL_SRC}
+        WHERE rec_type = 'triple' AND pred = 'decided_by'),
+seq AS (SELECT doc, court,
+               ROW_NUMBER() OVER (PARTITION BY court ORDER BY doc) AS rn
+        FROM dec),
+e0 AS (SELECT a.doc AS src, b.doc AS dst
+       FROM seq a JOIN seq b ON a.court = b.court AND b.rn = a.rn + 1),
+e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+p AS (SELECT DISTINCT doc AS root, doc AS node, 0 AS hops
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT p.root, e.dst, p.hops + 1
+      FROM p JOIN e ON e.src = p.node WHERE p.hops < 12),
+m AS (SELECT root, node, MIN(hops) AS d FROM p GROUP BY root, node)
+SELECT node, CAST(SUM(27720 / d) AS BIGINT) AS h
+FROM m WHERE d > 0 GROUP BY node"""
+
+
 def q_kg_rules_goal(spark, sf_dir):
     """Goal-directed rule-program query (the sound half of magic sets):
     the program carries the alias-closure family AND an unrelated
@@ -8655,6 +8710,7 @@ QUERIES = {
     "kg_rules_aggregate": q_kg_rules_aggregate,
     "kg_rules_goal": q_kg_rules_goal,
     "kg_shortest_paths": q_kg_shortest_paths,
+    "kg_harmonic_centrality": q_kg_harmonic_centrality,
     "kg_rules_stratified_maintain": q_kg_rules_stratified_maintain,
     "kg_update_maintain": q_kg_update_maintain,
     "kg_graph_diff": q_kg_graph_diff,
@@ -8872,6 +8928,7 @@ ORACLES = {
     "kg_rules_aggregate": o_kg_rules_aggregate(),
     "kg_rules_goal": o_kg_rules_goal(),
     "kg_shortest_paths": o_kg_shortest_paths(),
+    "kg_harmonic_centrality": o_kg_harmonic_centrality(),
     "kg_rules_stratified_maintain": o_kg_rules_stratified_maintain(),
     "kg_update_maintain": o_kg_update_maintain(),
     "kg_graph_diff": o_kg_graph_diff(),

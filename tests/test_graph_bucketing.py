@@ -509,3 +509,42 @@ def test_shortest_paths_refuses_negative_weights(spark):
     sources = spark.createDataFrame([(0,)], ["node"])
     with pytest.raises(ValueError, match="non-negative"):
         graph.shortest_paths(edges, sources)
+
+
+def test_landmark_distances_per_root(spark, tmp_path):
+    """Per-landmark BFS keeps the root breakdown bfs_distances folds
+    away: on a 5-chain with landmarks at both ends every interior node
+    carries TWO rows whose distances sum to the chain length."""
+    edges = spark.createDataFrame([(i, i + 1) for i in range(4)],
+                                  ["src", "dst"])
+    lms = spark.createDataFrame([(0,), (4,)], ["node"])
+    rows = graph.landmark_distances(edges, lms, max_depth=6).collect()
+    got = {(r.root, r.node): r.distance for r in rows}
+    assert got[(0, 3)] == 3 and got[(4, 3)] == 1
+    interior = [n for n in range(1, 4)]
+    assert all(got[(0, n)] + got[(4, n)] == 4 for n in interior)
+    # folded min matches bfs_distances
+    bfs = {r.node: r.distance
+           for r in graph.bfs_distances(edges, lms, max_depth=6)
+           .collect()}
+    import collections
+    folded = collections.defaultdict(lambda: 99)
+    for (root, n), d in got.items():
+        folded[n] = min(folded[n], d)
+    assert dict(folded) == bfs
+    durable = {(r.root, r.node): r.distance
+               for r in graph.landmark_distances(
+                   edges, lms, max_depth=6,
+                   checkpoint_dir=str(tmp_path / "lmd")).collect()}
+    assert durable == got
+
+
+def test_landmark_distances_directed_and_capped(spark):
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3)],
+                                  ["src", "dst"])
+    lms = spark.createDataFrame([(2,)], ["node"])
+    got = {(r.root, r.node): r.distance
+           for r in graph.landmark_distances(edges, lms, max_depth=1,
+                                             directed=True).collect()}
+    # directed: 1 is NOT reached (edge points 1->2); cap stops at 3
+    assert got == {(2, 2): 0, (2, 3): 1}

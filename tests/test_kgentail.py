@@ -1257,3 +1257,29 @@ def test_explain_refusals(spark):
         kq.explain_derivation(g, drv, SA_CANON_PROG, ("a", "same_as", "b"))
     with pytest.raises(ValueError, match="not derivable"):
         kq.explain_derivation(g, drv, SA_CANON_PROG, ("b", "eq", "a"))
+
+
+def test_smaint_fuzz_mixed_negation_aggregation(spark):
+    # the hardest composite: recursion (stratum 0), negation over the
+    # derived closure (stratum 1), aggregation over the negation's
+    # output (stratum 2) — maintained under random mixed batches must
+    # still equal the from-scratch stratified fixpoint
+    import random
+    prog = SA_CANON_PROG + [
+        {"body": [("?a", "canon", "?b")], "group_by": "?a",
+         "agg": {"n": "count(*)"}, "head": ("?a", "canon_size", "?n")},
+    ]
+    strata, levels = kq.stratify_rules(prog)
+    assert levels == {"eq": 0, "canon": 1, "canon_size": 2}
+    rnd = random.Random(20260822)
+    nodes = ["n%d" % i for i in range(7)]
+    for trial in range(4):
+        pool = [(rnd.choice(nodes), "same_as", rnd.choice(nodes))
+                for _ in range(9)]
+        old = [t for t in pool if rnd.random() < 0.7]
+        dels = [t for t in old if rnd.random() < 0.3]
+        ins = [t for t in pool if t not in old and rnd.random() < 0.5]
+        if not (old or ins):
+            continue
+        _smaint_check(spark, old or [("q", "same_as", "q2")], ins,
+                      dels, prog)

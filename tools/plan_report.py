@@ -147,6 +147,9 @@ SHOW = [
     ("kg_shortest_paths", "frontier-pruned Bellman-Ford: one equi-join "
                           "+ min HashAggregate + improvement anti-fold "
                           "per relaxation round"),
+    ("kg_harmonic_centrality",
+     "per-landmark BFS frontier joins + one integer-scaled harmonic "
+     "aggregate (landmark sampling, not all-pairs)"),
     ("kg_rules_goal", "goal-directed program query: only the goal's "
                       "backward-reachable rules materialize, then one "
                       "goal match"),
