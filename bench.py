@@ -162,6 +162,8 @@ def main() -> None:
                      "kg_rules_retract", "kg_rules_stratified",
                      "kg_rules_aggregate", "kg_rules_goal",
                      "kg_shortest_paths", "kg_harmonic_centrality",
+                     "kg_butterflies", "kg_link_prediction",
+                     "kg_eccentricity",
                      "kg_rules_stratified_maintain",
                      "kg_update_maintain", "kg_graph_diff",
                      "kg_bgp_graph"]

@@ -1013,3 +1013,42 @@ def lpa_communities(edges: DataFrame, n_iter: int = 3,
         labels = trunc(cnt.withColumn("_rn", F.row_number().over(w))
                        .filter("_rn = 1").select("node", "lab"), "lpa_l")
     return labels.select("node", F.col("lab").alias("community"))
+
+
+def butterfly_counts(bip: DataFrame, left: str = "left",
+                     right: str = "right",
+                     max_left_degree: int | None = None) -> DataFrame:
+    """Per-right-node butterfly (2×2-biclique) participation over a
+    bipartite (left, right) edge table — the bipartite analogue of
+    triangle counting and the density signal behind co-citation
+    community quality: a butterfly is a pair of left nodes jointly
+    connected to a pair of right nodes.  Counting goes through wedges:
+    for every right pair (a < b) with ``co`` common left neighbours the
+    pair closes C(co, 2) butterflies, and each endpoint participates in
+    all of them, so b(v) = Σ_{pairs ∋ v} co·(co−1)/2 — exact integers
+    end to end, no sampling.
+
+    Scale shape: the only quadratic step is the per-left-node right-pair
+    enumeration (Σ C(deg_left, 2)); ``max_left_degree`` drops left hubs
+    above the cap BEFORE the self-join (the standard Sanei-Mehri-style
+    vertex-priority mitigation reduced to its cheap prefilter), keeping
+    fan-out bounded per row.  The pair aggregation and the final
+    per-node sum are plain keyed shuffles."""
+    ds = bip.select(F.col(left).alias("l"),
+                    F.col(right).alias("r")).distinct()
+    if max_left_degree is not None:
+        deg = ds.groupBy("l").agg(F.count(F.lit(1)).alias("dl"))
+        ds = (ds.join(deg.filter(F.col("dl") <= max_left_degree)
+                      .select("l"), "l"))
+    b = ds.select(F.col("l").alias("bl"), F.col("r").alias("rb"))
+    co = (ds.join(b, (F.col("l") == F.col("bl"))
+                  & (F.col("r") < F.col("rb")))
+          .groupBy(F.col("r").alias("ra"), "rb")
+          .agg(F.count(F.lit(1)).alias("co")))
+    pair_bf = co.withColumn(
+        "bf", F.expr("CAST((co * (co - 1)) DIV 2 AS BIGINT)"))
+    per = (pair_bf.select(F.col("ra").alias("node"), "bf")
+           .unionByName(pair_bf.select(F.col("rb").alias("node"), "bf"))
+           .groupBy("node")
+           .agg(F.sum("bf").cast("bigint").alias("butterflies")))
+    return per.filter(F.col("butterflies") > 0)

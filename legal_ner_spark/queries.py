@@ -8379,6 +8379,169 @@ SELECT node, CAST(SUM(27720 / d) AS BIGINT) AS h
 FROM m WHERE d > 0 GROUP BY node"""
 
 
+def q_kg_butterflies(spark, sf_dir):
+    """Per-statute butterfly (2×2-biclique) participation over the
+    doc–statute bipartite citation graph (`graph.butterfly_counts`):
+    the bipartite analogue of triangle counting — a butterfly is two
+    docs jointly citing two statutes, the density unit co-citation
+    community metrics build on.  Counted exactly through right-pair
+    wedges (C(co,2) per co-citation pair), integers end to end; the
+    left-hub cap (docs citing >64 statutes dropped pre-join) is the
+    shape that bounds the quadratic step at corpus scale."""
+    from .operators import graph
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    ds = (tri.filter(F.col("pred") == "part_of")
+          .select("doc_id", F.col("obj").alias("statute")))
+    out = graph.butterfly_counts(ds, left="doc_id", right="statute",
+                                 max_left_degree=64)
+    return out.select(F.col("node").alias("statute"), "butterflies")
+
+
+def o_kg_butterflies():
+    return f"""
+WITH ds AS (
+  SELECT DISTINCT doc_id, obj AS statute FROM {_KG_SQL_SRC}
+  WHERE rec_type = 'triple' AND pred = 'part_of'
+),
+kept AS (
+  SELECT doc_id FROM ds GROUP BY doc_id HAVING count(*) <= 64
+),
+dsf AS (SELECT ds.* FROM ds JOIN kept USING (doc_id)),
+co AS (
+  SELECT a.statute AS ra, b.statute AS rb, count(*) AS co
+  FROM dsf a JOIN dsf b
+    ON a.doc_id = b.doc_id AND a.statute < b.statute
+  GROUP BY a.statute, b.statute
+),
+pair_bf AS (SELECT ra, rb, CAST(co * (co - 1) / 2 AS BIGINT) AS bf
+            FROM co),
+per AS (
+  SELECT ra AS statute, bf FROM pair_bf
+  UNION ALL
+  SELECT rb, bf FROM pair_bf
+)
+SELECT statute, CAST(SUM(bf) AS BIGINT) AS butterflies
+FROM per GROUP BY statute HAVING SUM(bf) > 0"""
+
+
+def q_kg_link_prediction(spark, sf_dir):
+    """Link-prediction scores for statute pairs over the hub-filtered
+    doc–statute bipartite graph (docs citing 2..12 statutes — dropping
+    hub common neighbours is standard practice AND the scale guard on
+    the quadratic pair step): common-neighbour count, resource
+    allocation Σ_docs 1/deg(doc) scaled by 27720 (lcm 1..12) so every
+    term is an exact integer, and preferential attachment c_a·c_b.
+    Adamic-Adar is this same plan with a 1/ln weight; RA is used here
+    because its bounded-denominator form is hash-exact cross-engine."""
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    ds = (tri.filter(F.col("pred") == "part_of")
+          .select("doc_id", F.col("obj").alias("statute")).distinct())
+    deg = (ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+           .filter((F.col("dl") >= 2) & (F.col("dl") <= 12)))
+    dsf = ds.join(deg, "doc_id")
+    marg = dsf.groupBy("statute").agg(F.count(F.lit(1)).alias("c"))
+    b = dsf.select(F.col("doc_id").alias("bdoc"),
+                   F.col("statute").alias("statute_b"))
+    pairs = (dsf.join(b, (F.col("doc_id") == F.col("bdoc"))
+                      & (F.col("statute") < F.col("statute_b")))
+             .groupBy(F.col("statute").alias("statute_a"), "statute_b")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("cn"),
+                  F.sum(F.lit(27720).cast("bigint") / F.col("dl"))
+                  .cast("bigint").alias("ra_scaled")))
+    return (pairs
+            .join(F.broadcast(marg.select(
+                F.col("statute").alias("statute_a"),
+                F.col("c").alias("c_a"))), "statute_a")
+            .join(F.broadcast(marg.select(
+                F.col("statute").alias("statute_b"),
+                F.col("c").alias("c_b"))), "statute_b")
+            .select("statute_a", "statute_b", "cn", "ra_scaled",
+                    (F.col("c_a") * F.col("c_b")).cast("bigint")
+                    .alias("pa")))
+
+
+def o_kg_link_prediction():
+    return f"""
+WITH ds AS (
+  SELECT DISTINCT doc_id, obj AS statute FROM {_KG_SQL_SRC}
+  WHERE rec_type = 'triple' AND pred = 'part_of'
+),
+deg AS (
+  SELECT doc_id, count(*) AS dl FROM ds GROUP BY doc_id
+  HAVING count(*) BETWEEN 2 AND 12
+),
+dsf AS (SELECT ds.doc_id, ds.statute, deg.dl
+        FROM ds JOIN deg USING (doc_id)),
+marg AS (SELECT statute, count(*) AS c FROM dsf GROUP BY statute),
+pairs AS (
+  SELECT a.statute AS statute_a, b.statute AS statute_b,
+         count(*)::BIGINT AS cn,
+         CAST(SUM(27720 / a.dl) AS BIGINT) AS ra_scaled
+  FROM dsf a JOIN dsf b
+    ON a.doc_id = b.doc_id AND a.statute < b.statute
+  GROUP BY a.statute, b.statute
+)
+SELECT p.statute_a, p.statute_b, p.cn, p.ra_scaled,
+       CAST(ma.c * mb.c AS BIGINT) AS pa
+FROM pairs p JOIN marg ma ON p.statute_a = ma.statute
+             JOIN marg mb ON p.statute_b = mb.statute"""
+
+
+def q_kg_eccentricity(spark, sf_dir):
+    """Landmark eccentricity bounds (`graph.landmark_distances` again,
+    aggregated the other way): per node the MAX hop distance to the
+    landmark set is a lower bound on true eccentricity, and the global
+    max of the column is the standard double-sweep diameter lower
+    bound; n_roots counts the landmarks that reached the node within
+    the horizon (coverage diagnostic for the landmark sample).  Same
+    succession-chain graph and depth-12 horizon as the harmonic query,
+    so the per-root BFS is pinned by two independent aggregations."""
+    from .operators import graph
+    from pyspark.sql import Window
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    dec = (tri.filter(F.col("pred") == "decided_by")
+           .select(F.col("subj").alias("doc"),
+                   F.col("obj").alias("court")).distinct())
+    seq = dec.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("court").orderBy("doc")))
+    a = seq.select("court", F.col("doc").alias("src"),
+                   F.col("rn").alias("ra"))
+    b = seq.select("court", F.col("doc").alias("dst"),
+                   F.col("rn").alias("rb"))
+    edges = (a.join(b, ["court"])
+             .filter(F.col("rb") == F.col("ra") + 1)
+             .select("src", "dst"))
+    lms = seq.filter(F.col("rn") == 1).select(
+        F.col("doc").alias("node")).distinct()
+    lmd = graph.landmark_distances(edges, lms, max_depth=12)
+    return (lmd.groupBy("node")
+            .agg(F.max("distance").cast("bigint").alias("ecc_lb"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_roots")))
+
+
+def o_kg_eccentricity():
+    return f"""
+WITH RECURSIVE
+dec AS (SELECT DISTINCT subj AS doc, obj AS court FROM {_KG_SQL_SRC}
+        WHERE rec_type = 'triple' AND pred = 'decided_by'),
+seq AS (SELECT doc, court,
+               ROW_NUMBER() OVER (PARTITION BY court ORDER BY doc) AS rn
+        FROM dec),
+e0 AS (SELECT a.doc AS src, b.doc AS dst
+       FROM seq a JOIN seq b ON a.court = b.court AND b.rn = a.rn + 1),
+e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+p AS (SELECT DISTINCT doc AS root, doc AS node, 0 AS hops
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT p.root, e.dst, p.hops + 1
+      FROM p JOIN e ON e.src = p.node WHERE p.hops < 12),
+m AS (SELECT root, node, MIN(hops) AS d FROM p GROUP BY root, node)
+SELECT node, CAST(MAX(d) AS BIGINT) AS ecc_lb,
+       CAST(COUNT(*) AS BIGINT) AS n_roots
+FROM m GROUP BY node"""
+
+
 def q_kg_rules_goal(spark, sf_dir):
     """Goal-directed rule-program query (the sound half of magic sets):
     the program carries the alias-closure family AND an unrelated
@@ -8711,6 +8874,9 @@ QUERIES = {
     "kg_rules_goal": q_kg_rules_goal,
     "kg_shortest_paths": q_kg_shortest_paths,
     "kg_harmonic_centrality": q_kg_harmonic_centrality,
+    "kg_butterflies": q_kg_butterflies,
+    "kg_link_prediction": q_kg_link_prediction,
+    "kg_eccentricity": q_kg_eccentricity,
     "kg_rules_stratified_maintain": q_kg_rules_stratified_maintain,
     "kg_update_maintain": q_kg_update_maintain,
     "kg_graph_diff": q_kg_graph_diff,
@@ -8929,6 +9095,9 @@ ORACLES = {
     "kg_rules_goal": o_kg_rules_goal(),
     "kg_shortest_paths": o_kg_shortest_paths(),
     "kg_harmonic_centrality": o_kg_harmonic_centrality(),
+    "kg_butterflies": o_kg_butterflies(),
+    "kg_link_prediction": o_kg_link_prediction(),
+    "kg_eccentricity": o_kg_eccentricity(),
     "kg_rules_stratified_maintain": o_kg_rules_stratified_maintain(),
     "kg_update_maintain": o_kg_update_maintain(),
     "kg_graph_diff": o_kg_graph_diff(),

@@ -548,3 +548,28 @@ def test_landmark_distances_directed_and_capped(spark):
                                              directed=True).collect()}
     # directed: 1 is NOT reached (edge points 1->2); cap stops at 3
     assert got == {(2, 2): 0, (2, 3): 1}
+
+
+def test_butterfly_counts_hand_example(spark):
+    """d1:{s1,s2,s3} d2:{s1,s2} d3:{s2,s3} — co(s1,s2)=2, co(s2,s3)=2,
+    co(s1,s3)=1 → one butterfly on each 2-pair: b(s1)=1, b(s2)=2,
+    b(s3)=1.  Duplicate edge rows must not inflate counts."""
+    rows = [("d1", "s1"), ("d1", "s2"), ("d1", "s3"),
+            ("d2", "s1"), ("d2", "s2"),
+            ("d3", "s2"), ("d3", "s3"),
+            ("d2", "s1")]  # duplicate edge
+    bip = spark.createDataFrame(rows, ["left", "right"])
+    got = {r.node: r.butterflies
+           for r in graph.butterfly_counts(bip).collect()}
+    assert got == {"s1": 1, "s2": 2, "s3": 1}
+
+
+def test_butterfly_counts_hub_cap(spark):
+    """max_left_degree=2 drops the 3-statute doc BEFORE the pair join;
+    the remaining single-doc pairs close no butterflies → empty."""
+    rows = [("d1", "s1"), ("d1", "s2"), ("d1", "s3"),
+            ("d2", "s1"), ("d2", "s2"),
+            ("d3", "s2"), ("d3", "s3")]
+    bip = spark.createDataFrame(rows, ["left", "right"])
+    out = graph.butterfly_counts(bip, max_left_degree=2).collect()
+    assert out == []

@@ -150,6 +150,15 @@ SHOW = [
     ("kg_harmonic_centrality",
      "per-landmark BFS frontier joins + one integer-scaled harmonic "
      "aggregate (landmark sampling, not all-pairs)"),
+    ("kg_butterflies", "hub-capped per-doc pair self-join + C(co,2) "
+                       "wedge fold — exact bipartite butterfly census, "
+                       "no window, no double division"),
+    ("kg_link_prediction", "degree-filtered bipartite pair join + one "
+                           "grouped CN/RA aggregate + two broadcast "
+                           "marginal joins"),
+    ("kg_eccentricity", "per-landmark BFS reused under MAX/COUNT "
+                        "aggregation (eccentricity lower bounds + "
+                        "coverage)"),
     ("kg_rules_goal", "goal-directed program query: only the goal's "
                       "backward-reachable rules materialize, then one "
                       "goal match"),
