@@ -2702,6 +2702,43 @@ FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
 GROUP BY token ORDER BY n DESC, token ASC LIMIT 50"""
 
 
+def q_bpe_pair_stats(spark, sf_dir):
+    """BPE merge-candidate census — iteration 0 of byte-pair-encoding
+    tokenizer training: adjacent symbol-pair frequencies over the
+    corpus, top-50 = the merge table head.  Words bounded to 2..20
+    lowercase chars pin per-row fan-out at ≤19 pairs (the scale
+    contract); the pair space is ≤26² keys so partial (map-side)
+    aggregation collapses the shuffle to a few hundred rows per
+    partition — extreme key skew with NO salting needed, the case
+    where two-phase hash aggregation alone is the right plan.  Each
+    further BPE iteration is this same census re-run over the merged
+    symbol sequences; the loop is driver orchestration, the heavy step
+    stays this shape."""
+    words = (spark.read.parquet(_t(sf_dir, "documents"))
+             .select(F.explode(F.split(F.lower("text"), " "))
+                     .alias("w"))
+             .filter(F.col("w").rlike("^[a-z]+$")
+                     & F.length("w").between(2, 20)))
+    pairs = words.select(F.explode(F.expr(
+        "transform(sequence(1, length(w) - 1), "
+        "i -> substring(w, i, 2))")).alias("pair"))
+    return (pairs.groupBy("pair")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair")).limit(50))
+
+
+def o_bpe_pair_stats():
+    return """
+WITH w AS (
+  SELECT w FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+                 FROM documents)
+  WHERE regexp_matches(w, '^[a-z]+$') AND length(w) BETWEEN 2 AND 20
+),
+pos AS (SELECT w, unnest(range(1, length(w))) AS i FROM w)
+SELECT substr(w, i, 2) AS pair, count(*)::BIGINT AS n
+FROM pos GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50"""
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (hamming ≤ 8 on the 64-bit nibble-majority
     fingerprint) over the FULL documents table — the pigeonhole-banded
@@ -8787,6 +8824,7 @@ QUERIES = {
     "repetition_score": q_repetition_score,
     "case_type": q_case_type,
     "vocab_topk": q_vocab_topk,
+    "bpe_pair_stats": q_bpe_pair_stats,
     "simhash_pairs": q_simhash_pairs,
     "embedding_near_pairs": q_embedding_near_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -9010,6 +9048,7 @@ ORACLES = {
     "repetition_score": o_repetition_score(),
     "case_type": o_case_type(),
     "vocab_topk": o_vocab_topk(),
+    "bpe_pair_stats": o_bpe_pair_stats(),
     "simhash_pairs": o_simhash_pairs(),
     "embedding_near_pairs": o_embedding_near_pairs(),
     "ann_lsh_topk": o_ann_lsh_topk(),
