@@ -125,7 +125,8 @@ def main() -> None:
                      "embedding_class_stats", "kg_label_cooccurrence",
                      "kg_bridge_edges", "kg_ambiguous_provisions",
                      "dedup_posting_stats", "kg_ktruss",
-                     "kg_random_walks", "kg_walk_skipgrams",
+                     "kg_random_walks", "kg_biased_walks",
+                     "kg_walk_skipgrams",
                      "kg_neighbor_sample", "kg_walk_ppmi",
                      "kg_truss_communities",
                      # closed-form DeepWalk: walks→skipgrams→PPMI→SVD;

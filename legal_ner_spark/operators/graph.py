@@ -1052,3 +1052,116 @@ def butterfly_counts(bip: DataFrame, left: str = "left",
            .groupBy("node")
            .agg(F.sum("bf").cast("bigint").alias("butterflies")))
     return per.filter(F.col("butterflies") > 0)
+
+
+def biased_walks(edges: DataFrame, n_walks: int = 2, walk_len: int = 3,
+                 ret_w: int = 1, com_w: int = 2, far_w: int = 1,
+                 salt: str = "b",
+                 checkpoint_dir: str | None = None) -> DataFrame:
+    """Node2vec-style SECOND-ORDER biased walks with the same
+    deterministic md5 replay contract as `random_walks`: step t from
+    node v (arrived from p) picks among v's neighbours n with integer
+    weights ret_w (n = p, the 1/p return term), com_w (n adjacent to p,
+    the distance-1 term) or far_w (the 1/q exploration term) — integer
+    weights make the cumulative intervals exact, so the DuckDB oracle
+    replays the corpus byte-for-byte (rational p/q reduce to integers
+    by scaling).  Step 1 has no predecessor and is the uniform
+    first-order step.
+
+    Scale shape: second-order weighting is inherently per-wedge, the
+    known node2vec state blow-up — this implementation never
+    materializes the wedge table; each step joins the CURRENT frontier
+    against the adjacency (Σ deg(v) rows over visited v only), marks
+    the common-neighbour term with one LEFT equi-join against the edge
+    set, and builds cumulative intervals HUB-BOUNDED: per-(walk,
+    md5-bucket) prefix sums (≤ deg/256 rows per task) + a ≤256-row
+    bucket-offset window per walk — a mega-hub visit is 256 normal
+    tasks, the same two-level device as the first-order ranks.  The
+    frontier stays |nodes|·n_walks across steps (symmetric graph, no
+    dead ends)."""
+    from ..plans.checkpoint import Truncator
+    if min(ret_w, com_w, far_w) <= 0:
+        raise ValueError("weights must be positive integers")
+    trunc = Truncator(checkpoint_dir)
+    und0 = (edges.select("src", "dst")
+            .filter(F.col("src") != F.col("dst")).distinct())
+    und = trunc(
+        und0.union(und0.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst"))).distinct(),
+        "bw_edges")
+    nbr = (und.select(F.col("src").alias("nsrc"),
+                      F.col("dst").alias("ndst"))
+           .withColumn("_bk", F.substring(
+               F.md5(F.col("ndst").cast("string")), 1, 2)))
+    deg = und.groupBy(F.col("src").alias("dnode")).agg(
+        F.count(F.lit(1)).alias("deg"))
+    rank = (nbr.withColumn("r", F.row_number().over(
+        Window.partitionBy("nsrc").orderBy("_bk", "ndst")) - 1)
+        .select("nsrc", "ndst", "r"))
+    starts = (deg.select(F.col("dnode").alias("start_node"))
+              .withColumn("walk_id", F.explode(
+                  F.sequence(F.lit(0), F.lit(n_walks - 1)))))
+    out = starts.select("start_node", "walk_id",
+                        F.lit(0).cast("int").alias("step"),
+                        F.col("start_node").alias("node"))
+    # step 1: uniform first-order (no predecessor)
+    c1 = (F.conv(F.substring(F.md5(F.concat_ws(
+        "-", F.lit(salt), F.col("start_node"), F.col("walk_id"),
+        F.lit(1), F.col("start_node"))), 1, 8), 16, 10).cast("bigint")
+        % F.col("deg"))
+    cur = (starts.join(deg, F.col("start_node") == F.col("dnode"))
+           .withColumn("_c", c1)
+           .join(rank, (F.col("start_node") == F.col("nsrc"))
+                 & (F.col("_c") == F.col("r")))
+           .select("start_node", "walk_id",
+                   F.col("start_node").alias("prev"),
+                   F.col("ndst").alias("node")))
+    out = out.unionByName(cur.select(
+        "start_node", "walk_id", F.lit(1).cast("int").alias("step"),
+        "node"))
+    psym = und.select(F.col("src").alias("psrc"),
+                      F.col("dst").alias("pdst"),
+                      F.lit(1).alias("_adj"))
+    for step in range(2, walk_len + 1):
+        j = (cur.join(nbr, F.col("node") == F.col("nsrc"))
+             .join(psym, (F.col("prev") == F.col("psrc"))
+                   & (F.col("ndst") == F.col("pdst")), "left")
+             .withColumn("w", F.when(F.col("ndst") == F.col("prev"),
+                                     F.lit(ret_w))
+                         .when(F.col("_adj").isNotNull(), F.lit(com_w))
+                         .otherwise(F.lit(far_w)).cast("bigint"))
+             .select("start_node", "walk_id", "prev", "node",
+                     "ndst", "_bk", "w"))
+        j = trunc(j, f"bw_j{step}")
+        bk_tot = (j.groupBy("start_node", "walk_id", "_bk")
+                  .agg(F.sum("w").alias("_bw")))
+        tot = (bk_tot.groupBy("start_node", "walk_id")
+               .agg(F.sum("_bw").alias("_W")))
+        woff = (Window.partitionBy("start_node", "walk_id")
+                .orderBy("_bk")
+                .rowsBetween(Window.unboundedPreceding, -1))
+        boff = bk_tot.select(
+            "start_node", "walk_id", "_bk",
+            F.coalesce(F.sum("_bw").over(woff), F.lit(0)).alias("_boff"))
+        win = (Window.partitionBy("start_node", "walk_id", "_bk")
+               .orderBy("ndst")
+               .rowsBetween(Window.unboundedPreceding, -1))
+        choice = (F.conv(F.substring(F.md5(F.concat_ws(
+            "-", F.lit(salt), F.col("start_node"), F.col("walk_id"),
+            F.lit(step), F.col("node"))), 1, 8), 16, 10).cast("bigint")
+            % F.col("_W"))
+        cur = (j.withColumn("_cw", F.coalesce(
+                   F.sum("w").over(win), F.lit(0)))
+               .join(boff, ["start_node", "walk_id", "_bk"])
+               .join(tot, ["start_node", "walk_id"])
+               .withColumn("_cum", F.col("_cw") + F.col("_boff"))
+               .withColumn("_ch", choice)
+               .filter((F.col("_cum") <= F.col("_ch"))
+                       & (F.col("_ch") < F.col("_cum") + F.col("w")))
+               .select("start_node", "walk_id",
+                       F.col("node").alias("prev"),
+                       F.col("ndst").alias("node")))
+        out = out.unionByName(cur.select(
+            "start_node", "walk_id",
+            F.lit(step).cast("int").alias("step"), "node"))
+    return out

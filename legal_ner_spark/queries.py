@@ -5814,6 +5814,96 @@ def o_kg_random_walks(n_walks: int = 2, walk_len: int = 3):
     return f"WITH {ctes}\n{union}"
 
 
+def q_kg_biased_walks(spark, sf_dir):
+    """Node2vec-style SECOND-ORDER walk corpus over the statute
+    co-citation graph (`graph.biased_walks`): integer weights
+    (ret=1, com=2, far=1 — i.e. p=q=2 scaled by 2) steer each step by
+    where the walk CAME FROM, and every interval pick is md5-seeded, so
+    the unrolled DuckDB replay below is byte-exact — a value match
+    proves the wedge weighting (return / common-neighbour / explore),
+    the two-level cumulative intervals, and the modulus all agree
+    across engines.  The per-wedge state is never materialized: each
+    step weighs only the live frontier's neighbourhoods."""
+    from .operators import graph
+    e = _cocitation_edges(spark, sf_dir)
+    return graph.biased_walks(e.select(F.col("a").alias("src"),
+                                       F.col("b").alias("dst")),
+                              n_walks=2, walk_len=3,
+                              ret_w=1, com_w=2, far_w=1,
+                              checkpoint_dir=_ckpt_dir(spark))
+
+
+def _biased_walk_sql_parts(n_walks: int = 2, walk_len: int = 3,
+                           ret_w: int = 1, com_w: int = 2,
+                           far_w: int = 1):
+    """(cte_body, union_select) replaying `graph.biased_walks`: step 1
+    is the uniform rank pick; steps ≥2 weigh each neighbour by the
+    node2vec return/common/explore class and pick the cumulative
+    interval (ordered by (md5-bucket, dst), exclusive prefix sum)
+    containing md5 mod total-weight."""
+    ctes = f"""ds AS MATERIALIZED ({_COCITE_EDGES_SQL}
+), sym AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM ds UNION
+  SELECT b AS src, a AS dst FROM ds
+), nbr AS MATERIALIZED (
+  SELECT src, dst, substr(md5(dst::VARCHAR), 1, 2) AS bk,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY substr(md5(dst::VARCHAR), 1, 2),
+                                     dst) - 1 AS r
+  FROM sym
+), deg AS MATERIALIZED (
+  SELECT src, count(*) AS deg FROM sym GROUP BY src
+), w0 AS MATERIALIZED (
+  SELECT src AS start_node, w AS walk_id, src AS node
+  FROM deg, (SELECT unnest(generate_series(0, {n_walks - 1})) AS w)
+), w1 AS MATERIALIZED (
+  SELECT c.start_node, c.walk_id, c.node AS prev, n.dst AS node
+  FROM w0 c
+  JOIN deg d ON c.node = d.src
+  JOIN nbr n ON n.src = c.node
+   AND n.r = (('0x' || substr(md5(
+         'b-' || c.start_node || '-' || c.walk_id::VARCHAR
+         || '-' || '1' || '-' || c.node), 1, 8))::UBIGINT
+       % d.deg::UBIGINT)::BIGINT
+)"""
+    for t in range(2, walk_len + 1):
+        ctes += f""", j{t} AS MATERIALIZED (
+  SELECT c.start_node, c.walk_id, c.prev, c.node, n.dst AS ndst, n.bk,
+         CASE WHEN n.dst = c.prev THEN {ret_w}
+              WHEN s2.src IS NOT NULL THEN {com_w}
+              ELSE {far_w} END AS w
+  FROM w{t-1} c
+  JOIN nbr n ON n.src = c.node
+  LEFT JOIN sym s2 ON s2.src = c.prev AND s2.dst = n.dst
+), w{t} AS MATERIALIZED (
+  SELECT start_node, walk_id, node AS prev, ndst AS node FROM (
+    SELECT j.*,
+      COALESCE(SUM(w) OVER (PARTITION BY start_node, walk_id
+               ORDER BY bk, ndst
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cum,
+      SUM(w) OVER (PARTITION BY start_node, walk_id) AS tw,
+      (('0x' || substr(md5(
+          'b-' || start_node || '-' || walk_id::VARCHAR
+          || '-' || '{t}' || '-' || node), 1, 8))::UBIGINT
+        % (SUM(w) OVER (PARTITION BY start_node, walk_id))::UBIGINT
+      )::BIGINT AS ch
+    FROM j{t} j
+  ) WHERE cum <= ch AND ch < cum + w
+)"""
+    parts = ["SELECT start_node, walk_id::INT AS walk_id, 0::INT AS "
+             "step, node FROM w0"]
+    parts += [f"SELECT start_node, walk_id::INT AS walk_id, "
+              f"{t}::INT AS step, node FROM w{t}"
+              for t in range(1, walk_len + 1)]
+    return ctes, "\nUNION ALL\n".join(parts)
+
+
+def o_kg_biased_walks(n_walks: int = 2, walk_len: int = 3):
+    ctes, union = _biased_walk_sql_parts(n_walks, walk_len)
+    return f"WITH {ctes}\n{union}"
+
+
 def q_kg_walk_skipgrams(spark, sf_dir):
     """Skip-gram (center, context) pair counts from the deterministic
     walk corpus — the word2vec training pairs / PMI sufficient
@@ -8884,6 +8974,7 @@ QUERIES = {
     "semantic_dedup_stats": q_semantic_dedup_stats,
     "kg_ktruss": q_kg_ktruss,
     "kg_random_walks": q_kg_random_walks,
+    "kg_biased_walks": q_kg_biased_walks,
     "kg_walk_skipgrams": q_kg_walk_skipgrams,
     "kg_neighbor_sample": q_kg_neighbor_sample,
     "kg_walk_ppmi": q_kg_walk_ppmi,
@@ -9108,6 +9199,7 @@ ORACLES = {
     "semantic_dedup_stats": o_semantic_dedup_stats(),
     "kg_ktruss": o_kg_ktruss(),
     "kg_random_walks": o_kg_random_walks(),
+    "kg_biased_walks": o_kg_biased_walks(),
     "kg_walk_skipgrams": o_kg_walk_skipgrams(),
     "kg_neighbor_sample": o_kg_neighbor_sample(),
     "kg_walk_ppmi": o_kg_walk_ppmi(),

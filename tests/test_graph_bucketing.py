@@ -573,3 +573,76 @@ def test_butterfly_counts_hub_cap(spark):
     bip = spark.createDataFrame(rows, ["left", "right"])
     out = graph.butterfly_counts(bip, max_left_degree=2).collect()
     assert out == []
+
+
+def _py_biased_walks(edges, n_walks, walk_len, ret_w, com_w, far_w,
+                     salt="b"):
+    """Pure-Python replay of graph.biased_walks' md5 contract."""
+    import hashlib
+
+    adj = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    order = {v: sorted(ns, key=lambda n: (
+        hashlib.md5(str(n).encode()).hexdigest()[:2], n))
+        for v, ns in adj.items()}
+
+    def h(start, w, t, node):
+        seed = f"{salt}-{start}-{w}-{t}-{node}"
+        return int(hashlib.md5(seed.encode()).hexdigest()[:8], 16)
+
+    out = []
+    for start in adj:
+        for w in range(n_walks):
+            node, prev = start, None
+            out.append((start, w, 0, node))
+            for t in range(1, walk_len + 1):
+                ns = order[node]
+                if t == 1:
+                    nxt = ns[h(start, w, t, node) % len(ns)]
+                else:
+                    ws = [ret_w if n == prev
+                          else com_w if n in adj[prev]
+                          else far_w for n in ns]
+                    ch = h(start, w, t, node) % sum(ws)
+                    cum = 0
+                    for n, wt in zip(ns, ws):
+                        if cum <= ch < cum + wt:
+                            nxt = n
+                            break
+                        cum += wt
+                prev, node = node, nxt
+                out.append((start, w, t, node))
+    return sorted(out)
+
+
+def test_biased_walks_matches_python_replay(spark):
+    """Operator output equals the pure-Python md5 replay on a graph
+    with triangles (common-neighbour class exercised), a tail (return
+    class forced), and asymmetric weights."""
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 3),
+             (1, 6)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    got = sorted((r.start_node, r.walk_id, r.step, r.node)
+                 for r in graph.biased_walks(
+                     e, n_walks=2, walk_len=3,
+                     ret_w=3, com_w=2, far_w=1).collect())
+    assert got == _py_biased_walks(edges, 2, 3, 3, 2, 1)
+
+
+def test_biased_walks_return_bias_dominates(spark):
+    """ret_w >> others: at step 2 nearly every walk bounces back to
+    its start (the 1/p return term steering the pick)."""
+    edges = [(i, j) for i in range(8) for j in range(i + 1, 8)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    rows = graph.biased_walks(e, n_walks=2, walk_len=2,
+                              ret_w=10**6, com_w=1, far_w=1).collect()
+    s2 = {(r.start_node, r.walk_id): r.node
+          for r in rows if r.step == 2}
+    back = sum(1 for (start, _), node in s2.items() if node == start)
+    assert back / len(s2) > 0.8
+    with pytest.raises(ValueError, match="positive"):
+        graph.biased_walks(e, ret_w=0)

@@ -150,6 +150,10 @@ SHOW = [
     ("kg_harmonic_centrality",
      "per-landmark BFS frontier joins + one integer-scaled harmonic "
      "aggregate (landmark sampling, not all-pairs)"),
+    ("kg_biased_walks", "second-order frontier weighting: adjacency "
+                        "join + LEFT edge-membership join + two-level "
+                        "weighted-interval pick per step, no wedge "
+                        "materialization"),
     ("kg_butterflies", "hub-capped per-doc pair self-join + C(co,2) "
                        "wedge fold — exact bipartite butterfly census, "
                        "no window, no double division"),
