@@ -418,6 +418,34 @@ def _ktruss_support(cur: DataFrame,
         F.count(F.lit(1)).cast("bigint").alias("support"))
 
 
+def _ranked_neighbors(nbr0: DataFrame, deg: DataFrame,
+                      hub_threshold: int) -> DataFrame:
+    """(nsrc, ndst, r): per-node neighbour rank in (md5-bucket, dst)
+    order, realized adaptively — a one-row max-degree probe picks a
+    single per-node window (cheapest on ordinary graphs) or the
+    HUB-BOUNDED two-level form (per-(node, bucket) windows ~deg/256
+    rows per task + a ≤256-row offset window per node).  Both plans
+    realize the identical rank function; shared by `random_walks` and
+    `biased_walks`."""
+    max_d = deg.agg(F.max("deg")).collect()[0][0] or 0
+    if max_d <= hub_threshold:
+        return (nbr0.withColumn("r", F.row_number().over(
+            Window.partitionBy("nsrc").orderBy("_bk", "ndst")) - 1)
+            .select("nsrc", "ndst", "r"))
+    cnt = (nbr0.groupBy("nsrc", "_bk")
+           .agg(F.count(F.lit(1)).alias("_n")))
+    woff = (Window.partitionBy("nsrc").orderBy("_bk")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    off = cnt.select("nsrc", "_bk",
+                     F.coalesce(F.sum("_n").over(woff), F.lit(0))
+                     .alias("_off"))
+    return (nbr0.withColumn("_r0", F.row_number().over(
+               Window.partitionBy("nsrc", "_bk").orderBy("ndst")) - 1)
+            .join(off, ["nsrc", "_bk"])
+            .select("nsrc", "ndst",
+                    (F.col("_r0") + F.col("_off")).alias("r")))
+
+
 def random_walks(edges: DataFrame, n_walks: int = 2, walk_len: int = 3,
                  salt: str = "w", hub_threshold: int = 65536,
                  checkpoint_dir: str | None = None) -> DataFrame:
@@ -469,24 +497,7 @@ def random_walks(edges: DataFrame, n_walks: int = 2, walk_len: int = 3,
                 F.md5(F.col("ndst").cast("string")), 1, 2)))
     deg = und.groupBy(F.col("src").alias("dnode")).agg(
         F.count(F.lit(1)).alias("deg"))
-    max_d = deg.agg(F.max("deg")).collect()[0][0] or 0
-    if max_d <= hub_threshold:
-        nbr = (nbr0.withColumn("r", F.row_number().over(
-            Window.partitionBy("nsrc").orderBy("_bk", "ndst")) - 1)
-            .select("nsrc", "ndst", "r"))
-    else:
-        cnt = (nbr0.groupBy("nsrc", "_bk")
-               .agg(F.count(F.lit(1)).alias("_n")))
-        woff = (Window.partitionBy("nsrc").orderBy("_bk")
-                .rowsBetween(Window.unboundedPreceding, -1))
-        off = cnt.select("nsrc", "_bk",
-                         F.coalesce(F.sum("_n").over(woff), F.lit(0))
-                         .alias("_off"))
-        nbr = (nbr0.withColumn("_r0", F.row_number().over(
-                   Window.partitionBy("nsrc", "_bk").orderBy("ndst")) - 1)
-               .join(off, ["nsrc", "_bk"])
-               .select("nsrc", "ndst",
-                       (F.col("_r0") + F.col("_off")).alias("r")))
+    nbr = _ranked_neighbors(nbr0, deg, hub_threshold)
     frontier = (deg.select(F.col("dnode").alias("start_node"))
                 .withColumn("walk_id", F.explode(
                     F.sequence(F.lit(0), F.lit(n_walks - 1))))
@@ -1057,6 +1068,7 @@ def butterfly_counts(bip: DataFrame, left: str = "left",
 def biased_walks(edges: DataFrame, n_walks: int = 2, walk_len: int = 3,
                  ret_w: int = 1, com_w: int = 2, far_w: int = 1,
                  salt: str = "b",
+                 second_order_max_degree: int | None = None,
                  checkpoint_dir: str | None = None) -> DataFrame:
     """Node2vec-style SECOND-ORDER biased walks with the same
     deterministic md5 replay contract as `random_walks`: step t from
@@ -1078,7 +1090,17 @@ def biased_walks(edges: DataFrame, n_walks: int = 2, walk_len: int = 3,
     bucket-offset window per walk — a mega-hub visit is 256 normal
     tasks, the same two-level device as the first-order ranks.  The
     frontier stays |nodes|·n_walks across steps (symmetric graph, no
-    dead ends)."""
+    dead ends).
+
+    What no plan can bound is the per-visit Σ deg(v) itself: a walk
+    standing on a 10⁷-degree hub must weigh 10⁷ wedges — the node2vec
+    state blow-up in frontier form.  ``second_order_max_degree`` is
+    the practical mitigation (cap-and-fall-back, the PinSAGE-style
+    degree cap): visits to nodes ABOVE the cap take the uniform
+    first-order step (one rank equi-join, no weighting), below it the
+    exact second-order pick — hub visits cost O(1) per walk instead of
+    O(deg).  None = exact second-order everywhere (the oracle-replayed
+    contract)."""
     from ..plans.checkpoint import Truncator
     if min(ret_w, com_w, far_w) <= 0:
         raise ValueError("weights must be positive integers")
@@ -1095,9 +1117,7 @@ def biased_walks(edges: DataFrame, n_walks: int = 2, walk_len: int = 3,
                F.md5(F.col("ndst").cast("string")), 1, 2)))
     deg = und.groupBy(F.col("src").alias("dnode")).agg(
         F.count(F.lit(1)).alias("deg"))
-    rank = (nbr.withColumn("r", F.row_number().over(
-        Window.partitionBy("nsrc").orderBy("_bk", "ndst")) - 1)
-        .select("nsrc", "ndst", "r"))
+    rank = _ranked_neighbors(nbr, deg, hub_threshold=65536)
     starts = (deg.select(F.col("dnode").alias("start_node"))
               .withColumn("walk_id", F.explode(
                   F.sequence(F.lit(0), F.lit(n_walks - 1)))))
@@ -1123,7 +1143,25 @@ def biased_walks(edges: DataFrame, n_walks: int = 2, walk_len: int = 3,
                       F.col("dst").alias("pdst"),
                       F.lit(1).alias("_adj"))
     for step in range(2, walk_len + 1):
-        j = (cur.join(nbr, F.col("node") == F.col("nsrc"))
+        base, hub_next = cur, None
+        if second_order_max_degree is not None:
+            curd = cur.join(deg, F.col("node") == F.col("dnode"))
+            base = (curd.filter(F.col("deg")
+                                <= second_order_max_degree)
+                    .select("start_node", "walk_id", "prev", "node"))
+            hc = (F.conv(F.substring(F.md5(F.concat_ws(
+                "-", F.lit(salt), F.col("start_node"),
+                F.col("walk_id"), F.lit(step), F.col("node"))), 1, 8),
+                16, 10).cast("bigint") % F.col("deg"))
+            hub_next = (curd.filter(F.col("deg")
+                                    > second_order_max_degree)
+                        .withColumn("_c", hc)
+                        .join(rank, (F.col("node") == F.col("nsrc"))
+                              & (F.col("_c") == F.col("r")))
+                        .select("start_node", "walk_id",
+                                F.col("node").alias("prev"),
+                                F.col("ndst").alias("node")))
+        j = (base.join(nbr, F.col("node") == F.col("nsrc"))
              .join(psym, (F.col("prev") == F.col("psrc"))
                    & (F.col("ndst") == F.col("pdst")), "left")
              .withColumn("w", F.when(F.col("ndst") == F.col("prev"),
@@ -1161,6 +1199,8 @@ def biased_walks(edges: DataFrame, n_walks: int = 2, walk_len: int = 3,
                .select("start_node", "walk_id",
                        F.col("node").alias("prev"),
                        F.col("ndst").alias("node")))
+        if hub_next is not None:
+            cur = cur.unionByName(hub_next)
         out = out.unionByName(cur.select(
             "start_node", "walk_id",
             F.lit(step).cast("int").alias("step"), "node"))

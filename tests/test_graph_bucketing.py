@@ -646,3 +646,64 @@ def test_biased_walks_return_bias_dominates(spark):
     assert back / len(s2) > 0.8
     with pytest.raises(ValueError, match="positive"):
         graph.biased_walks(e, ret_w=0)
+
+
+def test_biased_walks_hub_fallback(spark):
+    """second_order_max_degree: visits to nodes above the cap take the
+    uniform first-order step (md5 mod deg), below it the exact
+    second-order pick — verified against a Python replay that applies
+    the same split on a star-with-ring graph."""
+    import hashlib
+
+    edges = ([(0, i) for i in range(1, 10)]
+             + [(i, i + 1) for i in range(1, 9)] + [(9, 1)])
+    cap = 5
+
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    order = {v: sorted(ns, key=lambda n: (
+        hashlib.md5(str(n).encode()).hexdigest()[:2], n))
+        for v, ns in adj.items()}
+
+    def h(start, w, t, node):
+        seed = f"b-{start}-{w}-{t}-{node}"
+        return int(hashlib.md5(seed.encode()).hexdigest()[:8], 16)
+
+    expect = []
+    for start in adj:
+        for w in range(2):
+            node, prev = start, None
+            expect.append((start, w, 0, node))
+            for t in range(1, 4):
+                ns = order[node]
+                if t == 1 or len(ns) > cap:
+                    nxt = ns[h(start, w, t, node) % len(ns)]
+                else:
+                    ws = [3 if n == prev else 2 if n in adj[prev]
+                          else 1 for n in ns]
+                    ch = h(start, w, t, node) % sum(ws)
+                    cum = 0
+                    for n, wt in zip(ns, ws):
+                        if cum <= ch < cum + wt:
+                            nxt = n
+                            break
+                        cum += wt
+                prev, node = node, nxt
+                expect.append((start, w, t, node))
+
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    got = sorted((r.start_node, r.walk_id, r.step, r.node)
+                 for r in graph.biased_walks(
+                     e, n_walks=2, walk_len=3, ret_w=3, com_w=2,
+                     far_w=1, second_order_max_degree=cap).collect())
+    assert got == sorted(expect)
+    # the hub (deg 9) was actually visited at second-order steps, so
+    # the fallback branch is exercised, and results differ from the
+    # uncapped corpus
+    uncapped = sorted((r.start_node, r.walk_id, r.step, r.node)
+                      for r in graph.biased_walks(
+                          e, n_walks=2, walk_len=3, ret_w=3, com_w=2,
+                          far_w=1).collect())
+    assert got != uncapped
