@@ -5149,6 +5149,65 @@ SELECT count(*)::BIGINT AS n_vocab,
 FROM ranked"""
 
 
+def q_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve — the tokenizer-sizing report: what
+    fraction of all token OCCURRENCES the top-k vocabulary covers, for
+    k ∈ {100, 1k, 10k} (the elbow of this curve is how vocab sizes get
+    chosen).  Rank is the same DISTRIBUTED freq-partitioned device as
+    `zipf_slope` (tie windows within a frequency class + a tiny
+    broadcast cumulative-offset table — no global window over the
+    vocabulary); the three coverages then fold into ONE conditional
+    aggregate pass, unpivoted driver-free via an inline array."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    vocab = (docs.select(F.explode(F.split(F.lower("text"), " "))
+                         .alias("w"))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("f")))
+    ftot = vocab.groupBy("f").agg(F.count(F.lit(1)).alias("nf"))
+    wcum = (Window.orderBy(F.desc("f"))
+            .rowsBetween(Window.unboundedPreceding, -1))
+    foff = ftot.withColumn("off", F.coalesce(F.sum("nf").over(wcum),
+                                             F.lit(0)))
+    wtie = Window.partitionBy("f").orderBy("w")
+    ranked = (vocab.join(F.broadcast(foff.select("f", "off")), "f")
+              .withColumn("rank",
+                          F.row_number().over(wtie) + F.col("off")))
+    ks = [100, 1000, 10000]
+    row = ranked.agg(
+        *[F.sum(F.when(F.col("rank") <= k, F.col("f")).otherwise(0))
+          .alias(f"c{k}") for k in ks],
+        F.sum("f").alias("total"))
+    return (row.select(F.explode(F.array(*[
+                F.struct(F.lit(k).cast("bigint").alias("k"),
+                         F.col(f"c{k}").cast("bigint").alias("covered"))
+                for k in ks])).alias("s"), "total")
+            .select(F.col("s.k").alias("k"),
+                    F.col("s.covered").alias("covered"),
+                    F.round(F.col("s.covered") / F.col("total"), 4)
+                    .alias("coverage")))
+
+
+def o_vocab_coverage():
+    return """
+WITH vocab AS (
+  SELECT w, count(*) AS f FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents) t
+  GROUP BY w
+),
+ranked AS (
+  SELECT f, row_number() OVER (ORDER BY f DESC, w) AS rank FROM vocab
+),
+tot AS (SELECT SUM(f) AS total FROM vocab),
+cov AS (
+  SELECT k, SUM(CASE WHEN rank <= k THEN f ELSE 0 END)::BIGINT
+            AS covered
+  FROM ranked, (SELECT unnest([100, 1000, 10000]) AS k) ks
+  GROUP BY k
+)
+SELECT k::BIGINT AS k, covered,
+       round(covered * 1.0 / total, 4) AS coverage
+FROM cov, tot"""
+
+
 _PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
 
 
@@ -8962,6 +9021,7 @@ QUERIES = {
     "dataset_split": q_dataset_split,
     "ngram_diversity": q_ngram_diversity,
     "zipf_slope": q_zipf_slope,
+    "vocab_coverage": q_vocab_coverage,
     "corpus_pivot": q_corpus_pivot,
     "chunk_windows": q_chunk_windows,
     "oov_rate": q_oov_rate,
@@ -9187,6 +9247,7 @@ ORACLES = {
     "dataset_split": o_dataset_split(),
     "ngram_diversity": o_ngram_diversity(),
     "zipf_slope": o_zipf_slope(),
+    "vocab_coverage": o_vocab_coverage(),
     "corpus_pivot": o_corpus_pivot(),
     "chunk_windows": o_chunk_windows(),
     "oov_rate": o_oov_rate(),
