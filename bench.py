@@ -95,6 +95,7 @@ def main() -> None:
                      "repetition_score", "windowed_counts",
                      "salted_join_agg", "kg_statute_triangles",
                      "kg_precedent_components",
+                     "kg_components_incremental",
                      "corpus_sample", "corpus_rollup", "rolling_events",
                      "interval_events", "digest_prune_agg", "kg_kcore",
                      "session_window_counts",

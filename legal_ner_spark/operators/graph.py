@@ -1205,3 +1205,48 @@ def biased_walks(edges: DataFrame, n_walks: int = 2, walk_len: int = 3,
             "start_node", "walk_id",
             F.lit(step).cast("int").alias("step"), "node"))
     return out
+
+
+def wcc_incremental(labels: DataFrame, new_edges: DataFrame,
+                    checkpoint_dir: str | None = None) -> DataFrame:
+    """Maintain a weakly-connected-components labelling under edge
+    INSERTS without recomputing untouched components — the graph-tier
+    analogue of the incremental dedup index.  Inserts only merge
+    components (monotone), so maintenance is exact: endpoints unseen
+    by ``labels`` enter as singletons, each new edge maps to its
+    endpoint COMPONENT pair through two label equi-joins, and the
+    distinct inter-component pairs form a component graph with at most
+    |new edges| edges — orders of magnitude smaller than the corpus —
+    on which the full `weakly_connected_components` runs.  The
+    resulting (old component → merged component) remap is
+    BROADCAST-joined back over the labels: the only full-size pass is
+    one narrow map-side join, and component ids stay "min node id of
+    the component" (min of mins), so maintained output is IDENTICAL to
+    a from-scratch run over old ∪ new edges — the property the oracle
+    and the fuzz test pin.  Deletes are NOT supported (they split
+    components; rerun from scratch or use the DRed-style rule
+    machinery), and unioned inputs are deduplicated."""
+    e = (new_edges.select("src", "dst")
+         .filter(F.col("src") != F.col("dst")).distinct())
+    ends = (e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node"))).distinct())
+    singles = (ends.join(labels.select("node"), "node", "left_anti")
+               .withColumn("component", F.col("node")))
+    lab2 = labels.select("node", "component").unionByName(singles)
+    la = lab2.select(F.col("node").alias("src"),
+                     F.col("component").alias("ca"))
+    lb = lab2.select(F.col("node").alias("dst"),
+                     F.col("component").alias("cb"))
+    comp_edges = (e.join(la, "src").join(lb, "dst")
+                  .filter(F.col("ca") != F.col("cb"))
+                  .select(F.col("ca").alias("src"),
+                          F.col("cb").alias("dst")).distinct())
+    if comp_edges.isEmpty():
+        return lab2
+    merged = weakly_connected_components(comp_edges,
+                                         checkpoint_dir=checkpoint_dir)
+    remap = merged.select(F.col("node").alias("component"),
+                          F.col("component").alias("newc"))
+    return (lab2.join(F.broadcast(remap), "component", "left")
+            .select("node", F.coalesce("newc", "component")
+                    .alias("component")))

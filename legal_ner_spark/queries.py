@@ -4480,6 +4480,38 @@ SELECT src AS node, min(dst) AS component FROM reach GROUP BY src""".format(
         src=_KG_SQL_SRC)
 
 
+def q_kg_components_incremental(spark, sf_dir):
+    """Incrementally MAINTAINED case communities
+    (`graph.wcc_incremental`): the citation graph arrives in two
+    batches (md5-split on doc_id), the base batch is labelled by the
+    full CC operator, and the delta batch merges in through the
+    component-graph path — two label equi-joins, a CC run over ≤|delta|
+    component edges, one broadcast remap over the labels.  The oracle
+    is the SAME from-scratch closure `kg_precedent_components` uses
+    over ALL edges: maintained labels must be identical, including
+    min-node component ids (min-of-mins survives the rebase) and
+    delta-only nodes entering as singletons before merging."""
+    from .operators.graph import (weakly_connected_components,
+                                  wcc_incremental)
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    edges = (tri.filter(F.col("pred") == "cites_precedent")
+             .select(F.concat(F.lit("d:"), "doc_id").alias("src"),
+                     F.concat(F.lit("p:"), "obj").alias("dst"))
+             .distinct())
+    base = edges.filter(F.md5(F.col("src")) < "8")
+    delta = edges.filter(~(F.md5(F.col("src")) < "8"))
+    labels = weakly_connected_components(
+        base, checkpoint_dir=_ckpt_dir(spark))
+    return wcc_incremental(labels, delta,
+                           checkpoint_dir=_ckpt_dir(spark))
+
+
+def o_kg_components_incremental():
+    # the from-scratch closure over ALL edges — maintenance must
+    # change nothing
+    return o_kg_precedent_components()
+
+
 def q_kg_statute_triangles(spark, sf_dir):
     """Triangles in the statute co-citation graph (triples of statutes
     pairwise co-cited by at least one document) — the classic
@@ -9006,6 +9038,7 @@ QUERIES = {
     "kg_statute_degree": q_kg_statute_degree,
     "kg_statute_cocitation": q_kg_statute_cocitation,
     "kg_precedent_components": q_kg_precedent_components,
+    "kg_components_incremental": q_kg_components_incremental,
     "kg_statute_triangles": q_kg_statute_triangles,
     "kg_kcore": q_kg_kcore,
     "kg_citation_distance": q_kg_citation_distance,
@@ -9232,6 +9265,7 @@ ORACLES = {
     "kg_statute_degree": o_kg_statute_degree(),
     "kg_statute_cocitation": o_kg_statute_cocitation(),
     "kg_precedent_components": o_kg_precedent_components(),
+    "kg_components_incremental": o_kg_components_incremental(),
     "kg_statute_triangles": o_kg_statute_triangles(),
     "kg_kcore": o_kg_kcore(),
     "kg_citation_distance": o_kg_citation_distance(),

@@ -707,3 +707,55 @@ def test_biased_walks_hub_fallback(spark):
                           e, n_walks=2, walk_len=3, ret_w=3, com_w=2,
                           far_w=1).collect())
     assert got != uncapped
+
+
+def test_wcc_incremental_merges_and_singletons(spark):
+    """Base: two chains {0-1-2} {5-6}; delta bridges them (2,5) and
+    brings a brand-new component {8,9}.  Maintained labels must equal
+    from-scratch WCC over the union, min-node ids included."""
+    base = spark.createDataFrame([(0, 1), (1, 2), (5, 6)],
+                                 ["src", "dst"])
+    delta = spark.createDataFrame([(2, 5), (8, 9)], ["src", "dst"])
+    labels = graph.weakly_connected_components(base)
+    got = sorted((r.node, r.component)
+                 for r in graph.wcc_incremental(labels, delta).collect())
+    full = sorted((r.node, r.component)
+                  for r in graph.weakly_connected_components(
+                      base.unionByName(delta)).collect())
+    assert got == full
+    assert dict(got)[9] == 8 and dict(got)[6] == 0
+
+
+def test_wcc_incremental_noop_delta_is_identity(spark):
+    """Delta edges entirely WITHIN existing components change no
+    label (the component graph is empty — no CC run at all)."""
+    base = spark.createDataFrame([(0, 1), (1, 2)], ["src", "dst"])
+    labels = graph.weakly_connected_components(base)
+    delta = spark.createDataFrame([(0, 2)], ["src", "dst"])
+    got = sorted((r.node, r.component)
+                 for r in graph.wcc_incremental(labels, delta).collect())
+    assert got == sorted((r.node, r.component) for r in labels.collect())
+
+
+def test_wcc_incremental_fuzz_random_splits(spark):
+    """Random graphs, random base/delta splits: maintained ≡
+    from-scratch over the union, exactly."""
+    import random
+    rng = random.Random(47)
+    for trial in range(3):
+        n = 30
+        edges = [(rng.randrange(n), rng.randrange(n))
+                 for _ in range(40)]
+        edges = [e for e in edges if e[0] != e[1]]
+        cut = rng.randrange(1, len(edges) - 1)
+        base = spark.createDataFrame(edges[:cut], ["src", "dst"])
+        delta = spark.createDataFrame(edges[cut:], ["src", "dst"])
+        labels = graph.weakly_connected_components(base)
+        got = sorted((r.node, r.component)
+                     for r in graph.wcc_incremental(labels,
+                                                    delta).collect())
+        full = sorted((r.node, r.component)
+                      for r in graph.weakly_connected_components(
+                          spark.createDataFrame(
+                              edges, ["src", "dst"])).collect())
+        assert got == full, f"trial {trial}"

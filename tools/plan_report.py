@@ -150,6 +150,9 @@ SHOW = [
     ("kg_harmonic_centrality",
      "per-landmark BFS frontier joins + one integer-scaled harmonic "
      "aggregate (landmark sampling, not all-pairs)"),
+    ("kg_components_incremental",
+     "incremental WCC: two label equi-joins lift the delta to a tiny "
+     "component graph, CC solves it, one broadcast remap rebases"),
     ("kg_biased_walks", "second-order frontier weighting: adjacency "
                         "join + LEFT edge-membership join + two-level "
                         "weighted-interval pick per step, no wedge "
