@@ -925,3 +925,99 @@ def read_stratified_facts(spark: SparkSession, state_dir: str,
     tri = (spark.read.parquet(os.path.join(state_dir, "triples"))
            .drop("batch_tag"))
     return tri.unionByName(drv)
+
+
+def stream_components(spark: SparkSession, edges_dir: str,
+                      state_dir: str, checkpoint_dir: str, *,
+                      keep_snapshots: int = 2) -> StreamingQuery:
+    """Continuous connected-components maintenance over streaming edge
+    batches — the streaming twin of `graph.wcc_incremental`.  Edge
+    arrivals only MERGE components (insert-only, monotone), so the
+    incremental maintainer is exact per batch; but a merge REWRITES
+    labels, so a grow-only append store cannot represent the labelling
+    — the label table is a full SNAPSHOT per batch under the atomic
+    `_current.json` manifest (the stratified twin's layout, which is
+    itself the dedup-index commit idiom).  Batch 0 (or a run with no
+    committed snapshot) labels from scratch; every later batch lifts
+    its edges to the ≤|batch|-edge component graph, solves that, and
+    broadcast-rebases the prior snapshot.
+
+    Costs, stated honestly: per-batch COMPUTE is O(batch + one tiny CC
+    solve); per-batch WRITE is O(nodes) for the snapshot — the price
+    of label rewrites, the same compute/write trade the stratified
+    twin documents.  Edges append under ``edges/batch_tag=…``; labels
+    under ``comp_index/snap=batch-NNNNNN/labels``.
+
+    Exactly-once across restarts: a replayed batch overwrites its OWN
+    edges subdir and snap directory, and the prior-labels read
+    resolves through the manifest HISTORY skipping the batch's own
+    snapshot (covering a crash after the flip) — hence
+    ``keep_snapshots`` ≥ 2, same argument as the stratified twin.
+    Deletes are refused by the underlying maintainer's contract
+    (component splits need a from-scratch run)."""
+    import json
+    import os
+    import shutil
+    from ..operators import graph
+    from ..operators.dedup import _manifest_history
+
+    if keep_snapshots < 2:
+        raise ValueError(
+            "keep_snapshots must be >= 2: a replayed batch resolves its "
+            "prior state through the SUPERSEDED snapshot, which must "
+            "survive until the next batch's commit")
+    schema = spark.read.parquet(edges_dir).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(edges_dir))
+    e_store = os.path.join(state_dir, "edges")
+    cidx = os.path.join(state_dir, "comp_index")
+    man_name = "_current.json"
+
+    def process(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sp = batch_df.sparkSession
+        tag = f"batch-{batch_id:06d}"
+        delta = batch_df.select("src", "dst")
+
+        hist = [e for e in _manifest_history(cidx, man_name)
+                if e["snapshot"] != tag]       # replay: skip own snap
+        if hist:
+            labels = sp.read.parquet(hist[-1]["tables"]["labels"])
+            nd = graph.wcc_incremental(labels, delta)
+        else:
+            nd = graph.weakly_connected_components(delta)
+
+        snap_dir = os.path.join(cidx, f"snap={tag}", "labels")
+        nd.write.mode("overwrite").parquet(snap_dir)
+        (delta.write.mode("overwrite")
+         .parquet(os.path.join(e_store, f"batch_tag={tag}")))
+
+        hist = hist + [{"snapshot": tag,
+                        "tables": {"labels": snap_dir}}]
+        dropped, hist = hist[:-keep_snapshots], hist[-keep_snapshots:]
+        manifest = {"snapshot": tag, "tables": {"labels": snap_dir},
+                    "history": hist}
+        tmp = os.path.join(cidx, f".{man_name}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.rename(tmp, os.path.join(cidx, man_name))   # commit point
+        for e in dropped:                               # post-commit vacuum
+            shutil.rmtree(os.path.join(cidx, f"snap={e['snapshot']}"),
+                          ignore_errors=True)
+
+    return (stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())
+
+
+def read_components(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained (node, component) labelling — resolved through
+    the component index's manifest, so a reader always sees one
+    committed snapshot."""
+    import json
+    import os
+    cidx = os.path.join(state_dir, "comp_index")
+    with open(os.path.join(cidx, "_current.json")) as fh:
+        man = json.load(fh)
+    return spark.read.parquet(man["tables"]["labels"])

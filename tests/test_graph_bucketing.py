@@ -759,3 +759,49 @@ def test_wcc_incremental_fuzz_random_splits(spark):
                           spark.createDataFrame(
                               edges, ["src", "dst"])).collect())
         assert got == full, f"trial {trial}"
+
+
+def test_stream_components_matches_batch(spark, tmp_path):
+    """Three arriving edge batches: batch 2 bridges batch 0/1
+    components, batch 3 adds a fresh one — the manifest-resolved
+    labels must equal from-scratch WCC over the union after every
+    run, and a restart over the same checkpoint is a no-op."""
+    import os
+    import time
+    from legal_ner_spark.streaming.stream import (stream_components,
+                                                  read_components)
+
+    batches = [[(0, 1), (5, 6)], [(2, 5)], [(8, 9), (1, 2)]]
+    in_dir = str(tmp_path / "edge_arrivals")
+    now, seen = time.time(), set()
+    for i, b in enumerate(batches):
+        (spark.createDataFrame(b, ["src", "dst"])
+         .coalesce(1).write.mode("append").parquet(in_dir))
+        for f in os.listdir(in_dir):
+            if f not in seen:
+                seen.add(f)
+                t = now + 100 * (i + 1)
+                os.utime(os.path.join(in_dir, f), (t, t))
+
+    state = str(tmp_path / "comp_state")
+    ckpt = str(tmp_path / "comp_ckpt")
+    q = stream_components(spark, in_dir, state, ckpt)
+    assert q.awaitTermination(240)
+
+    all_edges = spark.createDataFrame(
+        [e for b in batches for e in b], ["src", "dst"])
+    want = sorted((r.node, r.component) for r in
+                  graph.weakly_connected_components(all_edges).collect())
+    got = sorted((r.node, r.component)
+                 for r in read_components(spark, state).collect())
+    assert got == want
+    assert dict(got)[6] == 0 and dict(got)[9] == 8
+
+    q2 = stream_components(spark, in_dir, state, ckpt)
+    assert q2.awaitTermination(240)
+    assert sorted((r.node, r.component)
+                  for r in read_components(spark, state).collect()) \
+        == want
+
+    with pytest.raises(ValueError, match="keep_snapshots"):
+        stream_components(spark, in_dir, state, ckpt, keep_snapshots=1)
