@@ -115,6 +115,7 @@ def main() -> None:
                      "mixture_sample", "dataset_split",
                      "ngram_diversity", "zipf_slope", "corpus_pivot",
                      "bpe_pair_stats", "vocab_coverage",
+                     "skyline_docs",
                      "chunk_windows", "oov_rate", "dedup_prefix_filter",
                      "kg_clustering_coeff", "kg_assortativity",
                      "kg_component_sizes", "sorted_neighborhood",

@@ -297,3 +297,48 @@ def interval_join(intervals: DataFrame, points: DataFrame,
             .filter((F.col(ts_col) >= F.col(start_col))
                     & (F.col(ts_col) < F.col(end_col)))
             .drop("_bin"))
+
+
+def skyline_2d(df: DataFrame, d1: str, d2: str,
+               n_buckets: int = 256) -> DataFrame:
+    """Exact 2-D skyline (Pareto frontier, both dimensions maximized)
+    WITHOUT the quadratic dominance join and WITHOUT a global window:
+    a row is dominated iff (a) some row with a STRICTLY larger d1 has
+    d2 ≥ its d2, or (b) some OTHER row with the same d1 has a strictly
+    larger d2.  (a) is a running strict-prefix max of d2 over
+    descending d1, decomposed hub-safely: range-bucket d1 by a one-row
+    max probe (≤``n_buckets`` buckets), take per-bucket maxes, fold
+    the tiny bucket table with an exclusive cummax window, and inside
+    each bucket use a RANGE frame (``rangeBetween`` on integer d1, so
+    ties are excluded exactly); (b) is one groupBy(d1) max joined
+    back.  Work: two keyed shuffles + one ≤n_buckets window — the
+    standard distributed-skyline local/global split expressed
+    declaratively.  ``d1`` must be integral (the strict RANGE frame
+    needs unit steps); extend to k dims by iterating: skyline(k) ⊆
+    skyline on any 2 of the dims."""
+    d = df.withColumn("_d1", F.col(d1).cast("bigint")) \
+          .withColumn("_d2", F.col(d2).cast("bigint"))
+    mx = d.agg(F.max("_d1").alias("m")).collect()[0][0]
+    if mx is None:
+        return df.limit(0)
+    width = max(1, (int(mx) // n_buckets) + 1)
+    d = d.withColumn("_bk", F.floor(F.col("_d1") / width))
+    bmax = d.groupBy("_bk").agg(F.max("_d2").alias("_bm"))
+    whigh = (Window.orderBy(F.desc("_bk"))
+             .rowsBetween(Window.unboundedPreceding, -1))
+    # ≤ n_buckets rows: the only unpartitioned window, by construction
+    boff = bmax.withColumn("_hi", F.max("_bm").over(whigh))
+    wstrict = (Window.partitionBy("_bk").orderBy(F.desc("_d1"))
+               .rangeBetween(Window.unboundedPreceding, -1))
+    ties = d.groupBy("_d1").agg(F.max("_d2").alias("_tm"),
+                                F.count(F.lit(1)).alias("_tc"))
+    out = (d.withColumn("_s1", F.max("_d2").over(wstrict))
+           .join(F.broadcast(boff.select("_bk", "_hi")), "_bk")
+           .join(ties, "_d1")
+           .withColumn("_dom1", F.greatest(
+               F.coalesce("_s1", F.lit(-1)),
+               F.coalesce("_hi", F.lit(-1))) >= F.col("_d2"))
+           .withColumn("_dom2", F.col("_tm") > F.col("_d2"))
+           .filter(~F.col("_dom1") & ~F.col("_dom2")))
+    return out.drop("_d1", "_d2", "_bk", "_s1", "_hi", "_tm", "_tc",
+                    "_dom1", "_dom2")

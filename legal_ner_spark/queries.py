@@ -5181,6 +5181,45 @@ SELECT count(*)::BIGINT AS n_vocab,
 FROM ranked"""
 
 
+def q_skyline_docs(spark, sf_dir):
+    """Pareto frontier of the corpus on (length, vocabulary richness)
+    — the curation view that separates 'long but repetitive' from
+    'rich but tiny' documents without committing to a weighting
+    between the two (`relational.skyline_2d`).  Exact 2-D skyline with
+    NO dominance self-join and NO global window: strict-prefix max
+    over descending length decomposed into ≤256 range buckets + RANGE
+    tie-exact frames, plus one same-length groupBy for the tie rule.
+    The oracle is the textbook NOT EXISTS dominance predicate —
+    quadratic, which is exactly why the Spark side doesn't do it that
+    way."""
+    from .operators import relational
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    d = docs.select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("len_chars"),
+        F.size(F.array_distinct(F.split(F.lower("text"), " ")))
+        .cast("bigint").alias("distinct_tokens"))
+    return relational.skyline_2d(d, "len_chars", "distinct_tokens") \
+        .select("doc_id", "len_chars", "distinct_tokens")
+
+
+def o_skyline_docs():
+    return """
+WITH d AS (
+  SELECT doc_id, n_chars::BIGINT AS len_chars,
+         len(list_distinct(string_split(lower(text), ' ')))::BIGINT
+           AS distinct_tokens
+  FROM documents
+)
+SELECT doc_id, len_chars, distinct_tokens
+FROM d x
+WHERE NOT EXISTS (
+  SELECT 1 FROM d y
+  WHERE y.len_chars >= x.len_chars
+    AND y.distinct_tokens >= x.distinct_tokens
+    AND (y.len_chars > x.len_chars
+         OR y.distinct_tokens > x.distinct_tokens))"""
+
+
 def q_vocab_coverage(spark, sf_dir):
     """Vocabulary coverage curve — the tokenizer-sizing report: what
     fraction of all token OCCURRENCES the top-k vocabulary covers, for
@@ -9055,6 +9094,7 @@ QUERIES = {
     "ngram_diversity": q_ngram_diversity,
     "zipf_slope": q_zipf_slope,
     "vocab_coverage": q_vocab_coverage,
+    "skyline_docs": q_skyline_docs,
     "corpus_pivot": q_corpus_pivot,
     "chunk_windows": q_chunk_windows,
     "oov_rate": q_oov_rate,
@@ -9282,6 +9322,7 @@ ORACLES = {
     "ngram_diversity": o_ngram_diversity(),
     "zipf_slope": o_zipf_slope(),
     "vocab_coverage": o_vocab_coverage(),
+    "skyline_docs": o_skyline_docs(),
     "corpus_pivot": o_corpus_pivot(),
     "chunk_windows": o_chunk_windows(),
     "oov_rate": o_oov_rate(),

@@ -209,3 +209,36 @@ def test_session_window_gap_boundary(spark):
     out = (ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
            .agg(F.count("*").alias("n")).collect())
     assert sorted(r.n for r in out) == [1, 3]
+
+
+def test_skyline_2d_fuzz_vs_bruteforce(spark):
+    """Random integer point sets (with deliberate duplicates and
+    ties): the bucketed strict-cummax skyline must equal brute-force
+    dominance filtering exactly — duplicates of a frontier point all
+    survive (neither strictly dominates the other)."""
+    import random
+    from legal_ner_spark.operators import relational
+    rng = random.Random(11)
+    for trial in range(4):
+        pts = [(i, rng.randrange(20), rng.randrange(20))
+               for i in range(60)]
+        pts += [(100 + i, pts[i][1], pts[i][2]) for i in range(5)]
+        df = spark.createDataFrame(pts, ["pid", "a", "b"])
+        got = sorted((r.pid, r.a, r.b)
+                     for r in relational.skyline_2d(df, "a", "b")
+                     .collect())
+        want = sorted(
+            (p, a, b) for (p, a, b) in pts
+            if not any((ya >= a and yb >= b and (ya > a or yb > b))
+                       for (_, ya, yb) in pts))
+        assert got == want, f"trial {trial}"
+
+
+def test_skyline_2d_empty_and_single(spark):
+    from legal_ner_spark.operators import relational
+    empty = spark.createDataFrame([], "pid int, a int, b int")
+    assert relational.skyline_2d(empty, "a", "b").count() == 0
+    one = spark.createDataFrame([(1, 5, 5)], ["pid", "a", "b"])
+    assert [(r.pid, r.a, r.b) for r in
+            relational.skyline_2d(one, "a", "b").collect()] \
+        == [(1, 5, 5)]
