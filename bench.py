@@ -119,7 +119,8 @@ def main() -> None:
                      "chunk_windows", "oov_rate", "dedup_prefix_filter",
                      "kg_clustering_coeff", "kg_assortativity",
                      "kg_component_sizes", "sorted_neighborhood",
-                     "kg_related_cases", "kg_media_density", "hybrid_rrf",
+                     "kg_related_cases", "kg_media_density",
+                     "kg_media_align", "hybrid_rrf",
                      "kg_court_profiles", "kg_canonical_citations",
                      "kg_judge_profiles", "kg_node_similarity",
                      "dedup_stats", "kg_skew_report", "kg_lpa_communities",

@@ -163,3 +163,70 @@ def media_stats(corpus: DataFrame) -> DataFrame:
     return (media_spans(corpus).groupBy("kind")
             .agg(F.count("*").cast("bigint").alias("n_spans"),
                  F.countDistinct("doc_id").cast("bigint").alias("n_docs")))
+
+
+def nearest_mention_align(records: DataFrame) -> DataFrame:
+    """Align every media span to its NEAREST entity mention by char
+    offset — figure/scan-to-entity linking, the multimodal edge a KG
+    over interleaved documents wants next to (statute ↔ provision)
+    sentence-window linking.  Semantics: per media span, the mention
+    minimizing |start_char − offset|; ties prefer the preceding
+    mention, then the smallest ent_id — fully deterministic, which is
+    what lets the quadratic NOT-a-join oracle pin it.
+
+    Plan: the sort-merge as-of shape, NOT a per-doc cross join —
+    mentions and media spans union into one per-doc offset-ordered
+    stream, a forward window (`last` ignorenulls over mentions only)
+    carries the latest mention at-or-before each media span, a
+    backward window carries the earliest at-or-after, and one
+    projection picks the closer side.  Work: two per-doc windows over
+    (mentions + media) rows — linear in spans, hub-bounded by the
+    document (the same per-doc contract as the extraction stage);
+    media-only docs drop out (no mention to align to)."""
+    media = (records.filter("rec_type = 'doc'")
+             .select("doc_id", F.explode("spans").alias("s"))
+             .filter("s.kind <> 'text'")
+             .select("doc_id", F.col("s.kind").alias("kind"),
+                     F.col("s.media_ref").alias("media_ref"),
+                     F.col("s.offset").cast("bigint").alias("pos"))
+             .withColumn("_t", F.lit(1)))
+    men = (records.filter("rec_type = 'mention'")
+           .select("doc_id", F.lit(None).cast("string").alias("kind"),
+                   F.lit(None).cast("string").alias("media_ref"),
+                   F.col("start_char").cast("bigint").alias("pos"),
+                   F.lit(0).alias("_t"),
+                   F.struct(
+                       F.col("start_char").cast("bigint").alias("sc"),
+                       F.col("ent_id").cast("bigint").alias("ent_id"),
+                       F.col("label").alias("label")).alias("_ent")))
+    stream = media.withColumn(
+        "_ent", F.lit(None).cast(men.schema["_ent"].dataType)) \
+        .unionByName(men)
+    from pyspark.sql import Window
+    wprev = (Window.partitionBy("doc_id")
+             .orderBy("pos", "_t", F.desc(F.col("_ent.ent_id")))
+             .rowsBetween(Window.unboundedPreceding, 0))
+    wnext = (Window.partitionBy("doc_id")
+             .orderBy(F.desc("pos"), F.asc("_t"),
+                      F.desc(F.col("_ent.ent_id")))
+             .rowsBetween(Window.unboundedPreceding, 0))
+    aligned = (stream
+               .withColumn("_prev", F.last("_ent", ignorenulls=True)
+                           .over(wprev))
+               .withColumn("_next", F.last("_ent", ignorenulls=True)
+                           .over(wnext))
+               .filter(F.col("_t") == 1))
+    dp = F.col("pos") - F.col("_prev.sc")
+    dn = F.col("_next.sc") - F.col("pos")
+    use_prev = F.col("_prev").isNotNull() & (
+        F.col("_next").isNull() | (dp <= dn))
+    pick = F.when(use_prev, F.col("_prev")).otherwise(F.col("_next"))
+    return (aligned.filter(F.col("_prev").isNotNull()
+                           | F.col("_next").isNotNull())
+            .select("doc_id", "media_ref", "kind",
+                    F.col("pos").alias("offset"),
+                    pick["ent_id"].alias("ent_id"),
+                    pick["label"].alias("label"),
+                    pick["sc"].alias("start_char"),
+                    F.abs(pick["sc"] - F.col("pos")).cast("bigint")
+                    .alias("dist")))

@@ -4644,6 +4644,46 @@ WHERE s.kind <> 'text'
 GROUP BY s.kind"""
 
 
+def q_kg_media_align(spark, sf_dir):
+    """Media-to-mention alignment (`multimodal.nearest_mention_align`):
+    every media span linked to its nearest entity mention by char
+    offset (ties → preceding mention, then min ent_id) — the
+    figure/scan-to-entity edge of the interleaved data model.  The
+    Spark side is the sort-merge as-of shape (two per-doc windows over
+    the unioned offset stream, linear in spans); the oracle is the
+    per-doc quadratic argmin it must equal exactly."""
+    from .operators import multimodal
+    return multimodal.nearest_mention_align(
+        _kg_records_parquet(spark, sf_dir))
+
+
+def o_kg_media_align():
+    return f"""
+WITH media AS (
+  SELECT doc_id, s.kind AS kind, s.media_ref AS media_ref,
+         s."offset"::BIGINT AS pos
+  FROM (SELECT doc_id, unnest(spans) AS s FROM {_KG_SQL_SRC}
+        WHERE rec_type = 'doc')
+  WHERE s.kind <> 'text'
+),
+men AS (SELECT doc_id, start_char::BIGINT AS sc,
+               ent_id::BIGINT AS ent_id, label
+        FROM {_KG_SQL_SRC} WHERE rec_type = 'mention'),
+j AS (
+  SELECT m.doc_id, m.media_ref, m.kind, m.pos,
+         n.ent_id, n.label, n.sc, abs(n.sc - m.pos) AS dist,
+         row_number() OVER (
+           PARTITION BY m.doc_id, m.media_ref, m.pos
+           ORDER BY abs(n.sc - m.pos),
+                    CASE WHEN n.sc <= m.pos THEN 0 ELSE 1 END,
+                    n.ent_id) AS rn
+  FROM media m JOIN men n USING (doc_id)
+)
+SELECT doc_id, media_ref, kind, pos AS offset, ent_id, label,
+       sc AS start_char, dist::BIGINT AS dist
+FROM j WHERE rn = 1"""
+
+
 def q_kg_citation_distance(spark, sf_dir):
     """Multi-hop reachability over the KG: BFS distance (≤ 6 hops) from
     the landmark precedents (every precedent cited by ≥ 2 documents)
@@ -9182,6 +9222,7 @@ QUERIES = {
     "kg_bridge_edges": q_kg_bridge_edges,
     "kg_ambiguous_provisions": q_kg_ambiguous_provisions,
     "kg_media_stats": q_kg_media_stats,
+    "kg_media_align": q_kg_media_align,
     "salted_join_agg": q_salted_join_agg,
     "digest_prune_agg": q_digest_prune_agg,
     "kg_pagerank": q_kg_pagerank,
@@ -9408,6 +9449,7 @@ ORACLES = {
     "kg_bridge_edges": o_kg_bridge_edges(1),
     "kg_ambiguous_provisions": o_kg_ambiguous_provisions(),
     "kg_media_stats": o_kg_media_stats(),
+    "kg_media_align": o_kg_media_align(),
     "salted_join_agg": o_salted_join_agg(),
     "digest_prune_agg": o_digest_prune_agg(),
     "kg_pagerank": o_kg_pagerank(),

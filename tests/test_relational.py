@@ -242,3 +242,53 @@ def test_skyline_2d_empty_and_single(spark):
     assert [(r.pid, r.a, r.b) for r in
             relational.skyline_2d(one, "a", "b").collect()] \
         == [(1, 5, 5)]
+
+
+def test_nearest_mention_align_ties_and_edges(spark):
+    """Hand-built doc: media at 10 with mentions at 5 and 15
+    (equidistant → prefer the PRECEDING mention); two mentions at the
+    same offset (→ min ent_id); media before all mentions (→ next
+    side); media-only doc drops out."""
+    from pyspark.sql import Row, types as T
+    from legal_ner_spark.operators import multimodal
+
+    span_t = T.ArrayType(T.StructType([
+        T.StructField("kind", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("offset", T.IntegerType())]))
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("rec_type", T.StringType()),
+        T.StructField("spans", span_t),
+        T.StructField("start_char", T.IntegerType()),
+        T.StructField("ent_id", T.IntegerType()),
+        T.StructField("label", T.StringType())])
+
+    def doc(did, media):
+        return Row(doc_id=did, rec_type="doc",
+                   spans=[{"kind": k, "text": "", "media_ref": r,
+                           "offset": o} for k, r, o in media],
+                   start_char=None, ent_id=None, label=None)
+
+    def men(did, sc, eid, lab):
+        return Row(doc_id=did, rec_type="mention", spans=None,
+                   start_char=sc, ent_id=eid, label=lab)
+
+    rows = [
+        doc("d1", [("image", "m://a", 10), ("scan", "m://b", 2)]),
+        men("d1", 5, 0, "COURT"), men("d1", 15, 1, "STATUTE"),
+        # same offset twins: min ent_id must win
+        doc("d2", [("image", "m://c", 8)]),
+        men("d2", 8, 3, "JUDGE"), men("d2", 8, 2, "COURT"),
+        # media-only doc: no alignment row at all
+        doc("d3", [("audio", "m://d", 1)]),
+    ]
+    recs = spark.createDataFrame(rows, schema)
+    got = {(r.doc_id, r.media_ref): (r.ent_id, r.label, r.dist)
+           for r in multimodal.nearest_mention_align(recs).collect()}
+    assert got == {
+        ("d1", "m://a"): (0, "COURT", 5),   # tie 5↔15: preceding wins
+        ("d1", "m://b"): (0, "COURT", 3),   # before all: next side
+        ("d2", "m://c"): (2, "COURT", 0),   # same-sc twins: min ent_id
+    }
