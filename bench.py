@@ -129,7 +129,7 @@ def main() -> None:
                      "kg_bridge_edges", "kg_ambiguous_provisions",
                      "dedup_posting_stats", "kg_ktruss",
                      "kg_random_walks", "kg_biased_walks",
-                     "kg_walk_skipgrams",
+                     "kg_walk_skipgrams", "kg_biased_skipgrams",
                      "kg_neighbor_sample", "kg_walk_ppmi",
                      "kg_truss_communities",
                      # closed-form DeepWalk: walks→skipgrams→PPMI→SVD;

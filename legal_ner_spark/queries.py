@@ -6074,6 +6074,35 @@ def o_kg_biased_walks(n_walks: int = 2, walk_len: int = 3):
     return f"WITH {ctes}\n{union}"
 
 
+def q_kg_biased_skipgrams(spark, sf_dir):
+    """The node2vec training pairs: skip-gram (center, context) counts
+    over the SECOND-ORDER walk corpus — what distinguishes node2vec
+    embeddings from DeepWalk is exactly that this pair table comes
+    from biased walks.  Same bounded per-walk self-join as
+    `kg_walk_skipgrams`; the oracle stacks the skip-gram join on the
+    byte-exact biased replay."""
+    from .operators import graph
+    e = _cocitation_edges(spark, sf_dir)
+    walks = graph.biased_walks(e.select(F.col("a").alias("src"),
+                                        F.col("b").alias("dst")),
+                               n_walks=2, walk_len=3,
+                               ret_w=1, com_w=2, far_w=1,
+                               checkpoint_dir=_ckpt_dir(spark))
+    return graph.walk_skipgrams(walks, window=2)
+
+
+def o_kg_biased_skipgrams(window: int = 2):
+    ctes, union = _biased_walk_sql_parts()
+    return f"""WITH {ctes}, walks AS MATERIALIZED (
+{union}
+)
+SELECT a.node AS center, b.node AS context, count(*)::BIGINT AS n
+FROM walks a JOIN walks b
+  ON a.start_node = b.start_node AND a.walk_id = b.walk_id
+WHERE a.step <> b.step AND abs(a.step - b.step) <= {window}
+GROUP BY a.node, b.node"""
+
+
 def q_kg_walk_skipgrams(spark, sf_dir):
     """Skip-gram (center, context) pair counts from the deterministic
     walk corpus — the word2vec training pairs / PMI sufficient
@@ -9148,6 +9177,7 @@ QUERIES = {
     "kg_ktruss": q_kg_ktruss,
     "kg_random_walks": q_kg_random_walks,
     "kg_biased_walks": q_kg_biased_walks,
+    "kg_biased_skipgrams": q_kg_biased_skipgrams,
     "kg_walk_skipgrams": q_kg_walk_skipgrams,
     "kg_neighbor_sample": q_kg_neighbor_sample,
     "kg_walk_ppmi": q_kg_walk_ppmi,
@@ -9377,6 +9407,7 @@ ORACLES = {
     "kg_ktruss": o_kg_ktruss(),
     "kg_random_walks": o_kg_random_walks(),
     "kg_biased_walks": o_kg_biased_walks(),
+    "kg_biased_skipgrams": o_kg_biased_skipgrams(),
     "kg_walk_skipgrams": o_kg_walk_skipgrams(),
     "kg_neighbor_sample": o_kg_neighbor_sample(),
     "kg_walk_ppmi": o_kg_walk_ppmi(),
