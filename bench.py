@@ -168,7 +168,7 @@ def main() -> None:
                      "kg_rules_aggregate", "kg_rules_goal",
                      "kg_shortest_paths", "kg_harmonic_centrality",
                      "kg_butterflies", "kg_link_prediction",
-                     "kg_eccentricity",
+                     "kg_eccentricity", "kg_landmark_select",
                      "kg_rules_stratified_maintain",
                      "kg_update_maintain", "kg_graph_diff",
                      "kg_bgp_graph"]

@@ -1250,3 +1250,49 @@ def wcc_incremental(labels: DataFrame, new_edges: DataFrame,
     return (lab2.join(F.broadcast(remap), "component", "left")
             .select("node", F.coalesce("newc", "component")
                     .alias("component")))
+
+
+def select_landmarks(edges: DataFrame, k: int = 3, max_depth: int = 10,
+                     checkpoint_dir: str | None = None) -> DataFrame:
+    """Greedy farthest-point landmark selection — the classic 2-approx
+    k-center sweep, answering the question `landmark_distances` leaves
+    open (WHICH landmarks?): start from the min node id, then k−1
+    times BFS from the current set and take the node farthest from all
+    selected so far (unreached/disconnected counts as infinitely far;
+    ties break to the smallest id — fully deterministic, so the
+    unrolled recursive-CTE oracle replays the selection exactly).
+    Returns (node, sel_order).
+
+    Scale shape: k driver rounds by design (landmark sets are small —
+    that's the point of the technique); each round is one multi-source
+    `bfs_distances` (frontier equi-joins) + one TakeOrderedAndProject
+    argmax (partial top-1 per partition, no global sort) + a 1-row
+    collect.  Already-selected nodes are excluded from candidacy, so
+    a fully-covered graph can't select duplicates."""
+    spark = edges.sparkSession
+    e = edges.select("src", "dst")
+    sym = (e.union(e.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst")))
+           .filter(F.col("src") != F.col("dst")).distinct())
+    from ..plans.checkpoint import Truncator
+    sym = Truncator(checkpoint_dir)(sym, "klm_edges")
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    first = nodes.agg(F.min("node")).collect()[0][0]
+    if first is None:
+        return spark.createDataFrame([], "node string, sel_order int")
+    sel = [first]
+    inf = F.lit(2147483647)
+    for _ in range(1, k):
+        lms = spark.createDataFrame([(s,) for s in sel], ["node"])
+        vis = bfs_distances(sym, lms, max_depth=max_depth,
+                            checkpoint_dir=checkpoint_dir)
+        cand = (nodes.join(lms, "node", "left_anti")
+                .join(vis, "node", "left")
+                .orderBy(F.desc(F.coalesce("distance", inf)),
+                         F.asc("node"))
+                .limit(1).collect())
+        if not cand:
+            break
+        sel.append(cand[0]["node"])
+    return spark.createDataFrame(
+        [(s, i) for i, s in enumerate(sel)], ["node", "sel_order"])

@@ -8868,6 +8868,73 @@ SELECT node, CAST(MAX(d) AS BIGINT) AS ecc_lb,
 FROM m GROUP BY node"""
 
 
+def q_kg_landmark_select(spark, sf_dir):
+    """Greedy farthest-point landmark selection over the succession
+    chains (`graph.select_landmarks`, k=3, horizon 12): the 2-approx
+    k-center sweep that answers WHICH landmarks the
+    harmonic/eccentricity estimators should use — min-id seed, then
+    argmax-of-min-distance with unreached = ∞ and min-id ties, fully
+    deterministic, replayed by an unrolled recursive-CTE oracle (one
+    BFS block per selection round)."""
+    from .operators import graph
+    from pyspark.sql import Window
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    dec = (tri.filter(F.col("pred") == "decided_by")
+           .select(F.col("subj").alias("doc"),
+                   F.col("obj").alias("court")).distinct())
+    seq = dec.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("court").orderBy("doc")))
+    a = seq.select("court", F.col("doc").alias("src"),
+                   F.col("rn").alias("ra"))
+    b = seq.select("court", F.col("doc").alias("dst"),
+                   F.col("rn").alias("rb"))
+    edges = (a.join(b, ["court"])
+             .filter(F.col("rb") == F.col("ra") + 1)
+             .select("src", "dst"))
+    return graph.select_landmarks(edges, k=3, max_depth=12,
+                                  checkpoint_dir=_ckpt_dir(spark))
+
+
+def o_kg_landmark_select():
+    return f"""
+WITH RECURSIVE
+dec AS (SELECT DISTINCT subj AS doc, obj AS court FROM {_KG_SQL_SRC}
+        WHERE rec_type = 'triple' AND pred = 'decided_by'),
+seq AS (SELECT doc, court,
+               ROW_NUMBER() OVER (PARTITION BY court ORDER BY doc) AS rn
+        FROM dec),
+e0 AS (SELECT a.doc AS src, b.doc AS dst
+       FROM seq a JOIN seq b ON a.court = b.court AND b.rn = a.rn + 1),
+e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+nodes AS (SELECT DISTINCT src AS n FROM e),
+m0 AS (SELECT MIN(n) AS v FROM nodes),
+b1(node, d) AS (
+  SELECT v, 0 FROM m0
+  UNION
+  SELECT e.dst, b1.d + 1 FROM b1 JOIN e ON e.src = b1.node
+  WHERE b1.d < 12
+),
+d1 AS (SELECT node, MIN(d) AS d FROM b1 GROUP BY node),
+m1 AS (SELECT n.n AS v FROM nodes n LEFT JOIN d1 ON d1.node = n.n
+       WHERE n.n NOT IN (SELECT v FROM m0)
+       ORDER BY COALESCE(d1.d, 2147483647) DESC, n.n LIMIT 1),
+b2(node, d) AS (
+  SELECT v, 0 FROM (SELECT v FROM m0 UNION ALL SELECT v FROM m1) s
+  UNION
+  SELECT e.dst, b2.d + 1 FROM b2 JOIN e ON e.src = b2.node
+  WHERE b2.d < 12
+),
+d2 AS (SELECT node, MIN(d) AS d FROM b2 GROUP BY node),
+m2 AS (SELECT n.n AS v FROM nodes n LEFT JOIN d2 ON d2.node = n.n
+       WHERE n.n NOT IN (SELECT v FROM m0 UNION ALL
+                         SELECT v FROM m1)
+       ORDER BY COALESCE(d2.d, 2147483647) DESC, n.n LIMIT 1)
+SELECT v AS node, 0::INT AS sel_order FROM m0
+UNION ALL SELECT v, 1::INT FROM m1
+UNION ALL SELECT v, 2::INT FROM m2"""
+
+
 def q_kg_rules_goal(spark, sf_dir):
     """Goal-directed rule-program query (the sound half of magic sets):
     the program carries the alias-closure family AND an unrelated
@@ -9209,6 +9276,7 @@ QUERIES = {
     "kg_butterflies": q_kg_butterflies,
     "kg_link_prediction": q_kg_link_prediction,
     "kg_eccentricity": q_kg_eccentricity,
+    "kg_landmark_select": q_kg_landmark_select,
     "kg_rules_stratified_maintain": q_kg_rules_stratified_maintain,
     "kg_update_maintain": q_kg_update_maintain,
     "kg_graph_diff": q_kg_graph_diff,
@@ -9437,6 +9505,7 @@ ORACLES = {
     "kg_butterflies": o_kg_butterflies(),
     "kg_link_prediction": o_kg_link_prediction(),
     "kg_eccentricity": o_kg_eccentricity(),
+    "kg_landmark_select": o_kg_landmark_select(),
     "kg_rules_stratified_maintain": o_kg_rules_stratified_maintain(),
     "kg_update_maintain": o_kg_update_maintain(),
     "kg_graph_diff": o_kg_graph_diff(),

@@ -805,3 +805,21 @@ def test_stream_components_matches_batch(spark, tmp_path):
 
     with pytest.raises(ValueError, match="keep_snapshots"):
         stream_components(spark, in_dir, state, ckpt, keep_snapshots=1)
+
+
+def test_select_landmarks_chain_and_disconnected(spark):
+    """5-chain: seed 0 → farthest 4 → midpoint 2.  Disconnected
+    {0-1},{5-6}: unreached counts as infinitely far (5 picked second),
+    then the d=1 tie breaks to the min id (1)."""
+    chain = spark.createDataFrame([(i, i + 1) for i in range(4)],
+                                  ["src", "dst"])
+    got = sorted((r.node, r.sel_order)
+                 for r in graph.select_landmarks(chain, k=3,
+                                                 max_depth=6).collect())
+    assert got == [(0, 0), (2, 2), (4, 1)]
+
+    disc = spark.createDataFrame([(0, 1), (5, 6)], ["src", "dst"])
+    got = sorted((r.node, r.sel_order)
+                 for r in graph.select_landmarks(disc, k=3,
+                                                 max_depth=6).collect())
+    assert got == [(0, 0), (1, 2), (5, 1)]
