@@ -117,6 +117,7 @@ def main() -> None:
                      "bpe_pair_stats", "vocab_coverage",
                      "skyline_docs",
                      "chunk_windows", "oov_rate", "dedup_prefix_filter",
+                     "dedup_containment",
                      "kg_clustering_coeff", "kg_assortativity",
                      "kg_component_sizes", "sorted_neighborhood",
                      "kg_related_cases", "kg_media_density",

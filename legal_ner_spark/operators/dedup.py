@@ -194,6 +194,42 @@ def ngram_jaccard_pairs(shingles: DataFrame, threshold: float = 0.12) -> DataFra
             .select(F.col("doc_id").alias("doc_a"), "doc_b", "jaccard"))
 
 
+def containment_pairs(shingles: DataFrame,
+                      threshold: float = 0.8) -> DataFrame:
+    """ASYMMETRIC near-dup: shingle containment |A∩B| / |A| ≥ threshold
+    — the quote/subset detector Jaccard misses (a paragraph wholly
+    lifted into a much longer doc has low Jaccard but containment ≈ 1).
+    Same inverted-index equi-join as `ngram_jaccard_pairs`, the
+    intersection computed ONCE per unordered pair and emitted in both
+    directions with each side's own denominator; the scale path caps
+    posting width upstream exactly as the Jaccard/prefix family does.
+    Returns (src_doc, in_doc, containment): src_doc's shingles are
+    ≥ threshold contained in in_doc."""
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (shingles.join(b, "shingle")
+             .filter(F.col("doc_id") < F.col("doc_b"))
+             .groupBy("doc_id", "doc_b")
+             .agg(F.count("*").alias("inter")))
+    sized = (inter
+             .join(sizes.withColumnRenamed("doc_id", "da")
+                   .withColumnRenamed("n", "na"),
+                   F.col("doc_id") == F.col("da"))
+             .join(sizes.withColumnRenamed("doc_id", "db")
+                   .withColumnRenamed("n", "nb"),
+                   F.col("doc_b") == F.col("db")))
+    fwd = sized.select(F.col("doc_id").alias("src_doc"),
+                       F.col("doc_b").alias("in_doc"),
+                       F.round(F.col("inter") / F.col("na"), 4)
+                       .alias("containment"))
+    rev = sized.select(F.col("doc_b").alias("src_doc"),
+                       F.col("doc_id").alias("in_doc"),
+                       F.round(F.col("inter") / F.col("nb"), 4)
+                       .alias("containment"))
+    return (fwd.unionByName(rev)
+            .filter(F.col("containment") >= threshold))
+
+
 def _nibble_expr(i: int) -> str:
     """0-based hex nibble i of md5(token) as an int — expressed with
     instr over a hex alphabet so DuckDB computes the identical value."""

@@ -1478,6 +1478,47 @@ JOIN sizes sb ON i.doc_b = sb.doc_id
 WHERE round(i.inter / (sa.n + sb.n - i.inter), 4) >= 0.12"""
 
 
+def q_dedup_containment(spark, sf_dir):
+    """ASYMMETRIC shingle containment |A∩B|/|A| ≥ 0.8
+    (`dedup.containment_pairs`) — the quote/subset detector: a doc
+    wholly lifted into a longer one scores ≈1 here but low Jaccard,
+    which is why curation pipelines run both.  Intersections computed
+    once per unordered pair, emitted both directions with each side's
+    own denominator."""
+    from .operators import dedup
+    docs = (spark.read.parquet(_t(sf_dir, "documents"))
+            .filter(F.col("doc_id") < 200))
+    return (dedup.containment_pairs(dedup.shingle_rows(docs),
+                                    threshold=0.8)
+            .select(F.col("src_doc").cast("bigint").alias("src_doc"),
+                    F.col("in_doc").cast("bigint").alias("in_doc"),
+                    "containment"))
+
+
+def o_dedup_containment():
+    return f"""
+WITH sh AS ({_SHINGLE3_SQL.format(pred="doc_id < 200")}
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), sized AS (
+  SELECT i.da, i.db, i.i, sa.n AS na, sb.n AS nb
+  FROM inter i JOIN sizes sa ON i.da = sa.doc_id
+               JOIN sizes sb ON i.db = sb.doc_id
+), dirs AS (
+  SELECT da AS src_doc, db AS in_doc, round(i * 1.0 / na, 4)
+           AS containment FROM sized
+  UNION ALL
+  SELECT db, da, round(i * 1.0 / nb, 4) FROM sized
+)
+SELECT src_doc::BIGINT AS src_doc, in_doc::BIGINT AS in_doc,
+       containment
+FROM dirs WHERE containment >= 0.8"""
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash LSH candidates, 8 bands × 4 rows: the band signature
     concatenates 4 independent double-hashed min-hashes, so
@@ -9153,6 +9194,7 @@ QUERIES = {
     "rolling_events": q_rolling_events,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_containment": q_dedup_containment,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "near_dedup": q_near_dedup,
     "near_dedup_incremental": q_near_dedup_incremental,
@@ -9384,6 +9426,7 @@ ORACLES = {
     "rolling_events": o_rolling_events(),
     "dedup_exact": o_dedup_exact(),
     "dedup_ngram_jaccard": o_dedup_ngram_jaccard(),
+    "dedup_containment": o_dedup_containment(),
     "dedup_minhash_lsh": o_dedup_minhash_lsh(),
     "near_dedup": o_near_dedup(),
     "near_dedup_incremental": o_near_dedup_incremental(),

@@ -292,3 +292,20 @@ def test_nearest_mention_align_ties_and_edges(spark):
         ("d1", "m://b"): (0, "COURT", 3),   # before all: next side
         ("d2", "m://c"): (2, "COURT", 0),   # same-sc twins: min ent_id
     }
+
+
+def test_containment_pairs_asymmetric(spark):
+    """A is a verbatim subset of B: containment(A→B) = 1.0 while
+    B→A stays below threshold — the asymmetry Jaccard folds away."""
+    from legal_ner_spark.operators import dedup
+    a = "the quick brown fox jumps over the lazy dog"
+    b = a + " and then runs far away into the deep dark woods tonight"
+    docs = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    got = {(r.src_doc, r.in_doc): r.containment
+           for r in dedup.containment_pairs(
+               dedup.shingle_rows(docs), threshold=0.8).collect()}
+    assert got == {(1, 2): 1.0}
+    # symmetric Jaccard on the same pair is well under 0.8
+    j = dedup.ngram_jaccard_pairs(dedup.shingle_rows(docs),
+                                  threshold=0.0).collect()
+    assert j and j[0].jaccard < 0.8
