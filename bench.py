@@ -129,6 +129,7 @@ def main() -> None:
                      "embedding_class_stats", "kg_label_cooccurrence",
                      "kg_bridge_edges", "kg_ambiguous_provisions",
                      "dedup_posting_stats", "kg_ktruss",
+                     "kg_triangles_sampled",
                      "kg_random_walks", "kg_biased_walks",
                      "kg_walk_skipgrams", "kg_biased_skipgrams",
                      "kg_neighbor_sample", "kg_walk_ppmi",

@@ -4585,6 +4585,56 @@ FROM e e1 JOIN e e2 ON e2.a = e1.b
           JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b"""
 
 
+def q_kg_triangles_sampled(spark, sf_dir):
+    """DOULION-style sampled triangle counting — the trillion-edge
+    scale trick: keep each canonical edge with p = 1/4 (md5-keyed, so
+    the 'coin' is deterministic and both engines flip the SAME coins),
+    enumerate triangles on the thinned graph, scale by 1/p³ = 64.
+    Variance falls as the graph grows (Tsourakakis 2009); the exact
+    count stays available as `kg_statute_triangles`.  On the thinned
+    graph the adaptive-orientation operator runs as usual."""
+    from .operators.graph import triangles
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    ds = (tri.filter(F.col("pred") == "part_of")
+          .select("doc_id", F.col("obj").alias("statute")).distinct())
+    b = ds.select(F.col("doc_id").alias("bdoc"),
+                  F.col("statute").alias("statute_b"))
+    edges = (ds.join(b, (F.col("doc_id") == F.col("bdoc"))
+                     & (F.col("statute") < F.col("statute_b")))
+             .select(F.col("statute").alias("src"),
+                     F.col("statute_b").alias("dst")).distinct())
+    keep = (F.conv(F.substring(F.md5(F.concat_ws(
+        "|", F.col("src"), F.col("dst"))), 1, 8), 16, 10)
+        .cast("bigint") % 4 == 0)
+    sampled = edges.filter(keep)
+    return (triangles(sampled)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_sampled"))
+            .select("n_sampled",
+                    (F.col("n_sampled") * 64).cast("bigint")
+                    .alias("estimate")))
+
+
+def o_kg_triangles_sampled():
+    return f"""
+WITH ds AS (
+  SELECT DISTINCT doc_id, obj AS statute
+  FROM {_KG_SQL_SRC} WHERE rec_type = 'triple' AND pred = 'part_of'
+), e AS (
+  SELECT DISTINCT a.statute AS a, b.statute AS b
+  FROM ds a JOIN ds b ON a.doc_id = b.doc_id AND a.statute < b.statute
+), es AS (
+  SELECT a, b FROM e
+  WHERE (('0x' || substr(md5(a || '|' || b), 1, 8))::UBIGINT % 4) = 0
+), t AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM es e1 JOIN es e2 ON e2.a = e1.b
+             JOIN es e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT count(*)::BIGINT AS n_sampled,
+       (count(*) * 64)::BIGINT AS estimate
+FROM t"""
+
+
 def q_digest_prune_agg(spark, sf_dir):
     """Pre-shuffle semi-join pruning: lineitem is first filtered through
     a broadcast of the urgent orders' 64-bit key digests (8 bytes/key —
@@ -9257,6 +9307,7 @@ QUERIES = {
     "kg_precedent_components": q_kg_precedent_components,
     "kg_components_incremental": q_kg_components_incremental,
     "kg_statute_triangles": q_kg_statute_triangles,
+    "kg_triangles_sampled": q_kg_triangles_sampled,
     "kg_kcore": q_kg_kcore,
     "kg_citation_distance": q_kg_citation_distance,
     "kg_hits": q_kg_hits,
@@ -9489,6 +9540,7 @@ ORACLES = {
     "kg_precedent_components": o_kg_precedent_components(),
     "kg_components_incremental": o_kg_components_incremental(),
     "kg_statute_triangles": o_kg_statute_triangles(),
+    "kg_triangles_sampled": o_kg_triangles_sampled(),
     "kg_kcore": o_kg_kcore(),
     "kg_citation_distance": o_kg_citation_distance(),
     "kg_hits": o_kg_hits(),

@@ -823,3 +823,23 @@ def test_select_landmarks_chain_and_disconnected(spark):
                  for r in graph.select_landmarks(disc, k=3,
                                                  max_depth=6).collect())
     assert got == [(0, 0), (1, 2), (5, 1)]
+
+
+def test_sampled_triangle_estimator_contract(spark):
+    """DOULION sampling is a deterministic md5 coin: the same K12
+    yields the same thinned graph twice, its triangles are a subset of
+    the exact ones, and the estimate is exactly 64x the sampled
+    count (p = 1/4, 1/p^3)."""
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{j:02d}") for i in range(12)
+         for j in range(i + 1, 12)], ["src", "dst"])
+    keep = (F.conv(F.substring(F.md5(F.concat_ws(
+        "|", F.col("src"), F.col("dst"))), 1, 8), 16, 10)
+        .cast("bigint") % 4 == 0)
+    s1 = sorted(map(tuple, edges.filter(keep).collect()))
+    s2 = sorted(map(tuple, edges.filter(keep).collect()))
+    assert s1 == s2 and 0 < len(s1) < 66
+    tri_s = set(map(tuple, graph.triangles(
+        spark.createDataFrame(s1, ["src", "dst"])).collect()))
+    tri_x = set(map(tuple, graph.triangles(edges).collect()))
+    assert len(tri_x) == 220 and tri_s <= tri_x
