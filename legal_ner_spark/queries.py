@@ -4379,6 +4379,76 @@ r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
 SELECT node, round(rank, 6) AS rank FROM r{n_iter}"""
 
 
+def q_kg_pagerank_weighted(spark, sf_dir):
+    """Edge-weighted PageRank over the symmetric co-citation graph —
+    rank splits proportionally to HOW OFTEN two statutes are co-cited,
+    not just whether (`graph.pagerank_weighted`): the centrality that
+    separates a statute with one strong partner from one with many
+    weak ones.  4 unrolled iterations, weighted outflow and dangling
+    handled as in the uniform operator; the oracle unrolls the same
+    weighted power iteration."""
+    from .operators import graph
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    ds = (tri.filter(F.col("pred") == "part_of")
+          .select("doc_id", F.col("obj").alias("statute")).distinct())
+    b = ds.select(F.col("doc_id").alias("bdoc"),
+                  F.col("statute").alias("sb"))
+    co = (ds.join(b, (F.col("doc_id") == F.col("bdoc"))
+                  & (F.col("statute") < F.col("sb")))
+          .groupBy(F.col("statute").alias("a"), F.col("sb").alias("b"))
+          .agg(F.count(F.lit(1)).alias("co")))
+    edges = (co.select(F.col("a").alias("src"), F.col("b").alias("dst"),
+                       F.col("co").alias("weight"))
+             .unionByName(co.select(
+                 F.col("b").alias("src"), F.col("a").alias("dst"),
+                 F.col("co").alias("weight"))))
+    return graph.pagerank_weighted(edges, n_iter=4,
+                                   checkpoint_dir=_ckpt_dir(spark))
+
+
+def o_kg_pagerank_weighted(n_iter: int = 4, damping: float = 0.85):
+    it = """
+d{i} AS (
+  SELECT coalesce(sum(r.rank), 0) AS dm
+  FROM r{p} r LEFT JOIN outw o ON r.node = o.src WHERE o.src IS NULL
+),
+c{i} AS (
+  SELECT e.dst AS node, sum(r.rank * e.w / o.tw) AS c
+  FROM edges e JOIN outw o ON e.src = o.src JOIN r{p} r ON r.node = e.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT n.node,
+         (1 - {d}) / (SELECT n FROM nn)
+         + {d} * (coalesce(c.c, 0) + (SELECT dm FROM d{i}) / (SELECT n FROM nn))
+           AS rank
+  FROM nodes n LEFT JOIN c{i} c ON n.node = c.node
+)"""
+    iters = ",".join(it.format(i=i, p=i - 1, d=damping)
+                     for i in range(1, n_iter + 1))
+    return f"""
+WITH ds AS (
+  SELECT DISTINCT doc_id, obj AS statute
+  FROM {_KG_SQL_SRC} WHERE rec_type = 'triple' AND pred = 'part_of'
+),
+co AS (
+  SELECT a.statute AS a, b.statute AS b, count(*)::DOUBLE AS co
+  FROM ds a JOIN ds b ON a.doc_id = b.doc_id AND a.statute < b.statute
+  GROUP BY a.statute, b.statute
+),
+edges AS (
+  SELECT a AS src, b AS dst, co AS w FROM co
+  UNION ALL
+  SELECT b, a, co FROM co
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+outw AS (SELECT src, sum(w) AS tw FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+{iters}
+SELECT node, round(rank, 6) AS rank FROM r{n_iter}"""
+
+
 def q_kg_ppr(spark, sf_dir):
     """PERSONALIZED PageRank from the most-cited statute (tie-break:
     name): proximity of every node in the part_of graph to the landmark
@@ -9417,6 +9487,7 @@ QUERIES = {
     "salted_join_agg": q_salted_join_agg,
     "digest_prune_agg": q_digest_prune_agg,
     "kg_pagerank": q_kg_pagerank,
+    "kg_pagerank_weighted": q_kg_pagerank_weighted,
     "kg_ppr": q_kg_ppr,
 }
 
@@ -9648,6 +9719,7 @@ ORACLES = {
     "salted_join_agg": o_salted_join_agg(),
     "digest_prune_agg": o_digest_prune_agg(),
     "kg_pagerank": o_kg_pagerank(),
+    "kg_pagerank_weighted": o_kg_pagerank_weighted(),
     "kg_ppr": o_kg_ppr(),
     # every query has an oracle row; for kg_triples/kg_mentions the oracle
     # scope is the materialization + projection half — the pandas

@@ -843,3 +843,30 @@ def test_sampled_triangle_estimator_contract(spark):
         spark.createDataFrame(s1, ["src", "dst"])).collect()))
     tri_x = set(map(tuple, graph.triangles(edges).collect()))
     assert len(tri_x) == 220 and tri_s <= tri_x
+
+
+def test_pagerank_weighted_contract(spark):
+    """Uniform weights reduce to the unweighted operator (same ranks
+    to 1e-9), total mass stays 1, a heavier edge pulls rank toward its
+    target, and non-positive weights are refused."""
+    tri = spark.createDataFrame(
+        [("a", "cites", "b", "d"), ("b", "cites", "c", "d"),
+         ("c", "cites", "a", "d"), ("a", "cites", "c", "d")],
+        ["subj", "pred", "obj", "doc_id"])
+    uw = {r.node: r.rank for r in graph.pagerank(
+        tri, n_iter=6).collect()}
+    e1 = tri.select(F.col("subj").alias("src"),
+                    F.col("obj").alias("dst"),
+                    F.lit(2.0).alias("weight"))
+    ww = {r.node: r.rank for r in graph.pagerank_weighted(
+        e1, n_iter=6).collect()}
+    assert ww == uw
+    assert abs(sum(ww.values()) - 1.0) < 1e-4
+    skew = e1.withColumn("weight", F.when(
+        (F.col("src") == "a") & (F.col("dst") == "c"), F.lit(99.0))
+        .otherwise(F.lit(1.0)))
+    ws = {r.node: r.rank for r in graph.pagerank_weighted(
+        skew, n_iter=6).collect()}
+    assert ws["c"] > ww["c"] and ws["b"] < ww["b"]
+    with pytest.raises(ValueError, match="positive"):
+        graph.pagerank_weighted(e1.withColumn("weight", F.lit(0.0)))
