@@ -73,3 +73,29 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str,
     (df.write.mode("overwrite")
      .bucketBy(n_buckets, bucket_col).sortBy(bucket_col)
      .saveAsTable(table))
+
+
+def write_corpus_jsonl(df: DataFrame, location: str,
+                       compression: str | None = "gzip") -> None:
+    """JSONL sink — the interchange format training corpora actually
+    arrive in.  One JSON object per line with the spans array inline;
+    gzip per part file by default (JSONL's usual wire form; splittable
+    ingestion comes from many part files, not from the codec).
+    Idempotent full replace like the other whole-table writers."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(location)
+
+
+def read_corpus_jsonl(spark: SparkSession, location: str,
+                      strict: bool = True) -> DataFrame:
+    """JSONL source with the corpus schema PINNED — schema inference
+    over 10^12 lines is both a full extra pass and a drift hazard (one
+    malformed file would silently widen a column for the whole job).
+    ``strict`` uses FAILFAST (corrupt line = loud error at the scan);
+    ``strict=False`` uses PERMISSIVE, turning bad lines into nulls for
+    quarantine-style ingestion."""
+    mode = "FAILFAST" if strict else "PERMISSIVE"
+    return (spark.read.schema(CORPUS_SCHEMA)
+            .option("mode", mode).json(location))
