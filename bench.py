@@ -109,7 +109,7 @@ def main() -> None:
                      "cms_join_size", "resample_daily",
                      "weighted_sample", "user_transitions",
                      "perplexity_score", "kg_hits",
-                     "kg_pagerank_weighted", "kg_node_ids",
+                     "kg_pagerank_weighted", "kg_katz", "kg_node_ids",
                      "kg_edges_encoded", "kg_adjacency",
                      "entity_link_fuzzy", "stratified_sample",
                      "kg_negative_samples", "kg_statute_pmi",

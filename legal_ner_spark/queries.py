@@ -4449,6 +4449,44 @@ r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
 SELECT node, round(rank, 6) AS rank FROM r{n_iter}"""
 
 
+def q_kg_katz(spark, sf_dir):
+    """Katz centrality over the directed citation graph (doc →
+    precedent): credit for being cited by well-cited nodes WITHOUT
+    outflow normalization — the complement to PageRank in the
+    centrality family (`graph.katz`, α=0.1, 6 truncated rounds,
+    oracle = the same unrolled recurrence)."""
+    from .operators import graph
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    e = (tri.filter(F.col("pred") == "cites_precedent")
+         .select(F.concat(F.lit("d:"), "doc_id").alias("src"),
+                 F.concat(F.lit("p:"), "obj").alias("dst")))
+    return graph.katz(e, alpha=0.1, n_iter=6,
+                      checkpoint_dir=_ckpt_dir(spark))
+
+
+def o_kg_katz(alpha: float = 0.1, n_iter: int = 6):
+    it = """
+x{i} AS (
+  SELECT n.node, 1.0 + {a} * coalesce(c.c, 0) AS score
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(x.score) AS c
+    FROM edges e JOIN x{p} x ON x.node = e.src
+    GROUP BY e.dst) c ON n.node = c.node
+)"""
+    iters = ",".join(it.format(i=i, p=i - 1, a=alpha)
+                     for i in range(1, n_iter + 1))
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT 'd:' || doc_id AS src, 'p:' || obj AS dst
+  FROM {_KG_SQL_SRC} WHERE rec_type = 'triple'
+    AND pred = 'cites_precedent'
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+x0 AS (SELECT node, 1.0 AS score FROM nodes),
+{iters}
+SELECT node, round(score, 6) AS score FROM x{n_iter}"""
+
+
 def q_kg_ppr(spark, sf_dir):
     """PERSONALIZED PageRank from the most-cited statute (tie-break:
     name): proximity of every node in the part_of graph to the landmark
@@ -9488,6 +9526,7 @@ QUERIES = {
     "digest_prune_agg": q_digest_prune_agg,
     "kg_pagerank": q_kg_pagerank,
     "kg_pagerank_weighted": q_kg_pagerank_weighted,
+    "kg_katz": q_kg_katz,
     "kg_ppr": q_kg_ppr,
 }
 
@@ -9720,6 +9759,7 @@ ORACLES = {
     "digest_prune_agg": o_digest_prune_agg(),
     "kg_pagerank": o_kg_pagerank(),
     "kg_pagerank_weighted": o_kg_pagerank_weighted(),
+    "kg_katz": o_kg_katz(),
     "kg_ppr": o_kg_ppr(),
     # every query has an oracle row; for kg_triples/kg_mentions the oracle
     # scope is the materialization + projection half — the pandas

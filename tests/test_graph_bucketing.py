@@ -870,3 +870,19 @@ def test_pagerank_weighted_contract(spark):
     assert ws["c"] > ww["c"] and ws["b"] < ww["b"]
     with pytest.raises(ValueError, match="positive"):
         graph.pagerank_weighted(e1.withColumn("weight", F.lit(0.0)))
+
+
+def test_katz_counts_weighted_paths(spark):
+    """Chain a→b→c with α=0.1, 3 rounds: closed form —
+    katz(c) = 1 + α·katz(b) = 1 + α(1 + α·katz(a)) = 1.11,
+    katz(a) = 1 (nothing cites it).  A second citer of c adds
+    exactly α more."""
+    e = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    got = {r.node: r.score for r in graph.katz(e, alpha=0.1,
+                                               n_iter=3).collect()}
+    assert got == {"a": 1.0, "b": 1.1, "c": 1.11}
+    e2 = spark.createDataFrame([("a", "b"), ("b", "c"), ("z", "c")],
+                               ["src", "dst"])
+    got2 = {r.node: r.score for r in graph.katz(e2, alpha=0.1,
+                                                n_iter=3).collect()}
+    assert got2["c"] == round(got["c"] + 0.1, 6)

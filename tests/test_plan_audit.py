@@ -516,3 +516,25 @@ def test_datalog_maintenance_tier_has_no_loop_joins(spark):
         p = physical(queries.QUERIES[name](spark, SF))
         assert "CartesianProduct" not in p, (name, p[:2000])
         assert "BroadcastNestedLoopJoin" not in p, (name, p[:2000])
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """A partitioned fact joined to a selective dimension must carry a
+    dynamicpruning subquery on the partition column — at 100 TB this
+    is the difference between scanning 1 partition and all of them.
+    (Static pruning is audited elsewhere; this pins the RUNTIME kind.)"""
+    from pyspark.sql import functions as F
+    loc = str(tmp_path / "fact_parts")
+    (spark.range(2000)
+     .select((F.col("id") % 20).alias("pk"), F.col("id").alias("v"))
+     .write.partitionBy("pk").parquet(loc))
+    fact = spark.read.parquet(loc)
+    dim = spark.createDataFrame([(3, "keep"), (7, "keep")],
+                                ["pk", "tag"])
+    q = (fact.join(dim.filter(F.col("tag") == "keep"), "pk")
+         .groupBy("pk").agg(F.sum("v").alias("s")))
+    p = plan_of(q)
+    assert "dynamicpruning" in p.lower(), p[:3000]
+    # and the result is right (pruning must not drop rows)
+    got = {r.pk: r.s for r in q.collect()}
+    assert set(got) == {3, 7}
