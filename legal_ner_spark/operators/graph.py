@@ -1380,3 +1380,43 @@ def katz(edges: DataFrame, alpha: float = 0.1, n_iter: int = 6,
                            * F.coalesce("c", F.lit(0.0)))
                           .alias("score")), "katz_x")
     return x.withColumn("score", F.round("score", 6))
+
+
+def seeded_label_propagation(edges: DataFrame, seeds: DataFrame,
+                             n_iter: int = 3,
+                             checkpoint_dir: str | None = None
+                             ) -> DataFrame:
+    """SEMI-SUPERVISED label propagation — classification, not
+    community detection: ``seeds`` (node, label) are ground truth and
+    NEVER change; each round every non-seed node adopts the most
+    common label among its labelled neighbours (ties → smallest
+    label), and nodes with no labelled neighbour stay unlabelled until
+    the frontier reaches them.  Synchronous and deterministic, so a
+    fixed round count unrolls into an exact SQL oracle (the community
+    LPA's contract, with a seed guard).  Conflicting seed labels for
+    one node are refused.  Per round: one neighbour-label count + one
+    per-node argmax window — the `lpa_communities` cost shape."""
+    from ..plans.checkpoint import Truncator
+    trunc = Truncator(checkpoint_dir)
+    sym = trunc(edges.select("src", "dst")
+                .union(edges.select(F.col("dst").alias("src"),
+                                    F.col("src").alias("dst")))
+                .distinct(), "slp_edges")
+    sd = trunc(seeds.select("node", "label").distinct(), "slp_seeds")
+    dup = (sd.groupBy("node").agg(F.count(F.lit(1)).alias("c"))
+           .filter("c > 1").limit(1).count())
+    if dup:
+        raise ValueError("conflicting seed labels for a node")
+    labels = sd
+    for _ in range(n_iter):
+        cnt = (sym.join(labels.select(F.col("node").alias("dst"),
+                                      "label"), "dst")
+               .groupBy(F.col("src").alias("node"), "label")
+               .agg(F.count(F.lit(1)).alias("c")))
+        w = Window.partitionBy("node").orderBy(F.desc("c"),
+                                               F.asc("label"))
+        prop = (cnt.withColumn("_rn", F.row_number().over(w))
+                .filter("_rn = 1").select("node", "label")
+                .join(sd.select("node"), "node", "left_anti"))
+        labels = trunc(sd.unionByName(prop), "slp_labels")
+    return labels

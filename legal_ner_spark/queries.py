@@ -1947,6 +1947,42 @@ FROM deduped d LEFT JOIN cont c USING (doc_id)
 WHERE coalesce(c.contamination, 0.0) < 0.2"""
 
 
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity audit (k=5) over the events quasi-identifier
+    (event_type, event day): group sizes below k mark re-identifiable
+    rows — the governance gate that runs NEXT TO pii_redact in a
+    training-data release (scrubbing direct identifiers does nothing
+    about quasi-identifier uniqueness).  One grouped count + one
+    conditional aggregate; at 100 TB both are partial-aggregated
+    map-side."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    g = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+         .agg(F.count(F.lit(1)).alias("n")))
+    k = F.lit(5)
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("n") < k, 1).otherwise(0)).cast("bigint")
+        .alias("n_small_groups"),
+        F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(0))
+        .cast("bigint").alias("rows_at_risk"),
+        F.min("n").cast("bigint").alias("min_group"))
+
+
+def o_k_anonymity():
+    return """
+WITH g AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+)
+SELECT count(*)::BIGINT AS n_groups,
+       SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END)::BIGINT
+         AS n_small_groups,
+       SUM(CASE WHEN n < 5 THEN n ELSE 0 END)::BIGINT
+         AS rows_at_risk,
+       MIN(n)::BIGINT AS min_group
+FROM g"""
+
+
 def q_pii_redact(spark, sf_dir):
     """PII scrubbing (emails, ≥6-digit runs) with per-doc hit counts —
     pure regex projection over planted fixtures (the driver documents
@@ -7380,6 +7416,61 @@ FROM e0 JOIN l{n_iter} la ON e0.a = la.node
 WHERE la.lab <> lb.lab"""
 
 
+def q_kg_label_propagation(spark, sf_dir):
+    """Semi-supervised court attribution of precedents
+    (`graph.seeded_label_propagation`): doc nodes are SEEDED with
+    their decided_by court, labels propagate across the doc↔precedent
+    citation graph (2 synchronous rounds), so every cited precedent
+    gets the majority court of its citers — classification over the
+    KG, with the seeds immutable (unlike community LPA).  Ties break
+    to the smallest court name; the oracle unrolls both rounds with
+    the seed guard."""
+    from .operators import graph
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    e = (tri.filter(F.col("pred") == "cites_precedent")
+         .select(F.concat(F.lit("d:"), "doc_id").alias("src"),
+                 F.concat(F.lit("p:"), "obj").alias("dst"))
+         .distinct())
+    seeds = (tri.filter(F.col("pred") == "decided_by")
+             .select(F.concat(F.lit("d:"), "subj").alias("node"),
+                     F.col("obj").alias("label"))
+             .groupBy("node").agg(F.min("label").alias("label")))
+    return graph.seeded_label_propagation(
+        e, seeds, n_iter=2, checkpoint_dir=_ckpt_dir(spark))
+
+
+def o_kg_label_propagation(n_iter: int = 2):
+    it = """
+l{i} AS MATERIALIZED (
+  SELECT node, label FROM seeds
+  UNION ALL
+  SELECT node, label FROM (
+    SELECT e.src AS node, l.label,
+           row_number() OVER (PARTITION BY e.src
+                              ORDER BY count(*) DESC, l.label) AS rn
+    FROM sym e JOIN l{p} l ON l.node = e.dst
+    GROUP BY e.src, l.label) t
+  WHERE rn = 1 AND node NOT IN (SELECT node FROM seeds)
+)"""
+    iters = ",".join(it.format(i=i, p=i - 1)
+                     for i in range(1, n_iter + 1))
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT 'd:' || doc_id AS src, 'p:' || obj AS dst
+  FROM {_KG_SQL_SRC} WHERE rec_type = 'triple'
+    AND pred = 'cites_precedent'
+),
+sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+seeds AS (
+  SELECT 'd:' || subj AS node, MIN(obj) AS label
+  FROM {_KG_SQL_SRC} WHERE rec_type = 'triple' AND pred = 'decided_by'
+  GROUP BY subj
+),
+l0 AS (SELECT node, label FROM seeds),
+{iters}
+SELECT node, label FROM l{n_iter}"""
+
+
 def q_kg_community_quality(spark, sf_dir):
     """Community QUALITY report over the one-round LPA labelling:
     per community its size, internal edges, volume, cut, and the
@@ -9477,6 +9568,7 @@ QUERIES = {
     "quality_classifier": q_quality_classifier,
     "curation_pipeline_v2": q_curation_pipeline_v2,
     "pii_redact": q_pii_redact,
+    "k_anonymity": q_k_anonymity,
     "pack_shards": q_pack_shards,
     "prepare_training_corpus": q_prepare_training_corpus,
     "corpus_sample": q_corpus_sample,
@@ -9596,6 +9688,7 @@ QUERIES = {
     "kg_label_cooccurrence": q_kg_label_cooccurrence,
     "kg_bridge_edges": q_kg_bridge_edges,
     "kg_community_quality": q_kg_community_quality,
+    "kg_label_propagation": q_kg_label_propagation,
     "kg_ambiguous_provisions": q_kg_ambiguous_provisions,
     "kg_media_stats": q_kg_media_stats,
     "kg_media_align": q_kg_media_align,
@@ -9713,6 +9806,7 @@ ORACLES = {
     "quality_classifier": o_quality_classifier(),
     "curation_pipeline_v2": o_curation_pipeline_v2(),
     "pii_redact": o_pii_redact(),
+    "k_anonymity": o_k_anonymity(),
     "pack_shards": o_pack_shards(),
     "prepare_training_corpus": o_prepare_training_corpus(),
     "corpus_sample": o_corpus_sample(),
@@ -9830,6 +9924,7 @@ ORACLES = {
     "kg_label_cooccurrence": o_kg_label_cooccurrence(),
     "kg_bridge_edges": o_kg_bridge_edges(1),
     "kg_community_quality": o_kg_community_quality(),
+    "kg_label_propagation": o_kg_label_propagation(),
     "kg_ambiguous_provisions": o_kg_ambiguous_provisions(),
     "kg_media_stats": o_kg_media_stats(),
     "kg_media_align": o_kg_media_align(),

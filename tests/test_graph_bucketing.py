@@ -929,3 +929,24 @@ def test_community_quality_metrics_exact(spark):
     assert sum(ein.values()) + sum(
         vol[c] - 2 * ein[c] for c in nn) // 2 == m
     assert all(q <= 4 * m * m for (_, _, _, _, _, q) in want)
+
+
+def test_seeded_label_propagation_contract(spark):
+    """Seeds are immutable, majorities decide, ties break to the
+    smaller label, unreached nodes stay unlabelled, and conflicting
+    seeds are refused.  Star: seeds a=X, b=X, c=Y all touch hub h →
+    h gets X (2 vs 1); spoke s off h gets X at round 2; isolated
+    island (i-j, no seeds) stays unlabelled."""
+    edges = [("a", "h"), ("b", "h"), ("c", "h"), ("h", "s"),
+             ("i", "j")]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame(
+        [("a", "X"), ("b", "X"), ("c", "Y")], ["node", "label"])
+    got = {r.node: r.label
+           for r in graph.seeded_label_propagation(
+               e, seeds, n_iter=2).collect()}
+    assert got == {"a": "X", "b": "X", "c": "Y", "h": "X", "s": "X"}
+    with pytest.raises(ValueError, match="conflicting"):
+        graph.seeded_label_propagation(
+            e, spark.createDataFrame([("a", "X"), ("a", "Y")],
+                                     ["node", "label"]))
