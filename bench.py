@@ -125,7 +125,8 @@ def main() -> None:
                      "kg_media_align", "hybrid_rrf",
                      "kg_court_profiles", "kg_canonical_citations",
                      "kg_judge_profiles", "kg_node_similarity",
-                     "dedup_stats", "kg_skew_report", "kg_lpa_communities",
+                     "dedup_stats", "kg_skew_report",
+                     "kg_degree_histogram", "kg_lpa_communities",
                      "kg_community_quality", "kg_label_propagation",
                      "k_anonymity",
                      "kg_citation_years", "sliding_window_counts", "corpus_cube", "daily_anomalies",

@@ -7101,6 +7101,47 @@ FROM (
   FROM ({o_near_dedup()}) t) s"""
 
 
+def q_kg_degree_histogram(spark, sf_dir):
+    """Log2-bucketed degree distribution of BOTH sides of the
+    doc↔statute bipartite graph — the power-law fingerprint a
+    partitioner reads before choosing salts (the skew report names the
+    hot keys; this shows the whole tail shape).  The bucket is
+    bit-length − 1 (length(bin(deg)) − 1), NOT floor(log2(·)) — pure
+    integer arithmetic, so the cross-engine hash can never
+    float-mismatch; buckets aggregate map-side to ≤64 rows per side."""
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    ds = (tri.filter(F.col("pred") == "part_of")
+          .select("doc_id", F.col("obj").alias("statute")).distinct())
+
+    def hist(keyed, side):
+        deg = keyed.groupBy("k").agg(F.count(F.lit(1)).alias("deg"))
+        return (deg.groupBy((F.length(F.bin("deg")) - 1)
+                            .cast("bigint").alias("bucket"))
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+                .withColumn("side", F.lit(side)))
+
+    d = hist(ds.select(F.col("doc_id").cast("string").alias("k")),
+             "doc")
+    s = hist(ds.select(F.col("statute").alias("k")), "statute")
+    return d.unionByName(s).select("side", "bucket", "n_nodes")
+
+
+def o_kg_degree_histogram():
+    return f"""
+WITH ds AS (
+  SELECT DISTINCT doc_id, obj AS statute
+  FROM {_KG_SQL_SRC} WHERE rec_type = 'triple' AND pred = 'part_of'
+),
+dd AS (SELECT doc_id, count(*) AS deg FROM ds GROUP BY doc_id),
+sd AS (SELECT statute, count(*) AS deg FROM ds GROUP BY statute)
+SELECT 'doc' AS side, (length(bin(deg)) - 1)::BIGINT AS bucket,
+       count(*)::BIGINT AS n_nodes
+FROM dd GROUP BY bucket
+UNION ALL
+SELECT 'statute', (length(bin(deg)) - 1)::BIGINT, count(*)::BIGINT
+FROM sd GROUP BY 2"""
+
+
 def q_kg_skew_report(spark, sf_dir):
     """Hot-key diagnosis over the part_of edges: per statute, share of
     all citations and the running cumulative share in popularity order —
@@ -9679,6 +9720,7 @@ QUERIES = {
     "kg_node_similarity": q_kg_node_similarity,
     "dedup_stats": q_dedup_stats,
     "kg_skew_report": q_kg_skew_report,
+    "kg_degree_histogram": q_kg_degree_histogram,
     "kg_lpa_communities": q_kg_lpa_communities,
     "kg_citation_years": q_kg_citation_years,
     "sliding_window_counts": q_sliding_window_counts,
@@ -9915,6 +9957,7 @@ ORACLES = {
     "kg_node_similarity": o_kg_node_similarity(),
     "dedup_stats": o_dedup_stats(),
     "kg_skew_report": o_kg_skew_report(),
+    "kg_degree_histogram": o_kg_degree_histogram(),
     "kg_lpa_communities": o_kg_lpa_communities(),
     "kg_citation_years": o_kg_citation_years(),
     "sliding_window_counts": o_sliding_window_counts(),

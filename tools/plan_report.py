@@ -150,6 +150,18 @@ SHOW = [
     ("kg_harmonic_centrality",
      "per-landmark BFS frontier joins + one integer-scaled harmonic "
      "aggregate (landmark sampling, not all-pairs)"),
+    ("kg_katz", "truncated Katz recurrence: one edge equi-join + "
+                "grouped sum per round, no outflow normalization"),
+    ("kg_community_quality", "LPA labels + integer-scaled modularity "
+                             "terms: three keyed aggregates, 1-row "
+                             "broadcast m"),
+    ("kg_label_propagation", "seeded sync rounds: neighbour-label "
+                             "count + per-node argmax window + seed "
+                             "anti-join per round"),
+    ("skyline_docs", "range-bucketed strict-prefix max + tie groupBy "
+                     "— no dominance self-join, no global window"),
+    ("kg_media_align", "sort-merge as-of: two per-doc windows over "
+                       "the unioned offset stream"),
     ("kg_components_incremental",
      "incremental WCC: two label equi-joins lift the delta to a tiny "
      "component graph, CC solves it, one broadcast remap rebases"),
