@@ -116,7 +116,8 @@ def main() -> None:
                      "mixture_sample", "dataset_split",
                      "ngram_diversity", "zipf_slope", "corpus_pivot",
                      "bpe_pair_stats", "vocab_coverage",
-                     "skyline_docs",
+                     "skyline_docs", "tfidf_keywords",
+                     "exact_median_quantity", "minhash_estimate_pairs",
                      "chunk_windows", "oov_rate", "dedup_prefix_filter",
                      "dedup_containment",
                      "kg_clustering_coeff", "kg_assortativity",

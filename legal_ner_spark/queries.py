@@ -1580,6 +1580,76 @@ _SHINGLE3_SQL = """
         FROM documents WHERE {pred})"""
 
 
+def q_minhash_estimate_pairs(spark, sf_dir):
+    """Estimator-quality census for the MinHash family: per
+    shingle-sharing pair (bounded subset), the INTEGER count of equal
+    minima (cn32 of 32 — E[cn32/32] = true Jaccard), the estimate at
+    4dp, and the exact Jaccard next to it — the observability view
+    that justifies the banding thresholds with data instead of the
+    textbook formula.  Everything except the two single-division
+    roundings is integer arithmetic, so the cross-engine hash is
+    stable; the oracle replays the identical Kirsch-Mitzenmacher
+    double-hash family."""
+    from .operators import dedup
+    docs = (spark.read.parquet(_t(sf_dir, "documents"))
+            .filter(F.col("doc_id") < 200))
+    sh = dedup.shingle_rows(docs)
+    mins = (dedup._minhash_inputs(sh).groupBy("doc_id")
+            .agg(*dedup._minima_aggs(32)))
+    pairs = (dedup.ngram_jaccard_pairs(sh, threshold=0.0)
+             .select(F.col("doc_a").cast("bigint").alias("doc_a"),
+                     F.col("doc_b").cast("bigint").alias("doc_b"),
+                     "jaccard"))
+    a = mins.select(F.col("doc_id").cast("bigint").alias("doc_a"),
+                    *[F.col(f"m{i}").alias(f"a{i}") for i in range(32)])
+    b = mins.select(F.col("doc_id").cast("bigint").alias("doc_b"),
+                    *[F.col(f"m{i}").alias(f"b{i}") for i in range(32)])
+    cn32 = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+               for i in range(32))
+    return (pairs.join(a, "doc_a").join(b, "doc_b")
+            .withColumn("cn32", cn32.cast("bigint"))
+            .select("doc_a", "doc_b", "cn32",
+                    F.round(F.col("cn32") / 32, 4).alias("est"),
+                    "jaccard"))
+
+
+def o_minhash_estimate_pairs():
+    from .operators.dedup import _MINHASH_PRIME
+    return f"""
+WITH sh AS ({_SHINGLE3_SQL.format(pred="doc_id < 200")}
+), hh AS (
+  SELECT doc_id, {_hex8_int_sql('m', 1)}::BIGINT AS h1,
+         {_hex8_int_sql('m', 9)}::BIGINT AS h2
+  FROM (SELECT doc_id, md5(shingle) AS m FROM sh)
+), mins AS (
+  SELECT doc_id, i.i AS i,
+         min((h1 + i.i * h2) % {_MINHASH_PRIME}) AS mn
+  FROM hh CROSS JOIN (SELECT unnest(generate_series(0, 31))::BIGINT
+                      AS i) i
+  GROUP BY doc_id, i.i
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), cn AS (
+  SELECT ma.doc_id AS doc_a, mb.doc_id AS doc_b,
+         SUM(CASE WHEN ma.mn = mb.mn THEN 1 ELSE 0 END) AS cn32
+  FROM mins ma JOIN mins mb
+    ON ma.i = mb.i AND ma.doc_id < mb.doc_id
+  GROUP BY ma.doc_id, mb.doc_id
+)
+SELECT i.doc_a::BIGINT AS doc_a, i.doc_b::BIGINT AS doc_b,
+       cn.cn32::BIGINT AS cn32,
+       round(cn.cn32 / 32.0, 4) AS est,
+       round(i.i * 1.0 / (sa.n + sb.n - i.i), 4) AS jaccard
+FROM inter i
+JOIN cn ON cn.doc_a = i.doc_a AND cn.doc_b = i.doc_b
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id"""
+
+
 def q_near_dedup(spark, sf_dir):
     """The composed production dedup flow in one call: banded MinHash
     candidates → exact Jaccard verification on candidates only →
@@ -2777,6 +2847,114 @@ def o_vocab_topk():
 SELECT token, count(*)::BIGINT AS n
 FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
 GROUP BY token ORDER BY n DESC, token ASC LIMIT 50"""
+
+
+def q_exact_median_quantity(spark, sf_dir):
+    """EXACT grouped order statistics (p25/median/p75 of l_quantity per
+    returnflag) WITHOUT sorting the fact table: l_quantity has a
+    bounded domain (1..50), so a (flag, value) histogram + a cumulative
+    window over ≤50 rows per group + three conditional rank picks give
+    exact discrete quantiles — the value-histogram device that replaces
+    approx_percentile when the domain is enumerable (status codes,
+    ratings, bounded counts).  Ranks are ceil fractions in INTEGER
+    arithmetic ((n+3) div 4 etc.) so both engines pick identically."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    h = (li.groupBy(F.col("l_returnflag").alias("f"),
+                    F.col("l_quantity").cast("double").alias("v"))
+         .agg(F.count(F.lit(1)).alias("c")))
+    t = h.groupBy("f").agg(F.sum("c").alias("n"))
+    from pyspark.sql import Window
+    w = (Window.partitionBy("f").orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (h.join(t, "f")
+           .withColumn("cum", F.sum("c").over(w)))
+    r25 = F.expr("(n + 3) DIV 4")
+    r50 = F.expr("(n + 1) DIV 2")
+    r75 = F.expr("(3 * n + 3) DIV 4")
+    return (cum.groupBy(F.col("f").alias("l_returnflag"))
+            .agg(F.max("n").cast("bigint").alias("n"),
+                 F.min(F.when(F.col("cum") >= r25, F.col("v")))
+                 .alias("p25"),
+                 F.min(F.when(F.col("cum") >= r50, F.col("v")))
+                 .alias("median"),
+                 F.min(F.when(F.col("cum") >= r75, F.col("v")))
+                 .alias("p75")))
+
+
+def o_exact_median_quantity():
+    return """
+WITH h AS (
+  SELECT l_returnflag AS f, l_quantity::DOUBLE AS v, count(*) AS c
+  FROM lineitem GROUP BY f, v
+),
+t AS (SELECT f, sum(c) AS n FROM h GROUP BY f),
+cum AS (
+  SELECT h.f, h.v, t.n,
+         sum(h.c) OVER (PARTITION BY h.f ORDER BY h.v) AS cum
+  FROM h JOIN t USING (f)
+)
+SELECT f AS l_returnflag, MAX(n)::BIGINT AS n,
+       MIN(CASE WHEN cum >= (n + 3) // 4 THEN v END) AS p25,
+       MIN(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS median,
+       MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END) AS p75
+FROM cum GROUP BY f"""
+
+
+def q_tfidf_keywords(spark, sf_dir):
+    """Per-document TF-IDF keywords (top-3) over a bounded doc subset:
+    tf·log(N/df) with smooth-free idf, ties → lexicographic — the
+    keyword-extraction primitive under tagging/routing pipelines.
+    Shapes: term counts are one grouped aggregate; df and N are tiny
+    broadcast joins; the per-doc top-3 is a per-doc window (bounded by
+    the doc's vocabulary, never a global sort).  Scored to 4dp with a
+    deterministic (score desc, term asc) pick so the cross-engine
+    hash is stable."""
+    docs = (spark.read.parquet(_t(sf_dir, "documents"))
+            .filter(F.col("doc_id") < 500))
+    toks = (docs.select("doc_id",
+                        F.explode(F.split(F.lower("text"), " "))
+                        .alias("term"))
+            .filter(F.col("term").rlike("^[a-z]{3,}$")))
+    tf = (toks.groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.countDistinct("doc_id").alias("n"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term"))
+    return (tf.join(df, "term").crossJoin(F.broadcast(n))
+            .withColumn("score", F.round(
+                F.col("tf") * F.log(F.col("n") / F.col("df")), 4))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("doc_id", F.col("rk").cast("bigint").alias("rk"),
+                    "term", "score"))
+
+
+def o_tfidf_keywords():
+    return """
+WITH docs AS (SELECT * FROM documents WHERE doc_id < 500),
+toks AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+    FROM docs)
+  WHERE regexp_matches(t, '^[a-z]{3,}$')
+),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM toks GROUP BY doc_id, term),
+idf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM docs),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(n.n * 1.0 / idf.df), 4) AS score
+  FROM tf JOIN idf USING (term), n
+)
+SELECT doc_id, rk, term, score FROM (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rk
+  FROM scored)
+WHERE rk <= 3"""
 
 
 def q_bpe_pair_stats(spark, sf_dir):
@@ -9561,6 +9739,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_containment": q_dedup_containment,
+    "minhash_estimate_pairs": q_minhash_estimate_pairs,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "near_dedup": q_near_dedup,
     "near_dedup_incremental": q_near_dedup_incremental,
@@ -9589,6 +9768,8 @@ QUERIES = {
     "case_type": q_case_type,
     "vocab_topk": q_vocab_topk,
     "bpe_pair_stats": q_bpe_pair_stats,
+    "tfidf_keywords": q_tfidf_keywords,
+    "exact_median_quantity": q_exact_median_quantity,
     "simhash_pairs": q_simhash_pairs,
     "embedding_near_pairs": q_embedding_near_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -9800,6 +9981,7 @@ ORACLES = {
     "dedup_exact": o_dedup_exact(),
     "dedup_ngram_jaccard": o_dedup_ngram_jaccard(),
     "dedup_containment": o_dedup_containment(),
+    "minhash_estimate_pairs": o_minhash_estimate_pairs(),
     "dedup_minhash_lsh": o_dedup_minhash_lsh(),
     "near_dedup": o_near_dedup(),
     "near_dedup_incremental": o_near_dedup_incremental(),
@@ -9828,6 +10010,8 @@ ORACLES = {
     "case_type": o_case_type(),
     "vocab_topk": o_vocab_topk(),
     "bpe_pair_stats": o_bpe_pair_stats(),
+    "tfidf_keywords": o_tfidf_keywords(),
+    "exact_median_quantity": o_exact_median_quantity(),
     "simhash_pairs": o_simhash_pairs(),
     "embedding_near_pairs": o_embedding_near_pairs(),
     "ann_lsh_topk": o_ann_lsh_topk(),
