@@ -118,6 +118,7 @@ def main() -> None:
                      "bpe_pair_stats", "vocab_coverage",
                      "skyline_docs", "tfidf_keywords",
                      "exact_median_quantity", "minhash_estimate_pairs",
+                     "collocations", "kg_rich_club",
                      "chunk_windows", "oov_rate", "dedup_prefix_filter",
                      "dedup_containment",
                      "kg_clustering_coeff", "kg_assortativity",

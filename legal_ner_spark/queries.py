@@ -2849,6 +2849,70 @@ FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
 GROUP BY token ORDER BY n DESC, token ASC LIMIT 50"""
 
 
+def q_collocations(spark, sf_dir):
+    """Collocation mining: adjacent word bigrams with count ≥ 5 scored
+    by PMI against unigram marginals — the classic corpus-linguistics
+    signal for multiword expressions ('supreme court', 'penal code').
+    Bigrams come from the zip-shift device (two O(1) field reads per
+    position, the shingle_rows trick at n=2); counts are grouped
+    aggregates; marginals and the total broadcast into one projection;
+    PMI is a single log, rounded — the statute-PMI shape applied to
+    the token stream."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    toks = docs.select(F.split(F.lower("text"), " ").alias("toks"))
+    big = (toks.select(F.explode(F.expr(
+        "CASE WHEN size(toks) >= 2 THEN transform("
+        "arrays_zip(slice(toks, 1, size(toks) - 1), "
+        "slice(toks, 2, size(toks) - 1)), x -> struct(x['0'] AS w1, "
+        "x['1'] AS w2)) ELSE array() END")).alias("b"))
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .filter(F.col("w1").rlike("^[a-z]+$")
+                & F.col("w2").rlike("^[a-z]+$")))
+    bc = (big.groupBy("w1", "w2")
+          .agg(F.count(F.lit(1)).alias("n")).filter("n >= 5"))
+    uni = (big.select(F.col("w1").alias("w"))
+           .unionByName(big.select(F.col("w2").alias("w")))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    tot = big.agg(F.count(F.lit(1)).alias("t"))
+    return (bc
+            .join(uni.select(F.col("w").alias("w1"),
+                             F.col("c").alias("c1")), "w1")
+            .join(uni.select(F.col("w").alias("w2"),
+                             F.col("c").alias("c2")), "w2")
+            .crossJoin(F.broadcast(tot))
+            .select("w1", "w2", F.col("n").cast("bigint").alias("n"),
+                    F.round(F.log(F.col("n") * 2 * F.col("t")
+                                  / (F.col("c1") * F.col("c2"))), 4)
+                    .alias("pmi")))
+
+
+def o_collocations():
+    return """
+WITH toks AS (
+  SELECT string_split(lower(text), ' ') AS toks FROM documents
+),
+big AS (
+  SELECT b[1] AS w1, b[2] AS w2 FROM (
+    SELECT unnest([[toks[i], toks[i+1]]
+                   for i in generate_series(1,
+                       greatest(len(toks) - 1, 0))]) AS b
+    FROM toks)
+  WHERE regexp_matches(b[1], '^[a-z]+$')
+    AND regexp_matches(b[2], '^[a-z]+$')
+),
+bc AS (SELECT w1, w2, count(*) AS n FROM big GROUP BY w1, w2
+       HAVING count(*) >= 5),
+uni AS (
+  SELECT w, count(*) AS c FROM (
+    SELECT w1 AS w FROM big UNION ALL SELECT w2 FROM big) GROUP BY w
+),
+tot AS (SELECT count(*) AS t FROM big)
+SELECT bc.w1, bc.w2, bc.n::BIGINT AS n,
+       round(ln(bc.n * 2.0 * tot.t / (u1.c * u2.c)), 4) AS pmi
+FROM bc JOIN uni u1 ON bc.w1 = u1.w
+        JOIN uni u2 ON bc.w2 = u2.w, tot"""
+
+
 def q_exact_median_quantity(spark, sf_dir):
     """EXACT grouped order statistics (p25/median/p75 of l_quantity per
     returnflag) WITHOUT sorting the fact table: l_quantity has a
@@ -7279,6 +7343,73 @@ FROM (
   FROM ({o_near_dedup()}) t) s"""
 
 
+def q_kg_rich_club(spark, sf_dir):
+    """Rich-club coefficient of the statute co-citation graph at
+    k ∈ {1,2,4,8}: among nodes with degree > k, what fraction of
+    possible edges exist — do the hubs form their own dense club
+    (IPC/CrPC co-cited with each other) or spread their citations?
+    One conditional-aggregate pass over the degree-joined edge list +
+    one over the degree table, unpivoted driver-free; integers
+    throughout, one division rounded at the end."""
+    e = _cocitation_edges(spark, sf_dir)
+    deg = (e.select(F.col("a").alias("node"))
+           .unionByName(e.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    ks = [1, 2, 4, 8]
+    ej = (e.join(deg.select(F.col("node").alias("a"),
+                            F.col("deg").alias("da")), "a")
+          .join(deg.select(F.col("node").alias("b"),
+                           F.col("deg").alias("db")), "b"))
+    erow = ej.agg(*[F.sum(F.when((F.col("da") > k)
+                                 & (F.col("db") > k), 1).otherwise(0))
+                    .alias(f"e{k}") for k in ks])
+    nrow = deg.agg(*[F.sum(F.when(F.col("deg") > k, 1).otherwise(0))
+                     .alias(f"n{k}") for k in ks])
+    row = erow.crossJoin(F.broadcast(nrow))
+    return (row.select(F.explode(F.array(*[
+                F.struct(F.lit(k).cast("bigint").alias("k"),
+                         F.col(f"n{k}").cast("bigint")
+                         .alias("n_rich"),
+                         F.col(f"e{k}").cast("bigint")
+                         .alias("e_rich"))
+                for k in ks])).alias("s"))
+            .select("s.k", "s.n_rich", "s.e_rich",
+                    F.when(F.col("s.n_rich") >= 2, F.round(
+                        2.0 * F.col("s.e_rich")
+                        / (F.col("s.n_rich")
+                           * (F.col("s.n_rich") - 1)), 4))
+                    .alias("phi")))
+
+
+def o_kg_rich_club():
+    return f"""
+WITH e0 AS ({_COCITE_EDGES_SQL}),
+deg AS (
+  SELECT n AS node, count(*) AS deg FROM (
+    SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) GROUP BY n
+),
+ej AS (
+  SELECT e0.a, e0.b, da.deg AS da, db.deg AS db
+  FROM e0 JOIN deg da ON e0.a = da.node JOIN deg db ON e0.b = db.node
+),
+ks AS (SELECT unnest([1, 2, 4, 8]) AS k),
+er AS (
+  SELECT k, SUM(CASE WHEN da > k AND db > k THEN 1 ELSE 0 END)
+            AS e_rich
+  FROM ej, ks GROUP BY k
+),
+nr AS (
+  SELECT k, SUM(CASE WHEN deg > k THEN 1 ELSE 0 END) AS n_rich
+  FROM deg, ks GROUP BY k
+)
+SELECT er.k::BIGINT AS k, nr.n_rich::BIGINT AS n_rich,
+       er.e_rich::BIGINT AS e_rich,
+       CASE WHEN nr.n_rich >= 2 THEN
+         round(2.0 * er.e_rich / (nr.n_rich * (nr.n_rich - 1)), 4)
+       END AS phi
+FROM er JOIN nr USING (k)"""
+
+
 def q_kg_degree_histogram(spark, sf_dir):
     """Log2-bucketed degree distribution of BOTH sides of the
     doc↔statute bipartite graph — the power-law fingerprint a
@@ -9770,6 +9901,7 @@ QUERIES = {
     "bpe_pair_stats": q_bpe_pair_stats,
     "tfidf_keywords": q_tfidf_keywords,
     "exact_median_quantity": q_exact_median_quantity,
+    "collocations": q_collocations,
     "simhash_pairs": q_simhash_pairs,
     "embedding_near_pairs": q_embedding_near_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -9902,6 +10034,7 @@ QUERIES = {
     "dedup_stats": q_dedup_stats,
     "kg_skew_report": q_kg_skew_report,
     "kg_degree_histogram": q_kg_degree_histogram,
+    "kg_rich_club": q_kg_rich_club,
     "kg_lpa_communities": q_kg_lpa_communities,
     "kg_citation_years": q_kg_citation_years,
     "sliding_window_counts": q_sliding_window_counts,
@@ -10012,6 +10145,7 @@ ORACLES = {
     "bpe_pair_stats": o_bpe_pair_stats(),
     "tfidf_keywords": o_tfidf_keywords(),
     "exact_median_quantity": o_exact_median_quantity(),
+    "collocations": o_collocations(),
     "simhash_pairs": o_simhash_pairs(),
     "embedding_near_pairs": o_embedding_near_pairs(),
     "ann_lsh_topk": o_ann_lsh_topk(),
@@ -10142,6 +10276,7 @@ ORACLES = {
     "dedup_stats": o_dedup_stats(),
     "kg_skew_report": o_kg_skew_report(),
     "kg_degree_histogram": o_kg_degree_histogram(),
+    "kg_rich_club": o_kg_rich_club(),
     "kg_lpa_communities": o_kg_lpa_communities(),
     "kg_citation_years": o_kg_citation_years(),
     "sliding_window_counts": o_sliding_window_counts(),
