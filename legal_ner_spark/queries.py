@@ -7343,6 +7343,69 @@ FROM (
   FROM ({o_near_dedup()}) t) s"""
 
 
+def q_kg_path_counts(spark, sf_dir):
+    """Exact distinct-path counting by dynamic programming on the
+    succession DAG (unit + skip edges): c_t = Aᵀ·c_{t-1} starting from
+    the chain heads, summed over lengths 1..4 — path COUNTS, not
+    reachability: a node reachable via the skip and the two-step route
+    counts 3 paths at the right lengths.  Integers end to end (the
+    counting analogue of the Katz recurrence, weight 1); per round one
+    edge equi-join + grouped sum."""
+    from pyspark.sql import Window
+    tri = ops.triples(_kg_records_parquet(spark, sf_dir))
+    dec = (tri.filter(F.col("pred") == "decided_by")
+           .select(F.col("subj").alias("doc"),
+                   F.col("obj").alias("court")).distinct())
+    seq = dec.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("court").orderBy("doc")))
+    a = seq.select("court", F.col("doc").alias("src"),
+                   F.col("rn").alias("ra"))
+    b = seq.select("court", F.col("doc").alias("dst"),
+                   F.col("rn").alias("rb"))
+    e = (a.join(b, ["court"])
+         .filter((F.col("rb") == F.col("ra") + 1)
+                 | (F.col("rb") == F.col("ra") + 2))
+         .select("src", "dst"))
+    cur = (seq.filter(F.col("rn") == 1)
+           .select(F.col("doc").alias("node"))
+           .withColumn("c", F.lit(1).cast("bigint")))
+    total = None
+    for _ in range(4):
+        cur = (e.join(cur.withColumnRenamed("node", "src"), "src")
+               .groupBy(F.col("dst").alias("node"))
+               .agg(F.sum("c").alias("c")))
+        total = cur if total is None else total.unionByName(cur)
+    return (total.groupBy("node")
+            .agg(F.sum("c").cast("bigint").alias("n_paths")))
+
+
+def o_kg_path_counts(n_iter: int = 4):
+    it = """
+c{i} AS (
+  SELECT e.dst AS node, sum(c.c) AS c
+  FROM e JOIN c{p} c ON c.node = e.src GROUP BY e.dst
+)"""
+    iters = ",".join(it.format(i=i, p=i - 1)
+                     for i in range(1, n_iter + 1))
+    parts = " UNION ALL ".join(
+        f"SELECT node, c FROM c{i}" for i in range(1, n_iter + 1))
+    return f"""
+WITH dec AS (SELECT DISTINCT subj AS doc, obj AS court
+             FROM {_KG_SQL_SRC}
+             WHERE rec_type = 'triple' AND pred = 'decided_by'),
+seq AS (SELECT doc, court,
+               ROW_NUMBER() OVER (PARTITION BY court ORDER BY doc) AS rn
+        FROM dec),
+e AS (SELECT a.doc AS src, b.doc AS dst
+      FROM seq a JOIN seq b ON a.court = b.court
+       AND (b.rn = a.rn + 1 OR b.rn = a.rn + 2)),
+c0 AS (SELECT doc AS node, 1::BIGINT AS c FROM seq WHERE rn = 1),
+{iters}
+SELECT node, SUM(c)::BIGINT AS n_paths
+FROM ({parts}) GROUP BY node"""
+
+
 def q_kg_rich_club(spark, sf_dir):
     """Rich-club coefficient of the statute co-citation graph at
     k ∈ {1,2,4,8}: among nodes with degree > k, what fraction of
@@ -10035,6 +10098,7 @@ QUERIES = {
     "kg_skew_report": q_kg_skew_report,
     "kg_degree_histogram": q_kg_degree_histogram,
     "kg_rich_club": q_kg_rich_club,
+    "kg_path_counts": q_kg_path_counts,
     "kg_lpa_communities": q_kg_lpa_communities,
     "kg_citation_years": q_kg_citation_years,
     "sliding_window_counts": q_sliding_window_counts,
@@ -10277,6 +10341,7 @@ ORACLES = {
     "kg_skew_report": o_kg_skew_report(),
     "kg_degree_histogram": o_kg_degree_histogram(),
     "kg_rich_club": o_kg_rich_club(),
+    "kg_path_counts": o_kg_path_counts(),
     "kg_lpa_communities": o_kg_lpa_communities(),
     "kg_citation_years": o_kg_citation_years(),
     "sliding_window_counts": o_sliding_window_counts(),
