@@ -119,7 +119,7 @@ def main() -> None:
                      "skyline_docs", "tfidf_keywords",
                      "exact_median_quantity", "minhash_estimate_pairs",
                      "collocations", "kg_rich_club",
-                     "kg_path_counts",
+                     "kg_path_counts", "user_activity_entropy",
                      "chunk_windows", "oov_rate", "dedup_prefix_filter",
                      "dedup_containment",
                      "kg_clustering_coeff", "kg_assortativity",

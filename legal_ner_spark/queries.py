@@ -2017,6 +2017,43 @@ FROM deduped d LEFT JOIN cont c USING (doc_id)
 WHERE coalesce(c.contamination, 0.0) < 0.2"""
 
 
+def q_user_activity_entropy(spark, sf_dir):
+    """Per-user Shannon entropy of the event-type distribution — the
+    behavioral-diversity metric that separates single-purpose accounts
+    (entropy ≈ 0) from broad ones (≈ ln #types); the user-modeling
+    analogue of the corpus diversity scores.  Two grouped aggregates
+    (user×type counts, then the per-user entropy fold over ≤ #types
+    terms); users sorted nowhere — pure keyed shuffles."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    ut = (ev.groupBy("user_id", "event_type")
+          .agg(F.count(F.lit(1)).alias("c")))
+    un = ut.groupBy("user_id").agg(F.sum("c").alias("n"),
+                                   F.count(F.lit(1)).alias("n_types"))
+    return (ut.join(un, "user_id")
+            .groupBy("user_id")
+            .agg(F.max("n").cast("bigint").alias("n_events"),
+                 F.max("n_types").cast("bigint").alias("n_types"),
+                 F.round(-F.sum((F.col("c") / F.col("n"))
+                                * F.log(F.col("c") / F.col("n"))), 4)
+                 .alias("entropy")))
+
+
+def o_user_activity_entropy():
+    return """
+WITH ut AS (
+  SELECT user_id, event_type, count(*) AS c
+  FROM events GROUP BY user_id, event_type
+),
+un AS (SELECT user_id, sum(c) AS n, count(*) AS n_types
+       FROM ut GROUP BY user_id)
+SELECT ut.user_id, MAX(un.n)::BIGINT AS n_events,
+       MAX(un.n_types)::BIGINT AS n_types,
+       round(-SUM((ut.c * 1.0 / un.n) * ln(ut.c * 1.0 / un.n)), 4)
+         AS entropy
+FROM ut JOIN un USING (user_id)
+GROUP BY ut.user_id"""
+
+
 def q_k_anonymity(spark, sf_dir):
     """k-anonymity audit (k=5) over the events quasi-identifier
     (event_type, event day): group sizes below k mark re-identifiable
@@ -9986,6 +10023,7 @@ QUERIES = {
     "curation_pipeline_v2": q_curation_pipeline_v2,
     "pii_redact": q_pii_redact,
     "k_anonymity": q_k_anonymity,
+    "user_activity_entropy": q_user_activity_entropy,
     "pack_shards": q_pack_shards,
     "prepare_training_corpus": q_prepare_training_corpus,
     "corpus_sample": q_corpus_sample,
@@ -10231,6 +10269,7 @@ ORACLES = {
     "curation_pipeline_v2": o_curation_pipeline_v2(),
     "pii_redact": o_pii_redact(),
     "k_anonymity": o_k_anonymity(),
+    "user_activity_entropy": o_user_activity_entropy(),
     "pack_shards": o_pack_shards(),
     "prepare_training_corpus": o_prepare_training_corpus(),
     "corpus_sample": o_corpus_sample(),
